@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.RelationalQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator surface (one entry per implemented
+  * operator from SURVEY.md §2 plus the training-data pipeline extensions);
+  * `oracleSql` carries the DuckDB-equivalent SQL for every entry that is
+  * SQL-expressible, used by the driver's hash-compare correctness gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+    Map[String, String])] = Seq(
+    (RelationalQueries.all, RelationalQueries.oracles))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }
