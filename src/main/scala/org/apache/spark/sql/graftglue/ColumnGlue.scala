@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+package graftglue
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` / `Column.expr` bridge in
+  * favor of ColumnNode. This glue lives in a subpackage of
+  * `org.apache.spark.sql` solely to reach the `private[sql]`
+  * `classic.ExpressionUtils`, so graft's custom Catalyst expressions can be
+  * exposed as user-facing `Column`s. No Spark internals are modified.
+  */
+object ColumnGlue {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
