@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Jsonata
+
+/** DuckDB-oracle-checked queries exercising the JSONata function surface
+  * (SURVEY.md §2.2–§2.7, §2.10) in distributed plans over the synthetic
+  * tables. Everything here is a narrow projection + orderBy — the scan
+  * prunes to the referenced columns and all functions are codegen'd
+  * Column expressions (custom expressions are CodegenFallback but remain
+  * row-local projections: no shuffle, no driver participation).
+  */
+object FunctionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** §2.2 strings over part. */
+  def fString(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      Jsonata.substring(col("p_name"), lit(3), Some(lit(5))).as("sub"),
+      Jsonata.substringBefore(col("p_type"), lit(" ")).as("before"),
+      Jsonata.substringAfter(col("p_name"), lit("a")).as("after"),
+      Jsonata.pad(col("p_brand"), -12, "#").as("padded"),
+      Jsonata.trim(col("p_type")).as("trimmed"),
+      Jsonata.base64encode(col("p_brand")).as("b64"),
+      size(Jsonata.split(col("p_name"), " ")).cast("long").as("spl"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+      Jsonata.replaceRegex(col("p_name"), "[aeiou]", "*").as("repl"))
+      .orderBy("p_partkey")
+  }
+
+  /** §2.3 numerics over part; formatInteger/parseInteger validated as a
+    * distributed round-trip (DuckDB lacks the pictures).
+    */
+  def fNumeric(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.select(
+      col("p_partkey"),
+      Jsonata.abs(col("p_retailprice") - 1000).as("absv"),
+      Jsonata.ceil(col("p_retailprice")).cast("long").as("ceilv"),
+      Jsonata.floor(col("p_retailprice")).cast("long").as("floorv"),
+      Jsonata.sqrt(col("p_retailprice")).as("sq"),
+      Jsonata.power(col("p_size"), lit(2)).as("pw"),
+      Jsonata.formatBase(col("p_partkey"), 16).as("fb"),
+      Jsonata.number(col("p_size").cast("string")).as("nm"),
+      (Jsonata.parseInteger(
+        Jsonata.formatInteger(col("p_size"), "w"), "w") === col("p_size"))
+        .as("fmt_roundtrip"))
+      .orderBy("p_partkey")
+  }
+
+  /** §2.10 date/time over orders: picture-driven formatting + millis. */
+  def fDatetime(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+    val ms = unix_millis(col("o_orderdate").cast("timestamp"))
+    o.select(
+      col("o_orderkey"),
+      ms.as("ms"),
+      Jsonata.fromMillis(ms, "[Y0001]-[M01]-[D01]").as("day"),
+      Jsonata.fromMillis(ms, "[H01]:[m01]").as("hm"),
+      Jsonata.fromMillis(ms, "[FNn]").as("dow"),
+      Jsonata.fromMillis(ms, "[MNn]").as("mon"),
+      Jsonata.toMillis(Jsonata.fromMillis(ms)).as("ms_rt"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.4/§2.6 array functions over per-order lineitem arrays. The
+    * group-then-array shape is the distributed form of the reference's
+    * array builtins: collect_list is a partial-aggregated shuffle, the
+    * array functions then run row-local.
+    */
+  def fArray(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("arr"))
+      .select(
+        col("l_orderkey"),
+        size(col("arr")).cast("long").as("n"),
+        Jsonata.join(Jsonata.reverseArr(col("arr")).cast("array<string>"), ",")
+          .as("rev_str"),
+        Jsonata.sumArr(col("arr")).as("sm"),
+        Jsonata.averageArr(col("arr")).as("av"),
+        Jsonata.maxArr(col("arr")).as("mx"),
+        size(Jsonata.distinctArr(col("arr"))).cast("long").as("dn"),
+        array_contains(col("arr"), 3).as("c3"),
+        Jsonata.aref(col("arr"), lit(1)).as("second"))
+      .orderBy("l_orderkey")
+  }
+
+  /** §2.7 objects: events.props JSON → map, object functions with oracle
+    * parity through DuckDB's JSON functions.
+    */
+  def fObject(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string,long>"))
+    e.select(
+      col("event_id"),
+      Jsonata.lookup(m, lit("k")).as("kval"),
+      size(Jsonata.keys(m)).cast("long").as("nk"),
+      Jsonata.join(json_object_keys(col("props")), ",").as("ks"),
+      Jsonata.lookup(Jsonata.assoc(m, lit("x"), lit(42L)), lit("x")).as("xval"),
+      Jsonata.reduceKV(m, lit(0L), (acc, _, v) => acc + v).as("vsum"))
+      .orderBy("event_id")
+  }
+
+  /** §2.5 truthiness over documents. */
+  def fTruthy(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    doc.select(
+      col("doc_id"),
+      Jsonata.boolean(col("text")).as("tb_text"),
+      Jsonata.boolean(col("n_chars") - 500).as("tb_num"),
+      Jsonata.not(col("n_chars") - 500).as("nb_num"),
+      Jsonata.exists(col("lang")).as("ex_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** $match custom expression with oracle parity via regexp_extract_all. */
+  def fRegex(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val m = Jsonata.rmatch(col("p_name"), "([aeiou])([aeiou])")
+    val first = try_element_at(m, lit(1))
+    p.select(
+      col("p_partkey"),
+      coalesce(first.getField("match"), lit("")).as("first_match"),
+      size(m).cast("long").as("n_matches"),
+      first.getField("index").as("idx"),
+      coalesce(element_at(first.getField("groups"), 2), lit("")).as("g2"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Map[String, Q] = Map(
+    "f_string" -> (fString _),
+    "f_numeric" -> (fNumeric _),
+    "f_datetime" -> (fDatetime _),
+    "f_array" -> (fArray _),
+    "f_object" -> (fObject _),
+    "f_truthy" -> (fTruthy _),
+    "f_regex" -> (fRegex _))
+
+  val oracles: Map[String, String] = Map(
+    "f_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  substr(p_name, 4, 5) AS sub,
+        |  CASE WHEN strpos(p_type, ' ') > 0
+        |    THEN substr(p_type, 1, strpos(p_type, ' ') - 1) ELSE p_type END AS before,
+        |  CASE WHEN strpos(p_name, 'a') > 0
+        |    THEN substr(p_name, strpos(p_name, 'a') + 1) ELSE p_name END AS after,
+        |  CASE WHEN length(p_brand) >= 12 THEN p_brand
+        |    ELSE lpad(p_brand, 12, '#') END AS padded,
+        |  trim(regexp_replace(p_type, '\s+', ' ', 'g')) AS trimmed,
+        |  base64(CAST(p_brand AS BLOB)) AS b64,
+        |  len(str_split(p_name, ' ')) AS spl,
+        |  concat_ws('-', p_brand, p_type) AS joined,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS repl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f_numeric" ->
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000) AS absv,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceilv,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floorv,
+        |  sqrt(p_retailprice) AS sq,
+        |  power(p_size, 2) AS pw,
+        |  lower(to_base(p_partkey, 16)) AS fb,
+        |  CAST(CAST(p_size AS VARCHAR) AS DOUBLE) AS nm,
+        |  TRUE AS fmt_roundtrip
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f_datetime" ->
+      """SELECT o_orderkey,
+        |  epoch_ms(o_orderdate) AS ms,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  strftime(o_orderdate, '%H:%M') AS hm,
+        |  strftime(o_orderdate, '%A') AS dow,
+        |  strftime(o_orderdate, '%B') AS mon,
+        |  epoch_ms(o_orderdate) AS ms_rt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f_array" ->
+      """SELECT l_orderkey, len(arr) AS n,
+        |  array_to_string(list_reverse(arr), ',') AS rev_str,
+        |  CAST(list_sum(arr) AS DOUBLE) AS sm,
+        |  CAST(list_sum(arr) AS DOUBLE) / len(arr) AS av,
+        |  list_max(arr) AS mx,
+        |  len(list_distinct(arr)) AS dn,
+        |  list_contains(arr, 3) AS c3,
+        |  arr[2] AS second
+        |FROM (SELECT l_orderkey,
+        |        list_sort(list(l_linenumber)) AS arr
+        |      FROM lineitem GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
+    "f_object" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval,
+        |  len(json_keys(props)) AS nk,
+        |  array_to_string(json_keys(props), ',') AS ks,
+        |  42 AS xval,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS vsum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f_truthy" ->
+      """SELECT doc_id,
+        |  length(text) > 0 AS tb_text,
+        |  n_chars - 500 <> 0 AS tb_num,
+        |  NOT (n_chars - 500 <> 0) AS nb_num,
+        |  lang IS NOT NULL AS ex_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([aeiou])([aeiou])') AS first_match,
+        |  len(regexp_extract_all(p_name, '([aeiou])([aeiou])')) AS n_matches,
+        |  CASE WHEN regexp_extract(p_name, '([aeiou])([aeiou])') <> ''
+        |    THEN strpos(p_name, regexp_extract(p_name, '([aeiou])([aeiou])')) - 1
+        |    ELSE NULL END AS idx,
+        |  regexp_extract(p_name, '([aeiou])([aeiou])', 2) AS g2
+        |FROM part ORDER BY p_partkey""".stripMargin)
+}
