@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FunctionQueries, RelationalQueries}
+import graft.queries.{EavQueries, FunctionQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (RelationalQueries.all, RelationalQueries.oracles),
-    (FunctionQueries.all, FunctionQueries.oracles))
+    (FunctionQueries.all, FunctionQueries.oracles),
+    (EavQueries.all, EavQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)

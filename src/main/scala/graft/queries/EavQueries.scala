@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.shred.Shred
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{C, Pattern, V, W}
+
+/** `query{}` relational core over shredded EAV frames, DuckDB-checked
+  * (SURVEY.md §2.8). The oracle SQL states the *semantics* (joins over
+  * the original tables); the Spark side actually exercises shred →
+  * pattern filters → qvar equi-joins → distinct → projection.
+  *
+  * Scale: pattern frames are narrow (filter + 2-3 columns) so Catalyst
+  * broadcast-joins the small ones; with triples persisted partitioned by
+  * attribute, each `a === const` filter is partition pruning. The shred
+  * itself is one scan + explode (no shuffle).
+  */
+object EavQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Single-source query: constant pattern + value qvars + numeric
+    * predicate (reference query_test.cljc:90-198 shapes).
+    */
+  def qEavFilter(s: SparkSession, d: String): DataFrame = {
+    val triples = Shred.shred(Tables.customer(s, d), Some("c_custkey"))
+    QueryCompiler.run(
+      Map("default" -> triples),
+      Seq(
+        Pattern(V("c"), C("c_mktsegment"), C("BUILDING")),
+        Pattern(V("c"), C("c_name"), V("name")),
+        Pattern(V("c"), C("c_acctbal"), V("bal"))),
+      predicates = Seq(b => QueryCompiler.num(b("bal")) > 1000))
+      .orderBy("name")
+  }
+
+  /** Two-source join on a shared value qvar — the flagship multi-DB shape
+    * (reference query_test.cljc:575-675).
+    */
+  def qEavJoin(s: SparkSession, d: String): DataFrame = {
+    val orders = Shred.shred(Tables.orders(s, d), Some("o_orderkey"))
+    val customer = Shred.shred(Tables.customer(s, d), Some("c_custkey"))
+    QueryCompiler.run(
+      Map("orders" -> orders, "customer" -> customer),
+      Seq(
+        Pattern(V("o"), C("o_orderpriority"), C("1-URGENT"), "orders"),
+        Pattern(V("o"), C("o_custkey"), V("ck"), "orders"),
+        Pattern(V("c"), C("c_custkey"), V("ck"), "customer"),
+        Pattern(V("c"), C("c_name"), V("name"), "customer")))
+      .orderBy("ck", "name")
+  }
+
+  /** Wildcard attribute position: `[?e ?a ?v]`
+    * (reference query_test.cljc:104-110). Triple count per attribute.
+    */
+  def qEavWildcard(s: SparkSession, d: String): DataFrame =
+    QueryCompiler.run(
+      Shred.shred(Tables.nation(s, d), Some("n_nationkey")),
+      Seq(Pattern(V("e"), V("attr"), W)))
+      .groupBy("attr").agg(count(lit(1)).as("n"))
+      .orderBy("attr")
+
+  /** `$pull`-flat: shred → reassemble attribute map → project. */
+  def qEavPull(s: SparkSession, d: String): DataFrame =
+    Shred.unshredFlat(Shred.shred(Tables.region(s, d), Some("r_regionkey")))
+      .select(col("e"), element_at(col("attrs"), "r_name").as("name"))
+      .orderBy("e")
+
+  val all: Map[String, Q] = Map(
+    "q_eav_filter" -> (qEavFilter _),
+    "q_eav_join" -> (qEavJoin _),
+    "q_eav_wildcard" -> (qEavWildcard _),
+    "q_eav_pull" -> (qEavPull _))
+
+  // Canonical string of a numeric column (matches Shred's encoding).
+  private def canonNum(col: String): String =
+    s"""CASE WHEN $col = CAST(CAST($col AS BIGINT) AS DOUBLE)
+       |  THEN CAST(CAST($col AS BIGINT) AS VARCHAR)
+       |  ELSE CAST($col AS VARCHAR) END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_eav_filter" ->
+      s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
+         |FROM customer
+         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+         |ORDER BY name""".stripMargin,
+    "q_eav_join" ->
+      // one row PER URGENT ORDER: distinct applies over all qvars incl.
+      // entity vars, which are dropped only afterwards (reference
+      // builtin.cljc:1752-1758), so per-entity duplicates survive.
+      """SELECT CAST(o_custkey AS VARCHAR) AS ck, c_name AS name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY ck, name""".stripMargin,
+    "q_eav_wildcard" ->
+      """SELECT a AS attr, count(*) AS n FROM (
+        |  SELECT 'n_nationkey' AS a FROM nation
+        |  UNION ALL SELECT 'n_name' FROM nation
+        |  UNION ALL SELECT 'n_regionkey' FROM nation)
+        |GROUP BY a ORDER BY a""".stripMargin,
+    "q_eav_pull" ->
+      """SELECT CAST(r_regionkey AS VARCHAR) AS e, r_name AS name
+        |FROM region ORDER BY e""".stripMargin)
+}

@@ -1,0 +1,125 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The `query{}` Datalog compiler (SURVEY.md §2.8; reference semantics at
+  * `builtin.cljc:1695-1838`, `rewrite.cljc:253-307`).
+  *
+  * Each triple pattern filters the EAV frame and projects its qvars; the
+  * conjunction is a chain of natural equi-joins on shared qvar columns —
+  * exactly the reference's Datalog semantics (conjunctive equi-joins by
+  * shared qvars, implicit distinct, wildcard attr position, predicate
+  * filters), but the join *planning* is Catalyst's: join reordering,
+  * broadcast selection for small pattern frames, pushdown of the `a ===`
+  * filters to the scan (partition pruning when triples are stored
+  * partitioned by attribute).
+  *
+  * Binding representation: every qvar binds a struct<v: string, vt:
+  * string> (canonical value + type tag, matching Shred's encoding), so
+  * joins distinguish `"5"` the string from `5` the number, mirroring the
+  * typed EAV store. Entity-position qvars bind <id, "ref">.
+  */
+object QueryCompiler {
+
+  sealed trait Term
+  /** `?name` */
+  final case class V(name: String) extends Term
+  /** literal in the pattern */
+  final case class C(value: Any) extends Term
+  /** `_` — matches anything, binds nothing */
+  case object W extends Term
+
+  /** `[<src> ?e :attr v]` — src names a frame in the sources map
+    * (multi-DB queries, reference `rewrite.cljc:292-301`).
+    */
+  final case class Pattern(e: Term, a: Term, v: Term, src: String = "default")
+
+  /** Canonical encoding of a pattern constant (must match Shred.canon). */
+  private def canonConst(x: Any): (String, String) = x match {
+    case s: String => (s, "str")
+    case b: Boolean => (b.toString, "bool")
+    case n: Double =>
+      (if (n == n.longValue.toDouble) n.longValue.toString else n.toString,
+        "num")
+    case n: Number => (n.toString, "num")
+    case other => (other.toString, "str")
+  }
+
+  /** Compile one pattern to a frame with one struct column per qvar. */
+  private def patternFrame(triples: DataFrame, p: Pattern): DataFrame = {
+    var f = triples
+    p.a match {
+      case C(name) => f = f.filter(col("a") === name.toString)
+      case _ => ()
+    }
+    p.v match {
+      case C(value) =>
+        val (v, vt) = canonConst(value)
+        f = f.filter(col("v") === v && col("vt") === vt)
+      case _ => ()
+    }
+    val cols = Seq.newBuilder[Column]
+    p.e match {
+      case V(n) => cols += struct(col("e").as("v"), lit("ref").as("vt")).as(n)
+      case C(id) => f = f.filter(col("e") === id.toString)
+      case W => ()
+    }
+    p.a match {
+      case V(n) => cols += struct(col("a").as("v"), lit("str").as("vt")).as(n)
+      case _ => ()
+    }
+    p.v match {
+      case V(n) => cols += struct(col("v").as("v"), col("vt").as("vt")).as(n)
+      case _ => ()
+    }
+    f.select(cols.result(): _*)
+  }
+
+  private def vars(p: Pattern): Seq[String] =
+    Seq(p.e, p.a, p.v).collect { case V(n) => n }
+
+  /** Run a query.
+    *
+    * @param sources    named triple frames (multi-source joins)
+    * @param patterns   the `:where` conjunction
+    * @param predicates filters over bound qvars — receive name→Column
+    *                   (the canonical string value); use `num()` for the
+    *                   numeric view
+    * @param keepDBid   keep entity-position qvars in the output
+    *                   (`<|keepDBid: true|>`, reference builtin.cljc:1752-1758)
+    * @return binding sets: one string column per value/attr qvar
+    *         (canonical encoding), distinct (Datalog set semantics)
+    */
+  def run(sources: Map[String, DataFrame], patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false): DataFrame = {
+    require(patterns.nonEmpty, "query{} needs at least one pattern")
+    val joined = patterns.map(p => patternFrame(sources(p.src), p))
+      .reduceLeft { (acc, next) =>
+        val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq
+        if (shared.nonEmpty) acc.join(next, shared)
+        else acc.crossJoin(next)
+      }
+    val bound: Map[String, Column] =
+      joined.columns.map(n => n -> joined(n).getField("v")).toMap
+    val filtered = predicates.foldLeft(joined)((f, p) => f.filter(p(bound)))
+    // Datalog set semantics over ALL found qvars, THEN drop entity vars
+    // (so residual duplicate bsets survive, as in the reference).
+    val entityVars = patterns.flatMap(p => p.e match {
+      case V(n) => Some(n); case _ => None
+    }).toSet
+    val distinctAll = filtered.distinct()
+    val out = distinctAll.columns
+      .filter(c => keepDBid || !entityVars.contains(c))
+      .map(c => distinctAll(c).getField("v").as(c))
+    distinctAll.select(out.toSeq: _*)
+  }
+
+  /** Single-source convenience. */
+  def run(triples: DataFrame, patterns: Seq[Pattern]): DataFrame =
+    run(Map("default" -> triples), patterns)
+
+  /** Numeric view of a bound qvar inside a predicate. */
+  def num(c: Column): Column = c.cast("double")
+}

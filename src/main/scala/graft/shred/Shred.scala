@@ -1,0 +1,120 @@
+package graft.shred
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document ⇄ EAV shredding (SURVEY.md §1.2, §2.8).
+  *
+  * The reference loads documents into an in-memory Datahike triple store
+  * (`query.cljc:270-298`, schema learning at `query.cljc:60-86`); our
+  * equivalent is a *long-format DataFrame* of triples:
+  *
+  *   e:  string  entity id (root = user id column or a generated id;
+  *               sub-entities = parent-id + "/" + path, deterministic)
+  *   a:  string  attribute name (nested: plain field name, like the
+  *               reference's keywordized attrs)
+  *   v:  string  canonical value encoding (numbers: integral without ".0",
+  *               mirroring JSONata `$string`)
+  *   vt: string  value type ∈ str|num|bool|ref (reference boxing,
+  *               `util.cljc:299-322`)
+  *   vn: double  numeric view (null for non-numbers) for range predicates
+  *
+  * Scale design: the whole shred is ONE narrow projection building an
+  * `array<struct<e,a,v,vt,vn>>` per row (recursion over the *schema*,
+  * which is driver-side metadata) followed by a single `explode` — one
+  * scan, no shuffle, no driver data movement, fully codegen-able. At
+  * 100 TB the triple frame would be written out partitioned by `a`, so
+  * pattern filters (`a === "attr"`) become partition pruning.
+  */
+object Shred {
+
+  private val tripleSchema: StructType = StructType(Seq(
+    StructField("e", StringType), StructField("a", StringType),
+    StructField("v", StringType), StructField("vt", StringType),
+    StructField("vn", DoubleType)))
+
+  /** Canonical string form: integral numbers print without ".0". */
+  private def canon(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType | _: DecimalType =>
+      when(c === c.cast("long").cast(dt), c.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
+    case _ => c.cast("string")
+  }
+
+  private def typeName(dt: DataType): String = dt match {
+    case _: NumericType => "num"
+    case BooleanType => "bool"
+    case _ => "str"
+  }
+
+  private def scalarTriple(e: Column, name: String, c: Column,
+      dt: DataType): Column = {
+    val vn = dt match {
+      case _: NumericType => c.cast("double")
+      case _ => lit(null).cast("double")
+    }
+    struct(e.as("e"), lit(name).as("a"), canon(c, dt).as("v"),
+      lit(typeName(dt)).as("vt"), vn.as("vn"))
+  }
+
+  private def emptyTriples: Column =
+    array().cast(ArrayType(tripleSchema))
+
+  /** Triples for one field of an entity; returns array<triple>. */
+  private def fieldTriples(e: Column, name: String, c: Column,
+      dt: DataType): Column = dt match {
+    case st: StructType =>
+      val subId = concat(e, lit("/"), lit(name))
+      val ref = struct(e.as("e"), lit(name).as("a"), subId.as("v"),
+        lit("ref").as("vt"), lit(null).cast("double").as("vn"))
+      val subs = st.fields.map(f =>
+        fieldTriples(subId, f.name, c.getField(f.name), f.dataType))
+      when(c.isNull, emptyTriples)
+        .otherwise(concat(array(ref) +: subs.toSeq: _*))
+    case ArrayType(st: StructType, _) =>
+      // one sub-entity per element: e/name/idx
+      when(c.isNull, emptyTriples).otherwise(flatten(
+        zip_with(c, sequence(lit(0), size(c) - 1), (x, i) => {
+          val subId = concat(e, lit("/"), lit(name), lit("/"),
+            i.cast("string"))
+          val ref = struct(e.as("e"), lit(name).as("a"), subId.as("v"),
+            lit("ref").as("vt"), lit(null).cast("double").as("vn"))
+          val subs = st.fields.map(f =>
+            fieldTriples(subId, f.name, x.getField(f.name), f.dataType))
+          concat(array(ref) +: subs.toSeq: _*)
+        })))
+    case ArrayType(et, _) =>
+      // cardinality-many scalar attribute (reference query.cljc:71-73)
+      when(c.isNull, emptyTriples)
+        .otherwise(transform(c, x => scalarTriple(e, name, x, et)))
+    case _ =>
+      when(c.isNull, emptyTriples)
+        .otherwise(array(scalarTriple(e, name, c, dt)))
+  }
+
+  /** Shred a document frame into triples. `idCol`: use that column as the
+    * entity id (it is still emitted as a regular attribute too); otherwise
+    * generate distributed unique ids.
+    */
+  def shred(df: DataFrame, idCol: Option[String] = None): DataFrame = {
+    val e: Column = idCol match {
+      case Some(c) => col(c).cast("string")
+      case None => monotonically_increasing_id().cast("string")
+    }
+    val parts = df.schema.fields.map(f =>
+      fieldTriples(e, f.name, col(f.name), f.dataType))
+    df.select(explode(concat(parts.toSeq: _*)).as("t"))
+      .select(col("t.e").as("e"), col("t.a").as("a"), col("t.v").as("v"),
+        col("t.vt").as("vt"), col("t.vn").as("vn"))
+  }
+
+  /** `$pull`-flat: reassemble each entity's direct attributes as a map
+    * (refs keep the sub-entity id as their value). Nested reassembly is
+    * the express compiler's job.
+    */
+  def unshredFlat(triples: DataFrame): DataFrame =
+    triples.groupBy("e")
+      .agg(map_from_entries(collect_list(struct(col("a"), col("v"))))
+        .as("attrs"))
+}

@@ -1,0 +1,95 @@
+package graft.shred
+
+import graft.SparkSpec
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{C, Pattern, V, W}
+import org.apache.spark.sql.functions._
+
+class ShredSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shred flat frame: one triple per non-null attribute") {
+    val df = Seq((1L, "Bob", 10.0), (2L, "Alice", 20.5)).toDF("id", "name", "x")
+    val t = Shred.shred(df, Some("id")).cache()
+    assert(t.count() == 6)
+    val bob = t.filter($"e" === "1").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(bob == Set(("id", "1", "num"), ("name", "Bob", "str"),
+      ("x", "10", "num")))  // canonical: integral double prints as "10"
+    assert(t.filter($"e" === "2" && $"a" === "x").head().getString(2) == "20.5")
+  }
+
+  test("shred nested structs and arrays of structs as sub-entities") {
+    val df = spark.read.json(Seq(
+      """{"id": 7, "addr": {"city": "Oslo", "zip": "0150"},
+         "pets": [{"name": "Rex"}, {"name": "Ada"}], "tags": ["a", "b"]}"""
+    ).toDS())
+    val t = Shred.shred(df, Some("id")).cache()
+    // ref triple to the struct sub-entity + its two attrs
+    assert(t.filter($"e" === "7" && $"a" === "addr" && $"vt" === "ref")
+      .head().getString(2) == "7/addr")
+    assert(t.filter($"e" === "7/addr" && $"a" === "city")
+      .head().getString(2) == "Oslo")
+    // array-of-structs: indexed sub-entities
+    assert(t.filter($"e" === "7/pets/0" && $"a" === "name")
+      .head().getString(2) == "Rex")
+    assert(t.filter($"e" === "7/pets/1" && $"a" === "name")
+      .head().getString(2) == "Ada")
+    // array-of-scalars: cardinality-many triples
+    assert(t.filter($"e" === "7" && $"a" === "tags").count() == 2)
+  }
+
+  test("query: multi-source join on shared value qvar") {
+    val people = Shred.shred(
+      Seq((123L, "Bob"), (234L, "Alice")).toDF("pid", "name"))
+    val devices = Shred.shred(
+      Seq((1L, 123L, "watch"), (2L, 123L, "phone"), (3L, 234L, "laptop"))
+        .toDF("did", "owner_id", "dname"))
+    val out = QueryCompiler.run(
+      Map("people" -> people, "devices" -> devices),
+      Seq(
+        Pattern(V("p"), C("pid"), V("oid"), "people"),
+        Pattern(V("p"), C("name"), V("who"), "people"),
+        Pattern(V("d"), C("owner_id"), V("oid"), "devices"),
+        Pattern(V("d"), C("dname"), V("dev"), "devices")))
+    val rows = out.orderBy("who", "dev")
+      .collect().map(r => (r.getAs[String]("who"), r.getAs[String]("dev")))
+    assert(rows.toSeq == Seq(("Alice", "laptop"), ("Bob", "phone"),
+      ("Bob", "watch")))
+    // entity qvars dropped, value qvars kept
+    assert(out.columns.sorted.toSeq == Seq("dev", "oid", "who"))
+  }
+
+  test("query: constant value pattern + predicate + wildcard attr") {
+    val t = Shred.shred(Seq((1L, "a", 5.0), (2L, "b", 50.0), (3L, "a", 9.0))
+      .toDF("id", "grp", "x"))
+    val out = QueryCompiler.run(
+      Map("default" -> t),
+      Seq(Pattern(V("e"), C("grp"), C("a")),
+        Pattern(V("e"), C("x"), V("x"))),
+      predicates = Seq(b => QueryCompiler.num(b("x")) > 6))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("9"))
+    // wildcard attr binds attribute names
+    val w = QueryCompiler.run(t, Seq(Pattern(V("e"), V("a"), W)))
+    assert(w.select("a").distinct().collect().map(_.getString(0)).toSet ==
+      Set("id", "grp", "x"))
+  }
+
+  test("typed-value joins keep string '5' and number 5 apart") {
+    val t1 = Shred.shred(Seq(Tuple1("5")).toDF("k"))
+    val t2 = Shred.shred(Seq(Tuple1(5.0)).toDF("k"))
+    val out = QueryCompiler.run(
+      Map("a" -> t1, "b" -> t2),
+      Seq(Pattern(V("x"), C("k"), V("v"), "a"),
+        Pattern(V("y"), C("k"), V("v"), "b")))
+    assert(out.count() == 0) // "5" (str) must not join 5 (num)
+  }
+
+  test("unshredFlat reassembles attribute maps") {
+    val df = Seq((1L, "Bob", 10.0)).toDF("id", "name", "x")
+    val m = Shred.unshredFlat(Shred.shred(df, Some("id")))
+      .filter($"e" === "1").select(element_at($"attrs", "name"))
+      .head().getString(0)
+    assert(m == "Bob")
+  }
+}
