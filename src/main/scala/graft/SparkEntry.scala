@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EavQueries, FunctionQueries, RelationalQueries}
+import graft.queries.{EavQueries, ExpressQueries, FunctionQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     Map[String, String])] = Seq(
     (RelationalQueries.all, RelationalQueries.oracles),
     (FunctionQueries.all, FunctionQueries.oracles),
-    (EavQueries.all, EavQueries.oracles))
+    (EavQueries.all, EavQueries.oracles),
+    (ExpressQueries.all, ExpressQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,181 @@
+package graft.express
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The `express{}` template compiler (SURVEY.md §2.8; reference
+  * `builtin.cljc:1840-2209`, `query.cljc:88-242`).
+  *
+  * Templates rebuild nested documents from binding sets:
+  *  - `$map(bsets, express)` — instantiate the template once per binding
+  *    set: a pure nested-struct projection.
+  *  - `$reduce(bsets, express)` — deep-merge all instantiations: rows
+  *    that share the `key(?q)` path collapse, children union under each
+  *    key, arrays sort by key. The reference does this by upserting into
+  *    a scratch Datahike DB with identity lookup-refs
+  *    (`builtin.cljc:2162-2209`); here it is a cascade of
+  *    `groupBy(keys).agg(sort_array(collect_list(struct(...))))` from the
+  *    innermost key level outward — hash aggregation: vectorized,
+  *    spillable, no scratch store, scales out.
+  *
+  * Template AST:
+  *  - field keys: `KLit` literal, `KKey` = `'name': key(?q)` (value AND
+  *    grouping key), `KVar` = `{?q: value}` qvar-in-key-position →
+  *    dynamic map keys (`query_test.cljc:853-880`).
+  *  - values: `XVar` qvar ref, `XLit` literal, `XObj` nested object,
+  *    `XArr` array-of-objects child level.
+  *
+  * Non-key scalar fields must be functionally dependent on the key path
+  * (same assumption the reference's upsert-merge makes); they are taken
+  * with `first()` under the group.
+  */
+object Express {
+
+  sealed trait XValue
+  final case class XVar(q: String) extends XValue
+  final case class XLit(v: Any) extends XValue
+  final case class XObj(fields: Seq[XField]) extends XValue
+  final case class XArr(elem: XObj) extends XValue
+
+  sealed trait XKey
+  final case class KLit(name: String) extends XKey
+  final case class KKey(name: String, q: String) extends XKey
+  final case class KVar(q: String) extends XKey
+
+  final case class XField(key: XKey, value: XValue)
+
+  object XObj {
+    def of(fields: (XKey, XValue)*): XObj =
+      XObj(fields.map { case (k, v) => XField(k, v) })
+  }
+
+  // ---------- $map: pure projection ----------
+
+  /** One document column ("doc") per binding set. */
+  def mapBsets(bsets: DataFrame, tmpl: XObj): DataFrame =
+    bsets.select(inst(tmpl).as("doc"))
+
+  private def inst(v: XValue): Column = v match {
+    case XVar(q) => col(q)
+    case XLit(x) => lit(x)
+    case XArr(elem) => array(inst(elem))
+    case o @ XObj(fields) =>
+      if (fields.exists(_.key.isInstanceOf[KVar])) {
+        map_from_entries(array(fields.map { f =>
+          val KVar(q) = f.key: @unchecked
+          struct(col(q).as("key"), inst(f.value).as("value"))
+        }: _*))
+      } else {
+        struct(fields.map { f =>
+          val name = f.key match {
+            case KLit(n) => n
+            case KKey(n, _) => n
+            case KVar(_) => throw new IllegalStateException("unreachable")
+          }
+          (f.key match {
+            case KKey(_, q) => col(q)
+            case _ => inst(f.value)
+          }).as(name)
+        }: _*)
+      }
+  }
+
+  // ---------- $reduce: groupBy cascade ----------
+
+  /** Deep-merge instantiation. Output: one row per distinct root key
+    * path with the template's fields as columns (the reference's
+    * jflatten then renders 1 row as an object, N rows as an array —
+    * that final collapse is driver-side presentation, kept out of the
+    * distributed plan per SURVEY §1.5).
+    */
+  def reduceBsets(bsets: DataFrame, tmpl: XObj): DataFrame = {
+    val ef = elemFrame(bsets, tmpl, Nil)
+    if (tmpl.fields.exists(_.key.isInstanceOf[KVar]))
+      ef.select(col("__elem").as("doc")) // map root: single doc column
+    else ef.select(col("__elem.*"))
+  }
+
+  private def keyQvars(o: XObj): Seq[(String, String)] =
+    o.fields.collect { case XField(KKey(n, q), _) => (n, q) }
+
+  /** True when the value is expressible as an inline per-row expression
+    * (no aggregation below it).
+    */
+  private def isPure(v: XValue): Boolean = v match {
+    case XVar(_) | XLit(_) => true
+    case XObj(fs) =>
+      !fs.exists(_.key.isInstanceOf[KVar]) && fs.forall(f => isPure(f.value))
+    case XArr(_) => false
+  }
+
+  /** Frame with columns `keys ++ levelKeys` plus `__elem` = the struct
+    * (or map) for one instance of `tmpl` under that key path.
+    */
+  private def elemFrame(df: DataFrame, tmpl: XObj,
+      outer: Seq[String]): DataFrame = {
+    val varKeyed = tmpl.fields.exists(_.key.isInstanceOf[KVar])
+    if (varKeyed) {
+      require(tmpl.fields.forall(_.key.isInstanceOf[KVar]) &&
+        tmpl.fields.size == 1,
+        "qvar-in-key-position level must be a single {?q: value} field")
+      val XField(KVar(q), sub) = tmpl.fields.head: @unchecked
+      val entries =
+        if (isPure(sub)) {
+          df.groupBy((outer :+ q).map(col): _*)
+            .agg(first(inst(sub)).as("__v"))
+        } else {
+          elemFrame(df, sub.asInstanceOf[XObj], outer :+ q)
+            .withColumnRenamed("__elem", "__v")
+        }
+      val grouped = groupByCols(entries, outer)
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col(q).as("key"), col("__v").as("value"))))).as("__elem"))
+      grouped
+    } else {
+      val lk = keyQvars(tmpl)
+      val gk = outer ++ lk.map(_._2)
+
+      // split fields into inline scalars vs aggregated children
+      val scalarFields = tmpl.fields.collect {
+        case XField(KKey(n, q), _) => n -> col(q)
+        case XField(KLit(n), v) if isPure(v) => n -> inst(v)
+      }
+      val aggChildren = tmpl.fields.collect {
+        case XField(KLit(n), XArr(sub)) =>
+          n -> elemFrame(df, sub, gk)
+            .groupBy(gk.map(col): _*)
+            .agg(sort_array(collect_list(col("__elem"))).as(n))
+        case XField(KLit(n), o: XObj) if !isPure(o) =>
+          n -> elemFrame(df, o, gk).withColumnRenamed("__elem", n)
+      }
+
+      val base: DataFrame = {
+        val nonKeyScalars = scalarFields.filterNot {
+          case (n, _) => lk.exists(_._1 == n)
+        }
+        val keyCols = lk.map { case (n, q) => col(q).as(q) }
+        val aggExprs = nonKeyScalars.map { case (n, c) => first(c).as(s"__s_$n") }
+        if (aggExprs.nonEmpty)
+          groupByCols(df, gk).agg(aggExprs.head, aggExprs.tail: _*)
+        else if (gk.nonEmpty) df.select(gk.map(col): _*).distinct()
+        else df.sparkSession.range(1).toDF("__one")
+      }
+
+      val joined = aggChildren.foldLeft(base) { case (acc, (_, cf)) =>
+        if (gk.nonEmpty) acc.join(cf, gk) else acc.crossJoin(cf)
+      }
+
+      // assemble the struct in template field order
+      val fieldExprs: Seq[Column] = tmpl.fields.map {
+        case XField(KKey(n, q), _) => col(q).as(n)
+        case XField(KLit(n), v) if isPure(v) => col(s"__s_$n").as(n)
+        case XField(KLit(n), _) => col(n).as(n)
+        case XField(KVar(_), _) => throw new IllegalStateException("unreachable")
+      }
+      joined.select((gk.map(col) :+ struct(fieldExprs: _*).as("__elem")): _*)
+    }
+  }
+
+  private def groupByCols(df: DataFrame, keys: Seq[String]) =
+    df.groupBy(keys.map(col): _*)
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.shred.Shred
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{C, Pattern, V}
+import graft.express.Express
+import graft.express.Express._
+
+/** The flagship end-to-end slice (SURVEY.md §7.2): ingest → shred →
+  * query{} multi-source join → express{} $reduce groupBy cascade →
+  * nested document, all oracle-checked (nested values serialized with
+  * to_json on both engines).
+  */
+object ExpressQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** shred(region)+shred(nation) → query join on ?rk → reduce template
+    * {'region': key(?rname), 'nations': [{'nation': key(?nname)}]}.
+    */
+  def qExpressReduce(s: SparkSession, d: String): DataFrame = {
+    val region = Shred.shred(Tables.region(s, d), Some("r_regionkey"))
+    val nation = Shred.shred(Tables.nation(s, d), Some("n_nationkey"))
+    val bsets = QueryCompiler.run(
+      Map("region" -> region, "nation" -> nation),
+      Seq(
+        Pattern(V("r"), C("r_regionkey"), V("rk"), "region"),
+        Pattern(V("r"), C("r_name"), V("rname"), "region"),
+        Pattern(V("n"), C("n_regionkey"), V("rk"), "nation"),
+        Pattern(V("n"), C("n_name"), V("nname"), "nation")))
+    val tmpl = XObj.of(
+      KKey("region", "rname") -> XLit(null),
+      KLit("nations") -> XArr(XObj.of(
+        KKey("nation", "nname") -> XLit(null))))
+    Express.reduceBsets(bsets, tmpl)
+      .select(col("region"), to_json(col("nations")).as("nations_json"))
+      .orderBy("region")
+  }
+
+  /** Three-level reduce over real tables: region → nation → top
+    * customers, exercising the innermost-out groupBy cascade.
+    */
+  def qExpressNested(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val bsets = c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("rname"), col("n_name").as("nname"),
+        col("c_name").as("cname"))
+    val tmpl = XObj.of(
+      KKey("region", "rname") -> XLit(null),
+      KLit("nations") -> XArr(XObj.of(
+        KKey("nation", "nname") -> XLit(null),
+        KLit("customers") -> XArr(XObj.of(
+          KKey("customer", "cname") -> XLit(null))))))
+    Express.reduceBsets(bsets, tmpl)
+      .select(col("region"), to_json(col("nations")).as("nations_json"))
+      .orderBy("region")
+  }
+
+  /** $map: per-bset nested projection with struct output. */
+  def qExpressMap(s: SparkSession, d: String): DataFrame = {
+    val bs = Tables.orders(s, d).select(
+      col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("prio"))
+    val tmpl = XObj.of(
+      KLit("order") -> XVar("okey"),
+      KLit("meta") -> XObj.of(
+        KLit("status") -> XVar("status"),
+        KLit("priority") -> XVar("prio")))
+    Express.mapBsets(bs, tmpl)
+      .select(col("doc.order").as("okey"), to_json(col("doc")).as("doc_json"))
+      .orderBy("okey")
+  }
+
+  /** $map with qvar-in-key-position: dynamic single-entry maps. */
+  def qExpressMapKeys(s: SparkSession, d: String): DataFrame = {
+    val bs = Tables.region(s, d).select(
+      col("r_name").as("name"), col("r_regionkey").as("rk"))
+    val tmpl = XObj.of(KVar("name") -> XVar("rk"))
+    Express.mapBsets(bs, tmpl)
+      .select(to_json(col("doc")).as("doc_json"))
+      .orderBy("doc_json")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_express_reduce" -> (qExpressReduce _),
+    "q_express_nested" -> (qExpressNested _),
+    "q_express_map" -> (qExpressMap _),
+    "q_express_map_keys" -> (qExpressMapKeys _))
+
+  val oracles: Map[String, String] = Map(
+    "q_express_reduce" ->
+      """SELECT r_name AS region,
+        |  to_json(list(struct_pack(nation := n_name) ORDER BY n_name))
+        |    AS nations_json
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
+    "q_express_nested" ->
+      """SELECT r_name AS region,
+        |  to_json(list(struct_pack(nation := n_name, customers := custs)
+        |               ORDER BY n_name)) AS nations_json
+        |FROM (
+        |  SELECT r_name, n_name,
+        |    list(struct_pack(customer := c_name) ORDER BY c_name) AS custs
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE c_acctbal > 9000
+        |  GROUP BY r_name, n_name)
+        |GROUP BY r_name ORDER BY region""".stripMargin,
+    "q_express_map" ->
+      """SELECT o_orderkey AS okey,
+        |  to_json(struct_pack("order" := o_orderkey,
+        |    meta := struct_pack(status := o_orderstatus,
+        |                        priority := o_orderpriority))) AS doc_json
+        |FROM orders ORDER BY okey""".stripMargin,
+    "q_express_map_keys" ->
+      """SELECT to_json(map([r_name], [r_regionkey])) AS doc_json
+        |FROM region ORDER BY doc_json""".stripMargin)
+}
