@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EavQueries, ExpressQueries, FunctionQueries, RelationalQueries}
+import graft.queries.{EavQueries, ExpressQueries, FunctionQueries,
+  PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +22,8 @@ object SparkEntry {
     (RelationalQueries.all, RelationalQueries.oracles),
     (FunctionQueries.all, FunctionQueries.oracles),
     (EavQueries.all, EavQueries.oracles),
-    (ExpressQueries.all, ExpressQueries.oracles))
+    (ExpressQueries.all, ExpressQueries.oracles),
+    (PipelineQueries.all, PipelineQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All operators are pure DataFrame plans (no UDFs, no driver loops):
+  *  - exact:     hash-groupBy on normalized text
+  *  - MinHash:   shingle → k minhashes → b bands → bucket join →
+  *               candidate pairs → exact-Jaccard verify
+  *  - SimHash:   64-bit sign-aggregated token hashes; near-dup =
+  *               hamming distance ≤ k on candidate buckets
+  *  - embedding: cosine near-dup via random-hyperplane LSH buckets
+  *
+  * Scale notes (100 TB): every stage shuffles only once on its natural
+  * key (hash bucket / band). Candidate generation is linear in corpus
+  * size (explode of b bands per doc); the quadratic verify is confined
+  * to within-bucket pairs. Banding parameters (k, b, r) trade recall vs
+  * bucket size exactly as in the MMDS formulation; skewed buckets (e.g.
+  * boilerplate) should be capped with a per-bucket limit before the
+  * self-join — `maxBucket` does this.
+  */
+object Dedup {
+
+  /** Normalized text: lowercase, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word tokens of normalized text. */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word n-gram shingles (distinct). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  // ---------- exact ----------
+
+  /** Exact dedup groups: md5 of normalized text → representative
+    * (min id) + multiplicity. One shuffle, map-side partial agg.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalize(col(textCol))).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-dedup: keep one representative row per normalized text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(normalize(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** k minhashes of the shingle set (Murmur3 with per-row seed mix). */
+  def minhashSignature(sh: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      h => array_min(transform(sh, s => hash(s, h))))
+
+  /** doc → (band_id, band_hash) pairs for LSH bucketing. */
+  def bands(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      j => struct(j.as("band"),
+        hash(slice(sig, j * r + 1, lit(r))).as("bucket")))
+
+  /** Candidate near-duplicate pairs (id1 < id2) via banded MinHash.
+    *
+    * @param maxBucket drop degenerate buckets larger than this (skew
+    *                  guard: boilerplate text at corpus scale)
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, b: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val r = k / b
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    val bucketed = sig
+      .select(col("id"), explode(bands(col("sig"), b, r)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val capped = bucketed
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val l = capped.as("l")
+    val rgt = capped.as("r")
+    l.join(rgt,
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs: candidates whose exact shingle Jaccard ≥
+    * threshold. The join re-attaches shingle sets; the similarity is a
+    * row-local array op.
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, b: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val cands = minhashCandidates(df, idCol, textCol, n, k, b)
+    cands
+      .join(sh.withColumnsRenamed(Map("id" -> "id1", "sh" -> "sh1")), "id1")
+      .join(sh.withColumnsRenamed(Map("id" -> "id2", "sh" -> "sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns. */
+  def jaccard(a: Column, bc: Column, n: Int = 3): Column = {
+    val (sa, sb) = (shingles(a, n), shingles(bc, n))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb))
+  }
+
+  // ---------- SimHash ----------
+
+  /** Array of the 64 bit masks 1L<<b (driver-side literals — lambda
+    * variables can't be shift amounts in the Column API, and summing
+    * powers of two through doubles would lose exactness past 2^53).
+    */
+  private def bitMasks(n: Int): Column =
+    array((0 until n).map(b => lit(1L << b)): _*)
+
+  /** 64-bit SimHash of the token multiset: bit b is 1 iff the sum of
+    * ±1 contributions (per token, sign of hash bit b) is positive.
+    * Pure Column expression — wide but codegen-able.
+    */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(
+      bitMasks(64),
+      lit(0L),
+      (acc, mask) => {
+        val contrib = aggregate(toks, lit(0L),
+          (s, t) => s +
+            when(xxhash64(t).bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+        acc + when(contrib > 0, mask).otherwise(0L)
+      })
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, bc: Column): Column = bit_count(a.bitwiseXOR(bc))
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit chunks (any exact
+    * chunk match is a candidate — Hamming ≤ 3 guarantees one equal
+    * chunk by pigeonhole), verify with full distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunks = sigs.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sh"), 16 * i).bitwiseAND(0xFFFFL).as("val"))): _*))
+        .as("c"))
+      .select(col("id"), col("sh"), col("c.chunk"), col("c.val"))
+    val l = chunks.as("l")
+    val r = chunks.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.val") === col("r.val") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        hamming(col("l.sh"), col("r.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDistance)
+  }
+
+  // ---------- embedding cosine ----------
+
+  /** Cosine similarity of two float-array columns (row-local). */
+  def cosine(a: Column, bc: Column): Column = {
+    val dot = aggregate(zip_with(a, bc, (x, y) => x * y),
+      lit(0.0d), (s, x) => s + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (s, x) => s + x * x))
+    val nb = sqrt(aggregate(bc, lit(0.0d), (s, x) => s + x * x))
+    dot / (na * nb)
+  }
+
+  /** Random-hyperplane LSH bucket signature: `planes` pseudo-random
+    * hyperplanes derived deterministically from (seed, plane, dim) —
+    * reproducible across executors with no driver-side state.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int = 16,
+      seed: Int = 42): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          x * (pmod(hash(lit(seed), lit(p), i), lit(2001)) - 1000)
+            .cast("double") / 1000.0),
+        lit(0.0d), (s, x) => s + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs: bucket by hyperplane signature, verify
+    * cosine within buckets. One shuffle on the bucket key.
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+    val l = v.as("l")
+    val r = v.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .withColumn("cos", cosine(col("l.vec"), col("r.vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"), col("cos"))
+  }
+}

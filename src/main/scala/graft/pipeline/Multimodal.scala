@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media as opaque `binary` columns with typed metadata,
+  * decode/feature-extract as batched per-partition transforms.
+  *
+  * The decode step is STUBBED (deterministic byte-derived features) —
+  * no media libraries exist in this container. Everything around the
+  * stub is real and tested: the schema, the batched mapPartitions shape
+  * (batch size = what a vectorized native decoder would consume), the
+  * frame-sampling explode, and the partitioning behavior (features
+  * carry the row id so downstream joins stay hash-partitioned).
+  */
+object Multimodal {
+
+  /** media struct schema: binary payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Deterministic fake media column derived from a text column (test
+    * fixture builder — stands in for `spark.read.format("binaryFile")`).
+    */
+  def packFakeMedia(text: Column): Column = struct(
+    text.cast("binary").as("data"),
+    struct(
+      lit("fake/raw").as("format"),
+      (length(text) % 640 + 32).cast("int").as("width"),
+      (length(text) % 480 + 32).cast("int").as("height"),
+      (length(text).cast("long") * 10).as("duration_ms")).as("meta"))
+
+  /** STUB decoder: deterministic features from byte stripes. A real
+    * implementation would hand each batch to a native decoder (JNI /
+    * FFI) with exactly this signature — Array of payloads in, Array of
+    * feature vectors out.
+    */
+  private[pipeline] def stubDecodeBatch(payloads: Seq[Array[Byte]],
+      dim: Int): Seq[Array[Float]] =
+    payloads.map { bytes =>
+      val out = new Array[Float](dim)
+      var i = 0
+      var h = 2166136261L.toInt // FNV offset basis
+      while (i < bytes.length) {
+        h = (h ^ bytes(i)) * 16777619
+        out(i % dim) += (h % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+
+  /** Batched feature extraction over a binary column: the Scala
+    * equivalent of `mapInPandas` — rows stream through in batches of
+    * `batch`, preserving partitioning (no shuffle).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
+      dim: Int = 16, batch: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(s"$mediaCol.data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batch).flatMap { chunk =>
+          val feats = stubDecodeBatch(chunk.map(_._2), dim)
+          chunk.map(_._1).zip(feats)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** Video frame sampling: one row per sampled frame timestamp —
+    * a pure explode over the metadata (decoding each frame would go
+    * through `extractFeatures` on the frame payloads).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      everyMs: Long): DataFrame =
+    df.select(col(idCol),
+        col(s"$mediaCol.meta.duration_ms").as("duration_ms"),
+        posexplode(sequence(lit(0L), col(s"$mediaCol.meta.duration_ms"),
+          lit(everyMs))))
+      .select(col(idCol), col("pos").as("frame_idx"),
+        col("col").as("ts_ms"))
+
+  /** Resize metadata transform (the byte payload would be rewritten by
+    * the decoder; the metadata math is the real part).
+    */
+  def resizeMeta(media: Column, maxSide: Int): Column = {
+    val w = media.getField("meta").getField("width")
+    val h = media.getField("meta").getField("height")
+    val scale = when(greatest(w, h) > maxSide,
+      lit(maxSide).cast("double") / greatest(w, h)).otherwise(lit(1.0d))
+    struct(
+      media.getField("data").as("data"),
+      struct(
+        media.getField("meta").getField("format").as("format"),
+        (w * scale).cast("int").as("width"),
+        (h * scale).cast("int").as("height"),
+        media.getField("meta").getField("duration_ms").as("duration_ms"))
+        .as("meta"))
+  }
+}

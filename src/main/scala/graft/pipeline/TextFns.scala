@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, fingerprinting. All pure
+  * Column expressions (codegen'd; no UDFs), so they run inside the scan
+  * projection at full width.
+  */
+object TextFns {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+
+  /** BPE-ish subword count: word-piece regex (letters / digits /
+    * punctuation runs), the usual pre-tokenizer shape.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(t) > 0)).cast("long")
+
+  /** Punctuation character count (explicit class — portable). */
+  def punctCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("long")
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "it", "that", "this", "for", "with", "on",
+    "as", "at", "by", "be")
+  private val stopwordsDe = Seq("der", "die", "das", "und", "oder", "zu",
+    "in", "ist", "sind", "war", "es", "dass", "für", "mit", "auf", "als",
+    "bei", "ein", "eine", "von", "den")
+  private val stopwordsFr = Seq("le", "la", "les", "et", "ou", "de", "à",
+    "en", "est", "sont", "était", "il", "que", "ce", "pour", "avec", "sur",
+    "comme", "par", "un", "une", "des")
+
+  private def lowerTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}0-9]+"), t => length(t) > 0)
+
+  /** Fraction of tokens that are English stopwords — a standard
+    * quality / language signal.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = lowerTokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double") /
+        size(toks))
+      .otherwise(lit(0.0d))
+  }
+
+  /** Composite quality score in [0,1]: sigmoid-ish blend of length,
+    * mean word length sanity, punctuation ratio, and stopword ratio —
+    * the shape used by C4/Gopher-style heuristic filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = tokenCount(text).cast("double")
+    val meanWord = when(nToks > 0, nChars / nToks).otherwise(lit(0.0d))
+    val punctRatio = when(nChars > 0,
+      punctCount(text).cast("double") / nChars).otherwise(lit(0.0d))
+    val lengthScore = least(nToks / 100.0, lit(1.0d))
+    val wordScore = when(meanWord >= 3 && meanWord <= 12, 1.0d)
+      .otherwise(0.3d)
+    val punctScore = when(punctRatio <= 0.1, 1.0d).otherwise(0.5d)
+    val stopScore = least(stopwordRatio(text) * 4, lit(1.0d))
+    round(lengthScore * 0.3 + wordScore * 0.3 + punctScore * 0.2 +
+      stopScore * 0.2, 6)
+  }
+
+  /** N-gram/stopword language-ID heuristic over en/de/fr: the language
+    * whose stopword list hits the most tokens; "und" when nothing hits
+    * ("undetermined", reference-free).
+    */
+  def languageId(text: Column): Column = {
+    val toks = lowerTokens(text)
+    def score(sw: Seq[String]): Column =
+      size(filter(toks, t => t.isin(sw: _*)))
+    val (en, de, fr) = (score(stopwordsEn), score(stopwordsDe),
+      score(stopwordsFr))
+    when(greatest(en, de, fr) === 0, "und")
+      .when(en >= de && en >= fr, "en")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Content-defined fingerprint: min-hash over character 8-gram hashes
+    * of the normalized text (winnowing-lite). Equal fingerprints ⇒
+    * near-identical content robust to small edits at the end.
+    */
+  def fingerprint(text: Column, gram: Int = 8): Column = {
+    val norm = Dedup.normalize(text)
+    val grams = when(length(norm) < gram, array(norm))
+      .otherwise(transform(sequence(lit(1), length(norm) - (gram - 1)),
+        i => substring(norm, i, lit(gram))))
+    array_min(transform(grams, g => xxhash64(g)))
+  }
+
+  /** Exact content hash of normalized text (md5 — portable across
+    * engines for oracle checks).
+    */
+  def contentHash(text: Column): Column = md5(Dedup.normalize(text))
+
+  private def substring(c: Column, pos: Column, len: Column): Column =
+    c.substr(pos, len)
+}

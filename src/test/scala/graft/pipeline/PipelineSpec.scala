@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "A completely different document about Spark query processing"),
+    (4L, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "the  QUICK brown fox jumps over the lazy dog near the river bank"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized content") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    // 1, 4 and 5 (case/whitespace) normalize equal → one group of 3
+    assert(g.filter($"n_dups" === 3).select("keep_id")
+      .head().getLong(0) == 1L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash LSH finds near-dup pair, skips unrelated") {
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      n = 3, k = 64, b = 16, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // one word differs
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard n-gram similarity") {
+    val j = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" === 1 && $"b.doc_id" === 3)
+      .select(Dedup.jaccard($"a.text", $"b.text"))
+      .head().getDouble(0)
+    assert(j < 0.1)
+    val jSame = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" === 1 && $"b.doc_id" === 4)
+      .select(Dedup.jaccard($"a.text", $"b.text")).head().getDouble(0)
+    assert(jSame == 1.0)
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L)) // identical text
+    assert(sigs(1L) == sigs(5L)) // normalization invariant
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 12)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 3)
+    assert(pairs.filter($"id1" === 1 && $"id2" === 4).count() == 1)
+  }
+
+  test("embedding cosine + hyperplane LSH dedup") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(0.99f, 0.01f, 0.5f, 0.2f)), // near-dup of 1
+      (3L, Array(-1.0f, 0.5f, -0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cos12 = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 1 && $"b.vec_id" === 2)
+      .select(Dedup.cosine($"a.embedding".cast("array<double>"),
+        $"b.embedding".cast("array<double>")))
+      .head().getDouble(0)
+    assert(cos12 > 0.999)
+    val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, planes = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ANN: LSH top-k achieves high recall vs brute force") {
+    val emb = Seq(sf("sf0.001")).map(d =>
+      spark.read.parquet(s"$d/embeddings.parquet")).head.limit(200).cache()
+    val queries = emb.limit(10)
+    val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5, planes = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(approx).size.toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("text analysis: counts, quality, language id, fingerprint") {
+    val t = Seq(
+      (1L, "The cat and the dog are in the house with the mouse."),
+      (2L, "Der Hund und die Katze sind in dem Haus mit der Maus."),
+      (3L, "Le chien et le chat sont dans la maison avec la souris."),
+      (4L, "zzz qqq xxx"))
+      .toDF("id", "text")
+    val out = t.select($"id",
+      TextFns.tokenCount($"text").as("tc"),
+      TextFns.languageId($"text").as("lang"),
+      TextFns.qualityScore($"text").as("q"),
+      TextFns.stopwordRatio($"text").as("sr"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("tc") == 12L)
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(1).getAs[String]("lang") == "de")
+    assert(out(2).getAs[String]("lang") == "fr")
+    assert(out(3).getAs[String]("lang") == "und")
+    assert(out(0).getAs[Double]("q") > out(3).getAs[Double]("q"))
+    // fingerprint: invariant to case/whitespace (normalization), and
+    // deterministic
+    val fp = Seq((1L, "Shared  prefix body of TEXT aaa"),
+      (2L, "shared prefix body of text AAA"),
+      (3L, "something else entirely different"))
+      .toDF("id", "text")
+      .select(TextFns.fingerprint($"text")).as[Long].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("multimodal: batched stub decode + frame sampling plumbing") {
+    val media = docs.select($"doc_id",
+      Multimodal.packFakeMedia($"text").as("media"))
+    val feats = Multimodal.extractFeatures(media, "doc_id", "media",
+      dim = 8, batch = 2)
+    assert(feats.columns.toSeq == Seq("doc_id", "features"))
+    val f = feats.orderBy("doc_id").as[(Long, Array[Float])].collect()
+    assert(f.length == 5 && f.forall(_._2.length == 8))
+    // identical payloads → identical features (deterministic stub)
+    assert(f(0)._2.toSeq == f(3)._2.toSeq)
+    val frames = Multimodal.sampleFrames(media, "doc_id", "media", 100L)
+    assert(frames.filter($"doc_id" === 1).count() ==
+      (63 * 10) / 100 + 1) // duration 630ms, every 100ms, inclusive 0
+    val resized = media.select(
+      Multimodal.resizeMeta($"media", 64).getField("meta")
+        .getField("width").as("w")).as[Int].collect()
+    assert(resized.forall(_ <= 64))
+  }
+}
