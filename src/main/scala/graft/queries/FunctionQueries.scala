@@ -135,7 +135,34 @@ object FunctionQueries {
       .orderBy("p_partkey")
   }
 
+  /** Path-step semantics (SURVEY §2.1) at table scale: per-customer
+    * order arrays, then the NON-COMPOSITIONAL `a[i]` rule — first
+    * quantity of each order (per parent), then the first of those.
+    */
+  def fPathSteps(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Paths
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(array_sort(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      .select(col("l_orderkey"),
+        transform(col("items"), _.getField("l_quantity")).as("qtys"))
+    o.join(perOrder, o("o_orderkey") === perOrder("l_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(array_sort(collect_list(
+        struct(col("o_orderkey"), col("qtys")))).as("os"))
+      .select(col("custkey"),
+        size(col("os")).cast("long").as("n_orders"),
+        element_at(
+          Paths.indexPerParent(
+            transform(col("os"), _.getField("qtys")), 0), 1)
+          .as("first_qty"))
+      .orderBy("custkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "f_path_steps" -> (fPathSteps _),
     "f_string" -> (fString _),
     "f_numeric" -> (fNumeric _),
     "f_datetime" -> (fDatetime _),
@@ -145,6 +172,20 @@ object FunctionQueries {
     "f_regex" -> (fRegex _))
 
   val oracles: Map[String, String] = Map(
+    "f_path_steps" ->
+      // l_linenumber repeats within an order; tie-break on quantity to
+      // match the struct sort on the Spark side
+      """SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |  arg_min(fq, o_orderkey) AS first_qty
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, l_quantity AS fq
+        |  FROM (
+        |    SELECT o_orderkey, o_custkey, l_quantity,
+        |      row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY l_linenumber, l_quantity) AS rn
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |  WHERE rn = 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up,

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+case class GEvent(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly rollup aggregates tumbling windows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[GEvent]
+    input.addData(
+      GEvent(t("2026-01-01 10:05:00"), "click", 1.0),
+      GEvent(t("2026-01-01 10:45:00"), "click", 2.0),
+      GEvent(t("2026-01-01 11:05:00"), "view", 5.0))
+    val q = EventStreams.hourlyRollup(input.toDF())
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("rollup")
+      .orderBy("hour_start", "event_type")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("streaming dedup drops duplicates within watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[GEvent]
+    input.addData(
+      GEvent(t("2026-01-01 10:00:00"), "a", 1.0),
+      GEvent(t("2026-01-01 10:10:00"), "a", 1.0), // dup key within horizon
+      GEvent(t("2026-01-01 10:20:00"), "b", 2.0))
+    val q = EventStreams.dedupStream(input.toDF(), Seq("event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+}
