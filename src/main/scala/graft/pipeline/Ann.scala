@@ -41,40 +41,42 @@ object Ann {
   /** LSH-bucketed approximate top-k with OR-amplified tables. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
-      planes: Int = 10, tables: Int = 4): DataFrame = {
+      planes: Int = 10, tables: Int = 4, dim: Int = 64): DataFrame = {
     val q = queries.select(col(qId).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
-      posexplode(bucketSignatures(col(vecCol), planes, tables)))
+      posexplode(bucketSignatures(col(vecCol), planes, tables, dim)))
       .select(col("query_id"), col("qv"), col("pos").as("table"),
         col("col").as("bucket"))
     val c = corpus.select(col(cId).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"),
-      posexplode(bucketSignatures(col(vecCol), planes, tables)))
+      posexplode(bucketSignatures(col(vecCol), planes, tables, dim)))
       .select(col("neighbor_id"), col("cv"), col("pos").as("table"),
         col("col").as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("table", "bucket"))
+    // dedup multi-table collisions on the ID pair only (distinct over
+    // the embedding arrays would drag the vectors through the shuffle
+    // comparator), then re-attach one vector per side.
+    val pairs = q.drop("qv").join(c.drop("cv"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct() // a pair can collide in several tables
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(qId).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cv = corpus.select(col(cId).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    pairs.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** One bucket id per table (array of `tables` longs). */
+  /** One bucket id per table (array of `tables` longs) — literal plane
+    * dot products, one distinct seed per table.
+    */
   private def bucketSignatures(vec: Column, planes: Int,
-      tables: Int): Column =
+      tables: Int, dim: Int): Column =
     array((0 until tables).map(t =>
-      (0 until planes).map { p =>
-        val dot = aggregate(
-          zip_with(vec.cast("array<double>"),
-            sequence(lit(0), size(vec) - 1), (x, i) =>
-            x * (pmod(hash(lit(t), lit(p), i), lit(2001)) - 1000)
-              .cast("double") / 1000.0),
-          lit(0.0d), (s, x) => s + x)
-        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)): _*)
+      Dedup.hyperplaneBucket(vec.cast("array<double>"), planes,
+        seed = 7000 + t, dim = dim)): _*)
 }

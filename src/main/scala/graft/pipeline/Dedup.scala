@@ -190,29 +190,34 @@ object Dedup {
     dot / (na * nb)
   }
 
-  /** Random-hyperplane LSH bucket signature: `planes` pseudo-random
-    * hyperplanes derived deterministically from (seed, plane, dim) —
-    * reproducible across executors with no driver-side state.
+  /** Random-hyperplane LSH bucket signature. Plane components are
+    * deterministic literals baked into the plan (seeded PRNG at plan
+    * construction) — a plain literal-array dot product per plane, no
+    * per-element hashing at runtime, reproducible across executors.
     */
   def hyperplaneBucket(vec: Column, planes: Int = 16,
-      seed: Int = 42): Column =
+      seed: Int = 42, dim: Int = 64): Column =
     (0 until planes).map { p =>
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x * (pmod(hash(lit(seed), lit(p), i), lit(2001)) - 1000)
-            .cast("double") / 1000.0),
+        zip_with(vec, planeLit(seed, p, dim), (x, w) => x * w),
         lit(0.0d), (s, x) => s + x)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private[pipeline] def planeLit(seed: Int, p: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(seed.toLong * 1000003L + p)
+    array((0 until dim).map(_ => lit(rnd.nextDouble() * 2 - 1)): _*)
+  }
 
   /** Embedding near-dup pairs: bucket by hyperplane signature, verify
     * cosine within buckets. One shuffle on the bucket key.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 12,
+      dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+      .withColumn("bucket", hyperplaneBucket(col("vec"), planes, 42, dim))
     val l = v.as("l")
     val r = v.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") &&

@@ -24,7 +24,8 @@ object EavQueries {
     * predicate (reference query_test.cljc:90-198 shapes).
     */
   def qEavFilter(s: SparkSession, d: String): DataFrame = {
-    val triples = Shred.shred(Tables.customer(s, d), Some("c_custkey"))
+    val triples = Shred.shredAttrs(Tables.customer(s, d), Some("c_custkey"),
+      Seq("c_mktsegment", "c_name", "c_acctbal"))
     QueryCompiler.run(
       Map("default" -> triples),
       Seq(
@@ -39,8 +40,10 @@ object EavQueries {
     * (reference query_test.cljc:575-675).
     */
   def qEavJoin(s: SparkSession, d: String): DataFrame = {
-    val orders = Shred.shred(Tables.orders(s, d), Some("o_orderkey"))
-    val customer = Shred.shred(Tables.customer(s, d), Some("c_custkey"))
+    val orders = Shred.shredAttrs(Tables.orders(s, d), Some("o_orderkey"),
+      Seq("o_orderpriority", "o_custkey"))
+    val customer = Shred.shredAttrs(Tables.customer(s, d), Some("c_custkey"),
+      Seq("c_custkey", "c_name"))
     QueryCompiler.run(
       Map("orders" -> orders, "customer" -> customer),
       Seq(

@@ -21,8 +21,10 @@ object ExpressQueries {
     * {'region': key(?rname), 'nations': [{'nation': key(?nname)}]}.
     */
   def qExpressReduce(s: SparkSession, d: String): DataFrame = {
-    val region = Shred.shred(Tables.region(s, d), Some("r_regionkey"))
-    val nation = Shred.shred(Tables.nation(s, d), Some("n_nationkey"))
+    val region = Shred.shredAttrs(Tables.region(s, d), Some("r_regionkey"),
+      Seq("r_regionkey", "r_name"))
+    val nation = Shred.shredAttrs(Tables.nation(s, d), Some("n_nationkey"),
+      Seq("n_regionkey", "n_name"))
     val bsets = QueryCompiler.run(
       Map("region" -> region, "nation" -> nation),
       Seq(

@@ -109,6 +109,15 @@ object Shred {
         col("t.vt").as("vt"), col("t.vn").as("vn"))
   }
 
+  /** Shred only the attributes a query's patterns touch — the EAV form
+    * of column pruning. The narrowed select reaches the parquet scan
+    * (ReadSchema lists only these columns), cutting triple volume
+    * proportionally; Catalyst cannot prune through the explode itself.
+    */
+  def shredAttrs(df: DataFrame, idCol: Option[String],
+      attrs: Seq[String]): DataFrame =
+    shred(df.select((idCol.toSeq ++ attrs).distinct.map(col): _*), idCol)
+
   /** `$pull`-flat: reassemble each entity's direct attributes as a map
     * (refs keep the sub-entity id as their value). Nested reassembly is
     * the express compiler's job.

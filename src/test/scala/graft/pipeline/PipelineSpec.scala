@@ -67,7 +67,7 @@ class PipelineSpec extends SparkSpec {
       .head().getDouble(0)
     assert(cos12 > 0.999)
     val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.99, planes = 4)
+      threshold = 0.99, planes = 4, dim = 4)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
