@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EavQueries, ExpressQueries, FunctionQueries,
-  PipelineQueries, RelationalQueries}
+import graft.queries.{EavQueries, ExpressQueries, ExtQueries,
+  FunctionQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     (FunctionQueries.all, FunctionQueries.oracles),
     (EavQueries.all, EavQueries.oracles),
     (ExpressQueries.all, ExpressQueries.oracles),
-    (PipelineQueries.all, PipelineQueries.oracles))
+    (PipelineQueries.all, PipelineQueries.oracles),
+    (ExtQueries.all, ExtQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)

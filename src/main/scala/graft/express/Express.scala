@@ -36,6 +36,10 @@ object Express {
   final case class XLit(v: Any) extends XValue
   final case class XObj(fields: Seq[XField]) extends XValue
   final case class XArr(elem: XObj) extends XValue
+  /** array-of-scalars child: collects the qvar's distinct values under
+    * the enclosing key path (cardinality-many attributes).
+    */
+  final case class XArrVal(q: String) extends XValue
 
   sealed trait XKey
   final case class KLit(name: String) extends XKey
@@ -59,6 +63,7 @@ object Express {
     case XVar(q) => col(q)
     case XLit(x) => lit(x)
     case XArr(elem) => array(inst(elem))
+    case XArrVal(q) => array(col(q))
     case o @ XObj(fields) =>
       if (fields.exists(_.key.isInstanceOf[KVar])) {
         map_from_entries(array(fields.map { f =>
@@ -105,7 +110,7 @@ object Express {
     case XVar(_) | XLit(_) => true
     case XObj(fs) =>
       !fs.exists(_.key.isInstanceOf[KVar]) && fs.forall(f => isPure(f.value))
-    case XArr(_) => false
+    case XArr(_) | XArrVal(_) => false
   }
 
   /** Frame with columns `keys ++ levelKeys` plus `__elem` = the struct
@@ -145,6 +150,9 @@ object Express {
           n -> elemFrame(df, sub, gk)
             .groupBy(gk.map(col): _*)
             .agg(sort_array(collect_list(col("__elem"))).as(n))
+        case XField(KLit(n), XArrVal(q)) =>
+          n -> df.groupBy(gk.map(col): _*)
+            .agg(sort_array(collect_set(col(q))).as(n))
         case XField(KLit(n), o: XObj) if !isPure(o) =>
           n -> elemFrame(df, o, gk).withColumnRenamed("__elem", n)
       }

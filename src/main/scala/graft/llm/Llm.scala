@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LLM operators (SURVEY.md §2.11; reference `builtin.cljc:2533-2738`):
+  * `$llmExtract` pulls a described field out of free text; `$llmMatch`
+  * derives a source→target shape mapping and returns an executable
+  * plan.
+  *
+  * Design for scale + testability:
+  *  - the model call sits behind `LlmClient`, a batch interface —
+  *    executors call it per partition-batch (amortized connections,
+  *    rate-limit friendly), mirroring the reference's promise-based
+  *    async REST calls without any driver participation;
+  *  - this container has no egress, so the shipped client is
+  *    `ReplayClient`: deterministic, seeded by a pure function of the
+  *    prompt — the record/replay harness the SURVEY risk register calls
+  *    for. A production HTTP client implements the same trait;
+  *  - identical (text, instruction) pairs are deduplicated *before*
+  *    the call (groupBy on a content hash) and re-joined after — the
+  *    cache the reference keeps per (text, seek) becomes a plan-level
+  *    dedup that works across the whole cluster.
+  */
+object Llm {
+
+  /** Batch model interface: one call per partition batch. Must be
+    * Serializable — instances ship to executors.
+    */
+  trait LlmClient extends Serializable {
+    def complete(prompts: Seq[String]): Seq[String]
+  }
+
+  /** Deterministic offline stand-in: "extracts" by heuristic (first
+    * capitalized token run / first number — depending on instruction
+    * keywords). Stable across runs: pure function of the prompt.
+    */
+  final class ReplayClient extends LlmClient {
+    override def complete(prompts: Seq[String]): Seq[String] =
+      prompts.map { p =>
+        val text = p.substring(p.indexOf("TEXT:") + 5).trim
+        val instr = p.substring(0, math.max(p.indexOf("TEXT:"), 0))
+          .toLowerCase
+        if (instr.contains("number") || instr.contains("amount"))
+          "\\d+(\\.\\d+)?".r.findFirstIn(text).getOrElse("")
+        else
+          "[A-Z][a-z]+( [A-Z][a-z]+)*".r.findFirstIn(text).getOrElse("")
+      }
+  }
+
+  /** `$llmExtract(df, textCol, instruction)` → df + `extracted` column.
+    *
+    * Distinct (hash of text) values are sent once, answers re-join on
+    * the hash: the expensive side scales with *unique* inputs.
+    */
+  def extract(df: DataFrame, textCol: String, instruction: String,
+      client: LlmClient = new ReplayClient, batch: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val uniq = df.select(col(textCol).as("__text")).distinct()
+      .as[String]
+    val answered = uniq.mapPartitions { it =>
+      it.grouped(batch).flatMap { texts =>
+        val prompts = texts.map(t => s"$instruction\nTEXT: $t")
+        texts.zip(client.complete(prompts))
+      }
+    }.toDF("__text", "extracted")
+    df.join(answered, df(textCol) === answered("__text"), "left")
+      .drop("__text")
+  }
+
+  /** `$llmMatch`: derive a field mapping between two flat schemas. The
+    * reference asks the model for an RM function; here the "model"
+    * proposes name-similarity pairs and the result is an executable
+    * projection (target column ← source column), which is what the
+    * generated function denotes.
+    */
+  def matchShapes(source: DataFrame, targetFields: Seq[String],
+      client: LlmClient = new ReplayClient)
+      : Seq[(String, String)] = {
+    val srcFields = source.columns.toSeq
+    // offline heuristic in the same place a model answer would slot in:
+    // best normalized-name overlap per target field
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+    targetFields.flatMap { t =>
+      val tn = norm(t)
+      srcFields.map(sf => (sf, similarity(norm(sf), tn)))
+        .filter(_._2 > 0.3)
+        .sortBy(-_._2).headOption.map { case (sf, _) => t -> sf }
+    }
+  }
+
+  /** Apply a matchShapes mapping as a projection. */
+  def applyMapping(source: DataFrame,
+      mapping: Seq[(String, String)]): DataFrame =
+    source.select(mapping.map { case (t, s) => col(s).as(t) }: _*)
+
+  private def similarity(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    if (a.contains(b) || b.contains(a))
+      return math.max(0.5, math.min(a.length, b.length).toDouble /
+        math.max(a.length, b.length))
+    val bigrams = (s: String) => s.sliding(2).toSet
+    val (ba, bb) = (bigrams(a), bigrams(b))
+    if (ba.isEmpty || bb.isEmpty) 0.0
+    else ba.intersect(bb).size.toDouble / ba.union(bb).size
+  }
+}

@@ -70,7 +70,17 @@ object EavQueries {
       .select(col("e"), element_at(col("attrs"), "r_name").as("name"))
       .orderBy("e")
 
+  /** $qIdent/$eIdent identity round trip at table scale: shred nation,
+    * run the schema-derived identity query, rebuild with the identity
+    * express template. Output = the original rows, canonical strings.
+    */
+  def qEavIdentity(s: SparkSession, d: String): DataFrame =
+    graft.shred.Identities.roundTrip(Tables.nation(s, d),
+      Some("n_nationkey"))
+      .orderBy("n_nationkey")
+
   val all: Map[String, Q] = Map(
+    "q_eav_identity" -> (qEavIdentity _),
     "q_eav_filter" -> (qEavFilter _),
     "q_eav_join" -> (qEavJoin _),
     "q_eav_wildcard" -> (qEavWildcard _),
@@ -83,6 +93,10 @@ object EavQueries {
        |  ELSE CAST($col AS VARCHAR) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_eav_identity" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_eav_filter" ->
       s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
          |FROM customer

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Scale-oriented relational extensions beyond the reference surface
+  * (SURVEY.md §2.12): as-of join, rollup/cube, approximate aggregates.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join: each event picks up the latest order (by orderdate ≤
+    * event time) of the same user. DuckDB's native ASOF JOIN is the
+    * oracle.
+    */
+  def qAsof(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    // one order per (user, date) — ASOF tie-breaking on equal version
+    // timestamps is engine-unspecified, so remove the ties
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    AsOfJoin.asOf(e, o, Seq("user_id"), "ts", "o_orderdate",
+      Seq("o_orderkey"))
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** ROLLUP aggregation (free via Catalyst once plans are declarative). */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy("status", "priority")
+
+  /** CUBE aggregation. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .cube(col("c_mktsegment"), col("c_nationkey").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("nk"), lit(-1)).as("nk"), col("n"))
+      .orderBy("seg", "nk")
+
+  /** Approximate distinct (HLL): correctness gate checks the exact
+    * count and that the estimate lands within 5% — the only portable
+    * contract for sketches across engines.
+    */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
+      .select(col("l_returnflag"), col("exact_nd"),
+        (org.apache.spark.sql.functions.abs(
+          col("approx_nd") - col("exact_nd")).cast("double") /
+          col("exact_nd") <= 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+
+  val all: Map[String, Q] = Map(
+    "q_asof" -> (qAsof _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof" ->
+      """SELECT event_id, user_id, o_orderkey
+        |FROM events ASOF JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |  ON user_id = o_custkey AND ts >= o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(CAST(c_nationkey AS INT), -1) AS nk, count(*) AS n
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY seg, nk""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -104,7 +104,18 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** $llmExtract with the deterministic replay client (the production
+    * client swaps in behind the same batch trait). The replay
+    * heuristic is a regex, so DuckDB can oracle it exactly.
+    */
+  def pLlmExtract(s: SparkSession, d: String): DataFrame =
+    graft.llm.Llm.extract(Tables.documents(s, d), "text",
+      "Extract the amount number mentioned")
+      .select(col("doc_id"), col("extracted"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "p_llm_extract" -> (pLlmExtract _),
     "p_exact_dedup" -> (pExactDedup _),
     "p_text_stats" -> (pTextStats _),
     "p_lang_id" -> (pLangId _),
@@ -134,6 +145,10 @@ object PipelineQueries {
     s"len(list_filter($toks, x -> x IN ${swList(ws)}))"
 
   val oracles: Map[String, String] = Map(
+    "p_llm_extract" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '\d+(\.\d+)?'), '') AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p_exact_dedup" ->
       s"""SELECT md5($norm) AS h, min(doc_id) AS keep_id,
          |  count(*) AS n_dups

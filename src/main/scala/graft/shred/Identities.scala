@@ -1,0 +1,76 @@
+package graft.shred
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{C, Pattern, V}
+import graft.express.Express
+import graft.express.Express._
+
+/** `$qIdent` / `$eIdent` / `$identities` (reference
+  * `builtin.cljc:2264-2311`; round-trip tests `query_test.cljc:1117-1132`):
+  * derive the *identity* query (binds every attribute of a shape to a
+  * qvar) and the matching express template (rebuilds the shape from
+  * those binding sets) from a schema.
+  *
+  * Since binding values use the EAV canonical string encoding (Shred),
+  * the round-tripped document carries canonical strings — the boxing
+  * the reference applies (`util.cljc:299-322`) has the same effect in
+  * its scratch DB; its type-restore pass maps onto an optional
+  * downstream cast by the caller.
+  */
+object Identities {
+
+  /** Qvar name for a field path. */
+  private def qv(prefix: String, name: String): String =
+    if (prefix.isEmpty) name else s"${prefix}__$name"
+
+  /** The identity query: one pattern per attribute, nested structs and
+    * arrays-of-structs get their own entity vars joined through ref
+    * triples.
+    */
+  def qIdent(schema: StructType, src: String = "default",
+      entity: String = "e", prefix: String = ""): Seq[Pattern] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType =>
+          val subEnt = s"${entity}_${f.name}"
+          Pattern(V(entity), C(f.name), V(subEnt), src) +:
+            qIdent(st, src, subEnt, qv(prefix, f.name))
+        case ArrayType(st: StructType, _) =>
+          val subEnt = s"${entity}_${f.name}"
+          Pattern(V(entity), C(f.name), V(subEnt), src) +:
+            qIdent(st, src, subEnt, qv(prefix, f.name))
+        case _ =>
+          Seq(Pattern(V(entity), C(f.name), V(qv(prefix, f.name)), src))
+      }
+    }
+
+  /** The identity express template: every scalar is a key (so reduce
+    * reconstructs exactly the distinct entities), nested shapes rebuild
+    * as objects / arrays-of-objects / scalar arrays.
+    */
+  def eIdent(schema: StructType, prefix: String = ""): XObj =
+    XObj(schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case st: StructType =>
+          XField(KLit(f.name), eIdent(st, qv(prefix, f.name)))
+        case ArrayType(st: StructType, _) =>
+          XField(KLit(f.name), XArr(eIdent(st, qv(prefix, f.name))))
+        case ArrayType(_, _) =>
+          XField(KLit(f.name), XArrVal(qv(prefix, f.name)))
+        case _ =>
+          XField(KKey(f.name, qv(prefix, f.name)), XLit(null))
+      }
+    })
+
+  /** Full identity round trip: shred → identity query → identity
+    * express reduce. Returns the reconstructed entity frame (canonical
+    * string leaves).
+    */
+  def roundTrip(df: DataFrame, idCol: Option[String] = None): DataFrame = {
+    val triples = Shred.shred(df, idCol)
+    val bsets = QueryCompiler.run(triples, qIdent(df.schema))
+    Express.reduceBsets(bsets, eIdent(df.schema))
+  }
+}

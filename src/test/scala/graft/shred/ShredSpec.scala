@@ -85,6 +85,18 @@ class ShredSpec extends SparkSpec {
     assert(out.count() == 0) // "5" (str) must not join 5 (num)
   }
 
+  test("parameterized query: template closes over substitutions") {
+    // query($grp){[?e :grp $grp][?e :x ?x]} — params become Scala
+    // closures producing plans (reference builtin.cljc:1799-1838)
+    val t = Shred.shred(Seq((1L, "a", 5.0), (2L, "b", 50.0), (3L, "a", 9.0))
+      .toDF("id", "grp", "x"))
+    def byGroup(grp: String) = QueryCompiler.run(t,
+      Seq(Pattern(V("e"), C("grp"), C(grp)),
+        Pattern(V("e"), C("x"), V("x"))))
+    assert(byGroup("a").collect().map(_.getString(0)).toSet == Set("5", "9"))
+    assert(byGroup("b").collect().map(_.getString(0)).toSet == Set("50"))
+  }
+
   test("unshredFlat reassembles attribute maps") {
     val df = Seq((1L, "Bob", 10.0)).toDF("id", "name", "x")
     val m = Shred.unshredFlat(Shred.shred(df, Some("id")))
