@@ -98,6 +98,11 @@ object Ingest {
       "xlsx reading requires poi-ooxml on the classpath; this build " +
         "supports CSV spreadsheets only")
 
+  /** `$schemaFor` (reference `builtin.cljc:1688-1692`): the inferred
+    * schema of a frame as JSON (Spark's learn-schema equivalent).
+    */
+  def schemaFor(df: DataFrame): String = df.schema.json
+
   /** `$put` equivalent: write a frame as a named parquet dataset. */
   def put(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -30,6 +30,8 @@ class IngestSpec extends SparkSpec {
     val df = Ingest.readJsonString(spark,
       """{"a": 1, "b": {"c": [1,2,3]}}""")
     assert(df.select(size(col("b.c"))).head().getInt(0) == 3)
+    // $schemaFor: inferred schema surfaces as JSON
+    assert(Ingest.schemaFor(df).contains("\"name\":\"a\""))
   }
 
   test("csv spreadsheet reads header-keyed; xlsx refuses clearly") {
