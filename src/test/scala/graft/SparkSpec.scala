@@ -20,6 +20,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
