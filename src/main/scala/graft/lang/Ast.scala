@@ -1,0 +1,41 @@
+package graft.lang
+
+/** AST for the RADmapper/JSONata expression language (SURVEY.md §3.1;
+  * reference parse.cljc produces the equivalent `:typ` maps).
+  */
+object Ast {
+  sealed trait Expr
+
+  final case class NumLit(v: Double) extends Expr
+  final case class StrLit(v: String) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  final case class RegexLit(pattern: String) extends Expr
+  final case class ArrLit(items: Seq[Expr]) extends Expr
+  final case class ObjLit(pairs: Seq[(Expr, Expr)]) extends Expr
+
+  /** bare field name inside a path */
+  final case class Ident(name: String) extends Expr
+  /** `$x`; name "" is the context `$`, "$" the root `$$` */
+  final case class VarRef(name: String) extends Expr
+
+  final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Ternary(cond: Expr, t: Expr, f: Expr) extends Expr
+
+  /** `src . step` — step is Ident, VarRef(""), Parens (map-step),
+    * ArrLit (value-step), or FnCall applied per element.
+    */
+  final case class PathStep(src: Expr, step: Expr) extends Expr
+  /** `src [pred]` — numeric pred = index, else filter */
+  final case class Filter(src: Expr, pred: Expr) extends Expr
+  /** parenthesized expression used as a path step */
+  final case class Parens(body: Expr) extends Expr
+
+  final case class FnCall(name: String, args: Seq[Expr]) extends Expr
+  final case class Lambda(params: Seq[String], body: Expr) extends Expr
+  final case class Apply(fn: Expr, args: Seq[Expr]) extends Expr
+  final case class Block(bindings: Seq[(String, Expr)], result: Expr)
+    extends Expr
+}

@@ -1,0 +1,228 @@
+package graft.lang
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Jsonata
+import Compiler._
+
+/** `$function` dispatch for the text frontend — every entry delegates
+  * to the Column combinators in graft.functions.Jsonata (one semantics,
+  * two surfaces).
+  */
+object Builtins {
+
+  def apply(name: String, args: Seq[CV],
+      argExprs: Seq[Ast.Expr] = Nil): CV = {
+    def litStr(i: Int): String = argExprs.lift(i) match {
+      case Some(Ast.StrLit(s)) => s
+      case Some(Ast.RegexLit(r)) => r
+      case other => fail(s"$name: argument ${i + 1} must be a string " +
+        s"or regex literal, got $other")
+    }
+    def litInt(i: Int): Int = argExprs.lift(i) match {
+      case Some(Ast.NumLit(n)) => n.toInt
+      case Some(Ast.Neg(Ast.NumLit(n))) => -n.toInt
+      case other => fail(s"$name: argument ${i + 1} must be a numeric " +
+        s"literal, got $other")
+    }
+    def d(i: Int): CD = args(i) match {
+      case x: CD => x
+      case _ => fail(s"$name: argument ${i + 1} must be a value")
+    }
+    def f(i: Int): CF = args(i) match {
+      case x: CF => x
+      case _ => fail(s"$name: argument ${i + 1} must be a function")
+    }
+    def sc(i: Int): Column = scalar(d(i)).col
+    /** argument as an array column (scalars become singletons). */
+    def arr(i: Int): CD = d(i) match {
+      case x @ CD(_, _, KJson | KSeq) => x
+      case CD(c, dt, KScalar) => CD(array(c), dt, KJson)
+      case CD(c, dt, KNested(_)) => CD(flatten(c), dt, KSeq)
+      case _ => fail("unreachable")
+    }
+    def str(i: Int): Column = sc(i)
+    def sseq(c: Column, dt: DataType): CV = CD(c, dt, KSeq)
+    def sval(c: Column, dt: DataType): CV = CD(c, dt, KScalar)
+
+    name match {
+      // aggregation over sequences (§2.4)
+      case "$sum" => sval(Jsonata.sumArr(arr(0).col), DoubleType)
+      case "$max" => sval(Jsonata.maxArr(arr(0).col), arr(0).dt)
+      case "$min" => sval(Jsonata.minArr(arr(0).col), arr(0).dt)
+      case "$average" => sval(Jsonata.averageArr(arr(0).col), DoubleType)
+      case "$count" => sval(Jsonata.countArr(arr(0).col)
+        .cast(LongType), LongType)
+      case "$distinct" => sseq(Jsonata.distinctArr(arr(0).col), arr(0).dt)
+
+      // arrays (§2.6)
+      case "$append" =>
+        sseq(Jsonata.append(arr(0).col, arr(1).col
+          .cast(ArrayType(arr(0).dt))), arr(0).dt)
+      case "$reverse" => sseq(Jsonata.reverseArr(arr(0).col), arr(0).dt)
+      case "$sort" =>
+        if (args.size > 1) {
+          val cmp = f(1)
+          sseq(Jsonata.sortArrBy(arr(0).col, (l, r) =>
+            Jsonata.boolean(scalar(materialize(cmp.fn(Seq(
+              sval(l, arr(0).dt), sval(r, arr(0).dt))))).col)), arr(0).dt)
+        } else sseq(Jsonata.sortArr(arr(0).col), arr(0).dt)
+      case "$shuffle" => sseq(Jsonata.shuffleArr(arr(0).col), arr(0).dt)
+      case "$zip" =>
+        sseq(Jsonata.zip(args.indices.map(i => arr(i).col): _*),
+          ArrayType(arr(0).dt))
+
+      // higher-order (§2.9)
+      case "$map" =>
+        val fn = f(1)
+        var outDt: DataType = null
+        val mapped = transform(arr(0).col, (x, i) => {
+          val res = materialize(
+            if (fn.arity >= 2)
+              fn.fn(Seq(sval(x, arr(0).dt), sval(i.cast(DoubleType),
+                DoubleType)))
+            else fn.fn(Seq(sval(x, arr(0).dt))))
+          outDt = colType(res)
+          res.col
+        })
+        sseq(mapped, outDt)
+      case "$filter" =>
+        val fn = f(1)
+        sseq(filter(arr(0).col, (x, i) =>
+          Jsonata.boolean(scalar(materialize(
+            if (fn.arity >= 2)
+              fn.fn(Seq(sval(x, arr(0).dt),
+                sval(i.cast(DoubleType), DoubleType)))
+            else fn.fn(Seq(sval(x, arr(0).dt))))).col)), arr(0).dt)
+      case "$reduce" =>
+        val a = arr(0)
+        val fn = f(1)
+        def step(acc: Column, x: Column): Column =
+          scalar(materialize(fn.fn(Seq(sval(acc, DoubleType),
+            sval(x, a.dt))))).col.cast(DoubleType)
+        if (args.size > 2)
+          sval(aggregate(a.col, sc(2).cast(DoubleType), step), DoubleType)
+        else
+          // no init: first element seeds the fold
+          sval(aggregate(
+            slice(a.col, lit(2), greatest(size(a.col) - 1, lit(0))),
+            element_at(a.col, 1).cast(DoubleType), step), DoubleType)
+      case "$single" =>
+        sval(Jsonata.single(arr(0).col, x =>
+          Jsonata.boolean(scalar(materialize(f(1).fn(
+            Seq(sval(x, arr(0).dt))))).col)), arr(0).dt)
+
+      // strings (§2.2)
+      case "$string" => sval(Jsonata.string(sc(0)), StringType)
+      case "$length" => sval(Jsonata.strLength(str(0)), IntegerType)
+      case "$uppercase" => sval(Jsonata.uppercase(str(0)), StringType)
+      case "$lowercase" => sval(Jsonata.lowercase(str(0)), StringType)
+      case "$trim" => sval(Jsonata.trim(str(0)), StringType)
+      case "$substring" =>
+        sval(Jsonata.substring(str(0), sc(1).cast(IntegerType),
+          if (args.size > 2) Some(sc(2).cast(IntegerType)) else None),
+          StringType)
+      case "$substringBefore" =>
+        sval(Jsonata.substringBefore(str(0), str(1)), StringType)
+      case "$substringAfter" =>
+        sval(Jsonata.substringAfter(str(0), str(1)), StringType)
+      case "$pad" =>
+        sval(Jsonata.pad(str(0), litInt(1),
+          if (args.size > 2) litStr(2) else " "), StringType)
+      case "$contains" =>
+        sval(Jsonata.containsRegex(str(0), litStr(1)), BooleanType)
+      case "$split" =>
+        sseq(Jsonata.split(str(0), litStr(1),
+          if (args.size > 2) Some(litInt(2)) else None), StringType)
+      case "$join" =>
+        sval(Jsonata.join(arr(0).col,
+          if (args.size > 1) litStr(1) else ""), StringType)
+      case "$replace" =>
+        sval(Jsonata.replaceRegex(str(0), litStr(1), litStr(2)),
+          StringType)
+      case "$match" =>
+        val limit =
+          if (args.size > 2) litInt(2) else Int.MaxValue
+        val m = Jsonata.rmatch(str(0), litStr(1), limit)
+        sseq(m, StructType(Seq(
+          StructField("match", StringType),
+          StructField("index", IntegerType),
+          StructField("groups", ArrayType(StringType)))))
+      case "$base64encode" =>
+        sval(Jsonata.base64encode(str(0)), StringType)
+      case "$base64decode" =>
+        sval(Jsonata.base64decode(str(0)), StringType)
+
+      // numerics (§2.3)
+      case "$number" => sval(Jsonata.number(sc(0)), DoubleType)
+      case "$abs" => sval(Jsonata.abs(sc(0)), scalar(d(0)).dt)
+      case "$floor" => sval(Jsonata.floor(sc(0)), LongType)
+      case "$ceil" => sval(Jsonata.ceil(sc(0)), LongType)
+      case "$round" =>
+        sval(Jsonata.round(sc(0),
+          if (args.size > 1) litInt(1) else 0), DoubleType)
+      case "$power" => sval(Jsonata.power(sc(0), sc(1)), DoubleType)
+      case "$sqrt" => sval(Jsonata.sqrt(sc(0)), DoubleType)
+      case "$random" => sval(Jsonata.random(), DoubleType)
+      case "$formatBase" =>
+        sval(Jsonata.formatBase(sc(0).cast(LongType),
+          if (args.size > 1) litInt(1) else 10), StringType)
+      case "$formatNumber" =>
+        sval(Jsonata.formatNumber(sc(0), litStr(1)), StringType)
+      case "$formatInteger" =>
+        sval(Jsonata.formatInteger(sc(0).cast(LongType), litStr(1)),
+          StringType)
+      case "$parseInteger" =>
+        sval(Jsonata.parseInteger(sc(0), litStr(1)), LongType)
+
+      // booleans (§2.5)
+      case "$boolean" => sval(Jsonata.boolean(materialize(d(0)).col),
+        BooleanType)
+      case "$not" => sval(Jsonata.not(materialize(d(0)).col), BooleanType)
+      case "$exists" => sval(Jsonata.exists(sc(0)), BooleanType)
+
+      // objects (§2.7) over struct values
+      case "$keys" => d(0).dt match {
+        case st: StructType =>
+          sseq(array(st.fieldNames.map(lit(_)): _*), StringType)
+        case _: MapType =>
+          sseq(Jsonata.keys(scalar(d(0)).col), StringType)
+        case other => fail(s"$$keys over $other")
+      }
+      case "$lookup" => d(0).dt match {
+        case st: StructType =>
+          val k = litStr(1)
+          val ft = st.find(_.name == k)
+            .map(_.dataType).getOrElse(StringType)
+          sval(scalar(d(0)).col.getField(k), ft)
+        case _ => sval(Jsonata.lookup(scalar(d(0)).col, sc(1)),
+          d(0).dt.asInstanceOf[MapType].valueType)
+      }
+      case "$type" => sval(Jsonata.jtype(materialize(d(0)).col), StringType)
+      case "$error" => sval(Jsonata.error(sc(0)), NullType)
+      case "$assert" =>
+        sval(Jsonata.jassert(sc(0), "assertion failed"), NullType)
+
+      // datetime (§2.10)
+      case "$now" =>
+        if (args.isEmpty)
+          sval(date_format(current_timestamp(),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"), StringType)
+        else sval(Jsonata.now(litStr(0)), StringType)
+      case "$millis" => sval(Jsonata.millis(), LongType)
+      case "$fromMillis" =>
+        if (args.size > 1)
+          sval(Jsonata.fromMillis(sc(0).cast(LongType), litStr(1)),
+            StringType)
+        else sval(Jsonata.fromMillis(sc(0).cast(LongType)), StringType)
+      case "$toMillis" =>
+        if (args.size > 1)
+          sval(Jsonata.toMillis(sc(0), litStr(1)), LongType)
+        else sval(Jsonata.toMillis(sc(0)), LongType)
+
+      case other => fail(s"unknown function $other")
+    }
+  }
+
+}

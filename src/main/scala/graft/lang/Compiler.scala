@@ -1,0 +1,402 @@
+package graft.lang
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Jsonata
+import Ast._
+
+/** AST → Column compiler (the analog of the reference's rewrite.cljc,
+  * but emitting Catalyst plans through the public Column API instead of
+  * s-expressions; SURVEY.md §3.1 lifecycle mapping).
+  *
+  * Value model: every expression compiles to a typed column `CD(col,
+  * dt, kind)` where `kind` tracks the JSONata sequence distinctions the
+  * flattening rules depend on:
+  *   - KScalar — a single value (dt = its type)
+  *   - KJson   — an explicit JSON array (col: array<dt>)
+  *   - KSeq    — a path-produced sequence (col: array<dt>)
+  *   - KNested — per-parent grouped sequence (col: array<array<dt>>);
+  *     jsonInner marks value-step results whose inner arrays are
+  *     explicit JSON (not spliced by jflatten)
+  * Functions compile to `CF` closures over compile-time values.
+  *
+  * Static type propagation (no runtime reflection): field access reads
+  * the StructType, lambdas are compiled inside Spark's higher-order
+  * builders, so everything stays inside whole-stage codegen.
+  */
+object Compiler {
+
+  sealed trait Kind
+  case object KScalar extends Kind
+  case object KJson extends Kind
+  case object KSeq extends Kind
+  final case class KNested(jsonInner: Boolean) extends Kind
+
+  sealed trait CV
+  final case class CD(col: Column, dt: DataType, kind: Kind) extends CV
+  final case class CF(arity: Int, fn: Seq[CV] => CV) extends CV
+
+  type Env = Map[String, CV]
+
+  def compile(e: Expr, env: Env = Map.empty): CV = e match {
+    case NumLit(v) => CD(lit(v), DoubleType, KScalar)
+    case StrLit(v) => CD(lit(v), StringType, KScalar)
+    case BoolLit(v) => CD(lit(v), BooleanType, KScalar)
+    case NullLit => CD(lit(null).cast(StringType), StringType, KScalar)
+    case RegexLit(p) => CD(lit(p), StringType, KScalar) // carrier for fns
+
+    case ArrLit(items) =>
+      val cvs = items.map {
+        case BinOp("..", a, b) => // range splices into the array
+          val (ca, cb) = (scalar(compile(a, env)), scalar(compile(b, env)))
+          CD(sequence(ca.col.cast(LongType), cb.col.cast(LongType)),
+            LongType, KSeq)
+        case it => compile(it, env)
+      }
+      if (cvs.isEmpty) CD(array(), NullType, KJson)
+      else if (cvs.size == 1 && cvs.head.isInstanceOf[CD] &&
+        cvs.head.asInstanceOf[CD].kind == KSeq &&
+        items.size == 1 && items.head.isInstanceOf[BinOp] &&
+        items.head.asInstanceOf[BinOp].op == "..") {
+        val r = cvs.head.asInstanceOf[CD]
+        CD(r.col, r.dt, KJson) // [a..b] is an explicit array
+      } else {
+        val ds = cvs.map { case d: CD => d
+          case _ => fail("function in array literal") }
+        if (ds.forall(_.kind == KScalar)) {
+          val dt = unifyType(ds.map(_.dt))
+          CD(array(ds.map(d => d.col.cast(dt)): _*), dt, KJson)
+        } else if (ds.forall(d => d.kind != KScalar)) {
+          // array of arrays: [[1,2,3],[4]]
+          val dt = unifyType(ds.map(_.dt))
+          CD(array(ds.map(d => d.col.cast(ArrayType(dt))): _*),
+            ArrayType(dt), KJson)
+        } else fail(
+          "heterogeneous array literals (mixed scalars and arrays) " +
+            "are outside Spark's type system; use the EAV path")
+      }
+
+    case ObjLit(pairs) =>
+      val fields = pairs.map {
+        case (StrLit(k), v) =>
+          val cv = compile(v, env)
+          k -> materialize(cv)
+        case (k, _) => fail(s"object keys must be string literals, got $k")
+      }
+      val st = StructType(fields.map { case (k, d) =>
+        StructField(k, colType(d)) })
+      CD(struct(fields.map { case (k, d) => d.col.as(k) }: _*), st, KScalar)
+
+    case VarRef(name) =>
+      env.getOrElse(name, fail(
+        if (name.isEmpty) "no context value ($) bound here"
+        else s"unbound variable $$$name"))
+
+    case Ident(name) =>
+      // bare field: navigate from the context
+      compile(PathStep(VarRef(""), Ident(name)), env)
+
+    case Neg(x) =>
+      val d = scalar(compile(x, env)); CD(-d.col, DoubleType, KScalar)
+    case Not(x) =>
+      CD(Jsonata.not(scalar(compile(x, env)).col), BooleanType, KScalar)
+
+    case BinOp(":=", VarRef(n), v) =>
+      // expression-valued assignment (parse.cljc:926-942)
+      compile(Block(Seq(n -> v), VarRef(n)), env)
+
+    case BinOp(op, l, r) => binop(op, l, r, env)
+
+    case Ternary(c, t, f) =>
+      val cond = Jsonata.boolean(scalar(compile(c, env)).col)
+      val (ct, cf2) = (materialize(compile(t, env)),
+        materialize(compile(f, env)))
+      CD(when(cond, ct.col).otherwise(cf2.col), ct.dt,
+        if (ct.kind == KScalar && cf2.kind == KScalar) KScalar else ct.kind)
+
+    case PathStep(src, step) => pathStep(compile(src, env), step, env)
+
+    case Filter(src, pred) => filterStep(compile(src, env), pred, env)
+
+    case Parens(b) => compile(b, env)
+
+    case FnCall(name, args) =>
+      Builtins(name, args.map(compile(_, env)), args)
+
+    case Lambda(params, body) =>
+      CF(params.size, args =>
+        compile(body, env ++ params.zip(args) + ("" -> args.head)))
+
+    case Apply(fnExpr, args) =>
+      compile(fnExpr, env) match {
+        case CF(_, fn) => fn(args.map(compile(_, env)))
+        case _ => fail(s"cannot apply non-function $fnExpr")
+      }
+
+    case Block(bindings, result) =>
+      val env2 = bindings.foldLeft(env) { case (e2, (n, v)) =>
+        e2 + (n -> compile(v, e2))
+      }
+      compile(result, env2)
+  }
+
+  // ---------- path semantics ----------
+
+  private def pathStep(src: CV, step: Expr, env: Env): CV = {
+    val s = src match { case d: CD => d; case _ => fail("path over function") }
+    step match {
+      case Ident(name) => s.kind match {
+        case KScalar => s.dt match {
+          case st: StructType =>
+            val f = st.find(_.name == name)
+              .getOrElse(fail(s"no field '$name' in ${st.simpleString}"))
+            f.dataType match {
+              case ArrayType(et, _) =>
+                CD(s.col.getField(name), et, KJson)
+              case dt => CD(s.col.getField(name), dt, KScalar)
+            }
+          case other => fail(s"cannot navigate '$name' into $other")
+        }
+        case KJson | KSeq => s.dt match {
+          case st: StructType =>
+            val f = st.find(_.name == name)
+              .getOrElse(fail(s"no field '$name' in ${st.simpleString}"))
+            val mapped = filter(
+              transform(s.col, _.getField(name)), _.isNotNull)
+            f.dataType match {
+              case ArrayType(et, _) => CD(mapped, et, KNested(false))
+              case dt => CD(mapped, dt, KSeq)
+            }
+          case other => fail(s"cannot map '$name' over $other elements")
+        }
+        case KNested(_) =>
+          pathStep(CD(flatten(s.col), s.dt, KSeq), step, env)
+      }
+
+      case VarRef("") => s.kind match {
+        // `.$` maps identity and splices one level
+        case KJson | KSeq => s.dt match {
+          case ArrayType(et, _) => CD(flatten(s.col), et, KSeq)
+          case _ => CD(s.col, s.dt, KSeq)
+        }
+        case KNested(_) => CD(flatten(s.col), s.dt, KSeq)
+        case KScalar => CD(array(s.col), s.dt, KSeq)
+      }
+
+      case Parens(body) => s.kind match {
+        case KScalar =>
+          compile(body, env + ("" -> CD(s.col, s.dt, KScalar)))
+        case KJson | KSeq =>
+          var outDt: DataType = null
+          var outSeqy = false
+          val mapped = transform(s.col, x => {
+            val cv = materialize(compile(body,
+              env + ("" -> CD(x, s.dt, KScalar))))
+            outDt = cv.dt
+            outSeqy = cv.kind != KScalar
+            cv.col
+          })
+          if (outSeqy) CD(mapped, outDt, KNested(false))
+          else CD(filter(mapped, _.isNotNull), outDt, KSeq)
+        case KNested(_) =>
+          pathStep(CD(flatten(s.col), s.dt, KSeq), step, env)
+      }
+
+      case ArrLit(items) => s.kind match {
+        // value-step: each element → the literal array's value
+        case KJson | KSeq =>
+          var innerDt: DataType = null
+          val mapped = transform(s.col, x => {
+            val cv = compile(ArrLit(items),
+              env + ("" -> CD(x, s.dt, KScalar)))
+            val d = cv.asInstanceOf[CD]
+            innerDt = d.dt
+            d.col
+          })
+          CD(mapped, innerDt, KNested(true))
+        case KScalar =>
+          val cv = compile(ArrLit(items),
+            env + ("" -> CD(s.col, s.dt, KScalar)))
+          cv
+        case KNested(_) =>
+          pathStep(CD(flatten(s.col), s.dt, KSeq), step, env)
+      }
+
+      case FnCall(name, args) =>
+        // per-element function application: x.$f(...) with $ = element
+        s.kind match {
+          case KScalar =>
+            Builtins(name,
+              CD(s.col, s.dt, KScalar) +: args.map(compile(_, env)),
+              NullLit +: args)
+          case _ => fail(s"function step over sequences: use $$map")
+        }
+
+      case other => fail(s"unsupported path step $other")
+    }
+  }
+
+  private def containsContextRef(e: Expr): Boolean = e match {
+    case Ident(_) | VarRef("") => true
+    case BinOp(_, l, r) =>
+      containsContextRef(l) || containsContextRef(r)
+    case Neg(x) => containsContextRef(x)
+    case Not(x) => containsContextRef(x)
+    case Ternary(c, t, f) => Seq(c, t, f).exists(containsContextRef)
+    case PathStep(s2, _) => containsContextRef(s2)
+    case Filter(s2, p) => containsContextRef(s2) || containsContextRef(p)
+    case Parens(b) => containsContextRef(b)
+    case FnCall(_, args) => args.exists(containsContextRef)
+    case Apply(f, args) => (f +: args).exists(containsContextRef)
+    case _ => false
+  }
+
+  private def filterStep(src: CV, pred: Expr, env: Env): CV = {
+    val s = src match { case d: CD => d; case _ => fail("filter on fn") }
+    val isIndex = !containsContextRef(pred) && {
+      compile(pred, env) match {
+        case CD(_, dt, KScalar) => dt.isInstanceOf[NumericType]
+        case _ => false
+      }
+    }
+    if (isIndex) {
+      val idx = scalar(compile(pred, env)).col.cast(IntegerType)
+      s.kind match {
+        case KJson | KSeq =>
+          s.dt match {
+            case ArrayType(et, _) =>
+              CD(Jsonata.aref(s.col, idx), et, KJson)
+            case _ => CD(Jsonata.aref(s.col, idx), s.dt, KScalar)
+          }
+        case KNested(json) =>
+          // NON-COMPOSITIONAL: index each parent's sequence
+          if (json) CD(transform(s.col, p => Jsonata.aref(p, idx)),
+            s.dt, KSeq)
+          else CD(
+            filter(transform(s.col, p => Jsonata.aref(p, idx)),
+              _.isNotNull), s.dt, KSeq)
+        case KScalar =>
+          // `1[0]` — scalars are singletons
+          CD(when(idx === 0 || idx === -1, s.col), s.dt, KScalar)
+      }
+    } else {
+      val base = s.kind match {
+        case KNested(_) => CD(flatten(s.col), s.dt, KSeq)
+        case _ => s
+      }
+      base.kind match {
+        case KJson | KSeq =>
+          CD(filter(base.col, x => Jsonata.boolean(
+            scalar(materialize(compile(pred,
+              env + ("" -> CD(x, base.dt, KScalar))))).col)),
+            base.dt, KSeq)
+        case KScalar =>
+          val keep = Jsonata.boolean(scalar(materialize(compile(pred,
+            env + ("" -> CD(base.col, base.dt, KScalar))))).col)
+          CD(when(keep, base.col), base.dt, KScalar)
+        case _ => fail("unreachable")
+      }
+    }
+  }
+
+  // ---------- operators ----------
+
+  private def binop(op: String, l: Expr, r: Expr, env: Env): CV = {
+    lazy val cl = scalar(compile(l, env))
+    lazy val cr = scalar(compile(r, env))
+    op match {
+      case "+" => CD(cl.col + cr.col, num2(cl, cr), KScalar)
+      case "-" => CD(cl.col - cr.col, num2(cl, cr), KScalar)
+      case "*" => CD(cl.col * cr.col, num2(cl, cr), KScalar)
+      case "/" =>
+        CD(cl.col.cast(DoubleType) / cr.col.cast(DoubleType),
+          DoubleType, KScalar) // `/` always double (builtin.cljc:147)
+      case "%" => CD(cl.col % cr.col, num2(cl, cr), KScalar)
+      case "&" =>
+        CD(concat(Jsonata.string(cl.col), Jsonata.string(cr.col)),
+          StringType, KScalar)
+      case "=" => eqOp(l, r, env, negate = false)
+      case "!=" => eqOp(l, r, env, negate = true)
+      case "<" => CD(cl.col < cr.col, BooleanType, KScalar)
+      case "<=" => CD(cl.col <= cr.col, BooleanType, KScalar)
+      case ">" => CD(cl.col > cr.col, BooleanType, KScalar)
+      case ">=" => CD(cl.col >= cr.col, BooleanType, KScalar)
+      case "and" =>
+        CD(Jsonata.boolean(cl.col) && Jsonata.boolean(cr.col),
+          BooleanType, KScalar)
+      case "or" =>
+        CD(Jsonata.boolean(cl.col) || Jsonata.boolean(cr.col),
+          BooleanType, KScalar)
+      case "in" =>
+        val arr = compile(r, env) match {
+          case d @ CD(_, _, KJson | KSeq) => d
+          case d: CD => CD(array(d.col), d.dt, KJson)
+          case _ => fail("in: rhs")
+        }
+        CD(array_contains(arr.col, cl.col), BooleanType, KScalar)
+      case ".." =>
+        CD(sequence(cl.col.cast(LongType), cr.col.cast(LongType)),
+          LongType, KSeq)
+      case other => fail(s"operator $other")
+    }
+  }
+
+  /** `=` is deep equality post-flatten (SURVEY §2.1). */
+  private def eqOp(l: Expr, r: Expr, env: Env, negate: Boolean): CV = {
+    val (a, b) = (materialize(compile(l, env)),
+      materialize(compile(r, env)))
+    val e = a.col === b.col
+    CD(if (negate) !e else e, BooleanType, KScalar)
+  }
+
+  private def num2(a: CD, b: CD): DataType =
+    if (a.dt == DoubleType || b.dt == DoubleType) DoubleType
+    else if (a.dt == LongType && b.dt == LongType) LongType
+    else DoubleType
+
+  // ---------- helpers ----------
+
+  private[lang] def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft.lang: $msg")
+
+  /** Collapse sequence kinds to a scalar column where a scalar is
+    * required (singleton collapse typed statically: runtime singleton
+    * via element_at).
+    */
+  private[lang] def scalar(cv: CV): CD = cv match {
+    case d @ CD(_, _, KScalar) => d
+    case CD(c, dt, KSeq) => CD(element_at(c, 1), dt, KScalar)
+    case CD(c, dt, KJson) => CD(c, ArrayType(dt), KScalar)
+    case CD(c, dt, KNested(_)) =>
+      CD(element_at(flatten(c), 1), dt, KScalar)
+    case _ => fail("expected a value, got a function")
+  }
+
+  /** Render a CV as one column for embedding in structs/arrays:
+    * sequences keep array form.
+    */
+  private[lang] def materialize(cv: CV): CD = cv match {
+    case d @ CD(_, _, KScalar) => d
+    case d @ CD(_, _, (KJson | KSeq)) => d
+    case CD(c, dt, KNested(false)) => CD(flatten(c), dt, KSeq)
+    case CD(c, dt, KNested(true)) => CD(c, ArrayType(dt), KJson)
+    case _ => fail("expected a value, got a function")
+  }
+
+  private[lang] def colType(d: CD): DataType = d.kind match {
+    case KScalar => d.dt
+    case KJson | KSeq => ArrayType(d.dt)
+    case KNested(_) => ArrayType(ArrayType(d.dt))
+  }
+
+  private def unifyType(ts: Seq[DataType]): DataType =
+    ts.reduce { (a, b) =>
+      if (a == b) a
+      else if (a.isInstanceOf[NumericType] && b.isInstanceOf[NumericType])
+        DoubleType
+      else if (a == NullType) b
+      else if (b == NullType) a
+      else fail(s"cannot unify array element types $a vs $b")
+    }
+}

@@ -1,0 +1,110 @@
+package graft.lang
+
+/** Tokenizer for the expression language (reference `parse.cljc:314-429`
+  * — the one-token FSM; ours runs over the whole string at once, the
+  * incremental blocking there is a browser-REPL concern).
+  */
+object Lexer {
+  sealed trait Tok
+  final case class TNum(v: Double) extends Tok
+  final case class TStr(v: String) extends Tok
+  final case class TIdent(v: String) extends Tok
+  final case class TVar(v: String) extends Tok   // $x ; "" for $, "$" for $$
+  final case class TOp(v: String) extends Tok    // operators & punctuation
+  final case class TRegex(v: String) extends Tok
+
+  private val keywords = Set("true", "false", "null", "and", "or", "in",
+    "function", "not")
+
+  // multi-char operators, longest first
+  private val ops = Seq(":=", "<=", ">=", "!=", "~>", "..",
+    ".", "[", "]", "{", "}", "(", ")", ",", ";", ":", "?", "<", ">", "=",
+    "+", "-", "*", "/", "%", "&")
+
+  def tokenize(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    var prev: Tok = null
+    def push(t: Tok): Unit = { out += t; prev = t }
+    while (i < src.length) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit) {
+        val start = i
+        while (i < src.length && (src(i).isDigit || src(i) == '.') &&
+          !(src(i) == '.' && i + 1 < src.length && src(i + 1) == '.'))
+          i += 1
+        // exponent part
+        if (i < src.length && (src(i) == 'e' || src(i) == 'E')) {
+          i += 1
+          if (i < src.length && (src(i) == '+' || src(i) == '-')) i += 1
+          while (i < src.length && src(i).isDigit) i += 1
+        }
+        push(TNum(src.substring(start, i).toDouble))
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < src.length && src(i) != quote) {
+          if (src(i) == '\\' && i + 1 < src.length) {
+            i += 1
+            sb.append(src(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+          } else sb.append(src(i))
+          i += 1
+        }
+        require(i < src.length, s"unterminated string at $i")
+        i += 1
+        push(TStr(sb.toString))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_'))
+          i += 1
+        val w = src.substring(start, i)
+        if (keywords.contains(w) &&
+          !(w == "in" && prev == null)) push(TOp(w))
+        else push(TIdent(w))
+      } else if (c == '$') {
+        if (i + 1 < src.length && src(i + 1) == '$') {
+          i += 2; push(TVar("$"))
+        } else {
+          val start = i + 1
+          i += 1
+          while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_'))
+            i += 1
+          push(TVar(src.substring(start, i)))
+        }
+      } else if (c == '/' && regexPosition(prev)) {
+        val sb = new StringBuilder
+        i += 1
+        while (i < src.length && src(i) != '/') {
+          if (src(i) == '\\' && i + 1 < src.length) {
+            sb.append(src(i)).append(src(i + 1)); i += 2
+          } else { sb.append(src(i)); i += 1 }
+        }
+        require(i < src.length, "unterminated regex")
+        i += 1
+        push(TRegex(sb.toString))
+      } else {
+        ops.find(op => src.startsWith(op, i)) match {
+          case Some(op) => i += op.length; push(TOp(op))
+          case None =>
+            throw new IllegalArgumentException(
+              s"unexpected char '$c' at $i in: $src")
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** A '/' is a regex literal when an expression (not an operand) is
+    * expected — i.e. at the start or after an operator/open paren.
+    */
+  private def regexPosition(prev: Tok): Boolean = prev match {
+    case null => true
+    case TOp(op) => !Set("]", ")", "}").contains(op)
+    case _ => false
+  }
+}

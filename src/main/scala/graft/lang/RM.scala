@@ -1,0 +1,90 @@
+package graft.lang
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.core.Finalize
+import graft.core.Finalize.Container
+import Compiler._
+
+/** `processRM` equivalent (reference `builtin.cljc:2915-2954`):
+  * source text → parse → compile to a Column plan → execute → jflatten
+  * finalization. Literal programs run on a one-row carrier frame;
+  * `evalCol` compiles an expression against a real DataFrame's columns
+  * for distributed use.
+  */
+object RM {
+
+  /** Evaluate a standalone expression to a JSON-like Scala value
+    * (Map/Seq/Long/Double/String/Boolean/null wrapped in Option —
+    * None = JSONata "no match").
+    */
+  def eval(src: String, spark: SparkSession): Option[Any] = {
+    val ast = Parser.parse(src)
+    val cv = Compiler.compile(ast)
+    val d = cv match {
+      case x: CD => x
+      case _ => Compiler.fail("top-level value is a function")
+    }
+    val out = materializeTop(d)
+    val raw = spark.range(1).select(out.col.as("v")).collect()(0).get(0)
+    val shaped = shape(raw, out.kind)
+    Finalize.jflatten(shaped).map(normalize)
+  }
+
+  /** Compile an expression over a DataFrame's rows: the expression's
+    * bare identifiers resolve against the frame's columns (the
+    * distributed path — full Catalyst optimization applies).
+    */
+  def evalCol(src: String, df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val ast = Parser.parse(src)
+    val st = df.schema
+    val ctx = CD(org.apache.spark.sql.functions.struct(
+      st.fieldNames.map(df(_)): _*), st, KScalar)
+    val cv = Compiler.compile(ast, Map("" -> ctx))
+    val d = materializeTop(cv match {
+      case x: CD => x
+      case _ => Compiler.fail("expression must be a value")
+    })
+    df.select(keep.map(df(_)) :+ d.col.as("value"): _*)
+  }
+
+  private def materializeTop(d: CD): CD = d // kinds handled in shape()
+
+  /** Wrap the collected value according to its sequence kind so the
+    * jflatten rules see containers vs explicit arrays.
+    */
+  private def shape(v: Any, kind: Kind): Any = kind match {
+    case KScalar => v
+    case KJson => v // Seq stays an explicit array
+    case KSeq => v match {
+      case null => Container(Nil)
+      case s: scala.collection.Seq[_] => Container(s.toSeq)
+      case other => Container(Seq(other))
+    }
+    case KNested(jsonInner) => v match {
+      case null => Container(Nil)
+      case s: scala.collection.Seq[_] =>
+        if (jsonInner) Container(s.toSeq) // inner arrays stay explicit
+        else Container(s.toSeq.map {
+          case inner: scala.collection.Seq[_] => Container(inner.toSeq)
+          case x => x
+        })
+      case other => Container(Seq(other))
+    }
+  }
+
+  /** Canonical output: integral doubles render as longs (JSONata
+    * number printing), rows as maps, recursively.
+    */
+  private def normalize(v: Any): Any = v match {
+    case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong
+    case f: Float if f.isWhole => f.toLong
+    case s: scala.collection.Seq[_] => s.toSeq.map(normalize)
+    case m: Map[_, _] => m.map { case (k, x) => k -> normalize(x) }
+    case r: Row =>
+      r.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
+        Option(r.get(i)).map(x => n -> normalize(x))
+      }.toMap
+    case other => other
+  }
+}

@@ -161,7 +161,18 @@ object FunctionQueries {
       .orderBy("custkey")
   }
 
+  /** The text frontend on the distributed path: an RM expression string
+    * compiled per-row over a real table (RM.evalCol), oracle-checked.
+    */
+  def fRmExpr(s: SparkSession, d: String): DataFrame =
+    graft.lang.RM.evalCol(
+      "o_totalprice > 150000 ? 'large' : ($substringBefore(" +
+        "o_orderpriority, '-') & ':' & o_orderstatus)",
+      Tables.orders(s, d), keep = Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+
   val all: Map[String, Q] = Map(
+    "f_rm_expr" -> (fRmExpr _),
     "f_path_steps" -> (fPathSteps _),
     "f_string" -> (fString _),
     "f_numeric" -> (fNumeric _),
@@ -172,6 +183,13 @@ object FunctionQueries {
     "f_regex" -> (fRegex _))
 
   val oracles: Map[String, String] = Map(
+    "f_rm_expr" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 150000 THEN 'large'
+        |    ELSE substr(o_orderpriority, 1,
+        |           strpos(o_orderpriority, '-') - 1)
+        |         || ':' || o_orderstatus END AS value
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f_path_steps" ->
       // l_linenumber repeats within an order; tie-break on quantity to
       // match the struct sort on the Spark side

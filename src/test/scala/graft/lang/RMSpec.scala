@@ -1,0 +1,138 @@
+package graft.lang
+
+import graft.SparkSpec
+
+/** Text-frontend conformance: the reference's OWN test strings
+  * (builtin_test.cljc) evaluated through parse → compile → Catalyst →
+  * jflatten. Expected values mirror the reference goldens (numbers
+  * normalize integral doubles to longs, like the reference's printer).
+  */
+class RMSpec extends SparkSpec {
+
+  private def run(src: String, expected: Any): Unit = {
+    val got = RM.eval(src, spark)
+    assert(got.contains(expected),
+      s"""RM "$src" => $got, expected Some($expected)""")
+  }
+
+  test("literals and arithmetic") {
+    run("-5", -5L)
+    run("1 + 2 * 3", 7L)
+    run("10 / 4", 2.5)
+    run("7 % 4", 3L)
+    run("2 < 3 and 3 < 2 or true", true)
+    run("5 > 3 ? 'big' : 'small'", "big")
+  }
+
+  test("string concatenation: 1 & 2 & 'abc' (builtin_test:346)") {
+    run("1 & 2 & 'abc'", "12abc")
+  }
+
+  test("code blocks and assignment (builtin_test:319-321)") {
+    run("$x := -5", -5L)
+    run("($x := -5)", -5L)
+    run("($x := 4; $y := 5; $x + $y)", 9L)
+  }
+
+  test("simple mapping (builtin_test:347-355)") {
+    run("[{'a' : 1}, {'a' : 2}, {'a' : 3}].a", Seq(1L, 2L, 3L))
+    run("[{'a' : 1}, {'a' : 2}, {'a' : 3}].(a + 1)", Seq(2L, 3L, 4L))
+    run("{'a' : {'b' : 111}}.a.b", 111L)
+  }
+
+  test("navigation (builtin_test:357-363)") {
+    run("{'a' : {'b' : {'c' : 30, 'f' : 3}}}.(a.b.c + a.b.f)", 33L)
+    run("{'a' : {'b' : {'c' : 30, 'f' : 3}}}.a.b.(c + f)", 33L)
+    run("{'a' : 5, 'b' : {'e' : 2}, 'c' : [0, 10], 'd' : 500}" +
+      ".(a + b.e * c[1] + d)", 525L)
+  }
+
+  test("aref forms (builtin_test:365-372)") {
+    run("[{'a' : 1}][0].a", 1L)
+    run("($c := [{'a' : 1}]; $c[0].a)", 1L)
+    run("[{'a' : 1}][0]", Map("a" -> 1L))
+    run("{'number' : [11, 22, 33, 44]}.number[2]", 33L)
+    run("($v := 1; $v[0])", 1L)
+    run("1[0]", 1L)
+  }
+
+  test("flattening oddities (builtin_test:380-410)") {
+    run("($v := [[1, 2, 3], [4]]; $v)", Seq(Seq(1L, 2L, 3L), Seq(4L)))
+    run("[[1,2,3], [4]].$", Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("quirk 2a/2b: merge vs per-parent index (builtin_test:430-437)") {
+    run("[{'nums' : [1, 2]}, {'nums' : [3, 4]}].nums", Seq(1L, 2L, 3L, 4L))
+    run("[{'nums' : [1, 2]}, {'nums' : [3, 4]}].nums[1]", Seq(2L, 4L))
+  }
+
+  test("value-step: ['a','b','c'].[1] = [[1],[1],[1]] (builtin_test:331)") {
+    run("['a', 'b', 'c'].[1]", Seq(Seq(1L), Seq(1L), Seq(1L)))
+  }
+
+  test("filters (builtin_test:442-456)") {
+    run("{'letter' : ['a', 'b', 'c', 'd']}.letter[$ = 'b']", "b")
+    run("[{'num' : {'x' : 1}}, {'num' : {'x' : 2}}, {'num' : {'x' : 2}}," +
+      " {'num' : {'x' : 3}}].num[x = 2]",
+      Seq(Map("x" -> 2L), Map("x" -> 2L)))
+    run("[{'num' : {'x' : 1}}, {'num' : {'x' : 2}}, {'num' : {'x' : 3}}]" +
+      "[num.x = 2]", Map("num" -> Map("x" -> 2L)))
+    run("[{'num' : {'x' : 1}}, {'num' : {'x' : 2}}, {'num' : {'x' : 3}}]" +
+      ".[num.x = 2]", Seq(Seq(false), Seq(true), Seq(false)))
+  }
+
+  test("$match (builtin_test:458-463)") {
+    run("$match('bbfoovar', /foo/)",
+      Map("match" -> "foo", "index" -> 2L, "groups" -> Seq()))
+    run("$match('foobarxababy', /\\d*x(ab)+y/)",
+      Map("match" -> "xababy", "index" -> 6L, "groups" -> Seq("ab")))
+  }
+
+  test("functions: immediate use, thread, reduce (builtin_test:465-481)") {
+    run("function($x){$x+1}(3)", 4L)
+    run("4 ~> function($x){$x+1}()", 5L)
+    run("[1..5] ~> $reverse()", Seq(5L, 4L, 3L, 2L, 1L))
+    run("$reduce([1..5], function($i, $j){$i + $j})", 15L)
+    run("$reduce([3], function($i, $j){$i + $j})", 3L)
+    run("$reduce([3], function($i, $j){$i + $j}, 2)", 5L)
+  }
+
+  test("mapping with a bound function (builtin_test:353)") {
+    run("($f := function($x){$x+1}; $map([1,2,3], $f))", Seq(2L, 3L, 4L))
+  }
+
+  test("builtin battery through the text surface") {
+    run("$sum([1, 2, 3])", 6L)
+    run("$count([1, 2, 3])", 3L)
+    run("$average([2, 4])", 3L)
+    run("$max([1, 9, 2])", 9L)
+    run("$uppercase('Hello')", "HELLO")
+    run("$substring('Hello World', 3, 5)", "lo Wo")
+    run("$substringAfter('Hello World', ' ')", "World")
+    run("$split('so many words', ' ')", Seq("so", "many", "words"))
+    run("$join(['a','b','c'], '-')", "a-b-c")
+    run("$replace('John Smith', 'John', 'Mr')", "Mr Smith")
+    run("$contains('abracadabra', 'bra')", true)
+    run("$number('5') + 1", 6L)
+    run("$floor(3.7)", 3L)
+    run("$round(123.456, 2)", 123.46)
+    run("$formatBase(255, 16)", "ff")
+    run("$formatInteger(1999, 'I')", "MCMXCIX")
+    run("$parseInteger('MCMXCIX', 'I')", 1999L)
+    run("$boolean([0, 0])", false)
+    run("$exists(null)", false)
+    run("$keys({'a' : 1, 'b' : 2})", Seq("a", "b"))
+    run("$lookup({'a' : 1, 'b' : 2}, 'b')", 2L)
+    run("$fromMillis(1521801216617, '[Y0001]-[M01]-[D01]')", "2018-03-23")
+    run("$filter([1, 2, 3, 4], function($x){$x > 2})", Seq(3L, 4L))
+    run("$map([1, 2], function($x, $i){$i})", Seq(0L, 1L))
+    run("$sort([3, 1, 2])", Seq(1L, 2L, 3L))
+    run("5 in [1, 5, 9]", true)
+    run("$append([1, 2], [3])", Seq(1L, 2L, 3L))
+  }
+
+  test("no match is None") {
+    assert(RM.eval("[1, 2][5]", spark).isEmpty ||
+      RM.eval("[1, 2][5]", spark).contains(null))
+  }
+}
