@@ -36,7 +36,8 @@ object Finalize {
     case s: Seq[_] => // explicit JSON array: finalize elements, keep arity
       Some(s.flatMap(jflatten))
     case m: Map[_, _] =>
-      Some(m.asInstanceOf[Map[String, Any]].flatMap { case (k, x) =>
+      // keys may be non-string (typed express keys restore to native)
+      Some(m.asInstanceOf[Map[Any, Any]].flatMap { case (k, x) =>
         jflatten(x).map(k -> _) // rule 1: no-match entries drop out
       })
     case r: Row =>

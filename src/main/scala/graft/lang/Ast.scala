@@ -34,6 +34,19 @@ object Ast {
   final case class Parens(body: Expr) extends Expr
 
   final case class FnCall(name: String, args: Seq[Expr]) extends Expr
+
+  /** `?name` — query variable (query/express/bset contexts) */
+  final case class QvarRef(name: String) extends Expr
+  /** one `[<$src>? ?e :attr v]` triple pattern; attr Left=role,
+    * Right=qvar; v is QvarRef / literal / VarRef (parameter)
+    */
+  final case class QPattern(src: Option[String], e: String,
+    attr: Either[String, String], v: Expr)
+  /** `query($params){patterns}` */
+  final case class QueryDef(params: Seq[String],
+    patterns: Seq[QPattern]) extends Expr
+  /** `express($params){ {template} }` */
+  final case class ExpressDef(template: Expr) extends Expr
   final case class Lambda(params: Seq[String], body: Expr) extends Expr
   final case class Apply(fn: Expr, args: Seq[Expr]) extends Expr
   final case class Block(bindings: Seq[(String, Expr)], result: Expr)

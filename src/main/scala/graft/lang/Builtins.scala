@@ -95,6 +95,15 @@ object Builtins {
               fn.fn(Seq(sval(x, arr(0).dt),
                 sval(i.cast(DoubleType), DoubleType)))
             else fn.fn(Seq(sval(x, arr(0).dt))))).col)), arr(0).dt)
+      // express dispatch (reference builtin.cljc:1462-1468): $reduce/
+      // $map with an express template run the template compilers
+      case "$reduce" if args.lift(1).exists(_.isInstanceOf[CE]) =>
+        QueryBridge.reduce(Compiler.sparkCtx.value, args(0),
+          args(1).asInstanceOf[CE].tmpl)
+      case "$map" if args.lift(1).exists(_.isInstanceOf[CE]) =>
+        QueryBridge.mapEx(Compiler.sparkCtx.value, args(0),
+          args(1).asInstanceOf[CE].tmpl)
+
       case "$reduce" =>
         val a = arr(0)
         val fn = f(1)

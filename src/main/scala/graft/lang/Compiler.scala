@@ -36,8 +36,16 @@ object Compiler {
   sealed trait CV
   final case class CD(col: Column, dt: DataType, kind: Kind) extends CV
   final case class CF(arity: Int, fn: Seq[CV] => CV) extends CV
+  /** a real DataFrame value (binding sets / express output) */
+  final case class CTab(df: org.apache.spark.sql.DataFrame) extends CV
+  /** an express{} template */
+  final case class CE(tmpl: graft.express.Express.XObj) extends CV
 
   type Env = Map[String, CV]
+
+  /** Session for the query/express JSON bridge, set by RM.eval. */
+  private[lang] val sparkCtx =
+    new scala.util.DynamicVariable[org.apache.spark.sql.SparkSession](null)
 
   def compile(e: Expr, env: Env = Map.empty): CV = e match {
     case NumLit(v) => CD(lit(v), DoubleType, KScalar)
@@ -82,6 +90,8 @@ object Compiler {
         case (StrLit(k), v) =>
           val cv = compile(v, env)
           k -> materialize(cv)
+        case (QvarRef(k), v) => // hand-written binding-set literal
+          k -> materialize(compile(v, env))
         case (k, _) => fail(s"object keys must be string literals, got $k")
       }
       val st = StructType(fields.map { case (k, d) =>
@@ -122,7 +132,11 @@ object Compiler {
     case Parens(b) => compile(b, env)
 
     case FnCall(name, args) =>
-      Builtins(name, args.map(compile(_, env)), args)
+      // user-bound function variables shadow builtins ($q := query…)
+      env.get(name.stripPrefix("$")) match {
+        case Some(CF(_, fn)) => fn(args.map(compile(_, env)))
+        case _ => Builtins(name, args.map(compile(_, env)), args)
+      }
 
     case Lambda(params, body) =>
       CF(params.size, args =>
@@ -139,6 +153,37 @@ object Compiler {
         e2 + (n -> compile(v, e2))
       }
       compile(result, env2)
+
+    case q: QueryDef =>
+      val spark = sparkCtx.value
+      if (spark == null) fail("query{} needs RM.eval (no session bound)")
+      if (q.params.isEmpty)
+        CF(-1, args => QueryBridge.runQuery(spark, q, Map.empty,
+          args.map(asCD)))
+      else
+        CF(q.params.size, pargs => {
+          val subst = q.params.zip(pargs.map(literalOf)).toMap
+          CF(-1, args => QueryBridge.runQuery(spark, q, subst,
+            args.map(asCD)))
+        })
+
+    case ExpressDef(t) => CE(QueryBridge.templateOf(t))
+
+    case QvarRef(n) =>
+      fail(s"?$n is only meaningful inside query/express/binding-set " +
+        "contexts")
+  }
+
+  private def asCD(cv: CV): CD = cv match {
+    case d: CD => d
+    case _ => fail("expected a data value")
+  }
+
+  /** Driver-side literal of a (constant) scalar argument. */
+  private def literalOf(cv: CV): Any = {
+    val spark = sparkCtx.value
+    val d = scalar(cv)
+    spark.range(1).select(d.col).collect()(0).get(0)
   }
 
   // ---------- path semantics ----------

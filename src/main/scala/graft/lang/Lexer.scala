@@ -12,6 +12,7 @@ object Lexer {
   final case class TVar(v: String) extends Tok   // $x ; "" for $, "$" for $$
   final case class TOp(v: String) extends Tok    // operators & punctuation
   final case class TRegex(v: String) extends Tok
+  final case class TQvar(v: String) extends Tok  // ?name (query contexts)
 
   private val keywords = Set("true", "false", "null", "and", "or", "in",
     "function", "not")
@@ -76,6 +77,13 @@ object Lexer {
             i += 1
           push(TVar(src.substring(start, i)))
         }
+      } else if (c == '?' && i + 1 < src.length &&
+        (src(i + 1).isLetter || src(i + 1) == '_') && qvarPosition(prev)) {
+        val start = i + 1
+        i += 1
+        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_'))
+          i += 1
+        push(TQvar(src.substring(start, i)))
       } else if (c == '/' && regexPosition(prev)) {
         val sb = new StringBuilder
         i += 1
@@ -105,6 +113,16 @@ object Lexer {
   private def regexPosition(prev: Tok): Boolean = prev match {
     case null => true
     case TOp(op) => !Set("]", ")", "}").contains(op)
+    case _ => false
+  }
+
+  /** `?name` is a qvar only in query/express/bset positions — after
+    * `[ { , :`, another qvar, or a pattern role ident. After a value
+    * operand, `?` stays the ternary operator.
+    */
+  private def qvarPosition(prev: Tok): Boolean = prev match {
+    case TOp("[") | TOp("{") | TOp(",") | TOp(":") | TOp("(") => true
+    case TQvar(_) | TIdent(_) | TVar(_) => true // $DBa ?e1 patterns
     case _ => false
   }
 }

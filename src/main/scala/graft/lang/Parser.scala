@@ -58,7 +58,12 @@ object Parser {
       case TNum(v) => NumLit(v)
       case TStr(v) => StrLit(v)
       case TRegex(p) => RegexLit(p)
-      case TIdent(name) => Ident(name)
+      case TQvar(n) => QvarRef(n)
+      case TIdent("query") if peekOp("(") => queryDef()
+      case TIdent("express") => expressDef()
+      case TIdent(name) =>
+        if (peekOp("(")) { next(); Apply(Ident(name), callArgs()) }
+        else Ident(name)
       case TVar(name) =>
         // $fn(...) call?
         if (peekOp("(")) {
@@ -204,6 +209,75 @@ object Parser {
       }
       expect("}")
       ObjLit(pairs.result())
+    }
+
+    /** `query($p1, ...){ [pattern]* }` — returns a (possibly
+      * parameterized) query function (parse.cljc:1112-1131).
+      */
+    private def queryDef(): Expr = {
+      expect("(")
+      val params = Seq.newBuilder[String]
+      if (!peekOp(")")) {
+        def param(): Unit = next() match {
+          case TVar(n) => params += n
+          case other => throw new IllegalArgumentException(
+            s"query parameter must be $$var, got $other")
+        }
+        param()
+        while (peekOp(",")) { next(); param() }
+      }
+      expect(")")
+      expect("{")
+      val pats = Seq.newBuilder[QPattern]
+      while (peekOp("[")) { next(); pats += pattern() }
+      expect("}")
+      val q = QueryDef(params.result(), pats.result())
+      // immediate parameter binding: query($n){...}('Bob')
+      if (peekOp("(")) { next(); Apply(q, callArgs()) } else q
+    }
+
+    /** `[<$src>? ?e (:role | ?attr) value]` */
+    private def pattern(): QPattern = {
+      val src = peek match {
+        case Some(TVar(n)) if n.nonEmpty => next(); Some(n)
+        case _ => None
+      }
+      val e = next() match {
+        case TQvar(n) => n
+        case other => throw new IllegalArgumentException(
+          s"pattern entity must be ?var, got $other")
+      }
+      val attr: Either[String, String] = next() match {
+        case TOp(":") => next() match {
+          case TIdent(r) => Left(r)
+          case other => throw new IllegalArgumentException(
+            s"pattern role must be :ident, got $other")
+        }
+        case TQvar(n) => Right(n)
+        case other => throw new IllegalArgumentException(
+          s"pattern attribute must be :role or ?var, got $other")
+      }
+      val v: Expr = next() match {
+        case TQvar(n) => QvarRef(n)
+        case TStr(s) => StrLit(s)
+        case TNum(n) => NumLit(n)
+        case TOp("true") => BoolLit(true)
+        case TOp("false") => BoolLit(false)
+        case TVar(n) => VarRef(n) // query parameter
+        case other => throw new IllegalArgumentException(
+          s"pattern value: $other")
+      }
+      expect("]")
+      QPattern(src, e, attr, v)
+    }
+
+    /** `express($p...)?{ {template} }` (parse.cljc:1146-1166) */
+    private def expressDef(): Expr = {
+      if (peekOp("(")) { next(); expect(")") } // params unsupported yet
+      expect("{")
+      val tmpl = expr(0)
+      expect("}")
+      ExpressDef(tmpl)
     }
 
     private def lambda(): Expr = {

@@ -1,0 +1,146 @@
+package graft.lang
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.shred.Shred
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{C, Pattern, V, W}
+import graft.express.Express
+import graft.express.Express._
+import Ast._
+import Compiler._
+
+/** Text-surface query{}/express{} execution.
+  *
+  * Program-literal data reaches queries through a driver-side JSON
+  * bridge (literal → JSON → `spark.read.json` → shred), and binding
+  * sets come back typed the same way (boxed values → JSON rendering →
+  * schema inference) — this restores value types exactly like the
+  * reference's unboxing (`util.cljc:299-322` + `builtin.cljc:2041-2061`),
+  * including non-string express keys. Literal programs are small by
+  * construction; the Scala API (QueryCompiler/Express over real
+  * DataFrames) remains the 100 TB path.
+  */
+object QueryBridge {
+
+  /** Program-literal value → DataFrame (rows = array elements). */
+  def cdToDf(spark: SparkSession, d: CD): DataFrame = {
+    import spark.implicits._
+    val carrier = spark.range(1)
+    val json: Seq[String] = d.kind match {
+      case KScalar =>
+        carrier.select(to_json(d.col)).as[String].collect().toSeq
+      case _ =>
+        carrier.select(explode(d.col).as("e"))
+          .select(to_json(col("e"))).as[String].collect().toSeq
+    }
+    spark.read.json(json.toDS())
+  }
+
+  /** Run a query def against positional data arguments. */
+  def runQuery(spark: SparkSession, q: QueryDef,
+      paramSubst: Map[String, Any], dataArgs: Seq[CD]): CTab = {
+    val dfs = dataArgs.map(cdToDf(spark, _))
+    // positional source naming: patterns with explicit $DB names bind
+    // in order of first appearance; unnamed patterns use the first arg
+    val named = q.patterns.flatMap(_.src).distinct
+    val sources: Map[String, DataFrame] =
+      if (named.isEmpty) Map("default" -> Shred.shred(dfs.head))
+      else named.zip(dfs).map { case (n, df) =>
+        n -> Shred.shred(df)
+      }.toMap ++ Map("default" -> Shred.shred(dfs.head))
+    val pats = q.patterns.map { p =>
+      val v = p.v match {
+        case QvarRef(n) => V(n)
+        case StrLit(s) => C(s)
+        case NumLit(n) => C(n)
+        case BoolLit(b) => C(b)
+        case VarRef(n) => paramSubst.get(n) match {
+          case Some(value) => C(value)
+          case None => Compiler.fail(s"unbound query parameter $$$n")
+        }
+        case other => Compiler.fail(s"pattern value $other")
+      }
+      Pattern(V(p.e),
+        p.attr.fold(role => C(role), qv => V(qv)),
+        v, p.src.getOrElse("default"))
+    }
+    val boxed = QueryCompiler.runBoxed(sources, pats)
+    CTab(typedBsets(spark, boxed))
+  }
+
+  /** Boxed (v, vt) binding frame → typed frame via JSON rendering. */
+  private def typedBsets(spark: SparkSession, boxed: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cols = boxed.columns
+    val rows = boxed.collect().toSeq.map { r =>
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.getStruct(i)).map { s =>
+          val (v, vt) = (s.getString(0), s.getString(1))
+          val rendered = vt match {
+            case "num" | "bool" => v
+            case _ => jsonQuote(v)
+          }
+          jsonQuote(c) + ": " + rendered
+        }
+      }.mkString("{", ",", "}")
+    }
+    if (rows.isEmpty) spark.emptyDataFrame
+    else spark.read.json(rows.toDS())
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** express{} template AST → Express.XObj. */
+  def templateOf(e: Expr): XObj = e match {
+    case ObjLit(pairs) =>
+      XObj(pairs.map {
+        case (QvarRef(q), v) => XField(KVar(q), valueOf(v))
+        case (StrLit(k), Apply(Ident("key"), Seq(QvarRef(q)))) =>
+          XField(KKey(k, q), XLit(null))
+        case (StrLit(k), v) => XField(KLit(k), valueOf(v))
+        case (k, _) => Compiler.fail(s"express key $k")
+      })
+    case other => Compiler.fail(s"express template must be an object: $other")
+  }
+
+  private def valueOf(e: Expr): XValue = e match {
+    case QvarRef(q) => XVar(q)
+    case StrLit(s) => XLit(s)
+    case NumLit(n) => XLit(n)
+    case BoolLit(b) => XLit(b)
+    case o: ObjLit => templateOf(o)
+    case ArrLit(Seq(o: ObjLit)) => XArr(templateOf(o))
+    case ArrLit(Seq(QvarRef(q))) => XArrVal(q)
+    case other => Compiler.fail(s"express template value: $other")
+  }
+
+  /** $reduce(bsets, express) → merged document(s). */
+  def reduce(spark: SparkSession, bsets: CV, tmpl: XObj): CV = {
+    val df = bsetsDf(spark, bsets)
+    CTab(Express.reduceBsets(df, tmpl))
+  }
+
+  /** $map(bsets, express) → one document per binding set. */
+  def mapEx(spark: SparkSession, bsets: CV, tmpl: XObj): CV = {
+    val df = bsetsDf(spark, bsets)
+    CTab(Express.mapBsets(df, tmpl))
+  }
+
+  private def bsetsDf(spark: SparkSession, bsets: CV): DataFrame =
+    bsets match {
+      case CTab(df) => df
+      case d: CD => cdToDf(spark, d) // hand-written bset literals
+      case _ => Compiler.fail("$reduce/$map: first argument must be " +
+        "binding sets")
+    }
+}

@@ -17,18 +17,23 @@ object RM {
     * (Map/Seq/Long/Double/String/Boolean/null wrapped in Option —
     * None = JSONata "no match").
     */
-  def eval(src: String, spark: SparkSession): Option[Any] = {
-    val ast = Parser.parse(src)
-    val cv = Compiler.compile(ast)
-    val d = cv match {
-      case x: CD => x
-      case _ => Compiler.fail("top-level value is a function")
+  def eval(src: String, spark: SparkSession): Option[Any] =
+    Compiler.sparkCtx.withValue(spark) {
+      val ast = Parser.parse(src)
+      Compiler.compile(ast) match {
+        case d: CD =>
+          val raw = spark.range(1).select(d.col.as("v")).collect()(0).get(0)
+          Finalize.jflatten(shape(raw, d.kind)).map(normalize)
+        case CTab(df) =>
+          // frame results (bsets / express output): rows are container
+          // items; single-column rows unwrap
+          val vals: Seq[Any] = df.collect().toSeq.map { r =>
+            if (r.size == 1) r.get(0) else r
+          }
+          Finalize.jflatten(Container(vals)).map(normalize)
+        case _ => Compiler.fail("top-level value is a function")
+      }
     }
-    val out = materializeTop(d)
-    val raw = spark.range(1).select(out.col.as("v")).collect()(0).get(0)
-    val shaped = shape(raw, out.kind)
-    Finalize.jflatten(shaped).map(normalize)
-  }
 
   /** Compile an expression over a DataFrame's rows: the expression's
     * bare identifiers resolve against the frame's columns (the
@@ -80,7 +85,8 @@ object RM {
     case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong
     case f: Float if f.isWhole => f.toLong
     case s: scala.collection.Seq[_] => s.toSeq.map(normalize)
-    case m: Map[_, _] => m.map { case (k, x) => k -> normalize(x) }
+    case m: Map[_, _] =>
+      m.map { case (k, x) => normalize(k) -> normalize(x) }
     case r: Row =>
       r.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
         Option(r.get(i)).map(x => n -> normalize(x))

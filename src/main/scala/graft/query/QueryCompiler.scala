@@ -94,6 +94,17 @@ object QueryCompiler {
   def run(sources: Map[String, DataFrame], patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
       keepDBid: Boolean = false): DataFrame = {
+    val boxed = runBoxed(sources, patterns, predicates, keepDBid)
+    boxed.select(boxed.columns.toSeq
+      .map(c => boxed(c).getField("v").as(c)): _*)
+  }
+
+  /** Like run but keeps the boxed struct<v,vt> binding columns — the
+    * typed view (used by the text frontend's unboxing bridge).
+    */
+  def runBoxed(sources: Map[String, DataFrame], patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false): DataFrame = {
     require(patterns.nonEmpty, "query{} needs at least one pattern")
     val joined = patterns.map(p => patternFrame(sources(p.src), p))
       .reduceLeft { (acc, next) =>
@@ -112,8 +123,7 @@ object QueryCompiler {
     val distinctAll = filtered.distinct()
     val out = distinctAll.columns
       .filter(c => keepDBid || !entityVars.contains(c))
-      .map(c => distinctAll(c).getField("v").as(c))
-    distinctAll.select(out.toSeq: _*)
+    distinctAll.select(out.toSeq.map(distinctAll(_)): _*)
   }
 
   /** Single-source convenience. */

@@ -1,0 +1,117 @@
+package graft.lang
+
+import graft.SparkSpec
+
+/** query{}/express{} text-surface conformance — strings from the
+  * reference's query_test.cljc run through RM.eval.
+  */
+class RMQuerySpec extends SparkSpec {
+
+  private def run(src: String, expected: Any): Unit = {
+    val got = RM.eval(src, spark)
+    assert(got.contains(expected),
+      s"""RM "$src" => $got, expected Some($expected)""")
+  }
+
+  test("wildcard attribute query (query_test:104-110)") {
+    val src =
+      """( $data := [{'person_fname' : 'Peter', 'person_lname' : 'Dee'}];
+        |  $q := query(){[?ent ?attr ?val]};
+        |  $q($data) )""".stripMargin
+    val got = RM.eval(src, spark).get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(
+      Map("attr" -> "person_fname", "val" -> "Peter"),
+      Map("attr" -> "person_lname", "val" -> "Dee")))
+  }
+
+  test("in-line query execution (query_test:128-130)") {
+    val got = RM.eval(
+      "query(){[?ent ?attr ?val]}" +
+        "([{'person_fname' : 'Peter', 'person_lname' : 'Dee'}])",
+      spark).get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(
+      Map("attr" -> "person_fname", "val" -> "Peter"),
+      Map("attr" -> "person_lname", "val" -> "Dee")))
+  }
+
+  test("two-pattern join on entity (query_test:160-166)") {
+    run(
+      """( $data := [{'person_fname' : 'Bob', 'person_lname' : 'Clark'}];
+        |  $q := query(){[?person :person_fname ?fname]
+        |                [?person :person_lname ?lname]};
+        |  $q($data) )""".stripMargin,
+      Map("fname" -> "Bob", "lname" -> "Clark"))
+  }
+
+  test("two-row source gives two binding sets (query_test:168-175)") {
+    val got = RM.eval(
+      """( $data := [{'Person_firstname' : 'Bob', 'Person_lastname' : 'Clark'},
+        |            {'Person_firstname' : 'Peter', 'Person_lastname' : 'Dee'}];
+        |  $q := query(){[?person :Person_firstname ?fname]
+        |                [?person :Person_lastname ?lname]};
+        |  $q($data) )""".stripMargin, spark)
+      .get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(Map("fname" -> "Bob", "lname" -> "Clark"),
+      Map("fname" -> "Peter", "lname" -> "Dee")))
+  }
+
+  test("parameterized query (query_test:133-137)") {
+    run(
+      """( $qBob := query($name){[?e :name $name]}('Bob');
+        |  $qBob([{'name' : 'Bob'}]) )""".stripMargin,
+      Map()) // binds nothing but matches: one empty bset
+  }
+
+  test("express reduce with qvar key over hand-written bsets (query_test:609-618)") {
+    run(
+      """( $bSets := [{?id : 123, ?name : 'Bob',   ?aData : 'Bob-A-data',   ?bData : 'Bob-B-data'},
+        |             {?id : 234, ?name : 'Alice', ?aData : 'Alice-A-data', ?bData : 'Alice-B-data'}];
+        |  $eFn := express(){{?name : {'bData' : ?bData}}};
+        |  $reduce($bSets, $eFn) )""".stripMargin,
+      Map("Alice" -> Map("bData" -> "Alice-B-data"),
+        "Bob" -> Map("bData" -> "Bob-B-data")))
+  }
+
+  test("two-source query + express reduce e2e (query_test:621-644)") {
+    run(
+      """( $DBa := [{'id' : 123, 'aAttr' : 'Bob-A-data',   'name' : 'Bob'},
+        |           {'id' : 234, 'aAttr' : 'Alice-A-data', 'name' : 'Alice'}];
+        |  $DBb := [{'id' : 123, 'bAttr' : 'Bob-B-data'},
+        |           {'id' : 234, 'bAttr' : 'Alice-B-data'}];
+        |  $qFn := query(){[$DBa ?e1 :id    ?id]
+        |                  [$DBb ?e2 :id    ?id]
+        |                  [$DBa ?e1 :name  ?name]
+        |                  [$DBa ?e1 :aAttr ?aData]
+        |                  [$DBb ?e2 :bAttr ?bData]};
+        |  $bSets := $qFn($DBa, $DBb);
+        |  $eFn := express(){{?name : {'aData' : ?aData, 'bData' : ?bData, 'id' : ?id}}};
+        |  $reduce($bSets, $eFn) )""".stripMargin,
+      Map(
+        "Alice" -> Map("aData" -> "Alice-A-data",
+          "bData" -> "Alice-B-data", "id" -> 234L),
+        "Bob" -> Map("aData" -> "Bob-A-data",
+          "bData" -> "Bob-B-data", "id" -> 123L)))
+  }
+
+  test("non-string express keys restore type (query_test:646-675)") {
+    val got = RM.eval(
+      """( $bSets := [{?id : 123, ?name : 'Bob'}, {?id : 234, ?name : 'Alice'}];
+        |  $eFn := express(){{?id : {'name' : ?name}}};
+        |  $reduce($bSets, $eFn) )""".stripMargin, spark).get
+    assert(got == Map(123L -> Map("name" -> "Bob"),
+      234L -> Map("name" -> "Alice")))
+  }
+
+  test("express with key() fields builds merged rows (query_test:757-771)") {
+    val got = RM.eval(
+      """( $bSets := [{?id : 100, ?aAttr : '100-1', ?bAttr : '100-2'},
+        |             {?id : 200, ?aAttr : '200-1', ?bAttr : '200-2'},
+        |             {?id : 100, ?aAttr : '100-1', ?bAttr : '100-2'}];
+        |  $eFn := express(){{'id' : key(?id), 'aAttr' : ?aAttr, 'bAttr' : ?bAttr}};
+        |  $reduce($bSets, $eFn) )""".stripMargin, spark)
+      .get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(
+      Map("id" -> 100L, "aAttr" -> "100-1", "bAttr" -> "100-2"),
+      Map("id" -> 200L, "aAttr" -> "200-1", "bAttr" -> "200-2")))
+  }
+}
