@@ -135,7 +135,15 @@ object Compiler {
       // user-bound function variables shadow builtins ($q := query…)
       env.get(name.stripPrefix("$")) match {
         case Some(CF(_, fn)) => fn(args.map(compile(_, env)))
-        case _ => Builtins(name, args.map(compile(_, env)), args)
+        case _ =>
+          // context threading: short-arity string/regex calls take `$`
+          // as their implicit first argument (builtin_macros.cljc
+          // threading rules), e.g. `zipcode[$match(/re/)]`
+          val threaded =
+            if (env.contains("") && contextThreads(name, args)) {
+              VarRef("") +: args
+            } else args
+          Builtins(name, threaded.map(compile(_, env)), threaded)
       }
 
     case Lambda(params, body) =>
@@ -173,6 +181,18 @@ object Compiler {
       fail(s"?$n is only meaningful inside query/express/binding-set " +
         "contexts")
   }
+
+  /** Functions that thread the context when called one argument short
+    * of their minimum arity.
+    */
+  private def contextThreads(name: String, args: Seq[Expr]): Boolean =
+    name match {
+      case "$match" | "$contains" | "$split" | "$replace" =>
+        args.headOption.exists(_.isInstanceOf[RegexLit])
+      case "$uppercase" | "$lowercase" | "$trim" | "$length" |
+           "$string" | "$number" => args.isEmpty
+      case _ => false
+    }
 
   private def asCD(cv: CV): CD = cv match {
     case d: CD => d
@@ -300,10 +320,12 @@ object Compiler {
   private def filterStep(src: CV, pred: Expr, env: Env): CV = {
     val s = src match { case d: CD => d; case _ => fail("filter on fn") }
     val isIndex = !containsContextRef(pred) && {
-      compile(pred, env) match {
+      // a pred that only compiles WITH a context (e.g. a threaded
+      // $match) is a predicate, not an index
+      try compile(pred, env) match {
         case CD(_, dt, KScalar) => dt.isInstanceOf[NumericType]
         case _ => false
-      }
+      } catch { case _: IllegalArgumentException => false }
     }
     if (isIndex) {
       val idx = scalar(compile(pred, env)).col.cast(IntegerType)
@@ -330,15 +352,18 @@ object Compiler {
         case KNested(_) => CD(flatten(s.col), s.dt, KSeq)
         case _ => s
       }
+      // truthiness of the whole predicate value: an empty sequence
+      // (e.g. a no-match $match) is falsy, non-empty with any truthy
+      // element is truthy — materialize keeps the array form
       base.kind match {
         case KJson | KSeq =>
           CD(filter(base.col, x => Jsonata.boolean(
-            scalar(materialize(compile(pred,
-              env + ("" -> CD(x, base.dt, KScalar))))).col)),
+            materialize(compile(pred,
+              env + ("" -> CD(x, base.dt, KScalar)))).col)),
             base.dt, KSeq)
         case KScalar =>
-          val keep = Jsonata.boolean(scalar(materialize(compile(pred,
-            env + ("" -> CD(base.col, base.dt, KScalar))))).col)
+          val keep = Jsonata.boolean(materialize(compile(pred,
+            env + ("" -> CD(base.col, base.dt, KScalar)))).col)
           CD(when(keep, base.col), base.dt, KScalar)
         case _ => fail("unreachable")
       }
@@ -411,10 +436,10 @@ object Compiler {
     */
   private[lang] def scalar(cv: CV): CD = cv match {
     case d @ CD(_, _, KScalar) => d
-    case CD(c, dt, KSeq) => CD(element_at(c, 1), dt, KScalar)
+    case CD(c, dt, KSeq) => CD(try_element_at(c, lit(1)), dt, KScalar)
     case CD(c, dt, KJson) => CD(c, ArrayType(dt), KScalar)
     case CD(c, dt, KNested(_)) =>
-      CD(element_at(flatten(c), 1), dt, KScalar)
+      CD(try_element_at(flatten(c), lit(1)), dt, KScalar)
     case _ => fail("expected a value, got a function")
   }
 

@@ -131,6 +131,21 @@ class RMSpec extends SparkSpec {
     run("$append([1, 2], [3])", Seq(1L, 2L, 3L))
   }
 
+  test("user-guide examples (builtin_test:632-644)") {
+    val addr = "( $ADDR := [" +
+      "{'name': 'Peter', 'zipcode': '20898'}," +
+      "{'name': 'Bob', 'zipcode': '07010-3544'}," +
+      "{'name': 'Lisa', 'zipcode': '10878'}]; "
+    run(addr + "$ADDR.zipcode )", Seq("20898", "07010-3544", "10878"))
+    // $ (EOL anchor) with regexes; no match → nothing
+    assert(RM.eval("$match('12345-12', /^[0-9]+$/)", spark).isEmpty)
+    // context-threaded $match as a filter predicate
+    run(addr + "$ADDR.zipcode[$match(/^[0-9]+$/)] )",
+      Seq("20898", "10878"))
+    run("[{'phone' : {'mobile' : '123-456-7890'}}].phone.mobile",
+      "123-456-7890")
+  }
+
   test("no match is None") {
     assert(RM.eval("[1, 2][5]", spark).isEmpty ||
       RM.eval("[1, 2][5]", spark).contains(null))
