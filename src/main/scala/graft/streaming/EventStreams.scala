@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+import java.sql.Timestamp
 
 /** Structured Streaming operators (SURVEY.md §2.12 green-field: the
   * reference has no streaming; these are the streaming shapes of the
@@ -34,6 +37,60 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp,
+    value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long,
+    sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Sessionization with custom state (`flatMapGroupsWithState`): a
+    * session closes after `gapMs` of inactivity per user; closed
+    * sessions emit, open ones live in versioned state with an event-time
+    * timeout — state stays bounded by active users.
+    */
+  def sessionize(events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def out(s: SessionState) = SessionOut(userId,
+        new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(out(s))
+      } else {
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t),
+                s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed ::= out(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
 
   /** Sliding-window rate monitor (5-minute slide over 1-hour window). */
   def slidingRate(events: DataFrame,
