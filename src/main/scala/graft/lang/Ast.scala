@@ -42,9 +42,9 @@ object Ast {
     */
   final case class QPattern(src: Option[String], e: String,
     attr: Either[String, String], v: Expr)
-  /** `query($params){patterns}` */
+  /** `query($params){patterns [predicates]}` */
   final case class QueryDef(params: Seq[String],
-    patterns: Seq[QPattern]) extends Expr
+    patterns: Seq[QPattern], preds: Seq[Expr] = Nil) extends Expr
   /** `express($params){ {template} }` */
   final case class ExpressDef(template: Expr) extends Expr
   final case class Lambda(params: Seq[String], body: Expr) extends Expr

@@ -178,8 +178,10 @@ object Compiler {
     case ExpressDef(t) => CE(QueryBridge.templateOf(t))
 
     case QvarRef(n) =>
-      fail(s"?$n is only meaningful inside query/express/binding-set " +
-        "contexts")
+      // bound inside query predicate patterns (canonical string view)
+      env.getOrElse("?" + n,
+        fail(s"?$n is only meaningful inside query/express/binding-set " +
+          "contexts"))
   }
 
   /** Functions that thread the context when called one argument short

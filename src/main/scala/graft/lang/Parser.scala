@@ -59,7 +59,7 @@ object Parser {
       case TStr(v) => StrLit(v)
       case TRegex(p) => RegexLit(p)
       case TQvar(n) => QvarRef(n)
-      case TIdent("query") if peekOp("(") => queryDef()
+      case TIdent("query") if peekOp("(") || peekOp("{") => queryDef()
       case TIdent("express") => expressDef()
       case TIdent(name) =>
         if (peekOp("(")) { next(); Apply(Ident(name), callArgs()) }
@@ -215,23 +215,34 @@ object Parser {
       * parameterized) query function (parse.cljc:1112-1131).
       */
     private def queryDef(): Expr = {
-      expect("(")
       val params = Seq.newBuilder[String]
-      if (!peekOp(")")) {
-        def param(): Unit = next() match {
-          case TVar(n) => params += n
-          case other => throw new IllegalArgumentException(
-            s"query parameter must be $$var, got $other")
+      if (peekOp("(")) {
+        next()
+        if (!peekOp(")")) {
+          def param(): Unit = next() match {
+            case TVar(n) => params += n
+            case other => throw new IllegalArgumentException(
+              s"query parameter must be $$var, got $other")
+          }
+          param()
+          while (peekOp(",")) { next(); param() }
         }
-        param()
-        while (peekOp(",")) { next(); param() }
+        expect(")")
       }
-      expect(")")
       expect("{")
       val pats = Seq.newBuilder[QPattern]
-      while (peekOp("[")) { next(); pats += pattern() }
+      val preds = Seq.newBuilder[Expr]
+      while (peekOp("[")) {
+        next()
+        if (peekOp("(")) { // predicate pattern [($fn(?q, ...))]
+          next()
+          preds += expr(0)
+          expect(")")
+          expect("]")
+        } else pats += pattern()
+      }
       expect("}")
-      val q = QueryDef(params.result(), pats.result())
+      val q = QueryDef(params.result(), pats.result(), preds.result())
       // immediate parameter binding: query($n){...}('Bob')
       if (peekOp("(")) { next(); Apply(q, callArgs()) } else q
     }

@@ -65,7 +65,18 @@ object QueryBridge {
         p.attr.fold(role => C(role), qv => V(qv)),
         v, p.src.getOrElse("default"))
     }
-    val boxed = QueryCompiler.runBoxed(sources, pats)
+    // predicate patterns: [($match(?str, /re/))] — compile with qvars
+    // bound to their canonical string columns
+    val predFns = q.preds.map { p => (bound: Map[String, org.apache.spark
+        .sql.Column]) =>
+      val env: Env = bound.map { case (n, c) =>
+        ("?" + n) -> (CD(c, org.apache.spark.sql.types.StringType,
+          KScalar): CV)
+      }
+      graft.functions.Jsonata.boolean(
+        materialize(Compiler.compile(p, env)).col)
+    }
+    val boxed = QueryCompiler.runBoxed(sources, pats, predFns)
     CTab(typedBsets(spark, boxed))
   }
 

@@ -25,10 +25,12 @@ object RM {
           val raw = spark.range(1).select(d.col.as("v")).collect()(0).get(0)
           Finalize.jflatten(shape(raw, d.kind)).map(normalize)
         case CTab(df) =>
-          // frame results (bsets / express output): rows are container
-          // items; single-column rows unwrap
+          // frame results: express doc/value columns unwrap; binding
+          // sets stay maps even with a single qvar
+          val unwrap = df.columns.toSeq == Seq("doc") ||
+            df.columns.toSeq == Seq("value")
           val vals: Seq[Any] = df.collect().toSeq.map { r =>
-            if (r.size == 1) r.get(0) else r
+            if (unwrap) r.get(0) else r
           }
           Finalize.jflatten(Container(vals)).map(normalize)
         case _ => Compiler.fail("top-level value is a function")

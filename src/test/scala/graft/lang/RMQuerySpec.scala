@@ -62,6 +62,16 @@ class RMQuerySpec extends SparkSpec {
       Map()) // binds nothing but matches: one empty bset
   }
 
+  test("predicate pattern with $match (query_test:200-208)") {
+    run(
+      """( $data := [{'instance_of' : 'example', 'content' : 'some-val'},
+        |            {'instance_of' : 'other',   'content' : 'x'}];
+        |  $q := query{ [?e :instance_of ?str]
+        |               [($match(?str, /example/))] };
+        |  $q($data) )""".stripMargin,
+      Map("str" -> "example"))
+  }
+
   test("express reduce with qvar key over hand-written bsets (query_test:609-618)") {
     run(
       """( $bSets := [{?id : 123, ?name : 'Bob',   ?aData : 'Bob-A-data',   ?bData : 'Bob-B-data'},
