@@ -133,8 +133,9 @@ object Express {
             .withColumnRenamed("__elem", "__v")
         }
       val grouped = groupByCols(entries, outer)
-        .agg(map_from_entries(sort_array(collect_list(
-          struct(col(q).as("key"), col("__v").as("value"))))).as("__elem"))
+        .agg(map_from_entries(sortedBy(collect_list(
+          struct(col(q).as("key"), col("__v").as("value"))), Seq("key")))
+          .as("__elem"))
       grouped
     } else {
       val lk = keyQvars(tmpl)
@@ -149,7 +150,8 @@ object Express {
         case XField(KLit(n), XArr(sub)) =>
           n -> elemFrame(df, sub, gk)
             .groupBy(gk.map(col): _*)
-            .agg(sort_array(collect_list(col("__elem"))).as(n))
+            .agg(sortedBy(collect_list(col("__elem")),
+              keyQvars(sub).map(_._1)).as(n))
         case XField(KLit(n), XArrVal(q)) =>
           n -> df.groupBy(gk.map(col): _*)
             .agg(sort_array(collect_set(col(q))).as(n))
@@ -186,4 +188,18 @@ object Express {
 
   private def groupByCols(df: DataFrame, keys: Seq[String]) =
     df.groupBy(keys.map(col): _*)
+
+  /** Sort an array of element structs by the named key fields only —
+    * a comparator lambda, so elements may contain non-orderable types
+    * (maps) outside the keys (reference sort-by-body,
+    * builtin.cljc:2019-2039, also sorts by express keys).
+    */
+  private def sortedBy(c: Column, keyFields: Seq[String]): Column =
+    if (keyFields.isEmpty) sort_array(c)
+    else array_sort(c, (l, r) =>
+      keyFields.map { f =>
+        when(l.getField(f) < r.getField(f), lit(-1))
+          .when(l.getField(f) > r.getField(f), lit(1))
+          .otherwise(lit(0))
+      }.reduce((a, b) => when(a =!= 0, a).otherwise(b)))
 }

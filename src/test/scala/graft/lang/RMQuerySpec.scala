@@ -112,6 +112,62 @@ class RMQuerySpec extends SparkSpec {
       234L -> Map("name" -> "Alice")))
   }
 
+  private val deviceBsets =
+    """[{?systemName : 'system1', ?deviceName : 'device3', ?id : 300, ?status : 'Ok', ?ownerName : 'owner2'},
+      | {?systemName : 'system2', ?deviceName : 'device8', ?id : 800, ?status : 'Ok', ?ownerName : 'owner2'},
+      | {?systemName : 'system1', ?deviceName : 'device4', ?id : 400, ?status : 'Ok', ?ownerName : 'owner2'},
+      | {?systemName : 'system2', ?deviceName : 'device5', ?id : 500, ?status : 'Ok', ?ownerName : 'owner1'},
+      | {?systemName : 'system2', ?deviceName : 'device7', ?id : 700, ?status : 'Ok', ?ownerName : 'owner2'},
+      | {?systemName : 'system2', ?deviceName : 'device6', ?id : 600, ?status : 'Ok', ?ownerName : 'owner1'},
+      | {?systemName : 'system1', ?deviceName : 'device1', ?id : 100, ?status : 'Ok', ?ownerName : 'owner1'},
+      | {?systemName : 'system1', ?deviceName : 'device2', ?id : 200, ?status : 'Ok', ?ownerName : 'owner1'}]""".stripMargin
+
+  private def device(id: Long, n: Int) = Map("device_id" -> id,
+    "device_name" -> s"device$n", "device_status" -> "Ok")
+
+  test("flagship type-1 reduce: three key() levels (query_test:820-851)") {
+    val got = RM.eval(
+      s"""($$bsets := $deviceBsets;
+         |  $$reduce($$bsets,
+         |    express(){{'owners': [{'owner_id' : key(?ownerName),
+         |      'systems' : [{'system_id' : key(?systemName),
+         |        'devices' : [{'device_id' : key(?id),
+         |                      'device_name' : ?deviceName,
+         |                      'device_status' : ?status}]}]}]}}))""".stripMargin,
+      spark).get
+    assert(got == Map("owners" -> Seq(
+      Map("owner_id" -> "owner1", "systems" -> Seq(
+        Map("system_id" -> "system1",
+          "devices" -> Seq(device(100, 1), device(200, 2))),
+        Map("system_id" -> "system2",
+          "devices" -> Seq(device(500, 5), device(600, 6))))),
+      Map("owner_id" -> "owner2", "systems" -> Seq(
+        Map("system_id" -> "system1",
+          "devices" -> Seq(device(300, 3), device(400, 4))),
+        Map("system_id" -> "system2",
+          "devices" -> Seq(device(700, 7), device(800, 8))))))))
+  }
+
+  test("flagship type-2 reduce: nested qvar-key maps (query_test:853-880)") {
+    val got = RM.eval(
+      s"""($$bsets := $deviceBsets;
+         |  $$reduce($$bsets,
+         |    express(){{'owners':
+         |      {?ownerName:
+         |        {'systems':
+         |          {?systemName:
+         |            {?deviceName : {'id' : ?id, 'status' : ?status}}}}}}}))""".stripMargin,
+      spark).get
+    def dev(id: Long) = Map("id" -> id, "status" -> "Ok")
+    assert(got == Map("owners" -> Map(
+      "owner1" -> Map("systems" -> Map(
+        "system1" -> Map("device1" -> dev(100), "device2" -> dev(200)),
+        "system2" -> Map("device5" -> dev(500), "device6" -> dev(600)))),
+      "owner2" -> Map("systems" -> Map(
+        "system1" -> Map("device3" -> dev(300), "device4" -> dev(400)),
+        "system2" -> Map("device7" -> dev(700), "device8" -> dev(800)))))))
+  }
+
   test("express with key() fields builds merged rows (query_test:757-771)") {
     val got = RM.eval(
       """( $bSets := [{?id : 100, ?aAttr : '100-1', ?bAttr : '100-2'},
