@@ -79,7 +79,23 @@ object EavQueries {
       Some("n_nationkey"))
       .orderBy("n_nationkey")
 
+  /** Same query as q_eav_filter via DIRECT compilation (no shred, no
+    * self-joins — SURVEY §2.8 "skip EAV when the shape is known"): one
+    * narrow scan with pushed filters.
+    */
+  def qEavDirect(s: SparkSession, d: String): DataFrame =
+    QueryCompiler.runDocs(
+      Map("default" -> QueryCompiler.DocSource(
+        Tables.customer(s, d), "c_custkey")),
+      Seq(
+        Pattern(V("c"), C("c_mktsegment"), C("BUILDING")),
+        Pattern(V("c"), C("c_name"), V("name")),
+        Pattern(V("c"), C("c_acctbal"), V("bal"))),
+      predicates = Seq(b => QueryCompiler.num(b("bal")) > 1000))
+      .orderBy("name")
+
   val all: Map[String, Q] = Map(
+    "q_eav_direct" -> (qEavDirect _),
     "q_eav_identity" -> (qEavIdentity _),
     "q_eav_filter" -> (qEavFilter _),
     "q_eav_join" -> (qEavJoin _),
@@ -93,6 +109,11 @@ object EavQueries {
        |  ELSE CAST($col AS VARCHAR) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_eav_direct" ->
+      s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
+         |FROM customer
+         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+         |ORDER BY name""".stripMargin,
     "q_eav_identity" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
         |  n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey

@@ -130,6 +130,99 @@ object QueryCompiler {
   def run(triples: DataFrame, patterns: Seq[Pattern]): DataFrame =
     run(Map("default" -> triples), patterns)
 
+  // ---------- direct (unshredded) compilation ----------
+
+  /** A document source compiled WITHOUT the EAV detour (SURVEY §2.8
+    * "skip EAV when the shape is known"): patterns over the same
+    * entity var collapse into ONE projection over the document frame —
+    * no explode, no self-joins. The scan reads only referenced
+    * columns; a k-pattern single-entity query is a single narrow scan.
+    */
+  final case class DocSource(df: DataFrame, idCol: String)
+
+  /** Run a query over document frames directly. Falls back on the
+    * requirement that attribute positions are constants (wildcard
+    * attrs need the EAV form). Output encoding matches `run` exactly
+    * (canonical strings, distinct-then-drop-entity semantics).
+    */
+  def runDocs(sources: Map[String, DocSource], patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false): DataFrame = {
+    require(patterns.nonEmpty, "query{} needs at least one pattern")
+    require(patterns.forall(_.a.isInstanceOf[C]),
+      "runDocs requires constant attributes; use run() for wildcards")
+
+    // group patterns by (source, entity var): each group is ONE
+    // projection over that source's frame
+    val grouped = patterns.groupBy(p => (p.src, p.e))
+    val frames = grouped.map { case ((srcName, eTerm), pats) =>
+      val src = sources(srcName)
+      var f = src.df
+      val cols = Seq.newBuilder[Column]
+      eTerm match {
+        case V(n) =>
+          cols += struct(col(src.idCol).cast("string").as("v"),
+            lit("ref").as("vt")).as(n)
+        case C(id) => f = f.filter(col(src.idCol).cast("string") ===
+          id.toString)
+        case W => ()
+      }
+      pats.foreach { p =>
+        val C(attrName) = p.a: @unchecked
+        val attr = attrName.toString
+        val dt = src.df.schema(attr).dataType
+        p.v match {
+          case C(value) =>
+            val (v, _) = canonConst(value)
+            f = f.filter(canonCol(col(attr), dt) === v)
+          case V(n) =>
+            f = f.filter(col(attr).isNotNull) // EAV has no null triples
+            cols += struct(canonCol(col(attr), dt).as("v"),
+              lit(typeNameOf(dt)).as("vt")).as(n)
+          case W => f = f.filter(col(attr).isNotNull)
+        }
+      }
+      f.select(cols.result(): _*)
+    }.toSeq
+
+    val joined = frames.reduceLeft { (acc, next) =>
+      val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq
+      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+    }
+    val bound: Map[String, Column] =
+      joined.columns.map(n => n -> joined(n).getField("v")).toMap
+    val filtered = predicates.foldLeft(joined)((f, p) => f.filter(p(bound)))
+    val entityVars = patterns.flatMap(_.e match {
+      case V(n) => Some(n); case _ => None
+    }).toSet
+    val distinctAll = filtered.distinct()
+    val out = distinctAll.columns
+      .filter(c => keepDBid || !entityVars.contains(c))
+      .map(c => distinctAll(c).getField("v").as(c))
+    distinctAll.select(out.toSeq: _*)
+  }
+
+  /** Canonical string of a document column (must match Shred.canon). */
+  private def canonCol(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType | _: DecimalType =>
+        when(c === c.cast("long").cast(dt), c.cast("long").cast("string"))
+          .otherwise(c.cast("string"))
+      case _ => c.cast("string")
+    }
+  }
+
+  private def typeNameOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => "num"
+      case BooleanType => "bool"
+      case _ => "str"
+    }
+  }
+
   /** Numeric view of a bound qvar inside a predicate. */
   def num(c: Column): Column = c.cast("double")
 }
