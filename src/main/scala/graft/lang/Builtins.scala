@@ -230,8 +230,39 @@ object Builtins {
           sval(Jsonata.toMillis(sc(0), litStr(1)), LongType)
         else sval(Jsonata.toMillis(sc(0)), LongType)
 
+      // `$eval` — driver-side re-entry into the compiler (reference
+      // builtin.cljc:1541-1553; no executor eval, per SURVEY §7.4)
+      case "$eval" =>
+        val spark = Compiler.sparkCtx.value
+        if (spark == null) fail("$eval needs RM.eval (no session bound)")
+        RM.eval(litStr(0), spark) match {
+          case None => sval(lit(null).cast(StringType), StringType)
+          case Some(v) => literalCV(v)
+        }
+
       case other => fail(s"unknown function $other")
     }
+  }
+
+  /** Driver value → literal column value (for $eval results). */
+  private def literalCV(v: Any): CV = v match {
+    case n: Long => CD(lit(n), LongType, KScalar)
+    case n: Double => CD(lit(n), DoubleType, KScalar)
+    case s: String => CD(lit(s), StringType, KScalar)
+    case b: Boolean => CD(lit(b), BooleanType, KScalar)
+    case s: Seq[_] =>
+      val elems = s.map(literalCV(_).asInstanceOf[CD])
+      val dt = elems.headOption.map(_.dt)
+        .getOrElse(StringType)
+      CD(array(elems.map(_.col.cast(dt)): _*), dt, KJson)
+    case m: Map[_, _] =>
+      val fields = m.toSeq.map { case (k, x) =>
+        k.toString -> literalCV(x).asInstanceOf[CD]
+      }
+      CD(struct(fields.map { case (k, d) => d.col.as(k) }: _*),
+        StructType(fields.map { case (k, d) =>
+          StructField(k, Compiler.colType(d)) }), KScalar)
+    case other => fail(s"$$eval: cannot re-inject $other")
   }
 
 }

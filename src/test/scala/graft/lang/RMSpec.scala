@@ -146,6 +146,12 @@ class RMSpec extends SparkSpec {
       "123-456-7890")
   }
 
+  test("$eval re-enters the compiler (builtin_test $eval semantics)") {
+    run("$eval('1 + 2')", 3L)
+    run("$eval('[1,2,3].(2 * $)') ~> $sum()", 12L)
+    run("$eval('{\"a\": 7}').a", 7L)
+  }
+
   test("no match is None") {
     assert(RM.eval("[1, 2][5]", spark).isEmpty ||
       RM.eval("[1, 2][5]", spark).contains(null))
