@@ -71,12 +71,11 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** One bucket id per table (array of `tables` longs) — literal plane
-    * dot products, one distinct seed per table.
+  /** One bucket id per table (array of `tables` longs) — a single
+    * custom-expression pass over the vector (same seeding as
+    * Dedup.hyperplaneBucket with seed 7000+t).
     */
   private def bucketSignatures(vec: Column, planes: Int,
       tables: Int, dim: Int): Column =
-    array((0 until tables).map(t =>
-      Dedup.hyperplaneBucket(vec.cast("array<double>"), planes,
-        seed = 7000 + t, dim = dim)): _*)
+    graft.functions.HyperplaneBuckets(vec, planes, tables, dim, 7000)
 }

@@ -217,7 +217,9 @@ object Dedup {
       dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("bucket", hyperplaneBucket(col("vec"), planes, 42, dim))
+      .withColumn("bucket", element_at(
+        graft.functions.HyperplaneBuckets(col("vec"), planes, 1, dim, 42),
+        1))
     val l = v.as("l")
     val r = v.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") &&
