@@ -46,7 +46,8 @@ object Ast {
   final case class QueryDef(params: Seq[String],
     patterns: Seq[QPattern], preds: Seq[Expr] = Nil) extends Expr
   /** `express($params){ {template} }` */
-  final case class ExpressDef(template: Expr) extends Expr
+  final case class ExpressDef(params: Seq[String],
+    template: Expr) extends Expr
   final case class Lambda(params: Seq[String], body: Expr) extends Expr
   final case class Apply(fn: Expr, args: Seq[Expr]) extends Expr
   final case class Block(bindings: Seq[(String, Expr)], result: Expr)

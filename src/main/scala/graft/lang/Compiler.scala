@@ -135,6 +135,9 @@ object Compiler {
       // user-bound function variables shadow builtins ($q := query…)
       env.get(name.stripPrefix("$")) match {
         case Some(CF(_, fn)) => fn(args.map(compile(_, env)))
+        case Some(CE(tmpl)) => // express fn applied to bsets
+          QueryBridge.mapEx(sparkCtx.value,
+            compile(args.head, env), tmpl)
         case _ =>
           // context threading: short-arity string/regex calls take `$`
           // as their implicit first argument (builtin_macros.cljc
@@ -153,6 +156,9 @@ object Compiler {
     case Apply(fnExpr, args) =>
       compile(fnExpr, env) match {
         case CF(_, fn) => fn(args.map(compile(_, env)))
+        case CE(tmpl) => // express fn applied to bsets = $map form
+          QueryBridge.mapEx(sparkCtx.value,
+            compile(args.head, env), tmpl)
         case _ => fail(s"cannot apply non-function $fnExpr")
       }
 
@@ -175,7 +181,12 @@ object Compiler {
             args.map(asCD)))
         })
 
-    case ExpressDef(t) => CE(QueryBridge.templateOf(t))
+    case ExpressDef(Nil, t) => CE(QueryBridge.templateOf(t))
+    case ExpressDef(params, t) =>
+      // parameterized template: substitute literal args, then compile
+      CF(params.size, pargs =>
+        CE(QueryBridge.templateOf(t,
+          params.zip(pargs.map(literalOf)).toMap)))
 
     case QvarRef(n) =>
       // bound inside query predicate patterns (canonical string view)

@@ -284,11 +284,26 @@ object Parser {
 
     /** `express($p...)?{ {template} }` (parse.cljc:1146-1166) */
     private def expressDef(): Expr = {
-      if (peekOp("(")) { next(); expect(")") } // params unsupported yet
+      val params = Seq.newBuilder[String]
+      if (peekOp("(")) {
+        next()
+        if (!peekOp(")")) {
+          def param(): Unit = next() match {
+            case TVar(n) => params += n
+            case other => throw new IllegalArgumentException(
+              s"express parameter must be $$var, got $other")
+          }
+          param()
+          while (peekOp(",")) { next(); param() }
+        }
+        expect(")")
+      }
       expect("{")
       val tmpl = expr(0)
       expect("}")
-      ExpressDef(tmpl)
+      val e = ExpressDef(params.result(), tmpl)
+      // immediate binding: express($t){...}('MyType')
+      if (peekOp("(")) { next(); Apply(e, callArgs()) } else e
     }
 
     private def lambda(): Expr = {

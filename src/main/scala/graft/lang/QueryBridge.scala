@@ -111,26 +111,34 @@ object QueryBridge {
       case c => c.toString
     } + "\""
 
-  /** express{} template AST → Express.XObj. */
-  def templateOf(e: Expr): XObj = e match {
-    case ObjLit(pairs) =>
-      XObj(pairs.map {
-        case (QvarRef(q), v) => XField(KVar(q), valueOf(v))
-        case (StrLit(k), Apply(Ident("key"), Seq(QvarRef(q)))) =>
-          XField(KKey(k, q), XLit(null))
-        case (StrLit(k), v) => XField(KLit(k), valueOf(v))
-        case (k, _) => Compiler.fail(s"express key $k")
-      })
-    case other => Compiler.fail(s"express template must be an object: $other")
-  }
+  /** express{} template AST → Express.XObj; `subst` carries bound
+    * `$param` literals (`express-sub`, builtin.cljc:1930-1938).
+    */
+  def templateOf(e: Expr, subst: Map[String, Any] = Map.empty): XObj =
+    e match {
+      case ObjLit(pairs) =>
+        XObj(pairs.map {
+          case (QvarRef(q), v) => XField(KVar(q), valueOf(v, subst))
+          case (StrLit(k), Apply(Ident("key"), Seq(QvarRef(q)))) =>
+            XField(KKey(k, q), XLit(null))
+          case (StrLit(k), v) => XField(KLit(k), valueOf(v, subst))
+          case (k, _) => Compiler.fail(s"express key $k")
+        })
+      case other =>
+        Compiler.fail(s"express template must be an object: $other")
+    }
 
-  private def valueOf(e: Expr): XValue = e match {
+  private def valueOf(e: Expr, subst: Map[String, Any]): XValue = e match {
     case QvarRef(q) => XVar(q)
     case StrLit(s) => XLit(s)
     case NumLit(n) => XLit(n)
     case BoolLit(b) => XLit(b)
-    case o: ObjLit => templateOf(o)
-    case ArrLit(Seq(o: ObjLit)) => XArr(templateOf(o))
+    case VarRef(n) => subst.get(n) match {
+      case Some(v) => XLit(v)
+      case None => Compiler.fail(s"unbound express parameter $$$n")
+    }
+    case o: ObjLit => templateOf(o, subst)
+    case ArrLit(Seq(o: ObjLit)) => XArr(templateOf(o, subst))
     case ArrLit(Seq(QvarRef(q))) => XArrVal(q)
     case other => Compiler.fail(s"express template value: $other")
   }

@@ -112,6 +112,44 @@ class RMQuerySpec extends SparkSpec {
       234L -> Map("name" -> "Alice")))
   }
 
+  test("parameterized express substitutes literals (query_test:264)") {
+    val got = RM.eval(
+      """( $bsets := [{?what : 'a', ?val : 1}, {?what : 'b', ?val : 2}];
+        |  $eFn := express($pre){{'inst' : $pre,
+        |                         'what' : key(?what), 'val' : ?val}};
+        |  $reduce($bsets, $eFn('MyType')) )""".stripMargin, spark)
+      .get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(
+      Map("inst" -> "MyType", "what" -> "a", "val" -> 1L),
+      Map("inst" -> "MyType", "what" -> "b", "val" -> 2L)))
+  }
+
+  test("QIF: deep pure template applied to one bset (query_test:677-702)") {
+    val got = RM.eval(
+      """( $bset := {?idKey    : 'KeyVal',
+        |            ?idKeyref : 'KeyrefVal',
+        |            ?instruct : 'some instruction',
+        |            ?method   : 'some method'};
+        |  $eFn := express(){ {'QIFPlan/WorkInstructions' :
+        |      {'QIFPlan.WorkInstructions_IdKey': ?idKey,
+        |       'QIFPlan.WorkInstructions_IdKeyref': {'RefKey_id' : ?idKeyref},
+        |       'QIFPlan.WorkInstructions_Instruction' :
+        |         {'QIFPlan.WorkInstructions.Instruction_DocumentFileInstruction' : {'Instruction' : ?instruct}}},
+        |     'QIFPlan_ActionMethods' : {'QIFPlan_ActionMethods_ActionMethod' : {'Method' : ?method}}}};
+        |  $eFn($bset) )""".stripMargin, spark).get
+    assert(got == Map(
+      "QIFPlan/WorkInstructions" -> Map(
+        "QIFPlan.WorkInstructions_IdKey" -> "KeyVal",
+        "QIFPlan.WorkInstructions_IdKeyref" ->
+          Map("RefKey_id" -> "KeyrefVal"),
+        "QIFPlan.WorkInstructions_Instruction" -> Map(
+          "QIFPlan.WorkInstructions.Instruction_DocumentFileInstruction" ->
+            Map("Instruction" -> "some instruction"))),
+      "QIFPlan_ActionMethods" -> Map(
+        "QIFPlan_ActionMethods_ActionMethod" ->
+          Map("Method" -> "some method"))))
+  }
+
   private val deviceBsets =
     """[{?systemName : 'system1', ?deviceName : 'device3', ?id : 300, ?status : 'Ok', ?ownerName : 'owner2'},
       | {?systemName : 'system2', ?deviceName : 'device8', ?id : 800, ?status : 'Ok', ?ownerName : 'owner2'},
