@@ -47,7 +47,8 @@ object RM {
     val st = df.schema
     val ctx = CD(org.apache.spark.sql.functions.struct(
       st.fieldNames.map(df(_)): _*), st, KScalar)
-    val cv = Compiler.compile(ast, Map("" -> ctx))
+    // "" = `$` (rebound by steps), "$" = `$$` root (never rebound)
+    val cv = Compiler.compile(ast, Map("" -> ctx, "$" -> ctx))
     val d = materializeTop(cv match {
       case x: CD => x
       case _ => Compiler.fail("expression must be a value")
