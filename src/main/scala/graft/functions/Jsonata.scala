@@ -36,6 +36,21 @@ object Jsonata {
   def containsRegex(c: Column, re: String): Column = c.rlike(re)
   def encodeUrlComponent(c: Column): Column = url_encode(c)
   def decodeUrlComponent(c: Column): Column = url_decode(c)
+
+  /** `$encodeUrl` — like encodeURI: component-encode, then restore the
+    * reserved characters (`;,/?:@&=+$#`) that a full-URI encode keeps.
+    */
+  def encodeUrl(c: Column): Column = {
+    val reserved = Seq(
+      "%3B" -> ";", "%2C" -> ",", "%2F" -> "/", "%3F" -> "?",
+      "%3A" -> ":", "%40" -> "@", "%26" -> "&", "%3D" -> "=",
+      "%2B" -> "+", "%24" -> "$", "%23" -> "#")
+    reserved.foldLeft(url_encode(c)) { case (acc, (enc, ch)) =>
+      replace(acc, lit(enc), lit(ch))
+    }
+  }
+  /** `$decodeUrl` — inverse of encodeUrl (reserved chars are literal). */
+  def decodeUrl(c: Column): Column = url_decode(c)
   /** `$join(arr, sep)` */
   def join(arr: Column, sep: String): Column = array_join(arr, sep)
   /** `$length` — character count. */

@@ -114,7 +114,32 @@ object PipelineQueries {
       .select(col("doc_id"), col("extracted"))
       .orderBy("doc_id")
 
+  /** Multimodal plumbing over documents (rows-only: the decode is a
+    * deterministic stub per the brief; the schema, batched
+    * mapPartitions shape, and frame-sampling explode are real).
+    */
+  def pMultimodal(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Multimodal
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), Multimodal.packFakeMedia(col("text"))
+        .as("media"))
+    val feats = Multimodal.extractFeatures(media, "doc_id", "media",
+      dim = 8, batch = 64)
+    val frames = Multimodal.sampleFrames(media, "doc_id", "media", 5000L)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    media.select(col("doc_id"),
+        col("media.meta.width").as("width"),
+        Multimodal.resizeMeta(col("media"), 64)
+          .getField("meta").getField("width").as("resized_w"))
+      .join(feats, "doc_id")
+      .join(frames, "doc_id")
+      .select(col("doc_id"), col("width"), col("resized_w"),
+        element_at(col("features"), 1).as("f0"), col("n_frames"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "p_multimodal" -> (pMultimodal _),
     "p_llm_extract" -> (pLlmExtract _),
     "p_exact_dedup" -> (pExactDedup _),
     "p_text_stats" -> (pTextStats _),

@@ -30,6 +30,15 @@ class JsonataFnsSpec extends SparkSpec {
     assert(eval1(containsRegex(lit("abracadabra"), "a.*a")) == true)
     assert(eval1(containsRegex(lit("hello"), "a.*a")) == false)
   }
+  test("url encoding: component vs full-URI forms") {
+    assert(eval1(encodeUrlComponent(lit("?x=test"))) == "%3Fx%3Dtest")
+    assert(eval1(encodeUrl(lit("https://e.com/?a=1&b=x y"))) ==
+      "https://e.com/?a=1&b=x+y" ||
+      eval1(encodeUrl(lit("https://e.com/?a=1&b=x y"))) ==
+      "https://e.com/?a=1&b=x%20y")
+    assert(eval1(decodeUrlComponent(lit("%3Fx%3Dtest"))) == "?x=test")
+  }
+
   test("join") {
     assert(eval1(join(array(lit("a"), lit("b"), lit("c")), "-")) == "a-b-c")
   }
