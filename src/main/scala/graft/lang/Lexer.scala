@@ -29,7 +29,11 @@ object Lexer {
     def push(t: Tok): Unit = { out += t; prev = t }
     while (i < src.length) {
       val c = src(i)
-      if (c.isWhitespace) i += 1
+      if (c == '/' && i + 1 < src.length && src(i + 1) == '*') {
+        val end = src.indexOf("*/", i + 2)
+        require(end >= 0, "unterminated /* comment")
+        i = end + 2
+      } else if (c.isWhitespace) i += 1
       else if (c.isDigit) {
         val start = i
         while (i < src.length && (src(i).isDigit || src(i) == '.') &&

@@ -73,8 +73,10 @@ object Shred {
       when(c.isNull, emptyTriples)
         .otherwise(concat(array(ref) +: subs.toSeq: _*))
     case ArrayType(st: StructType, _) =>
-      // one sub-entity per element: e/name/idx
-      when(c.isNull, emptyTriples).otherwise(flatten(
+      // one sub-entity per element: e/name/idx. NB the empty-array
+      // guard: sequence(0, size-1) DESCENDS for size 0 and would emit
+      // phantom refs through zip_with's null padding.
+      when(c.isNull || size(c) === 0, emptyTriples).otherwise(flatten(
         zip_with(c, sequence(lit(0), size(c) - 1), (x, i) => {
           val subId = concat(e, lit("/"), lit(name), lit("/"),
             i.cast("string"))
@@ -93,11 +95,18 @@ object Shred {
         .otherwise(array(scalarTriple(e, name, c, dt)))
   }
 
-  /** Shred a document frame into triples. `idCol`: use that column as the
-    * entity id (it is still emitted as a regular attribute too); otherwise
-    * generate distributed unique ids.
+  /** Shred a document frame into triples. `idCol`: use that column as
+    * the entity id (it is still emitted as a regular attribute too);
+    * otherwise generate distributed unique ids. Delegates to the
+    * generator form (bit-identical output, no intermediate array).
     */
-  def shred(df: DataFrame, idCol: Option[String] = None): DataFrame = {
+  def shred(df: DataFrame, idCol: Option[String] = None): DataFrame =
+    shredGen(df, idCol)
+
+  /** Expression-form shredder (array-build + one explode) — kept for
+    * plan comparison; `shred` uses the generator form.
+    */
+  def shredExpr(df: DataFrame, idCol: Option[String] = None): DataFrame = {
     val e: Column = idCol match {
       case Some(c) => col(c).cast("string")
       case None => monotonically_increasing_id().cast("string")
@@ -107,6 +116,21 @@ object Shred {
     df.select(explode(concat(parts.toSeq: _*)).as("t"))
       .select(col("t.e").as("e"), col("t.a").as("a"), col("t.v").as("v"),
         col("t.vt").as("vt"), col("t.vn").as("vn"))
+  }
+
+  /** Generator-based shred: emits triples directly (no intermediate
+    * array materialization) — the faster form for wide rows; output is
+    * bit-identical to `shred`.
+    */
+  def shredGen(df: DataFrame, idCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val e: Column = idCol match {
+      case Some(c) => col(c).cast("string")
+      case None => monotonically_increasing_id().cast("string")
+    }
+    val row = struct(df.schema.fieldNames.map(col).toSeq: _*)
+    df.select(ColumnGlue.column(ShredGenerator(
+      ColumnGlue.expression(struct(e.as("e"), row.as("row"))))))
   }
 
   /** Shred only the attributes a query's patterns touch — the EAV form

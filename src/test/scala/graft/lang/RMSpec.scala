@@ -15,6 +15,10 @@ class RMSpec extends SparkSpec {
       s"""RM "$src" => $got, expected Some($expected)""")
   }
 
+  test("block comments are ignored") {
+    run("/* header */ 1 + /* inline */ 2", 3L)
+  }
+
   test("literals and arithmetic") {
     run("-5", -5L)
     run("1 + 2 * 3", 7L)

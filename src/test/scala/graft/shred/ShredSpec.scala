@@ -85,6 +85,19 @@ class ShredSpec extends SparkSpec {
     assert(out.count() == 0) // "5" (str) must not join 5 (num)
   }
 
+  test("generator shred is bit-identical to expression shred") {
+    val df = spark.read.json(Seq(
+      """{"id": 7, "addr": {"city": "Oslo", "zip": "0150"},
+         "pets": [{"name": "Rex"}, {"name": "Ada"}], "tags": ["a", "b"],
+         "bal": 12.5, "n": 3}""",
+      """{"id": 8, "addr": {"city": "Bergen", "zip": "5003"},
+         "pets": [], "tags": [], "bal": 7.0, "n": 9}""").toDS())
+    val a = Shred.shredExpr(df, Some("id")).orderBy("e", "a", "v").collect()
+    val b = Shred.shredGen(df, Some("id")).orderBy("e", "a", "v").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+  }
+
   test("parameterized query: template closes over substitutions") {
     // query($grp){[?e :grp $grp][?e :x ?x]} — params become Scala
     // closures producing plans (reference builtin.cljc:1799-1838)
