@@ -112,6 +112,30 @@ class RMQuerySpec extends SparkSpec {
       234L -> Map("name" -> "Alice")))
   }
 
+  test("two-DB e2e with email join keys (builtin_test:646-675)") {
+    // :user-data bindings inline ahead of the program bindings
+    val got = RM.eval(
+      """( $DBa := [{'email' : 'bob@example.com', 'aAttr' : 'Bob-A-data',   'name' : 'Bob'},
+        |           {'email' : 'alice@alice.org', 'aAttr' : 'Alice-A-data', 'name' : 'Alice'}];
+        |  $DBb := [{'id' : 'bob@example.com', 'bAttr' : 'Bob-B-data'},
+        |           {'id' : 'alice@alice.org', 'bAttr' : 'Alice-B-data'}];
+        |  $qFn := query(){[$DBa ?e1 :email ?id]
+        |                  [$DBb ?e2 :id    ?id]
+        |                  [$DBa ?e1 :name  ?name]
+        |                  [$DBa ?e1 :aAttr ?aData]
+        |                  [$DBb ?e2 :bAttr ?bData]};
+        |  $bSet := $qFn($DBa, $DBb);
+        |  $eFn := express(){{?id : {'name'  : ?name,
+        |                            'aData' : ?aData,
+        |                            'bData' : ?bData}}};
+        |  $reduce($bSet, $eFn) )""".stripMargin, spark).get
+    assert(got == Map(
+      "alice@alice.org" -> Map("name" -> "Alice",
+        "aData" -> "Alice-A-data", "bData" -> "Alice-B-data"),
+      "bob@example.com" -> Map("name" -> "Bob",
+        "aData" -> "Bob-A-data", "bData" -> "Bob-B-data")))
+  }
+
   test("parameterized express substitutes literals (query_test:264)") {
     val got = RM.eval(
       """( $bsets := [{?what : 'a', ?val : 1}, {?what : 'b', ?val : 2}];
