@@ -172,13 +172,11 @@ object Compiler {
       val spark = sparkCtx.value
       if (spark == null) fail("query{} needs RM.eval (no session bound)")
       if (q.params.isEmpty)
-        CF(-1, args => QueryBridge.runQuery(spark, q, Map.empty,
-          args.map(asCD)))
+        CF(-1, args => QueryBridge.runQuery(spark, q, Map.empty, args))
       else
         CF(q.params.size, pargs => {
           val subst = q.params.zip(pargs.map(literalOf)).toMap
-          CF(-1, args => QueryBridge.runQuery(spark, q, subst,
-            args.map(asCD)))
+          CF(-1, args => QueryBridge.runQuery(spark, q, subst, args))
         })
 
     case ExpressDef(Nil, t) => CE(QueryBridge.templateOf(t))

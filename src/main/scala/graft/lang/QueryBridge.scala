@@ -37,10 +37,20 @@ object QueryBridge {
     spark.read.json(json.toDS())
   }
 
-  /** Run a query def against positional data arguments. */
+  /** Run a query def against positional data arguments. Literal
+    * program data goes through the JSON bridge with typed restore
+    * (driver-side, small by construction); DataFrame arguments (bound
+    * via RM.evalWithSources) stay fully distributed — binding values
+    * then use the canonical string encoding.
+    */
   def runQuery(spark: SparkSession, q: QueryDef,
-      paramSubst: Map[String, Any], dataArgs: Seq[CD]): CTab = {
-    val dfs = dataArgs.map(cdToDf(spark, _))
+      paramSubst: Map[String, Any], dataArgs: Seq[CV]): CTab = {
+    val allTables = dataArgs.forall(_.isInstanceOf[CTab])
+    val dfs = dataArgs.map {
+      case CTab(df) => df
+      case d: CD => cdToDf(spark, d)
+      case _ => Compiler.fail("query data argument must be a value")
+    }
     // positional source naming: patterns with explicit $DB names bind
     // in order of first appearance; unnamed patterns use the first arg
     val named = q.patterns.flatMap(_.src).distinct
@@ -76,8 +86,11 @@ object QueryBridge {
       graft.functions.Jsonata.boolean(
         materialize(Compiler.compile(p, env)).col)
     }
-    val boxed = QueryCompiler.runBoxed(sources, pats, predFns)
-    CTab(typedBsets(spark, boxed))
+    if (allTables) // distributed end-to-end; canonical string bindings
+      CTab(QueryCompiler.run(sources, pats, predFns))
+    else
+      CTab(typedBsets(spark,
+        QueryCompiler.runBoxed(sources, pats, predFns)))
   }
 
   /** Boxed (v, vt) binding frame → typed frame via JSON rendering. */

@@ -37,6 +37,44 @@ object RM {
       }
     }
 
+  /** Evaluate a program with named DataFrames bound as `$name` — text
+    * `query{}` over real (warehouse-scale) tables runs fully
+    * distributed; only the final result is collected.
+    */
+  def evalWithSources(src: String, spark: SparkSession,
+      sources: Map[String, DataFrame]): Option[Any] =
+    Compiler.sparkCtx.withValue(spark) {
+      val env: Compiler.Env =
+        sources.map { case (n, df) => n -> (CTab(df): Compiler.CV) }
+      Compiler.compile(Parser.parse(src), env) match {
+        case d: CD =>
+          val raw = spark.range(1).select(d.col.as("v")).collect()(0).get(0)
+          Finalize.jflatten(shape(raw, d.kind)).map(normalize)
+        case CTab(df) =>
+          val unwrap = df.columns.toSeq == Seq("doc") ||
+            df.columns.toSeq == Seq("value")
+          val vals: Seq[Any] = df.collect().toSeq.map { r =>
+            if (unwrap) r.get(0) else r
+          }
+          Finalize.jflatten(Container(vals)).map(normalize)
+        case _ => Compiler.fail("top-level value is a function")
+      }
+    }
+
+  /** Text query over DataFrames returning the binding/table frame —
+    * nothing collected; the plan composes with further Spark ops.
+    */
+  def queryFrame(src: String, spark: SparkSession,
+      sources: Map[String, DataFrame]): DataFrame =
+    Compiler.sparkCtx.withValue(spark) {
+      val env: Compiler.Env =
+        sources.map { case (n, df) => n -> (CTab(df): Compiler.CV) }
+      Compiler.compile(Parser.parse(src), env) match {
+        case CTab(df) => df
+        case _ => Compiler.fail("expected a query/express frame result")
+      }
+    }
+
   /** Compile an expression over a DataFrame's rows: the expression's
     * bare identifiers resolve against the frame's columns (the
     * distributed path — full Catalyst optimization applies).

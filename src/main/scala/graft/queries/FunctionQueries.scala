@@ -171,7 +171,20 @@ object FunctionQueries {
       Tables.orders(s, d), keep = Seq("o_orderkey"))
       .orderBy("o_orderkey")
 
+  /** Text query{} over a REAL table — fully distributed (no driver
+    * bridge): the reference's query syntax against warehouse data.
+    */
+  def fRmQuery(s: SparkSession, d: String): DataFrame =
+    graft.lang.RM.queryFrame(
+      """query(){[?c :c_mktsegment 'BUILDING']
+        |        [?c :c_name ?name]
+        |        [?c :c_acctbal ?bal]
+        |        [($number(?bal) > 1000)]}($customer)""".stripMargin,
+      s, Map("customer" -> Tables.customer(s, d)))
+      .orderBy("name")
+
   val all: Map[String, Q] = Map(
+    "f_rm_query" -> (fRmQuery _),
     "f_rm_expr" -> (fRmExpr _),
     "f_path_steps" -> (fPathSteps _),
     "f_string" -> (fString _),
@@ -183,6 +196,14 @@ object FunctionQueries {
     "f_regex" -> (fRegex _))
 
   val oracles: Map[String, String] = Map(
+    "f_rm_query" ->
+      """SELECT c_name AS name,
+        |  CASE WHEN c_acctbal = CAST(CAST(c_acctbal AS BIGINT) AS DOUBLE)
+        |    THEN CAST(CAST(c_acctbal AS BIGINT) AS VARCHAR)
+        |    ELSE CAST(c_acctbal AS VARCHAR) END AS bal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+        |ORDER BY name""".stripMargin,
     "f_rm_expr" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 150000 THEN 'large'

@@ -112,6 +112,22 @@ class RMQuerySpec extends SparkSpec {
       234L -> Map("name" -> "Alice")))
   }
 
+  test("text query over real DataFrames stays distributed") {
+    import spark.implicits._
+    val people = Seq((1L, "Bob", "a"), (2L, "Alice", "b"), (3L, "Cy", "a"))
+      .toDF("id", "name", "grp")
+    val frame = RM.queryFrame(
+      "query(){[?p :grp 'a'] [?p :name ?name]}($people)",
+      spark, Map("people" -> people))
+    assert(frame.columns.toSeq == Seq("name"))
+    assert(frame.as[String].collect().toSet == Set("Bob", "Cy"))
+    val viaEval = RM.evalWithSources(
+      "query(){[?p :grp 'a'] [?p :name ?name]}($people)",
+      spark, Map("people" -> people))
+    assert(viaEval.get.asInstanceOf[Seq[Any]].toSet ==
+      Set(Map("name" -> "Bob"), Map("name" -> "Cy")))
+  }
+
   test("two-DB e2e with email join keys (builtin_test:646-675)") {
     // :user-data bindings inline ahead of the program bindings
     val got = RM.eval(
