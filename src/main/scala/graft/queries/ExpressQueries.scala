@@ -89,13 +89,38 @@ object ExpressQueries {
       .orderBy("doc_json")
   }
 
+  /** The flagship e2e driven ENTIRELY from reference-language source
+    * text over real tables: query{} multi-source join → express{}
+    * reduce, distributed end-to-end, same oracle as q_express_reduce.
+    */
+  def qRmE2e(s: SparkSession, d: String): DataFrame =
+    graft.lang.RM.queryFrame(
+      """( $bsets := query(){[$region ?r :r_regionkey ?rk]
+        |                    [$region ?r :r_name      ?rname]
+        |                    [$nation ?n :n_regionkey ?rk]
+        |                    [$nation ?n :n_name      ?nname]}
+        |             ($region, $nation);
+        |  $reduce($bsets, express(){{'region'  : key(?rname),
+        |                             'nations' : [{'nation' : key(?nname)}]}}) )""".stripMargin,
+      s, Map("region" -> Tables.region(s, d),
+        "nation" -> Tables.nation(s, d)))
+      .select(col("region"), to_json(col("nations")).as("nations_json"))
+      .orderBy("region")
+
   val all: Map[String, Q] = Map(
+    "q_rm_e2e" -> (qRmE2e _),
     "q_express_reduce" -> (qExpressReduce _),
     "q_express_nested" -> (qExpressNested _),
     "q_express_map" -> (qExpressMap _),
     "q_express_map_keys" -> (qExpressMapKeys _))
 
   val oracles: Map[String, String] = Map(
+    "q_rm_e2e" ->
+      """SELECT r_name AS region,
+        |  to_json(list(struct_pack(nation := n_name) ORDER BY n_name))
+        |    AS nations_json
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
     "q_express_reduce" ->
       """SELECT r_name AS region,
         |  to_json(list(struct_pack(nation := n_name) ORDER BY n_name))
