@@ -208,6 +208,79 @@ object Builtins {
         case _ => sval(Jsonata.lookup(scalar(d(0)).col, sc(1)),
           d(0).dt.asInstanceOf[MapType].valueType)
       }
+      // object HOFs over struct values (static field walk; value types
+      // unify to the common Spark type)
+      case "$each" => d(0).dt match {
+        case st: StructType =>
+          val fn = f(1)
+          val results = st.fields.toSeq.map { fld =>
+            materialize(fn.fn(Seq(
+              sval(scalar(d(0)).col.getField(fld.name), fld.dataType),
+              sval(lit(fld.name), StringType))))
+          }
+          val dt = results.map(r => Compiler.colType(r))
+            .reduce((a, b) => if (a == b) a else DoubleType)
+          sseq(array(results.map(_.col.cast(dt)): _*), dt)
+        case other => fail(s"$$each over $other")
+      }
+      case "$spread" => d(0).dt match {
+        case st: StructType =>
+          val s0 = scalar(d(0)).col
+          val vt = st.fields.map(_.dataType).toSeq.distinct match {
+            case Seq(one) => one
+            case _ => StringType
+          }
+          sseq(array(st.fields.toSeq.map(fld =>
+            map(lit(fld.name), s0.getField(fld.name).cast(vt))): _*),
+            MapType(StringType, vt))
+        case other => fail(s"$$spread over $other")
+      }
+      case "$sift" => d(0).dt match {
+        case st: StructType =>
+          val fn = f(1)
+          val s0 = scalar(d(0)).col
+          val vt = st.fields.map(_.dataType).toSeq.distinct match {
+            case Seq(one) => one
+            case _ => StringType
+          }
+          val entries = st.fields.toSeq.map { fld =>
+            val v = s0.getField(fld.name)
+            val keep = Jsonata.boolean(scalar(materialize(fn.fn(Seq(
+              sval(v, fld.dataType), sval(lit(fld.name), StringType))))).col)
+            when(keep, struct(lit(fld.name).as("key"),
+              v.cast(vt).as("value")))
+          }
+          sval(map_from_entries(filter(array(entries: _*), _.isNotNull)),
+            MapType(StringType, vt))
+        case other => fail(s"$$sift over $other")
+      }
+      case "$reduceKV" => d(2).dt match {
+        case st: StructType =>
+          val fn = f(0)
+          val s2 = scalar(d(2)).col
+          val init = scalar(d(1))
+          sval(st.fields.foldLeft(init.col) { (acc, fld) =>
+            scalar(materialize(fn.fn(Seq(
+              sval(acc, init.dt), sval(lit(fld.name), StringType),
+              sval(s2.getField(fld.name), fld.dataType))))).col
+          }, init.dt)
+        case other => fail(s"$$reduceKV over $other")
+      }
+      case "$assoc" => d(0).dt match {
+        case st: StructType =>
+          val k = litStr(1)
+          val v = materialize(d(2))
+          val s0 = scalar(d(0)).col
+          val kept = st.fields.toSeq.filterNot(_.name == k)
+            .map(fld => s0.getField(fld.name).as(fld.name))
+          val fields = kept :+ v.col.as(k)
+          sval(struct(fields: _*), StructType(
+            st.fields.toSeq.filterNot(_.name == k).map(f2 =>
+              StructField(f2.name, f2.dataType)) :+
+              StructField(k, Compiler.colType(v))))
+        case other => fail(s"$$assoc over $other")
+      }
+
       case "$type" => sval(Jsonata.jtype(materialize(d(0)).col), StringType)
       case "$error" => sval(Jsonata.error(sc(0)), NullType)
       case "$assert" =>

@@ -131,6 +131,17 @@ object Compiler {
 
     case Parens(b) => compile(b, env)
 
+    case FnCall("$merge", Seq(ArrLit(objs)))
+      if objs.forall(_.isInstanceOf[ObjLit]) =>
+      // compile-time merge: objects of different shapes can't share an
+      // array type, but their pair-lists concatenate (last wins) —
+      // exactly the reference's last-wins semantics
+      val merged = objs.flatMap(_.asInstanceOf[ObjLit].pairs)
+        .foldLeft(Vector.empty[(Expr, Expr)]) { case (acc, (k, v)) =>
+          acc.filterNot(_._1 == k) :+ (k, v)
+        }
+      compile(ObjLit(merged), env)
+
     case FnCall(name, args) =>
       // user-bound function variables shadow builtins ($q := query…)
       env.get(name.stripPrefix("$")) match {

@@ -150,6 +150,22 @@ class RMSpec extends SparkSpec {
       "123-456-7890")
   }
 
+  test("object functions over struct values (builtin_test:243-313)") {
+    run("$merge([{'a': 1}, {'b': 2}, {'a': 9}])",
+      Map("b" -> 2L, "a" -> 9L))
+    run("$each({'a': 1, 'b': 2}, function($v, $k){$v * 10})",
+      Seq(10L, 20L))
+    run("$each({'a': 1, 'b': 2}, function($v, $k){$k & '=' & $v})",
+      Seq("a=1", "b=2"))
+    run("$spread({'a': 1, 'b': 2})",
+      Seq(Map("a" -> 1L), Map("b" -> 2L)))
+    run("$sift({'a': 1, 'b': 5, 'c': 2}, function($v){$v > 1})",
+      Map("b" -> 5L, "c" -> 2L))
+    run("$reduceKV(function($acc, $k, $v){$acc + $v}, 0, {'a': 1, 'b': 2})",
+      3L)
+    run("$assoc({'a': 1}, 'b', 7).b", 7L)
+  }
+
   test("$eval re-enters the compiler (builtin_test $eval semantics)") {
     run("$eval('1 + 2')", 3L)
     run("$eval('[1,2,3].(2 * $)') ~> $sum()", 12L)
