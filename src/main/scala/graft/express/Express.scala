@@ -97,7 +97,13 @@ object Express {
     val ef = elemFrame(bsets, tmpl, Nil)
     if (tmpl.fields.exists(_.key.isInstanceOf[KVar]))
       ef.select(col("__elem").as("doc")) // map root: single doc column
-    else ef.select(col("__elem.*"))
+    else {
+      val out = ef.select(col("__elem.*"))
+      // deterministic root ordering by the key fields (sort-by-body,
+      // reference builtin.cljc:2019-2039)
+      val keys = keyQvars(tmpl).map(_._1)
+      if (keys.nonEmpty) out.orderBy(keys.map(col): _*) else out
+    }
   }
 
   private def keyQvars(o: XObj): Seq[(String, String)] =

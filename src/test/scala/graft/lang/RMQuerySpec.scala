@@ -152,6 +152,42 @@ class RMQuerySpec extends SparkSpec {
         "aData" -> "Bob-A-data", "bData" -> "Bob-B-data")))
   }
 
+  private val twoDbPrefix =
+    """( $DBa := [{'email' : 'bob@example.com', 'aAttr' : 'Bob-A-data',   'name' : 'Bob'},
+      |           {'email' : 'alice@alice.org', 'aAttr' : 'Alice-A-data', 'name' : 'Alice'}];
+      |  $DBb := [{'id' : 'bob@example.com', 'bAttr' : 'Bob-B-data'},
+      |           {'id' : 'alice@alice.org', 'bAttr' : 'Alice-B-data'}];
+      |  $qFn := query(){[$DBa ?e1 :email ?id]
+      |                  [$DBb ?e2 :id    ?id]
+      |                  [$DBa ?e1 :name  ?name]
+      |                  [$DBa ?e1 :aAttr ?aData]
+      |                  [$DBb ?e2 :bAttr ?bData]};
+      |  $bSet := $qFn($DBa, $DBb);""".stripMargin
+
+  test("redex: flat key() template gives sorted rows (query_test:899-922)") {
+    run(twoDbPrefix +
+      """ $eFn := express(){{'name'  : key(?name),
+        |                    'aData' : ?aData, 'bData' : ?bData}};
+        | $reduce($bSet, $eFn) )""".stripMargin,
+      Seq(
+        Map("name" -> "Alice", "aData" -> "Alice-A-data",
+          "bData" -> "Alice-B-data"),
+        Map("name" -> "Bob", "aData" -> "Bob-A-data",
+          "bData" -> "Bob-B-data")))
+  }
+
+  test("redex: qvar-in-key-pos with key() inside (query_test:924-973)") {
+    run(twoDbPrefix +
+      """ $eFn := express(){{?id : {'name'  : key(?name),
+        |                           'aData' : ?aData, 'bData' : ?bData}}};
+        | $reduce($bSet, $eFn) )""".stripMargin,
+      Map(
+        "alice@alice.org" -> Map("name" -> "Alice",
+          "aData" -> "Alice-A-data", "bData" -> "Alice-B-data"),
+        "bob@example.com" -> Map("name" -> "Bob",
+          "aData" -> "Bob-A-data", "bData" -> "Bob-B-data")))
+  }
+
   test("parameterized express substitutes literals (query_test:264)") {
     val got = RM.eval(
       """( $bsets := [{?what : 'a', ?val : 1}, {?what : 'b', ?val : 2}];
