@@ -34,6 +34,25 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.schemaFor(df).contains("\"name\":\"a\""))
   }
 
+  test("xml feeds the relational core: ingest -> shred -> query") {
+    import graft.query.QueryCompiler
+    import graft.query.QueryCompiler.{C, Pattern, V}
+    val xml =
+      """<orders>
+        |  <order id="1"><customer>Bob</customer><total>10</total></order>
+        |  <order id="2"><customer>Alice</customer><total>20</total></order>
+        |</orders>""".stripMargin
+    val df = Ingest.readXmlString(spark, xml)
+      .select(explode(col("orders.order")).as("o")).select("o.*")
+    val bsets = QueryCompiler.run(
+      graft.shred.Shred.shred(df, Some("id")),
+      Seq(Pattern(V("e"), C("customer"), V("who")),
+        Pattern(V("e"), C("total"), V("amt"))))
+    val rows = bsets.orderBy("who").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("Alice", "20"), ("Bob", "10")))
+  }
+
   test("csv spreadsheet reads header-keyed; xlsx refuses clearly") {
     val p = java.nio.file.Files.createTempFile("sheet", ".csv")
     java.nio.file.Files.writeString(p, "name,qty\nax,2\nbx,5\n")
