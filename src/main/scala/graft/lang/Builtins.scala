@@ -162,6 +162,12 @@ object Builtins {
         sval(Jsonata.base64encode(str(0)), StringType)
       case "$base64decode" =>
         sval(Jsonata.base64decode(str(0)), StringType)
+      case "$encodeUrl" => sval(Jsonata.encodeUrl(str(0)), StringType)
+      case "$decodeUrl" => sval(Jsonata.decodeUrl(str(0)), StringType)
+      case "$encodeUrlComponent" =>
+        sval(Jsonata.encodeUrlComponent(str(0)), StringType)
+      case "$decodeUrlComponent" =>
+        sval(Jsonata.decodeUrlComponent(str(0)), StringType)
 
       // numerics (§2.3)
       case "$number" => sval(Jsonata.number(sc(0)), DoubleType)
@@ -279,6 +285,41 @@ object Builtins {
               StructField(f2.name, f2.dataType)) :+
               StructField(k, Compiler.colType(v))))
         case other => fail(s"$$assoc over $other")
+      }
+
+      case "$update" => d(0).dt match {
+        // replace one field's value via fn (static struct walk)
+        case st: StructType =>
+          val k = litStr(1)
+          val fn = f(2)
+          val s0 = scalar(d(0)).col
+          val fields: Seq[(String, CD)] = st.fields.toSeq.map { fld =>
+            if (fld.name == k)
+              fld.name -> materialize(fn.fn(Seq(
+                sval(s0.getField(k), fld.dataType).asInstanceOf[CD])))
+            else fld.name ->
+              CD(s0.getField(fld.name), fld.dataType, KScalar)
+          }
+          sval(struct(fields.map { case (n, c) => c.col.as(n) }: _*),
+            StructType(fields.map { case (n, c) =>
+              StructField(n, Compiler.colType(c)) }))
+        case other => fail(s"$$update over $other")
+      }
+      case "$mapObject" => d(0).dt match {
+        // fn(v, k) → new value; keys preserved (the key-rewrite form
+        // would need dynamic keys → map output)
+        case st: StructType =>
+          val fn = f(1)
+          val s0 = scalar(d(0)).col
+          val fields: Seq[(String, CD)] = st.fields.toSeq.map { fld =>
+            fld.name -> materialize(fn.fn(Seq(
+              sval(s0.getField(fld.name), fld.dataType),
+              sval(lit(fld.name), StringType))))
+          }
+          sval(struct(fields.map { case (n, c) => c.col.as(n) }: _*),
+            StructType(fields.map { case (n, c) =>
+              StructField(n, Compiler.colType(c)) }))
+        case other => fail(s"$$mapObject over $other")
       }
 
       case "$type" => sval(Jsonata.jtype(materialize(d(0)).col), StringType)

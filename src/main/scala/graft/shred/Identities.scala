@@ -64,6 +64,10 @@ object Identities {
       }
     })
 
+  /** `$identities` — the (query, express) pair for a shape. */
+  def identities(schema: StructType)
+      : (Seq[Pattern], XObj) = (qIdent(schema), eIdent(schema))
+
   /** Full identity round trip: shred → identity query → identity
     * express reduce. Returns the reconstructed entity frame (canonical
     * string leaves).

@@ -164,6 +164,10 @@ class RMSpec extends SparkSpec {
     run("$reduceKV(function($acc, $k, $v){$acc + $v}, 0, {'a': 1, 'b': 2})",
       3L)
     run("$assoc({'a': 1}, 'b', 7).b", 7L)
+    run("$update({'a': 1, 'b': 2}, 'a', function($v){$v + 10}).a", 11L)
+    run("$mapObject({'a': 1, 'b': 2}, function($v, $k){$v * 100}).b", 200L)
+    run("$encodeUrlComponent('?x=y')", "%3Fx%3Dy")
+    run("$decodeUrlComponent('%3Fx%3Dy')", "?x=y")
   }
 
   test("$eval re-enters the compiler (builtin_test $eval semantics)") {
