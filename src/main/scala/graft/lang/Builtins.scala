@@ -344,6 +344,21 @@ object Builtins {
           sval(Jsonata.toMillis(sc(0), litStr(1)), LongType)
         else sval(Jsonata.toMillis(sc(0)), LongType)
 
+      // `$get` — file ingestion (reference builtin.cljc:1555-1624; the
+      // REST/graph forms are server infrastructure, out of engine scope)
+      case "$get" =>
+        val spark = Compiler.sparkCtx.value
+        if (spark == null) fail("$get needs RM.eval (no session bound)")
+        val path = litStr(0)
+        val df =
+          if (path.endsWith(".json")) graft.sources.Ingest.readJson(spark, path)
+          else if (path.endsWith(".xml")) graft.sources.Ingest.readXml(spark, path)
+          else if (path.endsWith(".csv"))
+            graft.sources.Ingest.readSpreadsheet(spark, path)
+          else if (path.endsWith(".parquet")) spark.read.parquet(path)
+          else fail(s"$$get: unsupported extension in $path")
+        CTab(df)
+
       // `$eval` — driver-side re-entry into the compiler (reference
       // builtin.cljc:1541-1553; no executor eval, per SURVEY §7.4)
       case "$eval" =>

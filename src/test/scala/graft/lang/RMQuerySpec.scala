@@ -112,6 +112,19 @@ class RMQuerySpec extends SparkSpec {
       234L -> Map("name" -> "Alice")))
   }
 
+  test("$get reads files into query sources") {
+    val p = java.nio.file.Files.createTempFile("people", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"name": "Bob", "grp": "a"}
+        |{"name": "Alice", "grp": "b"}
+        |{"name": "Cy", "grp": "a"}""".stripMargin)
+    val got = RM.eval(
+      s"""( $$people := $$get('${p}');
+         |  query(){[?p :grp 'a'] [?p :name ?name]}($$people) )""".stripMargin,
+      spark).get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(Map("name" -> "Bob"), Map("name" -> "Cy")))
+  }
+
   test("text query over real DataFrames stays distributed") {
     import spark.implicits._
     val people = Seq((1L, "Bob", "a"), (2L, "Alice", "b"), (3L, "Cy", "a"))
