@@ -42,6 +42,9 @@ object QueryCompiler {
     case n: Double =>
       (if (n == n.longValue.toDouble) n.longValue.toString else n.toString,
         "num")
+    case n: Float =>
+      (if (n == n.longValue.toFloat) n.longValue.toString else n.toString,
+        "num")
     case n: Number => (n.toString, "num")
     case other => (other.toString, "str")
   }

@@ -50,8 +50,11 @@ case class ShredGenerator(child: Expression)
       if (f == f.longValue.toFloat) UTF8String.fromString(f.longValue.toString)
       else UTF8String.fromString(f.toString)
     case _: DecimalType =>
+      // match the expression form: whole → integer string, otherwise
+      // the scale-preserving decimal rendering ("12.50", not "12.5")
       val d = value.asInstanceOf[Decimal].toJavaBigDecimal
-      if (d.stripTrailingZeros.scale <= 0)
+      if (d.remainder(java.math.BigDecimal.ONE)
+          .compareTo(java.math.BigDecimal.ZERO) == 0)
         UTF8String.fromString(d.toBigInteger.toString)
       else UTF8String.fromString(d.toPlainString)
     case StringType => value.asInstanceOf[UTF8String].clone()

@@ -96,6 +96,14 @@ class ShredSpec extends SparkSpec {
     val b = Shred.shredGen(df, Some("id")).orderBy("e", "a", "v").collect()
     assert(a.toSeq == b.toSeq)
     assert(a.nonEmpty)
+    // decimals: whole → integer string, else scale-preserving
+    val dec = spark.sql(
+      """SELECT 1L AS id, CAST(12.50 AS DECIMAL(6,2)) AS d1,
+        |  CAST(12.00 AS DECIMAL(6,2)) AS d2""".stripMargin)
+    val ae = Shred.shredExpr(dec, Some("id")).orderBy("a").collect()
+    val ag = Shred.shredGen(dec, Some("id")).orderBy("a").collect()
+    assert(ae.toSeq == ag.toSeq)
+    assert(ae.map(_.getString(2)).toSeq == Seq("12.50", "12", "1"))
   }
 
   test("parameterized query: template closes over substitutions") {
