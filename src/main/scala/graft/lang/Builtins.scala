@@ -139,17 +139,29 @@ object Builtins {
       case "$pad" =>
         sval(Jsonata.pad(str(0), litInt(1),
           if (args.size > 2) litStr(2) else " "), StringType)
-      case "$contains" =>
-        sval(Jsonata.containsRegex(str(0), litStr(1)), BooleanType)
+      case "$contains" => argExprs.lift(1) match {
+        // literal substring vs regex form (reference builtin.cljc:349-362)
+        case Some(Ast.RegexLit(r)) =>
+          sval(Jsonata.containsRegex(str(0), r), BooleanType)
+        case _ => sval(Jsonata.containsStr(str(0), sc(1)), BooleanType)
+      }
       case "$split" =>
-        sseq(Jsonata.split(str(0), litStr(1),
+        // string separators are LITERAL; only /re/ separators are regex
+        val sep = argExprs.lift(1) match {
+          case Some(Ast.RegexLit(r)) => r
+          case _ => java.util.regex.Pattern.quote(litStr(1))
+        }
+        sseq(Jsonata.split(str(0), sep,
           if (args.size > 2) Some(litInt(2)) else None), StringType)
       case "$join" =>
         sval(Jsonata.join(arr(0).col,
           if (args.size > 1) litStr(1) else ""), StringType)
-      case "$replace" =>
-        sval(Jsonata.replaceRegex(str(0), litStr(1), litStr(2)),
-          StringType)
+      case "$replace" => argExprs.lift(1) match {
+        case Some(Ast.RegexLit(r)) =>
+          sval(Jsonata.replaceRegex(str(0), r, litStr(2)), StringType)
+        case _ => // literal pattern: replace all occurrences verbatim
+          sval(Jsonata.replaceStr(str(0), sc(1), sc(2)), StringType)
+      }
       case "$match" =>
         val limit =
           if (args.size > 2) litInt(2) else Int.MaxValue

@@ -272,6 +272,11 @@ object Parser {
         case TQvar(n) => QvarRef(n)
         case TStr(s) => StrLit(s)
         case TNum(n) => NumLit(n)
+        case TOp("-") => next() match {
+          case TNum(n) => NumLit(-n)
+          case other => throw new IllegalArgumentException(
+            s"pattern value after '-': $other")
+        }
         case TOp("true") => BoolLit(true)
         case TOp("false") => BoolLit(false)
         case TVar(n) => VarRef(n) // query parameter

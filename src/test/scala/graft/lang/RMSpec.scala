@@ -170,6 +170,16 @@ class RMSpec extends SparkSpec {
     run("$decodeUrlComponent('%3Fx%3Dy')", "?x=y")
   }
 
+  test("string-vs-regex forms: split/replace/contains literals") {
+    run("$split('a.b.c', '.')", Seq("a", "b", "c")) // literal dot
+    run("$split('a1b22c', /\\d+/)", Seq("a", "b", "c"))
+    run("$replace('a.b', '.', '-')", "a-b") // literal, all occurrences
+    run("$replace('a1b2', /\\d/, 'x')", "axbx")
+    run("$contains('a.b', '.')", true)
+    run("$contains('ab', '.')", false) // literal dot, not regex any-char
+    run("$contains('ab', /./)", true)
+  }
+
   test("$eval re-enters the compiler (builtin_test $eval semantics)") {
     run("$eval('1 + 2')", 3L)
     run("$eval('[1,2,3].(2 * $)') ~> $sum()", 12L)
