@@ -123,7 +123,14 @@ object Builtins {
             Seq(sval(x, arr(0).dt))))).col)), arr(0).dt)
 
       // strings (§2.2)
-      case "$string" => sval(Jsonata.string(sc(0)), StringType)
+      case "$string" => d(0) match {
+        // structures render as JSON text (reference: $string of
+        // objects/arrays yields their JSON serialization)
+        case CD(_, _: StructType | _: MapType, _) |
+             CD(_, _, KJson | KSeq | KNested(_)) =>
+          sval(to_json(materialize(d(0)).col), StringType)
+        case _ => sval(Jsonata.string(sc(0)), StringType)
+      }
       case "$length" => sval(Jsonata.strLength(str(0)), IntegerType)
       case "$uppercase" => sval(Jsonata.uppercase(str(0)), StringType)
       case "$lowercase" => sval(Jsonata.lowercase(str(0)), StringType)

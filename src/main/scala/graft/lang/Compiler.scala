@@ -48,7 +48,12 @@ object Compiler {
     new scala.util.DynamicVariable[org.apache.spark.sql.SparkSession](null)
 
   def compile(e: Expr, env: Env = Map.empty): CV = e match {
-    case NumLit(v) => CD(lit(v), DoubleType, KScalar)
+    case NumLit(v) =>
+      // whole literals stay integral (JSONata numbers print without
+      // ".0"; `/` still promotes to double explicitly)
+      if (v.isWhole && math.abs(v) < 1e15)
+        CD(lit(v.toLong), LongType, KScalar)
+      else CD(lit(v), DoubleType, KScalar)
     case StrLit(v) => CD(lit(v), StringType, KScalar)
     case BoolLit(v) => CD(lit(v), BooleanType, KScalar)
     case NullLit => CD(lit(null).cast(StringType), StringType, KScalar)

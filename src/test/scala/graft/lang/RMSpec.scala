@@ -170,6 +170,13 @@ class RMSpec extends SparkSpec {
     run("$decodeUrlComponent('%3Fx%3Dy')", "?x=y")
   }
 
+  test("$string of structures yields JSON text") {
+    run("$string({'a': 1, 'b': [1, 2]})", """{"a":1,"b":[1,2]}""")
+    run("$string([1, 2])", "[1,2]")
+    run("$string(5)", "5")
+    run("$string({'x': 1.5})", """{"x":1.5}""")
+  }
+
   test("string-vs-regex forms: split/replace/contains literals") {
     run("$split('a.b.c', '.')", Seq("a", "b", "c")) // literal dot
     run("$split('a1b22c', /\\d+/)", Seq("a", "b", "c"))
