@@ -124,7 +124,8 @@ object Compiler {
     case BinOp(op, l, r) => binop(op, l, r, env)
 
     case Ternary(c, t, f) =>
-      val cond = Jsonata.boolean(scalar(compile(c, env)).col)
+      // sequence truthiness (empty = false), same rule as filters
+      val cond = Jsonata.boolean(materialize(compile(c, env)).col)
       val (ct, cf2) = (materialize(compile(t, env)),
         materialize(compile(f, env)))
       CD(when(cond, ct.col).otherwise(cf2.col), ct.dt,

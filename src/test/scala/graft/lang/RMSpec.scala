@@ -193,6 +193,12 @@ class RMSpec extends SparkSpec {
     run("$eval('{\"a\": 7}').a", 7L)
   }
 
+  test("ternary condition uses sequence truthiness") {
+    run("$match('abc', /x/) ? 'hit' : 'miss'", "miss")
+    run("$match('abc', /b/) ? 'hit' : 'miss'", "hit")
+    run("[] ? 'yes' : 'no'", "no")
+  }
+
   test("no match is None") {
     assert(RM.eval("[1, 2][5]", spark).isEmpty ||
       RM.eval("[1, 2][5]", spark).contains(null))
