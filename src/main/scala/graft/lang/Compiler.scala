@@ -356,7 +356,8 @@ object Compiler {
       } catch { case _: IllegalArgumentException => false }
     }
     if (isIndex) {
-      val idx = scalar(compile(pred, env)).col.cast(IntegerType)
+      // floor of non-integers, also for negatives (builtin.cljc:213-243)
+      val idx = floor(scalar(compile(pred, env)).col).cast(IntegerType)
       s.kind match {
         case KJson | KSeq =>
           s.dt match {
@@ -421,10 +422,12 @@ object Compiler {
       case ">" => CD(cl.col > cr.col, BooleanType, KScalar)
       case ">=" => CD(cl.col >= cr.col, BooleanType, KScalar)
       case "and" =>
-        CD(Jsonata.boolean(cl.col) && Jsonata.boolean(cr.col),
+        CD(Jsonata.boolean(materialize(compile(l, env)).col) &&
+          Jsonata.boolean(materialize(compile(r, env)).col),
           BooleanType, KScalar)
       case "or" =>
-        CD(Jsonata.boolean(cl.col) || Jsonata.boolean(cr.col),
+        CD(Jsonata.boolean(materialize(compile(l, env)).col) ||
+          Jsonata.boolean(materialize(compile(r, env)).col),
           BooleanType, KScalar)
       case "in" =>
         val arr = compile(r, env) match {

@@ -193,6 +193,11 @@ class RMSpec extends SparkSpec {
     run("$eval('{\"a\": 7}').a", 7L)
   }
 
+  test("non-integer index floors (builtin_test filter semantics)") {
+    run("[10, 20, 30][1.7]", 20L)   // floor(1.7) = 1
+    run("[10, 20, 30][-0.3]", 30L)  // floor(-0.3) = -1 → from end
+  }
+
   test("ternary condition uses sequence truthiness") {
     run("$match('abc', /x/) ? 'hit' : 'miss'", "miss")
     run("$match('abc', /b/) ? 'hit' : 'miss'", "hit")
