@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan regression checks: lock in the scale-critical plan
+  * properties (pushdown, pruning, broadcast, top-k, generator-free
+  * direct queries) so refactors can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q6: all filters reach the parquet scan") {
+    val p = plan("q6_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_discount,0.05)"),
+      s"missing pushed filters:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q1: column pruning and partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("l_returnflag") && !p.contains("l_orderkey"),
+      "scan should read only referenced columns")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final hash aggregation")
+  }
+
+  test("q3: dimension joins broadcast; top-k avoids global sort") {
+    val p = plan("q3_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk plans as TakeOrderedAndProject") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("direct query compilation stays generator-free") {
+    val p = plan("q_eav_direct")
+    assert(!p.contains("Generate"), s"unexpected explode:\n$p")
+  }
+
+  test("function queries prune the scan") {
+    val p = plan("f_string")
+    assert(!p.contains("p_retailprice") && !p.contains("p_size"),
+      "f_string should not read unreferenced part columns")
+  }
+}
