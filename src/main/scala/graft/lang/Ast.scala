@@ -42,9 +42,10 @@ object Ast {
     */
   final case class QPattern(src: Option[String], e: String,
     attr: Either[String, String], v: Expr)
-  /** `query($params){patterns [predicates]}` */
+  /** `query($params, <|opts|>){patterns [predicates]}` */
   final case class QueryDef(params: Seq[String],
-    patterns: Seq[QPattern], preds: Seq[Expr] = Nil) extends Expr
+    patterns: Seq[QPattern], preds: Seq[Expr] = Nil,
+    options: Map[String, String] = Map.empty) extends Expr
   /** `express($params){ {template} }` */
   final case class ExpressDef(params: Seq[String],
     template: Expr) extends Expr

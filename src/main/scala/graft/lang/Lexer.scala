@@ -18,7 +18,7 @@ object Lexer {
     "function", "not")
 
   // multi-char operators, longest first
-  private val ops = Seq(":=", "<=", ">=", "!=", "~>", "..",
+  private val ops = Seq("<|", "|>", ":=", "<=", ">=", "!=", "~>", "..",
     ".", "[", "]", "{", "}", "(", ")", ",", ";", ":", "?", "<", ">", "=",
     "+", "-", "*", "/", "%", "&")
 

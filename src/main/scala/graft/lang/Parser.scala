@@ -216,16 +216,20 @@ object Parser {
       */
     private def queryDef(): Expr = {
       val params = Seq.newBuilder[String]
+      var options = Map.empty[String, String]
       if (peekOp("(")) {
         next()
         if (!peekOp(")")) {
-          def param(): Unit = next() match {
-            case TVar(n) => params += n
-            case other => throw new IllegalArgumentException(
-              s"query parameter must be $$var, got $other")
+          def item(): Unit = peek match {
+            case Some(TOp("<|")) => options = optionBlock()
+            case _ => next() match {
+              case TVar(n) => params += n
+              case other => throw new IllegalArgumentException(
+                s"query parameter must be $$var or <|opts|>, got $other")
+            }
           }
-          param()
-          while (peekOp(",")) { next(); param() }
+          item()
+          while (peekOp(",")) { next(); item() }
         }
         expect(")")
       }
@@ -242,9 +246,38 @@ object Parser {
         } else pats += pattern()
       }
       expect("}")
-      val q = QueryDef(params.result(), pats.result(), preds.result())
+      val q = QueryDef(params.result(), pats.result(), preds.result(),
+        options)
       // immediate parameter binding: query($n){...}('Bob')
       if (peekOp("(")) { next(); Apply(q, callArgs()) } else q
+    }
+
+    /** `<| key : value, ... |>` (reference option maps). */
+    private def optionBlock(): Map[String, String] = {
+      expect("<|")
+      val opts = Map.newBuilder[String, String]
+      def entry(): Unit = {
+        val k = next() match {
+          case TIdent(n) => n
+          case other => throw new IllegalArgumentException(
+            s"option key must be an identifier, got $other")
+        }
+        expect(":")
+        val v = next() match {
+          case TOp("true") => "true"
+          case TOp("false") => "false"
+          case TNum(n) => n.toString
+          case TStr(s) => s
+          case TIdent(s) => s
+          case other => throw new IllegalArgumentException(
+            s"option value: $other")
+        }
+        opts += (k -> v)
+      }
+      entry()
+      while (peekOp(",")) { next(); entry() }
+      expect("|>")
+      opts.result()
     }
 
     /** `[<$src>? ?e (:role | ?attr) value]` */

@@ -86,11 +86,12 @@ object QueryBridge {
       graft.functions.Jsonata.boolean(
         materialize(Compiler.compile(p, env)).col)
     }
+    val keepDBid = q.options.get("keepDBid").contains("true")
     if (allTables) // distributed end-to-end; canonical string bindings
-      CTab(QueryCompiler.run(sources, pats, predFns))
+      CTab(QueryCompiler.run(sources, pats, predFns, keepDBid))
     else
       CTab(typedBsets(spark,
-        QueryCompiler.runBoxed(sources, pats, predFns)))
+        QueryCompiler.runBoxed(sources, pats, predFns, keepDBid)))
   }
 
   /** Boxed (v, vt) binding frame → typed frame via JSON rendering. */

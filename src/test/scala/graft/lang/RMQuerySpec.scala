@@ -112,6 +112,22 @@ class RMQuerySpec extends SparkSpec {
       234L -> Map("name" -> "Alice")))
   }
 
+  test("<|keepDBid: true|> keeps entity qvars (builtin.cljc:1752-1758)") {
+    val got = RM.eval(
+      """( $data := [{'name' : 'Bob'}];
+        |  $q := query(<|keepDBid: true|>){[?e :name ?name]};
+        |  $q($data) )""".stripMargin, spark)
+      .get.asInstanceOf[Map[String, Any]]
+    assert(got("name") == "Bob" && got.contains("e"))
+    // without the option the entity var is dropped
+    val plain = RM.eval(
+      """( $data := [{'name' : 'Bob'}];
+        |  $q := query(){[?e :name ?name]};
+        |  $q($data) )""".stripMargin, spark)
+      .get.asInstanceOf[Map[String, Any]]
+    assert(plain == Map("name" -> "Bob"))
+  }
+
   test("$get reads files into query sources") {
     val p = java.nio.file.Files.createTempFile("people", ".json")
     java.nio.file.Files.writeString(p,
