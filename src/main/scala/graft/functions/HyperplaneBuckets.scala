@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftglue.ColumnGlue
@@ -18,12 +19,13 @@ import org.apache.spark.sql.graftglue.ColumnGlue
   */
 case class HyperplaneBuckets(child: Expression, planes: Int,
     tables: Int, dim: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType)
 
   // plane matrix baked at plan construction — identical on every
-  // executor (deterministic PRNG), shipped with the serialized plan
+  // executor (deterministic PRNG), shipped with the serialized plan.
+  // Flat layout (tables*planes*dim) keeps codegen indexing simple.
   private val matrix: Array[Array[Double]] =
     Array.tabulate(tables * planes) { tp =>
       val t = tp / planes
@@ -31,6 +33,40 @@ case class HyperplaneBuckets(child: Expression, planes: Int,
       val rnd = new scala.util.Random((seed + t).toLong * 1000003L + p)
       Array.fill(dim)(rnd.nextDouble() * 2 - 1)
     }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planeMatrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val arr = ctx.freshName("vec")
+      val n = ctx.freshName("n")
+      val buckets = ctx.freshName("buckets")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val plane = ctx.freshName("plane")
+      s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $arr = $vec;
+        |int $n = java.lang.Math.min($arr.numElements(), $dim);
+        |long[] $buckets = new long[$tables];
+        |for (int $t = 0; $t < $tables; $t++) {
+        |  long b = 0L;
+        |  for (int $p = 0; $p < $planes; $p++) {
+        |    double[] $plane = $m[$t * $planes + $p];
+        |    double $dot = 0.0;
+        |    for (int $j = 0; $j < $n; $j++) {
+        |      $dot += $arr.getDouble($j) * $plane[$j];
+        |    }
+        |    if ($dot > 0) b |= (1L << $p);
+        |  }
+        |  $buckets[$t] = b;
+        |}
+        |${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
+        |""".stripMargin
+    })
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
