@@ -103,6 +103,19 @@ object Ingest {
     */
   def schemaFor(df: DataFrame): String = df.schema.json
 
+  /** `$addSchema` (reference `builtin.cljc:2219-2226`): merge two
+    * inferred schemas — union of fields, right side wins on type
+    * conflicts (the reference overlays the known schema onto learned).
+    */
+  def addSchema(base: org.apache.spark.sql.types.StructType,
+      overlay: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val overlayNames = overlay.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      base.fields.filterNot(f => overlayNames.contains(f.name)).toSeq ++
+        overlay.fields.toSeq)
+  }
+
   /** `$put` equivalent: write a frame as a named parquet dataset. */
   def put(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -24,6 +24,28 @@ class RwastSpec extends AnyFunSuite {
     assert(e.contains(""""typ": "ExpressDef""""))
   }
 
+  test("serializer is total over the conformance-suite expressions") {
+    val samples = Seq(
+      "-5", "1 & 2 & 'abc'", "($x := -5)",
+      "[{'a' : 1}, {'a' : 2}].( a + 1 )",
+      "[{'nums' : [1, 2]}, {'nums' : [3, 4]}].nums[1]",
+      "{'letter' : ['a', 'b']}.letter[$ = 'b']",
+      "$match('ab', /a(b)/)",
+      "function($x){$x+1}(3)",
+      "4 ~> function($x){$x+1}()",
+      "$reduce([1..5], function($i, $j){$i + $j}, 2)",
+      "query($n, <|keepDBid: true|>){[$DB ?e :name $n] [($contains(?x, /y/))]}",
+      "express($t){{?k : {'a' : key(?q), 'b' : $t, 'c' : [?v]}}}",
+      "/* c */ 5 > 3 ? 'big' : 'small'")
+    samples.foreach { s =>
+      val out = Rwast.toExchange(s)
+      assert(out.nonEmpty && out.startsWith("{"), s"failed for: $s")
+      // well-formed JSON
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(out)
+    }
+  }
+
   test("serialization is stable (same input, same output)") {
     val src = "($x := 5; $map([1,2], function($v){$v + $x}))"
     assert(Rwast.toExchange(src) == Rwast.toExchange(src))

@@ -32,6 +32,15 @@ class IngestSpec extends SparkSpec {
     assert(df.select(size(col("b.c"))).head().getInt(0) == 3)
     // $schemaFor: inferred schema surfaces as JSON
     assert(Ingest.schemaFor(df).contains("\"name\":\"a\""))
+    // $addSchema: union, overlay wins on conflicts
+    import org.apache.spark.sql.types._
+    val merged = Ingest.addSchema(
+      StructType(Seq(StructField("a", LongType),
+        StructField("b", StringType))),
+      StructType(Seq(StructField("b", DoubleType),
+        StructField("c", BooleanType))))
+    assert(merged.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(merged("b").dataType == DoubleType)
   }
 
   test("xml feeds the relational core: ingest -> shred -> query") {
