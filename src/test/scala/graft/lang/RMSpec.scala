@@ -105,6 +105,65 @@ class RMSpec extends SparkSpec {
     run("($f := function($x){$x+1}; $map([1,2,3], $f))", Seq(2L, 3L, 4L))
   }
 
+  test("reference string-function battery verbatim (builtin_test:46-143)") {
+    run("$base64encode('myuser:mypass')", "bXl1c2VyOm15cGFzcw==")
+    run("$base64decode('bXl1c2VyOm15cGFzcw==')", "myuser:mypass")
+    run("$contains('', '')", true)
+    run("$contains('abracadabra', 'bra')", true)
+    run("$contains('abracadabra', /a.*a/)", true)
+    run("$contains('abracadabra', /ar.*a/)", false)
+    run("$contains('Hello World', /wo/)", false)
+    run("( $v := {'Phone' : {'type' : 'mobile', 'number' : '077 7700 1234'}}; " +
+      "$v.Phone[$contains(number, /^077/)] )",
+      Map("type" -> "mobile", "number" -> "077 7700 1234"))
+    run("$decodeUrlComponent('%3Fx%3Dtest')", "?x=test")
+    run("$encodeUrlComponent('?x=test')", "%3Fx%3Dtest")
+    run("$encodeUrl('https://mozilla.org/?x=шеллы')",
+      "https://mozilla.org/?x=%D1%88%D0%B5%D0%BB%D0%BB%D1%8B")
+    run("$decodeUrl('https://mozilla.org/?x=%D1%88%D0%B5%D0%BB%D0%BB%D1%8B')",
+      "https://mozilla.org/?x=шеллы")
+    run("$eval('[1,2,3]')", Seq(1L, 2L, 3L))
+    run("$join(['a','b','c'])", "abc")
+    run("$join(['a','b','c'], ',')", "a,b,c")
+    run("$lowercase('Hello World')", "hello world")
+    run("$uppercase('Hello World')", "HELLO WORLD")
+    run("$pad('foo', 5)", "foo  ")
+    run("$pad('foo', -5)", "  foo")
+    run("$pad('foo', -5, '#')", "##foo")
+    run("$replace('John Smith and John Jones', 'John', 'Mr')",
+      "Mr Smith and Mr Jones")
+    run("$replace('John Smith', /(\\w+)\\s(\\w+)/, '$2, $1')",
+      "Smith, John")
+    run("$split('so many words', ' ')", Seq("so", "many", "words"))
+    run("$split('so many words', ' ', 2)", Seq("so", "many"))
+    run("$split('too much, punctuation. hard; to read', /[ ,.;]+/)",
+      Seq("too", "much", "punctuation", "hard", "to", "read"))
+    run("$substring('Hello World', 3)", "lo World")
+    run("$substring('Hello World', 3, 5)", "lo Wo")
+    run("$substring('Hello World', -4)", "orld")
+    run("$substring('Hello World', -4, 2)", "or")
+    run("$substringAfter('Hello World', ' ')", "World")
+    run("$substringBefore('Hello World', ' ')", "Hello")
+    run("$trim('  Hello    \\n World  ')", "Hello World")
+  }
+
+  test("reference numeric battery verbatim (builtin_test:152-209)") {
+    run("$abs(-5.5)", 5.5)
+    run("$ceil(3.2)", 4L)
+    run("$floor(-3.2)", -4L)
+    run("$formatBase(100, 2)", "1100100")
+    run("$formatNumber(12345.6789, '#,###.00')", "12,345.68")
+    run("$formatInteger(2789, 'w')",
+      "two thousand, seven hundred and eighty-nine")
+    run("$parseInteger('twelve thousand, four hundred and seventy-six', 'w')",
+      12476L)
+    run("$number('5') + 5", 10L)
+    run("$power(2, 8)", 256L)
+    run("$round(123.456, 2)", 123.46)
+    run("$round(125, -1)", 120L)
+    run("$sqrt(4)", 2L)
+  }
+
   test("builtin battery through the text surface") {
     run("$sum([1, 2, 3])", 6L)
     run("$count([1, 2, 3])", 3L)
