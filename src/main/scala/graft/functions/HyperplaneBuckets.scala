@@ -27,12 +27,7 @@ case class HyperplaneBuckets(child: Expression, planes: Int,
   // executor (deterministic PRNG), shipped with the serialized plan.
   // Flat layout (tables*planes*dim) keeps codegen indexing simple.
   private val matrix: Array[Array[Double]] =
-    Array.tabulate(tables * planes) { tp =>
-      val t = tp / planes
-      val p = tp % planes
-      val rnd = new scala.util.Random((seed + t).toLong * 1000003L + p)
-      Array.fill(dim)(rnd.nextDouble() * 2 - 1)
-    }
+    HyperplaneBuckets.matrix(planes, tables, dim, seed)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
@@ -103,4 +98,17 @@ object HyperplaneBuckets {
     ColumnGlue.column(HyperplaneBuckets(
       ColumnGlue.expression(vec.cast("array<double>")),
       planes, tables, dim, seed))
+
+  /** The deterministic plane matrix, row `t * planes + p`. Public so
+    * correctness oracles can embed the identical doubles as SQL
+    * literals (Double.toString round-trips exactly).
+    */
+  def matrix(planes: Int, tables: Int, dim: Int,
+      seed: Int): Array[Array[Double]] =
+    Array.tabulate(tables * planes) { tp =>
+      val t = tp / planes
+      val p = tp % planes
+      val rnd = new scala.util.Random((seed + t).toLong * 1000003L + p)
+      Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }
 }

@@ -119,6 +119,72 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  // ---------- portable (md5-derived) MinHash ----------
+  //
+  // Same banded-LSH shape as above, but every hash value is derived
+  // from md5 — computable bit-identically in any engine with an md5
+  // function, so the driver's DuckDB oracle can verify the *values*
+  // (Murmur3/xxhash64 above are Spark-local and gate rows-only).
+  // Minhash values are md5 hex strings compared lexicographically;
+  // min-of-strings is engine-independent.
+
+  /** Portable minhash signature: element h is the minimum of
+    * `md5("<h>:" ++ shingle)` over the shingle set.
+    */
+  def minhashSignatureMd5(sh: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      h => array_min(transform(sh,
+        s => md5(concat(h.cast("string"), lit(":"), s)))))
+
+  /** Portable band buckets: md5 of the '|'-joined band slice. */
+  def bandsMd5(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      j => struct(j.as("band"),
+        md5(array_join(slice(sig, j * r + 1, lit(r)), "|")).as("bucket")))
+
+  /** Candidate pairs via portable banded MinHash (cf.
+    * [[minhashCandidates]]).
+    */
+  def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, b: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val r = k / b
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignatureMd5(shingles(col(textCol), n), k).as("sig"))
+    val bucketed = sig
+      .select(col("id"), explode(bandsMd5(col("sig"), b, r)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val capped = bucketed
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val l = capped.as("l")
+    val rgt = capped.as("r")
+    l.join(rgt,
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+  }
+
+  /** Jaccard-verified near-dup pairs from portable candidates. */
+  def minhashDedupPairsMd5(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, b: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val cands = minhashCandidatesMd5(df, idCol, textCol, n, k, b)
+    cands
+      .join(sh.withColumnsRenamed(Map("id" -> "id1", "sh" -> "sh1")), "id1")
+      .join(sh.withColumnsRenamed(Map("id" -> "id2", "sh" -> "sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, bc: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(bc, n))
@@ -175,6 +241,63 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         hamming(col("l.sh"), col("r.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDistance)
+  }
+
+  // ---------- portable (md5-derived) SimHash ----------
+  //
+  // 64-bit SimHash where token-hash bit b is bit (b % 4) of hex digit
+  // (b / 4) of md5(token) — every operation has an exact DuckDB mirror,
+  // so the fingerprint is oracle-verifiable. The fingerprint is emitted
+  // as a 64-char '0'/'1' string (bit 0 first): portable, and avoids
+  // 2^63 sign issues a LongType packing would hit in SQL engines.
+
+  /** 64 ±1 contributions from the first 16 hex digits of an md5 hex
+    * string (4 bits per digit, LSB first within each digit).
+    */
+  private def md5BitSigns(m: Column): Column =
+    flatten(transform(sequence(lit(0), lit(15)), d => {
+      val v = conv(m.substr(d + 1, lit(1)), 16, 10).cast("int")
+      array(Seq(1, 2, 4, 8).map(mask =>
+        when(v.bitwiseAND(mask) =!= 0, 1).otherwise(-1)): _*)
+    }))
+
+  /** Portable SimHash fingerprint as a 64-char bit string. */
+  def simhashMd5(text: Column): Column = {
+    val hashes = transform(tokens(text), t => md5(t))
+    val sums = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, m) => zip_with(acc, md5BitSigns(m), (a, c) => a + c))
+    array_join(transform(sums, s => when(s > 0, "1").otherwise("0")), "")
+  }
+
+  /** Hamming distance between two 64-char bit-string fingerprints. */
+  def hammingBits(a: Column, bc: Column): Column =
+    aggregate(transform(sequence(lit(1), lit(64)),
+      i => when(a.substr(i, lit(1)) === bc.substr(i, lit(1)), 0)
+        .otherwise(1)),
+      lit(0), (s, x) => s + x)
+
+  /** Portable SimHash near-dup pairs: block on 4 × 16-char chunks of
+    * the bit string (pigeonhole for Hamming ≤ 3), verify full distance.
+    */
+  def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhashMd5(col(textCol)).as("fp"))
+    val chunks = sigs.select(col("id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          substring(col("fp"), i * 16 + 1, 16).as("val"))): _*))
+        .as("c"))
+      .select(col("id"), col("fp"), col("c.chunk"), col("c.val"))
+    val l = chunks.as("l")
+    val r = chunks.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.val") === col("r.val") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        hammingBits(col("l.fp"), col("r.fp")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDistance)
   }

@@ -37,23 +37,29 @@ object Multimodal {
       (length(text) % 480 + 32).cast("int").as("height"),
       (length(text).cast("long") * 10).as("duration_ms")).as("meta"))
 
-  /** STUB decoder: deterministic features from byte stripes. A real
-    * implementation would hand each batch to a native decoder (JNI /
-    * FFI) with exactly this signature — Array of payloads in, Array of
-    * feature vectors out.
+  /** STUB decoder: deterministic features from payload codepoint
+    * stripes. A real implementation would hand each batch to a native
+    * decoder (JNI / FFI) with exactly this signature — Array of
+    * payloads in, Array of feature vectors out.
+    *
+    * The fake is chosen to be oracle-reproducible: per-codepoint
+    * contributions are position-independent hashes (no sequential
+    * state), slot sums stay integral (< 2^24, exact in Float), so a
+    * plain SQL engine computes identical features.
     */
   private[pipeline] def stubDecodeBatch(payloads: Seq[Array[Byte]],
       dim: Int): Seq[Array[Float]] =
     payloads.map { bytes =>
-      val out = new Array[Float](dim)
+      val sums = new Array[Long](dim)
+      val cps = new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8).codePoints.toArray
       var i = 0
-      var h = 2166136261L.toInt // FNV offset basis
-      while (i < bytes.length) {
-        h = (h ^ bytes(i)) * 16777619
-        out(i % dim) += (h % 1000) / 1000.0f
+      while (i < cps.length) {
+        sums(i % dim) += (cps(i).toLong * 2654435761L +
+          i.toLong * 40503L) % 1000L
         i += 1
       }
-      out
+      sums.map(_.toFloat)
     }
 
   /** Batched feature extraction over a binary column: the Scala

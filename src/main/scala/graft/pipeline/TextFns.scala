@@ -97,6 +97,18 @@ object TextFns {
     array_min(transform(grams, g => xxhash64(g)))
   }
 
+  /** Portable variant of [[fingerprint]]: min over md5 hex strings of
+    * the 8-grams — same content-defined semantics, oracle-computable
+    * (lexicographic min of md5 strings is engine-independent).
+    */
+  def fingerprintMd5(text: Column, gram: Int = 8): Column = {
+    val norm = Dedup.normalize(text)
+    val grams = when(length(norm) < gram, array(norm))
+      .otherwise(transform(sequence(lit(1), length(norm) - (gram - 1)),
+        i => substring(norm, i, lit(gram))))
+    array_min(transform(grams, g => md5(g)))
+  }
+
   /** Exact content hash of normalized text (md5 — portable across
     * engines for oracle checks).
     */

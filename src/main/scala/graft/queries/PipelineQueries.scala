@@ -3,12 +3,15 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.HyperplaneBuckets
 import graft.pipeline.{Ann, Dedup, TextFns}
 
 /** Training-data pipeline operators over documents/embeddings as gate
-  * entries. md5-based exact dedup and the text statistics are DuckDB-
-  * checked; MinHash/SimHash/LSH outputs depend on Spark's hash functions
-  * (not portable) and are registered rows-only, with their semantics
+  * entries. Every entry is DuckDB-hash-checked: the dedup/LSH gates use
+  * the portable md5-derived hash family (`Dedup.*Md5`) whose values an
+  * SQL engine reproduces exactly, and the hyperplane gates embed the
+  * deterministic plane matrix as SQL literals. The engine-native
+  * (Murmur3/xxhash64) variants stay the production fast path and are
   * covered by PipelineSpec.
   */
 object PipelineQueries {
@@ -45,44 +48,55 @@ object PipelineQueries {
       TextFns.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  /** MinHash near-dup candidate pairs (rows-only: Murmur3-dependent).
-    * Emits signatures alongside so the row count is stable (one per
-    * doc) even when the corpus has no near-dups.
+  /** Portable banded-MinHash near-dup: first signature element + the
+    * count of Jaccard-verified (≥ 0.8) partners per doc (counted on the
+    * smaller id). k=32 hashes in 8 bands of 4 — collision probability
+    * at s=0.8 is 1-(1-0.8^4)^8 ≈ 0.985, and candidates are verified
+    * exactly, so parameters only shape recall, which the oracle mirrors
+    * by construction.
     */
   def pMinhash(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
     val sigs = doc.select(col("doc_id"),
-      element_at(Dedup.minhashSignature(
-        Dedup.shingles(col("text")), 64), 1).as("minhash0"))
-    val pairs = Dedup.minhashDedupPairs(doc, "doc_id", "text",
-      threshold = 0.8)
-      .select(col("id1").as("doc_id"),
-        col("id2").cast("long").as("dup_of"))
-    sigs.join(pairs.groupBy("doc_id")
+      element_at(Dedup.minhashSignatureMd5(
+        Dedup.shingles(col("text")), 32), 1).as("minhash0"))
+    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
+      n = 3, k = 32, b = 8, threshold = 0.8)
+    sigs.join(pairs.groupBy(col("id1").as("doc_id"))
         .agg(count(lit(1)).as("n_dups")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dups"))
       .orderBy("doc_id")
   }
 
-  /** SimHash fingerprints + near-dup distances (rows-only). */
-  def pSimhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
-      Dedup.simhash(col("text")).as("simhash"),
-      TextFns.fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
-
-  /** Embedding near-dup pairs via hyperplane LSH (rows-only; emits
-    * per-vector buckets so rows are stable).
+  /** Portable SimHash fingerprints (64-char bit strings), the md5
+    * 8-gram content fingerprint, and Hamming≤3 partner counts.
     */
-  def pEmbedDup(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    emb.select(col("vec_id"),
-      Dedup.hyperplaneBucket(col("embedding").cast("array<double>"), 12)
-        .as("bucket"))
-      .orderBy("vec_id")
+  def pSimhash(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val fps = doc.select(col("doc_id"),
+      Dedup.simhashMd5(col("text")).as("fp"),
+      TextFns.fingerprintMd5(col("text")).as("gram_fp"))
+    val pairs = Dedup.simhashPairsMd5(doc, "doc_id", "text", 3)
+    fps.join(pairs.groupBy(col("id1").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dups"))
+      .orderBy("doc_id")
   }
 
-  /** ANN: LSH top-k neighbors for the first 20 vectors (rows-only). */
+  /** Hyperplane-LSH bucket per embedding (12 planes, seed 42) — the
+    * bucketing that drives embedding near-dup; the oracle recomputes it
+    * from the identical plane literals.
+    */
+  def pEmbedDup(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      element_at(HyperplaneBuckets(col("embedding"), 12, 1, 64, 42), 1)
+        .as("bucket"))
+      .orderBy("vec_id")
+
+  /** ANN: LSH top-k neighbors for the first 20 vectors. Fully
+    * oracle-checked: the 8×4 plane matrix is embedded in the SQL, so
+    * DuckDB reproduces candidate generation and the cosine ranking.
+    */
   def pAnnTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val queries = emb.orderBy("vec_id").limit(20)
@@ -114,9 +128,9 @@ object PipelineQueries {
       .select(col("doc_id"), col("extracted"))
       .orderBy("doc_id")
 
-  /** Multimodal plumbing over documents (rows-only: the decode is a
-    * deterministic stub per the brief; the schema, batched
-    * mapPartitions shape, and frame-sampling explode are real).
+  /** Multimodal plumbing over documents: the decode stub produces
+    * integral per-stripe sums (exact in Float), so the feature value is
+    * oracle-checked alongside the metadata math and frame sampling.
     */
   def pMultimodal(s: SparkSession, d: String): DataFrame = {
     import graft.pipeline.Multimodal
@@ -134,7 +148,8 @@ object PipelineQueries {
       .join(feats, "doc_id")
       .join(frames, "doc_id")
       .select(col("doc_id"), col("width"), col("resized_w"),
-        element_at(col("features"), 1).as("f0"), col("n_frames"))
+        element_at(col("features"), 1).cast("long").as("f0"),
+        col("n_frames"))
       .orderBy("doc_id")
   }
 
@@ -168,6 +183,36 @@ object PipelineQueries {
     """list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"""
   private def swCount(ws: Seq[String]) =
     s"len(list_filter($toks, x -> x IN ${swList(ws)}))"
+
+  /** Word 3-gram shingles over the normalized tokens — mirrors
+    * `Dedup.shingles` (sequence bounds line up: Spark's inclusive
+    * sequence(0, len-3) is DuckDB's exclusive range(0, len-2)).
+    */
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len($toks) < 3
+       | THEN [array_to_string($toks, ' ')]
+       | ELSE list_transform(range(0, len($toks) - 2),
+       |   i -> array_to_string(list_slice($toks, i + 1, i + 3), ' '))
+       | END)""".stripMargin
+
+  /** `(t, p, [w...])` VALUES rows of the deterministic hyperplane
+    * matrix — identical doubles to the ones baked into the Spark plan
+    * (Double.toString round-trips exactly and DuckDB parses E-notation).
+    */
+  private def planesValues(planes: Int, tables: Int, dim: Int,
+      seed: Int): String =
+    HyperplaneBuckets.matrix(planes, tables, dim, seed).zipWithIndex
+      .map { case (w, tp) =>
+        s"(${tp / planes}, ${tp % planes}, [${w.mkString(", ")}])"
+      }.mkString(", ")
+
+  /** Bucket id of vector list `vref` against the planes CTE rows of
+    * one table: sum of 2^p over planes with positive dot product.
+    */
+  private def bucketExpr(vref: String) =
+    s"""CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+       |  i -> $vref[i] * pl.w[i])) > 0
+       |  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "p_llm_extract" ->
@@ -218,6 +263,137 @@ object PipelineQueries {
          |      ELSE 0.0 END AS sr
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "p_minhash" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 32),
+         |    h -> list_min(list_transform(sh,
+         |      s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sig
+         |  FROM base),
+         |bands AS (
+         |  SELECT doc_id, bb.band, md5(array_to_string(
+         |    list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4), '|')) AS bucket
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
+         |capped AS (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n
+         |    FROM bands) WHERE n <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.bucket = r.bucket
+         |    AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT c.id1 FROM cand c
+         |  JOIN base b1 ON c.id1 = b1.doc_id
+         |  JOIN base b2 ON c.id2 = b2.doc_id
+         |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
+         |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)
+         |SELECT s.doc_id, s.sig[1] AS minhash0,
+         |  coalesce(p.n_dups, 0) AS n_dups
+         |FROM sigs s LEFT JOIN (
+         |  SELECT id1 AS doc_id, count(*) AS n_dups FROM pairs
+         |  GROUP BY 1) p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "p_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, md5(t) AS m FROM (
+         |    SELECT doc_id, unnest($toks) AS t FROM documents)),
+         |sums AS (
+         |  SELECT doc_id, bb.b, sum(CASE WHEN
+         |    ((strpos('0123456789abcdef', substr(m, bb.b // 4 + 1, 1)) - 1)
+         |      >> (bb.b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |fps AS (
+         |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+         |    '' ORDER BY b) AS fp
+         |  FROM sums GROUP BY doc_id),
+         |allfp AS (
+         |  SELECT d.doc_id, coalesce(f.fp, repeat('0', 64)) AS fp
+         |  FROM documents d LEFT JOIN fps f USING (doc_id)),
+         |chunks AS (
+         |  SELECT doc_id, fp, cc.c AS chunk,
+         |    substr(fp, cc.c * 16 + 1, 16) AS val
+         |  FROM allfp, (SELECT unnest(range(0, 4)) AS c) cc),
+         |spairs AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |    l.fp AS fp1, r.fp AS fp2
+         |  FROM chunks l JOIN chunks r
+         |    ON l.chunk = r.chunk AND l.val = r.val
+         |    AND l.doc_id < r.doc_id),
+         |neardup AS (
+         |  SELECT id1 FROM spairs
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN substr(fp1, i, 1) = substr(fp2, i, 1)
+         |      THEN 0 ELSE 1 END)) <= 3),
+         |gfp AS (
+         |  SELECT doc_id, CASE WHEN length(nrm) < 8 THEN md5(nrm)
+         |    ELSE list_min(list_transform(range(1, length(nrm) - 6),
+         |      i -> md5(substr(nrm, i, 8)))) END AS gram_fp
+         |  FROM (SELECT doc_id, $norm AS nrm FROM documents))
+         |SELECT a.doc_id, a.fp, g.gram_fp, coalesce(p.n_dups, 0) AS n_dups
+         |FROM allfp a
+         |JOIN gfp g USING (doc_id)
+         |LEFT JOIN (SELECT id1 AS doc_id, count(*) AS n_dups FROM neardup
+         |  GROUP BY 1) p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "p_embed_dup" ->
+      s"""WITH planes(t, p, w) AS (VALUES ${planesValues(12, 1, 64, 42)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |SELECT e.vec_id, ${bucketExpr("e.v")} AS bucket
+         |FROM emb e CROSS JOIN planes pl
+         |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin,
+    "p_ann_topk" ->
+      s"""WITH planes(t, p, w) AS (VALUES ${planesValues(4, 8, 64, 7000)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |buckets AS (
+         |  SELECT e.vec_id, pl.t AS tbl, ${bucketExpr("e.v")}
+         |    AS bucket
+         |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buckets qb
+         |  JOIN qids ON qb.vec_id = qids.vec_id
+         |  JOIN buckets cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+         |  WHERE qb.vec_id <> cb.vec_id),
+         |ranked AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC,
+         |        c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN emb q ON c.query_id = q.vec_id
+         |  JOIN emb n ON c.neighbor_id = n.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "p_multimodal" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, sum(CASE WHEN (i - 1) % 8 = 0
+        |    THEN (unicode(substr(text, i, 1)) * 2654435761
+        |      + (i - 1) * 40503) % 1000 ELSE 0 END) AS f0
+        |  FROM pos GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) % 640 + 32 AS INT) AS width,
+        |    CAST(length(text) % 480 + 32 AS INT) AS height,
+        |    length(text) * 10 AS dur
+        |  FROM documents)
+        |SELECT m.doc_id, m.width,
+        |  CAST(CASE WHEN greatest(m.width, m.height) > 64
+        |    THEN trunc(m.width * (64.0 / greatest(m.width, m.height)))
+        |    ELSE m.width END AS INT) AS resized_w,
+        |  CAST(coalesce(f.f0, 0) AS BIGINT) AS f0,
+        |  CAST(dur // 5000 + 1 AS BIGINT) AS n_frames
+        |FROM m LEFT JOIN f USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
     "p_ann_brute" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
