@@ -94,36 +94,46 @@ object QueryBridge {
         QueryCompiler.runBoxed(sources, pats, predFns, keepDBid)))
   }
 
-  /** Boxed (v, vt) binding frame → typed frame via JSON rendering. */
+  /** Boxed (v, vt) binding frame → typed frame, fully distributed.
+    *
+    * The result schema needs one runtime fact per column — the set of
+    * value-kind tags (and, for numbers, whether every value is
+    * integral). That is ONE tiny aggregate job (map-side partial
+    * `collect_set` over ≤4 tags per column); the binding data itself is
+    * never collected, so a query mixing a literal lookup list with a
+    * full-size table stays distributed end-to-end. Typing then is a
+    * per-column `cast` in the plan — same result as the previous
+    * JSON-render-and-infer bridge (num → long when all integral else
+    * double, bool → boolean, str/ref pass through, all-null columns
+    * dropped), minus the driver materialization.
+    */
   private def typedBsets(spark: SparkSession, boxed: DataFrame): DataFrame = {
-    import spark.implicits._
     val cols = boxed.columns
-    val rows = boxed.collect().toSeq.map { r =>
-      cols.zipWithIndex.flatMap { case (c, i) =>
-        Option(r.getStruct(i)).map { s =>
-          val (v, vt) = (s.getString(0), s.getString(1))
-          val rendered = vt match {
-            case "num" | "bool" => v
-            case _ => jsonQuote(v)
-          }
-          jsonQuote(c) + ": " + rendered
-        }
-      }.mkString("{", ",", "}")
+    if (cols.isEmpty) return boxed
+    val aggs = cols.flatMap { c =>
+      Seq(
+        collect_set(col(c).getField("vt")).as(s"${c}__vt"),
+        min(when(col(c).getField("vt") === "num",
+          col(c).getField("v").rlike("^-?\\d+$").cast("int")))
+          .as(s"${c}__int"))
     }
-    if (rows.isEmpty) spark.emptyDataFrame
-    else spark.read.json(rows.toDS())
+    val facts = boxed.agg(aggs.head, aggs.tail: _*).head()
+    val out = cols.flatMap { c =>
+      val vts = facts.getAs[scala.collection.Seq[String]](s"${c}__vt").toSet
+      if (vts.isEmpty) None // all-null column: same as the JSON bridge
+      else {
+        val v = col(c).getField("v")
+        val typed =
+          if (vts == Set("num"))
+            if (facts.getAs[Int](s"${c}__int") == 1) v.cast("long")
+            else v.cast("double")
+          else if (vts == Set("bool")) v.cast("boolean")
+          else v
+        Some(typed.as(c))
+      }
+    }
+    if (out.isEmpty) spark.emptyDataFrame else boxed.select(out.toSeq: _*)
   }
-
-  private def jsonQuote(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 
   /** express{} template AST → Express.XObj; `subst` carries bound
     * `$param` literals (`express-sub`, builtin.cljc:1930-1938).

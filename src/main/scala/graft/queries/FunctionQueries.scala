@@ -183,7 +183,26 @@ object FunctionQueries {
       s, Map("customer" -> Tables.customer(s, d)))
       .orderBy("name")
 
+  /** Text query{} mixing a REAL table with a program-literal lookup
+    * list — exercises the typed-restore path (QueryBridge.typedBsets).
+    * The oracle pins the restored types (pri → long, bal → double) and
+    * PlanSpec pins that the result still streams from the parquet scan
+    * (the joined output is never collected to the driver).
+    */
+  def qRmMixed(s: SparkSession, d: String): DataFrame =
+    graft.lang.RM.queryFrame(
+      """( $segs := [{'seg': 'BUILDING', 'pri': 1},
+        |            {'seg': 'AUTOMOBILE', 'pri': 2}];
+        |  query(){[$DBc ?c :c_mktsegment ?seg]
+        |          [$DBc ?c :c_name ?name]
+        |          [$DBc ?c :c_acctbal ?bal]
+        |          [$DBs ?x :seg ?seg]
+        |          [$DBs ?x :pri ?pri]}($customer, $segs) )""".stripMargin,
+      s, Map("customer" -> Tables.customer(s, d)))
+      .orderBy("name")
+
   val all: Map[String, Q] = Map(
+    "q_rm_mixed" -> (qRmMixed _),
     "f_rm_query" -> (fRmQuery _),
     "f_rm_expr" -> (fRmExpr _),
     "f_path_steps" -> (fPathSteps _),
@@ -196,6 +215,13 @@ object FunctionQueries {
     "f_regex" -> (fRegex _))
 
   val oracles: Map[String, String] = Map(
+    "q_rm_mixed" ->
+      """SELECT DISTINCT c_mktsegment AS seg, c_name AS name,
+        |  c_acctbal AS bal, CAST(s.pri AS BIGINT) AS pri
+        |FROM customer
+        |JOIN (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2)) s(seg, pri)
+        |  ON c_mktsegment = s.seg
+        |ORDER BY name""".stripMargin,
     "f_rm_query" ->
       """SELECT c_name AS name,
         |  CASE WHEN c_acctbal = CAST(CAST(c_acctbal AS BIGINT) AS DOUBLE)

@@ -47,6 +47,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"unexpected explode:\n$p")
   }
 
+  test("mixed literal+table query streams from the parquet scan") {
+    val p = plan("q_rm_mixed")
+    assert(p.contains("parquet"),
+      s"customer side must stream from files (no driver collect):\n$p")
+    assert(p.contains("Join"), s"expected a distributed join:\n$p")
+  }
+
   test("function queries prune the scan") {
     val p = plan("f_string")
     assert(!p.contains("p_retailprice") && !p.contains("p_size"),
