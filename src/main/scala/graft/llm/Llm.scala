@@ -50,23 +50,26 @@ object Llm {
 
   /** `$llmExtract(df, textCol, instruction)` → df + `extracted` column.
     *
-    * Distinct (hash of text) values are sent once, answers re-join on
-    * the hash: the expensive side scales with *unique* inputs.
+    * Unique texts are sent once and answers re-join — with the
+    * 128-bit content hash `md5(text)` as the dedup and join key on
+    * both sides, so multi-KB documents never become shuffle/join keys
+    * (the text itself rides along only to the model call).
     */
   def extract(df: DataFrame, textCol: String, instruction: String,
       client: LlmClient = new ReplayClient, batch: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val uniq = df.select(col(textCol).as("__text")).distinct()
-      .as[String]
+    val withH = df.withColumn("__h", md5(col(textCol)))
+    val uniq = withH.select(col("__h"), col(textCol).as("__text"))
+      .dropDuplicates("__h")
+      .as[(String, String)]
     val answered = uniq.mapPartitions { it =>
-      it.grouped(batch).flatMap { texts =>
-        val prompts = texts.map(t => s"$instruction\nTEXT: $t")
-        texts.zip(client.complete(prompts))
+      it.grouped(batch).flatMap { pairs =>
+        val prompts = pairs.map(p => s"$instruction\nTEXT: ${p._2}")
+        pairs.map(_._1).zip(client.complete(prompts))
       }
-    }.toDF("__text", "extracted")
-    df.join(answered, df(textCol) === answered("__text"), "left")
-      .drop("__text")
+    }.toDF("__h", "extracted")
+    withH.join(answered, Seq("__h"), "left").drop("__h")
   }
 
   /** `$llmMatch`: derive a field mapping between two flat schemas. The

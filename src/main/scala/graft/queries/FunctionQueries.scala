@@ -92,20 +92,33 @@ object FunctionQueries {
       .orderBy("l_orderkey")
   }
 
-  /** §2.7 objects: events.props JSON → map, object functions with oracle
-    * parity through DuckDB's JSON functions.
+  /** §2.7 objects: events.props JSON → map, widened in-query to a
+    * 3-key map with computed entries so every object-function oracle
+    * DISCRIMINATES (the raw fixture has one key per row, which made
+    * reduceKV/assoc checks tautological): vsum sums three distinct
+    * values, assoc/update/sift results vary per row, and merge is
+    * exercised with an overlapping key in both override directions.
     */
   def fObject(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val e = Tables.events(s, d)
-    val m = from_json(col("props"),
+    val m0 = from_json(col("props"),
       org.apache.spark.sql.types.DataType.fromDDL("map<string,long>"))
+    val m = Jsonata.merge(m0,
+      map(lit("q1"), col("event_id") % 7, lit("q2"), col("event_id") % 11))
     e.select(
       col("event_id"),
       Jsonata.lookup(m, lit("k")).as("kval"),
       size(Jsonata.keys(m)).cast("long").as("nk"),
-      Jsonata.join(json_object_keys(col("props")), ",").as("ks"),
-      Jsonata.lookup(Jsonata.assoc(m, lit("x"), lit(42L)), lit("x")).as("xval"),
-      Jsonata.reduceKV(m, lit(0L), (acc, _, v) => acc + v).as("vsum"))
+      Jsonata.join(Jsonata.keys(m).cast("array<string>"), ",").as("ks"),
+      Jsonata.lookup(Jsonata.assoc(m, lit("x"), col("event_id") % 5),
+        lit("x")).as("xval"),
+      Jsonata.reduceKV(m, lit(0L), (acc, _, v) => acc + v).as("vsum"),
+      Jsonata.lookup(Jsonata.merge(map(lit("k"), lit(-1L)), m0), lit("k"))
+        .as("mval"),
+      size(Jsonata.sift(m, (v, _) => v >= 7)).cast("long").as("nsift"),
+      Jsonata.lookup(Jsonata.update(m, lit("q1"), v => v * 10), lit("q1"))
+        .as("upd"))
       .orderBy("event_id")
   }
 
@@ -301,13 +314,19 @@ object FunctionQueries {
         |      FROM lineitem GROUP BY l_orderkey)
         |ORDER BY l_orderkey""".stripMargin,
     "f_object" ->
-      """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval,
-        |  len(json_keys(props)) AS nk,
-        |  array_to_string(json_keys(props), ',') AS ks,
-        |  42 AS xval,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS vsum
-        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, kv AS kval,
+        |  len(json_keys(props)) + 2 AS nk,
+        |  array_to_string(json_keys(props) || ['q1', 'q2'], ',') AS ks,
+        |  event_id % 5 AS xval,
+        |  kv + event_id % 7 + event_id % 11 AS vsum,
+        |  kv AS mval,
+        |  len(list_filter([kv, event_id % 7, event_id % 11],
+        |    v -> v >= 7)) AS nsift,
+        |  (event_id % 7) * 10 AS upd
+        |FROM (SELECT *,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "f_truthy" ->
       """SELECT doc_id,
         |  length(text) > 0 AS tb_text,

@@ -54,6 +54,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), s"expected a distributed join:\n$p")
   }
 
+  test("llm extract dedups and re-joins on the content hash") {
+    val p = plan("p_llm_extract")
+    assert("Join \\[__h#\\d+\\], \\[__h#\\d+\\]".r.findFirstIn(p).isDefined,
+      s"answer re-join must key on md5(text), not the text:\n$p")
+    assert(!"Join \\[__text".r.findFirstIn(p).isDefined, p)
+  }
+
   test("function queries prune the scan") {
     val p = plan("f_string")
     assert(!p.contains("p_retailprice") && !p.contains("p_size"),
