@@ -32,6 +32,11 @@ object Ast {
   final case class Filter(src: Expr, pred: Expr) extends Expr
   /** parenthesized expression used as a path step */
   final case class Parens(body: Expr) extends Expr
+  /** `src{k: v, ...}` / `src.{k: v, ...}` — reduce (grouping) step:
+    * group elements by key expr, value expr runs once per group with
+    * `$` = the group sequence (reference parse.cljc:834-839).
+    */
+  final case class ReduceExp(pairs: Seq[(Expr, Expr)]) extends Expr
 
   final case class FnCall(name: String, args: Seq[Expr]) extends Expr
 

@@ -326,6 +326,43 @@ object Compiler {
           case _ => fail(s"function step over sequences: use $$map")
         }
 
+      case ReduceExp(pairs) =>
+        // JSONata object grouping (reference parse.cljc:834-839, its
+        // conformance case builtin_test.cljc:610-615): group elements
+        // by the key expression; each value expression evaluates once
+        // per GROUP with `$` bound to the group sequence — so
+        // `$sum(Price)` aggregates the group and `$.(Price*Quantity)`
+        // maps over it. Elements whose key is null contribute nothing.
+        val xs = s.kind match {
+          case KScalar => array(s.col)
+          case KNested(_) => flatten(s.col)
+          case _ => s.col
+        }
+        val built = pairs.map { case (kExpr, vExpr) =>
+          def keyOf(x: Column): Column =
+            materialize(compile(kExpr,
+              env + ("" -> CD(x, s.dt, KScalar)))).col.cast("string")
+          var valueDt: DataType = null
+          var valueSeqy = false
+          val keys = filter(array_distinct(transform(xs, keyOf(_))),
+            _.isNotNull)
+          val entries = transform(keys, k => {
+            val g = filter(xs, x => keyOf(x) === k)
+            val v = materialize(compile(vExpr,
+              env + ("" -> CD(g, s.dt, KSeq))))
+            valueDt = v.dt
+            valueSeqy = v.kind != KScalar
+            struct(k.as("key"), v.col.as("value"))
+          })
+          (entries, valueDt, valueSeqy)
+        }
+        val (dts, seqys) = (built.map(_._2).distinct, built.map(_._3).distinct)
+        if (dts.size > 1 || seqys.size > 1)
+          fail("reduce-step value expressions must agree in type")
+        val vt = if (seqys.head) ArrayType(dts.head) else dts.head
+        CD(map_from_entries(built.map(_._1).reduceLeft(concat(_, _))),
+          MapType(StringType, vt), KScalar)
+
       case other => fail(s"unsupported path step $other")
     }
   }

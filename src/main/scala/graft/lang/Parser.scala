@@ -19,7 +19,7 @@ object Parser {
   // binding powers: higher binds tighter (inverse of the reference's
   // table but same ordering)
   private val bp: Map[String, Int] = Map(
-    "." -> 100, "[" -> 100,
+    "." -> 100, "[" -> 100, "{" -> 100,
     "*" -> 80, "/" -> 80, "%" -> 80,
     "+" -> 70, "-" -> 70, "&" -> 70, ".." -> 70,
     "in" -> 60, "~>" -> 60,
@@ -91,6 +91,8 @@ object Parser {
         if (peekOp("(")) { next(); PathStep(left, Parens(parenOrBlockBody())) }
         else if (peekOp("[")) {
           next(); PathStep(left, arrayLit())
+        } else if (peekOp("{")) {
+          next(); PathStep(left, reduceExp())
         } else {
           val stepTok = next()
           val step = stepTok match {
@@ -106,6 +108,11 @@ object Parser {
           }
           PathStep(left, step)
         }
+      case "{" =>
+        // grouping applied directly: `Product{k : v}` — the reference
+        // keeps reduce and object construction syntactically identical
+        // (parse.cljc:822-840); infix position disambiguates.
+        PathStep(left, reduceExp())
       case "[" =>
         val pred = expr(0)
         expect("]")
@@ -196,7 +203,7 @@ object Parser {
       ArrLit(items.result())
     }
 
-    private def objectLit(): Expr = {
+    private def objectPairs(): Seq[(Expr, Expr)] = {
       val pairs = Seq.newBuilder[(Expr, Expr)]
       if (!peekOp("}")) {
         def pair(): Unit = {
@@ -208,8 +215,13 @@ object Parser {
         while (peekOp(",")) { next(); pair() }
       }
       expect("}")
-      ObjLit(pairs.result())
+      pairs.result()
     }
+
+    private def objectLit(): Expr = ObjLit(objectPairs())
+
+    /** `{k: v, ...}` in step position — the `{` is already consumed. */
+    private def reduceExp(): Expr = ReduceExp(objectPairs())
 
     /** `query($p1, ...){ [pattern]* }` — returns a (possibly
       * parameterized) query function (parse.cljc:1112-1131).

@@ -26,6 +26,12 @@ object Rwast {
       obj("typ" -> q("Obj"), "pairs" -> arr(pairs.map { case (k, v) =>
         obj("key" -> render(k), "val" -> render(v))
       }))
+    case ReduceExp(pairs) =>
+      // reference rwast keeps ReduceExp distinct from ObjExp even
+      // though the surface syntax is shared (parse.cljc:822-840)
+      obj("typ" -> q("ReduceExp"), "pairs" -> arr(pairs.map { case (k, v) =>
+        obj("key" -> render(k), "val" -> render(v))
+      }))
     case Ident(n) => obj("typ" -> q("Field"), "name" -> q(n))
     case VarRef(n) => obj("typ" -> q("Var"), "name" -> q(n))
     case QvarRef(n) => obj("typ" -> q("Qvar"), "name" -> q(n))

@@ -107,7 +107,30 @@ object ExpressQueries {
       .select(col("region"), to_json(col("nations")).as("nations_json"))
       .orderBy("region")
 
+  /** `.{...}` reduce (grouping) step through the text surface, at
+    * table scale: per-order line items grouped by return flag with a
+    * per-group aggregate, the resulting map exploded back to rows so
+    * the oracle compares relationally (key order irrelevant).
+    */
+  def qReduceStep(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val base = l.groupBy("l_orderkey")
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_returnflag"))))
+        .as("its"))
+      .select(col("l_orderkey"),
+        transform(col("its"), x => struct(
+          x.getField("l_returnflag").as("flag"),
+          x.getField("l_quantity").cast("long").as("qty"))).as("items"))
+    graft.lang.RM.evalCol("items{flag : $sum(qty)}", base,
+        keep = Seq("l_orderkey"))
+      .select(col("l_orderkey"),
+        explode(col("value")).as(Seq("flag", "qty_sum")))
+      .orderBy("l_orderkey", "flag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_reduce_step" -> (qReduceStep _),
     "q_rm_e2e" -> (qRmE2e _),
     "q_express_reduce" -> (qExpressReduce _),
     "q_express_nested" -> (qExpressNested _),
@@ -115,6 +138,10 @@ object ExpressQueries {
     "q_express_map_keys" -> (qExpressMapKeys _))
 
   val oracles: Map[String, String] = Map(
+    "q_reduce_step" ->
+      """SELECT l_orderkey, l_returnflag AS flag,
+        |  sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rm_e2e" ->
       """SELECT r_name AS region,
         |  to_json(list(struct_pack(nation := n_name) ORDER BY n_name))

@@ -1,0 +1,67 @@
+package graft.lang
+
+import graft.SparkSpec
+
+/** `src{k : v}` / `src.{k : v}` reduce (grouping) step — reference
+  * grammar parse.cljc:834-839; semantics per the JSONata grouping the
+  * reference targets in its (NYI-disabled) conformance case
+  * builtin_test.cljc:610-615: group by key expr, value expr runs once
+  * per group with `$` bound to the group sequence.
+  */
+class ReduceStepSpec extends SparkSpec {
+
+  private def run(src: String, expected: Any): Unit = {
+    val got = RM.eval(src, spark)
+    assert(got.contains(expected),
+      s"""RM "$src" => $got, expected Some($expected)""")
+  }
+
+  private val orders =
+    """$o := [{'cat': 'hat',  'price': 10, 'qty': 2},
+      |       {'cat': 'coat', 'price': 50, 'qty': 1},
+      |       {'cat': 'hat',  'price': 5,  'qty': 4}];""".stripMargin
+
+  test("group-by with aggregate value") {
+    run(s"($orders $$o{cat : $$sum(price)})",
+      Map("hat" -> 15L, "coat" -> 50L))
+  }
+
+  test("dotted form `.{...}` is the same step") {
+    run(s"($orders $$o.{cat : $$sum(price)})",
+      Map("hat" -> 15L, "coat" -> 50L))
+  }
+
+  test("value expr maps over the group sequence") {
+    run(s"($orders $$o{cat : $$.(price * qty)})",
+      Map("hat" -> Seq(20L, 20L), "coat" -> Seq(50L)))
+  }
+
+  test("count per group via $count") {
+    run(s"($orders $$o{cat : $$count($$)})",
+      Map("hat" -> 2L, "coat" -> 1L))
+  }
+
+  test("computed (non-field) key expression") {
+    run(s"($orders $$o{price > 20 ? 'exp' : 'cheap' : $$sum(qty)})",
+      Map("cheap" -> 6L, "exp" -> 1L))
+  }
+
+  test("multiple kv-pairs with distinct keys merge") {
+    run("[{'k':'a','v':1},{'k':'b','v':2}]{k : $sum(v), k & '!' : $sum(v)}",
+      Map("a" -> 1L, "b" -> 2L, "a!" -> 1L, "b!" -> 2L))
+  }
+
+  test("grouping after a path step (reference test shape)") {
+    run(
+      """( $data := {'Order': [
+        |    {'Product': [{'name': 'Bowler', 'Price': 68.9},
+        |                 {'name': 'Trilby', 'Price': 21.67}]},
+        |    {'Product': [{'name': 'Bowler', 'Price': 68.9}]}]};
+        |  $data.Order.Product{name : $sum(Price)} )""".stripMargin,
+      Map("Bowler" -> 137.8, "Trilby" -> 21.67))
+  }
+
+  test("scalar context groups as a singleton") {
+    run("{'cat': 'x', 'price': 3}{cat : $sum(price)}", Map("x" -> 3L))
+  }
+}
