@@ -77,17 +77,26 @@ object Compiler {
       } else {
         val ds = cvs.map { case d: CD => d
           case _ => fail("function in array literal") }
-        if (ds.forall(_.kind == KScalar)) {
-          val dt = unifyType(ds.map(_.dt))
-          CD(array(ds.map(d => d.col.cast(dt)): _*), dt, KJson)
-        } else if (ds.forall(d => d.kind != KScalar)) {
-          // array of arrays: [[1,2,3],[4]]
-          val dt = unifyType(ds.map(_.dt))
-          CD(array(ds.map(d => d.col.cast(ArrayType(dt))): _*),
-            ArrayType(dt), KJson)
-        } else fail(
-          "heterogeneous array literals (mixed scalars and arrays) " +
-            "are outside Spark's type system; use the EAV path")
+        val homogeneous: Option[CD] =
+          try {
+            if (ds.forall(_.kind == KScalar)) {
+              val dt = unifyType(ds.map(_.dt))
+              Some(CD(array(ds.map(d => d.col.cast(dt)): _*), dt, KJson))
+            } else if (ds.forall(d => d.kind != KScalar)) {
+              // array of arrays: [[1,2,3],[4]]
+              val dt = unifyType(ds.map(_.dt))
+              Some(CD(array(ds.map(d => d.col.cast(ArrayType(dt))): _*),
+                ArrayType(dt), KJson))
+            } else None
+          } catch { case _: IllegalArgumentException => None }
+        homogeneous.getOrElse {
+          // heterogeneous sequence (mixed kinds, or element types
+          // Spark's arrays can't unify — the reference's dynamic model
+          // allows them freely, builtin_test.cljc:18-42): VariantType
+          // channel. Each element becomes a variant; RM's finalizer
+          // restores plain values, so jflatten sees ordinary nesting.
+          CD(array(ds.map(variantOf): _*), VariantType, KJson)
+        }
       }
 
     case ObjLit(pairs) =>
@@ -526,6 +535,19 @@ object Compiler {
     case KScalar => d.dt
     case KJson | KSeq => ArrayType(d.dt)
     case KNested(_) => ArrayType(ArrayType(d.dt))
+  }
+
+  /** Arbitrary typed column → VariantType. Scalars box through a
+    * one-field struct (to_json can't render bare scalars); arrays and
+    * maps go straight through the JSON round trip. The rendering is
+    * plan-side only — no driver evaluation.
+    */
+  private def variantOf(d: CD): Column = d.dt match {
+    case VariantType if d.kind == KScalar => d.col
+    case NullType => parse_json(lit("null"))
+    case _ =>
+      variant_get(parse_json(to_json(struct(d.col.as("v")))), "$.v",
+        "variant")
   }
 
   private def unifyType(ts: Seq[DataType]): DataType =

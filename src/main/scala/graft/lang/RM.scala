@@ -132,6 +132,26 @@ object RM {
       r.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
         Option(r.get(i)).map(x => n -> normalize(x))
       }.toMap
+    case vv: org.apache.spark.unsafe.types.VariantVal =>
+      // heterogeneous-sequence channel (Compiler.variantOf): restore
+      // the plain value from the variant's JSON form
+      normalize(jsonToScala(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(vv.toJson(java.time.ZoneId.of("UTC")))))
     case other => other
+  }
+
+  private def jsonToScala(
+      n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || n.isNull) null
+    else if (n.isTextual) n.asText
+    else if (n.isBoolean) n.asBoolean
+    else if (n.isIntegralNumber) n.asLong
+    else if (n.isNumber) n.asDouble
+    else if (n.isArray) n.elements.asScala.map(jsonToScala).toSeq
+    else if (n.isObject)
+      n.fields.asScala.map(e => e.getKey -> jsonToScala(e.getValue)).toMap
+    else n.asText
   }
 }
