@@ -372,11 +372,27 @@ object Builtins {
         val df =
           if (path.endsWith(".json")) graft.sources.Ingest.readJson(spark, path)
           else if (path.endsWith(".xml")) graft.sources.Ingest.readXml(spark, path)
-          else if (path.endsWith(".csv"))
+          else if (path.endsWith(".csv") || path.endsWith(".xlsx"))
             graft.sources.Ingest.readSpreadsheet(spark, path)
           else if (path.endsWith(".parquet")) spark.read.parquet(path)
           else fail(s"$$get: unsupported extension in $path")
         CTab(df)
+
+      // `$getSpreadsheet(file, sheet, invert?)` — reference
+      // builtin.cljc:1658-1675 (docjure there; self-contained zip+XML
+      // reader here, sources/Ingest.readXlsx)
+      case "$getSpreadsheet" =>
+        val spark = Compiler.sparkCtx.value
+        if (spark == null)
+          fail("$getSpreadsheet needs RM.eval (no session bound)")
+        val invert = argExprs.lift(2) match {
+          case Some(Ast.BoolLit(b)) => b
+          case None => false
+          case other => fail(s"$$getSpreadsheet: invert must be a " +
+            s"boolean literal, got $other")
+        }
+        CTab(graft.sources.Ingest.readSpreadsheet(spark, litStr(0),
+          if (args.size > 1) litStr(1) else "", invert))
 
       // `$eval` — driver-side re-entry into the compiler (reference
       // builtin.cljc:1541-1553; no executor eval, per SURVEY §7.4)

@@ -88,15 +88,116 @@ object Ingest {
   }
 
   /** `$getSpreadsheet` equivalent: header-keyed tabular file. CSV is
-    * native; xlsx would need POI on the classpath.
+    * native; xlsx goes through the self-contained zip+XML reader
+    * below (no POI dependency).
     */
-  def readSpreadsheet(spark: SparkSession, path: String): DataFrame =
+  def readSpreadsheet(spark: SparkSession, path: String,
+      sheet: String = "", invert: Boolean = false): DataFrame =
     if (path.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(path)
-    else throw new UnsupportedOperationException(
-      "xlsx reading requires poi-ooxml on the classpath; this build " +
-        "supports CSV spreadsheets only")
+    else readXlsx(spark, path, sheet, invert)
+
+  /** One parsed cell: the JSON fragment for the typed value plus the
+    * raw text (headers/keys need the unquoted form).
+    */
+  private final case class Cell(raw: String, json: String)
+
+  /** Header/key sanitization — the reference replaces whitespace and
+    * `+ , .` characters with `_` (builtin.cljc:1633,1654).
+    */
+  private def sanitize(name: String): String =
+    name.replaceAll("[\\s+,.]", "_")
+
+  /** Minimal self-contained .xlsx reader — an xlsx file is a zip of
+    * XML parts, so scala-xml covers it without POI (reference
+    * `$getSpreadsheet`, builtin.cljc:1626-1675, docjure-based).
+    *
+    * Cells resolve shared/inline strings, booleans and numbers; the
+    * first row is a header whose sanitized names key the content rows,
+    * or with `invert` a two-column key/value sheet transposes to a
+    * single row (reference transpose-sheet). Parsing is driver-side —
+    * spreadsheets are small config artifacts; bulk tabular data comes
+    * in via CSV/parquet — and the result is a regular DataFrame with
+    * JSON-inferred column types (numbers stay numeric, like the
+    * reference's typed read-cell).
+    */
+  def readXlsx(spark: SparkSession, path: String, sheet: String = "",
+      invert: Boolean = false): DataFrame = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      def part(name: String): Option[scala.xml.Elem] =
+        Option(zf.getEntry(name))
+          .map(e => scala.xml.XML.load(zf.getInputStream(e)))
+      val wb = part("xl/workbook.xml").getOrElse(
+        throw new IllegalArgumentException(s"$path is not an xlsx file"))
+      val rels = part("xl/_rels/workbook.xml.rels").getOrElse(
+        throw new IllegalArgumentException(s"$path: missing workbook rels"))
+      val ridTarget = (rels \ "Relationship")
+        .map(r => (r \@ "Id") -> (r \@ "Target")).toMap
+      val sheets = wb \ "sheets" \ "sheet"
+      val sheetElem = (if (sheet.isEmpty) sheets.headOption
+        else sheets.find(x => (x \@ "name") == sheet)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no sheet '$sheet' in $path (sheets: " +
+              sheets.map(_ \@ "name").mkString(", ") + ")"))
+      val rid = sheetElem.attributes.collectFirst {
+        case a if a.key == "id" && a.isPrefixed => a.value.text
+      }.getOrElse(throw new IllegalArgumentException("sheet without r:id"))
+      val target0 = ridTarget(rid)
+      val target =
+        if (target0.startsWith("/")) target0.drop(1) else s"xl/$target0"
+      val shared: IndexedSeq[String] = part("xl/sharedStrings.xml")
+        .map(ss => (ss \ "si")
+          .map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
+      def jq(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val rows: Seq[Map[String, Cell]] =
+        (part(target).get \ "sheetData" \ "row").map { r =>
+          (r \ "c").flatMap { c =>
+            val colLetters = (c \@ "r").takeWhile(_.isLetter)
+            val v = (c \ "v").headOption.map(_.text)
+            val cell = (c \@ "t") match {
+              case "s" => v.map(i => shared(i.toInt)).map(s => Cell(s, jq(s)))
+              case "str" => v.map(s => Cell(s, jq(s)))
+              case "inlineStr" =>
+                val s = (c \ "is" \\ "t").map(_.text).mkString
+                if (s.isEmpty) None else Some(Cell(s, jq(s)))
+              case "b" => v.map(x =>
+                if (x == "1") Cell("true", "true") else Cell("false", "false"))
+              case _ => v.map(x => Cell(x, x)) // bare JSON number
+            }
+            cell.map(colLetters -> _)
+          }.toMap
+        }.filter(_.nonEmpty)
+      val jsonLines: Seq[String] =
+        if (invert) {
+          // two-column key/value sheet → one object (transpose-sheet)
+          Seq(rows.flatMap { r =>
+            for (k <- r.get("A"); v <- r.get("B"))
+              yield s"${jq(sanitize(k.raw))}: ${v.json}"
+          }.mkString("{", ",", "}"))
+        } else rows match {
+          case header +: content =>
+            val names = header.view.mapValues(c => sanitize(c.raw)).toMap
+            content.map(_.flatMap { case (col, cell) =>
+              names.get(col).map(n => s"${jq(n)}: ${cell.json}")
+            }.mkString("{", ",", "}"))
+          case _ => Nil
+        }
+      import spark.implicits._
+      if (jsonLines.isEmpty) spark.emptyDataFrame
+      else spark.read.json(jsonLines.toDS())
+    } finally zf.close()
+  }
 
   /** `$schemaFor` (reference `builtin.cljc:1688-1692`): the inferred
     * schema of a frame as JSON (Spark's learn-schema equivalent).

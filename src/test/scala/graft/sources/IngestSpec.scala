@@ -62,14 +62,96 @@ class IngestSpec extends SparkSpec {
     assert(rows == Seq(("Alice", "20"), ("Bob", "10")))
   }
 
-  test("csv spreadsheet reads header-keyed; xlsx refuses clearly") {
+  test("csv spreadsheet reads header-keyed") {
     val p = java.nio.file.Files.createTempFile("sheet", ".csv")
     java.nio.file.Files.writeString(p, "name,qty\nax,2\nbx,5\n")
     val df = Ingest.readSpreadsheet(spark, p.toString)
     assert(df.columns.toSeq == Seq("name", "qty"))
     assert(df.agg(sum("qty")).head().getLong(0) == 7L)
-    intercept[UnsupportedOperationException] {
-      Ingest.readSpreadsheet(spark, "/tmp/x.xlsx")
+  }
+
+  /** Write a minimal xlsx (zip of XML parts) for round-trip tests. */
+  private def writeXlsx(rows: Seq[Seq[Any]], sheetName: String): String = {
+    val p = java.nio.file.Files.createTempFile("graft", ".xlsx")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
     }
+    val strings = rows.flatten.collect { case s: String => s }.distinct
+    val sIdx = strings.zipWithIndex.toMap
+    def colName(i: Int) = ('A' + i).toChar.toString
+    val sheetXml = rows.zipWithIndex.map { case (r, ri) =>
+      val cells = r.zipWithIndex.map {
+        case (s: String, ci) =>
+          s"""<c r="${colName(ci)}${ri + 1}" t="s"><v>${sIdx(s)}</v></c>"""
+        case (b: Boolean, ci) =>
+          s"""<c r="${colName(ci)}${ri + 1}" t="b"><v>${if (b) 1 else 0}</v></c>"""
+        case (n, ci) =>
+          s"""<c r="${colName(ci)}${ri + 1}"><v>$n</v></c>"""
+      }.mkString
+      s"""<row r="${ri + 1}">$cells</row>"""
+    }.mkString
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"""<sheets><sheet name="$sheetName" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        strings.map(s => s"<si><t>$s</t></si>").mkString + "</sst>")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"<sheetData>$sheetXml</sheetData></worksheet>")
+    zos.close()
+    p.toString
+  }
+
+  test("xlsx round trip: header mode with sanitized names and types") {
+    val p = writeXlsx(Seq(
+      Seq("Item No.", "Qty", "Active"),
+      Seq("ax-1", 2L, true),
+      Seq("bx 2", 5.5, false)), "stock")
+    val df = Ingest.readXlsx(spark, p, "stock")
+    assert(df.columns.sorted.toSeq == Seq("Active", "Item_No_", "Qty"))
+    val rows = df.orderBy("Item_No_").collect()
+    assert(rows(0).getAs[String]("Item_No_") == "ax-1" &&
+      rows(0).getAs[Double]("Qty") == 2.0 &&
+      rows(0).getAs[Boolean]("Active"))
+    assert(rows(1).getAs[Double]("Qty") == 5.5 &&
+      !rows(1).getAs[Boolean]("Active"))
+  }
+
+  test("xlsx invert mode transposes a key/value sheet") {
+    val p = writeXlsx(Seq(
+      Seq("Our Company Name", "Acme Supply"),
+      Seq("Max Qty", 250L)), "config")
+    val df = Ingest.readXlsx(spark, p, "config", invert = true)
+    val r = df.head()
+    assert(r.getAs[String]("Our_Company_Name") == "Acme Supply")
+    assert(r.getAs[Long]("Max_Qty") == 250L)
+  }
+
+  test("reference on-hand.xlsx fixture reads like the reference") {
+    val fixture = "/root/reference/data/testing/spreadsheets/on-hand.xlsx"
+    assume(new java.io.File(fixture).exists())
+    val df = Ingest.readXlsx(spark, fixture, "on-hand")
+    assert(df.columns.sorted.toSeq == Seq("Material_Item_No_", "O_H__Qty_"))
+    val got = df.orderBy("Material_Item_No_").collect()
+      .map(r => (r.getAs[String]("Material_Item_No_"),
+        r.getAs[Long]("O_H__Qty_"))).toSeq
+    assert(got == Seq(("BIND-ARAM", 2899L), ("F-11567", 893L),
+      ("F-13567", 521L), ("F-16975", 19L)))
+  }
+
+  test("$getSpreadsheet through the text surface") {
+    val p = writeXlsx(Seq(Seq("name", "qty"),
+      Seq("ax", 2L), Seq("bx", 5L)), "s1")
+    val got = graft.lang.RM.eval(s"$$getSpreadsheet('$p', 's1')", spark)
+    assert(got.contains(Seq(
+      Map("name" -> "ax", "qty" -> 2L),
+      Map("name" -> "bx", "qty" -> 5L))))
   }
 }
