@@ -119,13 +119,16 @@ object RelationalQueries {
 
   /** left_semi / left_anti — EXISTS / NOT EXISTS. */
   def qAntiSemi(s: SparkSession, d: String): DataFrame = {
+    // semi + anti in ONE pass: outer join against the distinct key set
+    // and flag matches — the union-of-two-joins form scans and shuffles
+    // orders twice for the same answer.
     val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d).select(col("o_custkey"))
-    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      .select(lit("with_orders").as("kind"), col("c_custkey").as("custkey"))
-    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(lit("no_orders").as("kind"), col("c_custkey").as("custkey"))
-    semi.unionByName(anti).orderBy("kind", "custkey")
+    val ok = Tables.orders(s, d).select(col("o_custkey")).distinct()
+    c.join(ok, c("c_custkey") === ok("o_custkey"), "left")
+      .select(when(col("o_custkey").isNotNull, "with_orders")
+          .otherwise("no_orders").as("kind"),
+        col("c_custkey").as("custkey"))
+      .orderBy("kind", "custkey")
   }
 
   /** Window functions (SURVEY §2.12 extension): top-3 customers by balance

@@ -107,10 +107,7 @@ object Shred {
     * plan comparison; `shred` uses the generator form.
     */
   def shredExpr(df: DataFrame, idCol: Option[String] = None): DataFrame = {
-    val e: Column = idCol match {
-      case Some(c) => col(c).cast("string")
-      case None => monotonically_increasing_id().cast("string")
-    }
+    val e = entityId(df, idCol)
     val parts = df.schema.fields.map(f =>
       fieldTriples(e, f.name, col(f.name), f.dataType))
     df.select(explode(concat(parts.toSeq: _*)).as("t"))
@@ -124,14 +121,27 @@ object Shred {
     */
   def shredGen(df: DataFrame, idCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnGlue
-    val e: Column = idCol match {
-      case Some(c) => col(c).cast("string")
-      case None => monotonically_increasing_id().cast("string")
-    }
+    val e = entityId(df, idCol)
     val row = struct(df.schema.fieldNames.map(col).toSeq: _*)
     df.select(ColumnGlue.column(ShredGenerator(
       ColumnGlue.expression(struct(e.as("e"), row.as("row"))))))
   }
+
+  /** Entity id column: the caller's idCol, else a content-derived
+    * `xxhash64(to_json(row))`. Content hashing keeps ids stable across
+    * repartitions and failed-stage retries — `monotonically_increasing_
+    * id` would renumber on retry, making refs inconsistent within one
+    * query at cluster scale. Identical rows share an id, which the
+    * Datalog set semantics render indistinguishable anyway (identical
+    * triples → identical bindings).
+    */
+  private def entityId(df: DataFrame, idCol: Option[String]): Column =
+    idCol match {
+      case Some(c) => col(c).cast("string")
+      case None => xxhash64(
+        to_json(struct(df.schema.fieldNames.map(col).toSeq: _*)))
+        .cast("string")
+    }
 
   /** Shred only the attributes a query's patterns touch — the EAV form
     * of column pruning. The narrowed select reaches the parquet scan

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
     assert(!"Join \\[__text".r.findFirstIn(p).isDefined, p)
   }
 
+  test("anti/semi classification is a single join") {
+    val p = plan("q_anti_semi")
+    assert("Join".r.findAllIn(p).size == 1,
+      s"expected one outer join, not union-of-two-joins:\n$p")
+  }
+
   test("function queries prune the scan") {
     val p = plan("f_string")
     assert(!p.contains("p_retailprice") && !p.contains("p_size"),

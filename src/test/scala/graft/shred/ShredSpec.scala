@@ -125,4 +125,19 @@ class ShredSpec extends SparkSpec {
       .head().getString(0)
     assert(m == "Bob")
   }
+
+  test("no-idCol entity ids are content-derived: stable under repartition") {
+    val df = Seq(("Bob", 10L), ("Alice", 20L), ("Cy", 30L))
+      .toDF("name", "x")
+    def idsOf(d: org.apache.spark.sql.DataFrame) =
+      Shred.shred(d).filter($"a" === "name")
+        .select($"v", $"e").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val base = idsOf(df)
+    assert(idsOf(df.repartition(5)) == base,
+      "ids must not depend on partitioning")
+    assert(idsOf(df.orderBy($"x".desc)) == base,
+      "ids must not depend on row order")
+    assert(base.values.toSet.size == 3, "distinct rows get distinct ids")
+  }
 }
