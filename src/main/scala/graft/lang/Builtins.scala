@@ -47,6 +47,18 @@ object Builtins {
     def sval(c: Column, dt: DataType): CV = CD(c, dt, KScalar)
 
     name match {
+      // frame-level forms FIRST: query-result frames thread through
+      // $distinct/$sort/$count as DataFrame ops, keeping the plan
+      // distributed (reference `$qFn($db).?sdo ~> $distinct() ~>
+      // $sort()`, query_test some-async)
+      case "$distinct" if args.headOption.exists(_.isInstanceOf[CTab]) =>
+        CTab(args.head.asInstanceOf[CTab].df.distinct())
+      case "$sort" if args.headOption.exists(_.isInstanceOf[CTab]) =>
+        val df = args.head.asInstanceOf[CTab].df
+        CTab(df.orderBy(df.columns.toSeq.map(df(_)): _*))
+      case "$count" if args.headOption.exists(_.isInstanceOf[CTab]) =>
+        CD(lit(args.head.asInstanceOf[CTab].df.count()), LongType, KScalar)
+
       // aggregation over sequences (§2.4)
       case "$sum" => sval(Jsonata.sumArr(arr(0).col), DoubleType)
       case "$max" => sval(Jsonata.maxArr(arr(0).col), arr(0).dt)
@@ -217,6 +229,18 @@ object Builtins {
       case "$exists" => sval(Jsonata.exists(sc(0)), BooleanType)
 
       // objects (§2.7) over struct values
+      case "$merge" => d(0).dt match {
+        // struct-typed args are handled statically in the compiler;
+        // this is the dynamic form over an array of maps (query-path
+        // attribute maps etc.) — last wins via LAST_WIN map_concat
+        case ArrayType(mt: MapType, _) =>
+          val spark = Compiler.sparkCtx.value
+          if (spark != null)
+            spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          sval(aggregate(scalar(d(0)).col,
+            map().cast(mt), (acc, m) => map_concat(acc, m)), mt)
+        case other => fail(s"$$merge over $other")
+      }
       case "$keys" => d(0).dt match {
         case st: StructType =>
           sseq(array(st.fieldNames.map(lit(_)): _*), StringType)

@@ -146,16 +146,28 @@ object Compiler {
 
     case Parens(b) => compile(b, env)
 
-    case FnCall("$merge", Seq(ArrLit(objs)))
-      if objs.forall(_.isInstanceOf[ObjLit]) =>
+    case FnCall("$merge", Seq(ArrLit(objs))) if objs.nonEmpty && {
+      // static struct merge applies when every argument compiles to a
+      // struct-typed scalar — object literals, bound variables holding
+      // them, $assoc results, etc.
+      objs.forall(o => try compile(o, env) match {
+        case d: CD => d.kind == KScalar && d.dt.isInstanceOf[StructType]
+        case _ => false
+      } catch { case _: IllegalArgumentException => false })
+    } =>
       // compile-time merge: objects of different shapes can't share an
-      // array type, but their pair-lists concatenate (last wins) —
-      // exactly the reference's last-wins semantics
-      val merged = objs.flatMap(_.asInstanceOf[ObjLit].pairs)
-        .foldLeft(Vector.empty[(Expr, Expr)]) { case (acc, (k, v)) =>
-          acc.filterNot(_._1 == k) :+ (k, v)
-        }
-      compile(ObjLit(merged), env)
+      // array type, but their field lists concatenate with last-wins
+      // values and first-occurrence key order — exactly the
+      // reference's merge semantics (builtin.cljc:1117-1120)
+      val ds = objs.map(o => compile(o, env).asInstanceOf[CD])
+      val all: Seq[(String, (Column, DataType))] = ds.flatMap { d =>
+        d.dt.asInstanceOf[StructType].fields.toSeq
+          .map(f => f.name -> ((d.col.getField(f.name), f.dataType)))
+      }
+      val order = all.map(_._1).distinct
+      val byKey = all.toMap // toMap keeps the LAST occurrence per key
+      CD(struct(order.map(k => byKey(k)._1.as(k)): _*),
+        StructType(order.map(k => StructField(k, byKey(k)._2))), KScalar)
 
     case FnCall(name, args) =>
       // user-bound function variables shadow builtins ($q := query…)
@@ -246,6 +258,23 @@ object Compiler {
   // ---------- path semantics ----------
 
   private def pathStep(src: CV, step: Expr, env: Env): CV = {
+    src match {
+      // paths over FRAMES (query results etc.): a qvar or field step
+      // selects that column, keeping the plan distributed — the
+      // reference's `$qFn($db).?sdo` shape (query_test some-async).
+      // The column lands as `value` so eval's unwrap returns a plain
+      // sequence.
+      case CTab(df) =>
+        val name = step match {
+          case QvarRef(n) => n
+          case Ident(n) => n
+          case other => fail(s"frame path step must be a column: $other")
+        }
+        if (!df.columns.contains(name))
+          fail(s"no column '$name' in frame (${df.columns.mkString(", ")})")
+        return CTab(df.select(df(name).as("value")))
+      case _ => ()
+    }
     val s = src match { case d: CD => d; case _ => fail("path over function") }
     step match {
       case Ident(name) => s.kind match {

@@ -121,11 +121,13 @@ object Lexer {
   }
 
   /** `?name` is a qvar only in query/express/bset positions — after
-    * `[ { , :`, another qvar, or a pattern role ident. After a value
-    * operand, `?` stays the ternary operator.
+    * `[ { , :`, another qvar, or a pattern role ident — or as a frame
+    * column step right after `.` (`$qfn($db).?sdo`), where no operand
+    * precedes so `?` can't be the ternary operator.
     */
   private def qvarPosition(prev: Tok): Boolean = prev match {
-    case TOp("[") | TOp("{") | TOp(",") | TOp(":") | TOp("(") => true
+    case TOp("[") | TOp("{") | TOp(",") | TOp(":") | TOp("(") |
+         TOp(".") => true
     case TQvar(_) | TIdent(_) | TVar(_) => true // $DBa ?e1 patterns
     case _ => false
   }

@@ -103,6 +103,7 @@ object Parser {
               if (peekOp("(")) {
                 next(); FnCall("$" + n, callArgs())
               } else VarRef(n)
+            case TQvar(n) => QvarRef(n) // frame column: $qfn($db).?sdo
             case other => throw new IllegalArgumentException(
               s"bad path step: $other")
           }
