@@ -387,6 +387,59 @@ object Builtins {
           sval(Jsonata.toMillis(sc(0), litStr(1)), LongType)
         else sval(Jsonata.toMillis(sc(0)), LongType)
 
+      // `$get`/`$put` graph forms (reference builtin.cljc:1555-1624):
+      // [ident-type, ident-val] + out-props resolve through the
+      // Graph.resolver seam (recorded fixtures here; HTTP in prod).
+      // `fn/exe` members compile fn_src to an executable, so
+      // `$get([['library/fn','f'],['fn/exe']]).fn_exe` is applicable.
+      case "$get" if argExprs.headOption.exists(_.isInstanceOf[Ast.ArrLit]) =>
+        def strs(e: Ast.Expr): Seq[String] = e match {
+          case Ast.ArrLit(items) => items.map {
+            case Ast.StrLit(s) => s
+            case other => fail(s"$$get: expected string literal, $other")
+          }
+          case other => fail(s"$$get: expected array literal, $other")
+        }
+        val (ident, props) = argExprs.head match {
+          // nested form: $get([[type, val], [props...]])
+          case Ast.ArrLit(Seq(id: Ast.ArrLit, pr: Ast.ArrLit)) =>
+            (strs(id), strs(pr))
+          // flat form: $get([type, val], [props...]?)
+          case flat: Ast.ArrLit =>
+            (strs(flat), argExprs.lift(1).map(strs).getOrElse(Nil))
+        }
+        val Seq(identType, identVal) = ident
+        val m = graft.sources.Graph.resolver.get(identType, identVal, props)
+        val wantExe = props.exists(p => p.replace('/', '_') == "fn_exe")
+        val wantSrc = props.exists(p => p.replace('/', '_') == "fn_src")
+        val data = m.toSeq.sortBy(_._1)
+          .filterNot { case (k, _) => k == "fn_src" && wantExe && !wantSrc }
+          .map { case (k, v) =>
+            k -> (CD(lit(v), StringType, KScalar): CV) }
+        val exe: Seq[(String, CV)] =
+          if (wantExe && m.contains("fn_src"))
+            Seq("fn_exe" -> Compiler.compile(Parser.parse(m("fn_src"))))
+          else Nil
+        CObj(data ++ exe)
+
+      case "$put" =>
+        val ident = argExprs.headOption match {
+          case Some(Ast.ArrLit(Seq(Ast.StrLit(t), Ast.StrLit(v)))) => (t, v)
+          case other => fail(s"$$put: first argument must be " +
+            s"[ident-type, ident-val] string literals, got $other")
+        }
+        val obj = argExprs.lift(1) match {
+          case Some(Ast.ObjLit(pairs)) => pairs.map {
+            case (Ast.StrLit(k), Ast.StrLit(v)) => k -> v
+            case (k, v) => fail(s"$$put: object members must be string " +
+              s"literals, got $k : $v")
+          }.toMap
+          case other => fail(s"$$put: second argument must be an object " +
+            s"literal, got $other")
+        }
+        CD(lit(graft.sources.Graph.resolver.put(ident._1, ident._2, obj)),
+          StringType, KScalar)
+
       // `$get` — file ingestion (reference builtin.cljc:1555-1624; the
       // REST/graph forms are server infrastructure, out of engine scope)
       case "$get" =>

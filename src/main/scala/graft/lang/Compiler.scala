@@ -40,6 +40,11 @@ object Compiler {
   final case class CTab(df: org.apache.spark.sql.DataFrame) extends CV
   /** an express{} template */
   final case class CE(tmpl: graft.express.Express.XObj) extends CV
+  /** Object with mixed value/function members — graph `$get` results,
+    * whose `fn_exe` member is an executable (reference
+    * builtin_test.cljc:965-967: `$get([...,'fn/exe']).fn_exe`).
+    */
+  final case class CObj(fields: Seq[(String, CV)]) extends CV
 
   type Env = Map[String, CV]
 
@@ -259,6 +264,15 @@ object Compiler {
 
   private def pathStep(src: CV, step: Expr, env: Env): CV = {
     src match {
+      // member access on a mixed value/function object ($get results)
+      case CObj(fields) =>
+        val name = step match {
+          case Ident(n) => n
+          case other => fail(s"object member step must be a name: $other")
+        }
+        return fields.collectFirst { case (k, v) if k == name => v }
+          .getOrElse(fail(s"no member '$name' in object " +
+            s"(${fields.map(_._1).mkString(", ")})"))
       // paths over FRAMES (query results etc.): a qvar or field step
       // selects that column, keeping the plan distributed — the
       // reference's `$qFn($db).?sdo` shape (query_test some-async).

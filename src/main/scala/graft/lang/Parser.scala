@@ -170,8 +170,9 @@ object Parser {
       val bindings = all.init.map {
         case Block(Seq(), BinOp(":=", VarRef(n), v)) => n -> v
         case BinOp(":=", VarRef(n), v) => n -> v
-        case other => throw new IllegalArgumentException(
-          s"only $$var := ... allowed before the block result, got $other")
+        // effect statements ($put(...) etc.) evaluate and discard —
+        // the reference allows any expression in statement position
+        case other => "_" -> other
       }
       all.last match {
         case BinOp(":=", VarRef(n), v) if bindings.isEmpty =>

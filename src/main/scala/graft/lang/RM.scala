@@ -33,9 +33,26 @@ object RM {
             if (unwrap) r.get(0) else r
           }
           Finalize.jflatten(Container(vals)).map(normalize)
+        case o: CObj => Some(objValue(spark, o))
         case _ => Compiler.fail("top-level value is a function")
       }
     }
+
+  /** Graph $get result object → data members as a map (function
+    * members are executables, not renderable — same as the reference
+    * printing a fn).
+    */
+  private def objValue(spark: SparkSession, o: CObj): Map[String, Any] = {
+    val ds = o.fields.collect { case (k, d: CD) => k -> d }
+    if (ds.isEmpty) Map.empty
+    else {
+      val row = spark.range(1)
+        .select(ds.map { case (k, d) => d.col.as(k) }: _*).collect()(0)
+      ds.zipWithIndex.map { case ((k, _), i) =>
+        k -> normalize(row.get(i))
+      }.toMap
+    }
+  }
 
   /** Evaluate a program with named DataFrames bound as `$name` — text
     * `query{}` over real (warehouse-scale) tables runs fully
@@ -57,6 +74,7 @@ object RM {
             if (unwrap) r.get(0) else r
           }
           Finalize.jflatten(Container(vals)).map(normalize)
+        case o: CObj => Some(objValue(spark, o))
         case _ => Compiler.fail("top-level value is a function")
       }
     }
