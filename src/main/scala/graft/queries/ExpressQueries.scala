@@ -129,7 +129,37 @@ object ExpressQueries {
       .orderBy("l_orderkey", "flag")
   }
 
+  /** Depth-4 express reduce — region → nation → customer → orders —
+    * the deepest nesting the reference's own tests exercise plus one.
+    * Each level is one hash aggregation in the groupBy cascade; the
+    * gate pins values (against DuckDB's nested list/struct JSON) and
+    * the bench watches the cascade's cost at sf0.1 (SURVEY §4 item 6:
+    * a TypedImperativeAggregate tree-merge would trade these L
+    * prefix-keyed shuffles for one root-keyed shuffle).
+    */
+  def qExpressDeep(s: SparkSession, d: String): DataFrame = {
+    val bsets = Tables.region(s, d)
+      .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d).filter(col("c_acctbal") > 9900),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("r_name").as("rname"), col("n_name").as("nname"),
+        col("c_name").as("cname"), col("o_orderkey").as("okey"))
+    val tmpl = XObj.of(
+      KKey("region", "rname") -> XLit(null),
+      KLit("nations") -> XArr(XObj.of(
+        KKey("nation", "nname") -> XLit(null),
+        KLit("customers") -> XArr(XObj.of(
+          KKey("cust", "cname") -> XLit(null),
+          KLit("orders") -> XArr(XObj.of(
+            KKey("okey", "okey") -> XLit(null))))))))
+    Express.reduceBsets(bsets, tmpl)
+      .select(col("region"), to_json(col("nations")).as("nations_json"))
+      .orderBy("region")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_express_deep" -> (qExpressDeep _),
     "q_reduce_step" -> (qReduceStep _),
     "q_rm_e2e" -> (qRmE2e _),
     "q_express_reduce" -> (qExpressReduce _),
@@ -138,6 +168,26 @@ object ExpressQueries {
     "q_express_map_keys" -> (qExpressMapKeys _))
 
   val oracles: Map[String, String] = Map(
+    "q_express_deep" ->
+      """WITH base AS (
+        |  SELECT r_name AS rname, n_name AS nname, c_name AS cname,
+        |    o_orderkey AS okey
+        |  FROM region
+        |  JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  WHERE c_acctbal > 9900),
+        |l3 AS (
+        |  SELECT rname, nname, cname,
+        |    list(struct_pack(okey := okey) ORDER BY okey) AS orders
+        |  FROM base GROUP BY 1, 2, 3),
+        |l2 AS (
+        |  SELECT rname, nname, list(struct_pack(cust := cname,
+        |    orders := orders) ORDER BY cname) AS customers
+        |  FROM l3 GROUP BY 1, 2)
+        |SELECT rname AS region, to_json(list(struct_pack(nation := nname,
+        |  customers := customers) ORDER BY nname)) AS nations_json
+        |FROM l2 GROUP BY 1 ORDER BY region""".stripMargin,
     "q_reduce_step" ->
       """SELECT l_orderkey, l_returnflag AS flag,
         |  sum(CAST(l_quantity AS BIGINT)) AS qty_sum
