@@ -385,6 +385,9 @@ object Compiler {
         // per GROUP with `$` bound to the group sequence — so
         // `$sum(Price)` aggregates the group and `$.(Price*Quantity)`
         // maps over it. Elements whose key is null contribute nothing.
+        // Sequence-valued groups apply JSONata singleton collapse
+        // ([x] → x), which mixes array and scalar values in one map —
+        // carried as map<string, variant>.
         val xs = s.kind match {
           case KScalar => array(s.col)
           case KNested(_) => flatten(s.col)
@@ -404,14 +407,23 @@ object Compiler {
               env + ("" -> CD(g, s.dt, KSeq))))
             valueDt = v.dt
             valueSeqy = v.kind != KScalar
-            struct(k.as("key"), v.col.as("value"))
+            val value =
+              if (valueSeqy) {
+                // singleton collapse via the variant channel: a
+                // one-element group value becomes the element itself
+                val one = variantOf(CD(element_at(v.col, 1),
+                  valueDt, KScalar))
+                val many = variantOf(CD(v.col, ArrayType(valueDt), KScalar))
+                when(size(v.col) === 1, one).otherwise(many)
+              } else v.col
+            struct(k.as("key"), value.as("value"))
           })
           (entries, valueDt, valueSeqy)
         }
         val (dts, seqys) = (built.map(_._2).distinct, built.map(_._3).distinct)
-        if (dts.size > 1 || seqys.size > 1)
+        if (seqys.size > 1 || (!seqys.head && dts.size > 1))
           fail("reduce-step value expressions must agree in type")
-        val vt = if (seqys.head) ArrayType(dts.head) else dts.head
+        val vt = if (seqys.head) VariantType else dts.head
         CD(map_from_entries(built.map(_._1).reduceLeft(concat(_, _))),
           MapType(StringType, vt), KScalar)
 

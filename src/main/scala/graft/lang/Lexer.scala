@@ -71,6 +71,15 @@ object Lexer {
         if (keywords.contains(w) &&
           !(w == "in" && prev == null)) push(TOp(w))
         else push(TIdent(w))
+      } else if (c == '`') {
+        // backquoted name: field with spaces/punctuation, e.g.
+        // `Product Name` (JSONata; reference builtin_test.cljc:613)
+        val start = i + 1
+        i += 1
+        while (i < src.length && src(i) != '`') i += 1
+        require(i < src.length, s"unterminated backquoted name at $start")
+        push(TIdent(src.substring(start, i)))
+        i += 1
       } else if (c == '$') {
         if (i + 1 < src.length && src(i + 1) == '$') {
           i += 2; push(TVar("$"))

@@ -31,9 +31,26 @@ class ReduceStepSpec extends SparkSpec {
       Map("hat" -> 15L, "coat" -> 50L))
   }
 
-  test("value expr maps over the group sequence") {
+  test("value expr maps over the group sequence, singletons collapse") {
     run(s"($orders $$o{cat : $$.(price * qty)})",
-      Map("hat" -> Seq(20L, 20L), "coat" -> Seq(50L)))
+      Map("hat" -> Seq(20L, 20L), "coat" -> 50L))
+  }
+
+  test("reference NYI golden: try.json grouping (builtin_test:610-615)") {
+    // the reference's own (disabled) conformance case, with the
+    // relevant slice of data/testing/jsonata/try.json inlined
+    run(
+      """( $ADDR := {'Account': {'Order': [
+        |    {'Product': [
+        |      {'Product Name': 'Bowler Hat', 'Price': 34.45, 'Quantity': 2},
+        |      {'Product Name': 'Trilby hat', 'Price': 21.67, 'Quantity': 1}]},
+        |    {'Product': [
+        |      {'Product Name': 'Bowler Hat', 'Price': 34.45, 'Quantity': 4},
+        |      {'Product Name': 'Cloak', 'Price': 107.99, 'Quantity': 1}]}]}};
+        |  $ADDR.Account.Order.Product{`Product Name` : $.(Price*Quantity)} )"""
+        .stripMargin,
+      Map("Bowler Hat" -> Seq(68.9, 137.8), "Trilby hat" -> 21.67,
+        "Cloak" -> 107.99))
   }
 
   test("count per group via $count") {
