@@ -81,4 +81,61 @@ object PureProps extends Properties("graft.pure") {
       val pic = parts.mkString("-")
       DatePictures.toSparkPattern(pic).nonEmpty || parts.isEmpty
     }
+
+  // ---- parser precedence/associativity (SURVEY §5; reference
+  // precedence table rewrite.cljc:698-719) ----
+  //
+  // Render a random operator tree with the MINIMAL parentheses the
+  // precedence table allows (parens only where a child binds looser,
+  // or equally on the right of a left-associative operator), re-parse,
+  // and require the exact tree back. Any precedence or associativity
+  // slip in the Pratt tables breaks the round trip.
+
+  import graft.lang.{Ast, Parser}
+  import Ast._
+
+  private val opBp: Map[String, Int] = Map(
+    "*" -> 80, "/" -> 80, "%" -> 80,
+    "+" -> 70, "-" -> 70, "&" -> 70,
+    "<" -> 50, ">" -> 50, "<=" -> 50, ">=" -> 50, "=" -> 50, "!=" -> 50,
+    "and" -> 40, "or" -> 30)
+
+  private def exprGen(depth: Int): Gen[Expr] =
+    if (depth == 0) Gen.choose(0L, 99L).map(n => NumLit(n.toDouble))
+    else Gen.frequency(
+      2 -> Gen.choose(0L, 99L).map(n => NumLit(n.toDouble)),
+      3 -> (for {
+        op <- Gen.oneOf(opBp.keys.toSeq)
+        l <- exprGen(depth - 1)
+        r <- exprGen(depth - 1)
+      } yield BinOp(op, l, r)))
+
+  private def render(e: Expr): String = e match {
+    case NumLit(v) => v.toLong.toString
+    case BinOp(op, l, r) =>
+      val ls = l match {
+        case BinOp(lop, _, _) if opBp(lop) < opBp(op) => s"(${render(l)})"
+        case _ => render(l)
+      }
+      val rs = r match {
+        case BinOp(rop, _, _) if opBp(rop) <= opBp(op) => s"(${render(r)})"
+        case _ => render(r)
+      }
+      s"$ls $op $rs"
+    case other => sys.error(s"unexpected $other")
+  }
+
+  /** Strip Parens nodes — they are explicit in the AST but semantically
+    * transparent for this comparison.
+    */
+  private def noParens(e: Expr): Expr = e match {
+    case Parens(b) => noParens(b)
+    case BinOp(op, l, r) => BinOp(op, noParens(l), noParens(r))
+    case other => other
+  }
+
+  property("operator tree round-trips through minimal-parens rendering") =
+    forAll(exprGen(4)) { ast =>
+      noParens(Parser.parse(render(ast))) == ast
+    }
 }
