@@ -458,6 +458,58 @@ object Builtins {
       // `$getSpreadsheet(file, sheet, invert?)` — reference
       // builtin.cljc:1658-1675 (docjure there; self-contained zip+XML
       // reader here, sources/Ingest.readXlsx)
+      // `$llmExtract(src, seek)` (reference builtin.cljc:2703-2738).
+      // Frame form: batched executor-side extraction over a text
+      // column (the 100 TB path). Scalar form: per-value extraction
+      // through the same client, as the reference does per call.
+      case "$llmExtract" => args.head match {
+        case CTab(df) =>
+          CTab(graft.llm.Llm.extract(df, litStr(1), litStr(2)))
+        case _ =>
+          val seek = litStr(1)
+          val client = new graft.llm.Llm.ReplayClient
+          val ex = org.apache.spark.sql.functions.udf((t: String) =>
+            if (t == null) null
+            else client.complete(Seq(s"$seek\nTEXT: $t")).head)
+          sval(ex(sc(0)), StringType)
+      }
+
+      // `$llmMatch(src, tar)` (reference builtin.cljc:2533-2626,
+      // default asFn?=true): derive a target←source field mapping and
+      // return it as an EXECUTABLE projection function over frames.
+      case "$llmMatch" =>
+        val srcDf = args.head match {
+          case CTab(df) => df
+          case d0: CD => d0.dt match {
+            case st: StructType =>
+              val spark = Compiler.sparkCtx.value
+              spark.range(1).select(st.fieldNames.toSeq.map(n =>
+                d0.col.getField(n).as(n)): _*)
+            case other => fail(s"$$llmMatch: source must be a frame " +
+              s"or object, got $other")
+          }
+          case _ => fail("$llmMatch: source must be a frame or object")
+        }
+        val targets = argExprs.lift(1) match {
+          case Some(Ast.ArrLit(items)) => items.map {
+            case Ast.StrLit(f2) => f2
+            case other => fail(s"$$llmMatch: target fields must be " +
+              s"string literals, got $other")
+          }
+          case Some(Ast.ObjLit(pairs)) => pairs.map {
+            case (Ast.StrLit(k), _) => k
+            case (k, _) => fail(s"$$llmMatch: target keys must be " +
+              s"string literals, got $k")
+          }
+          case other => fail(s"$$llmMatch: target shape must be an " +
+            s"array or object literal, got $other")
+        }
+        val mapping = graft.llm.Llm.matchShapes(srcDf, targets)
+        CF(1, fnArgs => fnArgs.head match {
+          case CTab(df) => CTab(graft.llm.Llm.applyMapping(df, mapping))
+          case _ => fail("$llmMatch mapping applies to a frame")
+        })
+
       case "$getSpreadsheet" =>
         val spark = Compiler.sparkCtx.value
         if (spark == null)

@@ -153,7 +153,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** $llmMatch as an executable projection: the derived field mapping
+    * (name-similarity heuristic standing in for the model, behind the
+    * same interface) applied over customer — the oracle pins WHICH
+    * mapping was derived, not just that something projected.
+    */
+  def pLlmMatch(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.customer(s, d)
+    val mapping = graft.llm.Llm.matchShapes(src,
+      Seq("custkey", "name", "acctbal"))
+    graft.llm.Llm.applyMapping(src, mapping).orderBy("custkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
     "p_llm_extract" -> (pLlmExtract _),
     "p_exact_dedup" -> (pExactDedup _),
@@ -215,6 +228,10 @@ object PipelineQueries {
        |  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_llm_match" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+        |  c_acctbal AS acctbal
+        |FROM customer ORDER BY custkey""".stripMargin,
     "p_llm_extract" ->
       """SELECT doc_id,
         |  coalesce(regexp_extract(text, '\d+(\.\d+)?'), '') AS extracted

@@ -50,4 +50,29 @@ class LlmSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("name", "city_of_residence"))
     assert(out.head().getString(0) == "Bob")
   }
+
+  test("text surface: $llmExtract scalar and frame forms") {
+    val scalarGot = graft.lang.RM.eval(
+      "$llmExtract('Invoice total 42.5 due now', 'the amount number')",
+      spark)
+    assert(scalarGot.contains("42.5"))
+    val docs = Seq((1L, "pay 7 units"), (2L, "no numbers here"))
+      .toDF("doc_id", "text")
+    val frame = graft.lang.RM.queryFrame(
+      "$llmExtract($docs, 'text', 'Extract the amount number')",
+      spark, Map("docs" -> docs))
+    val got = frame.orderBy("doc_id").select("extracted")
+      .as[String].collect().toSeq
+    assert(got == Seq("7", ""))
+  }
+
+  test("text surface: $llmMatch returns an applicable projection fn") {
+    val src = Seq(("Bob", "NYC", 12L))
+      .toDF("customer_name", "city", "customer_id")
+    val frame = graft.lang.RM.queryFrame(
+      "($f := $llmMatch($src, ['name', 'city_of_residence']); $f($src))",
+      spark, Map("src" -> src))
+    assert(frame.columns.toSeq == Seq("name", "city_of_residence"))
+    assert(frame.head().getString(0) == "Bob")
+  }
 }

@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
       s"expected one outer join, not union-of-two-joins:\n$p")
   }
 
+  test("deep express reduce: pushdown and broadcast survive the cascade") {
+    val p = plan("q_express_deep")
+    assert(p.contains("GreaterThan(c_acctbal,9900"),
+      s"customer filter must reach the parquet scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "dimension joins should broadcast at every cascade level")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"),
+      "orders scan should prune to the join key")
+  }
+
   test("function queries prune the scan") {
     val p = plan("f_string")
     assert(!p.contains("p_retailprice") && !p.contains("p_size"),
