@@ -92,6 +92,29 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** Stream-stream event-time interval join (the click↔impression
+    * shape): both sides watermarked and the join condition bounds the
+    * event-time distance, so join state on BOTH sides is bounded and
+    * purged by the watermark — the only stream-stream join form that
+    * survives unbounded inputs.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String = "15 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+         |r.ts >= l.ts AND r.ts <= l.ts + interval $within""".stripMargin))
+  }
+
+  /** Stream-static enrichment: broadcast the dimension to every
+    * micro-batch — no streaming state at all.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Sliding-window rate monitor (5-minute slide over 1-hour window). */
   def slidingRate(events: DataFrame,
       watermark: String = "2 hours"): DataFrame =

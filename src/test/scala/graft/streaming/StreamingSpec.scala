@@ -30,6 +30,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("stream-stream interval join bounds state by event time") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[GEvent]
+    val imps = MemoryStream[GEvent]
+    imps.addData(
+      GEvent(t("2026-01-01 10:00:00"), "a", 0.0),
+      GEvent(t("2026-01-01 10:00:00"), "b", 0.0))
+    clicks.addData(
+      GEvent(t("2026-01-01 10:05:00"), "a", 1.0), // within 15 min of imp
+      GEvent(t("2026-01-01 11:00:00"), "b", 2.0)) // too late to attribute
+    val joined = EventStreams.intervalJoin(
+      imps.toDF(), clicks.toDF(), "event_type")
+    val q = joined.select(org.apache.spark.sql.functions.col("l.event_type"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("attrib").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("stream-static enrichment broadcasts the dimension") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[GEvent]
+    input.addData(GEvent(t("2026-01-01 10:00:00"), "click", 1.0))
+    val dim = Seq(("click", "interaction"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val q = EventStreams.enrich(input.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched").select("event_type", "category")
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("click", "interaction")))
+  }
+
   test("streaming dedup drops duplicates within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GEvent]
