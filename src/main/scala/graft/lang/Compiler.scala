@@ -284,9 +284,21 @@ object Compiler {
           case Ident(n) => n
           case other => fail(s"frame path step must be a column: $other")
         }
-        if (!df.columns.contains(name))
-          fail(s"no column '$name' in frame (${df.columns.mkString(", ")})")
-        return CTab(df.select(df(name).as("value")))
+        if (df.columns.contains(name))
+          return CTab(df.select(df(name).as("value")))
+        // chained navigation into a document frame: a prior step left
+        // one `value` column; struct fields keep pathing
+        // ($get('doc.json').a.b — reference read-local documents)
+        df.schema.fields.toSeq match {
+          case Seq(f) if f.dataType.isInstanceOf[StructType] &&
+            f.dataType.asInstanceOf[StructType].fieldNames
+              .contains(name) =>
+            return CTab(df.select(
+              df(f.name).getField(name).as("value")))
+          case _ =>
+            fail(s"no column '$name' in frame " +
+              s"(${df.columns.mkString(", ")})")
+        }
       case _ => ()
     }
     val s = src match { case d: CD => d; case _ => fail("path over function") }

@@ -33,6 +33,14 @@ class FramePathSpec extends SparkSpec {
       2L) // set semantics: [1, 2]
   }
 
+  test("chained paths navigate into a loaded JSON document") {
+    val p = java.nio.file.Files.createTempFile("doc", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"Account": {"Name": "Firefly", "Tier": {"level": 3}}}""")
+    run(s"$$get('$p').Account.Name", "Firefly")
+    run(s"$$get('$p').Account.Tier.level", 3L)
+  }
+
   test("field path over a real-table query frame stays distributed") {
     import spark.implicits._
     val people = Seq((1L, "Bob", "a"), (2L, "Alice", "b"), (3L, "Cy", "a"))
