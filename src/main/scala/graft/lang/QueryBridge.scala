@@ -110,6 +110,11 @@ object QueryBridge {
   private def typedBsets(spark: SparkSession, boxed: DataFrame): DataFrame = {
     val cols = boxed.columns
     if (cols.isEmpty) return boxed
+    // the facts aggregate below and the returned select both consume
+    // the joined frame — persist so the join runs once (spillable
+    // storage; binding frames are join outputs, typically far smaller
+    // than their inputs)
+    boxed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = cols.flatMap { c =>
       Seq(
         collect_set(col(c).getField("vt")).as(s"${c}__vt"),
