@@ -78,4 +78,82 @@ object Ann {
   private def bucketSignatures(vec: Column, planes: Int,
       tables: Int, dim: Int): Column =
     graft.functions.HyperplaneBuckets(vec, planes, tables, dim, 7000)
+
+  // ---------- IVF (inverted file) ----------
+  //
+  // Coarse quantization: every corpus vector lands in the list of its
+  // nearest centroid; queries probe only the `nprobe` nearest lists,
+  // so the candidate join is equi on the centroid id — the same
+  // co-locatable join shape as LSH with recall controlled by nprobe.
+  // Centroids here are deterministic unit vectors (seeded); a
+  // production system k-means them on a sample, but the assignment /
+  // probe / join topology — the part that has to scale — is identical,
+  // and determinism keeps the operator oracle-checkable.
+
+  /** Deterministic unit-norm centroid matrix (row = centroid). Public
+    * so oracle SQL can embed identical literals.
+    */
+  def centroids(k: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(k) { c =>
+      val rnd = new scala.util.Random(seed.toLong * 7919L + c)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+
+  private def dotLit(vec: Column, w: Array[Double]): Column =
+    aggregate(zip_with(vec, array(w.toSeq.map(lit): _*), (x, y) => x * y),
+      lit(0.0d), (s, x) => s + x)
+
+  /** (dot, idx) struct per centroid — max/sort order is dot first,
+    * then the LARGER index on exact ties (both engines mirror it).
+    */
+  private def centroidScores(vec: Column, cents: Array[Array[Double]])
+      : Column =
+    array(cents.zipWithIndex.map { case (w, i) =>
+      struct(dotLit(vec, w).as("d"), lit(i).as("i")) }: _*)
+
+  /** Nearest-centroid assignment (the corpus-side list id). */
+  def assignCentroid(vec: Column, k: Int = 16, dim: Int = 64,
+      seed: Int = 4242): Column =
+    array_max(centroidScores(vec, centroids(k, dim, seed))).getField("i")
+
+  /** The `nprobe` nearest centroid ids (query-side probe list). */
+  def probeCentroids(vec: Column, nprobe: Int, k: Int = 16,
+      dim: Int = 64, seed: Int = 4242): Column =
+    transform(
+      slice(reverse(array_sort(centroidScores(vec, centroids(k, dim, seed)))),
+        1, nprobe),
+      s => s.getField("i"))
+
+  /** IVF approximate top-k: probe lists → equi-join on centroid id →
+    * exact cosine rank within candidates. At scale the corpus side is
+    * written bucketed by centroid id (sources.Bucketing), making the
+    * probe a co-located join with no corpus shuffle.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      seed: Int = 4242): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+      explode(probeCentroids(col(vecCol).cast("array<double>"),
+        nprobe, nCentroids, dim, seed)).as("cent"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      assignCentroid(col(vecCol).cast("array<double>"),
+        nCentroids, dim, seed).as("cent"))
+    val pairs = q.join(c, Seq("cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(qId).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cv = corpus.select(col(cId).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
 }

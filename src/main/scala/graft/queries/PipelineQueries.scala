@@ -106,6 +106,19 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN: 16 deterministic centroid lists, queries probe the 4
+    * nearest — fully oracle-checked (the centroid matrix is embedded
+    * in the SQL, so DuckDB replays assignment, probing, and ranking).
+    */
+  def pAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Ann.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, nCentroids = 16, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force cosine top-3 neighbor IDs for 10 queries — DuckDB-
     * checked (IDs only; scores stay engine-local to avoid float-repr
     * mismatches).
@@ -177,6 +190,7 @@ object PipelineQueries {
     "p_simhash" -> (pSimhash _),
     "p_embed_dup" -> (pEmbedDup _),
     "p_ann_topk" -> (pAnnTopk _),
+    "p_ann_ivf" -> (pAnnIvf _),
     "p_ann_brute" -> (pAnnBrute _))
 
   private val norm =
@@ -218,6 +232,14 @@ object PipelineQueries {
       .map { case (w, tp) =>
         s"(${tp / planes}, ${tp % planes}, [${w.mkString(", ")}])"
       }.mkString(", ")
+
+  /** `(i, [w...])` VALUES rows of the deterministic IVF centroid
+    * matrix (Ann.centroids) — identical doubles to the Spark plan.
+    */
+  private def centroidValues(k: Int, dim: Int, seed: Int): String =
+    graft.pipeline.Ann.centroids(k, dim, seed).zipWithIndex
+      .map { case (w, i) => s"($i, [${w.mkString(", ")}])" }
+      .mkString(", ")
 
   /** Bucket id of vector list `vref` against the planes CTE rows of
     * one table: sum of 2^p over planes with positive dot product.
@@ -411,6 +433,38 @@ object PipelineQueries {
         |  CAST(dur // 5000 + 1 AS BIGINT) AS n_frames
         |FROM m LEFT JOIN f USING (doc_id)
         |ORDER BY m.doc_id""".stripMargin,
+    "p_ann_ivf" ->
+      s"""WITH cents(i, w) AS (VALUES ${centroidValues(16, 64, 4242)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, c.i,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> e.v[j] * c.w[j])) AS d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, 65),
+         |        j -> e.v[j] * c.w[j])) DESC, c.i DESC) AS rk
+         |  FROM emb e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, i AS cent FROM scored WHERE rk = 1),
+         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+         |qprobe AS (
+         |  SELECT s.vec_id AS query_id, s.i AS cent
+         |  FROM scored s JOIN qids ON s.vec_id = qids.vec_id
+         |  WHERE s.rk <= 4),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN assign a ON q.cent = a.cent
+         |  WHERE q.query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+         |        c.neighbor_id) AS rank
+         |  FROM cand c
+         |  JOIN emb qe ON c.query_id = qe.vec_id
+         |  JOIN emb ne ON c.neighbor_id = ne.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "p_ann_brute" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -86,6 +86,26 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ANN: IVF top-k achieves high recall vs brute force") {
+    val emb = Seq(sf("sf0.001")).map(d =>
+      spark.read.parquet(s"$d/embeddings.parquet")).head.limit(200).cache()
+    val queries = emb.limit(10)
+    val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5, nCentroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(approx).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // assignment is total and single: every vector has exactly one list
+    val n = emb.count()
+    val assigned = emb.select(Ann.assignCentroid(
+      org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>"))).distinct().count()
+    assert(assigned <= 16 && n == 200)
+  }
+
   test("text analysis: counts, quality, language id, fingerprint") {
     val t = Seq(
       (1L, "The cat and the dog are in the house with the mouse."),
