@@ -101,30 +101,18 @@ object Ann {
       v.map(_ / n)
     }
 
-  private def dotLit(vec: Column, w: Array[Double]): Column =
-    aggregate(zip_with(vec, array(w.toSeq.map(lit): _*), (x, y) => x * y),
-      lit(0.0d), (s, x) => s + x)
-
-  /** (dot, idx) struct per centroid — max/sort order is dot first,
-    * then the LARGER index on exact ties (both engines mirror it).
+  /** Nearest-centroid assignment (the corpus-side list id) — one
+    * codegen'd pass over the vector (graft.functions.CentroidRank);
+    * exact ties break toward the larger id, matching the oracle.
     */
-  private def centroidScores(vec: Column, cents: Array[Array[Double]])
-      : Column =
-    array(cents.zipWithIndex.map { case (w, i) =>
-      struct(dotLit(vec, w).as("d"), lit(i).as("i")) }: _*)
-
-  /** Nearest-centroid assignment (the corpus-side list id). */
   def assignCentroid(vec: Column, k: Int = 16, dim: Int = 64,
       seed: Int = 4242): Column =
-    array_max(centroidScores(vec, centroids(k, dim, seed))).getField("i")
+    element_at(graft.functions.CentroidRank(vec, k, dim, seed, 1), 1)
 
   /** The `nprobe` nearest centroid ids (query-side probe list). */
   def probeCentroids(vec: Column, nprobe: Int, k: Int = 16,
       dim: Int = 64, seed: Int = 4242): Column =
-    transform(
-      slice(reverse(array_sort(centroidScores(vec, centroids(k, dim, seed)))),
-        1, nprobe),
-      s => s.getField("i"))
+    graft.functions.CentroidRank(vec, k, dim, seed, nprobe)
 
   /** IVF approximate top-k: probe lists → equi-join on centroid id →
     * exact cosine rank within candidates. At scale the corpus side is
