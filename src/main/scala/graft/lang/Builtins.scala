@@ -175,8 +175,34 @@ object Builtins {
       case "$join" =>
         sval(Jsonata.join(arr(0).col,
           if (args.size > 1) litStr(1) else ""), StringType)
-      case "$replace" => argExprs.lift(1) match {
-        case Some(Ast.RegexLit(r)) =>
+      case "$replace" => (argExprs.lift(1), args.lift(2)) match {
+        case (Some(Ast.RegexLit(r)), Some(fn: CF)) =>
+          // replacement FUNCTION form (builtin_test.cljc:120-124):
+          // the lambda receives each match object {match,index,groups};
+          // unmatched segments stitch around its results. Pure Column
+          // fold over the $match array — no UDF.
+          val s0 = str(0)
+          val matchDt = DataType.fromDDL(
+            "`match` string, `index` int, `groups` array<string>")
+          val ms = Jsonata.rmatch(s0, r)
+          val out = aggregate(ms,
+            struct(lit("").as("out"), lit(0).as("pos")),
+            (acc, m) => {
+              val repl = scalar(materialize(fn.fn(Seq(
+                CD(m, matchDt, KScalar))))).col.cast("string")
+              struct(
+                concat(acc.getField("out"),
+                  s0.substr(acc.getField("pos") + 1,
+                    m.getField("index") - acc.getField("pos")),
+                  repl).as("out"),
+                (m.getField("index") + length(m.getField("match")))
+                  .as("pos"))
+            },
+            acc => concat(acc.getField("out"),
+              s0.substr(acc.getField("pos") + 1,
+                length(s0) - acc.getField("pos"))))
+          sval(out, StringType)
+        case (Some(Ast.RegexLit(r)), _) =>
           sval(Jsonata.replaceRegex(str(0), r, litStr(2)), StringType)
         case _ => // literal pattern: replace all occurrences verbatim
           sval(Jsonata.replaceStr(str(0), sc(1), sc(2)), StringType)

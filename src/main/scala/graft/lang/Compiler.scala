@@ -335,6 +335,14 @@ object Compiler {
         // `.$` maps identity and splices one level
         case KJson | KSeq => s.dt match {
           case ArrayType(et, _) => CD(flatten(s.col), et, KSeq)
+          case VariantType =>
+            // mixed elements: each parent becomes its own sequence
+            // (array variants unpack, scalars become singletons), so
+            // subsequent [i] filters index per parent — the reference
+            // "today" battery's `[[1,2,3], 4].$[1]` → 2
+            CD(transform(s.col, p => coalesce(
+              try_variant_get(p, "$", "array<variant>"), array(p))),
+              VariantType, KNested(false))
           case _ => CD(s.col, s.dt, KSeq)
         }
         case KNested(_) => CD(flatten(s.col), s.dt, KSeq)
@@ -439,6 +447,11 @@ object Compiler {
         CD(map_from_entries(built.map(_._1).reduceLeft(concat(_, _))),
           MapType(StringType, vt), KScalar)
 
+      case QvarRef(n) =>
+        // binding-set literal fields path like plain fields:
+        // `[{?parent : 2}].?parent` (reference today battery)
+        pathStep(src, Ident(n), env)
+
       case other => fail(s"unsupported path step $other")
     }
   }
@@ -479,12 +492,19 @@ object Compiler {
             case _ => CD(Jsonata.aref(s.col, idx), s.dt, KScalar)
           }
         case KNested(json) =>
-          // NON-COMPOSITIONAL: index each parent's sequence
+          // NON-COMPOSITIONAL: index each parent's sequence. The
+          // result keeps the per-parent shape (each hit wrapped as a
+          // singleton sequence, misses as empty) so CHAINED index
+          // filters also apply per parent — `$v.$[0][0]` → [1, 4]
+          // (reference today battery); finalization splices the
+          // singletons and drops the empties, so single-index output
+          // is unchanged.
           if (json) CD(transform(s.col, p => Jsonata.aref(p, idx)),
             s.dt, KSeq)
           else CD(
-            filter(transform(s.col, p => Jsonata.aref(p, idx)),
-              _.isNotNull), s.dt, KSeq)
+            transform(s.col, p =>
+              filter(array(Jsonata.aref(p, idx)), _.isNotNull)),
+            s.dt, KNested(false))
         case KScalar =>
           // `1[0]` — scalars are singletons
           CD(when(idx === 0 || idx === -1, s.col), s.dt, KScalar)

@@ -134,6 +134,13 @@ class RMSpec extends SparkSpec {
       "Mr Smith and Mr Jones")
     run("$replace('John Smith', /(\\w+)\\s(\\w+)/, '$2, $1')",
       "Smith, John")
+    // replacement FUNCTION form (builtin_test.cljc:120-124; the
+    // reference's cljs golden — integral doubles collapse, 20 not 20.0)
+    run(
+      """( $convert := function($m) { ($number($m.groups[0]) - 32) * 5/9 & 'C' };
+        |  $replace('temperature = 68F today', /(\d+)F/, $convert) )"""
+        .stripMargin,
+      "temperature = 20C today")
     run("$split('so many words', ' ')", Seq("so", "many", "words"))
     run("$split('so many words', ' ', 2)", Seq("so", "many"))
     run("$split('too much, punctuation. hard; to read', /[ ,.;]+/)",
