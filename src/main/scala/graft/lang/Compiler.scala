@@ -207,7 +207,18 @@ object Compiler {
 
     case Block(bindings, result) =>
       val env2 = bindings.foldLeft(env) { case (e2, (n, v)) =>
-        e2 + (n -> compile(v, e2))
+        val cv = compile(v, e2)
+        // `$ := $get('doc.json')` — rebinding the CONTEXT to a loaded
+        // frame collapses it to a document value so bare paths
+        // (`Account.Order...`) use the full CD step semantics
+        // (reference design battery, builtin_test.cljc:592-599).
+        // Loaded single documents are driver-sized by usage; the
+        // round trip is one small collect + a literal from_json.
+        val bound = cv match {
+          case CTab(df) if n == "" => tabToDoc(df)
+          case other => other
+        }
+        e2 + (n -> bound)
       }
       compile(result, env2)
 
@@ -388,14 +399,28 @@ object Compiler {
           pathStep(CD(flatten(s.col), s.dt, KSeq), step, env)
       }
 
-      case FnCall(name, args) =>
+      case fc @ FnCall(name, args) =>
         // per-element function application: x.$f(...) with $ = element
         s.kind match {
           case KScalar =>
             Builtins(name,
               CD(s.col, s.dt, KScalar) +: args.map(compile(_, env)),
               NullLit +: args)
-          case _ => fail(s"function step over sequences: use $$map")
+          case KNested(_) =>
+            pathStep(CD(flatten(s.col), s.dt, KSeq), step, env)
+          case _ =>
+            // sequence: the call evaluates once per element with `$`
+            // bound to it — context-independent calls replicate their
+            // value (`['a','b','c'].$sum([50,50])` → [100,100,100],
+            // reference design battery builtin_test.cljc:553-555)
+            var outDt: DataType = null
+            val mapped = transform(s.col, x => {
+              val cv = scalar(materialize(compile(fc,
+                env + ("" -> CD(x, s.dt, KScalar)))))
+              outDt = cv.dt
+              cv.col
+            })
+            CD(mapped, outDt, KSeq)
         }
 
       case ReduceExp(pairs) =>
@@ -622,6 +647,20 @@ object Compiler {
     case KScalar => d.dt
     case KJson | KSeq => ArrayType(d.dt)
     case KNested(_) => ArrayType(ArrayType(d.dt))
+  }
+
+  /** Frame → document CD: one row becomes a scalar struct, many rows
+    * an explicit array of structs — rendered back through a literal
+    * from_json so the value composes with every Column path step.
+    */
+  private def tabToDoc(df: org.apache.spark.sql.DataFrame): CD = {
+    val json = df.toJSON.collect()
+    val st = StructType(df.schema.fields)
+    if (json.length == 1)
+      CD(from_json(lit(json(0)), st), st, KScalar)
+    else
+      CD(from_json(lit(json.mkString("[", ",", "]")), ArrayType(st)),
+        st, KJson)
   }
 
   /** Arbitrary typed column → VariantType. Scalars box through a

@@ -15,8 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Ingest {
 
-  def readJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+  /** JSON file: newline-delimited by default; a pretty-printed
+    * document (whose line-wise parse yields only the corrupt-record
+    * column) re-reads as one multi-line value.
+    */
+  def readJson(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.json(path)
+    if (df.columns.forall(_ == "_corrupt_record"))
+      spark.read.option("multiLine", "true").json(path)
+    else df
+  }
 
   def readJsonString(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
