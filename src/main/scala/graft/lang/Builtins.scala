@@ -440,11 +440,18 @@ object Builtins {
         val wantSrc = props.exists(p => p.replace('/', '_') == "fn_src")
         val data = m.toSeq.sortBy(_._1)
           .filterNot { case (k, _) => k == "fn_src" && wantExe && !wantSrc }
-          .map { case (k, v) =>
-            k -> (CD(lit(v), StringType, KScalar): CV) }
+          .map {
+            case (k, v: String) => k -> (CD(lit(v), StringType, KScalar): CV)
+            case (k, vs: Seq[_]) => // list-valued props (list_content)
+              k -> (CD(array(vs.map(x => lit(x.toString)): _*),
+                StringType, KJson): CV)
+            case (k, v) => k -> (CD(lit(v.toString), StringType,
+              KScalar): CV)
+          }
         val exe: Seq[(String, CV)] =
           if (wantExe && m.contains("fn_src"))
-            Seq("fn_exe" -> Compiler.compile(Parser.parse(m("fn_src"))))
+            Seq("fn_exe" -> Compiler.compile(
+              Parser.parse(m("fn_src").toString)))
           else Nil
         CObj(data ++ exe)
 

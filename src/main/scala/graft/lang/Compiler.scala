@@ -252,7 +252,11 @@ object Compiler {
     */
   private def contextThreads(name: String, args: Seq[Expr]): Boolean =
     name match {
-      case "$match" | "$contains" | "$split" | "$replace" =>
+      // $contains threads whenever one argument short — string OR
+      // regex pattern (`list_content[$contains('elena')]`,
+      // builtin_test.cljc:512)
+      case "$contains" => args.size == 1
+      case "$match" | "$split" | "$replace" =>
         args.headOption.exists(_.isInstanceOf[RegexLit])
       case "$uppercase" | "$lowercase" | "$trim" | "$length" |
            "$string" | "$number" => args.isEmpty
@@ -500,11 +504,11 @@ object Compiler {
     val s = src match { case d: CD => d; case _ => fail("filter on fn") }
     val isIndex = !containsContextRef(pred) && {
       // a pred that only compiles WITH a context (e.g. a threaded
-      // $match) is a predicate, not an index
+      // $match or $contains) is a predicate, not an index
       try compile(pred, env) match {
         case CD(_, dt, KScalar) => dt.isInstanceOf[NumericType]
         case _ => false
-      } catch { case _: IllegalArgumentException => false }
+      } catch { case scala.util.control.NonFatal(_) => false }
     }
     if (isIndex) {
       // floor of non-integers, also for negatives (builtin.cljc:213-243)

@@ -16,9 +16,11 @@ package graft.sources
 object Graph {
 
   trait GraphResolver extends Serializable {
-    /** Resolve the requested props of an entity. */
+    /** Resolve the requested props of an entity. Values are strings or
+      * string sequences (list-valued props like list_content).
+      */
     def get(identType: String, identVal: String,
-        props: Seq[String]): Map[String, String]
+        props: Seq[String]): Map[String, Any]
     /** Store an entity's props; returns "success" (reference shape). */
     def put(identType: String, identVal: String,
         obj: Map[String, String]): String
@@ -32,16 +34,16 @@ object Graph {
   final class ReplayResolver extends GraphResolver {
     private val store =
       scala.collection.concurrent.TrieMap.empty[(String, String),
-        Map[String, String]]
+        Map[String, Any]]
 
     def record(identType: String, identVal: String,
-        props: Map[String, String]): Unit =
+        props: Map[String, Any]): Unit =
       store.put((norm(identType), identVal), props.map {
         case (k, v) => norm(k) -> v
       })
 
     override def get(identType: String, identVal: String,
-        props: Seq[String]): Map[String, String] = {
+        props: Seq[String]): Map[String, Any] = {
       if (norm(identType) == "db_name" && identVal == "schemaDB")
         return Map("db_connection" -> "_rm_schema-db")
       val entity = store.getOrElse((norm(identType), identVal),

@@ -49,6 +49,29 @@ class GraphSpec extends SparkSpec {
     assert(got.contains(Seq("b", "c")))
   }
 
+  test("list-valued props filter by content (builtin_test:511-516)") {
+    Graph.resolver.asInstanceOf[Graph.ReplayResolver].record(
+      "list_id", "cct_bie", Map("list_content" -> Seq(
+        "urn:oagi-10.:elena.2023-02-09.ProcessInvoice-BC_1",
+        "urn:oagi-10.:elena.2023-02-09.ProcessInvoice-BC_2",
+        "urn:oagi-10.:other.2023-03-01.SomethingElse-BC_1",
+        "urn:oagi-10.:elena.2023-07-02.ProcessInvoice-BC_1_v2",
+        "urn:oagi-10.:elena.2023-07-02.ProcessInvoice-BC_2_v2")))
+    val got = RM.eval(
+      "$get(['list_id', 'cct_bie'], ['list_content'])" +
+        ".list_content[$contains('elena')]", spark)
+    assert(got.contains(Seq(
+      "urn:oagi-10.:elena.2023-02-09.ProcessInvoice-BC_1",
+      "urn:oagi-10.:elena.2023-02-09.ProcessInvoice-BC_2",
+      "urn:oagi-10.:elena.2023-07-02.ProcessInvoice-BC_1_v2",
+      "urn:oagi-10.:elena.2023-07-02.ProcessInvoice-BC_2_v2")))
+  }
+
+  test("why battery: context quirks (builtin_test:518-524)") {
+    assert(RM.eval("'abc'[$]", spark).contains("abc"))
+    assert(RM.eval("'abc'.$", spark).contains("abc"))
+  }
+
   test("unrecorded entities fail with the reference's error shape") {
     intercept[IllegalArgumentException] {
       RM.eval("$get([['library/fn', 'missing!'], ['fn_src']])", spark)
