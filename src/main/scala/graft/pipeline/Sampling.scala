@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling/mixing operators for training-data curation.
+  *
+  * Training pipelines need reproducible subsets ("50% of English, all
+  * of French") and a reproducible global training order — both
+  * independent of cluster partitioning, retries, and input file
+  * order. Randomness here is a seeded CONTENT hash (md5 of id+seed):
+  * deterministic across runs and engines (oracle-checkable), uniform
+  * enough for mixing, and cheap.
+  *
+  * Scale notes: stratified sampling is one shuffle on the stratum key
+  * (window rank); the global shuffle is one range-partitioned sort on
+  * the hash — both standard Spark shapes with no driver involvement.
+  */
+object Sampling {
+
+  /** Seeded per-row sampling hash (hex string, uniform lexicographic). */
+  def sampleHash(id: Column, seed: Int): Column =
+    md5(concat(id.cast("string"), lit(":" + seed)))
+
+  /** Deterministic stratified sample: within each stratum, rows rank
+    * by the seeded hash and the first ceil(frac × n) survive. Exact
+    * per-stratum counts (unlike Bernoulli `df.sample`), reproducible
+    * under repartitioning, one shuffle.
+    *
+    * @param fracs  per-stratum keep fraction; strata absent from the
+    *               map use `default`
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+      fracs: Map[String, Double], default: Double = 0.0,
+      seed: Int = 42): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(sampleHash(col(idCol), seed), col(idCol))
+    val frac = fracs.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, f).otherwise(acc)
+    }
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(stratumCol)))
+      .filter(col("__rk") <= ceil(frac * col("__n")))
+      .drop("__rk", "__n")
+  }
+
+  /** Deterministic global shuffle: a total order by seeded hash (ties
+    * by id) — the reproducible training order. Plans as one
+    * range-partitioned sort.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: Int = 42): DataFrame =
+    df.orderBy(sampleHash(col(idCol), seed), col(idCol))
+}

@@ -119,6 +119,24 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic stratified sample + reproducible training order:
+    * keep 50% of en, 25% of de, all fr, 12.5% of everything else
+    * (binary-exact fractions), then emit the global shuffle position.
+    * Fully hash-checked — the sampling hash is md5, portable.
+    */
+  def pSample(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Sampling
+    val kept = Sampling.stratified(Tables.documents(s, d), "lang",
+      "doc_id", Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0),
+      default = 0.125, seed = 7)
+    Sampling.deterministicShuffle(kept, "doc_id", seed = 9)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          Sampling.sampleHash(col("doc_id"), 9), col("doc_id"))))
+      .orderBy("doc_id")
+  }
+
   /** Brute-force cosine top-3 neighbor IDs for 10 queries — DuckDB-
     * checked (IDs only; scores stay engine-local to avoid float-repr
     * mismatches).
@@ -191,6 +209,7 @@ object PipelineQueries {
     "p_embed_dup" -> (pEmbedDup _),
     "p_ann_topk" -> (pAnnTopk _),
     "p_ann_ivf" -> (pAnnIvf _),
+    "p_sample" -> (pSample _),
     "p_ann_brute" -> (pAnnBrute _))
 
   private val norm =
@@ -465,6 +484,22 @@ object PipelineQueries {
          |  JOIN emb ne ON c.neighbor_id = ne.vec_id)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "p_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, lang FROM ranked
+        |  WHERE rk <= ceil(CAST(CASE lang WHEN 'en' THEN 0.5
+        |    WHEN 'de' THEN 0.25 WHEN 'fr' THEN 1.0
+        |    ELSE 0.125 END AS DOUBLE) * n))
+        |SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY
+        |    md5(CAST(doc_id AS VARCHAR) || ':9'), doc_id) AS INT) AS pos
+        |FROM kept ORDER BY doc_id""".stripMargin,
     "p_ann_brute" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

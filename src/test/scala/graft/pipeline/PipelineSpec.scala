@@ -106,6 +106,30 @@ class PipelineSpec extends SparkSpec {
     assert(assigned <= 16 && n == 200)
   }
 
+  test("stratified sample: exact counts, stable under repartition") {
+    val docs = (1L to 100L).map(i =>
+      (i, if (i <= 40) "en" else if (i <= 70) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratified(d, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.1), default = 0.0, seed = 7)
+        .select("doc_id").as[Long].collect().toSet
+    val base = ids(docs)
+    assert(ids(docs.repartition(7)) == base,
+      "sample must not depend on partitioning")
+    val byLang = docs.filter($"doc_id".isin(base.toSeq: _*))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 20L, "de" -> 3L),
+      s"exact per-stratum counts, got $byLang")
+    // deterministic shuffle: a stable total order, same rows
+    val order1 = Sampling.deterministicShuffle(docs, "doc_id", 9)
+      .select("doc_id").as[Long].collect().toSeq
+    val order2 = Sampling.deterministicShuffle(docs.repartition(5),
+      "doc_id", 9).select("doc_id").as[Long].collect().toSeq
+    assert(order1 == order2 && order1.toSet == (1L to 100L).toSet)
+    assert(order1 != (1L to 100L).toSeq, "order should be shuffled")
+  }
+
   test("text analysis: counts, quality, language id, fingerprint") {
     val t = Seq(
       (1L, "The cat and the dog are in the house with the mouse."),
