@@ -52,4 +52,19 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, idCol: String,
       seed: Int = 42): DataFrame =
     df.orderBy(sampleHash(col(idCol), seed), col(idCol))
+
+  /** Write the frame as training shards: `shards` range-partitioned
+    * files in deterministic-shuffle order, each additionally capped at
+    * `maxRecordsPerFile` (uniform, loader-friendly file sizes; range
+    * partitioning on the hash keeps shard boundaries reproducible).
+    */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+      shards: Int, maxRecordsPerFile: Long = 1000000L,
+      seed: Int = 42): Unit =
+    df.repartitionByRange(shards, sampleHash(col(idCol), seed),
+        col(idCol))
+      .sortWithinPartitions(sampleHash(col(idCol), seed), col(idCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }

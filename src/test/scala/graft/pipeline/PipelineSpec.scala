@@ -130,6 +130,20 @@ class PipelineSpec extends SparkSpec {
     assert(order1 != (1L to 100L).toSeq, "order should be shuffled")
   }
 
+  test("shard writer: reproducible range shards with a per-file cap") {
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShards(docs, "doc_id", dir, shards = 4,
+      maxRecordsPerFile = 30L, seed = 3)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 7, // 200 rows / 30-cap => >= 7 files
+      s"expected capped files, got ${files.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    assert(files.forall(f => spark.read.parquet(f.getPath).count() <= 30))
+  }
+
   test("text analysis: counts, quality, language id, fingerprint") {
     val t = Seq(
       (1L, "The cat and the dog are in the house with the mouse."),
