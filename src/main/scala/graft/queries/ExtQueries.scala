@@ -67,13 +67,44 @@ object ExtQueries {
           col("exact_nd") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
+  /** Quantiles two ways: the exact discrete percentile (explicit
+    * ceil(p·n) order-statistic — same formula on both engines, so
+    * hash-checkable) and the SCALABLE percentile_approx sketch checked
+    * against it within tolerance. At 100 TB only the sketch runs; the
+    * exact form is the oracle-able semantics pin at gate scale.
+    */
+  def qQuantiles(s: SparkSession, d: String): DataFrame = {
+    val qs = col("qs")
+    def p(f: Double) = element_at(qs, ceil(size(qs) * f).cast("int"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("ap50"))
+      .select(col("l_returnflag"),
+        p(0.25).as("p25"), p(0.5).as("p50"), p(0.99).as("p99"),
+        (org.apache.spark.sql.functions.abs(col("ap50") - p(0.5)) <= 1.0)
+          .as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_quantiles" -> (qQuantiles _),
     "q_asof" -> (qAsof _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  qs[CAST(ceil(len(qs) * 0.25) AS INT)] AS p25,
+        |  qs[CAST(ceil(len(qs) * 0.5) AS INT)] AS p50,
+        |  qs[CAST(ceil(len(qs) * 0.99) AS INT)] AS p99,
+        |  TRUE AS approx_ok
+        |FROM (SELECT l_returnflag, list_sort(list(l_quantity)) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY l_returnflag""".stripMargin,
     "q_asof" ->
       """SELECT event_id, user_id, o_orderkey
         |FROM events ASOF JOIN (
