@@ -54,11 +54,9 @@ object QueryBridge {
     // positional source naming: patterns with explicit $DB names bind
     // in order of first appearance; unnamed patterns use the first arg
     val named = q.patterns.flatMap(_.src).distinct
-    val sources: Map[String, DataFrame] =
-      if (named.isEmpty) Map("default" -> Shred.shred(dfs.head))
-      else named.zip(dfs).map { case (n, df) =>
-        n -> Shred.shred(df)
-      }.toMap ++ Map("default" -> Shred.shred(dfs.head))
+    val srcDfs: Map[String, DataFrame] =
+      (if (named.isEmpty) Map.empty[String, DataFrame]
+       else named.zip(dfs).toMap) ++ Map("default" -> dfs.head)
     val pats = q.patterns.map { p =>
       val v = p.v match {
         case QvarRef(n) => V(n)
@@ -87,11 +85,56 @@ object QueryBridge {
         materialize(Compiler.compile(p, env)).col)
     }
     val keepDBid = q.options.get("keepDBid").contains("true")
-    if (allTables) // distributed end-to-end; canonical string bindings
-      CTab(QueryCompiler.run(sources, pats, predFns, keepDBid))
-    else
-      CTab(typedBsets(spark,
-        QueryCompiler.runBoxed(sources, pats, predFns, keepDBid)))
+
+    // Direct (EAV-free) routing: when every pattern names a constant
+    // attribute that is a top-level ATOMIC column of its source frame,
+    // compile straight over the documents (one narrow projection per
+    // entity var, no shred, no triple self-joins — QueryCompiler.
+    // runDocs). Nested/array attributes and wildcard attrs fall back
+    // to the EAV form, whose explode materializes sub-entities.
+    if (docEligible(pats, srcDfs)) {
+      val docs = srcDfs.map { case (n, df) =>
+        n -> QueryCompiler.DocSource(df.withColumn(EntCol,
+          Shred.derivedId(df)), EntCol)
+      }
+      val boxed = QueryCompiler.runDocsBoxed(docs, pats, predFns, keepDBid)
+      if (allTables) // canonical string bindings, like QueryCompiler.run
+        CTab(boxed.select(boxed.columns.toSeq
+          .map(c => boxed(c).getField("v").as(c)): _*))
+      else
+        CTab(typedBsets(spark, boxed,
+          QueryCompiler.docVarTypes(docs, pats)))
+    } else {
+      val sources = srcDfs.map { case (n, df) => n -> Shred.shred(df) }
+      if (allTables) // distributed end-to-end; canonical string bindings
+        CTab(QueryCompiler.run(sources, pats, predFns, keepDBid))
+      else
+        CTab(typedBsets(spark,
+          QueryCompiler.runBoxed(sources, pats, predFns, keepDBid)))
+    }
+  }
+
+  private val EntCol = "__graft_e"
+
+  /** Direct-path eligibility: constant attrs only, each resolving to an
+    * atomic top-level column of its source frame. A missing attribute
+    * means "no such triples" — the EAV path yields the correct empty
+    * result, so it is routed there rather than special-cased here.
+    */
+  private def docEligible(pats: Seq[Pattern],
+      srcDfs: Map[String, DataFrame]): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    pats.forall { p =>
+      p.a match {
+        case C(attr) =>
+          val df = srcDfs(p.src)
+          df.schema.find(_.name == attr.toString).exists(_.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => false
+            case _ => true
+          })
+        case _ => false
+      }
+    }
   }
 
   /** Boxed (v, vt) binding frame → typed frame, fully distributed.
@@ -107,34 +150,78 @@ object QueryBridge {
     * double, bool → boolean, str/ref pass through, all-null columns
     * dropped), minus the driver materialization.
     */
-  private def typedBsets(spark: SparkSession, boxed: DataFrame): DataFrame = {
+  private def typedBsets(spark: SparkSession, boxed: DataFrame,
+      hints: Map[String, Set[org.apache.spark.sql.types.DataType]] =
+        Map.empty): DataFrame = {
+    import org.apache.spark.sql.types._
     val cols = boxed.columns
     if (cols.isEmpty) return boxed
-    // the facts aggregate below and the returned select both consume
-    // the joined frame — persist so the join runs once (spillable
-    // storage; binding frames are join outputs, typically far smaller
-    // than their inputs)
-    boxed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aggs = cols.flatMap { c =>
-      Seq(
-        collect_set(col(c).getField("vt")).as(s"${c}__vt"),
-        min(when(col(c).getField("vt") === "num",
-          col(c).getField("v").rlike("^-?\\d+$").cast("int")))
-          .as(s"${c}__int"))
-    }
-    val facts = boxed.agg(aggs.head, aggs.tail: _*).head()
-    val out = cols.flatMap { c =>
-      val vts = facts.getAs[scala.collection.Seq[String]](s"${c}__vt").toSet
-      if (vts.isEmpty) None // all-null column: same as the JSON bridge
+
+    // Columns with provable static types (direct doc path) skip the
+    // runtime type-facts job entirely: integral numerics are long,
+    // booleans boolean, strings/refs/mixed pass through. Fractional
+    // numerics still need the runtime all-integral check to match the
+    // reference's unboxing (an all-integral number column restores as
+    // integers — util.cljc:299-322).
+    sealed trait Plan
+    case object AsLong extends Plan
+    case object AsBool extends Plan
+    case object AsStr extends Plan
+    case object Runtime extends Plan
+    val plans: Map[String, Plan] = cols.map { c =>
+      c -> (hints.get(c) match {
+        case Some(dts) if dts.nonEmpty =>
+          if (dts.forall(dt => dt match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          })) AsLong
+          else if (dts.forall(_ == BooleanType)) AsBool
+          else if (dts.forall(dt => dt match {
+            case DoubleType | FloatType | _: DecimalType => true
+            case _ => false
+          })) Runtime
+          else AsStr // strings, refs, or statically mixed kinds
+        case _ => Runtime // no static info: full runtime facts
+      })
+    }.toMap
+
+    val runtimeCols = cols.filter(plans(_) == Runtime)
+    val facts: Option[org.apache.spark.sql.Row] =
+      if (runtimeCols.isEmpty) None
       else {
-        val v = col(c).getField("v")
-        val typed =
-          if (vts == Set("num"))
-            if (facts.getAs[Int](s"${c}__int") == 1) v.cast("long")
-            else v.cast("double")
-          else if (vts == Set("bool")) v.cast("boolean")
-          else v
-        Some(typed.as(c))
+        // the facts aggregate and the returned select both consume the
+        // joined frame — persist so the join runs once (spillable
+        // storage; binding frames are join outputs, typically far
+        // smaller than their inputs)
+        boxed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val aggs = runtimeCols.flatMap { c =>
+          Seq(
+            collect_set(col(c).getField("vt")).as(s"${c}__vt"),
+            min(when(col(c).getField("vt") === "num",
+              col(c).getField("v").rlike("^-?\\d+$").cast("int")))
+              .as(s"${c}__int"))
+        }
+        Some(boxed.agg(aggs.head, aggs.tail: _*).head())
+      }
+    val out = cols.flatMap { c =>
+      val v = col(c).getField("v")
+      plans(c) match {
+        case AsLong => Some(v.cast("long").as(c))
+        case AsBool => Some(v.cast("boolean").as(c))
+        case AsStr => Some(v.as(c))
+        case Runtime =>
+          val f = facts.get
+          val vts = f.getAs[scala.collection.Seq[String]](s"${c}__vt").toSet
+          if (vts.isEmpty) None // all-null column: same as the JSON bridge
+          else {
+            val typed =
+              if (vts == Set("num"))
+                if (f.getAs[Int](s"${c}__int") == 1) v.cast("long")
+                else v.cast("double")
+              else if (vts == Set("bool")) v.cast("boolean")
+              else v
+            Some(typed.as(c))
+          }
       }
     }
     if (out.isEmpty) spark.emptyDataFrame else boxed.select(out.toSeq: _*)

@@ -114,14 +114,12 @@ object ExpressQueries {
     */
   def qReduceStep(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
+    // collect order is nondeterministic, which is fine: it only sets
+    // map key order, and the explode + orderBy compare relationally
     val base = l.groupBy("l_orderkey")
-      .agg(array_sort(collect_list(struct(
-        col("l_linenumber"), col("l_quantity"), col("l_returnflag"))))
-        .as("its"))
-      .select(col("l_orderkey"),
-        transform(col("its"), x => struct(
-          x.getField("l_returnflag").as("flag"),
-          x.getField("l_quantity").cast("long").as("qty"))).as("items"))
+      .agg(collect_list(struct(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))).as("items"))
     graft.lang.RM.evalCol("items{flag : $sum(qty)}", base,
         keep = Seq("l_orderkey"))
       .select(col("l_orderkey"),

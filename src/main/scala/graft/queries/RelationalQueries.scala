@@ -51,8 +51,10 @@ object RelationalQueries {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+    // reduce orders by the broadcast customer filter BEFORE the big
+    // lineitem join — 1/5 the probe rows into the one real shuffle
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))

@@ -2,6 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** The `query{}` Datalog compiler (SURVEY.md §2.8; reference semantics at
   * `builtin.cljc:1695-1838`, `rewrite.cljc:253-307`).
@@ -151,6 +152,18 @@ object QueryCompiler {
   def runDocs(sources: Map[String, DocSource], patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
       keepDBid: Boolean = false): DataFrame = {
+    val boxed = runDocsBoxed(sources, patterns, predicates, keepDBid)
+    boxed.select(boxed.columns.toSeq
+      .map(c => boxed(c).getField("v").as(c)): _*)
+  }
+
+  /** `runDocs` keeping the boxed struct<v,vt> binding columns — used by
+    * the text frontend's typed restore (QueryBridge), which pairs it
+    * with `docVarTypes` to type the output statically.
+    */
+  def runDocsBoxed(sources: Map[String, DocSource], patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false): DataFrame = {
     require(patterns.nonEmpty, "query{} needs at least one pattern")
     require(patterns.forall(_.a.isInstanceOf[C]),
       "runDocs requires constant attributes; use run() for wildcards")
@@ -201,8 +214,31 @@ object QueryCompiler {
     val distinctAll = filtered.distinct()
     val out = distinctAll.columns
       .filter(c => keepDBid || !entityVars.contains(c))
-      .map(c => distinctAll(c).getField("v").as(c))
-    distinctAll.select(out.toSeq: _*)
+    distinctAll.select(out.toSeq.map(distinctAll(_)): _*)
+  }
+
+  /** Static Spark types feeding each qvar on the direct path: value-
+    * position qvars collect their source column types; entity-position
+    * qvars are refs (string ids). Lets the typed restore skip its
+    * runtime type-facts job for columns whose type is provable.
+    */
+  def docVarTypes(sources: Map[String, DocSource],
+      patterns: Seq[Pattern]): Map[String, Set[DataType]] = {
+    import org.apache.spark.sql.types.StringType
+    val acc = scala.collection.mutable.Map.empty[String, Set[DataType]]
+    patterns.foreach { p =>
+      p.e match {
+        case V(n) => acc(n) = acc.getOrElse(n, Set.empty) + StringType
+        case _ => ()
+      }
+      (p.a, p.v) match {
+        case (C(attr), V(n)) =>
+          val dt = sources(p.src).df.schema(attr.toString).dataType
+          acc(n) = acc.getOrElse(n, Set.empty) + dt
+        case _ => ()
+      }
+    }
+    acc.toMap
   }
 
   /** Canonical string of a document column (must match Shred.canon). */

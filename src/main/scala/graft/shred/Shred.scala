@@ -138,10 +138,15 @@ object Shred {
   private def entityId(df: DataFrame, idCol: Option[String]): Column =
     idCol match {
       case Some(c) => col(c).cast("string")
-      case None => xxhash64(
-        to_json(struct(df.schema.fieldNames.map(col).toSeq: _*)))
-        .cast("string")
+      case None => derivedId(df)
     }
+
+  /** The no-idCol content-derived entity id, exposed so the direct
+    * (unshredded) query path can mint ids identical to the EAV path's.
+    */
+  def derivedId(df: DataFrame): Column =
+    xxhash64(to_json(struct(df.schema.fieldNames.map(col).toSeq: _*)))
+      .cast("string")
 
   /** Shred only the attributes a query's patterns touch — the EAV form
     * of column pruning. The narrowed select reaches the parquet scan
