@@ -85,6 +85,13 @@ object Builtins {
         sseq(Jsonata.zip(args.indices.map(i => arr(i).col): _*),
           ArrayType(arr(0).dt))
 
+      // express dispatch (reference builtin.cljc:1462-1468): $map with
+      // an express template runs the template compiler — must precede
+      // the generic HOF form, which would reject the template arg
+      case "$map" if args.lift(1).exists(_.isInstanceOf[CE]) =>
+        QueryBridge.mapEx(Compiler.sparkCtx.value, args(0),
+          args(1).asInstanceOf[CE].tmpl)
+
       // higher-order (§2.9)
       case "$map" =>
         val fn = f(1)
@@ -107,13 +114,10 @@ object Builtins {
               fn.fn(Seq(sval(x, arr(0).dt),
                 sval(i.cast(DoubleType), DoubleType)))
             else fn.fn(Seq(sval(x, arr(0).dt))))).col)), arr(0).dt)
-      // express dispatch (reference builtin.cljc:1462-1468): $reduce/
-      // $map with an express template run the template compilers
+      // express dispatch (reference builtin.cljc:1462-1468): $reduce
+      // with an express template runs the template compiler
       case "$reduce" if args.lift(1).exists(_.isInstanceOf[CE]) =>
         QueryBridge.reduce(Compiler.sparkCtx.value, args(0),
-          args(1).asInstanceOf[CE].tmpl)
-      case "$map" if args.lift(1).exists(_.isInstanceOf[CE]) =>
-        QueryBridge.mapEx(Compiler.sparkCtx.value, args(0),
           args(1).asInstanceOf[CE].tmpl)
 
       case "$reduce" =>
