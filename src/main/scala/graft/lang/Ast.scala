@@ -47,10 +47,14 @@ object Ast {
     */
   final case class QPattern(src: Option[String], e: String,
     attr: Either[String, String], v: Expr)
-  /** `query($params, <|opts|>){patterns [predicates]}` */
+  /** `query($params, <|opts|>){patterns [predicates]}`; `identArg` set
+    * means the body was `$qIdent(arg)` — patterns derive from the
+    * argument's shape at compile time (builtin.cljc:2264-2311)
+    */
   final case class QueryDef(params: Seq[String],
     patterns: Seq[QPattern], preds: Seq[Expr] = Nil,
-    options: Map[String, String] = Map.empty) extends Expr
+    options: Map[String, String] = Map.empty,
+    identArg: Option[Expr] = None) extends Expr
   /** `express($params){ {template} }` */
   final case class ExpressDef(params: Seq[String],
     template: Expr) extends Expr

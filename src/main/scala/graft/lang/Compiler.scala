@@ -222,9 +222,19 @@ object Compiler {
       }
       compile(result, env2)
 
-    case q: QueryDef =>
+    case q0: QueryDef =>
       val spark = sparkCtx.value
       if (spark == null) fail("query{} needs RM.eval (no session bound)")
+      // identity body: derive patterns from the argument's shape NOW
+      // (query-construction time, like the reference's rewrite)
+      val q = q0.identArg match {
+        case Some(arg) =>
+          val schema = QueryBridge.identSchemaOf(spark,
+            materialize(compile(arg, env)))
+          q0.copy(patterns = QueryBridge.identPair(schema)._1,
+            identArg = None)
+        case None => q0
+      }
       if (q.params.isEmpty)
         CF(-1, args => QueryBridge.runQuery(spark, q, Map.empty, args))
       else
@@ -232,6 +242,13 @@ object Compiler {
           val subst = q.params.zip(pargs.map(literalOf)).toMap
           CF(-1, args => QueryBridge.runQuery(spark, q, subst, args))
         })
+
+    case ExpressDef(Nil, FnCall("$eIdent", Seq(arg))) =>
+      // identity template: express{$eIdent($data)}
+      val spark = sparkCtx.value
+      if (spark == null) fail("express{} needs RM.eval (no session bound)")
+      CE(QueryBridge.identPair(QueryBridge.identSchemaOf(spark,
+        materialize(compile(arg, env))))._2)
 
     case ExpressDef(Nil, t) => CE(QueryBridge.templateOf(t))
     case ExpressDef(params, t) =>

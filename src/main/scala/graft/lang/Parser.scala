@@ -248,6 +248,14 @@ object Parser {
         expect(")")
       }
       expect("{")
+      // identity body: query{$qIdent($data)} (query_test.cljc:1064-1087)
+      if (peek.contains(TVar("qIdent"))) {
+        next(); expect("(")
+        val arg = expr(0)
+        expect(")"); expect("}")
+        val q = QueryDef(params.result(), Nil, Nil, options, Some(arg))
+        return (if (peekOp("(")) { next(); Apply(q, callArgs()) } else q)
+      }
       val pats = Seq.newBuilder[QPattern]
       val preds = Seq.newBuilder[Expr]
       while (peekOp("[")) {

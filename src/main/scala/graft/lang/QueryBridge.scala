@@ -227,6 +227,66 @@ object QueryBridge {
     if (out.isEmpty) spark.emptyDataFrame else boxed.select(out.toSeq: _*)
   }
 
+  /** Any query/express data value as a DataFrame (tables pass through,
+    * program literals go through the JSON bridge).
+    */
+  def dataFrameOf(spark: SparkSession, cv: CV): DataFrame = cv match {
+    case CTab(df) => df
+    case d: CD => cdToDf(spark, d)
+    case _ => Compiler.fail("$qIdent/$eIdent argument must be a value")
+  }
+
+  /** The shape `$qIdent`/`$eIdent` derive from: struct-typed program
+    * literals give their schema directly (preserving the literal's
+    * field order, which fixes qvar numbering); tables their schema;
+    * anything else goes through the JSON bridge.
+    */
+  def identSchemaOf(spark: SparkSession, cv: CV)
+      : org.apache.spark.sql.types.StructType = cv match {
+    case CTab(df) => df.schema
+    case CD(_, st: org.apache.spark.sql.types.StructType, _) => st
+    case cd: CD => dataFrameOf(spark, cd).schema
+    case _ => Compiler.fail("$qIdent/$eIdent argument must be a value")
+  }
+
+  /** `$qIdent`/`$eIdent` (builtin.cljc:2264-2311): the identity query
+    * patterns and express template for a shape, with the reference's
+    * positional naming — entities ?e1..?eN, scalars ?v1..?vN, both
+    * counters advancing in one depth-first field walk (the generated
+    * forms in query_test.cljc:1066-1076). The two derivations share the
+    * walk so the query's qvars line up with the template's.
+    */
+  def identPair(schema: org.apache.spark.sql.types.StructType)
+      : (Seq[QPattern], XObj) = {
+    import org.apache.spark.sql.types._
+    var eN = 1
+    var vN = 0
+    val pats = Seq.newBuilder[QPattern]
+    def walk(entity: String, st: StructType): XObj =
+      XObj(st.fields.toSeq.map { f =>
+        f.dataType match {
+          case sub: StructType =>
+            eN += 1; val subE = s"e$eN"
+            pats += QPattern(None, entity, Left(f.name), QvarRef(subE))
+            XField(KLit(f.name), walk(subE, sub))
+          case ArrayType(sub: StructType, _) =>
+            eN += 1; val subE = s"e$eN"
+            pats += QPattern(None, entity, Left(f.name), QvarRef(subE))
+            XField(KLit(f.name), XArr(walk(subE, sub)))
+          case ArrayType(_, _) =>
+            vN += 1; val v = s"v$vN"
+            pats += QPattern(None, entity, Left(f.name), QvarRef(v))
+            XField(KLit(f.name), XArrVal(v))
+          case _ =>
+            vN += 1; val v = s"v$vN"
+            pats += QPattern(None, entity, Left(f.name), QvarRef(v))
+            XField(KKey(f.name, v), XLit(null))
+        }
+      })
+    val tmpl = walk("e1", schema)
+    (pats.result(), tmpl)
+  }
+
   /** express{} template AST → Express.XObj; `subst` carries bound
     * `$param` literals (`express-sub`, builtin.cljc:1930-1938).
     */

@@ -63,7 +63,7 @@ object Rwast {
         "bindings" -> arr(bs.map { case (n, v) =>
           obj("var" -> q(n), "val" -> render(v)) }),
         "body" -> render(r))
-    case QueryDef(ps, pats, preds, _) =>
+    case QueryDef(ps, pats, preds, _, _) =>
       obj("typ" -> q("QueryDef"), "params" -> arr(ps.map(q)),
         "patterns" -> arr(pats.map(p => obj(
           "src" -> p.src.map(q).getOrElse("null"),
