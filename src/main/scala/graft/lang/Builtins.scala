@@ -477,19 +477,21 @@ object Builtins {
         CD(lit(graft.sources.Graph.resolver.put(ident._1, ident._2, obj)),
           StringType, KScalar)
 
-      // `$get` — file ingestion (reference builtin.cljc:1555-1624; the
-      // REST/graph forms are server infrastructure, out of engine scope)
-      case "$get" =>
+      // `$get`/`$read` — file ingestion (reference builtin.cljc:
+      // 1555-1624; the REST/graph forms are server infrastructure,
+      // out of engine scope)
+      case "$get" | "$read" =>
         val spark = Compiler.sparkCtx.value
-        if (spark == null) fail("$get needs RM.eval (no session bound)")
+        if (spark == null) fail(s"$name needs RM.eval (no session bound)")
         val path = litStr(0)
         val df =
           if (path.endsWith(".json")) graft.sources.Ingest.readJson(spark, path)
           else if (path.endsWith(".xml")) graft.sources.Ingest.readXml(spark, path)
+          else if (path.endsWith(".edn")) graft.sources.Ingest.readEdn(spark, path)
           else if (path.endsWith(".csv") || path.endsWith(".xlsx"))
             graft.sources.Ingest.readSpreadsheet(spark, path)
           else if (path.endsWith(".parquet")) spark.read.parquet(path)
-          else fail(s"$$get: unsupported extension in $path")
+          else fail(s"$name: unsupported extension in $path")
         CTab(df)
 
       // `$getSpreadsheet(file, sheet, invert?)` — reference

@@ -94,7 +94,12 @@ object Lexer {
         (src(i + 1).isLetter || src(i + 1) == '_') && qvarPosition(prev)) {
         val start = i + 1
         i += 1
-        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_'))
+        // qvars are Clojure-style symbols: hyphens are name characters
+        // when followed by a name character (`?class-iri`,
+        // query_test.cljc:505-540)
+        while (i < src.length && (src(i).isLetterOrDigit ||
+          src(i) == '_' || (src(i) == '-' && i + 1 < src.length &&
+            (src(i + 1).isLetterOrDigit || src(i + 1) == '_'))))
           i += 1
         push(TQvar(src.substring(start, i)))
       } else if (c == '/' && regexPosition(prev)) {

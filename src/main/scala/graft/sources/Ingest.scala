@@ -26,6 +26,16 @@ object Ingest {
     else df
   }
 
+  /** EDN file (reference `$read('...edn')`): parse to JSON (Edn),
+    * then share the JSON document pipeline. A top-level vector of
+    * maps becomes one row per map.
+    */
+  def readEdn(spark: SparkSession, path: String): DataFrame = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    readJsonString(spark, Edn.toJson(text))
+  }
+
   def readJsonString(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
     spark.read.json(Seq(json).toDS())
