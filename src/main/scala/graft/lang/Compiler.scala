@@ -345,6 +345,10 @@ object Compiler {
                 CD(s.col.getField(name), et, KJson)
               case dt => CD(s.col.getField(name), dt, KScalar)
             }
+          case VariantType =>
+            // field of a mixed value: null (no match) for non-objects
+            CD(try_variant_get(s.col, s"$$.$name", "variant"),
+              VariantType, KScalar)
           case other => fail(s"cannot navigate '$name' into $other")
         }
         case KJson | KSeq => s.dt match {
@@ -357,6 +361,16 @@ object Compiler {
               case ArrayType(et, _) => CD(mapped, et, KNested(false))
               case dt => CD(mapped, dt, KSeq)
             }
+          case VariantType =>
+            // heterogeneous elements: non-objects and absent fields
+            // drop (no match); array-valued fields splice like the
+            // typed path (each parent contributes its own sequence)
+            val picked = filter(transform(s.col,
+              e => try_variant_get(e, s"$$.$name", "variant")),
+              _.isNotNull)
+            CD(transform(picked, v => coalesce(
+              try_variant_get(v, "$", "array<variant>"), array(v))),
+              VariantType, KNested(false))
           case other => fail(s"cannot map '$name' over $other elements")
         }
         case KNested(_) =>

@@ -50,4 +50,22 @@ class HeteroSpec extends SparkSpec {
     run("[1, 2, 3]", Seq(1L, 2L, 3L))
     run("[[1, 2], [3]]", Seq(Seq(1L, 2L), Seq(3L)))
   }
+
+  test("field step over a mixed array: non-objects drop (no match)") {
+    run("[{'a': 1}, 2, {'a': 3}].a", Seq(1L, 3L))
+    run("[{'a': 1}, 2].a", 1L) // singleton collapse
+    run("[{'b': 1}, 'x'].a ? 'matched' : 'empty'", "empty")
+  }
+
+  test("field step over mixed elements splices array values") {
+    run("[{'a': [1, 2]}, {'a': 3}].a", Seq(1L, 2L, 3L))
+  }
+
+  test("field step after indexing a mixed array") {
+    run("[[1, 2], {'a': 5}][1].a", 5L)
+  }
+
+  test("chained field steps through mixed objects") {
+    run("[{'a': {'b': 7}}, 2, {'a': {'b': 8}}].a.b", Seq(7L, 8L))
+  }
 }
