@@ -94,7 +94,16 @@ object Express {
     * distributed plan per SURVEY §1.5).
     */
   def reduceBsets(bsets: DataFrame, tmpl: XObj): DataFrame = {
-    val ef = elemFrame(bsets, tmpl, Nil)
+    // Deep templates re-derive the binding frame once per aggregation
+    // level (base + each child level scans it); when it is consumed 3+
+    // times, persist it so joins/shuffles feeding the bsets run once.
+    // Spillable storage, LRU-evicted; a 2-consumer template skips the
+    // materialization cost.
+    val src =
+      if (dfConsumers(tmpl) >= 3)
+        bsets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bsets
+    val ef = elemFrame(src, tmpl, Nil)
     if (tmpl.fields.exists(_.key.isInstanceOf[KVar]))
       ef.select(col("__elem").as("doc")) // map root: single doc column
     else {
@@ -108,6 +117,19 @@ object Express {
 
   private def keyQvars(o: XObj): Seq[(String, String)] =
     o.fields.collect { case XField(KKey(n, q), _) => (n, q) }
+
+  /** How many distinct subplans of the cascade scan the binding frame. */
+  private def dfConsumers(o: XObj): Int = {
+    if (o.fields.exists(_.key.isInstanceOf[KVar])) {
+      val XField(KVar(_), sub) = o.fields.head: @unchecked
+      if (isPure(sub)) 1 else dfConsumers(sub.asInstanceOf[XObj])
+    } else
+      1 + o.fields.collect {
+        case XField(KLit(_), XArr(sub)) => dfConsumers(sub)
+        case XField(KLit(_), XArrVal(_)) => 1
+        case XField(KLit(_), obj: XObj) if !isPure(obj) => dfConsumers(obj)
+      }.sum
+  }
 
   /** True when the value is expressible as an inline per-row expression
     * (no aggregation below it).
