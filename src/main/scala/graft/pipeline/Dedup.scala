@@ -185,6 +185,52 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Duplicate clusters from a near-dup pair graph: connected
+    * components by iterative min-label propagation — the standard
+    * follow-on to pair generation in a dedup pipeline (keep one doc
+    * per component). Each round is one join + one hash aggregation
+    * over the edge list; rounds needed = graph diameter in
+    * components, which for near-dup clusters is tiny (they are
+    * quasi-cliques — most converge in 1-2 rounds). Convergence is
+    * checked, `maxIter` bounds the worst case, frames persist
+    * between rounds so lineage stays flat. At 100 TB this is the
+    * same shape GraphX/GraphFrames CC runs: no driver-side graph,
+    * edges never collected.
+    *
+    * @param ids   one row per node (id column `idCol`)
+    * @param pairs edges (id1, id2), any orientation
+    * @return (id, comp) — comp = min id reachable, so singleton docs
+    *         are their own component
+    */
+  def dupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = ids.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // each node takes min(own comp, neighbors' comps)
+      val viaNbr = edges.join(comp, edges("id2") === comp("id"))
+        .select(edges("id1").as("id"), col("comp"))
+      val next = comp.select(col("id"), col("comp"))
+        .union(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).limit(1).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    comp
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, bc: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(bc, n))

@@ -114,6 +114,33 @@ object TextFns {
     */
   def contentHash(text: Column): Column = md5(Dedup.normalize(text))
 
+  /** Overlapping token-window chunks for training: windows of `size`
+    * whitespace tokens starting every `size - overlap` tokens (the
+    * standard context-window packing precursor). Returns
+    * array<struct<idx, chunk, n_tokens>> — explode it for one row per
+    * chunk. Pure Column expressions: the chunking runs inside the
+    * scan projection; the explode is Spark's Generate (no shuffle).
+    * Short documents yield exactly one chunk.
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val n = org.apache.spark.sql.functions.size(toks)
+    // window starts: 0, step, 2*step ... while start < n (at least one)
+    val lastStart = greatest(ceil((n - size).cast("double") / step)
+      .cast("int"), lit(0))
+    transform(sequence(lit(0), lastStart), w => {
+      val start = w * step
+      val slice_ = slice(toks, start + 1, lit(size))
+      struct(w.cast("long").as("idx"),
+        concat_ws(" ", slice_).as("chunk"),
+        org.apache.spark.sql.functions.size(slice_).cast("long")
+          .as("n_tokens"))
+    })
+  }
+
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
 }

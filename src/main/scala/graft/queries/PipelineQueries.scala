@@ -184,6 +184,37 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clusters: connected components over the Jaccard-verified
+    * md5-minhash pair graph (keep-one-per-group is then a trivial
+    * `comp = doc_id` filter). The oracle replays the same pair
+    * generation and closes the graph with a recursive CTE.
+    */
+  def pDupGroups(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(s, d)
+    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
+      n = 3, k = 32, b = 8, threshold = 0.8)
+    Dedup.dupGroups(doc, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("comp")))
+      .orderBy("doc_id")
+  }
+
+  /** Overlapping token-window chunking (64-token windows, 16-token
+    * overlap): one row per chunk with the chunk content hashed so the
+    * gate pins exact window boundaries without shipping full text.
+    */
+  def pChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.pipeline.TextFns.chunks(col("text"), 64, 16))
+          .as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"),
+        col("c.n_tokens").as("n_tokens"),
+        md5(col("c.chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "idx")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -197,6 +228,8 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "p_dup_groups" -> (pDupGroups _),
+    "p_chunks" -> (pChunks _),
     "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
     "p_llm_extract" -> (pLlmExtract _),
@@ -269,6 +302,60 @@ object PipelineQueries {
        |  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_dup_groups" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 32),
+         |    h -> list_min(list_transform(sh,
+         |      s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sig
+         |  FROM base),
+         |bands AS (
+         |  SELECT doc_id, bb.band, md5(array_to_string(
+         |    list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4), '|')) AS bucket
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
+         |capped AS (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n
+         |    FROM bands) WHERE n <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.bucket = r.bucket
+         |    AND l.doc_id < r.doc_id),
+         |vpairs AS (
+         |  SELECT c.id1, c.id2 FROM cand c
+         |  JOIN base b1 ON c.id1 = b1.doc_id
+         |  JOIN base b2 ON c.id2 = b2.doc_id
+         |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
+         |    len(list_distinct(b1.sh || b2.sh)) >= 0.8),
+         |edges AS (
+         |  SELECT id1, id2 FROM vpairs
+         |  UNION SELECT id2, id1 FROM vpairs),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.id2, r.comp FROM reach r JOIN edges e ON e.id1 = r.id),
+         |comps AS (
+         |  SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id)
+         |SELECT doc_id, comp,
+         |  count(*) OVER (PARTITION BY comp) AS group_size
+         |FROM comps ORDER BY doc_id""".stripMargin,
+    "p_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, unnest(range(0,
+        |    greatest(CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48)
+        |      AS INT), 0) + 1)) AS idx
+        |  FROM t)
+        |SELECT doc_id, idx,
+        |  len(list_slice(toks, idx * 48 + 1, idx * 48 + 64)) AS n_tokens,
+        |  md5(array_to_string(
+        |    list_slice(toks, idx * 48 + 1, idx * 48 + 64), ' ')) AS chunk_hash
+        |FROM w ORDER BY doc_id, idx""".stripMargin,
     "p_llm_match" ->
       """SELECT c_custkey AS custkey, c_name AS name,
         |  c_acctbal AS acctbal

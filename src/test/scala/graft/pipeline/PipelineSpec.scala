@@ -31,6 +31,30 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dupGroups: connected components close transitive chains") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3, pair 5-6, singleton 4; mixed edge orientations
+    val pairs = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("id1", "id2")
+    val comp = Dedup.dupGroups(ids, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L), comp)
+  }
+
+  test("chunks: window boundaries, overlap, short docs") {
+    val t = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = t.select($"doc_id",
+      explode(TextFns.chunks($"text", 4, 2)).as("c"))
+      .select($"doc_id", $"c.idx", $"c.chunk", $"c.n_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    // 10 tokens, size 4, step 2 → starts 0,2,4,6 then tail start 8
+    assert(out.filter(_._1 == 1L).map(_._3) == Seq(
+      "a b c d", "c d e f", "e f g h", "g h i j"))
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, "x y", 2L)))
+    assert(out.filter(_._1 == 3L) == Seq((3L, 0L, "", 0L)))
+  }
+
   test("jaccard n-gram similarity") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .filter($"a.doc_id" === 1 && $"b.doc_id" === 3)
