@@ -60,6 +60,20 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
+  /** Spread per-document compute across the cluster when the input
+    * arrives in fewer partitions than cores. A single small parquet
+    * file is one split, which would pin the whole signature
+    * computation (k·|shingles| hashes per document) to ONE task —
+    * measured 200s+ single-threaded vs seconds spread at sf0.1. At
+    * warehouse scale inputs have many splits and this is a no-op;
+    * when it does fire, the round-robin exchange moves only the raw
+    * text once and buys full parallelism for the hashing above it.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** k minhashes of the shingle set (Murmur3 with per-row seed mix). */
   def minhashSignature(sh: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)),
@@ -80,8 +94,14 @@ object Dedup {
       n: Int = 3, k: Int = 64, b: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
     val r = k / b
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    // the trailing repartition is a collapse barrier as much as a
+    // spread: without it Catalyst inlines the k-hash signature into
+    // every band expression of the explode (b× recompute)
+    val sig = spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"), minhashSignature(shingles(col("__t"), n), k)
+        .as("sig"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val bucketed = sig
       .select(col("id"), explode(bands(col("sig"), b, r)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
@@ -89,6 +109,9 @@ object Dedup {
       .withColumn("__n", count(lit(1))
         .over(Window.partitionBy("band", "bucket")))
       .filter(col("__n") <= maxBucket).drop("__n")
+      // both self-join sides consume this frame: persist so the
+      // signature pipeline runs once (spillable, tiny rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = capped.as("l")
     val rgt = capped.as("r")
     l.join(rgt,
@@ -106,8 +129,9 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, b: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"), shingles(col("__t"), n).as("sh"))
     val cands = minhashCandidates(df, idCol, textCol, n, k, b)
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id1", "sh" -> "sh1")), "id1")
@@ -128,19 +152,67 @@ object Dedup {
   // Minhash values are md5 hex strings compared lexicographically;
   // min-of-strings is engine-independent.
 
-  /** Portable minhash signature: element h is the minimum of
-    * `md5("<h>:" ++ shingle)` over the shingle set.
+  /** Modulus for the portable minhash permutations: 2^31-1 (Mersenne
+    * prime). Products a·h stay under 2^62, so the arithmetic is exact
+    * BIGINT in any engine.
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic (a, b) coefficients for k universal-hash
+    * permutations h_i = (a_i·h + b_i) mod P — plain xorshift walk, so
+    * the oracle SQL can embed identical literals.
+    */
+  def permCoeffs(k: Int): Seq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def nxt(): Long = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (x >>> 33) // 31-bit
+    }
+    (0 until k).map { _ =>
+      val a = nxt() % (MinhashP - 1) + 1
+      val b = nxt() % MinhashP
+      (a, b)
+    }
+  }
+
+  /** Portable 60-bit shingle hash: the first 15 hex digits of md5,
+    * parsed as an integer, mod P. ONE md5 per shingle — the k
+    * signature elements are then cheap modular arithmetic instead of
+    * k separate md5 passes (which measured 30× slower at sf0.1).
+    */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** Portable minhash signature (array<long>): element i is
+    * min over shingles of (a_i·hash + b_i) mod P.
+    *
+    * NB: as ONE expression the md5 subtree repeats per permutation
+    * (codegen subexpression elimination cannot reach inside lambda
+    * bodies), so extracting all k elements this way costs k md5
+    * passes. Single-element projections are fine (the optimizer
+    * prunes to one branch); for full signatures stage the hashes in
+    * their own projection and use [[signatureOfHashes]] — as
+    * [[minhashCandidatesMd5]] does.
     */
   def minhashSignatureMd5(sh: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      h => array_min(transform(sh,
-        s => md5(concat(h.cast("string"), lit(":"), s)))))
+    signatureOfHashes(transform(sh, shingleHash _), k)
+
+  /** Signature from precomputed shingle hashes — callers that stage
+    * the hashes in their own projection (one md5 per shingle, behind
+    * an exchange) use this to avoid recomputing them per permutation.
+    */
+  def signatureOfHashes(hs: Column, k: Int): Column =
+    array(permCoeffs(k).map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % MinhashP))
+    }: _*)
 
   /** Portable band buckets: md5 of the '|'-joined band slice. */
   def bandsMd5(sig: Column, b: Int, r: Int): Column =
     transform(sequence(lit(0), lit(b - 1)),
       j => struct(j.as("band"),
-        md5(array_join(slice(sig, j * r + 1, lit(r)), "|")).as("bucket")))
+        md5(array_join(
+          transform(slice(sig, j * r + 1, lit(r)), _.cast("string")),
+          "|")).as("bucket")))
 
   /** Candidate pairs via portable banded MinHash (cf.
     * [[minhashCandidates]]).
@@ -149,8 +221,16 @@ object Dedup {
       n: Int = 3, k: Int = 32, b: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
     val r = k / b
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignatureMd5(shingles(col(textCol), n), k).as("sig"))
+    // stage the one-md5-per-shingle hashes BEHIND an exchange: the k
+    // permutation expressions above it then reuse them instead of
+    // re-deriving the md5 per signature element
+    val hs = spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"),
+        transform(shingles(col("__t"), n), shingleHash _).as("__hs"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sig = hs.select(col("id"),
+      signatureOfHashes(col("__hs"), k).as("sig"))
     val bucketed = sig
       .select(col("id"), explode(bandsMd5(col("sig"), b, r)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
@@ -158,6 +238,9 @@ object Dedup {
       .withColumn("__n", count(lit(1))
         .over(Window.partitionBy("band", "bucket")))
       .filter(col("__n") <= maxBucket).drop("__n")
+      // both self-join sides consume this frame: persist so the
+      // signature pipeline runs once (spillable, tiny rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = capped.as("l")
     val rgt = capped.as("r")
     l.join(rgt,
@@ -172,8 +255,9 @@ object Dedup {
   def minhashDedupPairsMd5(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, b: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"), shingles(col("__t"), n).as("sh"))
     val cands = minhashCandidatesMd5(df, idCol, textCol, n, k, b)
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id1", "sh" -> "sh1")), "id1")
@@ -204,8 +288,13 @@ object Dedup {
     */
   def dupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    // symmetrize in ONE pass over the pair plan (a union of two
+    // selects would re-run the whole pair generation per branch)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id1"), col("id2")),
+        struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
+      .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var comp = ids.select(col(idCol).as("id"), col(idCol).as("comp"))

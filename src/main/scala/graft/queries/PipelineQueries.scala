@@ -263,6 +263,68 @@ object PipelineQueries {
   private def swCount(ws: Seq[String]) =
     s"len(list_filter($toks, x -> x IN ${swList(ws)}))"
 
+  /** Literal [16^14 .. 16^0] powers for hex→int folding (doubles are
+    * only exact to 2^53, so `power()` cannot be used).
+    */
+  private val pow16: String =
+    (0 until 15).map(i => BigInt(16).pow(14 - i)).mkString("[", ", ", "]")
+
+  /** The 60-bit shingle hash, mirroring `Dedup.shingleHash`: fold the
+    * first 15 md5 hex digits positionally, mod P.
+    */
+  private def hash60(sref: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 16), i ->
+       |  (strpos('0123456789abcdef', substr(md5($sref), i, 1)) - 1)
+       |    * ($pow16)[i])) AS BIGINT) % 2147483647""".stripMargin
+
+  /** `(i, a, b)` VALUES rows of Dedup.permCoeffs(32) — identical
+    * coefficients to the ones baked into the Spark plan.
+    */
+  private val permValues: String =
+    graft.pipeline.Dedup.permCoeffs(32).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** Shared sigs pipeline: shingles → one hash per shingle → 32
+    * permutation minima collected in permutation order.
+    */
+  private def sigCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |perms(i, a, b) AS (VALUES $permValues),
+       |hsx AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${hash60("s")}) AS hs
+       |  FROM base),
+       |sigl AS (
+       |  SELECT doc_id, p.i,
+       |    list_min(list_transform(hs, h -> (h * p.a + p.b) % 2147483647))
+       |      AS v
+       |  FROM hsx, perms p),
+       |sigs AS (
+       |  SELECT s.doc_id, b.sh, list(s.v ORDER BY s.i) AS sig
+       |  FROM sigl s JOIN base b USING (doc_id)
+       |  GROUP BY s.doc_id, b.sh),
+       |bands AS (
+       |  SELECT doc_id, bb.band, md5(array_to_string(
+       |    list_transform(list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4),
+       |      x -> CAST(x AS VARCHAR)), '|')) AS bucket
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n
+       |    FROM bands) WHERE n <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.bucket = r.bucket
+       |    AND l.doc_id < r.doc_id),
+       |vpairs AS (
+       |  SELECT c.id1, c.id2 FROM cand c
+       |  JOIN base b1 ON c.id1 = b1.doc_id
+       |  JOIN base b2 ON c.id2 = b2.doc_id
+       |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
+       |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)""".stripMargin
+
   /** Word 3-gram shingles over the normalized tokens — mirrors
     * `Dedup.shingles` (sequence bounds line up: Spark's inclusive
     * sequence(0, len-3) is DuckDB's exclusive range(0, len-2)).
@@ -303,32 +365,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p_dup_groups" ->
-      s"""WITH RECURSIVE base AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
-         |sigs AS (
-         |  SELECT doc_id, sh, list_transform(range(0, 32),
-         |    h -> list_min(list_transform(sh,
-         |      s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sig
-         |  FROM base),
-         |bands AS (
-         |  SELECT doc_id, bb.band, md5(array_to_string(
-         |    list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4), '|')) AS bucket
-         |  FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
-         |capped AS (
-         |  SELECT doc_id, band, bucket FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n
-         |    FROM bands) WHERE n <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         |  FROM capped l JOIN capped r
-         |    ON l.band = r.band AND l.bucket = r.bucket
-         |    AND l.doc_id < r.doc_id),
-         |vpairs AS (
-         |  SELECT c.id1, c.id2 FROM cand c
-         |  JOIN base b1 ON c.id1 = b1.doc_id
-         |  JOIN base b2 ON c.id2 = b2.doc_id
-         |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
-         |    len(list_distinct(b1.sh || b2.sh)) >= 0.8),
+      s"""WITH RECURSIVE $sigCtes,
          |edges AS (
          |  SELECT id1, id2 FROM vpairs
          |  UNION SELECT id2, id1 FROM vpairs),
@@ -409,36 +446,11 @@ object PipelineQueries {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "p_minhash" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
-         |sigs AS (
-         |  SELECT doc_id, sh, list_transform(range(0, 32),
-         |    h -> list_min(list_transform(sh,
-         |      s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sig
-         |  FROM base),
-         |bands AS (
-         |  SELECT doc_id, bb.band, md5(array_to_string(
-         |    list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4), '|')) AS bucket
-         |  FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
-         |capped AS (
-         |  SELECT doc_id, band, bucket FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n
-         |    FROM bands) WHERE n <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         |  FROM capped l JOIN capped r
-         |    ON l.band = r.band AND l.bucket = r.bucket
-         |    AND l.doc_id < r.doc_id),
-         |pairs AS (
-         |  SELECT c.id1 FROM cand c
-         |  JOIN base b1 ON c.id1 = b1.doc_id
-         |  JOIN base b2 ON c.id2 = b2.doc_id
-         |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
-         |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)
+      s"""WITH $sigCtes
          |SELECT s.doc_id, s.sig[1] AS minhash0,
          |  coalesce(p.n_dups, 0) AS n_dups
          |FROM sigs s LEFT JOIN (
-         |  SELECT id1 AS doc_id, count(*) AS n_dups FROM pairs
+         |  SELECT id1 AS doc_id, count(*) AS n_dups FROM vpairs
          |  GROUP BY 1) p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "p_simhash" ->

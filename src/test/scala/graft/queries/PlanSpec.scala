@@ -9,9 +9,17 @@ import graft.SparkEntry
   */
 class PlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf("sf0.001"))
-      .queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+    // splice in cached-relation subplans: a persist() inside an
+    // operator (express deep-reduce, LSH candidates) must not hide
+    // the pushdown/broadcast properties these tests pin
+    val cached = qe.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    (qe.executedPlan.toString +: cached).mkString("\n--- cached ---\n")
+  }
 
   test("q6: all filters reach the parquet scan") {
     val p = plan("q6_revenue")
@@ -73,8 +81,10 @@ class PlanSpec extends SparkSpec {
       s"customer filter must reach the parquet scan:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       "dimension joins should broadcast at every cascade level")
-    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"),
-      "orders scan should prune to the join key")
+    // the persisted binding frame materializes exactly the template's
+    // columns, so orders prunes to (key, okey) — not the full table
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      "orders scan should prune to the binding-frame columns")
   }
 
   test("function queries prune the scan") {
