@@ -33,10 +33,26 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Secondary FULL-evaluation pass through the noop sink: count()
+    // lets Catalyst prune projection expressions and final sorts, so
+    // it under-measures projection-heavy queries; the noop write
+    // evaluates every output column. `value` stays count-based for
+    // comparability with BASELINE's first recording; `full_total` is
+    // the honest end-to-end throughput number.
+    val full = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullTotal = if (full.nonEmpty) full.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"full_total":$fullTotal,"full":${js(full)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
