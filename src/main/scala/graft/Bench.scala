@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.SimplifyElementAtArray.install(spark)
     // Warm up codegen/JIT/IO paths so per-query numbers measure the
     // queries, not first-query JVM startup: the flagship plan plus a
     // micro text-frontend program (parser/compiler/JSON-bridge/shred
@@ -47,12 +48,18 @@ object Bench {
         } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // Values rounded to ms and the full-eval map printed on its OWN
+    // line: the final line must stay well under the harness's output
+    // tail buffer (~2 KB) or the JSON is truncated and unparseable.
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
     def js(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullTotal = if (full.nonEmpty) full.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"full_total":$fullTotal,"full":${js(full)},"sf":"$sfDir"}""")
+    val total = r3(results.values.sum)
+    val fullTotal = r3(full.values.sum)
+    println(s"""{"metric":"full_detail","full":${js(full)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"full_total":$fullTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

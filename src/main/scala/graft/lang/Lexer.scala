@@ -26,7 +26,8 @@ object Lexer {
     val out = Vector.newBuilder[Tok]
     var i = 0
     var prev: Tok = null
-    def push(t: Tok): Unit = { out += t; prev = t }
+    var prev2: Tok = null
+    def push(t: Tok): Unit = { out += t; prev2 = prev; prev = t }
     while (i < src.length) {
       val c = src(i)
       if (c == '/' && i + 1 < src.length && src(i + 1) == '*') {
@@ -65,7 +66,17 @@ object Lexer {
         push(TStr(sb.toString))
       } else if (c.isLetter || c == '_') {
         val start = i
-        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_'))
+        // Keyword attrs in query patterns (`[?e :instance-of ?v]`,
+        // query_test.cljc:219) are Clojure-style symbols: hyphens are
+        // name characters when ADJACENT on both sides. Only the
+        // pattern-attr position (prev tokens `?e :`) lexes them so a
+        // ternary/object-literal `: a-b` keeps meaning subtraction —
+        // and deciding here, where whitespace is still visible, keeps
+        // `[?e :a -x]` from swallowing the spaced `-x` into the name.
+        val kwAttr = prev == TOp(":") && prev2.isInstanceOf[TQvar]
+        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_' ||
+          (kwAttr && src(i) == '-' && i + 1 < src.length &&
+            (src(i + 1).isLetterOrDigit || src(i + 1) == '_'))))
           i += 1
         val w = src.substring(start, i)
         if (keywords.contains(w) &&

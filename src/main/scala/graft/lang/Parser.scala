@@ -316,16 +316,10 @@ object Parser {
       val attr: Either[String, String] = next() match {
         case TOp(":") => next() match {
           case TIdent(r) =>
-            // keyword attrs may be hyphenated (`:instance-of`,
-            // query_test.cljc:219): rejoin IDENT('-'IDENT)* — a lone
-            // '-' before a number is still a negative pattern value
-            var name = r
-            while (peekOp("-") && pos + 1 < toks.length &&
-                toks(pos + 1).isInstanceOf[TIdent]) {
-              next()
-              name = name + "-" + next().asInstanceOf[TIdent].v
-            }
-            Left(name)
+            // hyphenated keyword attrs (`:instance-of`) arrive as ONE
+            // token — the lexer joins adjacent hyphens in the pattern-
+            // attr position, where whitespace is still visible
+            Left(r)
           case other => throw new IllegalArgumentException(
             s"pattern role must be :ident, got $other")
         }

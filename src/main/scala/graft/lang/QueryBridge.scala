@@ -176,10 +176,13 @@ object QueryBridge {
             case _ => false
           })) AsLong
           else if (dts.forall(_ == BooleanType)) AsBool
-          else if (dts.forall(dt => dt match {
-            case DoubleType | FloatType | _: DecimalType => true
-            case _ => false
-          })) Runtime
+          // any all-numeric hint set (all-fractional OR mixed
+          // integral+fractional) defers to the runtime all-integral
+          // check, matching the EAV path's unboxing (an all-integral
+          // number column restores as longs — util.cljc:299-322);
+          // only genuinely mixed KINDS (string/ref/bool with num)
+          // take the canonical-string form
+          else if (dts.forall(_.isInstanceOf[NumericType])) Runtime
           else AsStr // strings, refs, or statically mixed kinds
         case _ => Runtime // no static info: full runtime facts
       })
@@ -192,7 +195,11 @@ object QueryBridge {
         // the facts aggregate and the returned select both consume the
         // joined frame — persist so the join runs once (spillable
         // storage; binding frames are join outputs, typically far
-        // smaller than their inputs)
+        // smaller than their inputs). Unpersisting after the facts
+        // head() would force the final select to recompute the join —
+        // exactly the double-run this cache prevents — so the blocks
+        // intentionally live until the session (or clearCache) drops
+        // them
         boxed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val aggs = runtimeCols.flatMap { c =>
           Seq(

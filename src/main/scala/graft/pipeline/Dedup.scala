@@ -69,7 +69,7 @@ object Dedup {
     * when it does fire, the round-robin exchange moves only the raw
     * text once and buys full parallelism for the hashing above it.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
@@ -110,7 +110,11 @@ object Dedup {
         .over(Window.partitionBy("band", "bucket")))
       .filter(col("__n") <= maxBucket).drop("__n")
       // both self-join sides consume this frame: persist so the
-      // signature pipeline runs once (spillable, tiny rows)
+      // signature pipeline runs once (spillable, tiny rows). The
+      // cache intentionally lives for the session — the returned plan
+      // consumes it lazily, so there is no post-action hook here to
+      // unpersist; long-lived/REPL callers that re-run pair
+      // generation should unpersist via spark.catalog.clearCache()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = capped.as("l")
     val rgt = capped.as("r")
@@ -206,6 +210,23 @@ object Dedup {
       array_min(transform(hs, h => (h * a + b) % MinhashP))
     }: _*)
 
+  /** Single element i (0-based) of the portable signature WITHOUT
+    * building the k-branch array: one md5 pass over the shingles and
+    * one permutation min. `element_at(minhashSignatureMd5(sh), i+1)`
+    * is NOT simplified by Catalyst (SimplifyExtractValueOps rewrites
+    * GetArrayItem over CreateArray but element_at resolves to
+    * ElementAt), so the array form evaluates all k branches, each
+    * re-deriving the md5 per shingle — measured 265 s vs ~1 s at
+    * sf0.1 under a full-evaluation sink. graft registers
+    * [[graft.plans.SimplifyElementAtArray]] to close that hole for
+    * user queries; this helper never opens it.
+    */
+  def minhashElementMd5(sh: Column, i: Int, k: Int = 32): Column = {
+    val (a, b) = permCoeffs(k)(i)
+    array_min(transform(transform(sh, shingleHash _),
+      h => (h * a + b) % MinhashP))
+  }
+
   /** Portable band buckets: md5 of the '|'-joined band slice. */
   def bandsMd5(sig: Column, b: Int, r: Int): Column =
     transform(sequence(lit(0), lit(b - 1)),
@@ -239,7 +260,11 @@ object Dedup {
         .over(Window.partitionBy("band", "bucket")))
       .filter(col("__n") <= maxBucket).drop("__n")
       // both self-join sides consume this frame: persist so the
-      // signature pipeline runs once (spillable, tiny rows)
+      // signature pipeline runs once (spillable, tiny rows). The
+      // cache intentionally lives for the session — the returned plan
+      // consumes it lazily, so there is no post-action hook here to
+      // unpersist; long-lived/REPL callers that re-run pair
+      // generation should unpersist via spark.catalog.clearCache()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = capped.as("l")
     val rgt = capped.as("r")
@@ -297,26 +322,55 @@ object Dedup {
       .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) between rounds: the doubling hop
+    // below self-joins the round's frame, so a lineage-preserving
+    // cache would double the logical plan per round (exponential
+    // analyze/explain blowup); checkpointing truncates lineage to the
+    // materialized blocks, keeping every round's plan flat. Blocks are
+    // freed by the ContextCleaner when the round's frame is dropped.
     var comp = ids.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // each node takes min(own comp, neighbors' comps)
-      val viaNbr = edges.join(comp, edges("id2") === comp("id"))
-        .select(edges("id1").as("id"), col("comp"))
-      val next = comp.select(col("id"), col("comp"))
-        .union(viaNbr)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // each node takes min(own comp, neighbors' comps). Formulated
+      // as join+least rather than union+groupBy: equivalent, one
+      // fewer shuffle of the full node set, and it sidesteps Union
+      // constraint rewriting over checkpointed frames (which chokes
+      // on the stale origin constraints a LogicalRDD carries).
+      val nbrMin = edges.join(comp, edges("id2") === comp("id"))
+        .groupBy(edges("id1").as("id")).agg(min("comp").as("ncomp"))
+      val relabeled = comp.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      // pointer doubling: comp(id) := min(comp(id), comp(comp(id))).
+      // Labels are node ids, so the hop is a self-join; with it the
+      // rounds needed drop from O(diameter) to O(log diameter) —
+      // maxIter = 20 then covers diameters up to ~2^20, so chain-
+      // shaped dup graphs converge instead of silently truncating.
+      val a = relabeled.as("a")
+      val b = relabeled.select(col("id").as("__bid"),
+        col("comp").as("__bcomp"))
+      // ids are unique in relabeled, so the hop join is 1:1 — no
+      // re-aggregation needed after it
+      val next = a.join(b, col("a.comp") === col("__bid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), coalesce(col("__bcomp"), col("a.comp")))
+            .as("comp"))
+        .localCheckpoint()
       val changed = next.join(comp.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).limit(1).count()
-      comp.unpersist()
       comp = next
       converged = changed == 0
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      System.err.println(s"[graft] dupGroups: min-label propagation " +
+        s"did NOT converge within maxIter=$maxIter rounds; component " +
+        s"labels may be incomplete for graphs of diameter > 2^$maxIter")
     comp
   }
 
@@ -418,8 +472,24 @@ object Dedup {
     */
   def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhashMd5(col(textCol)).as("fp"))
+    // spread + exchange barrier: the fingerprint (one md5 per token +
+    // a 64-lane sign aggregate) is computed ONCE per row here; without
+    // the barrier CollapseProject inlines it into every chunk branch
+    // of the explode below, and a single-split input would pin the
+    // whole computation to one task
+    val sigs = spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"), simhashMd5(col("__t")).as("fp"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    simhashPairsMd5FromFps(sigs, "id", "fp", maxDistance)
+  }
+
+  /** Portable SimHash pairs from an already-staged fingerprint frame
+    * (callers that also project the fingerprint reuse one computation).
+    */
+  def simhashPairsMd5FromFps(fps: DataFrame, idCol: String, fpCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val sigs = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
     val chunks = sigs.select(col("id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),

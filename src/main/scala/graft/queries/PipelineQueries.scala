@@ -57,9 +57,15 @@ object PipelineQueries {
     */
   def pMinhash(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    val sigs = doc.select(col("doc_id"),
-      element_at(Dedup.minhashSignatureMd5(
-        Dedup.shingles(col("text")), 32), 1).as("minhash0"))
+    // minhashElementMd5, not element_at(signature, 1): the array form
+    // evaluates all 32 permutation branches under a full-evaluation
+    // sink (ElementAt over CreateArray is not pruned), each re-running
+    // the md5-per-shingle pass — 265 s vs ~1 s at sf0.1. spread() so a
+    // single-split parquet input doesn't pin the hashing to one task.
+    val sigs = Dedup.spread(doc.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        Dedup.minhashElementMd5(
+          Dedup.shingles(col("text")), 0, 32).as("minhash0"))
     val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
       n = 3, k = 32, b = 8, threshold = 0.8)
     sigs.join(pairs.groupBy(col("id1").as("doc_id"))
@@ -73,10 +79,17 @@ object PipelineQueries {
     */
   def pSimhash(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    val fps = doc.select(col("doc_id"),
-      Dedup.simhashMd5(col("text")).as("fp"),
-      TextFns.fingerprintMd5(col("text")).as("gram_fp"))
-    val pairs = Dedup.simhashPairsMd5(doc, "doc_id", "text", 3)
+    // stage fingerprints ONCE (spread + exchange barrier), then both
+    // the output projection and the pair generation reuse them — the
+    // previous shape computed simhashMd5 twice, each time on the
+    // single input split (39.5 s at sf0.1 under the full sink).
+    val fps = Dedup.spread(doc.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        Dedup.simhashMd5(col("text")).as("fp"),
+        TextFns.fingerprintMd5(col("text")).as("gram_fp"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.simhashPairsMd5FromFps(fps, "doc_id", "fp", 3)
     fps.join(pairs.groupBy(col("id1").as("doc_id"))
         .agg(count(lit(1)).as("n_dups")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dups"))

@@ -24,6 +24,22 @@ class RMQuerySpec extends SparkSpec {
       Map("attr" -> "person_lname", "val" -> "Dee")))
   }
 
+  test("mixed integral+fractional hint columns restore numerically " +
+      "(not as canonical strings)") {
+    // ?v joins a long column ($A.n) with a double column ($B.m): the
+    // static hint set is {LongType, DoubleType}, which must defer to
+    // the runtime all-integral check (long here) — the same typing the
+    // EAV path derives — instead of falling back to strings.
+    val df = RM.queryFrame(
+      """( $d1 := [{'n': 1}, {'n': 2}];
+        |  $d2 := [{'m': 2.0}, {'m': 3.5}];
+        |  query(){[$A ?e :n ?v] [$B ?f :m ?v]}($d1, $d2) )""".stripMargin,
+      spark, Map.empty)
+    assert(df.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, df.schema)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("in-line query execution (query_test:128-130)") {
     val got = RM.eval(
       "query(){[?ent ?attr ?val]}" +

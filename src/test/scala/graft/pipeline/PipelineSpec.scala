@@ -41,6 +41,27 @@ class PipelineSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L), comp)
   }
 
+  test("dupGroups: chain diameter far beyond maxIter converges " +
+      "(pointer doubling)") {
+    val n = 60 // path graph 1-2-...-60: diameter 59 > maxIter=20 rounds
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.dupGroups(ids, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("minhashElementMd5 equals element_at of the full signature") {
+    val sh = Dedup.shingles($"text")
+    val both = docs.select(
+      element_at(Dedup.minhashSignatureMd5(sh, 8), 1).as("a"),
+      Dedup.minhashElementMd5(sh, 0, 8).as("b"),
+      element_at(Dedup.minhashSignatureMd5(sh, 8), 8).as("c"),
+      Dedup.minhashElementMd5(sh, 7, 8).as("d"))
+      .as[(Long, Long, Long, Long)].collect()
+    both.foreach { case (a, b, c, d) => assert(a == b && c == d) }
+  }
+
   test("chunks: window boundaries, overlap, short docs") {
     val t = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, ""))
       .toDF("doc_id", "text")
