@@ -340,11 +340,15 @@ object Dedup {
       // on the stale origin constraints a LogicalRDD carries).
       val nbrMin = edges.join(comp, edges("id2") === comp("id"))
         .groupBy(edges("id1").as("id")).agg(min("comp").as("ncomp"))
+      // persist (not checkpoint) within the round: the hop self-join
+      // below reads this twice, but `next`'s checkpoint already
+      // flattens the round's lineage — one materialization job per
+      // round instead of two, and the cache is dropped right after
       val relabeled = comp.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"))
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer doubling: comp(id) := min(comp(id), comp(comp(id))).
       // Labels are node ids, so the hop is a self-join; with it the
       // rounds needed drop from O(diameter) to O(log diameter) —
@@ -362,6 +366,7 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(comp.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).limit(1).count()
+      relabeled.unpersist()
       comp = next
       converged = changed == 0
       it += 1
