@@ -3,14 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.SimplifyElementAtArray.install(spark)
+    val spark = Sessions.local()
     // Warm up codegen/JIT/IO paths so per-query numbers measure the
     // queries, not first-query JVM startup: the flagship plan plus a
     // micro text-frontend program (parser/compiler/JSON-bridge/shred
@@ -48,9 +41,11 @@ object Bench {
         } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // Values rounded to ms and the full-eval map printed on its OWN
-    // line: the final line must stay well under the harness's output
-    // tail buffer (~2 KB) or the JSON is truncated and unparseable.
+    // Values rounded to ms and BOTH per-query maps printed on their
+    // OWN lines: the harness records only a ~2 KB output tail and
+    // parses the final JSON line, so that line must stay tiny
+    // (~100 bytes) — r4 embedded the ~1.3 KB queries map in it and
+    // the driver recorded parsed:null.
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     def js(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1)
@@ -59,7 +54,8 @@ object Bench {
     val total = r3(results.values.sum)
     val fullTotal = r3(full.values.sum)
     println(s"""{"metric":"full_detail","full":${js(full)}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"full_total":$fullTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"query_detail","queries":${js(results)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,13 @@ object Lexer {
     var i = 0
     var prev: Tok = null
     var prev2: Tok = null
+    // true iff the most recently lexed qvar sat in the ENTITY position
+    // of a triple pattern (`[?e ...` / multi-source `[$db ?e ...`) —
+    // the only place a following `: name` is a keyword attr. A bare
+    // 2-token lookback (prev `:` after any qvar) would also fire in a
+    // ternary else-branch (`cond ? ?v : a-b`) or a binding-set literal
+    // value, turning subtraction into one identifier.
+    var lastQvarPatternEntity = false
     def push(t: Tok): Unit = { out += t; prev2 = prev; prev = t }
     while (i < src.length) {
       val c = src(i)
@@ -69,11 +76,13 @@ object Lexer {
         // Keyword attrs in query patterns (`[?e :instance-of ?v]`,
         // query_test.cljc:219) are Clojure-style symbols: hyphens are
         // name characters when ADJACENT on both sides. Only the
-        // pattern-attr position (prev tokens `?e :`) lexes them so a
-        // ternary/object-literal `: a-b` keeps meaning subtraction —
-        // and deciding here, where whitespace is still visible, keeps
-        // `[?e :a -x]` from swallowing the spaced `-x` into the name.
-        val kwAttr = prev == TOp(":") && prev2.isInstanceOf[TQvar]
+        // pattern-attr position (a `:` right after a pattern-ENTITY
+        // qvar) lexes them so a ternary/object-literal `: a-b` keeps
+        // meaning subtraction — and deciding here, where whitespace is
+        // still visible, keeps `[?e :a -x]` from swallowing the
+        // spaced `-x` into the name.
+        val kwAttr = prev == TOp(":") && prev2.isInstanceOf[TQvar] &&
+          lastQvarPatternEntity
         while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_' ||
           (kwAttr && src(i) == '-' && i + 1 < src.length &&
             (src(i + 1).isLetterOrDigit || src(i + 1) == '_'))))
@@ -103,6 +112,8 @@ object Lexer {
         }
       } else if (c == '?' && i + 1 < src.length &&
         (src(i + 1).isLetter || src(i + 1) == '_') && qvarPosition(prev)) {
+        lastQvarPatternEntity = prev == TOp("[") ||
+          (prev.isInstanceOf[TVar] && prev2 == TOp("["))
         val start = i + 1
         i += 1
         // qvars are Clojure-style symbols: hyphens are name characters

@@ -2,7 +2,6 @@
 //   sbt "runMain graft.tools.CCDebug /root/testdata/sf0.1"
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.pipeline.Dedup
@@ -10,9 +9,7 @@ import graft.pipeline.Dedup
 object CCDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.local("32")
     spark.sparkContext.setLogLevel("ERROR")
     val doc = Tables.documents(spark, sfDir)
     println(s"docs=${doc.count()}")

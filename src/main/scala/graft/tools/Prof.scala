@@ -4,7 +4,6 @@
 //   sbt "runMain graft.tools.Prof q_rm_mixed,q_reduce_step [sfDir] [n]"
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -14,10 +13,7 @@ object Prof {
       else args(0).split(",").toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val n = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.local("32")
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.entry(spark).count() // warm up IO/codegen stack
     names.foreach { name =>

@@ -35,4 +35,23 @@ class LexerSpec extends AnyFunSuite {
     assert(toks.containsSlice(
       Seq(TIdent("a"), TOp("-"), TIdent("b"))), toks)
   }
+
+  test("ternary with a qvar branch keeps subtraction in the other") {
+    // the else-branch colon follows a qvar token, but that qvar was
+    // NOT a pattern entity — `a-b` must stay arithmetic
+    val toks = tokenize("{?q : 1}.(c ? ?q : a-b)")
+    assert(toks.containsSlice(
+      Seq(TIdent("a"), TOp("-"), TIdent("b"))), toks)
+  }
+
+  test("binding-set literal values keep subtraction after a qvar key") {
+    val toks = tokenize("{?q : a-b}")
+    assert(toks.containsSlice(
+      Seq(TIdent("a"), TOp("-"), TIdent("b"))), toks)
+  }
+
+  test("multi-source pattern entity still opens attr position") {
+    val toks = tokenize("[$DBa ?e :instance-of ?v]")
+    assert(toks.contains(TIdent("instance-of")), toks)
+  }
 }
