@@ -345,7 +345,7 @@ object Dedup {
       // flattens the round's lineage — one materialization job per
       // round instead of two, and the cache is dropped right after
       val relabeled = comp.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -358,16 +358,20 @@ object Dedup {
       val b = relabeled.select(col("id").as("__bid"),
         col("comp").as("__bcomp"))
       // ids are unique in relabeled, so the hop join is 1:1 — no
-      // re-aggregation needed after it
+      // re-aggregation needed after it. The round's PREVIOUS label
+      // rides along into the checkpoint so convergence is a plain
+      // scan of the materialized blocks — not the extra full join of
+      // next-vs-comp (one shuffle per round) it used to be.
       val next = a.join(b, col("a.comp") === col("__bid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.comp"), coalesce(col("__bcomp"), col("a.comp")))
-            .as("comp"))
+            .as("comp"),
+          col("a.prev").as("prev"))
         .localCheckpoint()
-      val changed = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).limit(1).count()
+      val changed = next.filter(col("comp") =!= col("prev"))
+        .limit(1).count()
       relabeled.unpersist()
-      comp = next
+      comp = next.select("id", "comp")
       converged = changed == 0
       it += 1
     }
@@ -457,16 +461,33 @@ object Dedup {
         when(v.bitwiseAND(mask) =!= 0, 1).otherwise(-1)): _*)
     }))
 
-  /** Portable SimHash fingerprint as a 64-char bit string. */
-  def simhashMd5(text: Column): Column = {
+  /** Portable SimHash fingerprint as a 64-char bit string — native
+    * codegen'd expression; [[simhashMd5Cols]] is the Column-HOF
+    * reference form it is equivalence-tested against.
+    */
+  def simhashMd5(text: Column): Column =
+    graft.functions.SimhashMd5(text)
+
+  /** Column-expression (interpreted-HOF) form of [[simhashMd5]]: one
+    * md5 + a 64-lane sign aggregate per token. ~10× slower than the
+    * native expression (HOF lambdas evaluate interpreted per element);
+    * kept as the executable spec for TextHashNativeSpec.
+    */
+  def simhashMd5Cols(text: Column): Column = {
     val hashes = transform(tokens(text), t => md5(t))
     val sums = aggregate(hashes, array_repeat(lit(0), 64),
       (acc, m) => zip_with(acc, md5BitSigns(m), (a, c) => a + c))
     array_join(transform(sums, s => when(s > 0, "1").otherwise("0")), "")
   }
 
-  /** Hamming distance between two 64-char bit-string fingerprints. */
+  /** Hamming distance between two 64-char bit-string fingerprints
+    * (native; [[hammingBitsCols]] is the Column reference form).
+    */
   def hammingBits(a: Column, bc: Column): Column =
+    graft.functions.HammingBits(a, bc)
+
+  /** Column-expression form of [[hammingBits]] (equivalence spec). */
+  def hammingBitsCols(a: Column, bc: Column): Column =
     aggregate(transform(sequence(lit(1), lit(64)),
       i => when(a.substr(i, lit(1)) === bc.substr(i, lit(1)), 0)
         .otherwise(1)),

@@ -99,9 +99,18 @@ object TextFns {
 
   /** Portable variant of [[fingerprint]]: min over md5 hex strings of
     * the 8-grams — same content-defined semantics, oracle-computable
-    * (lexicographic min of md5 strings is engine-independent).
+    * (lexicographic min of md5 strings is engine-independent). Native
+    * codegen'd expression; [[fingerprintMd5Cols]] is the Column form
+    * it is equivalence-tested against.
     */
-  def fingerprintMd5(text: Column, gram: Int = 8): Column = {
+  def fingerprintMd5(text: Column, gram: Int = 8): Column =
+    graft.functions.FingerprintMd5(text, gram)
+
+  /** Column-expression form of [[fingerprintMd5]] (equivalence spec —
+    * the |norm| md5 lambdas evaluate interpreted, so the native
+    * expression replaces this in the hot path).
+    */
+  def fingerprintMd5Cols(text: Column, gram: Int = 8): Column = {
     val norm = Dedup.normalize(text)
     val grams = when(length(norm) < gram, array(norm))
       .otherwise(transform(sequence(lit(1), length(norm) - (gram - 1)),
