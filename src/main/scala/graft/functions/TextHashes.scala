@@ -40,6 +40,41 @@ object TextHash {
   }
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  private[functions] def digest(): MessageDigest = mdLocal.get()
+
+  /** Lowercased alnum tokens (split "[^a-z0-9]+", empties dropped) —
+    * Dedup.tokens.
+    */
+  private[functions] def tokensOf(text: UTF8String): Array[String] = {
+    val raw = nonAlnum.split(text.toLowerCase.toString)
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
+    if (n == raw.length) raw
+    else {
+      val out = new Array[String](n)
+      var j = 0
+      i = 0
+      while (i < raw.length) {
+        if (raw(i).nonEmpty) { out(j) = raw(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Lowercase hex encoding of a 16-byte digest. */
+  private[functions] def hex(digest: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((digest(i) >> 4) & 0xF).toByte
+      out(2 * i + 1) = hexDigits(digest(i) & 0xF).toByte
+      i += 1
+    }
+    out
+  }
+
   /** `trim(regexp_replace(lower(s), "\\s+", " "))` — Dedup.normalize. */
   def normalize(s: UTF8String): String = {
     val collapsed = ws.matcher(s.toLowerCase.toString).replaceAll(" ")
@@ -117,14 +152,7 @@ object TextHash {
         start += 1
       }
     }
-    val hex = new Array[Byte](32)
-    var i = 0
-    while (i < 16) {
-      hex(2 * i) = hexDigits((minDigest(i) >> 4) & 0xF).toByte
-      hex(2 * i + 1) = hexDigits(minDigest(i) & 0xF).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(hex)
+    UTF8String.fromBytes(hex(minDigest))
   }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {

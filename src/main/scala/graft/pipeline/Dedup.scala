@@ -241,19 +241,16 @@ object Dedup {
   def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, b: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
-    val r = k / b
-    // stage the one-md5-per-shingle hashes BEHIND an exchange: the k
-    // permutation expressions above it then reuse them instead of
-    // re-deriving the md5 per signature element
-    val hs = spread(df.select(col(idCol).as("id"),
+    // the fused native expression computes shingles → one md5 per
+    // shingle → k permutation minima → b band buckets in ONE call per
+    // row (MinhashNativeSpec pins equality with the Column pipeline),
+    // so the staging exchange that kept the md5s from re-deriving per
+    // permutation branch is no longer needed
+    val bucketed = spread(df.select(col(idCol).as("id"),
         col(textCol).as("__t")))
       .select(col("id"),
-        transform(shingles(col("__t"), n), shingleHash _).as("__hs"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val sig = hs.select(col("id"),
-      signatureOfHashes(col("__hs"), k).as("sig"))
-    val bucketed = sig
-      .select(col("id"), explode(bandsMd5(col("sig"), b, r)).as("bb"))
+        explode(graft.functions.MinhashBandBuckets(col("__t"), n, k, b))
+          .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val capped = bucketed
       .withColumn("__n", count(lit(1))
@@ -282,7 +279,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sh = spread(df.select(col(idCol).as("id"),
         col(textCol).as("__t")))
-      .select(col("id"), shingles(col("__t"), n).as("sh"))
+      .select(col("id"),
+        graft.functions.Shingles(col("__t"), n).as("sh"))
     val cands = minhashCandidatesMd5(df, idCol, textCol, n, k, b)
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id1", "sh" -> "sh1")), "id1")

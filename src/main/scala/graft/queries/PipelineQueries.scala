@@ -57,15 +57,16 @@ object PipelineQueries {
     */
   def pMinhash(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    // minhashElementMd5, not element_at(signature, 1): the array form
-    // evaluates all 32 permutation branches under a full-evaluation
-    // sink (ElementAt over CreateArray is not pruned), each re-running
-    // the md5-per-shingle pass — 265 s vs ~1 s at sf0.1. spread() so a
-    // single-split parquet input doesn't pin the hashing to one task.
+    // single-element native expression, not element_at(signature, 1):
+    // the array form evaluates all 32 permutation branches under a
+    // full-evaluation sink (ElementAt over CreateArray is not pruned),
+    // each re-running the md5-per-shingle pass — 265 s vs ~1 s at
+    // sf0.1. spread() so a single-split parquet input doesn't pin the
+    // hashing to one task.
     val sigs = Dedup.spread(doc.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        Dedup.minhashElementMd5(
-          Dedup.shingles(col("text")), 0, 32).as("minhash0"))
+        graft.functions.MinhashSigElement(col("text"), 3, 0, 32)
+          .as("minhash0"))
     val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
       n = 3, k = 32, b = 8, threshold = 0.8)
     sigs.join(pairs.groupBy(col("id1").as("doc_id"))
