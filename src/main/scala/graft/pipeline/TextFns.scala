@@ -150,6 +150,32 @@ object TextFns {
     })
   }
 
+  /** Corpus vocabulary statistics: per-token total occurrences (tf)
+    * and document frequency (df) — the vocabulary/idf-building pass of
+    * a training-data pipeline. Two single-shuffle hash aggregations
+    * joined on their shared key rather than one `count(distinct)` agg:
+    * the distinct-agg plan Expands every exploded row 2× and shuffles
+    * twice, while here each branch partial-aggregates map-side and the
+    * join is co-partitioned on `token` (no third shuffle). The df
+    * branch dedups per-document INSIDE the row (array_distinct — no
+    * shuffle), so nothing quadratic and no whole-corpus distinct.
+    * Top-N by (df desc, token) keeps the result bounded (TakeOrdered,
+    * no global sort) at any corpus size.
+    */
+  def docFrequency(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topN: Int = 200): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      Dedup.tokens(col(textCol)).as("__toks"))
+    val tf = base.select(explode(col("__toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val dfreq = base.select(
+        explode(array_distinct(col("__toks"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .orderBy(col("df").desc, col("token"))
+      .limit(topN)
+  }
+
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
 }

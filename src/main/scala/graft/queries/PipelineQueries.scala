@@ -215,6 +215,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics: top-200 tokens by document
+    * frequency with total occurrence counts — integer-exact, fully
+    * oracle-checked.
+    */
+  def pDocFreq(s: SparkSession, d: String): DataFrame =
+    TextFns.docFrequency(Tables.documents(s, d), "doc_id", "text", 200)
+      .orderBy(col("df").desc, col("token"))
+
   /** Overlapping token-window chunking (64-token windows, 16-token
     * overlap): one row per chunk with the chunk content hashed so the
     * gate pins exact window boundaries without shipping full text.
@@ -243,6 +251,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "p_dup_groups" -> (pDupGroups _),
+    "p_doc_freq" -> (pDocFreq _),
     "p_chunks" -> (pChunks _),
     "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
@@ -392,6 +401,19 @@ object PipelineQueries {
          |SELECT doc_id, comp,
          |  count(*) OVER (PARTITION BY comp) AS group_size
          |FROM comps ORDER BY doc_id""".stripMargin,
+    "p_doc_freq" ->
+      s"""WITH tf AS (
+         |  SELECT token, count(*) AS tf FROM (
+         |    SELECT unnest($toks) AS token FROM documents)
+         |  GROUP BY 1),
+         |dfq AS (
+         |  SELECT token, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct($toks)) AS token
+         |    FROM documents)
+         |  GROUP BY 1)
+         |SELECT t.token, t.tf, d.df
+         |FROM tf t JOIN dfq d USING (token)
+         |ORDER BY df DESC, token LIMIT 200""".stripMargin,
     "p_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,

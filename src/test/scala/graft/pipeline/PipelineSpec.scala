@@ -189,6 +189,24 @@ class PipelineSpec extends SparkSpec {
     assert(files.forall(f => spark.read.parquet(f.getPath).count() <= 30))
   }
 
+  test("docFrequency: tf counts occurrences, df counts documents") {
+    val t = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana! BANANA cherry"))
+      .toDF("id", "text")
+    val out = TextFns.docFrequency(t, "id", "text", 10)
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"))).toList
+    // ordered by (df desc, token): apple/banana/cherry all df=2
+    assert(out == List(("apple", 3L, 2L), ("banana", 3L, 2L),
+      ("cherry", 2L, 2L)))
+    // topN truncates on the same total order
+    val top1 = TextFns.docFrequency(t, "id", "text", 1)
+      .collect().map(_.getAs[String]("token")).toList
+    assert(top1 == List("apple"))
+  }
+
   test("text analysis: counts, quality, language id, fingerprint") {
     val t = Seq(
       (1L, "The cat and the dog are in the house with the mouse."),
