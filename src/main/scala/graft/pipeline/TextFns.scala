@@ -176,6 +176,43 @@ object TextFns {
       .limit(topN)
   }
 
+  /** Compliance patterns for [[redact]]/[[piiCount]] — kept
+    * RE2-compatible (no backrefs or lookarounds, ASCII classes only)
+    * so every engine with linear-time regexes applies them
+    * identically; Java and RE2 agree on \b, \d, and these classes.
+    * Order matters and is part of the contract: earlier replacements
+    * can consume text later patterns would otherwise match.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** PII-style scrubbing: replace each pattern's matches with its
+    * typed placeholder, in order — the pre-training redaction pass.
+    * Pure codegen'd regexp_replace chain inside the scan projection;
+    * no shuffle, no UDF.
+    */
+  def redact(text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of PII matches across the patterns, counted in the same
+    * left-to-right order redaction applies them (each pattern counts
+    * on the text AFTER the previous replacements, so overlapping
+    * matches aren't double-counted).
+    */
+  def piiCount(text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): Column = {
+    val (counts, _) = patterns.foldLeft(
+      (List.empty[Column], text)) { case ((acc, t), (re, tag)) =>
+      (regexp_count(t, lit(re)) :: acc, regexp_replace(t, re, tag))
+    }
+    counts.reduce(_ + _).cast("long")
+  }
+
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
 }

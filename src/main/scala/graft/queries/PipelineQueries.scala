@@ -223,6 +223,28 @@ object PipelineQueries {
     TextFns.docFrequency(Tables.documents(s, d), "doc_id", "text", 200)
       .orderBy(col("df").desc, col("token"))
 
+  /** PII redaction over documents with deterministic synthetic PII
+    * appended in-query (both engines replay the construction, so the
+    * redaction provably fires on every row): email + phone + IP are
+    * derived from doc_id, scrubbed, and the gate pins the redacted
+    * content hash and the per-row match count.
+    */
+  def pRedact(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val pii = concat(col("text"),
+      lit(" reach user"), id.cast("string"),
+      lit("@example"), (id % 5).cast("string"), lit(".org or 555-"),
+      lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((id % 10000).cast("string"), 4, "0"), lit(" ip 10."),
+      (id % 256).cast("string"), lit(".0."), (id % 100).cast("string"))
+    Tables.documents(s, d)
+      .select(id, pii.as("pii_text"))
+      .select(id,
+        md5(TextFns.redact(col("pii_text"))).as("rhash"),
+        TextFns.piiCount(col("pii_text")).as("n_pii"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking (64-token windows, 16-token
     * overlap): one row per chunk with the chunk content hashed so the
     * gate pins exact window boundaries without shipping full text.
@@ -252,6 +274,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "p_dup_groups" -> (pDupGroups _),
     "p_doc_freq" -> (pDocFreq _),
+    "p_redact" -> (pRedact _),
     "p_chunks" -> (pChunks _),
     "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
@@ -414,6 +437,32 @@ object PipelineQueries {
          |SELECT t.token, t.tf, d.df
          |FROM tf t JOIN dfq d USING (token)
          |ORDER BY df DESC, token LIMIT 200""".stripMargin,
+    "p_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text || ' reach user' || doc_id ||
+        |    '@example' || (doc_id % 5) || '.org or 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |  regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |    '<EMAIL>', 'g') AS t1,
+        |  len(regexp_extract_all(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS c1
+        |  FROM pii),
+        |r2 AS (SELECT doc_id,
+        |  regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t2,
+        |  c1, len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b')) AS c2
+        |  FROM r1),
+        |r3 AS (SELECT doc_id,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |    '<IP>', 'g') AS t3,
+        |  c1, c2, len(regexp_extract_all(t2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c3
+        |  FROM r2)
+        |SELECT doc_id, md5(t3) AS rhash, c1 + c2 + c3 AS n_pii
+        |FROM r3 ORDER BY doc_id""".stripMargin,
     "p_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,

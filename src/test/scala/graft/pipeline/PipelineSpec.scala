@@ -207,6 +207,25 @@ class PipelineSpec extends SparkSpec {
     assert(top1 == List("apple"))
   }
 
+  test("redact: typed placeholders, ordered patterns, match counts") {
+    val t = Seq(
+      (1L, "mail a.b-c%d@ex-ample.co.uk or call 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii here"),
+      (3L, "double x@y.io z@w.ai and 1.2.3.4"))
+      .toDF("id", "text")
+    val out = t.select($"id",
+        TextFns.redact($"text").as("r"),
+        TextFns.piiCount($"text").as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("r") ==
+      "mail <EMAIL> or call <PHONE> from <IP>")
+    assert(out(0).getAs[Long]("n") == 3L)
+    assert(out(1).getAs[String]("r") == "no pii here")
+    assert(out(1).getAs[Long]("n") == 0L)
+    assert(out(2).getAs[String]("r") == "double <EMAIL> <EMAIL> and <IP>")
+    assert(out(2).getAs[Long]("n") == 3L)
+  }
+
   test("text analysis: counts, quality, language id, fingerprint") {
     val t = Seq(
       (1L, "The cat and the dog are in the house with the mouse."),
