@@ -92,4 +92,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("p_retailprice") && !p.contains("p_size"),
       "f_string should not read unreferenced part columns")
   }
+
+  test("p_doc_freq: partial aggs both branches, bounded top-n, no ids") {
+    val p = plan("p_doc_freq")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf and df branches should each partial+final aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N must not be a global sort")
+    assert(!p.contains("doc_id"),
+      "neither branch needs document ids (df dedups row-locally)")
+  }
 }
