@@ -155,6 +155,23 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Skew-resilient join (SURVEY §2.12 extension): events (the big,
+    * power-law side) salted over 8 buckets against the replicated
+    * customer dim, then rolled up per market segment. Results are
+    * salt-invariant by construction — the gate pins that the salting
+    * machinery changes nothing relationally (DuckDB runs the plain
+    * join), while SessionSpec pins the plan-level spread.
+    */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SaltedJoin.join(ev, cust, "user_id", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -167,7 +184,8 @@ object RelationalQueries {
     "q_setops" -> (qSetOps _),
     "q_anti_semi" -> (qAntiSemi _),
     "q_window_rank" -> (qWindowRank _),
-    "q_events_hourly" -> (qEventsHourly _))
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_salted_join" -> (qSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -232,5 +250,10 @@ object RelationalQueries {
     "q_events_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
