@@ -320,13 +320,22 @@ object Dedup {
       .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterate ONLY over edge-touched nodes: near-dup graphs are
+    // sparse (most of the corpus has no duplicate), so the rounds
+    // shuffle |V(edges)| rows, not |corpus| — at 100 TB that is the
+    // difference between propagating labels over billions of isolated
+    // docs every round and over just the duplicate clusters. Isolated
+    // docs get comp = id in one final left join. The symmetrized edge
+    // list makes id1 cover every endpoint.
+    //
     // localCheckpoint (not persist) between rounds: the doubling hop
     // below self-joins the round's frame, so a lineage-preserving
     // cache would double the logical plan per round (exponential
     // analyze/explain blowup); checkpointing truncates lineage to the
     // materialized blocks, keeping every round's plan flat. Blocks are
     // freed by the ContextCleaner when the round's frame is dropped.
-    var comp = ids.select(col(idCol).as("id"), col(idCol).as("comp"))
+    var comp = edges.select(col("id1").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var converged = false
     var it = 0
@@ -378,7 +387,10 @@ object Dedup {
       System.err.println(s"[graft] dupGroups: min-label propagation " +
         s"did NOT converge within maxIter=$maxIter rounds; component " +
         s"labels may be incomplete for graphs of diameter > 2^$maxIter")
-    comp
+    // attach isolated nodes (their own component) in one pass
+    ids.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Exact n-gram Jaccard similarity between two text columns. */
