@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Train/eval contamination detection: which evaluation documents
+  * share enough word n-grams with a training document to suggest
+  * leakage — the standard decontamination pass before training.
+  *
+  * Shape (100 TB): both corpora explode to (id, shingle-hash) rows —
+  * the md5-derived 60-bit hash, not the shingle text, so the shuffle
+  * carries 8 bytes per gram — and meet in ONE equi-join on the hash
+  * (an inverted index, never a doc×doc comparison). Per-pair common
+  * counts are a map-side-combinable aggregation. Boilerplate grams
+  * (train-side frequency > maxShingleFreq) are dropped before the
+  * join, exactly like LSH's maxBucket skew cap, which bounds the
+  * join's fan-out at corpus scale.
+  */
+object Decontam {
+
+  /** (test_id, train_id, n_common) for pairs sharing ≥ `minCommon`
+    * distinct word `n`-grams.
+    */
+  def contamination(train: DataFrame, trainId: String,
+      test: DataFrame, testId: String, textCol: String,
+      n: Int = 8, minCommon: Int = 2,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    def grams(df: DataFrame, id: String, as: String): DataFrame =
+      Dedup.spread(df.select(col(id).as(as), col(textCol).as("__t")))
+        .select(col(as),
+          explode(graft.functions.Shingles(col("__t"), n)).as("__s"))
+        .select(col(as), Dedup.shingleHash(col("__s")).as("h"))
+        .distinct()
+    val tr = grams(train, trainId, "train_id")
+      .withColumn("__freq", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+    val te = grams(test, testId, "test_id")
+    te.join(tr, "h")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+}

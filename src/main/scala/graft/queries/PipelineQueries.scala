@@ -245,6 +245,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Train/eval decontamination: every 20th document plays the eval
+    * set; pairs sharing ≥ 2 distinct word n-grams (by the portable
+    * 60-bit hash) surface with their common-gram counts, bounded by a
+    * total order. Integer-exact against the DuckDB replay. The gate
+    * uses 3-grams — on this corpus longer grams only ever match the
+    * two planted near-dups, so 3 keeps the check discriminating
+    * (117 pairs at sf0.01); production decontamination uses the
+    * operator default (8).
+    */
+  def pContamination(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    graft.pipeline.Decontam.contamination(
+        doc.filter(col("doc_id") % 20 =!= 0), "doc_id",
+        doc.filter(col("doc_id") % 20 === 0), "doc_id",
+        "text", n = 3, minCommon = 2)
+      .orderBy(col("n_common").desc, col("test_id"), col("train_id"))
+      .limit(500)
+  }
+
   /** Overlapping token-window chunking (64-token windows, 16-token
     * overlap): one row per chunk with the chunk content hashed so the
     * gate pins exact window boundaries without shipping full text.
@@ -275,6 +294,7 @@ object PipelineQueries {
     "p_dup_groups" -> (pDupGroups _),
     "p_doc_freq" -> (pDocFreq _),
     "p_redact" -> (pRedact _),
+    "p_contamination" -> (pContamination _),
     "p_chunks" -> (pChunks _),
     "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
@@ -371,16 +391,17 @@ object PipelineQueries {
        |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
        |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)""".stripMargin
 
-  /** Word 3-gram shingles over the normalized tokens — mirrors
+  /** Word n-gram shingles over the normalized tokens — mirrors
     * `Dedup.shingles` (sequence bounds line up: Spark's inclusive
-    * sequence(0, len-3) is DuckDB's exclusive range(0, len-2)).
+    * sequence(0, len-n) is DuckDB's exclusive range(0, len-n+1)).
     */
-  private val shinglesSql =
-    s"""list_distinct(CASE WHEN len($toks) < 3
+  private def shinglesSqlN(n: Int): String =
+    s"""list_distinct(CASE WHEN len($toks) < $n
        | THEN [array_to_string($toks, ' ')]
-       | ELSE list_transform(range(0, len($toks) - 2),
-       |   i -> array_to_string(list_slice($toks, i + 1, i + 3), ' '))
+       | ELSE list_transform(range(0, len($toks) - ${n - 1}),
+       |   i -> array_to_string(list_slice($toks, i + 1, i + $n), ' '))
        | END)""".stripMargin
+  private val shinglesSql = shinglesSqlN(3)
 
   /** `(t, p, [w...])` VALUES rows of the deterministic hyperplane
     * matrix — identical doubles to the ones baked into the Spark plan
@@ -437,6 +458,23 @@ object PipelineQueries {
          |SELECT t.token, t.tf, d.df
          |FROM tf t JOIN dfq d USING (token)
          |ORDER BY df DESC, token LIMIT 200""".stripMargin,
+    "p_contamination" ->
+      s"""WITH tr AS (
+         |  SELECT DISTINCT doc_id AS train_id, ${hash60("s")} AS h FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS s
+         |    FROM documents WHERE doc_id % 20 <> 0)),
+         |trf AS (
+         |  SELECT train_id, h FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY h) AS f FROM tr)
+         |  WHERE f <= 1000),
+         |te AS (
+         |  SELECT DISTINCT doc_id AS test_id, ${hash60("s")} AS h FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS s
+         |    FROM documents WHERE doc_id % 20 = 0))
+         |SELECT test_id, train_id, count(*) AS n_common
+         |FROM te JOIN trf USING (h)
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY n_common DESC, test_id, train_id LIMIT 500""".stripMargin,
     "p_redact" ->
       """WITH pii AS (
         |  SELECT doc_id, text || ' reach user' || doc_id ||

@@ -207,6 +207,29 @@ class PipelineSpec extends SparkSpec {
     assert(top1 == List("apple"))
   }
 
+  test("contamination: inverted-gram join finds leaked pairs only") {
+    import graft.pipeline.Decontam
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"),
+      (12L, "totally unrelated content right here"))
+      .toDF("id", "text")
+    val test = Seq(
+      (1L, "alpha beta gamma delta NOT the rest"), // 2 shared 3-grams w/ 10
+      (2L, "nothing in common with anything"),
+      (3L, "one two three four nine ten"))         // 2 shared 3-grams w/ 11
+      .toDF("id", "text")
+    val got = Decontam.contamination(train, "id", test, "id", "text",
+        n = 3, minCommon = 2)
+      .collect().map(r => (r.getAs[Long]("test_id"),
+        r.getAs[Long]("train_id"), r.getAs[Long]("n_common"))).toSet
+    assert(got == Set((1L, 10L, 2L), (3L, 11L, 2L)), got)
+    // boilerplate cap: with maxShingleFreq = 0 every gram is dropped
+    val capped = Decontam.contamination(train, "id", test, "id", "text",
+      n = 3, minCommon = 1, maxShingleFreq = 0).count()
+    assert(capped == 0L)
+  }
+
   test("redact: typed placeholders, ordered patterns, match counts") {
     val t = Seq(
       (1L, "mail a.b-c%d@ex-ample.co.uk or call 555-123-4567 from 10.0.0.1"),
