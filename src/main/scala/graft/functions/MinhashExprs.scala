@@ -118,6 +118,27 @@ object MinhashNative {
     new GenericArrayData(out)
   }
 
+  /** Distinct 60-bit hashes of the distinct shingles, first-occurrence
+    * order (hash collisions between distinct shingles dedup, matching
+    * `SELECT DISTINCT doc_id, hash` in the oracle replays).
+    */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val md = TextHash.digest()
+    val sh = shingles(text, n)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < sh.length) {
+      md.reset()
+      seen.add(hash60(md.digest(sh(i).getBytes)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
   /** Single signature element (Dedup.minhashElementMd5). */
   def sigElement(text: UTF8String, n: Int, a: Long, c: Long): Long = {
     val md = TextHash.digest()
@@ -152,6 +173,29 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
 object Shingles {
   def apply(text: Column, n: Int): Column =
     ColumnGlue.column(Shingles(ColumnGlue.expression(text), n))
+}
+
+/** `shingleHashes(text, n)` as one codegen'd call → array<long> of
+  * the distinct 60-bit gram hashes.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinhashNative.shingleHashes($c, $n))")
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(MinhashNative.shingleHashes(
+      v.asInstanceOf[UTF8String], n))
+  override protected def withNewChildInternal(c: Expression)
+      : ShingleHashes = copy(c, n)
+}
+
+object ShingleHashes {
+  def apply(text: Column, n: Int): Column =
+    ColumnGlue.column(ShingleHashes(ColumnGlue.expression(text), n))
 }
 
 /** Fused shingle→hash→signature→band-bucket pipeline as one call →

@@ -26,12 +26,13 @@ object Decontam {
       test: DataFrame, testId: String, textCol: String,
       n: Int = 8, minCommon: Int = 2,
       maxShingleFreq: Int = 1000): DataFrame = {
+    // per-document hash dedup happens INSIDE the row (the native
+    // expression returns distinct hashes), so no shuffle-distinct is
+    // needed before the join — (id, h) rows are unique by construction
     def grams(df: DataFrame, id: String, as: String): DataFrame =
       Dedup.spread(df.select(col(id).as(as), col(textCol).as("__t")))
         .select(col(as),
-          explode(graft.functions.Shingles(col("__t"), n)).as("__s"))
-        .select(col(as), Dedup.shingleHash(col("__s")).as("h"))
-        .distinct()
+          explode(graft.functions.ShingleHashes(col("__t"), n)).as("h"))
     val tr = grams(train, trainId, "train_id")
       .withColumn("__freq", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("__freq") <= maxShingleFreq).drop("__freq")

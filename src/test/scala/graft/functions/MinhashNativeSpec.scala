@@ -54,6 +54,15 @@ class MinhashNativeSpec extends SparkSpec {
     }
   }
 
+  test("native ShingleHashes == distinct Column shingleHash transform") {
+    val diff = texts.select(
+        ShingleHashes(col("text"), 3).as("n"),
+        array_distinct(transform(Dedup.shingles(col("text"), 3),
+          Dedup.shingleHash _)).as("c"))
+      .filter(not(col("n") <=> col("c"))).count()
+    assert(diff == 0)
+  }
+
   test("null text stays null") {
     import spark.implicits._
     val df = Seq(Option.empty[String], Some("x y z a b c")).toDF("text")
