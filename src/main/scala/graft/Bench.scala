@@ -56,6 +56,14 @@ object Bench {
     println(s"""{"metric":"full_detail","full":${js(full)}}""")
     println(s"""{"metric":"query_detail","queries":${js(results)}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"sf":"$sfDir"}""")
+    // belt-and-braces: the machine-readable record also lands in a
+    // file, immune to any stdout capture/prefix/truncation issues
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${js(results)},"full":${js(full)},""" +
+        s""""full_total":$fullTotal,"sf":"$sfDir"}""").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
