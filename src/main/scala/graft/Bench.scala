@@ -20,6 +20,14 @@ object Bench {
       Tables.lineitem(spark, "/root/testdata/sf0.001")
         .withColumn("rn", org.apache.spark.sql.functions.row_number.over(w))
         .count()
+      // warm the dedup/decontamination plan families at sf0.001: the
+      // LSH band/bucket/window/self-join and CC-loop plans are the
+      // largest codegen units; without this their compile cost lands
+      // in the first measured query of each family
+      Seq("p_dup_groups", "p_contamination", "p_simhash",
+          "q3_join_revenue").foreach { q =>
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
