@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{
   CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.util.CollationSupport
 import org.apache.spark.sql.graftglue.ColumnGlue
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -40,13 +41,22 @@ object TextHash {
   }
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** EXACTLY what Spark's `lower()` does under the default UTF8_BINARY
+    * collation. NOT UTF8String.toLowerCase — the two disagree on
+    * conditional mappings (e.g. final sigma in "ü2Σ,":
+    * execBinary σ, toLowerCase ς), found by the randomized
+    * native-vs-Column equivalence property.
+    */
+  private[functions] def sparkLower(s: UTF8String): UTF8String =
+    CollationSupport.Lower.execBinary(s)
+
   private[functions] def digest(): MessageDigest = mdLocal.get()
 
   /** Lowercased alnum tokens (split "[^a-z0-9]+", empties dropped) —
     * Dedup.tokens.
     */
   private[functions] def tokensOf(text: UTF8String): Array[String] = {
-    val raw = nonAlnum.split(text.toLowerCase.toString)
+    val raw = nonAlnum.split(sparkLower(text).toString)
     var n = 0
     var i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
@@ -77,7 +87,7 @@ object TextHash {
 
   /** `trim(regexp_replace(lower(s), "\\s+", " "))` — Dedup.normalize. */
   def normalize(s: UTF8String): String = {
-    val collapsed = ws.matcher(s.toLowerCase.toString).replaceAll(" ")
+    val collapsed = ws.matcher(sparkLower(s).toString).replaceAll(" ")
     var from = 0
     var to = collapsed.length
     while (from < to && collapsed.charAt(from) == ' ') from += 1
@@ -92,7 +102,7 @@ object TextHash {
   def simhashMd5(text: UTF8String): UTF8String = {
     val md = mdLocal.get()
     val sums = new Array[Int](64)
-    val toks = nonAlnum.split(text.toLowerCase.toString)
+    val toks = nonAlnum.split(sparkLower(text).toString)
     var ti = 0
     while (ti < toks.length) {
       val t = toks(ti)

@@ -64,6 +64,42 @@ class TextHashNativeSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native == Column on randomized unicode strings") {
+    import spark.implicits._
+    // deterministic pseudo-random strings over a deliberately nasty
+    // alphabet: whitespace runs, combining marks, case-folding
+    // letters, supplementary plane, digits, punctuation
+    val alphabet = ("abcXYZ012 \t\n\r.,;!?-_@#" +
+      "äÖüßİıΣσς日本語🙂́ ").toCharArray
+    val rnd = new scala.util.Random(20260812L)
+    val strings = Seq.fill(300) {
+      val len = rnd.nextInt(80)
+      String.valueOf(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+    }
+    val df = strings.toDF("text")
+    val diff = df.select(
+        Dedup.simhashMd5(col("text")).as("sn"),
+        Dedup.simhashMd5Cols(col("text")).as("sc"),
+        TextFns.fingerprintMd5(col("text")).as("fn"),
+        TextFns.fingerprintMd5Cols(col("text")).as("fc"),
+        Shingles(col("text"), 3).as("gn"),
+        Dedup.shingles(col("text"), 3).as("gc"),
+        ShingleHashes(col("text"), 3).as("hn"),
+        array_distinct(transform(Dedup.shingles(col("text"), 3),
+          Dedup.shingleHash _)).as("hc"),
+        MinhashBandBuckets(col("text"), 3, 32, 8).cast("string").as("bn"),
+        Dedup.bandsMd5(Dedup.signatureOfHashes(
+          transform(Dedup.shingles(col("text"), 3), Dedup.shingleHash _),
+          32), 8, 4).cast("string").as("bc"))
+      .filter(not(col("sn") <=> col("sc")) ||
+        not(col("fn") <=> col("fc")) ||
+        not(col("gn") <=> col("gc")) ||
+        not(col("hn") <=> col("hc")) ||
+        not(col("bn") <=> col("bc")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("null text stays null through the native expressions") {
     import spark.implicits._
     val df = Seq(Option.empty[String], Some("x")).toDF("text")
