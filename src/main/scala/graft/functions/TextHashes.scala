@@ -42,13 +42,24 @@ object TextHash {
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** EXACTLY what Spark's `lower()` does under the default UTF8_BINARY
-    * collation. NOT UTF8String.toLowerCase — the two disagree on
-    * conditional mappings (e.g. final sigma in "ü2Σ,":
-    * execBinary σ, toLowerCase ς), found by the randomized
-    * native-vs-Column equivalence property.
+    * collation: `CollationSupport.Lower.exec(s, UTF8_BINARY, useICU)`,
+    * where useICU mirrors spark.sql.icu.caseMappings.enabled (default
+    * true in Spark 4). The ICU and JVM mappings disagree on conditional
+    * rules — e.g. Σ before ',' is σ under ICU simple mapping but final
+    * ς under the JVM path — found by the randomized native-vs-Column
+    * equivalence property. Read per call via SQLConf.get (task-local on
+    * executors, like Lower's own interpreted path); falls back to the
+    * Spark 4 default when no conf is in scope.
     */
+  private def useICU: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+    catch { case _: Throwable => true }
+
   private[functions] def sparkLower(s: UTF8String): UTF8String =
-    CollationSupport.Lower.execBinary(s)
+    CollationSupport.Lower.exec(s,
+      org.apache.spark.sql.catalyst.util.CollationFactory
+        .UTF8_BINARY_COLLATION_ID, useICU)
 
   private[functions] def digest(): MessageDigest = mdLocal.get()
 
