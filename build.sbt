@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench/Verify compile ~120 whole-stage-codegen'd plans in one JVM
+  // (every query at the warm-up SF plus the measured SF). The JDK 17
+  // default 240 MB code cache fills, JIT silently disables, and
+  // later queries run interpreted 10-50x slower — size it so JIT
+  // survives the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -23,7 +23,11 @@ object Bench {
       // warm the dedup/decontamination plan families at sf0.001: the
       // LSH band/bucket/window/self-join and CC-loop plans are the
       // largest codegen units; without this their compile cost lands
-      // in the first measured query of each family
+      // in the first measured query of each family. (Warming EVERY
+      // query at sf0.001 was tried and rejected: the extra ~60 plans'
+      // worth of cached blocks, broadcasts and generated classes made
+      // the measured passes 2-3x slower and wildly variable —
+      // GC/cleanup debt outweighed the compile savings.)
       Seq("p_dup_groups", "p_contamination", "p_simhash",
           "q3_join_revenue").foreach { q =>
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
