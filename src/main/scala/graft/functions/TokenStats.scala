@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row token frequency vector: the row-local half of corpus
+  * vocabulary statistics. One pass over the text builds
+  * `array<struct<token, cnt>>` (first-occurrence order), so the
+  * corpus-level tf/df aggregation needs ONE explode of the distinct
+  * tokens per document and ONE shuffle — instead of exploding every
+  * token occurrence (tf branch) plus every distinct token (df branch)
+  * and joining the two aggregations. At 100 TB that halves the scan
+  * count and removes a whole explode+shuffle+join from the vocabulary
+  * pass (see TextFns.docFrequency).
+  *
+  * Token semantics = Dedup.tokens (lowercase via Spark's collation-
+  * aware mapping, split "[^a-z0-9]+", empties dropped) — the exact
+  * multiset the DuckDB oracle replays with str_split_regex(lower()).
+  */
+object TokenStatsNative {
+  def tokenCounts(text: UTF8String): GenericArrayData = {
+    val toks = TextHash.tokensOf(text)
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val prev = m.get(t)
+      m.put(t, if (prev eq null) 1L else prev.longValue() + 1L)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey),
+        e.getValue.longValue())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `tokenCounts(text)` as one codegen'd call →
+  * array<struct<token:string, cnt:long>>, first-occurrence order.
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, false),
+    StructField("cnt", LongType, false))), false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenStatsNative.tokenCounts($c)")
+  override def nullSafeEval(v: Any): Any =
+    TokenStatsNative.tokenCounts(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): TokenCounts =
+    copy(c)
+}
+
+object TokenCounts {
+  def apply(text: Column): Column =
+    ColumnGlue.column(TokenCounts(ColumnGlue.expression(text)))
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the
+  * topic/domain clustering pass of a training-data pipeline (corpus
+  * bucketing, stratified mixing, cluster-balanced sampling).
+  *
+  * Scale shape (100 TB): each iteration is ONE scan of the corpus with
+  * the k centroids baked into the plan as literals (the assignment is
+  * a flat codegen'd expression — k dot products of dim literal
+  * multiply-adds, no HOF lambdas, no join) feeding ONE hash
+  * aggregation of k×(dim+1) cells with map-side partial aggregation.
+  * Only the k aggregated rows ever reach the driver (the same
+  * driver-sized footprint AQE stats use); the corpus is never
+  * collected, cached, or shuffled — iterations re-scan, which at
+  * warehouse scale is the standard trade against pinning 100 TB in
+  * cluster memory.
+  *
+  * Determinism: centroid updates run in fixed-point (floor(v·2^20) as
+  * exact longs, summed order-independently) and the mean is one IEEE
+  * division — so the result is independent of partitioning/retries and
+  * bit-reproducible in any engine, which is what lets the DuckDB
+  * oracle replay whole iterations (see PipelineQueries.p_kmeans).
+  * Distance ranking mirrors the argmin exactly: d = |c|² − 2·v·c
+  * (the |v|² term cancels in argmin), ties to the smaller cluster id.
+  */
+object Cluster {
+
+  /** Fixed-point scale for exact centroid sums: 2^20 ≈ 6 decimal
+    * digits. |sum| stays < 2^53 for corpora up to ~2^32 rows of
+    * unit-scale components — beyond that raise to DECIMAL sums.
+    */
+  val FixScale: Double = 1048576.0d
+
+  /** Deterministic unit-norm initial centroids (shared generator with
+    * the IVF index so oracle SQL can embed identical literals).
+    */
+  def initCentroids(k: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Ann.centroids(k, dim, seed)
+
+  /** v·w as a flat left-folded multiply-add chain (codegen'd; the
+    * fold order is the one every engine's ordered list-sum replays).
+    */
+  private def dot(vec: Column, w: Array[Double]): Column =
+    w.indices.map(i => element_at(vec, i + 1) * lit(w(i)))
+      .reduceLeft(_ + _)
+
+  /** |w|² summed in index order on the driver — mirrors the ordered
+    * list-sum the oracle uses, so the double is identical.
+    */
+  private def sqNorm(w: Array[Double]): Double = {
+    var s = 0.0d
+    var i = 0
+    while (i < w.length) { s += w(i) * w(i); i += 1 }
+    s
+  }
+
+  /** Cluster id of `vec` under `cents`: argmin over c of
+    * |c|² − 2·v·c, ties to the smaller id.
+    */
+  def assign(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (w, i) =>
+      (lit(sqNorm(w)) - lit(2.0d) * dot(vec, w), i)
+    }
+    val best = scored.tail.foldLeft(
+      struct(scored.head._1.as("d"), lit(0).as("c"))) {
+      case (b, (d, i)) =>
+        when(d < b.getField("d"),
+          struct(d.as("d"), lit(i).as("c"))).otherwise(b)
+    }
+    best.getField("c")
+  }
+
+  /** `iters` assignment passes with `iters - 1` centroid updates
+    * between them (Lloyd). Returns the final assignment frame
+    * (id, cluster) and the centroids that produced it.
+    *
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, dim: Int = 64,
+      seed: Int = 2026): (DataFrame, Array[Array[Double]]) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents = initCentroids(k, dim, seed)
+    var it = 1
+    while (it < iters) {
+      // one scan + one k-row aggregation; only k rows hit the driver
+      val aggCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+        sum(floor(element_at(col("v"), i + 1) * FixScale).cast("long"))
+          .as(s"s$i"))
+      val rows = v.groupBy(assign(col("v"), cents).as("c"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        var i = 0
+        while (i < dim) {
+          next(c)(i) = r.getLong(2 + i).toDouble / (n * FixScale)
+          i += 1
+        }
+      }
+      cents = next
+      it += 1
+    }
+    (v.select(col("id"), assign(col("v"), cents).as("cluster")), cents)
+  }
+}

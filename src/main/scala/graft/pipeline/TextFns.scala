@@ -152,28 +152,58 @@ object TextFns {
 
   /** Corpus vocabulary statistics: per-token total occurrences (tf)
     * and document frequency (df) — the vocabulary/idf-building pass of
-    * a training-data pipeline. Two single-shuffle hash aggregations
-    * joined on their shared key rather than one `count(distinct)` agg:
-    * the distinct-agg plan Expands every exploded row 2× and shuffles
-    * twice, while here each branch partial-aggregates map-side and the
-    * join is co-partitioned on `token` (no third shuffle). The df
-    * branch dedups per-document INSIDE the row (array_distinct — no
-    * shuffle), so nothing quadratic and no whole-corpus distinct.
-    * Top-N by (df desc, token) keeps the result bounded (TakeOrdered,
-    * no global sort) at any corpus size.
+    * a training-data pipeline. The per-document counting happens
+    * row-locally (native TokenCounts: one pass builds the distinct
+    * tokens with their in-document counts), so the corpus pass is ONE
+    * scan → ONE explode of the distinct tokens per document → ONE hash
+    * aggregation with map-side partial agg (`sum(cnt)` = tf, `count` =
+    * df). No `count(distinct)` Expand, no second scan, no join. Top-N
+    * by (df desc, token) keeps the result bounded (TakeOrdered, no
+    * global sort) at any corpus size.
     */
   def docFrequency(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, topN: Int = 200): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol).as("__id"),
-      Dedup.tokens(col(textCol)).as("__toks"))
-    val tf = base.select(explode(col("__toks")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("tf"))
-    val dfreq = base.select(
-        explode(array_distinct(col("__toks"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "token")
+      textCol: String, topN: Int = 200): org.apache.spark.sql.DataFrame =
+    df.select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("tc.token").as("token"), col("tc.cnt").as("cnt"))
+      .groupBy("token")
+      .agg(sum("cnt").as("tf"), count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token"))
       .limit(topN)
+
+  /** Per-document distinctive keywords: rank each document's tokens by
+    * in-document frequency over corpus document frequency (an exact
+    * tf-idf-style score that stays engine-portable — tf/df is one IEEE
+    * division of two integers, no transcendental idf), keep the top
+    * `perDoc`. The in-document tf is row-local (TokenCounts), the df
+    * vocabulary is a bounded aggregate BROADCAST back to the explode —
+    * so the only full shuffle is the per-document ranking window.
+    * Ties break toward the lexicographically smaller token.
+    */
+  def keywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, perDoc: Int = 3, minDf: Int = 1,
+      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"),
+        col("tc.cnt").as("tf"))
+    val vocab0 = df.select(
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    // a minDf-filtered vocabulary is typically bounded → broadcast (no
+    // shuffle of the exploded tokens); for open-vocab corpora where
+    // even the df table is huge, pass false and the attach becomes a
+    // plain co-partitioned equi-join on token
+    val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("token"))
+    tc.join(vocab, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"))
   }
 
   /** Compliance patterns for [[redact]]/[[piiCount]] — kept

@@ -278,6 +278,63 @@ object PipelineQueries {
         md5(col("c.chunk")).as("chunk_hash"))
       .orderBy("doc_id", "idx")
 
+  /** Per-document distinctive keywords (tf/df-ranked, top 3): the
+    * keyword-extraction pass over the corpus vocabulary. Integer tf/df
+    * and one IEEE division keep the ranking engine-portable.
+    */
+  def pKeywords(s: SparkSession, d: String): DataFrame =
+    TextFns.keywords(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Lloyd k-means over the embeddings (k=8, 3 assignment passes, 2
+    * exact fixed-point centroid updates) — the oracle replays whole
+    * iterations in SQL because every update is exact integer sums +
+    * one IEEE division (Cluster.kmeans determinism notes).
+    */
+  def pKmeans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, _) = graft.pipeline.Cluster.kmeans(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3)
+    assigned.select(col("id").as("vec_id"), col("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("vec_id")
+  }
+
+  /** End-to-end corpus curation — the composed pipeline a training run
+    * starts from, as ONE declarative plan: hold out the eval slice
+    * (doc_id % 20 = 0), quality-filter (score ≥ 0.55), exact-dedup
+    * keeping the smallest id per normalized content, drop training
+    * docs contaminated by the eval set (≥ 2 shared word 3-grams), and
+    * emit each survivor with its quality and training chunk count.
+    * Every stage is a pipeline operator used elsewhere; the gate pins
+    * their composition (filter ordering is part of the semantics:
+    * quality → dedup → decontamination).
+    */
+  def pCurate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(s, d)
+    val train = doc.filter(col("doc_id") % 20 =!= 0)
+    val evalDocs = doc.filter(col("doc_id") % 20 === 0)
+    val q = train
+      .withColumn("quality", TextFns.qualityScore(col("text")))
+      .filter(col("quality") >= 0.55)
+    val deduped = q
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(Dedup.normalize(col("text"))))
+          .orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+    val contaminated = graft.pipeline.Decontam.contamination(
+        deduped, "doc_id", evalDocs, "doc_id", "text",
+        n = 3, minCommon = 2)
+      .select(col("train_id").as("doc_id")).distinct()
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality"),
+        size(TextFns.chunks(col("text"), 64, 16)).cast("long")
+          .as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -291,6 +348,9 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "p_keywords" -> (pKeywords _),
+    "p_kmeans" -> (pKmeans _),
+    "p_curate" -> (pCurate _),
     "p_dup_groups" -> (pDupGroups _),
     "p_doc_freq" -> (pDocFreq _),
     "p_redact" -> (pRedact _),
@@ -430,7 +490,125 @@ object PipelineQueries {
        |  i -> $vref[i] * pl.w[i])) > 0
        |  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT)""".stripMargin
 
+  /** DuckDB replay of Cluster.kmeans: unrolled assignment/update CTEs.
+    * Assignment mirrors d = |c|² − 2·v·c with ties to the smaller id;
+    * updates mirror the exact fixed-point sums and the single IEEE
+    * division, so every iteration's centroids are bit-identical to the
+    * ones Spark bakes into its next assignment pass.
+    */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int,
+      seed: Int): String = {
+    val dp = dim + 1
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, ci AS c FROM (
+         |    SELECT e.vec_id, c.ci,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, $dp),
+         |          i -> c.w[i] * c.w[i]))
+         |        - 2 * list_sum(list_transform(range(1, $dp),
+         |          i -> e.v[i] * c.w[i])) ASC,
+         |        c.ci ASC) AS rk
+         |    FROM emb e CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+    def updateCtes(t: Int): String =
+      s"""u$t AS (
+         |  SELECT a.c AS ci, ii.i AS i,
+         |    sum(CAST(floor(e.v[ii.i] * 1048576.0) AS BIGINT)) AS s
+         |  FROM a$t a JOIN emb e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, $dp)) AS i) ii
+         |  GROUP BY 1, 2),
+         |n$t AS (SELECT c AS ci, count(*) AS n FROM a$t GROUP BY 1),
+         |w$t AS (
+         |  SELECT ci, list(CAST(s AS DOUBLE) ORDER BY i) AS sl
+         |  FROM u$t GROUP BY ci),
+         |cents${t + 1} AS (
+         |  SELECT c0.ci,
+         |    CASE WHEN w.ci IS NULL THEN c0.w
+         |    ELSE list_transform(w.sl, s -> s / (n.n * 1048576.0))
+         |    END AS w
+         |  FROM cents$t c0 LEFT JOIN w$t w USING (ci)
+         |  LEFT JOIN n$t n USING (ci))""".stripMargin
+    val rounds = (0 until iters - 1).map { t =>
+      assignCte(s"a$t", s"cents$t") + ",\n" + updateCtes(t)
+    }
+    val last = assignCte(s"a${iters - 1}", s"cents${iters - 1}")
+    s"""WITH cents0(ci, w) AS (VALUES ${centroidValues(k, dim, seed)}),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${(rounds :+ last).mkString(",\n")}
+       |SELECT vec_id, CAST(c AS INT) AS cluster,
+       |  count(*) OVER (PARTITION BY c) AS cluster_size
+       |FROM a${iters - 1} ORDER BY vec_id""".stripMargin
+  }
+
+  /** Quality-score CTE body shared by p_quality and p_curate: SELECT
+    * doc_id, text, quality FROM `src`.
+    */
+  private def qualitySql(src: String): String =
+    s"""SELECT doc_id, text, round(
+       |  least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3 +
+       |  (CASE WHEN n_toks > 0 AND nc / n_toks BETWEEN 3 AND 12
+       |     THEN 1.0 ELSE 0.3 END) * 0.3 +
+       |  (CASE WHEN nc = 0 OR np / nc <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+       |  least(sr * 4, 1.0) * 0.2, 6) AS quality
+       |FROM (
+       |  SELECT doc_id, text,
+       |    CAST(length(text) AS DOUBLE) AS nc,
+       |    CAST(len(list_filter(str_split_regex(text, '\\s+'),
+       |      x -> x <> '')) AS DOUBLE) AS n_toks,
+       |    CAST(length(text) - length(regexp_replace(text,
+       |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) AS np,
+       |    CASE WHEN len($toks) > 0
+       |      THEN CAST(${swCount(en)} AS DOUBLE) / len($toks)
+       |      ELSE 0.0 END AS sr
+       |  FROM $src)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p_keywords" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |vocab AS (SELECT token, count(*) AS df FROM tc GROUP BY 1)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df FROM (
+         |  SELECT tc.doc_id, tc.token, tc.tf, v.df,
+         |    row_number() OVER (PARTITION BY tc.doc_id
+         |      ORDER BY CAST(tc.tf AS DOUBLE) / v.df DESC, tc.token)
+         |      AS rank
+         |  FROM tc JOIN vocab v USING (token))
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
+    "p_curate" ->
+      s"""WITH q AS (
+         |  ${qualitySql("documents WHERE doc_id % 20 <> 0")}),
+         |qf AS (SELECT * FROM q WHERE quality >= 0.55),
+         |dd AS (
+         |  SELECT doc_id, text, quality FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5($norm)
+         |      ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
+         |trg AS (
+         |  SELECT DISTINCT doc_id, ${hash60("s")} AS h FROM (
+         |    SELECT doc_id, unnest(${shinglesSqlN(3)}) AS s FROM dd)),
+         |trf AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY h) AS f FROM trg)
+         |  WHERE f <= 1000),
+         |teg AS (
+         |  SELECT DISTINCT doc_id, ${hash60("s")} AS h FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS s
+         |    FROM documents WHERE doc_id % 20 = 0)),
+         |bad AS (
+         |  SELECT train_id AS doc_id FROM (
+         |    SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+         |      count(*) AS nc
+         |    FROM teg te JOIN trf tr USING (h) GROUP BY 1, 2)
+         |  WHERE nc >= 2 GROUP BY 1)
+         |SELECT doc_id, quality,
+         |  CAST(greatest(CAST(ceil(CAST(len(list_filter(
+         |      str_split_regex(text, '\\s+'), x -> x <> '')) - 64
+         |      AS DOUBLE) / 48) AS INT), 0) + 1 AS BIGINT) AS n_chunks
+         |FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
     "p_dup_groups" ->
       s"""WITH RECURSIVE $sigCtes,
          |edges AS (

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Lloyd k-means: determinism (fixed-point updates make the result
+  * independent of partitioning), assignment sanity, and the
+  * iters=1 ≡ nearest-init-centroid identity.
+  */
+class ClusterSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf("sf0.001"))
+
+  test("kmeans assignments are identical under repartitioning") {
+    val (a1, c1) = Cluster.kmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val (a2, c2) = Cluster.kmeans(emb.repartition(7), "vec_id",
+      "embedding", k = 4, iters = 3)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq,
+      "centroids must be bit-identical regardless of partitioning")
+    assert(a1.orderBy("id").collect().toSeq ==
+      a2.orderBy("id").collect().toSeq)
+  }
+
+  test("every vector gets a cluster in [0, k)") {
+    val (a, _) = Cluster.kmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val n = emb.count()
+    assert(a.count() == n)
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= 4)
+      .count() == 0)
+  }
+
+  test("iters=1 assigns to the nearest initial centroid") {
+    val cents = Cluster.initCentroids(4, 64, 2026)
+    val (a, returned) = Cluster.kmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 1)
+    assert(returned.flatten.toSeq == cents.flatten.toSeq,
+      "no update step may run before the only assignment")
+    // brute-force the argmin on the driver for a sample
+    val rows = emb.orderBy("vec_id").limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val got = a.orderBy("id").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, v) =>
+      val d = cents.map(c =>
+        c.zip(v).map { case (w, x) => (x - w) * (x - w) }.sum)
+      val want = d.indexOf(d.min)
+      assert(got(id) == want, s"vec $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("updates move centroids toward assigned points") {
+    val (_, c1) = Cluster.kmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val (_, c3) = Cluster.kmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 3)
+    assert(c1.flatten.toSeq != c3.flatten.toSeq,
+      "two update rounds must change the deterministic init centroids")
+  }
+}

@@ -93,13 +93,44 @@ class PlanSpec extends SparkSpec {
       "f_string should not read unreferenced part columns")
   }
 
-  test("p_doc_freq: partial aggs both branches, bounded top-n, no ids") {
+  test("p_doc_freq: one scan, one explode, one agg, bounded top-n") {
     val p = plan("p_doc_freq")
-    assert("HashAggregate".r.findAllIn(p).size >= 4,
-      s"tf and df branches should each partial+final aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expect partial + final hash aggregation:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"tf and df come from ONE explode of row-local token counts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"single-branch plan needs no tf-df join:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       "top-N must not be a global sort")
     assert(!p.contains("doc_id"),
-      "neither branch needs document ids (df dedups row-locally)")
+      "the vocabulary pass never reads document ids")
+  }
+
+  test("p_keywords: vocabulary broadcasts; ranking is the only wide op") {
+    val p = plan("p_keywords")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df vocabulary should broadcast onto the token explode:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p_kmeans: assignment is a scan-local projection, no joins") {
+    val p = plan("p_kmeans")
+    assert(!p.contains("Join"),
+      s"centroids are plan literals — assignment must not join:\n$p")
+    assert(p.contains("embedding"),
+      "assignment reads the embedding column")
+  }
+
+  test("p_curate: quality filter runs before the dedup shuffle") {
+    val p = plan("p_curate")
+    // the quality predicate is a Filter below the first Exchange —
+    // cheap scan-local scoring prunes rows before any wide stage
+    val exchangeIdx = p.indexOf("Exchange")
+    val filterIdx = p.indexOf("Filter")
+    assert(exchangeIdx > 0 && filterIdx > 0,
+      s"expect both a Filter and an Exchange:\n$p")
+    assert(p.lastIndexOf("Filter") > exchangeIdx,
+      s"quality Filter should appear below (after in text) an Exchange:\n$p")
   }
 }
