@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftglue.ColumnGlue
+
+/** The Spark-native integration point for the graft function library:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or on a live session:
+  *   graft.GraftExtensions.registerFunctions(spark)
+  * }}}
+  *
+  * Injects the graft optimizer rule
+  * ([[graft.plans.SimplifyElementAtArray]]) and registers the
+  * pipeline's scalar functions in the session's FunctionRegistry so
+  * plain `spark.sql` — and therefore every SQL-speaking client of a
+  * cluster configured with the extension — can call them:
+  *
+  * {{{
+  *   SELECT graft_simhash(text), graft_token_counts(text) FROM docs
+  * }}}
+  *
+  * Every function resolves to the same codegen'd expressions the
+  * DataFrame API uses (one plan, one semantics, whichever surface).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.SimplifyElementAtArray)
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        GraftExtensions.info(name, usage), builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import graft.functions._
+  import graft.pipeline.{Dedup, TextFns}
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "",
+      "", "built-in")
+
+  /** Evaluate a foldable argument to Int (SQL literal parameters). */
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
+  private def arity(name: String, args: Seq[Expression],
+      ns: Int*): Unit =
+    require(ns.contains(args.size),
+      s"$name expects ${ns.mkString(" or ")} arguments, got ${args.size}")
+
+  /** Wrap a Column→Column pipeline function as an expression builder
+    * (the Column tree IS an expression tree — one semantics for the
+    * SQL and DataFrame surfaces).
+    */
+  private def viaColumn(f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column)(e: Expression): Expression =
+    ColumnGlue.resolvedExpression(f(ColumnGlue.column(e)))
+
+  /** (name, usage, builder) for every registered function. */
+  val functions: Seq[(String, String,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash",
+      "graft_simhash(text) - portable 64-bit SimHash as a bit string",
+      (args: Seq[Expression]) => {
+        arity("graft_simhash", args, 1)
+        SimhashMd5(args.head)
+      }),
+    ("graft_fingerprint",
+      "graft_fingerprint(text[, gram]) - min-md5 content fingerprint",
+      (args: Seq[Expression]) => {
+        arity("graft_fingerprint", args, 1, 2)
+        FingerprintMd5(args.head,
+          if (args.size > 1) intArg(args(1), "gram") else 8)
+      }),
+    ("graft_hamming",
+      "graft_hamming(fp1, fp2) - Hamming distance of bit strings",
+      (args: Seq[Expression]) => {
+        arity("graft_hamming", args, 2)
+        HammingBits(args(0), args(1))
+      }),
+    ("graft_token_counts",
+      "graft_token_counts(text) - per-row token frequency vector",
+      (args: Seq[Expression]) => {
+        arity("graft_token_counts", args, 1)
+        TokenCounts(args.head)
+      }),
+    ("graft_shingles",
+      "graft_shingles(text[, n]) - distinct word n-gram shingles",
+      (args: Seq[Expression]) => {
+        arity("graft_shingles", args, 1, 2)
+        Shingles(args.head,
+          if (args.size > 1) intArg(args(1), "n") else 3)
+      }),
+    ("graft_shingle_hashes",
+      "graft_shingle_hashes(text[, n]) - distinct 60-bit gram hashes",
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", args, 1, 2)
+        ShingleHashes(args.head,
+          if (args.size > 1) intArg(args(1), "n") else 3)
+      }),
+    ("graft_minhash_bands",
+      "graft_minhash_bands(text, n, k, b) - LSH band buckets",
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_bands", args, 4)
+        val coeffs = Dedup.permCoeffs(intArg(args(2), "k"))
+          .flatMap { case (a, b) => Seq(a, b) }.toArray
+        MinhashBandBuckets(args.head, intArg(args(1), "n"), coeffs,
+          intArg(args(3), "b"))
+      }),
+    ("graft_hyperplane_buckets",
+      "graft_hyperplane_buckets(vec, planes, tables, dim, seed) - " +
+        "LSH bucket ids per table",
+      (args: Seq[Expression]) => {
+        arity("graft_hyperplane_buckets", args, 5)
+        ColumnGlue.resolvedExpression(HyperplaneBuckets(
+          ColumnGlue.column(args.head), intArg(args(1), "planes"),
+          intArg(args(2), "tables"), intArg(args(3), "dim"),
+          intArg(args(4), "seed")))
+      }),
+    ("graft_quality",
+      "graft_quality(text) - heuristic quality score in [0,1]",
+      (args: Seq[Expression]) => {
+        arity("graft_quality", args, 1)
+        viaColumn(TextFns.qualityScore)(args.head)
+      }),
+    ("graft_lang_id",
+      "graft_lang_id(text) - stopword-argmax language guess",
+      (args: Seq[Expression]) => {
+        arity("graft_lang_id", args, 1)
+        viaColumn(TextFns.languageId)(args.head)
+      }),
+    ("graft_redact",
+      "graft_redact(text) - scrub email/phone/IP PII",
+      (args: Seq[Expression]) => {
+        arity("graft_redact", args, 1)
+        viaColumn(c => TextFns.redact(c))(args.head)
+      }),
+    ("graft_token_count",
+      "graft_token_count(text) - whitespace token count",
+      (args: Seq[Expression]) => {
+        arity("graft_token_count", args, 1)
+        viaColumn(TextFns.tokenCount)(args.head)
+      }),
+    ("graft_normalize",
+      "graft_normalize(text) - lowercase + whitespace collapse",
+      (args: Seq[Expression]) => {
+        arity("graft_normalize", args, 1)
+        viaColumn(Dedup.normalize)(args.head)
+      }),
+    ("graft_cosine",
+      "graft_cosine(vec1, vec2) - cosine similarity",
+      (args: Seq[Expression]) => {
+        arity("graft_cosine", args, 2)
+        ColumnGlue.resolvedExpression(Dedup.cosine(
+          ColumnGlue.column(args(0)), ColumnGlue.column(args(1))))
+      }))
+
+  /** Register the same functions (and the optimizer rule) on an
+    * already-running session — the REPL/notebook path where
+    * spark.sql.extensions wasn't set at startup.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.plans.SimplifyElementAtArray.install(spark)
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (name, usage, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), info(name, usage),
+        builder)
+    }
+  }
+}

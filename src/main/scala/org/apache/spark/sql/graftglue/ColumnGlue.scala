@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column→Expression conversion. `expression` wraps non-
+    * trivial Column trees in a lazily-resolved `ColumnNodeExpression`,
+    * which only the Dataset API boundary converts; an expression
+    * returned from a FunctionRegistry builder never crosses that
+    * boundary and would reach codegen unresolved. This converts the
+    * node tree to catalyst immediately (standard unresolved functions
+    * the analyzer then resolves in place).
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

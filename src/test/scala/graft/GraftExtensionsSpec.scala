@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextFns}
+
+/** The SQL surface must resolve to the same expressions as the
+  * DataFrame API: register the functions, run both surfaces over the
+  * documents table, compare exactly.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.registerFunctions(spark)
+    Tables.documents(spark, sf("sf0.001"))
+      .createOrReplaceTempView("docs")
+  }
+
+  test("SQL graft_* functions match the DataFrame expressions") {
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash(text) AS fp,
+        |  graft_fingerprint(text) AS gfp,
+        |  graft_token_count(text) AS n_toks,
+        |  graft_lang_id(text) AS lang,
+        |  graft_quality(text) AS q,
+        |  graft_normalize(text) AS norm
+        |FROM docs""".stripMargin)
+    val viaDf = Tables.documents(spark, sf("sf0.001")).select(
+      col("doc_id"),
+      Dedup.simhashMd5(col("text")).as("fp"),
+      TextFns.fingerprintMd5(col("text")).as("gfp"),
+      TextFns.tokenCount(col("text")).as("n_toks"),
+      TextFns.languageId(col("text")).as("lang"),
+      TextFns.qualityScore(col("text")).as("q"),
+      Dedup.normalize(col("text")).as("norm"))
+    assert(viaSql.exceptAll(viaDf).count() == 0)
+    assert(viaDf.exceptAll(viaSql).count() == 0)
+  }
+
+  test("parameterized SQL functions accept literal knobs") {
+    val r = spark.sql(
+      """SELECT graft_shingles('one two three four', 2) AS sh,
+        |  graft_hamming(graft_simhash('aa bb'), graft_simhash('aa bb'))
+        |    AS d,
+        |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+        |  size(graft_token_counts('a a b')) AS ntc,
+        |  size(graft_minhash_bands('x y z w', 3, 32, 8)) AS nb,
+        |  size(graft_hyperplane_buckets(array(1.0d, -1.0d), 4, 2, 2,
+        |    42)) AS nhb""".stripMargin).head()
+    assert(r.getSeq[String](0) ==
+      Seq("one two", "two three", "three four"))
+    assert(r.getInt(1) == 0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 8)
+    assert(r.getInt(5) == 2)
+  }
+
+  test("graft_redact scrubs PII through SQL") {
+    val out = spark.sql(
+      "SELECT graft_redact('mail a@b.com or 555-123-4567 ip 1.2.3.4')" +
+        " AS t").head().getString(0)
+    assert(out == "mail <EMAIL> or <PHONE> ip <IP>")
+  }
+
+  test("the extensions class wires into SparkSessionExtensions") {
+    // construction path spark.sql.extensions uses: must not throw and
+    // must register every function + the optimizer rule injection
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
