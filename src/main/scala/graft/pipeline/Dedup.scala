@@ -292,6 +292,66 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Portable band-bucket index of a corpus: (id, band, bucket) rows —
+    * the write-once artifact incremental dedup joins new batches
+    * against. At warehouse scale this is persisted bucketed+sorted on
+    * (band, bucket) (sources.Bucketing), so the per-batch probe join
+    * is co-located and touches no corpus text.
+    */
+  def minhashIndexMd5(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, b: Int = 8): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(graft.functions.MinhashBandBuckets(col("__t"), n, k, b))
+          .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+  /** Incremental near-dup detection: which INCOMING documents
+    * duplicate the EXISTING corpus — the per-batch ingest shape of
+    * MinHash dedup. Only the incoming batch computes signatures
+    * against a (possibly precomputed) corpus index; candidates are the
+    * (band, bucket) equi-join of batch×index, verified by exact
+    * shingle Jaccard against just the matched corpus rows. The skew
+    * cap applies on the INDEX side (boilerplate buckets at corpus
+    * scale), mirroring minhashCandidates' maxBucket.
+    *
+    * Cost at 100 TB: batch-signature compute is |batch|-scan-local;
+    * the probe is co-located when the index is bucketed on
+    * (band, bucket); the verify re-reads corpus text for candidate
+    * ids ONLY (a semi-join-pruned scan).
+    *
+    * @return (new_id, corpus_id, jaccard) pairs with Jaccard ≥
+    *         threshold
+    */
+  def incrementalDupPairsMd5(incoming: DataFrame, incId: String,
+      corpus: DataFrame, corId: String, textCol: String,
+      n: Int = 3, k: Int = 32, b: Int = 8, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    val corIdx = minhashIndexMd5(corpus, corId, textCol, n, k, b)
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+      .select(col("id").as("corpus_id"), col("band"), col("bucket"))
+    val incIdx = minhashIndexMd5(incoming, incId, textCol, n, k, b)
+      .select(col("id").as("new_id"), col("band"), col("bucket"))
+    val cands = incIdx.join(corIdx, Seq("band", "bucket"))
+      .select("new_id", "corpus_id").distinct()
+    val incSh = spread(incoming.select(col(incId).as("new_id"),
+        col(textCol).as("__t")))
+      .select(col("new_id"),
+        graft.functions.Shingles(col("__t"), n).as("sh1"))
+    val corSh = spread(corpus.select(col(corId).as("corpus_id"),
+        col(textCol).as("__t")))
+      .select(col("corpus_id"),
+        graft.functions.Shingles(col("__t"), n).as("sh2"))
+    cands.join(incSh, "new_id").join(corSh, "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** Duplicate clusters from a near-dup pair graph: connected
     * components by iterative min-label propagation — the standard
     * follow-on to pair generation in a dedup pipeline (keep one doc

@@ -335,6 +335,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental ingest dedup: documents with doc_id % 10 = 7 play the
+    * incoming batch, the rest the indexed corpus; each incoming doc
+    * reports how many corpus near-dups it has (Jaccard ≥ 0.8) and the
+    * smallest matching corpus id (-1 when none — the doc is novel).
+    */
+  def pIncrDedup(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val inc = doc.filter(col("doc_id") % 10 === 7)
+    val cor = doc.filter(col("doc_id") % 10 =!= 7)
+    val pairs = Dedup.incrementalDupPairsMd5(inc, "doc_id",
+      cor, "doc_id", "text")
+    inc.select(col("doc_id"))
+      .join(pairs.groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+          min("corpus_id").as("first_dup")),
+        Seq("doc_id"), "left")
+      .na.fill(Map("n_dups" -> 0, "first_dup" -> -1))
+      .orderBy("doc_id")
+  }
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -351,6 +371,7 @@ object PipelineQueries {
     "p_keywords" -> (pKeywords _),
     "p_kmeans" -> (pKmeans _),
     "p_curate" -> (pCurate _),
+    "p_incr_dedup" -> (pIncrDedup _),
     "p_dup_groups" -> (pDupGroups _),
     "p_doc_freq" -> (pDocFreq _),
     "p_redact" -> (pRedact _),
@@ -541,6 +562,33 @@ object PipelineQueries {
        |FROM a${iters - 1} ORDER BY vec_id""".stripMargin
   }
 
+  /** Prefix-named signature pipeline over a documents subset (mirrors
+    * sigCtes' base→bands stages; requires a shared `perms` CTE in
+    * scope). k=32 in 8 bands of 4, like the batch dedup gates.
+    */
+  private def sigCtesFor(p: String, where: String): String =
+    s"""${p}base AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents $where),
+       |${p}hsx AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${hash60("s")}) AS hs
+       |  FROM ${p}base),
+       |${p}sigl AS (
+       |  SELECT doc_id, p.i,
+       |    list_min(list_transform(hs, h -> (h * p.a + p.b) % 2147483647))
+       |      AS v
+       |  FROM ${p}hsx, perms p),
+       |${p}sigs AS (
+       |  SELECT s.doc_id, b.sh, list(s.v ORDER BY s.i) AS sig
+       |  FROM ${p}sigl s JOIN ${p}base b USING (doc_id)
+       |  GROUP BY s.doc_id, b.sh),
+       |${p}bands AS (
+       |  SELECT doc_id, bb.band, md5(array_to_string(
+       |    list_transform(list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4),
+       |      x -> CAST(x AS VARCHAR)), '|')) AS bucket
+       |  FROM ${p}sigs, (SELECT unnest(range(0, 8)) AS band) bb)"""
+      .stripMargin
+
   /** Quality-score CTE body shared by p_quality and p_curate: SELECT
     * doc_id, text, quality FROM `src`.
     */
@@ -578,6 +626,30 @@ object PipelineQueries {
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
+    "p_incr_dedup" ->
+      s"""WITH perms(i, a, b) AS (VALUES $permValues),
+         |${sigCtesFor("i_", "WHERE doc_id % 10 = 7")},
+         |${sigCtesFor("c_", "WHERE doc_id % 10 <> 7")},
+         |capped AS (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n
+         |    FROM c_bands) WHERE n <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM i_bands i JOIN capped c USING (band, bucket)),
+         |vp AS (
+         |  SELECT cand.new_id, cand.corpus_id FROM cand
+         |  JOIN i_base b1 ON cand.new_id = b1.doc_id
+         |  JOIN c_base b2 ON cand.corpus_id = b2.doc_id
+         |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
+         |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)
+         |SELECT d.doc_id, coalesce(p.n_dups, 0) AS n_dups,
+         |  coalesce(p.first_dup, -1) AS first_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+         |LEFT JOIN (SELECT new_id AS doc_id, count(*) AS n_dups,
+         |  min(corpus_id) AS first_dup FROM vp GROUP BY 1) p
+         |  USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "p_curate" ->
       s"""WITH q AS (
          |  ${qualitySql("documents WHERE doc_id % 20 <> 0")}),

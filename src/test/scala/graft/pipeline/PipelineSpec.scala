@@ -31,6 +31,22 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup matches incoming docs against the corpus only") {
+    val incoming = Seq(
+      (100L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "Nothing remotely similar lives in this sentence at all today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalDupPairsMd5(incoming, "doc_id",
+      docs, "doc_id", "text", threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // 100 duplicates corpus docs 1/2/4/5; 101 matches nothing; corpus-
+    // internal dups (1,4) must NOT surface
+    assert(pairs.contains((100L, 1L)) && pairs.contains((100L, 4L)))
+    assert(!pairs.exists(_._1 == 101L))
+    assert(pairs.forall(_._1 >= 100L),
+      "only incoming ids may appear on the new side")
+  }
+
   test("dupGroups: connected components close transitive chains") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3, pair 5-6, singleton 4; mixed edge orientations
