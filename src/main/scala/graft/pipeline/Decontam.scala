@@ -21,11 +21,24 @@ object Decontam {
 
   /** (test_id, train_id, n_common) for pairs sharing ≥ `minCommon`
     * distinct word `n`-grams.
+    *
+    * `bloomPreFilter`: at corpus scale the train-side gram explode
+    * dwarfs the eval side by orders of magnitude, and almost no train
+    * gram appears in any eval document — so shuffling every train gram
+    * into the join is mostly wasted I/O. With the flag on, a Bloom
+    * filter over the EVAL grams (the small side by construction) is
+    * aggregated to one row, pulled to the driver (MBs — the same
+    * driver-sized footprint a broadcast var has) and applied as a
+    * scan-local `might_contain` predicate BEFORE the train grams reach
+    * the shuffle. Bloom filters have no false negatives, so the result
+    * is bit-identical (false positives just ride into the exact join
+    * and fall out) — DecontamSpec pins the equality.
     */
   def contamination(train: DataFrame, trainId: String,
       test: DataFrame, testId: String, textCol: String,
       n: Int = 8, minCommon: Int = 2,
-      maxShingleFreq: Int = 1000): DataFrame = {
+      maxShingleFreq: Int = 1000,
+      bloomPreFilter: Boolean = false): DataFrame = {
     // per-document hash dedup happens INSIDE the row (the native
     // expression returns distinct hashes), so no shuffle-distinct is
     // needed before the join — (id, h) rows are unique by construction
@@ -33,10 +46,26 @@ object Decontam {
       Dedup.spread(df.select(col(id).as(as), col(textCol).as("__t")))
         .select(col(as),
           explode(graft.functions.ShingleHashes(col("__t"), n)).as("h"))
-    val tr = grams(train, trainId, "train_id")
+    val te = grams(test, testId, "test_id")
+    val tr0 = grams(train, trainId, "train_id")
+    val tr1 = if (!bloomPreFilter) tr0 else {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      val bloomAgg = ColumnGlue.column(
+        new BloomFilterAggregate(ColumnGlue.expression(col("h")))
+          .toAggregateExpression())
+      val bytes = te.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+      if (bytes == null) tr0.limit(0) // empty eval side: nothing matches
+      else tr0.filter(ColumnGlue.column(BloomFilterMightContain(
+        Literal.create(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnGlue.expression(col("h")))))
+    }
+    val tr = tr1
       .withColumn("__freq", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("__freq") <= maxShingleFreq).drop("__freq")
-    val te = grams(test, testId, "test_id")
     te.join(tr, "h")
       .groupBy("test_id", "train_id")
       .agg(count(lit(1)).as("n_common"))

@@ -115,6 +115,41 @@ object EventStreams {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stateless streaming text curation: the scan-local pipeline
+    * operators (quality score, language id, PII scrub, content hash)
+    * apply to a readStream unchanged — pure projections, no state, no
+    * watermark. The streaming twin of the batch curation front-end.
+    */
+  def curateStream(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.pipeline.TextFns
+    docs
+      .withColumn("quality", TextFns.qualityScore(col(textCol)))
+      .withColumn("lang_guess", TextFns.languageId(col(textCol)))
+      .withColumn("clean_text", TextFns.redact(col(textCol)))
+      .withColumn("chash", TextFns.contentHash(col(textCol)))
+  }
+
+  /** Streaming near-dup suppression with bounded state: drop any
+    * document whose band-0 MinHash bucket was already seen inside the
+    * watermark horizon. The bucket key collides for documents whose
+    * shingle Jaccard clears the band's collision threshold (s^r for
+    * one band of r rows), so this is CANDIDATE-level suppression —
+    * the cheap in-flight guard; the verified batch pass
+    * (Dedup.incrementalDupPairsMd5 against the corpus index) remains
+    * the exact authority. State = one bucket hash per surviving doc
+    * in the horizon, purged by the watermark.
+    */
+  def nearDupDropStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "1 hour",
+      n: Int = 3, k: Int = 32, b: Int = 8): DataFrame =
+    docs
+      .withColumn("__fp", element_at(
+          graft.functions.MinhashBandBuckets(col(textCol), n, k, b), 1)
+        .getField("bucket"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Sliding-window rate monitor (5-minute slide over 1-hour window). */
   def slidingRate(events: DataFrame,
       watermark: String = "2 hours"): DataFrame =

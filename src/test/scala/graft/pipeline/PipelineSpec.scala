@@ -244,6 +244,21 @@ class PipelineSpec extends SparkSpec {
     val capped = Decontam.contamination(train, "id", test, "id", "text",
       n = 3, minCommon = 1, maxShingleFreq = 0).count()
     assert(capped == 0L)
+    // the bloom pre-filter is result-identical (no false negatives)
+    // and plans a scan-local might_contain below the join
+    val bloomed = Decontam.contamination(train, "id", test, "id",
+      "text", n = 3, minCommon = 2, bloomPreFilter = true)
+    val bgot = bloomed.collect().map(r => (r.getAs[Long]("test_id"),
+      r.getAs[Long]("train_id"), r.getAs[Long]("n_common"))).toSet
+    assert(bgot == got, s"bloom path diverged: $bgot vs $got")
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("might_contain"),
+      "expected the bloom predicate in the physical plan")
+    // empty eval side: bloom aggregate yields null -> nothing matches
+    val none = Decontam.contamination(train, "id",
+      test.filter(col("id") < 0), "id", "text",
+      n = 3, minCommon = 1, bloomPreFilter = true).count()
+    assert(none == 0L)
   }
 
   test("redact: typed placeholders, ordered patterns, match counts") {

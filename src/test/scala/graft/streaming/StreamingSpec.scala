@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
 
 case class GEvent(ts: Timestamp, event_type: String, value: Double)
+case class GDoc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -62,6 +63,43 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("enriched").select("event_type", "category")
       .as[(String, String)].collect().toSeq
     assert(rows == Seq(("click", "interaction")))
+  }
+
+  test("stateless curation projections run under readStream") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[GDoc]
+    input.addData(
+      GDoc(t("2026-01-01 10:00:00"), 1L,
+        "the quick brown fox is a good document mail me at a@b.com"))
+    val q = EventStreams.curateStream(input.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("curated").head()
+    assert(r.getAs[String]("lang_guess") == "en")
+    assert(r.getAs[Double]("quality") > 0)
+    assert(r.getAs[String]("clean_text").contains("<EMAIL>"))
+    assert(r.getAs[String]("chash").length == 32)
+  }
+
+  test("streaming near-dup drop suppresses band-bucket collisions") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[GDoc]
+    input.addData(
+      GDoc(t("2026-01-01 10:00:00"), 1L,
+        "the quick brown fox jumps over the lazy dog near the river"),
+      GDoc(t("2026-01-01 10:05:00"), 2L,
+        "the quick brown fox jumps over the lazy dog near the river"),
+      GDoc(t("2026-01-01 10:10:00"), 3L,
+        "completely different text about distributed query engines"))
+    val q = EventStreams.nearDupDropStream(input.toDF())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("neardup").select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids.size == 2 && ids.contains(3L),
+      s"one of the twin docs must be dropped, got $ids")
   }
 
   test("streaming dedup drops duplicates within watermark") {
