@@ -46,12 +46,85 @@ case class CentroidRank(child: Expression, k: Int, dim: Int,
       : CentroidRank = copy(c)
 }
 
+/** Lloyd-assignment argmin for [[graft.pipeline.Cluster.kmeans]]:
+  * cluster id minimizing |c|² − 2·v·c, ties to the SMALLER id — one
+  * codegen'd loop per row over arbitrary (iteration-updated) centroid
+  * literals. A Column-expression fold over k `when(d < best.d, ...)`
+  * branches duplicates the whole dot-product tree per level (2^k
+  * blowup — measured 94 s at sf0.1 for k=8); this is the same
+  * arithmetic in one call. The |c|² terms are computed driver-side in
+  * index order (`nrms`), matching the oracle's ordered list_sum.
+  */
+case class KmeansAssign(child: Expression, cents: Array[Double],
+    nrms: Array[Double], dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("kmeansCents", cents, "double[]")
+    val nr = ctx.addReferenceObj("kmeansNrms", nrms, "double[]")
+    defineCodeGen(ctx, ev, vec =>
+      s"graft.functions.CentroidRank.assignNearest($vec, $m, $nr, $dim)")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidRank.assignNearest(v.asInstanceOf[ArrayData], cents, nrms,
+      dim)
+
+  override protected def withNewChildInternal(c: Expression)
+      : KmeansAssign = copy(c)
+
+  // array fields compare by reference in case-class equality
+  override def equals(o: Any): Boolean = o match {
+    case m: KmeansAssign =>
+      m.child == child && m.dim == dim &&
+        java.util.Arrays.equals(m.cents, cents) &&
+        java.util.Arrays.equals(m.nrms, nrms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(dim),
+      Integer.valueOf(java.util.Arrays.hashCode(cents)))
+}
+
+object KmeansAssign {
+  def apply(vec: Column, cents: Array[Array[Double]],
+      nrms: Array[Double]): Column =
+    ColumnGlue.column(KmeansAssign(ColumnGlue.expression(vec),
+      cents.flatten, nrms, cents.head.length))
+}
+
 object CentroidRank {
   def apply(vec: Column, k: Int, dim: Int, seed: Int,
       top: Int): Column =
     ColumnGlue.column(CentroidRank(
       ColumnGlue.expression(vec.cast("array<double>")),
       k, dim, seed, top))
+
+  /** Argmin of |c|² − 2·v·c over flat row-major centroids; ties keep
+    * the smaller id (strict less-than). Dot products accumulate in
+    * index order — the fold order the DuckDB oracle's list_sum
+    * replays, so the doubles (and therefore the argmin on near-ties)
+    * are bit-identical.
+    */
+  def assignNearest(vec: ArrayData, cents: Array[Double],
+      nrms: Array[Double], dim: Int): Int = {
+    val k = nrms.length
+    var best = 0
+    var bestD = 0.0d
+    var c = 0
+    while (c < k) {
+      var dot = 0.0d
+      var j = 0
+      val off = c * dim
+      while (j < dim) { dot += vec.getDouble(j) * cents(off + j); j += 1 }
+      val d = nrms(c) - 2.0d * dot
+      if (c == 0 || d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 
   /** Shared by interpreted eval and generated code (one static call
     * per row keeps whole-stage codegen intact).

@@ -58,9 +58,17 @@ object Cluster {
   }
 
   /** Cluster id of `vec` under `cents`: argmin over c of
-    * |c|² − 2·v·c, ties to the smaller id.
+    * |c|² − 2·v·c, ties to the smaller id. Native codegen'd loop
+    * (graft.functions.KmeansAssign) — [[assignCols]] is the Column
+    * reference form it is equivalence-tested against (which must NOT
+    * run in hot paths: the when-fold duplicates each dot-product tree
+    * per comparison level, a 2^k expression blowup).
     */
-  def assign(vec: Column, cents: Array[Array[Double]]): Column = {
+  def assign(vec: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.KmeansAssign(vec, cents, cents.map(sqNorm))
+
+  /** Column-expression form of [[assign]] (executable spec). */
+  def assignCols(vec: Column, cents: Array[Array[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (w, i) =>
       (lit(sqNorm(w)) - lit(2.0d) * dot(vec, w), i)
     }

@@ -52,6 +52,17 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("native assign == Column-fold assign") {
+    val cents = Cluster.initCentroids(4, 64, 99)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val diff = v.select(
+        Cluster.assign(col("v"), cents).as("n"),
+        Cluster.assignCols(col("v"), cents).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(diff == 0)
+  }
+
   test("updates move centroids toward assigned points") {
     val (_, c1) = Cluster.kmeans(emb, "vec_id", "embedding",
       k = 4, iters = 1)
