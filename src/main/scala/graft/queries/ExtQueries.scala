@@ -88,11 +88,26 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Batch gap-based sessionization over events (30-min inactivity):
+    * one shuffle on user serves the lag pass, the running session
+    * counter, and the per-session aggregation. Timestamps surface as
+    * epoch micros (exact integers in both engines).
+    */
+  def qSessions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessions(Tables.events(s, d),
+      "user_id", "ts", "value", gapMinutes = 30)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_id")
+
   val all: Map[String, Q] = Map(
     "q_quantiles" -> (qQuantiles _),
     "q_asof" -> (qAsof _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_sessions" -> (qSessions _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -122,6 +137,26 @@ object ExtQueries {
         |  coalesce(CAST(c_nationkey AS INT), -1) AS nk, count(*) AS n
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY seg, nk""".stripMargin,
+    "q_sessions" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS newf
+        |  FROM (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM events)),
+        |s AS (
+        |  SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
         |  TRUE AS within_5pct

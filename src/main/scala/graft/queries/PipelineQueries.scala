@@ -324,6 +324,10 @@ object PipelineQueries {
         Window.partitionBy(md5(Dedup.normalize(col("text"))))
           .orderBy("doc_id")))
       .filter(col("__rn") === 1).drop("__rn")
+      // consumed twice (decontamination train side + final anti-join):
+      // stage the quality+dedup prefix once instead of recomputing it
+      // per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contaminated = graft.pipeline.Decontam.contamination(
         deduped, "doc_id", evalDocs, "doc_id", "text",
         n = 3, minCommon = 2)
