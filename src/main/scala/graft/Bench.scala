@@ -29,7 +29,8 @@ object Bench {
       // the measured passes 2-3x slower and wildly variable —
       // GC/cleanup debt outweighed the compile savings.)
       Seq("p_dup_groups", "p_contamination", "p_simhash",
-          "q3_join_revenue").foreach { q =>
+          "q3_join_revenue", "p_kmeans", "p_curate",
+          "p_incr_dedup").foreach { q =>
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       }
     } catch { case _: Throwable => () }
