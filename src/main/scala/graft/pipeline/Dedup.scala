@@ -453,6 +453,24 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Corpus boilerplate profile: word n-grams appearing in at least
+    * `minDocs` distinct documents, with their document counts and the
+    * smallest carrying doc id. This is the exact-substring-duplication
+    * sweep that sizes the skew caps (maxShingleFreq / maxBucket) and
+    * feeds template/boilerplate stripping. One explode of per-row
+    * DISTINCT gram hashes (native expression — no shuffle-distinct)
+    * into one map-side-combinable aggregation; the shuffle carries
+    * 8-byte hashes, never gram text.
+    */
+  def repeatedGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(graft.functions.ShingleHashes(col("__t"), n)).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("example_id"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, bc: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(bc, n))

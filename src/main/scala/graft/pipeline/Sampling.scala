@@ -45,6 +45,35 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Deterministic train/val/test split: each row lands in the split
+    * whose cumulative weight interval contains its seeded hash —
+    * scan-local (no shuffle, no coordination), stable under
+    * repartitioning/retries/appends (a row's split never changes when
+    * other rows come or go, unlike rank-based splitting), and
+    * engine-portable (the first 15 hex digits of the hash compare as
+    * an integer fraction of 16^15).
+    *
+    * @param splits (name, weight) in order; weights normalize to 1
+    */
+  def split(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Int = 42): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "need positive split weights")
+    val total = splits.map(_._2).sum
+    // hash fraction in [0, 1): integer value of 15 hex digits / 16^15
+    // (exact in double far beyond the thresholds' precision)
+    val frac = conv(substring(sampleHash(col(idCol), seed), 1, 15),
+      16, 10).cast("long").cast("double") / 1152921504606846976.0d
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) =>
+      acc + w / total
+    }.tail
+    val expr = splits.zip(bounds).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), b), acc) =>
+      when(frac < b, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic global shuffle: a total order by seeded hash (ties
     * by id) — the reproducible training order. Plans as one
     * range-partitioned sort.

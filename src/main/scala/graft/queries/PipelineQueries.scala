@@ -359,6 +359,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 80/10/10 train/val/test split: hash-interval
+    * membership (scan-local, append-stable) with per-split counts.
+    */
+  def pSplit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.pipeline.Sampling.split(Tables.documents(s, d), "doc_id",
+        SplitSpec, seed = 11)
+      .select(col("doc_id"), col("split"))
+      .withColumn("split_n",
+        count(lit(1)).over(Window.partitionBy("split")))
+      .orderBy("doc_id")
+  }
+
+  private val SplitSpec: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Corpus boilerplate profile: 5-grams shared by ≥ 2 documents,
+    * heaviest first (bounded top-300 — TakeOrdered, no global sort).
+    */
+  def pRepeats(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedGrams(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy(col("n_docs").desc, col("h"))
+      .limit(300)
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -376,6 +401,8 @@ object PipelineQueries {
     "p_kmeans" -> (pKmeans _),
     "p_curate" -> (pCurate _),
     "p_incr_dedup" -> (pIncrDedup _),
+    "p_split" -> (pSplit _),
+    "p_repeats" -> (pRepeats _),
     "p_dup_groups" -> (pDupGroups _),
     "p_doc_freq" -> (pDocFreq _),
     "p_redact" -> (pRedact _),
@@ -593,6 +620,35 @@ object PipelineQueries {
        |  FROM ${p}sigs, (SELECT unnest(range(0, 8)) AS band) bb)"""
       .stripMargin
 
+  /** DuckDB replay of Sampling.split: the hash fraction is the first
+    * 15 md5 hex digits as an exact BIGINT over 16^15, and the interval
+    * bounds are the IDENTICAL doubles Spark's plan computes (same
+    * Scala arithmetic, embedded as literals via Double round-trip).
+    */
+  private def splitOracle(seed: Int,
+      splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (a, (_, w)) =>
+      a + w / total
+    }.tail
+    val caseExpr = splits.zip(bounds).init.foldRight(
+      s"'${splits.last._1}'") { case (((nm, _), b), acc) =>
+      s"CASE WHEN frac < $b THEN '$nm' ELSE $acc END"
+    }
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(list_sum(list_transform(range(1, 16), i ->
+       |      (strpos('0123456789abcdef', substr(
+       |        md5(CAST(doc_id AS VARCHAR) || ':$seed'), i, 1)) - 1)
+       |        * ($pow16)[i])) AS BIGINT) AS DOUBLE)
+       |      / 1152921504606846976.0 AS frac
+       |  FROM documents),
+       |sp AS (SELECT doc_id, $caseExpr AS split FROM f)
+       |SELECT doc_id, split,
+       |  count(*) OVER (PARTITION BY split) AS split_n
+       |FROM sp ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality-score CTE body shared by p_quality and p_curate: SELECT
     * doc_id, text, quality FROM `src`.
     */
@@ -630,6 +686,17 @@ object PipelineQueries {
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
+    "p_split" -> splitOracle(11, SplitSpec),
+    "p_repeats" ->
+      s"""SELECT h, n_docs, example_id FROM (
+         |  SELECT h, count(*) AS n_docs, min(doc_id) AS example_id
+         |  FROM (
+         |    SELECT DISTINCT doc_id, ${hash60("s")} AS h FROM (
+         |      SELECT doc_id, unnest(${shinglesSqlN(5)}) AS s
+         |      FROM documents))
+         |  GROUP BY h)
+         |WHERE n_docs >= 2
+         |ORDER BY n_docs DESC, h LIMIT 300""".stripMargin,
     "p_incr_dedup" ->
       s"""WITH perms(i, a, b) AS (VALUES $permValues),
          |${sigCtesFor("i_", "WHERE doc_id % 10 = 7")},

@@ -31,6 +31,42 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hash-interval split is repartition-stable and covers all rows") {
+    val big = spark.range(0, 2000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.split(big, "id", splits, seed = 5)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.split(big.repartition(13), "id", splits, seed = 5)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "split membership must not depend on partitioning")
+    assert(a.size == 2000)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // uniform hash → counts close to the weights
+    assert(math.abs(counts("train") - 1600) < 100, counts)
+    assert(math.abs(counts("val") - 200) < 60, counts)
+    // membership is append-stable: a subset sees identical labels
+    val sub = Sampling.split(big.filter($"id" < 100), "id", splits,
+      seed = 5).select("id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (k, v) => a(k) == v })
+  }
+
+  test("repeatedGrams surfaces cross-document boilerplate only") {
+    val t = Seq(
+      (1L, "SHARED FOOTER sentence here exactly once plus alpha"),
+      (2L, "SHARED FOOTER sentence here exactly once plus beta"),
+      (3L, "unique words only in this one document"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.repeatedGrams(t, "doc_id", "text",
+      n = 5, minDocs = 2)
+    assert(reps.count() > 0, "the shared 5-grams must surface")
+    assert(reps.agg(min("example_id")).head().getLong(0) == 1L)
+    // within-doc repetition does not count: per-row hashes are distinct
+    val solo = Seq((9L, "again again again again again again again"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedGrams(solo, "doc_id", "text", 5, 2)
+      .count() == 0)
+  }
+
   test("incremental dedup matches incoming docs against the corpus only") {
     val incoming = Seq(
       (100L, "The quick brown fox jumps over the lazy dog near the river bank"),
