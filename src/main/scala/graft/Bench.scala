@@ -29,8 +29,9 @@ object Bench {
       // the measured passes 2-3x slower and wildly variable —
       // GC/cleanup debt outweighed the compile savings.)
       Seq("p_dup_groups", "p_contamination", "p_simhash",
-          "q3_join_revenue", "p_kmeans", "p_curate",
-          "p_incr_dedup").foreach { q =>
+          "q3_join_revenue", "p_kmeans", "p_curate", "p_incr_dedup",
+          "q_eav_join", "q_reduce_step", "q_express_deep",
+          "f_path_steps").foreach { q =>
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       }
     } catch { case _: Throwable => () }
