@@ -102,7 +102,33 @@ object ExtQueries {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_id")
 
+  /** Shard-mergeable distinct sketches: per-shard HLL sketches (the
+    * artifact a 100 TB pipeline pre-aggregates per partition/day)
+    * unioned at query time into per-group estimates — only sketch
+    * bytes cross the second shuffle, never values. The gate pins the
+    * exact distinct count plus an estimate-accuracy flag (sketch
+    * binaries are engine-local; the 5% envelope at lgK=12 is
+    * deterministic for fixed inputs).
+    */
+  def qSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val shards = l
+      .groupBy(col("l_returnflag"), (col("l_orderkey") % 8).as("shard"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+    val merged = shards.groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est"))
+    val exact = l.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+    merged.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_nd"),
+        (abs(col("est") - col("exact_nd")).cast("double") /
+          col("exact_nd") <= 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_sketch_merge" -> (qSketchMerge _),
     "q_quantiles" -> (qQuantiles _),
     "q_asof" -> (qAsof _),
     "q_rollup" -> (qRollup _),
@@ -137,6 +163,10 @@ object ExtQueries {
         |  coalesce(CAST(c_nationkey AS INT), -1) AS nk, count(*) AS n
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY seg, nk""".stripMargin,
+    "q_sketch_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessions" ->
       """WITH f AS (
         |  SELECT user_id, ts, value,
