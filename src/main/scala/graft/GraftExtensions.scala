@@ -167,6 +167,22 @@ object GraftExtensions {
         arity("graft_cosine", args, 2)
         ColumnGlue.resolvedExpression(Dedup.cosine(
           ColumnGlue.column(args(0)), ColumnGlue.column(args(1))))
+      }),
+    ("graft_chunks",
+      "graft_chunks(text, size, overlap) - overlapping token windows",
+      (args: Seq[Expression]) => {
+        arity("graft_chunks", args, 3)
+        ColumnGlue.resolvedExpression(TextFns.chunks(
+          ColumnGlue.column(args.head), intArg(args(1), "size"),
+          intArg(args(2), "overlap")))
+      }),
+    ("graft_jaccard",
+      "graft_jaccard(text1, text2[, n]) - exact n-gram Jaccard",
+      (args: Seq[Expression]) => {
+        arity("graft_jaccard", args, 2, 3)
+        ColumnGlue.resolvedExpression(Dedup.jaccard(
+          ColumnGlue.column(args(0)), ColumnGlue.column(args(1)),
+          if (args.size > 2) intArg(args(2), "n") else 3))
       }))
 
   /** Register the same functions (and the optimizer rule) on an

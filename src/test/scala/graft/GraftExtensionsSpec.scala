@@ -57,6 +57,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 2)
   }
 
+  test("graft_chunks and graft_jaccard through SQL") {
+    val r = spark.sql(
+      """SELECT size(graft_chunks('a b c d e f', 4, 2)) AS nc,
+        |  graft_jaccard('one two three four', 'one two three four', 2)
+        |    AS j_same,
+        |  graft_jaccard('aa bb cc', 'xx yy zz', 2) AS j_none"""
+        .stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("graft_redact scrubs PII through SQL") {
     val out = spark.sql(
       "SELECT graft_redact('mail a@b.com or 555-123-4567 ip 1.2.3.4')" +
