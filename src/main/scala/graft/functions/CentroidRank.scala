@@ -111,6 +111,7 @@ object CentroidRank {
   def assignNearest(vec: ArrayData, cents: Array[Double],
       nrms: Array[Double], dim: Int): Int = {
     val k = nrms.length
+    val n = math.min(dim, vec.numElements())
     var best = 0
     var bestD = 0.0d
     var c = 0
@@ -118,7 +119,7 @@ object CentroidRank {
       var dot = 0.0d
       var j = 0
       val off = c * dim
-      while (j < dim) { dot += vec.getDouble(j) * cents(off + j); j += 1 }
+      while (j < n) { dot += vec.getDouble(j) * cents(off + j); j += 1 }
       val d = nrms(c) - 2.0d * dot
       if (c == 0 || d < bestD) { bestD = d; best = c }
       c += 1

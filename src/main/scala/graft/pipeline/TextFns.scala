@@ -150,6 +150,41 @@ object TextFns {
     })
   }
 
+  /** Greedy sequence packing: assign consecutive chunks to training
+    * bins of at most `maxTokens` tokens — the context-window packing
+    * pass between chunking and batch assembly. A chunk opens a new bin
+    * when it no longer fits; an oversize chunk gets a bin of its own.
+    * Returns array<struct<idx, n_tokens, bin>> aligned with
+    * [[chunks]] (overlap 0 — packing overlapped windows would double-
+    * count tokens). Row-local (the greedy scan runs inside the scan
+    * projection per document); bins are per-document, so downstream
+    * global batch assembly groups on (doc_id, bin) with one shuffle.
+    */
+  def packChunks(text: Column, window: Int, maxTokens: Int): Column = {
+    require(maxTokens >= window,
+      s"maxTokens ($maxTokens) must fit at least one window ($window)")
+    val cs = chunks(text, window, 0)
+    val packed = aggregate(
+      cs,
+      struct(lit(0L).as("bin"), lit(0L).as("acc"),
+        array().cast("array<bigint>").as("bins")),
+      (st, c) => {
+        val nt = c.getField("n_tokens")
+        val opens = st.getField("acc") > 0 &&
+          st.getField("acc") + nt > maxTokens
+        val bin = when(opens, st.getField("bin") + 1L)
+          .otherwise(st.getField("bin"))
+        val acc = when(opens, nt).otherwise(st.getField("acc") + nt)
+        struct(bin.as("bin"), acc.as("acc"),
+          concat(st.getField("bins"), array(bin)).as("bins"))
+      },
+      st => st.getField("bins"))
+    zip_with(cs, packed, (c, b) => struct(
+      c.getField("idx").as("idx"),
+      c.getField("n_tokens").as("n_tokens"),
+      b.as("bin")))
+  }
+
   /** Corpus vocabulary statistics: per-token total occurrences (tf)
     * and document frequency (df) — the vocabulary/idf-building pass of
     * a training-data pipeline. The per-document counting happens

@@ -384,6 +384,18 @@ object PipelineQueries {
       .orderBy(col("n_docs").desc, col("h"))
       .limit(300)
 
+  /** Greedy context-window packing: 32-token chunks binned into
+    * ≤ 80-token training rows per document — one row per chunk with
+    * its bin id, replayed in SQL by a per-document recursive scan.
+    */
+  def pPack(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFns.packChunks(col("text"), 32, 80)).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.bin").as("bin"))
+      .orderBy("doc_id", "idx")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -403,6 +415,7 @@ object PipelineQueries {
     "p_incr_dedup" -> (pIncrDedup _),
     "p_split" -> (pSplit _),
     "p_repeats" -> (pRepeats _),
+    "p_pack" -> (pPack _),
     "p_dup_groups" -> (pDupGroups _),
     "p_doc_freq" -> (pDocFreq _),
     "p_redact" -> (pRedact _),
@@ -687,6 +700,34 @@ object PipelineQueries {
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
     "p_split" -> splitOracle(11, SplitSpec),
+    "p_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, unnest(range(0,
+        |    greatest(CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 32)
+        |      AS INT), 0) + 1)) AS idx
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, idx,
+        |    len(list_slice(toks, idx * 32 + 1, idx * 32 + 32)) AS nt
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, idx, nt, CAST(0 AS BIGINT) AS bin,
+        |    CAST(nt AS BIGINT) AS acc
+        |  FROM c WHERE idx = 0
+        |  UNION ALL
+        |  SELECT c.doc_id, c.idx, c.nt,
+        |    CASE WHEN p.acc > 0 AND p.acc + c.nt > 80
+        |      THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.acc > 0 AND p.acc + c.nt > 80
+        |      THEN CAST(c.nt AS BIGINT) ELSE p.acc + c.nt END
+        |  FROM c JOIN p ON c.doc_id = p.doc_id AND c.idx = p.idx + 1)
+        |SELECT doc_id, idx, CAST(nt AS BIGINT) AS n_tokens, bin
+        |FROM p ORDER BY doc_id, idx""".stripMargin,
     "p_repeats" ->
       s"""SELECT h, n_docs, example_id FROM (
          |  SELECT h, count(*) AS n_docs, min(doc_id) AS example_id

@@ -50,6 +50,26 @@ class PipelineSpec extends SparkSpec {
     assert(sub.forall { case (k, v) => a(k) == v })
   }
 
+  test("packChunks bins consecutive chunks greedily under the budget") {
+    // 10 tokens, window 3 -> chunks of 3/3/3/1; budget 7 packs
+    // 3+3 | 3+1 (second 3 opens bin 1? no: 3+3=6 fits, +3=9 > 7 ->
+    // bin 1 gets chunks 2,3 with 3+1=4)
+    val t = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
+      .toDF("doc_id", "text")
+    val got = t.select(explode(
+        TextFns.packChunks(col("text"), 3, 7)).as("c"))
+      .select("c.idx", "c.n_tokens", "c.bin")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 0L), (1L, 3L, 0L), (2L, 3L, 1L),
+      (3L, 1L, 1L)))
+    // an oversize document chunk still gets a bin of its own
+    val one = Seq((2L, "a b c")).toDF("doc_id", "text")
+    val g1 = one.select(explode(
+        TextFns.packChunks(col("text"), 3, 3)).as("c"))
+      .select("c.bin").as[Long].collect().toSeq
+    assert(g1 == Seq(0L))
+  }
+
   test("repeatedGrams surfaces cross-document boilerplate only") {
     val t = Seq(
       (1L, "SHARED FOOTER sentence here exactly once plus alpha"),
