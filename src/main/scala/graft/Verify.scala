@@ -14,6 +14,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the blocks operators staged for this query so the 70-
+      // query dump doesn't accumulate session-lifetime caches
+      graft.core.Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

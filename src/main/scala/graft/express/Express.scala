@@ -96,12 +96,12 @@ object Express {
   def reduceBsets(bsets: DataFrame, tmpl: XObj): DataFrame = {
     // Deep templates re-derive the binding frame once per aggregation
     // level (base + each child level scans it); when it is consumed 3+
-    // times, persist it so joins/shuffles feeding the bsets run once.
-    // Spillable storage, LRU-evicted; a 2-consumer template skips the
-    // materialization cost.
+    // times, stage it (persist + register with graft.core.Caches) so
+    // joins/shuffles feeding the bsets run once. Spillable storage,
+    // LRU-evicted; released by the harness's Caches.releaseAll between
+    // queries; a 2-consumer template skips the materialization cost.
     val src =
-      if (dfConsumers(tmpl) >= 3)
-        bsets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (dfConsumers(tmpl) >= 3) graft.core.Caches.stage(bsets)
       else bsets
     val ef = elemFrame(src, tmpl, Nil)
     if (tmpl.fields.exists(_.key.isInstanceOf[KVar]))

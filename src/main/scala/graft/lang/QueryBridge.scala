@@ -193,14 +193,13 @@ object QueryBridge {
       if (runtimeCols.isEmpty) None
       else {
         // the facts aggregate and the returned select both consume the
-        // joined frame — persist so the join runs once (spillable
-        // storage; binding frames are join outputs, typically far
-        // smaller than their inputs). Unpersisting after the facts
-        // head() would force the final select to recompute the join —
-        // exactly the double-run this cache prevents — so the blocks
-        // intentionally live until the session (or clearCache) drops
-        // them
-        boxed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // joined frame — stage (persist + register) so the join runs
+        // once (spillable storage; binding frames are join outputs,
+        // typically far smaller than their inputs). Unpersisting after
+        // the facts head() would force the final select to recompute
+        // the join — exactly the double-run this cache prevents — so
+        // the blocks live until the harness's Caches.releaseAll
+        graft.core.Caches.stage(boxed)
         val aggs = runtimeCols.flatMap { c =>
           Seq(
             collect_set(col(c).getField("vt")).as(s"${c}__vt"),

@@ -105,17 +105,16 @@ object Dedup {
     val bucketed = sig
       .select(col("id"), explode(bands(col("sig"), b, r)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val capped = bucketed
+    val capped = graft.core.Caches.stage(bucketed
       .withColumn("__n", count(lit(1))
         .over(Window.partitionBy("band", "bucket")))
-      .filter(col("__n") <= maxBucket).drop("__n")
-      // both self-join sides consume this frame: persist so the
-      // signature pipeline runs once (spillable, tiny rows). The
-      // cache intentionally lives for the session — the returned plan
-      // consumes it lazily, so there is no post-action hook here to
-      // unpersist; long-lived/REPL callers that re-run pair
-      // generation should unpersist via spark.catalog.clearCache()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("__n") <= maxBucket).drop("__n"))
+      // both self-join sides consume this frame: stage (persist +
+      // register) so the signature pipeline runs once (spillable,
+      // tiny rows). The returned plan consumes the cache lazily, so
+      // the operator has no post-action hook to unpersist — release
+      // happens at the harness level: Caches.releaseAll between
+      // queries (Bench/Verify do; CacheLifecycleSpec pins it).
     val l = capped.as("l")
     val rgt = capped.as("r")
     l.join(rgt,
@@ -252,17 +251,16 @@ object Dedup {
         explode(graft.functions.MinhashBandBuckets(col("__t"), n, k, b))
           .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val capped = bucketed
+    val capped = graft.core.Caches.stage(bucketed
       .withColumn("__n", count(lit(1))
         .over(Window.partitionBy("band", "bucket")))
-      .filter(col("__n") <= maxBucket).drop("__n")
-      // both self-join sides consume this frame: persist so the
-      // signature pipeline runs once (spillable, tiny rows). The
-      // cache intentionally lives for the session — the returned plan
-      // consumes it lazily, so there is no post-action hook here to
-      // unpersist; long-lived/REPL callers that re-run pair
-      // generation should unpersist via spark.catalog.clearCache()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("__n") <= maxBucket).drop("__n"))
+      // both self-join sides consume this frame: stage (persist +
+      // register) so the signature pipeline runs once (spillable,
+      // tiny rows). The returned plan consumes the cache lazily, so
+      // the operator has no post-action hook to unpersist — release
+      // happens at the harness level: Caches.releaseAll between
+      // queries (Bench/Verify do; CacheLifecycleSpec pins it).
     val l = capped.as("l")
     val rgt = capped.as("r")
     l.join(rgt,
@@ -373,13 +371,12 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     // symmetrize in ONE pass over the pair plan (a union of two
     // selects would re-run the whole pair generation per branch)
-    val edges = pairs
+    val edges = graft.core.Caches.stage(pairs
       .select(explode(array(
         struct(col("id1"), col("id2")),
         struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
       .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // Iterate ONLY over edge-touched nodes: near-dup graphs are
     // sparse (most of the corpus has no duplicate), so the rounds
     // shuffle |V(edges)| rows, not |corpus| — at 100 TB that is the
@@ -411,11 +408,11 @@ object Dedup {
       // below reads this twice, but `next`'s checkpoint already
       // flattens the round's lineage — one materialization job per
       // round instead of two, and the cache is dropped right after
-      val relabeled = comp.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val relabeled = graft.core.Caches.stage(
+        comp.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("comp").as("prev"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp")))
+              .as("comp")))
       // pointer doubling: comp(id) := min(comp(id), comp(comp(id))).
       // Labels are node ids, so the hop is a self-join; with it the
       // rounds needed drop from O(diameter) to O(log diameter) —

@@ -84,12 +84,12 @@ object PipelineQueries {
     // the output projection and the pair generation reuse them — the
     // previous shape computed simhashMd5 twice, each time on the
     // single input split (39.5 s at sf0.1 under the full sink).
-    val fps = Dedup.spread(doc.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        Dedup.simhashMd5(col("text")).as("fp"),
-        TextFns.fingerprintMd5(col("text")).as("gram_fp"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = graft.core.Caches.stage(
+      Dedup.spread(doc.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          Dedup.simhashMd5(col("text")).as("fp"),
+          TextFns.fingerprintMd5(col("text")).as("gram_fp"))
+        .repartition(s.sparkContext.defaultParallelism))
     val pairs = Dedup.simhashPairsMd5FromFps(fps, "doc_id", "fp", 3)
     fps.join(pairs.groupBy(col("id1").as("doc_id"))
         .agg(count(lit(1)).as("n_dups")), Seq("doc_id"), "left")
@@ -319,15 +319,14 @@ object PipelineQueries {
     val q = train
       .withColumn("quality", TextFns.qualityScore(col("text")))
       .filter(col("quality") >= 0.55)
-    val deduped = q
+    // consumed twice (decontamination train side + final anti-join):
+    // stage the quality+dedup prefix once instead of recomputing it
+    // per consumer; released by the harness's Caches.releaseAll
+    val deduped = graft.core.Caches.stage(q
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(Dedup.normalize(col("text"))))
           .orderBy("doc_id")))
-      .filter(col("__rn") === 1).drop("__rn")
-      // consumed twice (decontamination train side + final anti-join):
-      // stage the quality+dedup prefix once instead of recomputing it
-      // per consumer
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("__rn") === 1).drop("__rn"))
     val contaminated = graft.pipeline.Decontam.contamination(
         deduped, "doc_id", evalDocs, "doc_id", "text",
         n = 3, minCommon = 2)
