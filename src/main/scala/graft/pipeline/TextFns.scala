@@ -137,9 +137,14 @@ object TextFns {
     val step = size - overlap
     val toks = filter(split(text, "\\s+"), t => length(t) > 0)
     val n = org.apache.spark.sql.functions.size(toks)
-    // window starts: 0, step, 2*step ... while start < n (at least one)
+    // window starts: 0, step, 2*step ... while start < n (at least one).
+    // greatest() IGNORES null operands, so without the outer null guard
+    // a null text would produce one phantom empty chunk (lastStart
+    // null→0) instead of null — ChunkHashes/ChunkSizes return null, and
+    // ChunkExprsSpec pins the equivalence.
     val lastStart = greatest(ceil((n - size).cast("double") / step)
       .cast("int"), lit(0))
+    when(text.isNull, lit(null)).otherwise(
     transform(sequence(lit(0), lastStart), w => {
       val start = w * step
       val slice_ = slice(toks, start + 1, lit(size))
@@ -147,7 +152,7 @@ object TextFns {
         concat_ws(" ", slice_).as("chunk"),
         org.apache.spark.sql.functions.size(slice_).cast("long")
           .as("n_tokens"))
-    })
+    }))
   }
 
   /** Greedy sequence packing: assign consecutive chunks to training
@@ -163,7 +168,9 @@ object TextFns {
   def packChunks(text: Column, window: Int, maxTokens: Int): Column = {
     require(maxTokens >= window,
       s"maxTokens ($maxTokens) must fit at least one window ($window)")
-    val cs = chunks(text, window, 0)
+    // sizes-only native chunking: packing reads idx/n_tokens, never
+    // the chunk text, so don't build it (see ChunkNative)
+    val cs = graft.functions.ChunkSizes(text, window, 0)
     val packed = aggregate(
       cs,
       struct(lit(0L).as("bin"), lit(0L).as("acc"),
@@ -218,13 +225,22 @@ object TextFns {
       textCol: String, perDoc: Int = 3, minDf: Int = 1,
       broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tc = df.select(col(idCol).as("doc_id"),
+    // ONE tokenization: the df vocabulary is derived from the same
+    // exploded frame the ranking consumes, never from a second
+    // TokenCounts pass over the corpus (the previous shape tokenized
+    // the corpus twice — half of p_keywords' cost). Broadcast path:
+    // the exploded frame is staged (persist, harness-released) because
+    // the vocab branch carries no exchange for ReusedExchange to latch
+    // onto; join path: both branches shuffle on token, so the
+    // identical exchange is computed once and reused.
+    val tc0 = df.select(col(idCol).as("doc_id"),
         explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"),
         col("tc.cnt").as("tf"))
-    val vocab0 = df.select(
-        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
-      .groupBy(col("tc.token").as("token"))
+    val tc = if (broadcastVocab) graft.core.Caches.stage(tc0) else tc0
+    // tokens are distinct within a document (TokenCounts), so df is a
+    // plain row count per token
+    val vocab0 = tc.groupBy("token")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     // a minDf-filtered vocabulary is typically bounded → broadcast (no

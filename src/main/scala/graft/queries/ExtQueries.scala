@@ -70,21 +70,37 @@ object ExtQueries {
   /** Quantiles two ways: the exact discrete percentile (explicit
     * ceil(p·n) order-statistic — same formula on both engines, so
     * hash-checkable) and the SCALABLE percentile_approx sketch checked
-    * against it within tolerance. At 100 TB only the sketch runs; the
-    * exact form is the oracle-able semantics pin at gate scale.
+    * against it within tolerance.
+    *
+    * The exact branch is a DISTRIBUTED order statistic: rank-in-group
+    * + group size from one hash exchange on l_returnflag, filter to
+    * the three ceil(p·n) ranks, pivot to columns. No row ever carries
+    * more than (value, rank, n) — unlike the previous
+    * sort_array(collect_list(...)) form, which held an entire group's
+    * values in ONE aggregation buffer (at 100 TB a single returnflag
+    * group is ~10^9 values in one reducer row → OOM). The window sort
+    * spills per-partition; the follow-on groupBy reuses the window's
+    * partitioning (no second exchange).
     */
   def qQuantiles(s: SparkSession, d: String): DataFrame = {
-    val qs = col("qs")
-    def p(f: Double) = element_at(qs, ceil(size(qs) * f).cast("int"))
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"),
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy("l_returnflag")
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(byFlag.orderBy("l_quantity")))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    // value at sorted position ceil(p·n): ties in l_quantity make the
+    // row_number order within a tie arbitrary, but the VALUE at any
+    // rank of the sorted multiset is tie-order-independent
+    def pAt(f: Double) = max(when(
+      col("rn") === ceil(col("n") * f).cast("int"), col("l_quantity")))
+    ranked.groupBy("l_returnflag")
+      .agg(pAt(0.25).as("p25"), pAt(0.5).as("p50"), pAt(0.99).as("p99"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
           .as("ap50"))
-      .select(col("l_returnflag"),
-        p(0.25).as("p25"), p(0.5).as("p50"), p(0.99).as("p99"),
-        (org.apache.spark.sql.functions.abs(col("ap50") - p(0.5)) <= 1.0)
-          .as("approx_ok"))
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p99"),
+        (org.apache.spark.sql.functions.abs(col("ap50") - col("p50"))
+          <= 1.0).as("approx_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -269,13 +269,16 @@ object PipelineQueries {
     * gate pins exact window boundaries without shipping full text.
     */
   def pChunks(s: SparkSession, d: String): DataFrame =
+    // ChunkHashes feeds the md5 digest token bytes incrementally —
+    // identical hashes to md5(concat_ws(" ", slice)), but the chunk
+    // strings (a full copy of the corpus + overlap) are never built
     Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(graft.pipeline.TextFns.chunks(col("text"), 64, 16))
+        explode(graft.functions.ChunkHashes(col("text"), 64, 16))
           .as("c"))
       .select(col("doc_id"), col("c.idx").as("idx"),
         col("c.n_tokens").as("n_tokens"),
-        md5(col("c.chunk")).as("chunk_hash"))
+        col("c.chunk_hash").as("chunk_hash"))
       .orderBy("doc_id", "idx")
 
   /** Per-document distinctive keywords (tf/df-ranked, top 3): the
@@ -333,7 +336,7 @@ object PipelineQueries {
       .select(col("train_id").as("doc_id")).distinct()
     deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("quality"),
-        size(TextFns.chunks(col("text"), 64, 16)).cast("long")
+        size(graft.functions.ChunkSizes(col("text"), 64, 16)).cast("long")
           .as("n_chunks"))
       .orderBy("doc_id")
   }

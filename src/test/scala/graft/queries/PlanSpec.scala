@@ -112,6 +112,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"df vocabulary should broadcast onto the token explode:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
+    // ONE tokenization: both the ranking side and the df vocabulary
+    // read the staged (InMemoryRelation) explode — the executed plan
+    // outside the cache must contain NO Generate of its own, and both
+    // consumers must scan the cache. (The cached subtree's own string
+    // repeats per consumer in the printed tree, so counting "Generate"
+    // over the spliced text would overcount the single explode.)
+    val qe = SparkEntry.queries("p_keywords")(spark, sf("sf0.001"))
+      .queryExecution
+    val outsideCache = qe.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(outsideCache.isEmpty,
+      s"tokenization must live only inside the staged cache:\n" +
+        qe.optimizedPlan)
+    val cacheScans = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cacheScans.size >= 2,
+      s"both vocab and ranking branches should read the staged explode:\n" +
+        qe.optimizedPlan)
+    graft.core.Caches.releaseAll(spark)
   }
 
   test("p_kmeans: assignment is a scan-local projection, no joins") {
@@ -120,6 +141,16 @@ class PlanSpec extends SparkSpec {
       s"centroids are plan literals — assignment must not join:\n$p")
     assert(p.contains("embedding"),
       "assignment reads the embedding column")
+  }
+
+  test("q_quantiles: distributed order statistic, no per-group collect") {
+    val p = plan("q_quantiles")
+    assert(!p.contains("collect_list"),
+      s"exact branch must not hold a group's values in one buffer:\n$p")
+    assert(p.contains("Window"),
+      s"rank-in-group comes from a window over the group exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"groupBy must reuse the window's partitioning (one exchange):\n$p")
   }
 
   test("p_curate: quality filter runs before the dedup shuffle") {
