@@ -49,7 +49,13 @@ object GraftExtensions {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        // no silent truncation: graft_fingerprint(text, 4294967297)
+        // must error, not quietly become gram=1 with wrong results
+        if (l < Int.MinValue || l > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$what must fit in an Int, got $l")
+        l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(

@@ -27,8 +27,9 @@ object MinhashNative {
   /** Distinct word n-gram shingles of the lowercased text, first-
     * occurrence order — Dedup.shingles. Zero-token text yields [""].
     */
-  def shingles(text: UTF8String, n: Int): Array[UTF8String] = {
-    val toks0 = TextHash.tokensOf(text)
+  def shingles(text: UTF8String, n: Int,
+      useICU: Boolean): Array[UTF8String] = {
+    val toks0 = TextHash.tokensOf(text, useICU)
     val out = new java.util.LinkedHashSet[String]()
     if (toks0.length < n) {
       out.add(String.join(" ", toks0: _*))
@@ -70,11 +71,11 @@ object MinhashNative {
     * the fused shingles → hashes → signature → bandsMd5 pipeline.
     */
   def computeBands(text: UTF8String, n: Int,
-      coeffs: Array[Long], b: Int): GenericArrayData = {
+      coeffs: Array[Long], b: Int, useICU: Boolean): GenericArrayData = {
     val k = coeffs.length / 2
     val r = k / b
     val md = TextHash.digest()
-    val sh = shingles(text, n)
+    val sh = shingles(text, n, useICU)
     // one md5 per shingle, then k permutation minima
     val hs = new Array[Long](sh.length)
     var i = 0
@@ -122,9 +123,10 @@ object MinhashNative {
     * order (hash collisions between distinct shingles dedup, matching
     * `SELECT DISTINCT doc_id, hash` in the oracle replays).
     */
-  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+  def shingleHashes(text: UTF8String, n: Int,
+      useICU: Boolean): Array[Long] = {
     val md = TextHash.digest()
-    val sh = shingles(text, n)
+    val sh = shingles(text, n, useICU)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i < sh.length) {
@@ -140,9 +142,10 @@ object MinhashNative {
   }
 
   /** Single signature element (Dedup.minhashElementMd5). */
-  def sigElement(text: UTF8String, n: Int, a: Long, c: Long): Long = {
+  def sigElement(text: UTF8String, n: Int, a: Long, c: Long,
+      useICU: Boolean): Long = {
     val md = TextHash.digest()
-    val sh = shingles(text, n)
+    val sh = shingles(text, n, useICU)
     var min = Long.MaxValue
     var i = 0
     while (i < sh.length) {
@@ -156,18 +159,19 @@ object MinhashNative {
 }
 
 /** `shingles(text, n)` as one codegen'd call → array<string>. */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles(child: Expression, n: Int,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, false)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"(Object[]) graft.functions.MinhashNative.shingles($c, $n))")
+        s"(Object[]) graft.functions.MinhashNative.shingles($c, $n, $useICU))")
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(MinhashNative.shingles(
-      v.asInstanceOf[UTF8String], n).asInstanceOf[Array[Any]])
+      v.asInstanceOf[UTF8String], n, useICU).asInstanceOf[Array[Any]])
   override protected def withNewChildInternal(c: Expression): Shingles =
-    copy(c, n)
+    copy(child = c)
 }
 
 object Shingles {
@@ -178,19 +182,20 @@ object Shingles {
 /** `shingleHashes(text, n)` as one codegen'd call → array<long> of
   * the distinct 60-bit gram hashes.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int,
+    useICU: Boolean = TextHash.resolveUseICU())
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, false)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.MinhashNative.shingleHashes($c, $n))")
+        s"graft.functions.MinhashNative.shingleHashes($c, $n, $useICU))")
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(MinhashNative.shingleHashes(
-      v.asInstanceOf[UTF8String], n))
+      v.asInstanceOf[UTF8String], n, useICU))
   override protected def withNewChildInternal(c: Expression)
-      : ShingleHashes = copy(c, n)
+      : ShingleHashes = copy(child = c)
 }
 
 object ShingleHashes {
@@ -204,7 +209,8 @@ object ShingleHashes {
   * the serialized plan, like HyperplaneBuckets' matrix.
   */
 case class MinhashBandBuckets(child: Expression, n: Int,
-    coeffs: Array[Long], bands: Int) extends UnaryExpression {
+    coeffs: Array[Long], bands: Int,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("band", IntegerType, false),
     StructField("bucket", StringType, false))), false)
@@ -212,19 +218,20 @@ case class MinhashBandBuckets(child: Expression, n: Int,
       ev: ExprCode): ExprCode = {
     val cf = ctx.addReferenceObj("minhashCoeffs", coeffs, "long[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinhashNative.computeBands($c, $n, $cf, $bands)")
+      s"graft.functions.MinhashNative.computeBands($c, $n, $cf, $bands, $useICU)")
   }
   override def nullSafeEval(v: Any): Any =
-    MinhashNative.computeBands(v.asInstanceOf[UTF8String], n, coeffs, bands)
+    MinhashNative.computeBands(v.asInstanceOf[UTF8String], n, coeffs,
+      bands, useICU)
   override protected def withNewChildInternal(c: Expression)
-      : MinhashBandBuckets = copy(c, n, coeffs, bands)
+      : MinhashBandBuckets = copy(child = c)
   // Array fields compare by reference in case-class equality; the
   // coeffs are a pure function of k, so structural equality on
   // (child, n, k, bands) is what plan matching needs.
   override def equals(o: Any): Boolean = o match {
     case m: MinhashBandBuckets =>
       m.child == child && m.n == n && m.bands == bands &&
-        java.util.Arrays.equals(m.coeffs, coeffs)
+        m.useICU == useICU && java.util.Arrays.equals(m.coeffs, coeffs)
     case _ => false
   }
   override def hashCode(): Int =
@@ -244,17 +251,18 @@ object MinhashBandBuckets {
 /** Single portable-signature element (Dedup.minhashElementMd5) as one
   * call — permutation (a, c) baked at construction.
   */
-case class MinhashSigElement(child: Expression, n: Int, a: Long, c: Long)
+case class MinhashSigElement(child: Expression, n: Int, a: Long, c: Long,
+    useICU: Boolean = TextHash.resolveUseICU())
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
-      s"graft.functions.MinhashNative.sigElement($t, $n, ${a}L, ${c}L)")
+      s"graft.functions.MinhashNative.sigElement($t, $n, ${a}L, ${c}L, $useICU)")
   override def nullSafeEval(v: Any): Any =
-    MinhashNative.sigElement(v.asInstanceOf[UTF8String], n, a, c)
+    MinhashNative.sigElement(v.asInstanceOf[UTF8String], n, a, c, useICU)
   override protected def withNewChildInternal(ch: Expression)
-      : MinhashSigElement = copy(ch, n, a, c)
+      : MinhashSigElement = copy(child = ch)
 }
 
 object MinhashSigElement {

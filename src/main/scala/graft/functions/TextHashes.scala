@@ -41,22 +41,27 @@ object TextHash {
   }
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  /** EXACTLY what Spark's `lower()` does under the default UTF8_BINARY
-    * collation: `CollationSupport.Lower.exec(s, UTF8_BINARY, useICU)`,
-    * where useICU mirrors spark.sql.icu.caseMappings.enabled (default
-    * true in Spark 4). The ICU and JVM mappings disagree on conditional
+  /** useICU mirrors spark.sql.icu.caseMappings.enabled (default true
+    * in Spark 4). The ICU and JVM mappings disagree on conditional
     * rules — e.g. Σ before ',' is σ under ICU simple mapping but final
     * ς under the JVM path — found by the randomized native-vs-Column
-    * equivalence property. Read per call via SQLConf.get (task-local on
-    * executors, like Lower's own interpreted path); falls back to the
-    * Spark 4 default when no conf is in scope.
+    * equivalence property. Resolved ONCE at expression construction
+    * (plan time, on the driver, where the session conf is in scope)
+    * and baked into each expression — exactly how Spark fixes a conf
+    * for a compiled plan. The old shape read SQLConf.get per ROW in
+    * the hot hash path and swallowed any error into a guess of the
+    * default, which silently diverged from lower() when the conf
+    * wasn't visible where the catch fired.
     */
-  private def useICU: Boolean =
-    try org.apache.spark.sql.internal.SQLConf.get
+  private[functions] def resolveUseICU(): Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
       .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
-    catch { case _: Throwable => true }
 
-  private[functions] def sparkLower(s: UTF8String): UTF8String =
+  /** EXACTLY what Spark's `lower()` does under the default UTF8_BINARY
+    * collation: `CollationSupport.Lower.exec(s, UTF8_BINARY, useICU)`.
+    */
+  private[functions] def sparkLower(s: UTF8String,
+      useICU: Boolean): UTF8String =
     CollationSupport.Lower.exec(s,
       org.apache.spark.sql.catalyst.util.CollationFactory
         .UTF8_BINARY_COLLATION_ID, useICU)
@@ -66,8 +71,9 @@ object TextHash {
   /** Lowercased alnum tokens (split "[^a-z0-9]+", empties dropped) —
     * Dedup.tokens.
     */
-  private[functions] def tokensOf(text: UTF8String): Array[String] = {
-    val raw = nonAlnum.split(sparkLower(text).toString)
+  private[functions] def tokensOf(text: UTF8String,
+      useICU: Boolean): Array[String] = {
+    val raw = nonAlnum.split(sparkLower(text, useICU).toString)
     var n = 0
     var i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
@@ -97,8 +103,8 @@ object TextHash {
   }
 
   /** `trim(regexp_replace(lower(s), "\\s+", " "))` — Dedup.normalize. */
-  def normalize(s: UTF8String): String = {
-    val collapsed = ws.matcher(sparkLower(s).toString).replaceAll(" ")
+  def normalize(s: UTF8String, useICU: Boolean): String = {
+    val collapsed = ws.matcher(sparkLower(s, useICU).toString).replaceAll(" ")
     var from = 0
     var to = collapsed.length
     while (from < to && collapsed.charAt(from) == ' ') from += 1
@@ -110,10 +116,10 @@ object TextHash {
     * hash bit b is bit (b%4) of hex digit (b/4) of md5(token), LSB
     * first within each digit (Dedup.simhashMd5).
     */
-  def simhashMd5(text: UTF8String): UTF8String = {
+  def simhashMd5(text: UTF8String, useICU: Boolean): UTF8String = {
     val md = mdLocal.get()
     val sums = new Array[Int](64)
-    val toks = nonAlnum.split(sparkLower(text).toString)
+    val toks = nonAlnum.split(sparkLower(text, useICU).toString)
     var ti = 0
     while (ti < toks.length) {
       val t = toks(ti)
@@ -152,9 +158,10 @@ object TextHash {
     * exactly as the unsigned digest bytes, so the min is tracked on
     * raw digests and encoded once.
     */
-  def fingerprintMd5(text: UTF8String, gram: Int): UTF8String = {
+  def fingerprintMd5(text: UTF8String, gram: Int,
+      useICU: Boolean): UTF8String = {
     val md = mdLocal.get()
-    val norm = normalize(text)
+    val norm = normalize(text, useICU)
     val cps = norm.codePoints().toArray
     var minDigest: Array[Byte] = null
     if (cps.length < gram) {
@@ -201,17 +208,21 @@ object TextHash {
   }
 }
 
-/** `simhashMd5(text)` as a single codegen'd call. */
-case class SimhashMd5(child: Expression) extends UnaryExpression {
+/** `simhashMd5(text)` as a single codegen'd call. useICU is resolved
+  * from the session conf at construction (plan time) — see
+  * TextHash.resolveUseICU.
+  */
+case class SimhashMd5(child: Expression,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextHash.simhashMd5($c)")
+      c => s"graft.functions.TextHash.simhashMd5($c, $useICU)")
   override def nullSafeEval(v: Any): Any =
-    TextHash.simhashMd5(v.asInstanceOf[UTF8String])
+    TextHash.simhashMd5(v.asInstanceOf[UTF8String], useICU)
   override protected def withNewChildInternal(c: Expression): SimhashMd5 =
-    copy(c)
+    copy(child = c)
 }
 
 object SimhashMd5 {
@@ -220,17 +231,18 @@ object SimhashMd5 {
 }
 
 /** `fingerprintMd5(text, gram)` as a single codegen'd call. */
-case class FingerprintMd5(child: Expression, gram: Int)
+case class FingerprintMd5(child: Expression, gram: Int,
+    useICU: Boolean = TextHash.resolveUseICU())
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextHash.fingerprintMd5($c, $gram)")
+      c => s"graft.functions.TextHash.fingerprintMd5($c, $gram, $useICU)")
   override def nullSafeEval(v: Any): Any =
-    TextHash.fingerprintMd5(v.asInstanceOf[UTF8String], gram)
+    TextHash.fingerprintMd5(v.asInstanceOf[UTF8String], gram, useICU)
   override protected def withNewChildInternal(c: Expression)
-      : FingerprintMd5 = copy(c, gram)
+      : FingerprintMd5 = copy(child = c)
 }
 
 object FingerprintMd5 {

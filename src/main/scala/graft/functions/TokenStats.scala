@@ -25,8 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * multiset the DuckDB oracle replays with str_split_regex(lower()).
   */
 object TokenStatsNative {
-  def tokenCounts(text: UTF8String): GenericArrayData = {
-    val toks = TextHash.tokensOf(text)
+  def tokenCounts(text: UTF8String, useICU: Boolean): GenericArrayData = {
+    val toks = TextHash.tokensOf(text, useICU)
     val m = new java.util.LinkedHashMap[String, java.lang.Long]()
     var i = 0
     while (i < toks.length) {
@@ -51,18 +51,19 @@ object TokenStatsNative {
 /** `tokenCounts(text)` as one codegen'd call →
   * array<struct<token:string, cnt:long>>, first-occurrence order.
   */
-case class TokenCounts(child: Expression) extends UnaryExpression {
+case class TokenCounts(child: Expression,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("token", StringType, false),
     StructField("cnt", LongType, false))), false)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TokenStatsNative.tokenCounts($c)")
+      c => s"graft.functions.TokenStatsNative.tokenCounts($c, $useICU)")
   override def nullSafeEval(v: Any): Any =
-    TokenStatsNative.tokenCounts(v.asInstanceOf[UTF8String])
+    TokenStatsNative.tokenCounts(v.asInstanceOf[UTF8String], useICU)
   override protected def withNewChildInternal(c: Expression): TokenCounts =
-    copy(c)
+    copy(child = c)
 }
 
 object TokenCounts {

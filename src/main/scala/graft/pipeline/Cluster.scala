@@ -91,8 +91,12 @@ object Cluster {
       iters: Int, dim: Int = 64,
       seed: Int = 2026): (DataFrame, Array[Array[Double]]) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
+    // null / undersized vectors would surface as an opaque NPE at the
+    // centroid-update collect (null cluster id, null sums) far from
+    // the bad input — drop them here, where the contract is visible
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) >= dim)
     var cents = initCentroids(k, dim, seed)
     var it = 1
     while (it < iters) {

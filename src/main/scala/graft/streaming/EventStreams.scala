@@ -143,9 +143,15 @@ object EventStreams {
       tsCol: String = "ts", watermark: String = "1 hour",
       n: Int = 3, k: Int = 32, b: Int = 8): DataFrame =
     docs
-      .withColumn("__fp", element_at(
+      // null text → null bucket, and dropDuplicatesWithinWatermark
+      // treats nulls as EQUAL — without the uuid fallback every
+      // null-text doc after the first in the horizon would be
+      // silently dropped as a "duplicate" of the previous one
+      .withColumn("__fp", coalesce(
+        element_at(
           graft.functions.MinhashBandBuckets(col(textCol), n, k, b), 1)
-        .getField("bucket"))
+          .getField("bucket"),
+        expr("uuid()")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

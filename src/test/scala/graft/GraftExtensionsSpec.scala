@@ -76,6 +76,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> or <PHONE> ip <IP>")
   }
 
+  test("integer knobs beyond Int range error instead of truncating") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_fingerprint('abc def', 4294967297)")
+        .collect()
+    }
+    assert(e.getMessage.contains("must fit in an Int"),
+      s"expected overflow rejection, got: ${e.getMessage}")
+  }
+
   test("the extensions class wires into SparkSessionExtensions") {
     // construction path spark.sql.extensions uses: must not throw and
     // must register every function + the optimizer rule injection

@@ -63,6 +63,17 @@ class ClusterSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("null and undersized vectors are dropped, not an NPE at collect") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array.fill(64)(0.5))),
+      (2L, None),
+      (3L, Some(Array.fill(3)(0.5)))).toDF("vec_id", "embedding")
+    val (assigned, _) =
+      Cluster.kmeans(df, "vec_id", "embedding", k = 2, iters = 2)
+    assert(assigned.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("updates move centroids toward assigned points") {
     val (_, c1) = Cluster.kmeans(emb, "vec_id", "embedding",
       k = 4, iters = 1)

@@ -102,6 +102,23 @@ class StreamingSpec extends SparkSpec {
       s"one of the twin docs must be dropped, got $ids")
   }
 
+  test("near-dup drop never deduplicates null-text documents") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[GDoc]
+    input.addData(
+      GDoc(t("2026-01-01 10:00:00"), 1L, null),
+      GDoc(t("2026-01-01 10:05:00"), 2L, null),
+      GDoc(t("2026-01-01 10:10:00"), 3L, "some real text here"))
+    val q = EventStreams.nearDupDropStream(input.toDF())
+      .writeStream.format("memory").queryName("neardup_null")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // null buckets compare EQUAL in dropDuplicatesWithinWatermark —
+    // the uuid fallback must keep both null-text docs alive
+    assert(spark.table("neardup_null").count() == 3,
+      "null-text docs must not collapse into one another")
+  }
+
   test("streaming dedup drops duplicates within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GEvent]
