@@ -395,7 +395,14 @@ object Builtins {
         case other => fail(s"$$mapObject over $other")
       }
 
-      case "$type" => sval(Jsonata.jtype(materialize(d(0)).col), StringType)
+      case "$type" =>
+        val m = materialize(d(0))
+        // variant values carry no static type — classify per row from
+        // the variant's own schema (JsonataType would see VariantType
+        // and misreport every element as "string")
+        if (m.dt == VariantType && m.kind == KScalar)
+          sval(Compiler.variantJType(m.col), StringType)
+        else sval(Jsonata.jtype(m.col), StringType)
       case "$error" => sval(Jsonata.error(sc(0)), NullType)
       case "$assert" =>
         sval(Jsonata.jassert(sc(0), "assertion failed"), NullType)

@@ -597,23 +597,40 @@ object Compiler {
   private def binop(op: String, l: Expr, r: Expr, env: Env): CV = {
     lazy val cl = scalar(compile(l, env))
     lazy val cr = scalar(compile(r, env))
+    // arithmetic requires numbers (JSONata T2001/T2002): a variant
+    // operand (heterogeneous data) is checked per ROW — numeric
+    // elements compute, anything else raises the JSONata-style error
+    // instead of a Spark analysis exception
+    def nl = numSide(cl, "left", op)
+    def nr = numSide(cr, "right", op)
+    // order comparisons accept numbers OR strings: coerce a variant
+    // side toward the typed side (numeric unless the other is string)
+    def cmp2(f: (Column, Column) => Column) = {
+      val wantStr = cl.dt == StringType || cr.dt == StringType
+      def side(d: CD, nm: String) =
+        if (d.dt != VariantType) d
+        else if (wantStr) CD(variantString(d.col), StringType, KScalar)
+        else numSide(d, nm, op)
+      CD(f(side(cl, "left").col, side(cr, "right").col),
+        BooleanType, KScalar)
+    }
     op match {
-      case "+" => CD(cl.col + cr.col, num2(cl, cr), KScalar)
-      case "-" => CD(cl.col - cr.col, num2(cl, cr), KScalar)
-      case "*" => CD(cl.col * cr.col, num2(cl, cr), KScalar)
+      case "+" => CD(nl.col + nr.col, num2(nl, nr), KScalar)
+      case "-" => CD(nl.col - nr.col, num2(nl, nr), KScalar)
+      case "*" => CD(nl.col * nr.col, num2(nl, nr), KScalar)
       case "/" =>
-        CD(cl.col.cast(DoubleType) / cr.col.cast(DoubleType),
+        CD(nl.col.cast(DoubleType) / nr.col.cast(DoubleType),
           DoubleType, KScalar) // `/` always double (builtin.cljc:147)
-      case "%" => CD(cl.col % cr.col, num2(cl, cr), KScalar)
+      case "%" => CD(nl.col % nr.col, num2(nl, nr), KScalar)
       case "&" =>
-        CD(concat(Jsonata.string(cl.col), Jsonata.string(cr.col)),
-          StringType, KScalar)
+        CD(concat(Jsonata.string(stringSide(cl)),
+          Jsonata.string(stringSide(cr))), StringType, KScalar)
       case "=" => eqOp(l, r, env, negate = false)
       case "!=" => eqOp(l, r, env, negate = true)
-      case "<" => CD(cl.col < cr.col, BooleanType, KScalar)
-      case "<=" => CD(cl.col <= cr.col, BooleanType, KScalar)
-      case ">" => CD(cl.col > cr.col, BooleanType, KScalar)
-      case ">=" => CD(cl.col >= cr.col, BooleanType, KScalar)
+      case "<" => cmp2(_ < _)
+      case "<=" => cmp2(_ <= _)
+      case ">" => cmp2(_ > _)
+      case ">=" => cmp2(_ >= _)
       case "and" =>
         CD(Jsonata.boolean(materialize(compile(l, env)).col) &&
           Jsonata.boolean(materialize(compile(r, env)).col),
@@ -640,7 +657,9 @@ object Compiler {
   private def eqOp(l: Expr, r: Expr, env: Env, negate: Boolean): CV = {
     val (a, b) = (materialize(compile(l, env)),
       materialize(compile(r, env)))
-    val e = a.col === b.col
+    val e =
+      if (a.dt == VariantType || b.dt == VariantType) variantEq(a, b)
+      else a.col === b.col
     CD(if (negate) !e else e, BooleanType, KScalar)
   }
 
@@ -648,6 +667,87 @@ object Compiler {
     if (a.dt == DoubleType || b.dt == DoubleType) DoubleType
     else if (a.dt == LongType && b.dt == LongType) LongType
     else DoubleType
+
+  // ---------- variant (heterogeneous) operand support ----------
+
+  private def numericSchema(s: Column): Column =
+    s.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)")
+
+  /** Arithmetic operand. Typed operands pass through (Spark's numeric
+    * coercion already matches the reference); a VARIANT operand — an
+    * element of a heterogeneous sequence — is checked per ROW: numeric
+    * values compute (as double), anything else raises the JSONata
+    * T2001/T2002-style error instead of surfacing a Spark analysis
+    * exception (reference arithmetic is plain Clojure `+` which throws
+    * the analogous cast error, builtin.cljc:143-151).
+    */
+  private def numSide(d: CD, side: String, op: String): CD = d.dt match {
+    case VariantType =>
+      val sch = schema_of_variant(d.col)
+      CD(when(d.col.isNull, lit(null).cast(DoubleType))
+        .when(numericSchema(sch), try_variant_get(d.col, "$", "double"))
+        .otherwise(raise_error(concat(
+          lit(s"The $side side of the '$op' operator must evaluate " +
+            "to a number, got "), sch)).cast(DoubleType)),
+        DoubleType, KScalar)
+    case _ => d
+  }
+
+  /** Order-comparison string coercion: a STRING variant yields its raw
+    * string; any other kind is a type error (JSONata T2009 — both
+    * sides of a comparison must be the same type).
+    */
+  private def variantString(c: Column): Column =
+    when(schema_of_variant(c) === "STRING",
+      try_variant_get(c, "$", "string"))
+      .otherwise(raise_error(lit("The expressions on either side of " +
+        "a comparison operator must be of the same type"))
+        .cast(StringType))
+
+  /** `&` operand: JSONata stringifies anything — string variants as
+    * their raw text, other variants as canonical JSON.
+    */
+  private def stringSide(d: CD): Column = d.dt match {
+    case VariantType =>
+      when(schema_of_variant(d.col) === "STRING",
+        try_variant_get(d.col, "$", "string"))
+        .otherwise(to_json(d.col))
+    case _ => d.col
+  }
+
+  /** Equality with a variant side: numbers compare numerically across
+    * encodings (1 = 1.0); everything else on the canonical JSON
+    * rendering, which is type-strict ("1" never equals 1) — the
+    * reference's `eq` is structural equality over parsed JSON
+    * (builtin.cljc:152).
+    */
+  private def variantEq(a: CD, b: CD): Column = {
+    def canon(d: CD): Column = d.dt match {
+      case VariantType if d.kind == KScalar => d.col
+      case _ => variantOf(d)
+    }
+    val (va, vb) = (canon(a), canon(b))
+    val (sa, sb) = (schema_of_variant(va), schema_of_variant(vb))
+    when(numericSchema(sa) && numericSchema(sb),
+      try_variant_get(va, "$", "double") ===
+        try_variant_get(vb, "$", "double"))
+      .otherwise(to_json(va) === to_json(vb))
+  }
+
+  /** `$type` of a variant value, classified per row from the variant's
+    * own schema (the static JsonataType expression cannot see through
+    * VariantType).
+    */
+  private[lang] def variantJType(c: Column): Column = {
+    val sch = schema_of_variant(c)
+    when(c.isNull || sch === "VOID", lit("null"))
+      .when(sch === "STRING", lit("string"))
+      .when(sch === "BOOLEAN", lit("boolean"))
+      .when(sch.startsWith("ARRAY"), lit("array"))
+      .when(sch.startsWith("OBJECT") || sch.startsWith("STRUCT") ||
+        sch.startsWith("MAP"), lit("object"))
+      .otherwise(lit("number"))
+  }
 
   // ---------- helpers ----------
 

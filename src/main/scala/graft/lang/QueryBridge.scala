@@ -84,6 +84,14 @@ object QueryBridge {
       graft.functions.Jsonata.boolean(
         materialize(Compiler.compile(p, env)).col)
     }
+    // the reference parses arbitrary <|k: v|> maps but EXECUTES only
+    // keepDBid (builtin.cljc:1753 is the sole consumer) — anything
+    // else must error loudly here: silently ignoring an option the
+    // user wrote is worse than rejecting it
+    val unknownOpts = q.options.keySet - "keepDBid"
+    if (unknownOpts.nonEmpty)
+      Compiler.fail(s"unknown query option(s): " +
+        s"${unknownOpts.toSeq.sorted.mkString(", ")} (supported: keepDBid)")
     val keepDBid = q.options.get("keepDBid").contains("true")
 
     // Direct (EAV-free) routing: when every pattern names a constant

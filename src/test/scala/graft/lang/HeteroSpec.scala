@@ -68,4 +68,93 @@ class HeteroSpec extends SparkSpec {
   test("chained field steps through mixed objects") {
     run("[{'a': {'b': 7}}, 2, {'a': {'b': 8}}].a.b", Seq(7L, 8L))
   }
+
+  // ---- path steps over variant (mixed) sequences ----
+
+  test("map-step over mixed elements: identity and $type") {
+    run("[1, 'a', 2].($)", Seq(1L, "a", 2L))
+    run("[1, 'a', 2].($type($))", Seq("number", "string", "number"))
+    run("[1, [2, 'x'], 'y'].$string($)", Seq("1", "[2,\"x\"]", "y"))
+  }
+
+  test("filter-step predicates over mixed elements") {
+    run("[{'a': 1}, 5, {'a': 3}][a = 1]", Map("a" -> 1L))
+    run("[1, 'a', 2][$ = 'a']", "a")
+    run("[1, 'a', 2][$type($) = 'number']", Seq(1L, 2L))
+  }
+
+  test("non-number predicate over a mixed array filters by truthiness") {
+    // the reference treats ONLY a number-valued bracket as an index
+    // (builtin.cljc:206-243 `(if (number? prix)`); a range evaluates
+    // to an array → predicate behavior, truthy for every element
+    run("[1, 'a', 2][0..1]", Seq(1L, "a", 2L))
+  }
+
+  test("value-step over mixed elements") {
+    run("[1, 'a'].['x']", Seq(Seq("x"), Seq("x")))
+  }
+
+  test("arithmetic on a numeric variant element computes") {
+    run("[1, 'a'][0] + 1", 2L)
+    run("[1, 2.5, 'z'][1] * 2", 5.0d)
+  }
+
+  test("arithmetic on a non-numeric variant element raises the JSONata error") {
+    val e = intercept[Exception] {
+      RM.eval("[1, 'a'][1] + 1", spark)
+    }
+    assert(e.getMessage.contains(
+      "The left side of the '+' operator must evaluate to a number"),
+      s"unexpected error: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      RM.eval("[1, 'a', 2].($ * 2)", spark)
+    }
+    assert(e2.getMessage.contains(
+      "The left side of the '*' operator must evaluate to a number"),
+      s"unexpected error: ${e2.getMessage}")
+  }
+
+  test("equality through the variant channel is type-strict") {
+    run("[1, '1'][$ = 1]", 1L)       // number 1 matches, string '1' not
+    run("[1, '1'][$ = '1']", "1")
+    run("[2, 'b'][$ = 1] ? 'hit' : 'none'", "none")
+  }
+
+  test("string concatenation with variant operands") {
+    run("[1, 'a'][1] & '!'", "a!")
+    run("[1, 'a'][0] & '!'", "1!")
+  }
+
+  // ---- the reference jflatten battery (builtin_test.cljc:18-42),
+  //      driver-side container semantics mirrored 1:1 ----
+
+  import graft.core.Finalize
+  import graft.core.Finalize.Container
+
+  test("jflatten rule 1: empty container is no-match") {
+    assert(Finalize.jflatten(Container(Nil)).isEmpty)
+  }
+
+  test("jflatten rule 1: map keys with empty-container values drop") {
+    assert(Finalize.jflatten(Map("match" -> "foo", "index" -> 2,
+      "groups" -> Container(Nil)))
+      == Some(Map("match" -> "foo", "index" -> 2)))
+  }
+
+  test("jflatten rule 2: singleton container unwraps") {
+    assert(Finalize.jflatten(Container(Seq(1))) == Some(1))
+  }
+
+  test("jflatten rule 3: explicit JSON arrays do not flatten") {
+    assert(Finalize.jflatten(Seq(1, 2, 3, Seq(4, 5), 6))
+      == Some(Seq(1, 2, 3, Seq(4, 5), 6)))
+  }
+
+  test("jflatten rule 4: nested containers splice up") {
+    // containerize of [1 [[2]] [3] [[[4 [5] [[6]]]]]] → [1 2 3 4 5 6]
+    def c(xs: Any*) = Container(xs)
+    assert(Finalize.jflatten(
+      c(1, c(c(2)), c(3), c(c(c(4, c(5), c(c(6)))))))
+      == Some(Seq(1, 2, 3, 4, 5, 6)))
+  }
 }

@@ -128,6 +128,19 @@ class RMQuerySpec extends SparkSpec {
       234L -> Map("name" -> "Alice")))
   }
 
+  test("unknown <|options|> keys error instead of silently ignoring") {
+    val e = intercept[Exception] {
+      RM.eval(
+        """( $data := [{'name' : 'Bob'}];
+          |  $q := query(<|dropDBid: true|>){[?e :name ?name]};
+          |  $q($data) )""".stripMargin, spark)
+    }
+    assert(e.getMessage.contains("unknown query option") &&
+      e.getMessage.contains("dropDBid") &&
+      e.getMessage.contains("keepDBid"),
+      s"want a clear unknown-option message, got: ${e.getMessage}")
+  }
+
   test("<|keepDBid: true|> keeps entity qvars (builtin.cljc:1752-1758)") {
     val got = RM.eval(
       """( $data := [{'name' : 'Bob'}];
