@@ -48,6 +48,31 @@ object Llm {
       }
   }
 
+  /** Session-configured client: `spark.graft.llm.client` selects
+    * `replay` (default — deterministic, zero egress) or `http` (the
+    * production transport skeleton wrapped in the retry/rate-limit
+    * policy; endpoint/model/api-key-env read from
+    * `spark.graft.llm.{endpoint,model,apiKeyEnv}`). The http branch is
+    * the documented seam only — nothing constructs it unless a session
+    * opts in, so CI never attempts egress.
+    */
+  def clientFromConf(spark: org.apache.spark.sql.SparkSession): LlmClient =
+    spark.conf.get("spark.graft.llm.client", "replay") match {
+      case "replay" => new ReplayClient
+      case "http" =>
+        val get = (k: String, d: String) =>
+          spark.conf.get(s"spark.graft.llm.$k", d)
+        new ResilientClient(
+          new HttpLlmClient(get("endpoint", "http://localhost:8080/llm"),
+            get("model", "default"), get("apiKeyEnv", "GRAFT_LLM_API_KEY")),
+          Resilience.Policy(
+            maxAttempts = get("maxAttempts", "4").toInt,
+            baseBackoffMs = get("baseBackoffMs", "200").toLong,
+            maxCallsPerSecond = get("maxCallsPerSecond", "5").toDouble))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.llm.client must be replay or http, got $other")
+    }
+
   /** `$llmExtract(df, textCol, instruction)` → df + `extracted` column.
     *
     * Unique texts are sent once and answers re-join — with the
@@ -56,7 +81,8 @@ object Llm {
     * (the text itself rides along only to the model call).
     */
   def extract(df: DataFrame, textCol: String, instruction: String,
-      client: LlmClient = new ReplayClient, batch: Int = 32): DataFrame = {
+      client: LlmClient = null, batch: Int = 32): DataFrame = {
+    val cli = if (client != null) client else clientFromConf(df.sparkSession)
     val spark = df.sparkSession
     import spark.implicits._
     val withH = df.withColumn("__h", md5(col(textCol)))
@@ -66,7 +92,7 @@ object Llm {
     val answered = uniq.mapPartitions { it =>
       it.grouped(batch).flatMap { pairs =>
         val prompts = pairs.map(p => s"$instruction\nTEXT: ${p._2}")
-        pairs.map(_._1).zip(client.complete(prompts))
+        pairs.map(_._1).zip(cli.complete(prompts))
       }
     }.toDF("__h", "extracted")
     withH.join(answered, Seq("__h"), "left").drop("__h")

@@ -68,6 +68,68 @@ object Graph {
 
   private def norm(s: String): String = s.replace('/', '_')
 
+  /** Production HTTP skeleton for the pathom-style graph backend the
+    * reference talks to (`builtin.cljc:1555-1624`), wrapped in the
+    * same retry policy as the LLM transport. NOT reachable by
+    * default — [[resolverFromConf]] constructs it only when
+    * `spark.graft.graph.resolver=http`; this container has no egress,
+    * so CI exercises only the replay resolver.
+    */
+  final class HttpGraphResolver(endpoint: String,
+      policy: graft.llm.Resilience.Policy = graft.llm.Resilience.Policy(),
+      timeoutMs: Long = 30000) extends GraphResolver {
+    @transient private lazy val http =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+    private def post(body: String): String =
+      graft.llm.Resilience.withRetry(policy, Thread.sleep) {
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(endpoint))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("content-type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(
+            s"graph endpoint returned ${resp.statusCode()}")
+        resp.body()
+      }
+
+    override def get(identType: String, identVal: String,
+        props: Seq[String]): Map[String, Any] = {
+      val body = s"""{"op":"get","ident":["$identType","$identVal"],""" +
+        s""""props":[${props.map("\"" + _ + "\"").mkString(",")}]}"""
+      // response shape is backend-specific; adapt the parse when
+      // pointing at a real pathom server
+      Map("raw" -> post(body))
+    }
+
+    override def put(identType: String, identVal: String,
+        obj: Map[String, String]): String = {
+      val kv = obj.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      post(s"""{"op":"put","ident":["$identType","$identVal"],""" +
+        s""""obj":{$kv}}""")
+      "success"
+    }
+  }
+
+  /** Resolver per session conf: `spark.graft.graph.resolver` = replay
+    * (default) | http (+ `spark.graft.graph.endpoint`).
+    */
+  def resolverFromConf(
+      spark: org.apache.spark.sql.SparkSession): GraphResolver =
+    spark.conf.get("spark.graft.graph.resolver", "replay") match {
+      case "replay" => new ReplayResolver
+      case "http" => new HttpGraphResolver(
+        spark.conf.get("spark.graft.graph.endpoint",
+          "http://localhost:8080/graph"))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.graph.resolver must be replay or http, got $other")
+    }
+
   /** Session resolver — tests/production swap implementations here. */
   @volatile var resolver: GraphResolver = new ReplayResolver
 }

@@ -75,4 +75,94 @@ class LlmSpec extends SparkSpec {
     assert(frame.columns.toSeq == Seq("name", "city_of_residence"))
     assert(frame.head().getString(0) == "Bob")
   }
+
+  // ---- production-client seam: retry / backoff / rate limit ----
+
+  /** Fails the first `failures` calls, then answers; records sleeps
+    * through the injected sleeper rather than wall-clock waiting.
+    */
+  private class FlakyClient(failures: Int) extends Llm.LlmClient {
+    var calls = 0
+    override def complete(ps: Seq[String]): Seq[String] = {
+      calls += 1
+      if (calls <= failures)
+        throw new java.io.IOException(s"transient #$calls")
+      ps.map("ok:" + _)
+    }
+  }
+
+  test("resilient client retries transient failures with exponential backoff") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var now = 0L
+    val flaky = new FlakyClient(2)
+    val cli = new ResilientClient(flaky,
+      Resilience.Policy(maxAttempts = 4, baseBackoffMs = 100,
+        maxCallsPerSecond = 1e9), // rate limit out of the way
+      sleeper = ms => { sleeps += ms; now += ms * 1000000 },
+      clockNs = () => now)
+    assert(cli.complete(Seq("a", "b")) == Seq("ok:a", "ok:b"))
+    assert(flaky.calls == 3)
+    // the advancing fake clock keeps the (1e9/s) rate limiter silent,
+    // so the recorded sleeps are exactly the retry backoffs
+    assert(sleeps.toSeq == Seq(100L, 200L),
+      s"backoff must double per retry, got $sleeps")
+  }
+
+  test("resilient client rethrows after maxAttempts") {
+    val flaky = new FlakyClient(10)
+    val cli = new ResilientClient(flaky,
+      Resilience.Policy(maxAttempts = 3, baseBackoffMs = 1,
+        maxCallsPerSecond = 1e9),
+      sleeper = _ => (), clockNs = () => 0L)
+    val e = intercept[java.io.IOException] { cli.complete(Seq("x")) }
+    assert(e.getMessage == "transient #3" && flaky.calls == 3)
+  }
+
+  test("answer-arity mismatch is a protocol error and retries") {
+    var calls = 0
+    val short = new Llm.LlmClient {
+      override def complete(ps: Seq[String]): Seq[String] = {
+        calls += 1
+        if (calls == 1) ps.drop(1).map("ok:" + _) // short answer once
+        else ps.map("ok:" + _)
+      }
+    }
+    val cli = new ResilientClient(short,
+      Resilience.Policy(maxAttempts = 2, baseBackoffMs = 1,
+        maxCallsPerSecond = 1e9),
+      sleeper = _ => (), clockNs = () => 0L)
+    assert(cli.complete(Seq("a", "b")) == Seq("ok:a", "ok:b"))
+    assert(calls == 2)
+  }
+
+  test("rate limiter spaces calls at the configured interval") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var now = 0L
+    val fast = new Llm.LlmClient {
+      override def complete(ps: Seq[String]): Seq[String] = ps
+    }
+    val cli = new ResilientClient(fast,
+      Resilience.Policy(maxAttempts = 1, maxCallsPerSecond = 2.0),
+      sleeper = ms => { sleeps += ms; now += ms * 1000000 },
+      clockNs = () => now)
+    cli.complete(Seq("a")) // first call: no wait
+    cli.complete(Seq("b")) // second: ~500ms interval enforced
+    cli.complete(Seq("c"))
+    assert(sleeps.size == 2 && sleeps.forall(s => s >= 490 && s <= 510),
+      s"expected ~500ms spacing, got $sleeps")
+  }
+
+  test("extract routes through the session-configured client") {
+    val df = Seq((1L, "Paid Acme Ltd today")).toDF("id", "text")
+    // default conf → replay client, deterministic
+    assert(Llm.clientFromConf(spark).isInstanceOf[Llm.ReplayClient])
+    val out = Llm.extract(df, "text", "Extract the company name")
+      .select("extracted").as[String].head()
+    assert(out.nonEmpty)
+    intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.llm.client", "bogus")
+      try Llm.clientFromConf(spark)
+      finally spark.conf.unset("spark.graft.llm.client")
+    }
+  }
 }
