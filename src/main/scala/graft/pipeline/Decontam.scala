@@ -33,6 +33,15 @@ object Decontam {
     * the shuffle. Bloom filters have no false negatives, so the result
     * is bit-identical (false positives just ride into the exact join
     * and fall out) — DecontamSpec pins the equality.
+    *
+    * CAVEAT (non-lazy): with the flag on, building the PLAN runs the
+    * eval-side gram scan eagerly (the `.head()` below) — inherent to
+    * broadcasting a driver-built Bloom filter — and the eval grams are
+    * scanned again for the exact join. Callers composing lazy
+    * pipelines should leave the flag off (the default); the
+    * alternative that keeps the plan lazy is Spark's injected runtime
+    * filters (spark.sql.optimizer.runtime.bloomFilter.enabled), which
+    * build the same filter inside the join at execution time.
     */
   def contamination(train: DataFrame, trainId: String,
       test: DataFrame, testId: String, textCol: String,

@@ -72,32 +72,41 @@ object ExtQueries {
     * hash-checkable) and the SCALABLE percentile_approx sketch checked
     * against it within tolerance.
     *
-    * The exact branch is a DISTRIBUTED order statistic: rank-in-group
-    * + group size from one hash exchange on l_returnflag, filter to
-    * the three ceil(p·n) ranks, pivot to columns. No row ever carries
-    * more than (value, rank, n) — unlike the previous
-    * sort_array(collect_list(...)) form, which held an entire group's
-    * values in ONE aggregation buffer (at 100 TB a single returnflag
-    * group is ~10^9 values in one reducer row → OOM). The window sort
-    * spills per-partition; the follow-on groupBy reuses the window's
-    * partitioning (no second exchange).
+    * The exact branch is a HISTOGRAM order statistic: one map-side-
+    * combined aggregation to (group, value, cnt), a cumulative-count
+    * window over that tiny frame, and the value at ceil(p·n) read off
+    * the cumulative counts. No row ever carries more than a count —
+    * unlike the r6 sort_array(collect_list(...)) form, which held an
+    * entire group's values in ONE aggregation buffer (at 100 TB a
+    * single returnflag group is ~10^9 values in one reducer row →
+    * OOM) — and the window input is |groups × distinct values| rows
+    * (l_quantity has 50), not the raw table, so the few-groups
+    * parallelism cliff of ranking raw rows per group never appears.
+    * Right for bounded-cardinality value domains; for genuinely
+    * continuous columns the sketch IS the answer at scale. The approx
+    * branch aggregates the raw scan separately (3-row broadcast join
+    * to attach) — both scans are pure partial-agg pipelines.
     */
   def qQuantiles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byFlag = Window.partitionBy("l_returnflag")
-    val ranked = Tables.lineitem(s, d)
+    val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(byFlag.orderBy("l_quantity")))
-      .withColumn("n", count(lit(1)).over(byFlag))
-    // value at sorted position ceil(p·n): ties in l_quantity make the
-    // row_number order within a tie arbitrary, but the VALUE at any
-    // rank of the sorted multiset is tie-order-independent
-    def pAt(f: Double) = max(when(
-      col("rn") === ceil(col("n") * f).cast("int"), col("l_quantity")))
-    ranked.groupBy("l_returnflag")
-      .agg(pAt(0.25).as("p25"), pAt(0.5).as("p50"), pAt(0.99).as("p99"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-          .as("ap50"))
+    val counts = li.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy("l_returnflag")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(byFlag.orderBy("l_quantity")))
+      .withColumn("n", sum("cnt").over(byFlag))
+    // value at sorted position ceil(p·n) = smallest value whose
+    // cumulative count reaches the rank
+    def pAt(f: Double) = min(when(
+      col("cum") >= ceil(col("n") * f).cast("long"), col("l_quantity")))
+    val exact = cum.groupBy("l_returnflag")
+      .agg(pAt(0.25).as("p25"), pAt(0.5).as("p50"), pAt(0.99).as("p99"))
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+        .as("ap50"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p25"), col("p50"), col("p99"),
         (org.apache.spark.sql.functions.abs(col("ap50") - col("p50"))
           <= 1.0).as("approx_ok"))

@@ -143,14 +143,19 @@ class PlanSpec extends SparkSpec {
       "assignment reads the embedding column")
   }
 
-  test("q_quantiles: distributed order statistic, no per-group collect") {
+  test("q_quantiles: histogram order statistic, no per-group collect") {
     val p = plan("q_quantiles")
     assert(!p.contains("collect_list"),
       s"exact branch must not hold a group's values in one buffer:\n$p")
     assert(p.contains("Window"),
-      s"rank-in-group comes from a window over the group exchange:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"groupBy must reuse the window's partitioning (one exchange):\n$p")
+      s"cumulative counts come from a window over the histogram:\n$p")
+    // the window's input must be the aggregated (group, value, cnt)
+    // histogram, never the raw scan: HashAggregate below the Window
+    val wIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", wIdx) > 0,
+      s"window must run over the aggregated histogram:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the approx branch attaches via a tiny broadcast join:\n$p")
   }
 
   test("p_curate: quality filter runs before the dedup shuffle") {
