@@ -102,11 +102,22 @@ object FunctionQueries {
   def fObject(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val e = Tables.events(s, d)
-    val m0 = from_json(col("props"),
+    val m0c = from_json(col("props"),
       org.apache.spark.sql.types.DataType.fromDDL("map<string,long>"))
-    val m = Jsonata.merge(m0,
-      map(lit("q1"), col("event_id") % 7, lit("q2"), col("event_id") % 11))
-    e.select(
+    // STAGE the parsed+merged map in its own projection: seven output
+    // columns consume it, and the HOF lambdas (sift/update/reduceKV)
+    // are CodegenFallback, so a single collapsed projection evaluates
+    // interpreted WITHOUT common-subexpression elimination — every
+    // column re-parsing the JSON made the full-evaluation pass ~8
+    // json parses per row (4.5+ s at sf0.1, worst f_* query).
+    // CollapseProject keeps this split: it never inlines a non-cheap
+    // alias consumed more than once.
+    val staged = e.select(col("event_id"), m0c.as("__m0"),
+      Jsonata.merge(m0c, map(lit("q1"), col("event_id") % 7,
+        lit("q2"), col("event_id") % 11)).as("__m"))
+    val m0 = col("__m0")
+    val m = col("__m")
+    staged.select(
       col("event_id"),
       Jsonata.lookup(m, lit("k")).as("kval"),
       size(Jsonata.keys(m)).cast("long").as("nk"),
