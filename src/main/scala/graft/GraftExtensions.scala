@@ -189,6 +189,22 @@ object GraftExtensions {
         ColumnGlue.resolvedExpression(Dedup.jaccard(
           ColumnGlue.column(args(0)), ColumnGlue.column(args(1)),
           if (args.size > 2) intArg(args(2), "n") else 3))
+      }),
+    ("graft_chunk_hashes",
+      "graft_chunk_hashes(text, size, overlap) - chunk window md5s " +
+        "without materializing chunk text",
+      (args: Seq[Expression]) => {
+        arity("graft_chunk_hashes", args, 3)
+        graft.functions.ChunkHashes(args.head,
+          intArg(args(1), "size"), intArg(args(2), "overlap"))
+      }),
+    ("graft_chunk_sizes",
+      "graft_chunk_sizes(text, size, overlap) - chunk window token " +
+        "counts without materializing chunk text",
+      (args: Seq[Expression]) => {
+        arity("graft_chunk_sizes", args, 3)
+        graft.functions.ChunkSizes(args.head,
+          intArg(args(1), "size"), intArg(args(2), "overlap"))
       }))
 
   /** Register the same functions (and the optimizer rule) on an

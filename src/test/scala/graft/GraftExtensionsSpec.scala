@@ -76,6 +76,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> or <PHONE> ip <IP>")
   }
 
+  test("graft_chunk_hashes SQL == md5 of graft_chunks windows") {
+    import spark.implicits._
+    GraftExtensions.registerFunctions(spark)
+    Seq((1L, "one two three four five six seven eight"))
+      .toDF("id", "text").createOrReplaceTempView("chunk_src")
+    val viaChunks = spark.sql(
+      """SELECT c.idx, c.n_tokens, md5(c.chunk) AS h
+        |FROM chunk_src LATERAL VIEW
+        |  explode(graft_chunks(text, 3, 1)) AS c""".stripMargin)
+      .collect().toSeq
+    val viaHashes = spark.sql(
+      """SELECT c.idx, c.n_tokens, c.chunk_hash AS h
+        |FROM chunk_src LATERAL VIEW
+        |  explode(graft_chunk_hashes(text, 3, 1)) AS c""".stripMargin)
+      .collect().toSeq
+    assert(viaChunks == viaHashes && viaChunks.nonEmpty)
+    val sizes = spark.sql(
+      "SELECT graft_chunk_sizes(text, 3, 1) AS cs FROM chunk_src")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(sizes.map(_.getLong(1)) == viaChunks.map(_.getLong(1)))
+  }
+
   test("integer knobs beyond Int range error instead of truncating") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_fingerprint('abc def', 4294967297)")
