@@ -479,10 +479,19 @@ object Compiler {
               env + ("" -> CD(x, s.dt, KScalar)))).col.cast("string")
           var valueDt: DataType = null
           var valueSeqy = false
-          val keys = filter(array_distinct(transform(xs, keyOf(_))),
-            _.isNotNull)
+          // pair each element with its key ONCE: the distinct-key list
+          // and every group-membership test read the precomputed key.
+          // The previous shape re-evaluated the compiled key
+          // expression per (element x key) pair inside interpreted
+          // lambdas — O(n-squared) key evals per row, the dominant cost
+          // of q_reduce_step under the full sink.
+          val kv = transform(xs, x =>
+            struct(keyOf(x).as("k"), x.as("x")))
+          val keys = filter(
+            array_distinct(transform(kv, _.getField("k"))), _.isNotNull)
           val entries = transform(keys, k => {
-            val g = filter(xs, x => keyOf(x) === k)
+            val g = transform(
+              filter(kv, p => p.getField("k") === k), _.getField("x"))
             val v = materialize(compile(vExpr,
               env + ("" -> CD(g, s.dt, KSeq))))
             valueDt = v.dt
