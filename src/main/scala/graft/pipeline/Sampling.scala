@@ -74,6 +74,21 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic weight-proportional Bernoulli filter: keep a row
+    * iff its seeded hash fraction < `weight` (a [0,1] column — e.g. a
+    * quality score, so high-quality documents survive proportionally
+    * more often). Scan-local like [[split]] (no shuffle; a row's fate
+    * never depends on other rows, so appends/retries/repartition
+    * can't change it), and engine-portable through the same exact
+    * 15-hex-digit fraction.
+    */
+  def weighted(df: DataFrame, idCol: String, weight: Column,
+      seed: Int = 42): DataFrame = {
+    val frac = conv(substring(sampleHash(col(idCol), seed), 1, 15),
+      16, 10).cast("long").cast("double") / 1152921504606846976.0d
+    df.filter(frac < weight)
+  }
+
   /** Deterministic global shuffle: a total order by seeded hash (ties
     * by id) — the reproducible training order. Plans as one
     * range-partitioned sort.

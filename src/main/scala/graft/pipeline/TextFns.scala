@@ -192,6 +192,61 @@ object TextFns {
       b.as("bin")))
   }
 
+  /** Adjacent-token ("merge pair") frequency statistics — the counting
+    * kernel of a BPE/WordPiece vocabulary-training round: every
+    * consecutive token pair in the corpus, counted, heaviest first.
+    * Row-local pair construction (zip_with over two slices of the
+    * token array — no index loop, no second tokenization), ONE
+    * map-side-combined aggregation, bounded TakeOrdered top-N — the
+    * same one-scan shape as [[docFrequency]], so a vocab-training
+    * driver can run it per merge round at corpus scale.
+    */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 50): org.apache.spark.sql.DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    val pairs = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(explode(when(n >= 2, pairs)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Cross-document batch assembly — the packing step AFTER
+    * [[packChunks]]'s per-document bins: assign every chunk in the
+    * corpus to a capacity-bounded training batch. Chunks shard by
+    * `doc_id % shards` (deterministic, engine-portable); within a
+    * shard they take the (doc_id, idx) order and the batch id is
+    * `floor(tokens-before-this-chunk / capacity)` — a streaming
+    * prefix-sum assignment (a batch can exceed `capacity` by at most
+    * one chunk, the standard approximation for sequence packing;
+    * exact greedy would serialize the corpus). One exchange on shard;
+    * parallelism = `shards`, so size shards to the cluster (the
+    * per-shard window is a running sum, not a sort-the-world).
+    * Batches are shard-local — (shard, bin) is the batch key — which
+    * is also the loader-affinity layout a trainer wants.
+    */
+  def assembleBatches(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, capacity: Int,
+      shards: Int): org.apache.spark.sql.DataFrame = {
+    require(capacity >= window, s"capacity ($capacity) must fit at " +
+      s"least one window ($window)")
+    import org.apache.spark.sql.expressions.Window
+    val cs = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ChunkSizes(col(textCol), window, 0))
+          .as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"),
+        col("c.n_tokens").as("n_tokens"))
+      .withColumn("shard", (col("doc_id") % shards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy("doc_id", "idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cs.withColumn("bin",
+      floor(coalesce(sum("n_tokens").over(w), lit(0L)) / capacity)
+        .cast("long"))
+  }
+
   /** Corpus vocabulary statistics: per-token total occurrences (tf)
     * and document frequency (df) — the vocabulary/idf-building pass of
     * a training-data pipeline. The per-document counting happens

@@ -398,6 +398,38 @@ object PipelineQueries {
         col("c.n_tokens").as("n_tokens"), col("c.bin").as("bin"))
       .orderBy("doc_id", "idx")
 
+  /** BPE merge-pair statistics: the corpus's top-50 adjacent token
+    * pairs — the counting kernel of one vocabulary-training round
+    * (one scan, row-local pair construction, bounded TakeOrdered).
+    */
+  def pBpePairs(s: SparkSession, d: String): DataFrame =
+    TextFns.bpePairStats(Tables.documents(s, d), "text", topN = 50)
+
+  /** Quality-weighted deterministic sampling: keep probability = the
+    * document's quality score, drawn against the seeded content-hash
+    * fraction — scan-local, append/retry-stable, exact-replay oracle
+    * (both engines compare the identical rounded quality against the
+    * identical exact hash fraction).
+    */
+  def pWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+      .withColumn("quality", TextFns.qualityScore(col("text")))
+    graft.pipeline.Sampling.weighted(doc, "doc_id", col("quality"),
+        seed = 13)
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document batch assembly: every 32-token chunk assigned to a
+    * shard-local capacity-80 training batch via prefix-sum packing
+    * (TextFns.assembleBatches) — the step between per-document
+    * chunking/packing and the trainer's data loader.
+    */
+  def pBatches(s: SparkSession, d: String): DataFrame =
+    TextFns.assembleBatches(Tables.documents(s, d), "doc_id", "text",
+      window = 32, capacity = 80, shards = 8)
+      .orderBy("doc_id", "idx")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -436,6 +468,9 @@ object PipelineQueries {
     "p_ann_topk" -> (pAnnTopk _),
     "p_ann_ivf" -> (pAnnIvf _),
     "p_sample" -> (pSample _),
+    "p_bpe_pairs" -> (pBpePairs _),
+    "p_weighted_sample" -> (pWeightedSample _),
+    "p_batches" -> (pBatches _),
     "p_ann_brute" -> (pAnnBrute _))
 
   private val norm =
@@ -1086,6 +1121,66 @@ object PipelineQueries {
         |  CAST(row_number() OVER (ORDER BY
         |    md5(CAST(doc_id AS VARCHAR) || ':9'), doc_id) AS INT) AS pos
         |FROM kept ORDER BY doc_id""".stripMargin,
+    "p_bpe_pairs" ->
+      s"""WITH tkn AS (
+         |  SELECT $toks AS ts FROM documents),
+         |pairs AS (
+         |  SELECT ts[i] || ' ' || ts[i+1] AS pair
+         |  FROM tkn, unnest(range(1, len(ts))) AS r(i))
+         |SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1
+         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "p_weighted_sample" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, round(
+         |    least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3 +
+         |    (CASE WHEN n_toks > 0 AND nc / n_toks BETWEEN 3 AND 12
+         |       THEN 1.0 ELSE 0.3 END) * 0.3 +
+         |    (CASE WHEN nc = 0 OR np / nc <= 0.1 THEN 1.0 ELSE 0.5 END)
+         |      * 0.2 +
+         |    least(sr * 4, 1.0) * 0.2, 6) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(length(text) AS DOUBLE) AS nc,
+         |      CAST(len(list_filter(str_split_regex(text, '\\s+'),
+         |        x -> x <> '')) AS DOUBLE) AS n_toks,
+         |      CAST(length(text) - length(regexp_replace(text,
+         |        '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) AS np,
+         |      CASE WHEN len($toks) > 0
+         |        THEN CAST(${swCount(en)} AS DOUBLE) / len($toks)
+         |        ELSE 0.0 END AS sr
+         |    FROM documents)),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(list_sum(list_transform(range(1, 16), i ->
+         |      (strpos('0123456789abcdef', substr(
+         |        md5(CAST(doc_id AS VARCHAR) || ':13'), i, 1)) - 1)
+         |        * ($pow16)[i])) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976.0 AS frac
+         |  FROM documents)
+         |SELECT q.doc_id, q.quality FROM q JOIN f USING (doc_id)
+         |WHERE f.frac < q.quality ORDER BY doc_id""".stripMargin,
+    "p_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, unnest(range(0,
+        |    greatest(CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 32)
+        |      AS INT), 0) + 1)) AS idx
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, idx,
+        |    len(list_slice(toks, idx * 32 + 1, idx * 32 + 32)) AS nt
+        |  FROM w)
+        |SELECT doc_id, idx, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(floor(coalesce(sum(nt) OVER (
+        |    PARTITION BY doc_id % 8 ORDER BY doc_id, idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 80.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id, idx""".stripMargin,
     "p_ann_brute" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -70,6 +70,69 @@ class PipelineSpec extends SparkSpec {
     assert(g1 == Seq(0L))
   }
 
+  test("bpePairStats counts adjacent token pairs, heaviest first") {
+    val t = Seq(
+      (1L, "new york new york city"),
+      (2L, "in new york"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextFns.bpePairStats(t, "text", topN = 3)
+      .as[(String, Long)].collect().toSeq
+    // "new york" appears 3x (twice in doc 1, once in doc 2)
+    assert(got.head == ("new york", 3L), got)
+    // count-desc then pair-asc tiebreak pins the top-3 exactly
+    assert(got == Seq(("new york", 3L), ("in new", 1L),
+      ("york city", 1L)), got)
+    // single-token docs contribute nothing; counts are occurrences
+    val all = TextFns.bpePairStats(t, "text", topN = 100)
+      .as[(String, Long)].collect().toMap
+    assert(all("york new") == 1L) // pair spanning repeated bigram
+    assert(all.values.sum == 4 + 2) // doc1: 4 pairs, doc2: 2, doc3: 0
+  }
+
+  test("weighted sampling is weight-monotone and partition-stable") {
+    val df = spark.range(0, 2000).toDF("id")
+    val half = Sampling.weighted(df, "id", lit(0.5), seed = 3)
+      .as[Long].collect().toSet
+    assert(math.abs(half.size - 1000) < 100, s"got ${half.size}")
+    // weight 1.0 keeps everything, 0.0 nothing
+    assert(Sampling.weighted(df, "id", lit(1.0), seed = 3).count() == 2000)
+    assert(Sampling.weighted(df, "id", lit(0.0), seed = 3).count() == 0)
+    // membership is scan-local: repartitioning cannot change it, and
+    // a higher weight strictly grows the kept set
+    val rep = Sampling.weighted(df.repartition(13), "id", lit(0.5),
+      seed = 3).as[Long].collect().toSet
+    assert(rep == half)
+    val more = Sampling.weighted(df, "id", lit(0.8), seed = 3)
+      .as[Long].collect().toSet
+    assert(half.subsetOf(more))
+  }
+
+  test("assembleBatches: shard-local bins bounded by capacity + one chunk") {
+    val docs = (1L to 40L).map(i =>
+      (i, ("tok " * (i % 17 + 1).toInt).trim)).toDF("doc_id", "text")
+    val got = TextFns.assembleBatches(docs, "doc_id", "text",
+      window = 5, capacity = 12, shards = 4)
+      .select("doc_id", "idx", "n_tokens", "shard", "bin")
+      .as[(Long, Long, Long, Int, Long)].collect().toSeq
+    assert(got.map(_._4).toSet.subsetOf((0 until 4).toSet))
+    // every batch's token total <= capacity + (window - 1): the
+    // prefix-sum assignment lets only the straddling chunk overflow
+    val perBin = got.groupBy(r => (r._4, r._5)).view
+      .mapValues(_.map(_._3).sum)
+    perBin.foreach { case (k, tot) =>
+      assert(tot <= 12 + 4, s"batch $k holds $tot tokens") }
+    // bins are contiguous from 0 within each shard
+    got.groupBy(_._4).foreach { case (sh, rows) =>
+      val bins = rows.map(_._5).distinct.sorted
+      assert(bins == (0L to bins.max).toSeq, s"shard $sh bins $bins") }
+    // deterministic under repartitioning
+    val rep = TextFns.assembleBatches(docs.repartition(7), "doc_id",
+      "text", window = 5, capacity = 12, shards = 4)
+      .select("doc_id", "idx", "n_tokens", "shard", "bin")
+      .as[(Long, Long, Long, Int, Long)].collect().toSeq
+    assert(rep.sortBy(r => (r._1, r._2)) == got.sortBy(r => (r._1, r._2)))
+  }
+
   test("repeatedGrams surfaces cross-document boilerplate only") {
     val t = Seq(
       (1L, "SHARED FOOTER sentence here exactly once plus alpha"),
