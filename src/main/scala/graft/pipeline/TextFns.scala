@@ -192,6 +192,41 @@ object TextFns {
       b.as("bin")))
   }
 
+  /** Duplicate n-gram fraction — the Gopher-style within-document
+    * repetition signal: 1 − distinct/total over ALL n-gram
+    * occurrences (not the distinct shingle set dedup uses). Row-local
+    * Column expressions; < n tokens → 0.0. Rounded to 6 for
+    * engine-portable comparisons.
+    */
+  def dupGramFrac(text: Column, n: Int): Column = {
+    require(n >= 2, s"need n >= 2, got $n")
+    val toks = Dedup.tokens(text)
+    val sz = org.apache.spark.sql.functions.size(toks)
+    // sequence(1, 0) would COUNT DOWN in Spark, so guard short docs
+    val grams = when(sz >= n,
+      transform(sequence(lit(1), sz - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val total = org.apache.spark.sql.functions.size(grams)
+    when(total > 0, round(lit(1.0d) -
+        org.apache.spark.sql.functions.size(array_distinct(grams))
+          .cast("double") / total, 6))
+      .otherwise(lit(0.0d))
+  }
+
+  /** Most-frequent-token fraction (top token occurrences / total
+    * tokens) — the companion repetition signal; one row-local
+    * TokenCounts pass feeds both the max and the total.
+    */
+  def topTokenFrac(text: Column): Column = {
+    val cnts = transform(graft.functions.TokenCounts(text),
+      _.getField("cnt"))
+    val tot = aggregate(cnts, lit(0L), _ + _)
+    when(tot > 0,
+        round(array_max(cnts).cast("double") / tot, 6))
+      .otherwise(lit(0.0d))
+  }
+
   /** Adjacent-token ("merge pair") frequency statistics — the counting
     * kernel of a BPE/WordPiece vocabulary-training round: every
     * consecutive token pair in the corpus, counted, heaviest first.

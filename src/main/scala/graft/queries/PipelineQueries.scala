@@ -430,6 +430,20 @@ object PipelineQueries {
       window = 32, capacity = 80, shards = 8)
       .orderBy("doc_id", "idx")
 
+  /** Within-document repetition signals (Gopher-style): duplicate
+    * trigram fraction + most-frequent-token fraction, with the
+    * curation flag their thresholds imply — the repetition filter
+    * that runs beside quality scoring in a curation pass.
+    */
+  def pRepSignals(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFns.dupGramFrac(col("text"), 3).as("dup3"),
+      TextFns.topTokenFrac(col("text")).as("top_frac"))
+      .withColumn("flagged",
+        col("dup3") > 0.02 || col("top_frac") > 0.12)
+      .orderBy("doc_id")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -469,6 +483,7 @@ object PipelineQueries {
     "p_ann_ivf" -> (pAnnIvf _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
+    "p_rep_signals" -> (pRepSignals _),
     "p_weighted_sample" -> (pWeightedSample _),
     "p_batches" -> (pBatches _),
     "p_ann_brute" -> (pAnnBrute _))
@@ -1129,6 +1144,32 @@ object PipelineQueries {
          |  FROM tkn, unnest(range(1, len(ts))) AS r(i))
          |SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1
          |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "p_rep_signals" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toks AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ts) >= 3
+         |      THEN list_transform(range(1, len(ts) - 1), i ->
+         |        ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         |      ELSE [] END AS gs,
+         |    CASE WHEN len(ts) > 0
+         |      THEN list_max(list_transform(list_distinct(ts), u ->
+         |        len(list_filter(ts, x -> x = u)))) ELSE 0 END AS topc,
+         |    len(ts) AS n
+         |  FROM t),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(gs) > 0 THEN round(1.0 -
+         |      CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+         |      ELSE 0.0 END AS dup3,
+         |    CASE WHEN n > 0
+         |      THEN round(CAST(topc AS DOUBLE) / n, 6)
+         |      ELSE 0.0 END AS top_frac
+         |  FROM g)
+         |SELECT doc_id, dup3, top_frac,
+         |  (dup3 > 0.02 OR top_frac > 0.12) AS flagged
+         |FROM sig ORDER BY doc_id""".stripMargin,
     "p_weighted_sample" ->
       s"""WITH q AS (
          |  SELECT doc_id, round(

@@ -238,4 +238,68 @@ object Ingest {
   /** `$put` equivalent: write a frame as a named parquet dataset. */
   def put(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** One parsed WARC record (ISO 28500 / Common Crawl WET member). */
+  final case class WarcRecord(recordId: String, warcType: String,
+      targetUri: String, date: String, contentLength: Long,
+      headers: Map[String, String], payload: String)
+
+  /** WARC/WET ingestion — the raw container format of web-crawl
+    * pretraining corpora (ISO 28500; Common Crawl's WET text
+    * extracts). A WARC file is a sequence of records, each
+    * `WARC/1.0\r\n` + `Name: value` header lines + blank line +
+    * payload. Distributed read: the version line is the text-source
+    * record delimiter (`lineSep`), so each row is one record and the
+    * header/payload split is row-local — no driver parsing, and
+    * `.gz` members (the usual many-1GB-files crawl layout) stream
+    * through Spark's codec handling, one task per member.
+    *
+    * Returns one row per record: the standard fields promoted to
+    * columns (record id, type, target URI, date, content length) plus
+    * the full header map and the payload text. Trailing record
+    * separators (\r\n\r\n) are stripped from payloads; the leading
+    * empty split (before the first delimiter) is dropped.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("lineSep", "WARC/1.0\r\n").textFile(path)
+      .filter(_.nonEmpty)
+      .map { rec =>
+        val (head, payload) = rec.indexOf("\r\n\r\n") match {
+          case -1 => (rec, "")
+          case i => (rec.substring(0, i), rec.substring(i + 4))
+        }
+        val headers = head.split("\r\n").iterator.flatMap { line =>
+          line.indexOf(':') match {
+            case -1 => None
+            case i => Some(line.substring(0, i).trim ->
+              line.substring(i + 1).trim)
+          }
+        }.toMap
+        WarcRecord(
+          headers.getOrElse("WARC-Record-ID", ""),
+          headers.getOrElse("WARC-Type", ""),
+          headers.getOrElse("WARC-Target-URI", ""),
+          headers.getOrElse("WARC-Date", ""),
+          headers.get("Content-Length").flatMap(s =>
+            scala.util.Try(s.toLong).toOption).getOrElse(-1L),
+          headers,
+          payload.stripSuffix("\r\n\r\n").stripSuffix("\r\n"))
+      }.toDF()
+  }
+
+  /** WARC → documents-table shape: conversion/response records become
+    * (doc_id, url, text) rows ready for the curation pipeline
+    * (doc_id = stable content-derived id, like Shred's).
+    */
+  def warcDocuments(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readWarc(spark, path)
+      .filter(col("warcType").isin("conversion", "response") &&
+        length(col("payload")) > 0)
+      .select(
+        org.apache.spark.sql.functions.abs(
+          xxhash64(col("recordId"), col("payload"))).as("doc_id"),
+        col("targetUri").as("url"), col("payload").as("text"))
+  }
 }

@@ -133,6 +133,31 @@ class PipelineSpec extends SparkSpec {
     assert(rep.sortBy(r => (r._1, r._2)) == got.sortBy(r => (r._1, r._2)))
   }
 
+  test("repetition signals: duplicate trigrams and top-token fraction") {
+    val t = Seq(
+      (1L, "spam spam spam spam spam spam"),      // all one token
+      (2L, "a b c d e f g h"),                    // no repetition
+      (3L, "x y z x y z x y z q")                 // repeated trigrams
+    ).toDF("doc_id", "text")
+    val got = t.select(col("doc_id"),
+        TextFns.dupGramFrac(col("text"), 3).as("dup3"),
+        TextFns.topTokenFrac(col("text")).as("top"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 0.75) // 4 identical trigrams: 1 - 1/4
+    assert(got(1L)._2 == 1.0)
+    assert(got(2L) == ((0.0, 0.125)))
+    // doc 3: 8 trigrams, 4 distinct (xyz yzx zxy repeated + yzq): 0.5
+    assert(got(3L)._1 == 0.5, got(3L))
+    assert(got(3L)._2 == 0.3)
+    // short/empty docs are 0.0, not null/NaN
+    val short = Seq((9L, "one two"), (10L, "")).toDF("doc_id", "text")
+      .select(TextFns.dupGramFrac(col("text"), 3).as("d"),
+        TextFns.topTokenFrac(col("text")).as("t"))
+      .as[(Double, Double)].collect().toSeq
+    assert(short == Seq((0.0, 0.5), (0.0, 0.0)))
+  }
+
   test("repeatedGrams surfaces cross-document boilerplate only") {
     val t = Seq(
       (1L, "SHARED FOOTER sentence here exactly once plus alpha"),
