@@ -205,6 +205,21 @@ object GraftExtensions {
         arity("graft_chunk_sizes", args, 3)
         graft.functions.ChunkSizes(args.head,
           intArg(args(1), "size"), intArg(args(2), "overlap"))
+      }),
+    ("graft_dup_gram_frac",
+      "graft_dup_gram_frac(text[, n]) - duplicate n-gram fraction " +
+        "(within-document repetition signal)",
+      (args: Seq[Expression]) => {
+        arity("graft_dup_gram_frac", args, 1, 2)
+        ColumnGlue.resolvedExpression(TextFns.dupGramFrac(
+          ColumnGlue.column(args.head),
+          if (args.size > 1) intArg(args(1), "n") else 3))
+      }),
+    ("graft_top_token_frac",
+      "graft_top_token_frac(text) - most-frequent-token fraction",
+      (args: Seq[Expression]) => {
+        arity("graft_top_token_frac", args, 1)
+        viaColumn(TextFns.topTokenFrac)(args.head)
       }))
 
   /** Register the same functions (and the optimizer rule) on an

@@ -33,20 +33,49 @@ object Llm {
 
   /** Deterministic offline stand-in: "extracts" by heuristic (first
     * capitalized token run / first number — depending on instruction
-    * keywords). Stable across runs: pure function of the prompt.
+    * keywords) and answers [[Llm.matchShapes]]'s MATCH FIELDS prompts
+    * with the name-similarity mapping a model would return. Stable
+    * across runs: pure function of the prompt.
     */
   final class ReplayClient extends LlmClient {
     override def complete(prompts: Seq[String]): Seq[String] =
       prompts.map { p =>
-        val text = p.substring(p.indexOf("TEXT:") + 5).trim
-        val instr = p.substring(0, math.max(p.indexOf("TEXT:"), 0))
-          .toLowerCase
-        if (instr.contains("number") || instr.contains("amount"))
-          "\\d+(\\.\\d+)?".r.findFirstIn(text).getOrElse("")
-        else
-          "[A-Z][a-z]+( [A-Z][a-z]+)*".r.findFirstIn(text).getOrElse("")
+        if (p.startsWith(MatchPromptHeader)) replayMatch(p)
+        else {
+          val text = p.substring(p.indexOf("TEXT:") + 5).trim
+          val instr = p.substring(0, math.max(p.indexOf("TEXT:"), 0))
+            .toLowerCase
+          if (instr.contains("number") || instr.contains("amount"))
+            "\\d+(\\.\\d+)?".r.findFirstIn(text).getOrElse("")
+          else
+            "[A-Z][a-z]+( [A-Z][a-z]+)*".r.findFirstIn(text).getOrElse("")
+        }
       }
+
+    /** The model's half of the $llmMatch protocol, replayed: best
+      * normalized-name-overlap source per target, one `t=s` pair per
+      * line (the answer shape [[Llm.matchShapes]] parses).
+      */
+    private def replayMatch(p: String): String = {
+      val lines = p.split("\n")
+      def listOf(prefix: String): Seq[String] =
+        lines.find(_.startsWith(prefix)).toSeq
+          .flatMap(_.stripPrefix(prefix).split(",")).map(_.trim)
+          .filter(_.nonEmpty)
+      val targets = listOf("TARGETS:")
+      val sources = listOf("SOURCES:")
+      targets.flatMap { t =>
+        val tn = normName(t)
+        sources.map(sf => (sf, similarity(normName(sf), tn)))
+          .filter(_._2 > 0.3)
+          .sortBy(-_._2).headOption.map { case (sf, _) => s"$t=$sf" }
+      }.mkString("\n")
+    }
   }
+
+  private[llm] val MatchPromptHeader = "MATCH FIELDS"
+  private def normName(s: String) =
+    s.toLowerCase.replaceAll("[^a-z0-9]", "")
 
   /** Session-configured client: `spark.graft.llm.client` selects
     * `replay` (default — deterministic, zero egress) or `http` (the
@@ -99,24 +128,32 @@ object Llm {
   }
 
   /** `$llmMatch`: derive a field mapping between two flat schemas. The
-    * reference asks the model for an RM function; here the "model"
-    * proposes name-similarity pairs and the result is an executable
-    * projection (target column ← source column), which is what the
-    * generated function denotes.
+    * reference asks the model for an RM function; here the request
+    * goes through the SAME [[LlmClient]] seam as extraction — one
+    * MATCH FIELDS prompt listing targets and sources, answered as
+    * `target=source` lines and returned as an executable projection
+    * (target column ← source column), which is what the generated
+    * function denotes. [[ReplayClient]] answers with the
+    * name-similarity mapping; a production client asks the model.
     */
   def matchShapes(source: DataFrame, targetFields: Seq[String],
       client: LlmClient = new ReplayClient)
       : Seq[(String, String)] = {
-    val srcFields = source.columns.toSeq
-    // offline heuristic in the same place a model answer would slot in:
-    // best normalized-name overlap per target field
-    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "")
-    targetFields.flatMap { t =>
-      val tn = norm(t)
-      srcFields.map(sf => (sf, similarity(norm(sf), tn)))
-        .filter(_._2 > 0.3)
-        .sortBy(-_._2).headOption.map { case (sf, _) => t -> sf }
-    }
+    val prompt = s"$MatchPromptHeader\n" +
+      s"TARGETS: ${targetFields.mkString(", ")}\n" +
+      s"SOURCES: ${source.columns.mkString(", ")}"
+    val answer = client.complete(Seq(prompt)).head
+    val srcSet = source.columns.toSet
+    answer.split("\n").iterator.map(_.trim).filter(_.contains("="))
+      .map { line =>
+        val Array(t, s0) = line.split("=", 2)
+        t.trim -> s0.trim
+      }
+      // trust but verify the transport: only mappings onto real source
+      // columns and requested targets become projections
+      .filter { case (t, s0) =>
+        targetFields.contains(t) && srcSet.contains(s0) }
+      .toSeq
   }
 
   /** Apply a matchShapes mapping as a projection. */

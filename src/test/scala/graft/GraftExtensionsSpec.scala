@@ -98,6 +98,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sizes.map(_.getLong(1)) == viaChunks.map(_.getLong(1)))
   }
 
+  test("repetition-signal SQL functions match the DataFrame forms") {
+    import spark.implicits._
+    GraftExtensions.registerFunctions(spark)
+    Seq((1L, "x y z x y z x y z q"), (2L, "a b c"))
+      .toDF("id", "text").createOrReplaceTempView("rep_src")
+    val sql = spark.sql(
+      """SELECT id, graft_dup_gram_frac(text, 3) AS d,
+        |  graft_top_token_frac(text) AS t
+        |FROM rep_src ORDER BY id""".stripMargin)
+      .as[(Long, Double, Double)].collect().toSeq
+    val df = spark.table("rep_src").select(col("id"),
+        graft.pipeline.TextFns.dupGramFrac(col("text"), 3).as("d"),
+        graft.pipeline.TextFns.topTokenFrac(col("text")).as("t"))
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    assert(sql == df && sql.head._2 == 0.5)
+  }
+
   test("integer knobs beyond Int range error instead of truncating") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_fingerprint('abc def', 4294967297)")
