@@ -211,15 +211,18 @@ object GraftExtensions {
         "(within-document repetition signal)",
       (args: Seq[Expression]) => {
         arity("graft_dup_gram_frac", args, 1, 2)
-        ColumnGlue.resolvedExpression(TextFns.dupGramFrac(
-          ColumnGlue.column(args.head),
-          if (args.size > 1) intArg(args(1), "n") else 3))
+        ColumnGlue.resolvedExpression(
+          graft.functions.RepSignals(ColumnGlue.column(args.head),
+            if (args.size > 1) intArg(args(1), "n") else 3)
+            .getField("dup_frac"))
       }),
     ("graft_top_token_frac",
       "graft_top_token_frac(text) - most-frequent-token fraction",
       (args: Seq[Expression]) => {
         arity("graft_top_token_frac", args, 1)
-        viaColumn(TextFns.topTokenFrac)(args.head)
+        ColumnGlue.resolvedExpression(
+          graft.functions.RepSignals(ColumnGlue.column(args.head), 2)
+            .getField("top_frac"))
       }))
 
   /** Register the same functions (and the optimizer rule) on an

@@ -436,10 +436,15 @@ object PipelineQueries {
     * that runs beside quality scoring in a curation pass.
     */
   def pRepSignals(s: SparkSession, d: String): DataFrame =
+    // stage the one-pass native struct, then project fields + flag:
+    // the Column forms' interpreted lambdas (times the flag's double
+    // consumption) cost 122 s at sf0.1 under the full sink
     Tables.documents(s, d).select(
       col("doc_id"),
-      TextFns.dupGramFrac(col("text"), 3).as("dup3"),
-      TextFns.topTokenFrac(col("text")).as("top_frac"))
+      graft.functions.RepSignals(col("text"), 3).as("__rs"))
+      .select(col("doc_id"),
+        col("__rs.dup_frac").as("dup3"),
+        col("__rs.top_frac").as("top_frac"))
       .withColumn("flagged",
         col("dup3") > 0.02 || col("top_frac") > 0.12)
       .orderBy("doc_id")
