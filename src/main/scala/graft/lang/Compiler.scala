@@ -338,28 +338,34 @@ object Compiler {
       case Ident(name) => s.kind match {
         case KScalar => s.dt match {
           case st: StructType =>
-            val f = st.find(_.name == name)
-              .getOrElse(fail(s"no field '$name' in ${st.simpleString}"))
-            f.dataType match {
-              case ArrayType(et, _) =>
-                CD(s.col.getField(name), et, KJson)
-              case dt => CD(s.col.getField(name), dt, KScalar)
+            // absent field / non-object → "no match" (reference
+            // get-step is Clojure `get` → nil, builtin.cljc:246-263)
+            st.find(_.name == name).fold(
+              CD(lit(null), NullType, KScalar): CD) { f =>
+              f.dataType match {
+                case ArrayType(et, _) =>
+                  CD(s.col.getField(name), et, KJson)
+                case dt => CD(s.col.getField(name), dt, KScalar)
+              }
             }
           case VariantType =>
             // field of a mixed value: null (no match) for non-objects
             CD(try_variant_get(s.col, s"$$.$name", "variant"),
               VariantType, KScalar)
-          case other => fail(s"cannot navigate '$name' into $other")
+          case _ => CD(lit(null), NullType, KScalar) // non-object
         }
         case KJson | KSeq => s.dt match {
           case st: StructType =>
-            val f = st.find(_.name == name)
-              .getOrElse(fail(s"no field '$name' in ${st.simpleString}"))
-            val mapped = filter(
-              transform(s.col, _.getField(name)), _.isNotNull)
-            f.dataType match {
-              case ArrayType(et, _) => CD(mapped, et, KNested(false))
-              case dt => CD(mapped, dt, KSeq)
+            st.find(_.name == name).fold {
+              // no element can match: statically empty sequence
+              CD(array(), NullType, KSeq): CD
+            } { f =>
+              val mapped = filter(
+                transform(s.col, _.getField(name)), _.isNotNull)
+              f.dataType match {
+                case ArrayType(et, _) => CD(mapped, et, KNested(false))
+                case dt => CD(mapped, dt, KSeq)
+              }
             }
           case VariantType =>
             // heterogeneous elements: non-objects and absent fields
@@ -371,7 +377,10 @@ object Compiler {
             CD(transform(picked, v => coalesce(
               try_variant_get(v, "$", "array<variant>"), array(v))),
               VariantType, KNested(false))
-          case other => fail(s"cannot map '$name' over $other elements")
+          case _ =>
+            // primitive elements: no element can match the field —
+            // statically empty sequence (reference cmap get → nils)
+            CD(array(), NullType, KSeq)
         }
         case KNested(_) =>
           pathStep(CD(flatten(s.col), s.dt, KSeq), step, env)
@@ -666,8 +675,31 @@ object Compiler {
   private def eqOp(l: Expr, r: Expr, env: Env, negate: Boolean): CV = {
     val (a, b) = (materialize(compile(l, env)),
       materialize(compile(r, env)))
+    // JSONata/reference `=` is TYPE-STRICT structural equality
+    // (Clojure `=`, builtin.cljc:152): '5' = 5 is false, never a
+    // cast — Spark's implicit coercions would cast (or throw), so
+    // statically mismatched kinds fold to a literal instead of
+    // comparing columns
+    def kindOf(dt: DataType): Int = dt match {
+      case NullType => 0
+      case _: NumericType => 1
+      case StringType => 2
+      case BooleanType => 3
+      case _: ArrayType => 4
+      case _: StructType | _: MapType => 5
+      case _ => 6
+    }
+    val (ta, tb) = (colType(a), colType(b))
     val e =
       if (a.dt == VariantType || b.dt == VariantType) variantEq(a, b)
+      else if (ta == NullType && tb == NullType) lit(true)
+      else if (kindOf(ta) == 0 || kindOf(tb) == 0) lit(false)
+      else if (kindOf(ta) != kindOf(tb)) lit(false)
+      else if (ta == tb || kindOf(ta) == 1) a.col === b.col
+      else if (kindOf(ta) >= 4)
+        // same container kind, different concrete types (e.g.
+        // array<void> vs array<long>): compare the JSON rendering
+        to_json(struct(a.col.as("v"))) === to_json(struct(b.col.as("v")))
       else a.col === b.col
     CD(if (negate) !e else e, BooleanType, KScalar)
   }
@@ -814,10 +846,32 @@ object Compiler {
     */
   private def variantOf(d: CD): Column = d.dt match {
     case VariantType if d.kind == KScalar => d.col
-    case NullType => parse_json(lit("null"))
+    // a NullType SCALAR is JSON null; a NullType-element SEQUENCE is
+    // an (empty or all-null) ARRAY — the old unconditional null case
+    // silently turned `[]` elements of mixed literals into nulls
+    case NullType if d.kind == KScalar => parse_json(lit("null"))
     case _ =>
-      variant_get(parse_json(to_json(struct(d.col.as("v")))), "$.v",
+      // to_json cannot render void-typed members (empty `[]` literals
+      // and all-null arrays type as array<void>): cast NullType slots
+      // to string first — such slots hold only nulls/empties, so the
+      // JSON rendering is unchanged
+      val shape = colType(d)
+      val clean = denull(shape)
+      val c = if (clean == shape) d.col else d.col.cast(clean)
+      variant_get(parse_json(to_json(struct(c.as("v")))), "$.v",
         "variant")
+  }
+
+  /** Replace NullType with StringType recursively (cast shim for JSON
+    * rendering of void-typed slots).
+    */
+  private def denull(dt: DataType): DataType = dt match {
+    case NullType => StringType
+    case ArrayType(et, n) => ArrayType(denull(et), n)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = denull(f.dataType))))
+    case MapType(k, v, n) => MapType(denull(k), denull(v), n)
+    case other => other
   }
 
   private def unifyType(ts: Seq[DataType]): DataType =
