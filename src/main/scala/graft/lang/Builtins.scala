@@ -66,7 +66,18 @@ object Builtins {
       case "$average" => sval(Jsonata.averageArr(arr(0).col), DoubleType)
       case "$count" => sval(Jsonata.countArr(arr(0).col)
         .cast(LongType), LongType)
-      case "$distinct" => sseq(Jsonata.distinctArr(arr(0).col), arr(0).dt)
+      case "$distinct" =>
+        val a = arr(0)
+        if (a.dt == VariantType) {
+          // variants have no ordering for array_distinct: first-
+          // occurrence dedup on the canonical JSON rendering (the
+          // reference is Clojure `distinct` via `=`, so 1 and 1.0
+          // stay distinct — JSON "1" vs "1.0" matches that)
+          val js = transform(a.col, v => to_json(v))
+          sseq(org.apache.spark.sql.functions.filter(a.col, (x, i) =>
+            array_position(js, to_json(x)) === (i + 1).cast(LongType)),
+            a.dt)
+        } else sseq(Jsonata.distinctArr(a.col), a.dt)
 
       // arrays (§2.6)
       case "$append" =>

@@ -663,7 +663,22 @@ object Compiler {
           case d: CD => CD(array(d.col), d.dt, KJson)
           case _ => fail("in: rhs")
         }
-        CD(array_contains(arr.col, cl.col), BooleanType, KScalar)
+        val res =
+          if (arr.dt == VariantType || cl.dt == VariantType) {
+            // mixed membership: per-element variant equality (numbers
+            // numeric, everything else canonical JSON) — Spark's
+            // array_contains cannot compare variants
+            val needle = variantOf(cl)
+            val elems =
+              if (arr.dt == VariantType) arr.col
+              else transform(arr.col, e => variantOf(CD(e, arr.dt,
+                KScalar)))
+            coalesce(exists(elems, e => variantEqCols(e, needle)),
+              lit(false))
+          } else if (dtKind(arr.dt) != dtKind(cl.dt))
+            lit(false) // type-strict like `=`: 1 in ['1'] is false
+          else array_contains(arr.col, cl.col)
+        CD(res, BooleanType, KScalar)
       case ".." =>
         CD(sequence(cl.col.cast(LongType), cr.col.cast(LongType)),
           LongType, KSeq)
@@ -680,23 +695,14 @@ object Compiler {
     // cast — Spark's implicit coercions would cast (or throw), so
     // statically mismatched kinds fold to a literal instead of
     // comparing columns
-    def kindOf(dt: DataType): Int = dt match {
-      case NullType => 0
-      case _: NumericType => 1
-      case StringType => 2
-      case BooleanType => 3
-      case _: ArrayType => 4
-      case _: StructType | _: MapType => 5
-      case _ => 6
-    }
     val (ta, tb) = (colType(a), colType(b))
     val e =
       if (a.dt == VariantType || b.dt == VariantType) variantEq(a, b)
       else if (ta == NullType && tb == NullType) lit(true)
-      else if (kindOf(ta) == 0 || kindOf(tb) == 0) lit(false)
-      else if (kindOf(ta) != kindOf(tb)) lit(false)
-      else if (ta == tb || kindOf(ta) == 1) a.col === b.col
-      else if (kindOf(ta) >= 4)
+      else if (dtKind(ta) == 0 || dtKind(tb) == 0) lit(false)
+      else if (dtKind(ta) != dtKind(tb)) lit(false)
+      else if (ta == tb || dtKind(ta) == 1) a.col === b.col
+      else if (dtKind(ta) >= 4)
         // same container kind, different concrete types (e.g.
         // array<void> vs array<long>): compare the JSON rendering
         to_json(struct(a.col.as("v"))) === to_json(struct(b.col.as("v")))
@@ -710,6 +716,19 @@ object Compiler {
     else DoubleType
 
   // ---------- variant (heterogeneous) operand support ----------
+
+  /** Type "kind" for strict equality/membership: 0 null, 1 number,
+    * 2 string, 3 boolean, 4 array, 5 object, 6 other.
+    */
+  private def dtKind(dt: DataType): Int = dt match {
+    case NullType => 0
+    case _: NumericType => 1
+    case StringType => 2
+    case BooleanType => 3
+    case _: ArrayType => 4
+    case _: StructType | _: MapType => 5
+    case _ => 6
+  }
 
   private def numericSchema(s: Column): Column =
     s.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)")
@@ -767,7 +786,11 @@ object Compiler {
       case VariantType if d.kind == KScalar => d.col
       case _ => variantOf(d)
     }
-    val (va, vb) = (canon(a), canon(b))
+    variantEqCols(canon(a), canon(b))
+  }
+
+  /** Variant = variant at the Column level (shared by `=`/`in`). */
+  private def variantEqCols(va: Column, vb: Column): Column = {
     val (sa, sb) = (schema_of_variant(va), schema_of_variant(vb))
     when(numericSchema(sa) && numericSchema(sb),
       try_variant_get(va, "$", "double") ===

@@ -125,6 +125,35 @@ class HeteroSpec extends SparkSpec {
     run("[1, 'a'][0] & '!'", "1!")
   }
 
+  test("membership and $distinct over mixed arrays") {
+    run("'a' in [1, 'a'] ? 'yes' : 'no'", "yes")
+    run("1 in [1, 'a'] ? 'yes' : 'no'", "yes")
+    run("5 in [1, 'a'] ? 'yes' : 'no'", "no")
+    run("1 in ['1'] ? 'yes' : 'no'", "no") // type-strict like =
+    run("$distinct([1, 'a', 1, 'a', 2])", Seq(1L, "a", 2L))
+  }
+
+  test("empty arrays and objects survive the variant channel") {
+    run("[[], 71, 'q1']", Seq(Seq(), 71L, "q1"))
+    run("[[], 71, 'q1'][0]", Seq())
+    run("[{}, 36]", Seq(Map(), 36L))
+    run("['b', false, [], 'x'].($type($))",
+      Seq("string", "boolean", "array", "string"))
+  }
+
+  test("field steps over non-objects are no-match, not errors") {
+    run("[1, 2].a ? 'hit' : 'none'", "none")
+    run("['b'].a ? 'hit' : 'none'", "none")
+    run("[{'b': 1}, {'b': 2}].a ? 'hit' : 'none'", "none") // absent field
+  }
+
+  test("typed equality is type-strict like the reference") {
+    run("'5' = 5 ? 'eq' : 'ne'", "ne")
+    run("[1, 2][$ = 'a'] ? 'hit' : 'none'", "none")
+    run("['5'][$ = 5] ? 'hit' : 'none'", "none")
+    run("[true][$ = 1] ? 'hit' : 'none'", "none")
+  }
+
   // ---- the reference jflatten battery (builtin_test.cljc:18-42),
   //      driver-side container semantics mirrored 1:1 ----
 
