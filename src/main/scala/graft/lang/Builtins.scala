@@ -42,7 +42,15 @@ object Builtins {
       case CD(c, dt, KNested(_)) => CD(flatten(c), dt, KSeq)
       case _ => fail("unreachable")
     }
-    def str(i: Int): Column = sc(i)
+    /** string-argument position: variants (heterogeneous elements /
+      * typed predicate bindings) coerce the way the typed path does —
+      * string variants pass their raw text, anything else its JSON
+      * rendering (Spark's implicit cast-to-string analog).
+      */
+    def str(i: Int): Column = {
+      val dd = scalar(d(i))
+      if (dd.dt == VariantType) Compiler.variantText(dd.col) else dd.col
+    }
     def sseq(c: Column, dt: DataType): CV = CD(c, dt, KSeq)
     def sval(c: Column, dt: DataType): CV = CD(c, dt, KScalar)
 
@@ -242,7 +250,9 @@ object Builtins {
         sval(Jsonata.decodeUrlComponent(str(0)), StringType)
 
       // numerics (§2.3)
-      case "$number" => sval(Jsonata.number(sc(0)), DoubleType)
+      // str(0) so variant inputs parse from their text form
+      // ($number of a numeric variant reads its canonical JSON)
+      case "$number" => sval(Jsonata.number(str(0)), DoubleType)
       case "$abs" => sval(Jsonata.abs(sc(0)), scalar(d(0)).dt)
       case "$floor" => sval(Jsonata.floor(sc(0)), LongType)
       case "$ceil" => sval(Jsonata.ceil(sc(0)), LongType)

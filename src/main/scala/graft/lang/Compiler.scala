@@ -764,15 +764,38 @@ object Compiler {
         "a comparison operator must be of the same type"))
         .cast(StringType))
 
+  /** Text rendering of a variant: string variants yield their raw
+    * text, anything else its canonical JSON — the same coercion the
+    * typed path gets from Spark's implicit cast-to-string (used by `&`
+    * operands, `$string`-family argument positions, and `$number`,
+    * whose string parse then applies).
+    */
+  private[lang] def variantText(c: Column): Column =
+    when(schema_of_variant(c) === "STRING",
+      try_variant_get(c, "$", "string"))
+      .otherwise(to_json(c))
+
   /** `&` operand: JSONata stringifies anything — string variants as
     * their raw text, other variants as canonical JSON.
     */
   private def stringSide(d: CD): Column = d.dt match {
-    case VariantType =>
-      when(schema_of_variant(d.col) === "STRING",
-        try_variant_get(d.col, "$", "string"))
-        .otherwise(to_json(d.col))
+    case VariantType => variantText(d.col)
     case _ => d.col
+  }
+
+  /** Boxed EAV binding struct<v: canonical string, vt: type tag> →
+    * native-typed value, per ROW, via the variant channel: numbers and
+    * booleans parse from their canonical encoding (`parse_json("5")` →
+    * variant 5), strings/refs stay string variants. This is how text
+    * predicates see reference-typed qvars (`[(?n = 5)]` matches a
+    * numeric ?n — the reference binds Datahike's native values,
+    * builtin.cljc:1695-1838) when no static type is provable.
+    */
+  private[lang] def variantOfBoxed(s: Column): Column = {
+    val v = s.getField("v")
+    when(s.getField("vt").isin("num", "bool"), parse_json(v))
+      .otherwise(variant_get(parse_json(to_json(struct(v.as("s")))),
+        "$.s", "variant"))
   }
 
   /** Equality with a variant side: numbers compare numerically across

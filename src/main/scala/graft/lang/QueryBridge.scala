@@ -74,15 +74,18 @@ object QueryBridge {
         v, p.src.getOrElse("default"))
     }
     // predicate patterns: [($match(?str, /re/))] — compile with qvars
-    // bound to their canonical string columns
-    val predFns = q.preds.map { p => (bound: Map[String, org.apache.spark
-        .sql.Column]) =>
-      val env: Env = bound.map { case (n, c) =>
-        ("?" + n) -> (CD(c, org.apache.spark.sql.types.StringType,
-          KScalar): CV)
-      }
-      graft.functions.Jsonata.boolean(
-        materialize(Compiler.compile(p, env)).col)
+    // restored to NATIVE types (the reference binds Datahike's typed
+    // values, so `[(?n = 5)]` matches a numeric ?n without $number).
+    // Direct-path static hints type the column exactly; without a
+    // provable type the boxed (v, vt) pair restores per row through
+    // the variant channel, whose `=`/comparisons/arithmetic already
+    // carry reference semantics (type-strict, numeric across
+    // encodings).
+    def predFns(hints: Map[String, Set[org.apache.spark.sql.types
+        .DataType]]) = q.preds.map { p =>
+      (bound: Map[String, org.apache.spark.sql.Column]) =>
+        graft.functions.Jsonata.boolean(
+          materialize(Compiler.compile(p, typedPredEnv(bound, hints))).col)
     }
     // the reference parses arbitrary <|k: v|> maps but EXECUTES only
     // keepDBid (builtin.cljc:1753 is the sole consumer) — anything
@@ -105,20 +108,54 @@ object QueryBridge {
         n -> QueryCompiler.DocSource(df.withColumn(EntCol,
           Shred.derivedId(df)), EntCol)
       }
-      val boxed = QueryCompiler.runDocsBoxed(docs, pats, predFns, keepDBid)
+      val hints = QueryCompiler.docVarTypes(docs, pats)
+      val boxed = QueryCompiler.runDocsBoxed(docs, pats, Nil, keepDBid,
+        boxedPredicates = predFns(hints))
       if (allTables) // canonical string bindings, like QueryCompiler.run
         CTab(boxed.select(boxed.columns.toSeq
           .map(c => boxed(c).getField("v").as(c)): _*))
       else
-        CTab(typedBsets(spark, boxed,
-          QueryCompiler.docVarTypes(docs, pats)))
+        CTab(typedBsets(spark, boxed, hints))
     } else {
       val sources = srcDfs.map { case (n, df) => n -> Shred.shred(df) }
       if (allTables) // distributed end-to-end; canonical string bindings
-        CTab(QueryCompiler.run(sources, pats, predFns, keepDBid))
+        CTab(QueryCompiler.run(sources, pats, Nil, keepDBid,
+          boxedPredicates = predFns(Map.empty)))
       else
         CTab(typedBsets(spark,
-          QueryCompiler.runBoxed(sources, pats, predFns, keepDBid)))
+          QueryCompiler.runBoxed(sources, pats, Nil, keepDBid,
+            boxedPredicates = predFns(Map.empty))))
+    }
+  }
+
+  /** Native-typed predicate environment from the boxed binding columns:
+    * all-integral hints restore longs, all-numeric doubles, all-boolean
+    * booleans, any all-non-numeric atomic set the canonical string
+    * (strings, refs, dates); mixed or unknown kinds restore per-row as
+    * variants (Compiler.variantOfBoxed).
+    */
+  private def typedPredEnv(bound: Map[String, org.apache.spark.sql.Column],
+      hints: Map[String, Set[org.apache.spark.sql.types.DataType]]): Env = {
+    import org.apache.spark.sql.types._
+    bound.map { case (n, s) =>
+      val v = s.getField("v")
+      val cd = hints.get(n) match {
+        case Some(dts) if dts.nonEmpty && dts.forall {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          } => CD(v.cast(LongType), LongType, KScalar)
+        case Some(dts) if dts.nonEmpty &&
+            dts.forall(_.isInstanceOf[NumericType]) =>
+          CD(v.cast(DoubleType), DoubleType, KScalar)
+        case Some(dts) if dts.nonEmpty && dts.forall(_ == BooleanType) =>
+          CD(v.cast(BooleanType), BooleanType, KScalar)
+        case Some(dts) if dts.nonEmpty && dts.forall(dt =>
+            !dt.isInstanceOf[NumericType] && dt != BooleanType) =>
+          CD(v, StringType, KScalar)
+        case _ => CD(Compiler.variantOfBoxed(s),
+          org.apache.spark.sql.types.VariantType, KScalar)
+      }
+      ("?" + n) -> (cd: CV)
     }
   }
 

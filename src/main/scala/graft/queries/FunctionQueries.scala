@@ -207,6 +207,23 @@ object FunctionQueries {
       s, Map("customer" -> Tables.customer(s, d)))
       .orderBy("name")
 
+  /** Typed predicate bindings (round 7): bare `[(?size = 5)]` /
+    * `[(?price > 1500)]` with NO $number — the reference binds
+    * native-typed values inside predicates (Datahike values,
+    * builtin.cljc:1695-1838), so numeric comparisons work directly.
+    * The direct doc path types the bindings statically from the
+    * parquet schema; QueryBridge.typedPredEnv.
+    */
+  def fRmPred(s: SparkSession, d: String): DataFrame =
+    graft.lang.RM.queryFrame(
+      """query(){[?p :p_size ?size]
+        |        [?p :p_name ?name]
+        |        [?p :p_retailprice ?price]
+        |        [(?size = 5)]
+        |        [(?price > 950)]}($part)""".stripMargin,
+      s, Map("part" -> Tables.part(s, d)))
+      .orderBy("name")
+
   /** Text query{} mixing a REAL table with a program-literal lookup
     * list — exercises the typed-restore path (QueryBridge.typedBsets).
     * The oracle pins the restored types (pri → long, bal → double) and
@@ -228,6 +245,7 @@ object FunctionQueries {
   val all: Map[String, Q] = Map(
     "q_rm_mixed" -> (qRmMixed _),
     "f_rm_query" -> (fRmQuery _),
+    "f_rm_pred" -> (fRmPred _),
     "f_rm_expr" -> (fRmExpr _),
     "f_path_steps" -> (fPathSteps _),
     "f_string" -> (fString _),
@@ -245,6 +263,14 @@ object FunctionQueries {
         |FROM customer
         |JOIN (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2)) s(seg, pri)
         |  ON c_mktsegment = s.seg
+        |ORDER BY name""".stripMargin,
+    "f_rm_pred" ->
+      """SELECT DISTINCT CAST(p_size AS VARCHAR) AS size, p_name AS name,
+        |  CASE WHEN p_retailprice = CAST(CAST(p_retailprice AS BIGINT) AS DOUBLE)
+        |    THEN CAST(CAST(p_retailprice AS BIGINT) AS VARCHAR)
+        |    ELSE CAST(p_retailprice AS VARCHAR) END AS price
+        |FROM part
+        |WHERE p_size = 5 AND p_retailprice > 950
         |ORDER BY name""".stripMargin,
     "f_rm_query" ->
       """SELECT c_name AS name,

@@ -92,13 +92,20 @@ object QueryCompiler {
     *                   numeric view
     * @param keepDBid   keep entity-position qvars in the output
     *                   (`<|keepDBid: true|>`, reference builtin.cljc:1752-1758)
+    * @param boxedPredicates filters that receive name→struct<v,vt>
+    *                   (canonical value + type tag) — the typed view the
+    *                   text frontend uses to restore native-typed qvar
+    *                   bindings inside predicates
     * @return binding sets: one string column per value/attr qvar
     *         (canonical encoding), distinct (Datalog set semantics)
     */
   def run(sources: Map[String, DataFrame], patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
-      keepDBid: Boolean = false): DataFrame = {
-    val boxed = runBoxed(sources, patterns, predicates, keepDBid)
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      : DataFrame = {
+    val boxed = runBoxed(sources, patterns, predicates, keepDBid,
+      boxedPredicates)
     boxed.select(boxed.columns.toSeq
       .map(c => boxed(c).getField("v").as(c)): _*)
   }
@@ -108,7 +115,9 @@ object QueryCompiler {
     */
   def runBoxed(sources: Map[String, DataFrame], patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
-      keepDBid: Boolean = false): DataFrame = {
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      : DataFrame = {
     require(patterns.nonEmpty, "query{} needs at least one pattern")
     val joined = patterns.map(p => patternFrame(sources(p.src), p))
       .reduceLeft { (acc, next) =>
@@ -118,7 +127,11 @@ object QueryCompiler {
       }
     val bound: Map[String, Column] =
       joined.columns.map(n => n -> joined(n).getField("v")).toMap
-    val filtered = predicates.foldLeft(joined)((f, p) => f.filter(p(bound)))
+    val boundBoxed: Map[String, Column] =
+      joined.columns.map(n => n -> joined(n)).toMap
+    val filtered = boxedPredicates.foldLeft(
+      predicates.foldLeft(joined)((f, p) => f.filter(p(bound))))(
+      (f, p) => f.filter(p(boundBoxed)))
     // Datalog set semantics over ALL found qvars, THEN drop entity vars
     // (so residual duplicate bsets survive, as in the reference).
     val entityVars = patterns.flatMap(p => p.e match {
@@ -151,8 +164,11 @@ object QueryCompiler {
     */
   def runDocs(sources: Map[String, DocSource], patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
-      keepDBid: Boolean = false): DataFrame = {
-    val boxed = runDocsBoxed(sources, patterns, predicates, keepDBid)
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      : DataFrame = {
+    val boxed = runDocsBoxed(sources, patterns, predicates, keepDBid,
+      boxedPredicates)
     boxed.select(boxed.columns.toSeq
       .map(c => boxed(c).getField("v").as(c)): _*)
   }
@@ -163,7 +179,9 @@ object QueryCompiler {
     */
   def runDocsBoxed(sources: Map[String, DocSource], patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
-      keepDBid: Boolean = false): DataFrame = {
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      : DataFrame = {
     require(patterns.nonEmpty, "query{} needs at least one pattern")
     require(patterns.forall(_.a.isInstanceOf[C]),
       "runDocs requires constant attributes; use run() for wildcards")
@@ -207,7 +225,11 @@ object QueryCompiler {
     }
     val bound: Map[String, Column] =
       joined.columns.map(n => n -> joined(n).getField("v")).toMap
-    val filtered = predicates.foldLeft(joined)((f, p) => f.filter(p(bound)))
+    val boundBoxed: Map[String, Column] =
+      joined.columns.map(n => n -> joined(n)).toMap
+    val filtered = boxedPredicates.foldLeft(
+      predicates.foldLeft(joined)((f, p) => f.filter(p(bound))))(
+      (f, p) => f.filter(p(boundBoxed)))
     val entityVars = patterns.flatMap(_.e match {
       case V(n) => Some(n); case _ => None
     }).toSet

@@ -88,6 +88,64 @@ class RMQuerySpec extends SparkSpec {
       Map("str" -> "example"))
   }
 
+  test("typed predicate: [(?n = 5)] matches a numeric qvar without $number") {
+    // the reference binds native-typed values inside predicates
+    // (Datahike values), so a bare `= 5` must match a numeric column;
+    // the canonical-string binding of earlier rounds made this
+    // type-strict false
+    run(
+      """( $data := [{'name': 'a', 'n': 5}, {'name': 'b', 'n': 7}];
+        |  $q := query{ [?e :name ?name] [?e :n ?n] [(?n = 5)] };
+        |  $q($data) )""".stripMargin,
+      Map("name" -> "a", "n" -> 5L))
+  }
+
+  test("typed predicate: order comparison over a fractional qvar") {
+    val got = RM.eval(
+      """( $data := [{'name': 'a', 'x': 1.5}, {'name': 'b', 'x': 3.25},
+        |            {'name': 'c', 'x': 9.0}];
+        |  $q := query{ [?e :name ?name] [?e :x ?x] [(?x > 2)] };
+        |  $q($data) )""".stripMargin, spark)
+      .get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(Map("name" -> "b", "x" -> 3.25),
+      Map("name" -> "c", "x" -> 9.0)))
+  }
+
+  test("typed predicate stays type-strict: [(?n = '5')] never matches numbers") {
+    val got = RM.eval(
+      """( $data := [{'name': 'a', 'n': 5}];
+        |  $q := query{ [?e :name ?name] [?e :n ?n] [(?n = '5')] };
+        |  $q($data) )""".stripMargin, spark)
+    assert(got.isEmpty || got.contains(Seq()), s"expected no bsets, got $got")
+  }
+
+  test("typed predicate: $number still composes over a typed binding") {
+    run(
+      """( $data := [{'name': 'a', 'n': 5}, {'name': 'b', 'n': 7}];
+        |  $q := query{ [?e :name ?name] [?e :n ?n] [($number(?n) = 7)] };
+        |  $q($data) )""".stripMargin,
+      Map("name" -> "b", "n" -> 7L))
+  }
+
+  test("typed predicate on the EAV path: wildcard attr binds per-row types") {
+    // a wildcard attribute forces the EAV (shredded) path, where no
+    // static hint exists — the variant restore must still make
+    // `= 5` match the numeric value and skip the string one
+    run(
+      """( $data := [{'a': 5, 'b': '5', 'c': 6}];
+        |  $q := query{ [?e ?attr ?v] [(?v = 5)] };
+        |  $q($data) )""".stripMargin,
+      Map("attr" -> "a", "v" -> 5L))
+  }
+
+  test("typed predicate on the EAV path: $match over a string-typed variant") {
+    run(
+      """( $data := [{'a': 'example', 'b': 5}];
+        |  $q := query{ [?e ?attr ?v] [($match(?v, /examp/))] };
+        |  $q($data) )""".stripMargin,
+      Map("attr" -> "a", "v" -> "example"))
+  }
+
   test("express reduce with qvar key over hand-written bsets (query_test:609-618)") {
     run(
       """( $bSets := [{?id : 123, ?name : 'Bob',   ?aData : 'Bob-A-data',   ?bData : 'Bob-B-data'},
