@@ -648,6 +648,51 @@ object Dedup {
     array((0 until dim).map(_ => lit(rnd.nextDouble() * 2 - 1)): _*)
   }
 
+  /** C4-style boilerplate-paragraph removal: drop every paragraph that
+    * appears (by md5 of its exact text) in at least `minDocs` distinct
+    * documents, preserving the order of surviving paragraphs. Returns
+    * one row per input document: id, reassembled text, kept/dropped
+    * counts (a document whose every paragraph is boilerplate survives
+    * with empty text — the caller decides whether to drop it).
+    *
+    * Scale shape: posexplode (linear), ONE paragraph-hash aggregate
+    * whose output is only the frequent hashes (bounded by
+    * total_paragraphs / minDocs, and in practice by the boilerplate
+    * vocabulary — headers/footers/licenses), broadcast back as an
+    * equality probe, then one groupBy(doc) to reassemble. With
+    * `broadcastBoiler = false` the probe becomes a co-partitioned
+    * hash join for corpora whose boilerplate set itself is huge.
+    */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n\n", minDocs: Int = 2,
+      broadcastBoiler: Boolean = true): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val paras = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__para")))
+    val boiler0 = paras.groupBy(md5(col("__para")).as("__h"))
+      .agg(countDistinct(col("__id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("__h")
+    val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
+    val flagged = paras.join(boiler,
+        md5(col("__para")) === col("__h"), "left")
+      .select(col("__id"), col("__pos"), col("__para"),
+        col("__h").isNotNull.as("__boiler"))
+    // per-document reassembly: bounded group (one document's
+    // paragraphs), order restored from the explode position
+    flagged.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__pos"),
+        col("__boiler"), col("__para")))).as("__ps"))
+      .select(col("__id").as(idCol),
+        array_join(transform(
+          filter(col("__ps"), p => !p.getField("__boiler")),
+          _.getField("__para")), sep).as(textCol),
+        size(filter(col("__ps"), p => !p.getField("__boiler")))
+          .cast("long").as("n_kept"),
+        size(filter(col("__ps"), p => p.getField("__boiler")))
+          .cast("long").as("n_dropped"))
+  }
+
   /** Embedding near-dup pairs: bucket by hyperplane signature, verify
     * cosine within buckets. One shuffle on the bucket key.
     */

@@ -89,6 +89,50 @@ object Sampling {
     df.filter(frac < weight)
   }
 
+  /** Temperature-weighted source mixing — the "alpha sampling" of
+    * multi-source/multilingual training runs: sample stratum `s` with
+    * probability ∝ n_s^alpha, flattening the source distribution
+    * toward uniform as alpha → 0. Each stratum gets the keep
+    * probability
+    *   q_s = targetFrac · N · p_s / n_s,  p_s = n_s^alpha / Σ n^alpha
+    * and a row survives iff its seeded hash fraction < q_s (scan-local
+    * membership; q_s ≥ 1 keeps the whole stratum).
+    *
+    * Scale shape: ONE tiny stratum-count aggregate (map-side partial)
+    * broadcast back as a rates frame — the corpus itself never
+    * shuffles, and a row's fate depends only on its own id + the
+    * stratum rates, so appends change rates but never flip a kept row
+    * capriciously under retries/repartitioning.
+    *
+    * Engine portability: the default alpha = 0.5 goes through sqrt
+    * (IEEE correctly rounded — bit-exact across engines); other alphas
+    * use pow, whose last-ulp rounding is library-defined. The Σ n^alpha
+    * reduction runs through DECIMAL so summation order cannot perturb
+    * the rates.
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      targetFrac: Double, alpha: Double = 0.5,
+      seed: Int = 42): DataFrame = {
+    require(targetFrac > 0, "targetFrac must be positive")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__a",
+        if (alpha == 0.5) sqrt(col("__n").cast("double"))
+        else pow(col("__n").cast("double"), alpha))
+    val tots = counts.agg(
+      graft.Tables.dsum(col("__a"), 12).as("__a_total"),
+      sum(col("__n")).as("__n_total"))
+    val rates = counts.crossJoin(broadcast(tots))
+      .select(col(stratumCol),
+        ((lit(targetFrac) * col("__n_total") *
+          (col("__a") / col("__a_total"))) / col("__n")).as("__keep_p"))
+    val frac = conv(substring(sampleHash(col(idCol), seed), 1, 15),
+      16, 10).cast("long").cast("double") / 1152921504606846976.0d
+    df.join(broadcast(rates), stratumCol)
+      .filter(col("__keep_p") >= 1.0 || frac < col("__keep_p"))
+      .drop("__keep_p")
+  }
+
   /** Deterministic global shuffle: a total order by seeded hash (ties
     * by id) — the reproducible training order. Plans as one
     * range-partitioned sort.

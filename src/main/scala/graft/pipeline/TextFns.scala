@@ -293,6 +293,70 @@ object TextFns {
     * by (df desc, token) keeps the result bounded (TakeOrdered, no
     * global sort) at any corpus size.
     */
+  /** BM25 keyword search over the corpus: score every document
+    * containing at least one query term and return the top `topK`.
+    *
+    *   score(D) = Σ_t idf(t) · tf(t,D)(k1+1) /
+    *                    (tf(t,D) + k1(1 − b + b·|D|/avgdl))
+    *
+    * `logIdf = true` (default) is textbook Lucene BM25
+    * (idf = ln((N−df+0.5)/(df+0.5) + 1)); `logIdf = false` uses the
+    * raw odds ratio (N−df+0.5)/(df+0.5) — same per-term monotonicity,
+    * but every arithmetic step is an exactly-rounded IEEE op, so the
+    * scores are bit-portable across engines (the oracle-gated form;
+    * ln's last ulp is library-defined). Per-document term scores
+    * reduce through DECIMAL so summation order cannot perturb the
+    * total.
+    *
+    * Scale shape: tokenization is ONE scan (TokenCounts staged per
+    * row); the query-term filter runs inside that scan, so only
+    * matching (doc, term) rows — |terms| per doc at most — ever
+    * shuffle. Corpus stats (N, avgdl) and per-term dfs are tiny
+    * aggregates broadcast back; the final top-k is a
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 100,
+      logIdf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val termLits = terms.map(t => lit(t.toLowerCase)).toSeq
+    val base = df.select(col(idCol).as("doc_id"),
+      graft.functions.TokenCounts(col(textCol)).as("__tcs"))
+    // doc length = Σ cnt (total tokens); query-term postings filtered
+    // inside the same projection. STAGED (persist, harness-released):
+    // three consumers (stats, dfs, postings) would otherwise each
+    // re-tokenize the corpus — three full text scans — and none of
+    // them shares an exchange for ReusedExchange to latch onto. The
+    // staged frame is narrow (id, length, ≤|terms| postings — no
+    // text), so the cache is a small fraction of corpus size.
+    val lens = graft.core.Caches.stage(base.select(col("doc_id"),
+      aggregate(col("__tcs"), lit(0L),
+        (acc, x) => acc + x.getField("cnt")).as("dl"),
+      filter(col("__tcs"),
+        x => x.getField("token").isin(termLits: _*)).as("__q")))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = lens.select(col("doc_id"), col("dl"),
+        explode(col("__q")).as("t"))
+      .select(col("doc_id"), col("dl"),
+        col("t.token").as("token"), col("t.cnt").as("tf"))
+    val dfs = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    val idfOdds = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+    val idf = if (logIdf) log(idfOdds + 1.0) else idfOdds
+    val score = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * (col("dl") /
+        col("avgdl"))))
+    matched.join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("__sc"))
+      .groupBy("doc_id")
+      .agg(graft.Tables.dsum(col("__sc"), 12).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def docFrequency(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topN: Int = 200): org.apache.spark.sql.DataFrame =
     df.select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))

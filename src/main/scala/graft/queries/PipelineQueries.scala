@@ -449,6 +449,51 @@ object PipelineQueries {
         col("dup3") > 0.02 || col("top_frac") > 0.12)
       .orderBy("doc_id")
 
+  /** BM25 keyword search: top-100 documents for a 3-term query, in the
+    * engine-portable raw-odds idf form (logIdf = false — every step an
+    * exactly-rounded IEEE op; see TextFns.bm25). The textbook log-idf
+    * path is spec-covered (PipelineSpec pins the same ranking on a
+    * controlled micro-corpus).
+    */
+  def pBm25(s: SparkSession, d: String): DataFrame =
+    TextFns.bm25(Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "window", "vector"), topK = 100, logIdf = false)
+
+  /** C4-style boilerplate-paragraph removal. The documents fixture is
+    * single-paragraph, so the gate constructs a 4-paragraph text
+    * deterministically in-query (both engines replay it): a per-doc
+    * prefix, a footer shared by ALL docs, a per-doc paragraph, and a
+    * third-of-corpus boilerplate line — dedup at minDocs = 5 must drop
+    * exactly the footer and the tri-band line while preserving
+    * paragraph order in the reassembled text (pinned via md5).
+    */
+  def pParaDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ptext = concat_ws(" <p> ", substring(col("text"), 1, 120),
+      lit("shared footer paragraph"),
+      concat(lit("doc paragraph "), id.cast("string")),
+      when(id % 3 === 0, lit("tri band boilerplate"))
+        .otherwise(concat(lit("unique filler "), (id * 7).cast("string"))))
+    graft.pipeline.Dedup.dropRepeatedParagraphs(
+        Tables.documents(s, d).select(id, ptext.as("text")),
+        "doc_id", "text", sep = " <p> ", minDocs = 5)
+      .select(col("doc_id"), md5(col("text")).as("chash"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-weighted source mixing over the language strata
+    * (alpha = 0.5 — the mT5/XLM-R-style flattening, and the alpha
+    * whose n^alpha is IEEE-exact): 40% of the corpus drawn with
+    * per-language rates ∝ √n_lang, membership by seeded hash
+    * fraction. The oracle replays counts, rates, and the hash draw.
+    */
+  def pMix(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.temperatureMix(Tables.documents(s, d),
+        "lang", "doc_id", targetFrac = 0.4, alpha = 0.5, seed = 7)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -488,6 +533,9 @@ object PipelineQueries {
     "p_ann_ivf" -> (pAnnIvf _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
+    "p_bm25" -> (pBm25 _),
+    "p_para_dedup" -> (pParaDedup _),
+    "p_mix" -> (pMix _),
     "p_rep_signals" -> (pRepSignals _),
     "p_weighted_sample" -> (pWeightedSample _),
     "p_batches" -> (pBatches _),
@@ -1141,6 +1189,89 @@ object PipelineQueries {
         |  CAST(row_number() OVER (ORDER BY
         |    md5(CAST(doc_id AS VARCHAR) || ':9'), doc_id) AS INT) AS pos
         |FROM kept ORDER BY doc_id""".stripMargin,
+    "p_bm25" ->
+      // decimal literals are CAST to DOUBLE before touching columns so
+      // DuckDB's exact-decimal literal arithmetic cannot diverge from
+      // Spark's double ops (e.g. tf * decimal 2.2 is exact in decimal
+      // but rounded in double); x.5 terms are double-exact either way
+      s"""WITH base AS (
+         |  SELECT doc_id, $toks AS ts FROM documents),
+         |lens AS (SELECT doc_id, len(ts) AS dl FROM base),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |matched AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(ts) AS token FROM base)
+         |  WHERE token IN ('spark', 'window', 'vector') GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM matched GROUP BY 1),
+         |scored AS (
+         |  SELECT m.doc_id,
+         |    (CAST(s.n_docs - d.df + 0.5 AS DOUBLE) /
+         |       CAST(d.df + 0.5 AS DOUBLE))
+         |      * (m.tf * CAST(1.2 + 1 AS DOUBLE))
+         |      / (m.tf + CAST(1.2 AS DOUBLE) *
+         |          (CAST(1 - 0.75 AS DOUBLE) +
+         |           CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl))) AS sc
+         |  FROM matched m JOIN dfs d USING (token)
+         |  JOIN lens l USING (doc_id), stats s)
+         |SELECT doc_id,
+         |  CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE) AS score,
+         |  count(*) AS n_terms
+         |FROM scored GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    "p_para_dedup" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    concat_ws(' <p> ', substr(text, 1, 120),
+        |      'shared footer paragraph',
+        |      'doc paragraph ' || CAST(doc_id AS VARCHAR),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'tri band boilerplate'
+        |           ELSE 'unique filler ' || CAST(doc_id * 7 AS VARCHAR)
+        |      END) AS ptext
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, i AS pos, str_split(ptext, ' <p> ')[i] AS para
+        |  FROM built,
+        |    UNNEST(range(1, len(str_split(ptext, ' <p> ')) + 1)) AS t(i)),
+        |boiler AS (
+        |  SELECT md5(para) AS h FROM paras GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN md5(para) NOT IN (SELECT h FROM boiler)
+        |      THEN para END, ' <p> ' ORDER BY pos), '')) AS chash,
+        |  count(CASE WHEN md5(para) NOT IN (SELECT h FROM boiler)
+        |    THEN 1 END) AS n_kept,
+        |  count(CASE WHEN md5(para) IN (SELECT h FROM boiler)
+        |    THEN 1 END) AS n_dropped
+        |FROM paras GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "p_mix" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |wts AS (
+         |  SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS a FROM counts),
+         |tot AS (
+         |  SELECT CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE)
+         |      AS a_total,
+         |    sum(n) AS n_total FROM wts),
+         |rates AS (
+         |  SELECT lang,
+         |    ((CAST(0.4 AS DOUBLE) * t.n_total) * (a / t.a_total)) / n
+         |      AS keep_p
+         |  FROM wts, tot t),
+         |fr AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CAST(list_sum(list_transform(range(1, 16), i ->
+         |      (strpos('0123456789abcdef', substr(
+         |        md5(CAST(doc_id AS VARCHAR) || ':7'), i, 1)) - 1)
+         |        * ($pow16)[i])) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976.0 AS frac
+         |  FROM documents)
+         |SELECT f.doc_id, f.lang
+         |FROM fr f JOIN rates r USING (lang)
+         |WHERE r.keep_p >= CAST(1.0 AS DOUBLE) OR f.frac < r.keep_p
+         |ORDER BY f.doc_id""".stripMargin,
     "p_bpe_pairs" ->
       s"""WITH tkn AS (
          |  SELECT $toks AS ts FROM documents),

@@ -453,6 +453,73 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
+  test("bm25: textbook log-idf ranking on a controlled micro-corpus") {
+    val corpus = Seq(
+      (1L, "spark spark spark query engine"),
+      (2L, "spark query"),
+      (3L, "database index btree storage"),
+      (4L, "spark")).toDF("doc_id", "text")
+    val top = TextFns.bm25(corpus, "doc_id", "text", Seq("spark"),
+      topK = 10, logIdf = true)
+      .select("doc_id", "score", "n_terms")
+      .as[(Long, Double, Long)].collect()
+    // only docs containing the term appear
+    assert(top.map(_._1).toSet == Set(1L, 2L, 4L))
+    assert(top.forall(_._2 > 0) && top.forall(_._3 == 1L))
+    // doc 4 (dl=1, tf=1) outranks doc 2 (dl=2, tf=1): shorter doc,
+    // same tf; doc 1 has tf=3 but dl=5 — length normalization at
+    // b=0.75 still ranks it above the tf=1 docs
+    val byRank = top.sortBy(-_._2).map(_._1).toSeq
+    assert(byRank.head == 1L && byRank == Seq(1L, 4L, 2L), byRank.toString)
+    // multi-term: rarer term contributes higher idf
+    val two = TextFns.bm25(corpus, "doc_id", "text",
+      Seq("spark", "btree"), topK = 10)
+      .select("doc_id", "n_terms").as[(Long, Long)].collect().toMap
+    assert(two(3L) == 1L && two(1L) == 1L)
+  }
+
+  test("paragraph dedup drops cross-document boilerplate, keeps order") {
+    val sep = "\n\n"
+    val pdocs = Seq(
+      (1L, s"alpha one${sep}COMMON FOOTER${sep}beta one"),
+      (2L, s"alpha two${sep}COMMON FOOTER${sep}beta two"),
+      (3L, s"alpha three${sep}COMMON FOOTER${sep}beta three"),
+      (4L, s"COMMON FOOTER")).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(pdocs, "doc_id", "text",
+      sep = sep, minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 4)
+    assert(out(0) == ((1L, s"alpha one${sep}beta one", 2L, 1L)))
+    assert(out(1) == ((2L, s"alpha two${sep}beta two", 2L, 1L)))
+    // all-boilerplate doc survives with empty text (caller decides)
+    assert(out(3) == ((4L, "", 0L, 1L)))
+  }
+
+  test("temperature mix flattens the stratum distribution") {
+    val rows = (0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "stratum")
+    val kept = Sampling.temperatureMix(df, "stratum", "id",
+      targetFrac = 0.3, alpha = 0.5, seed = 11)
+      .groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    // alpha=0.5 rates: p_big = 30/40, p_small = 10/40 → expected keeps
+    // big: 0.3*1000*0.75 = 225 of 900 (25%), small: 75 of 100 (75%) —
+    // the small stratum keeps a 3x higher fraction (flattening)
+    val fracBig = kept("big").toDouble / 900
+    val fracSmall = kept("small").toDouble / 100
+    assert(fracSmall > fracBig * 2, s"big=$fracBig small=$fracSmall")
+    // hash-Bernoulli draw: counts land near expectation
+    assert(math.abs(kept("big") - 225) < 45 &&
+      math.abs(kept("small") - 75) < 25, kept.toString)
+    // alpha = 1 is proportional sampling: every stratum keeps
+    // targetFrac, and targetFrac = 1 keeps everything
+    assert(Sampling.temperatureMix(df, "stratum", "id", 1.0,
+      alpha = 1.0, seed = 11).count() == 1000)
+  }
+
   test("multimodal: batched stub decode + frame sampling plumbing") {
     val media = docs.select($"doc_id",
       Multimodal.packFakeMedia($"text").as("media"))
