@@ -293,6 +293,55 @@ object TextFns {
     * by (df desc, token) keeps the result bounded (TakeOrdered, no
     * global sort) at any corpus size.
     */
+  /** fastText/CCNet-style linear quality classifier over hashing-trick
+    * bag-of-tokens features: bucket(t) = portable 60-bit token hash mod
+    * `dim`, feature x_b = (Σ cnt of tokens in b) / doc_length, and
+    *
+    *   margin = bias + Σ_b x_b · w_b
+    *
+    * — the raw decision margin (monotone under sigmoid, so thresholding
+    * margin > 0 IS the classifier decision; no transcendental in the
+    * oracle path). `weights` carries a trained model as a LITERAL array
+    * (codegen'd scan-local indexing, the k-means literal-centroid
+    * idiom); without it each w_b derives from a seeded md5 — not a
+    * trained model, but a deterministic engine-replayable stand-in
+    * with the same plan shape (the oracle-gated form).
+    *
+    * Scale shape: one tokenization explode and ONE doc-key shuffle for
+    * the margin sum (DECIMAL-reduced, so partition/summation order
+    * cannot perturb scores); weights are row-local expressions — no
+    * join, nothing broadcast but the plan itself.
+    */
+  def linearQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 64, seed: Int = 7,
+      weights: Option[Seq[Double]] = None,
+      bias: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(weights.forall(_.size == dim), s"weights must have size $dim")
+    val base = df.select(col(idCol).as("doc_id"),
+      graft.functions.TokenCounts(col(textCol)).as("__tcs"))
+    val tk = base.select(col("doc_id"),
+      aggregate(col("__tcs"), lit(0L),
+        (acc, x) => acc + x.getField("cnt")).as("dl"),
+      explode(col("__tcs")).as("t"))
+    val bucket = conv(org.apache.spark.sql.functions.substring(
+      md5(col("t.token")), 1, 15), 16, 10).cast("long") % dim
+    val w = weights match {
+      case Some(ws) =>
+        element_at(lit(ws.toArray), (bucket + 1).cast("int"))
+      case None =>
+        conv(org.apache.spark.sql.functions.substring(
+          md5(concat(lit(s"w:$seed:"), bucket.cast("string"))), 1, 15),
+          16, 10)
+          .cast("long").cast("double") / 1152921504606846976.0d * 2 - 1
+    }
+    val term = (col("t.cnt") / col("dl")) * w
+    tk.groupBy("doc_id")
+      .agg((graft.Tables.dsum(term, 15) + bias).as("margin"),
+        max(col("dl")).as("n_tokens"))
+      .withColumn("keep", col("margin") > 0)
+  }
+
   /** BM25 keyword search over the corpus: score every document
     * containing at least one query term and return the top `topK`.
     *

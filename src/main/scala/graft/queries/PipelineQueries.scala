@@ -494,6 +494,17 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Model-based quality filtering: the linear classifier margin over
+    * hashing-trick features (TextFns.linearQuality) with the seeded
+    * pseudo-weights (same plan shape as a trained model shipped as a
+    * literal array; the oracle replays bucket hash, weight derivation,
+    * and the DECIMAL-reduced margin exactly).
+    */
+  def pQualityCls(s: SparkSession, d: String): DataFrame =
+    TextFns.linearQuality(Tables.documents(s, d), "doc_id", "text",
+      dim = 64, seed = 7)
+      .orderBy("doc_id")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -534,6 +545,7 @@ object PipelineQueries {
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
     "p_bm25" -> (pBm25 _),
+    "p_quality_cls" -> (pQualityCls _),
     "p_para_dedup" -> (pParaDedup _),
     "p_mix" -> (pMix _),
     "p_rep_signals" -> (pRepSignals _),
@@ -568,10 +580,16 @@ object PipelineQueries {
   /** The 60-bit shingle hash, mirroring `Dedup.shingleHash`: fold the
     * first 15 md5 hex digits positionally, mod P.
     */
-  private def hash60(sref: String): String =
+  /** Raw 60-bit hex fold of md5(sref) (no modulus) — the SQL mirror of
+    * `conv(substring(md5(s), 1, 15), 16, 10)`.
+    */
+  private def hex60(sref: String): String =
     s"""CAST(list_sum(list_transform(range(1, 16), i ->
        |  (strpos('0123456789abcdef', substr(md5($sref), i, 1)) - 1)
-       |    * ($pow16)[i])) AS BIGINT) % 2147483647""".stripMargin
+       |    * ($pow16)[i])) AS BIGINT)""".stripMargin
+
+  private def hash60(sref: String): String =
+    s"${hex60(sref)} % 2147483647"
 
   /** `(i, a, b)` VALUES rows of Dedup.permCoeffs(32) — identical
     * coefficients to the ones baked into the Spark plan.
@@ -1220,6 +1238,29 @@ object PipelineQueries {
          |  count(*) AS n_terms
          |FROM scored GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    "p_quality_cls" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toks AS ts FROM documents),
+         |tk AS (
+         |  SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM base),
+         |tc AS (
+         |  SELECT doc_id, dl, token, count(*) AS cnt
+         |  FROM tk GROUP BY 1, 2, 3),
+         |tb AS (
+         |  SELECT doc_id, dl, cnt, ${hex60("token")} % 64 AS b FROM tc),
+         |tw AS (
+         |  SELECT doc_id, dl, cnt,
+         |    ((CAST(${hex60("'w:7:' || CAST(b AS VARCHAR)")} AS DOUBLE)
+         |       / 1152921504606846976.0) * 2 - 1) AS w
+         |  FROM tb),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CAST((cnt / dl) * w AS DECIMAL(38,15)))
+         |      AS DOUBLE) + CAST(0.0 AS DOUBLE) AS margin,
+         |    max(dl) AS n_tokens
+         |  FROM tw GROUP BY 1)
+         |SELECT doc_id, margin, n_tokens, margin > 0 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "p_para_dedup" ->
       """WITH built AS (
         |  SELECT doc_id,

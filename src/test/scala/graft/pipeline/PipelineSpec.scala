@@ -497,6 +497,34 @@ class PipelineSpec extends SparkSpec {
     assert(out(3) == ((4L, "", 0L, 1L)))
   }
 
+  test("linear quality classifier: deterministic margins, literal weights") {
+    val out = TextFns.linearQuality(docs, "doc_id", "text",
+      dim = 16, seed = 3).orderBy("doc_id")
+      .select("doc_id", "margin", "n_tokens", "keep")
+      .as[(Long, Double, Long, Boolean)].collect()
+    assert(out.length == 5)
+    // identical text (1 vs 4) → identical margin; near-identical (2:
+    // one word differs) → different margin
+    assert(out(0)._2 == out(3)._2)
+    assert(out(0)._2 != out(1)._2)
+    assert(out.forall(r => r._4 == (r._2 > 0)))
+    // repartition-stable (DECIMAL-reduced sum, hash-derived weights)
+    val re = TextFns.linearQuality(docs.repartition(7), "doc_id",
+      "text", dim = 16, seed = 3)
+      .orderBy("doc_id").select("margin").as[Double].collect()
+    assert(re.toSeq == out.map(_._2).toSeq)
+    // literal trained weights: all-ones weights → margin = Σ tf/dl = 1
+    val ones = TextFns.linearQuality(docs, "doc_id", "text", dim = 4,
+      weights = Some(Seq(1.0, 1.0, 1.0, 1.0)))
+      .select("margin").as[Double].collect()
+    assert(ones.forall(m => math.abs(m - 1.0) < 1e-9), ones.toSeq.toString)
+    // bias shifts the margin and flips keep decisions
+    val biased = TextFns.linearQuality(docs, "doc_id", "text", dim = 4,
+      weights = Some(Seq(1.0, 1.0, 1.0, 1.0)), bias = -2.0)
+      .select("keep").as[Boolean].collect()
+    assert(biased.forall(_ == false))
+  }
+
   test("temperature mix flattens the stratum distribution") {
     val rows = (0 until 900).map(i => (i.toLong, "big")) ++
       (900 until 1000).map(i => (i.toLong, "small"))
