@@ -293,6 +293,43 @@ object TextFns {
     * by (df desc, token) keeps the result bounded (TakeOrdered, no
     * global sort) at any corpus size.
     */
+  /** Apply a learned BPE merge list to text — the tokenizer-encode
+    * step a training pipeline runs over the whole corpus. Merges apply
+    * sequentially in rank order, each replacing ALL its occurrences
+    * left-to-right (the subword-nmt / apply-BPE convention for a
+    * well-formed merge list).
+    *
+    * Implementation is pure codegen'd string ops — no UDF, no HOF
+    * lambda, no per-word loop: every symbol renders wrapped in its own
+    * start/end markers (U+0001 c U+0002), words joined by a bare
+    * space, and each merge (a, b) is ONE literal `replace` of
+    * S·a·E·S·b·E with S·ab·E. Both markers are load-bearing: the
+    * end marker stops a pattern from matching a PREFIX of a longer
+    * symbol (t, ab must not fire (t, a)), the start marker stops
+    * suffix matches (xt, y must not fire (t, y)), per-symbol marker
+    * pairs keep adjacent matches from consuming a shared boundary
+    * ("tata" → ta, ta), and the unmarked space keeps merges inside
+    * one word. The whole encode is one scan-local chain of |merges|
+    * replaces.
+    *
+    * @return array of subword tokens in document order
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val S = "\u0001"; val E = "\u0002"
+    require(merges.forall { case (a, b) =>
+      (a + b).forall(ch => ch != S.head && ch != E.head && ch != ' ') },
+      "merge symbols must not contain the marker characters or spaces")
+    val base = array_join(Dedup.tokens(text), " ")
+    val marked = replace(
+      regexp_replace(base, "(.)", S + "$1" + E), lit(S + " " + E),
+      lit(" "))
+    val folded = merges.foldLeft(marked) { case (s, (a, b)) =>
+      replace(s, lit(S + a + E + S + b + E), lit(S + a + b + E))
+    }
+    filter(split(regexp_replace(folded, "[" + S + E + "]", " "), " "),
+      t => length(t) > 0)
+  }
+
   /** fastText/CCNet-style linear quality classifier over hashing-trick
     * bag-of-tokens features: bucket(t) = portable 60-bit token hash mod
     * `dim`, feature x_b = (Σ cnt of tokens in b) / doc_length, and

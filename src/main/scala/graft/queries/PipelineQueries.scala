@@ -505,6 +505,31 @@ object PipelineQueries {
       dim = 64, seed = 7)
       .orderBy("doc_id")
 
+  /** The BPE merge list the encode gate applies: hand-ranked merges
+    * over the fixture vocabulary ("table", "query", "spark" fragments)
+    * — rank order matters ((a, r) runs after (t, a), so the 'a' inside
+    * an already-merged "ta" never pairs with a following 'r'), which is
+    * exactly what the sequential-application semantics pin.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("q", "u"),
+    ("e", "r"), ("qu", "er"), ("s", "p"), ("a", "r"), ("sp", "ar"))
+
+  /** Tokenizer-encode over the corpus: TextFns.bpeEncode applies the
+    * merge list as a codegen'd scan-local replace chain; the gate pins
+    * subword count and the md5 of the full encoded sequence per
+    * document (so merge order, boundary handling, and all 10 merges
+    * are load-bearing).
+    */
+  def pBpeEncode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.bpeEncode(col("text"), BpeMerges).as("__e"))
+      .select(col("doc_id"),
+        size(col("__e")).cast("long").as("n_subwords"),
+        md5(array_join(col("__e"), " ")).as("ehash"))
+      .orderBy("doc_id")
+
   /** Count-min sketch lifecycle: per-shard build (doc_id % 4 plays the
     * ingest-shard key) → cell-wise merge → point estimates for the 30
     * most frequent tokens, reported beside their exact counts (the CMS
@@ -573,6 +598,7 @@ object PipelineQueries {
     "p_bm25" -> (pBm25 _),
     "p_quality_cls" -> (pQualityCls _),
     "p_cms" -> (pCms _),
+    "p_bpe_encode" -> (pBpeEncode _),
     "p_para_dedup" -> (pParaDedup _),
     "p_mix" -> (pMix _),
     "p_rep_signals" -> (pRepSignals _),
@@ -1265,6 +1291,29 @@ object PipelineQueries {
          |  count(*) AS n_terms
          |FROM scored GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    "p_bpe_encode" -> {
+      val marked =
+        """replace(regexp_replace(
+          |  array_to_string(list_filter(str_split_regex(lower(text),
+          |    '[^a-z0-9]+'), x -> x <> ''), ' '),
+          |  '(.)', chr(1) || '\1' || chr(2), 'g'),
+          |  chr(1) || ' ' || chr(2), ' ')""".stripMargin
+      val folded = BpeMerges.foldLeft(marked) { case (s, (a, b)) =>
+        s"replace($s, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), " +
+          s"chr(1)||'$a$b'||chr(2))"
+      }
+      s"""WITH enc AS (
+         |  SELECT doc_id,
+         |    regexp_replace($folded, '['||chr(1)||chr(2)||']', ' ',
+         |      'g') AS es
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(list_filter(str_split(es, ' '), x -> x <> ''))
+         |    AS n_subwords,
+         |  md5(array_to_string(list_filter(str_split(es, ' '),
+         |    x -> x <> ''), ' ')) AS ehash
+         |FROM enc ORDER BY doc_id""".stripMargin
+    },
     "p_cms" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest($toks) AS token FROM documents),

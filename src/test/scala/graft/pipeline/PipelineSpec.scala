@@ -525,6 +525,32 @@ class PipelineSpec extends SparkSpec {
     assert(biased.forall(_ == false))
   }
 
+  test("bpe encode: rank-ordered merges, word boundaries, full words") {
+    val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"))
+    def enc(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(TextFns.bpeEncode(col("text"), merges).as("e"))
+        .as[Seq[String]].head()
+    // full cascade: t+a → ta, ta+b → tab, l+e → le, tab+le → table
+    assert(enc("table") == Seq("table"))
+    // partial application where later merges don't fire
+    assert(enc("tale") == Seq("ta", "le"))
+    // merges never cross word boundaries: "ta ble" keeps b,le apart
+    // from ta (no (ta,b) across the space)
+    assert(enc("ta ble") == Seq("ta", "b", "le"))
+    // word-initial merge fires on the second word too
+    assert(enc("x table") == Seq("x", "table"))
+    // rank order is load-bearing: with (a,b) ranked FIRST, "tab"
+    // becomes t + ab (the (t,a) merge finds its 'a' consumed)
+    val reordered = Seq(("a", "b"), ("t", "a"))
+    val r = Seq("tab").toDF("text")
+      .select(TextFns.bpeEncode(col("text"), reordered).as("e"))
+      .as[Seq[String]].head()
+    assert(r == Seq("t", "ab"))
+    // left-to-right all-occurrence semantics within a word
+    assert(enc("tata") == Seq("ta", "ta"))
+  }
+
   test("count-min sketch: est >= exact, sharded merge == global build") {
     val tokens = docs.select(
       explode(graft.functions.TokenCounts($"text")).as("tc"))
