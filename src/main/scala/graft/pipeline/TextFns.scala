@@ -353,30 +353,59 @@ object TextFns {
       textCol: String, dim: Int = 64, seed: Int = 7,
       weights: Option[Seq[Double]] = None,
       bias: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    val m = linearQualityCol(col(textCol), dim, seed, weights, bias)
+    df.select(col(idCol).as("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m.margin").as("margin"),
+        col("__m.n_tokens").as("n_tokens"))
+      .withColumn("keep", col("margin") > 0)
+  }
+
+  /** Row-local form of [[linearQuality]]: struct<margin, n_tokens> as
+    * ONE scan-local expression — no explode, no shuffle, usable under
+    * readStream (the streaming quality-classifier twin) and inside any
+    * projection. Per-token terms round to DECIMAL scale 15 and then
+    * accumulate as exact scaled LONGS (|term| ≤ tf/dl sums to ≤ 1, so
+    * the running sum is bounded by ±10^15 — far inside long range and
+    * double-exact), so this computes bit-identical margins to the
+    * grouped DECIMAL sum in any order — one oracle serves both
+    * shapes. The doc length binds once through a singleton-array
+    * lambda (embedding it directly in the fold lambda would
+    * re-evaluate the length aggregate per element).
+    */
+  def linearQualityCol(text: Column, dim: Int = 64, seed: Int = 7,
+      weights: Option[Seq[Double]] = None,
+      bias: Double = 0.0): Column = {
     require(dim > 0, "dim must be positive")
     require(weights.forall(_.size == dim), s"weights must have size $dim")
-    val base = df.select(col(idCol).as("doc_id"),
-      graft.functions.TokenCounts(col(textCol)).as("__tcs"))
-    val tk = base.select(col("doc_id"),
-      aggregate(col("__tcs"), lit(0L),
-        (acc, x) => acc + x.getField("cnt")).as("dl"),
-      explode(col("__tcs")).as("t"))
-    val bucket = conv(org.apache.spark.sql.functions.substring(
-      md5(col("t.token")), 1, 15), 16, 10).cast("long") % dim
-    val w = weights match {
-      case Some(ws) =>
-        element_at(lit(ws.toArray), (bucket + 1).cast("int"))
-      case None =>
-        conv(org.apache.spark.sql.functions.substring(
-          md5(concat(lit(s"w:$seed:"), bucket.cast("string"))), 1, 15),
-          16, 10)
-          .cast("long").cast("double") / 1152921504606846976.0d * 2 - 1
+    val tcs = graft.functions.TokenCounts(text)
+    def wOf(tok: Column): Column = {
+      val bucket = conv(org.apache.spark.sql.functions.substring(
+        md5(tok), 1, 15), 16, 10).cast("long") % dim
+      weights match {
+        case Some(ws) =>
+          element_at(lit(ws.toArray), (bucket + 1).cast("int"))
+        case None =>
+          conv(org.apache.spark.sql.functions.substring(
+            md5(concat(lit(s"w:$seed:"), bucket.cast("string"))), 1, 15),
+            16, 10)
+            .cast("long").cast("double") / 1152921504606846976.0d * 2 - 1
+      }
     }
-    val term = (col("t.cnt") / col("dl")) * w
-    tk.groupBy("doc_id")
-      .agg((graft.Tables.dsum(term, 15) + bias).as("margin"),
-        max(col("dl")).as("n_tokens"))
-      .withColumn("keep", col("margin") > 0)
+    // scale-15 fixed point: (term → decimal(20,15)) × 10^15 is an
+    // exactly-integral decimal(37,15) → long. Summing those longs is
+    // the same exact arithmetic as summing the decimals.
+    val tenPow15 = lit(new java.math.BigDecimal(
+      java.math.BigInteger.TEN.pow(15)))
+    val dl = aggregate(tcs, lit(0L), (acc, x) => acc + x.getField("cnt"))
+    element_at(transform(array(dl), dlv =>
+      struct(
+        (aggregate(tcs, lit(0L), (acc, x) =>
+          acc + (((x.getField("cnt") / dlv) *
+            wOf(x.getField("token"))).cast("decimal(20,15)") * tenPow15)
+            .cast("long"))
+          .cast("double") / 1.0e15d + bias).as("margin"),
+        dlv.as("n_tokens"))), 1)
   }
 
   /** BM25 keyword search over the corpus: score every document

@@ -124,6 +124,11 @@ object EventStreams {
     import graft.pipeline.TextFns
     docs
       .withColumn("quality", TextFns.qualityScore(col(textCol)))
+      // model-based margin beside the heuristic score: linearQualityCol
+      // is scan-local (no shuffle, no state), so it runs unchanged
+      // under readStream — same values as the batch operator
+      .withColumn("cls_margin",
+        TextFns.linearQualityCol(col(textCol)).getField("margin"))
       .withColumn("lang_guess", TextFns.languageId(col(textCol)))
       .withColumn("clean_text", TextFns.redact(col(textCol)))
       .withColumn("chash", TextFns.contentHash(col(textCol)))
