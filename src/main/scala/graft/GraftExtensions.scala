@@ -63,6 +63,28 @@ object GraftExtensions {
     }
   }
 
+  /** Evaluate a foldable argument to String (SQL literal parameters). */
+  private def strArg(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+  }
+
+  /** "a b|ta b|tab le" → ranked merge pairs for graft_bpe_encode. */
+  private def parseMerges(s: String): Seq[(String, String)] =
+    s.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty).map { m =>
+      m.split("\\s+") match {
+        case Array(a, b) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"merges: each pipe-separated entry must be 'left right', " +
+            s"got '$m'")
+      }
+    }
+
   private def arity(name: String, args: Seq[Expression],
       ns: Int*): Unit =
     require(ns.contains(args.size),
@@ -205,6 +227,28 @@ object GraftExtensions {
         arity("graft_chunk_sizes", args, 3)
         graft.functions.ChunkSizes(args.head,
           intArg(args(1), "size"), intArg(args(2), "overlap"))
+      }),
+    ("graft_quality_margin",
+      "graft_quality_margin(text[, dim[, seed]]) - linear-classifier " +
+        "quality margin over hashed token features",
+      (args: Seq[Expression]) => {
+        arity("graft_quality_margin", args, 1, 2, 3)
+        ColumnGlue.resolvedExpression(
+          graft.pipeline.TextFns.linearQualityCol(
+            ColumnGlue.column(args.head),
+            if (args.size > 1) intArg(args(1), "dim") else 64,
+            if (args.size > 2) intArg(args(2), "seed") else 7)
+            .getField("margin"))
+      }),
+    ("graft_bpe_encode",
+      "graft_bpe_encode(text, merges) - BPE subword tokens; merges " +
+        "is a literal like 't a|ta b|tab le' (rank order, " +
+        "pipe-separated pairs)",
+      (args: Seq[Expression]) => {
+        arity("graft_bpe_encode", args, 2)
+        ColumnGlue.resolvedExpression(
+          graft.pipeline.TextFns.bpeEncode(ColumnGlue.column(args.head),
+            parseMerges(strArg(args(1), "merges"))))
       }),
     ("graft_dup_gram_frac",
       "graft_dup_gram_frac(text[, n]) - duplicate n-gram fraction " +

@@ -115,6 +115,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql == df && sql.head._2 == 0.5)
   }
 
+  test("quality-margin and bpe-encode SQL match the DataFrame forms") {
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality_margin(text) AS m,
+        |  graft_bpe_encode(text, 't a|ta b|l e|tab le') AS enc
+        |FROM docs""".stripMargin)
+    val viaDf = Tables.documents(spark, sf("sf0.001")).select(
+      col("doc_id"),
+      TextFns.linearQualityCol(col("text")).getField("margin").as("m"),
+      TextFns.bpeEncode(col("text"),
+        Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le")))
+        .as("enc"))
+    assert(viaSql.exceptAll(viaDf).count() == 0)
+    assert(viaDf.exceptAll(viaSql).count() == 0)
+    // malformed merges error loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_bpe_encode('x', 'a b c') AS z").head())
+    assert(e.getMessage.contains("left right") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("left right"))
+  }
+
   test("integer knobs beyond Int range error instead of truncating") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_fingerprint('abc def', 4294967297)")
