@@ -51,6 +51,25 @@ object Builtins {
       val dd = scalar(d(i))
       if (dd.dt == VariantType) Compiler.variantText(dd.col) else dd.col
     }
+    /** numeric-argument position: typed operands pass through (Spark's
+      * numeric coercion matches the reference); a variant binding — an
+      * EAV-path predicate qvar, a heterogeneous element — coerces per
+      * row like the arithmetic operators' numSide, raising the JSONata
+      * "must evaluate to a number" error on non-numbers instead of a
+      * Spark analysis error on VARIANT.
+      */
+    def num(i: Int): Column = {
+      val dd = scalar(d(i))
+      if (dd.dt == VariantType)
+        Compiler.variantNumber(dd.col, s"Argument ${i + 1} of $name")
+      else dd.col
+    }
+    /** result dtype for builtins that preserve their argument's type:
+      * a variant argument computes as double. */
+    def numDt(i: Int): DataType = {
+      val t = scalar(d(i)).dt
+      if (t == VariantType) DoubleType else t
+    }
     def sseq(c: Column, dt: DataType): CV = CD(c, dt, KSeq)
     def sval(c: Column, dt: DataType): CV = CD(c, dt, KScalar)
 
@@ -253,25 +272,25 @@ object Builtins {
       // str(0) so variant inputs parse from their text form
       // ($number of a numeric variant reads its canonical JSON)
       case "$number" => sval(Jsonata.number(str(0)), DoubleType)
-      case "$abs" => sval(Jsonata.abs(sc(0)), scalar(d(0)).dt)
-      case "$floor" => sval(Jsonata.floor(sc(0)), LongType)
-      case "$ceil" => sval(Jsonata.ceil(sc(0)), LongType)
+      case "$abs" => sval(Jsonata.abs(num(0)), numDt(0))
+      case "$floor" => sval(Jsonata.floor(num(0)), LongType)
+      case "$ceil" => sval(Jsonata.ceil(num(0)), LongType)
       case "$round" =>
-        sval(Jsonata.round(sc(0),
+        sval(Jsonata.round(num(0),
           if (args.size > 1) litInt(1) else 0), DoubleType)
-      case "$power" => sval(Jsonata.power(sc(0), sc(1)), DoubleType)
-      case "$sqrt" => sval(Jsonata.sqrt(sc(0)), DoubleType)
+      case "$power" => sval(Jsonata.power(num(0), num(1)), DoubleType)
+      case "$sqrt" => sval(Jsonata.sqrt(num(0)), DoubleType)
       case "$random" => sval(Jsonata.random(), DoubleType)
       case "$formatBase" =>
-        sval(Jsonata.formatBase(sc(0).cast(LongType),
+        sval(Jsonata.formatBase(num(0).cast(LongType),
           if (args.size > 1) litInt(1) else 10), StringType)
       case "$formatNumber" =>
-        sval(Jsonata.formatNumber(sc(0), litStr(1)), StringType)
+        sval(Jsonata.formatNumber(num(0), litStr(1)), StringType)
       case "$formatInteger" =>
-        sval(Jsonata.formatInteger(sc(0).cast(LongType), litStr(1)),
+        sval(Jsonata.formatInteger(num(0).cast(LongType), litStr(1)),
           StringType)
       case "$parseInteger" =>
-        sval(Jsonata.parseInteger(sc(0), litStr(1)), LongType)
+        sval(Jsonata.parseInteger(str(0), litStr(1)), LongType)
 
       // booleans (§2.5)
       case "$boolean" => sval(Jsonata.boolean(materialize(d(0)).col),

@@ -743,14 +743,24 @@ object Compiler {
     */
   private def numSide(d: CD, side: String, op: String): CD = d.dt match {
     case VariantType =>
-      val sch = schema_of_variant(d.col)
-      CD(when(d.col.isNull, lit(null).cast(DoubleType))
-        .when(numericSchema(sch), try_variant_get(d.col, "$", "double"))
-        .otherwise(raise_error(concat(
-          lit(s"The $side side of the '$op' operator must evaluate " +
-            "to a number, got "), sch)).cast(DoubleType)),
-        DoubleType, KScalar)
+      CD(variantNumber(d.col,
+        s"The $side side of the '$op' operator"), DoubleType, KScalar)
     case _ => d
+  }
+
+  /** Per-row numeric coercion of a variant: numeric values compute (as
+    * double), null stays null, anything else raises the JSONata-style
+    * "must evaluate to a number" error with the offending type. Shared
+    * by arithmetic operands (numSide) and the numeric builtins'
+    * argument positions ($floor/$abs/... of a variant binding).
+    */
+  private[lang] def variantNumber(c: Column, what: String): Column = {
+    val sch = schema_of_variant(c)
+    when(c.isNull, lit(null).cast(DoubleType))
+      .when(numericSchema(sch), try_variant_get(c, "$", "double"))
+      .otherwise(raise_error(concat(
+        lit(s"$what must evaluate to a number, got "), sch))
+        .cast(DoubleType))
   }
 
   /** Order-comparison string coercion: a STRING variant yields its raw

@@ -91,13 +91,17 @@ object Llm {
       case "http" =>
         val get = (k: String, d: String) =>
           spark.conf.get(s"spark.graft.llm.$k", d)
+        val endpoint = get("endpoint", "http://localhost:8080/llm")
         new ResilientClient(
-          new HttpLlmClient(get("endpoint", "http://localhost:8080/llm"),
+          new HttpLlmClient(endpoint,
             get("model", "default"), get("apiKeyEnv", "GRAFT_LLM_API_KEY")),
           Resilience.Policy(
             maxAttempts = get("maxAttempts", "4").toInt,
             baseBackoffMs = get("baseBackoffMs", "200").toLong,
-            maxCallsPerSecond = get("maxCallsPerSecond", "5").toDouble))
+            maxCallsPerSecond = get("maxCallsPerSecond", "5").toDouble),
+          // per-EXECUTOR rate limit: all task closures in this JVM
+          // share the limiter registered under the endpoint key
+          shareKey = Some("llm:" + endpoint))
       case other => throw new IllegalArgumentException(
         s"spark.graft.llm.client must be replay or http, got $other")
     }
@@ -137,12 +141,18 @@ object Llm {
     * name-similarity mapping; a production client asks the model.
     */
   def matchShapes(source: DataFrame, targetFields: Seq[String],
-      client: LlmClient = new ReplayClient)
+      client: LlmClient = null)
       : Seq[(String, String)] = {
+    // resolve the session-configured client exactly like extract() —
+    // $llmMatch and $llmExtract must go through the same seam, or a
+    // session that opts into the http client silently gets the replay
+    // heuristic's mapping for one of the two.
+    val cli = if (client != null) client
+      else clientFromConf(source.sparkSession)
     val prompt = s"$MatchPromptHeader\n" +
       s"TARGETS: ${targetFields.mkString(", ")}\n" +
       s"SOURCES: ${source.columns.mkString(", ")}"
-    val answer = client.complete(Seq(prompt)).head
+    val answer = cli.complete(Seq(prompt)).head
     val srcSet = source.columns.toSet
     answer.split("\n").iterator.map(_.trim).filter(_.contains("="))
       .map { line =>

@@ -44,6 +44,37 @@ object Resilience {
     }
   }
 
+  /** JSON string literal with full escaping — shared by every HTTP
+    * transport body builder (a quote or newline in a value must never
+    * produce invalid JSON or inject fields into the request).
+    */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** JVM-wide limiter registry. A client captured in a mapPartitions
+    * closure is DESERIALIZED once per task — an instance-held limiter
+    * would therefore rate-limit per task, and an executor running N
+    * concurrent tasks would hit the endpoint at N× the configured
+    * rate. Tasks that resolve their limiter here by key share ONE
+    * limiter per executor JVM, making the per-executor sizing in
+    * [[Policy.maxCallsPerSecond]]'s doc actually true.
+    */
+  private val sharedLimiters =
+    new java.util.concurrent.ConcurrentHashMap[String, RateLimiter]()
+
+  def sharedLimiter(key: String, maxPerSecond: Double): RateLimiter =
+    sharedLimiters.computeIfAbsent(key,
+      _ => new RateLimiter(maxPerSecond, Thread.sleep(_),
+        () => System.nanoTime()))
+
   /** Run `f` under the retry policy: attempt, sleep
     * base·2^(attempt-1) (capped) on failure, rethrow the last error
     * once maxAttempts is exhausted.
@@ -71,14 +102,24 @@ object Resilience {
   * silently zipping a short answer list against prompts would
   * misattribute answers to documents.
   */
+/** @param shareKey when set (production: the endpoint), the limiter is
+  *        resolved from the JVM-wide registry so every task closure in
+  *        an executor shares it; when None (tests with injected
+  *        clock/sleeper), the limiter is instance-local and
+  *        deterministic.
+  */
 final class ResilientClient(inner: Llm.LlmClient,
     policy: Resilience.Policy = Resilience.Policy(),
     sleeper: Long => Unit = Thread.sleep,
-    clockNs: () => Long = () => System.nanoTime())
+    clockNs: () => Long = () => System.nanoTime(),
+    shareKey: Option[String] = None)
     extends Llm.LlmClient {
 
-  private val limiter =
-    new Resilience.RateLimiter(policy.maxCallsPerSecond, sleeper, clockNs)
+  @transient private lazy val limiter = shareKey match {
+    case Some(k) => Resilience.sharedLimiter(k, policy.maxCallsPerSecond)
+    case None =>
+      new Resilience.RateLimiter(policy.maxCallsPerSecond, sleeper, clockNs)
+  }
 
   override def complete(prompts: Seq[String]): Seq[String] =
     Resilience.withRetry(policy, sleeper) {
@@ -106,16 +147,7 @@ final class HttpLlmClient(endpoint: String, model: String,
   @transient private lazy val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = Resilience.jstr(s)
 
   override def complete(prompts: Seq[String]): Seq[String] = {
     val body = prompts.map(p => s"""{"model":${jstr(model)},""" +

@@ -667,28 +667,42 @@ object Dedup {
       textCol: String, sep: String = "\n\n", minDocs: Int = 2,
       broadcastBoiler: Boolean = true): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
-    val paras = df.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__para")))
-    val boiler0 = paras.groupBy(md5(col("__para")).as("__h"))
+    // null text coalesces to '' so the doc still explodes to one row
+    // and survives to the output ("one row per input document"); the
+    // __nulltext flag restores the null on reassembly and keeps the
+    // synthesized empty paragraph out of the boilerplate profile.
+    // Staged: both the boilerplate aggregate and the flagging join
+    // consume this frame, and __h is computed once here.
+    val paras = graft.core.Caches.stage(
+      df.select(col(idCol).as("__id"),
+        col(textCol).isNull.as("__nulltext"),
+        posexplode(split(coalesce(col(textCol), lit("")), sepLit))
+          .as(Seq("__pos", "__para")))
+        .withColumn("__ph", md5(col("__para"))))
+    val boiler0 = paras.filter(!col("__nulltext"))
+      .groupBy(col("__ph").as("__h"))
       .agg(countDistinct(col("__id")).as("__d"))
       .filter(col("__d") >= minDocs)
       .select("__h")
     val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
     val flagged = paras.join(boiler,
-        md5(col("__para")) === col("__h"), "left")
-      .select(col("__id"), col("__pos"), col("__para"),
+        col("__ph") === col("__h"), "left")
+      .select(col("__id"), col("__nulltext"), col("__pos"), col("__para"),
         col("__h").isNotNull.as("__boiler"))
     // per-document reassembly: bounded group (one document's
     // paragraphs), order restored from the explode position
     flagged.groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("__pos"),
-        col("__boiler"), col("__para")))).as("__ps"))
+        col("__boiler"), col("__para")))).as("__ps"),
+        first(col("__nulltext")).as("__nt"))
       .select(col("__id").as(idCol),
-        array_join(transform(
-          filter(col("__ps"), p => !p.getField("__boiler")),
-          _.getField("__para")), sep).as(textCol),
-        size(filter(col("__ps"), p => !p.getField("__boiler")))
-          .cast("long").as("n_kept"),
+        when(col("__nt"), lit(null).cast("string"))
+          .otherwise(array_join(transform(
+            filter(col("__ps"), p => !p.getField("__boiler")),
+            _.getField("__para")), sep)).as(textCol),
+        when(col("__nt"), lit(0L)).otherwise(
+          size(filter(col("__ps"), p => !p.getField("__boiler")))
+            .cast("long")).as("n_kept"),
         size(filter(col("__ps"), p => p.getField("__boiler")))
           .cast("long").as("n_dropped"))
   }

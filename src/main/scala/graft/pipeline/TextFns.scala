@@ -378,6 +378,14 @@ object TextFns {
       bias: Double = 0.0): Column = {
     require(dim > 0, "dim must be positive")
     require(weights.forall(_.size == dim), s"weights must have size $dim")
+    // the fixed-point design needs every per-token term (tf/dl)·w —
+    // and hence the margin, since Σ tf/dl = 1 — inside decimal(20,15)'s
+    // 5 integral digits and the scaled-long running sum; a huge weight
+    // would overflow the cast to NULL (non-ANSI) and silently poison
+    // the whole fold. Trained quality weights are O(1); reject early.
+    require(weights.forall(_.forall(w =>
+        !w.isNaN && !w.isInfinite && math.abs(w) <= 1000.0)),
+      "weights must be finite with |w| <= 1000 (fixed-point margin bound)")
     val tcs = graft.functions.TokenCounts(text)
     def wOf(tok: Column): Column = {
       val bucket = conv(org.apache.spark.sql.functions.substring(

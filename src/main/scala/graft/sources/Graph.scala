@@ -98,10 +98,15 @@ object Graph {
         resp.body()
       }
 
+    // every interpolated value goes through the shared JSON escaper —
+    // a quote/newline in an ident or prop must not invalidate the body
+    // or inject fields into the op
+    private def j(s: String): String = graft.llm.Resilience.jstr(s)
+
     override def get(identType: String, identVal: String,
         props: Seq[String]): Map[String, Any] = {
-      val body = s"""{"op":"get","ident":["$identType","$identVal"],""" +
-        s""""props":[${props.map("\"" + _ + "\"").mkString(",")}]}"""
+      val body = s"""{"op":"get","ident":[${j(identType)},${j(identVal)}],""" +
+        s""""props":[${props.map(j).mkString(",")}]}"""
       // response shape is backend-specific; adapt the parse when
       // pointing at a real pathom server
       Map("raw" -> post(body))
@@ -109,8 +114,8 @@ object Graph {
 
     override def put(identType: String, identVal: String,
         obj: Map[String, String]): String = {
-      val kv = obj.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
-      post(s"""{"op":"put","ident":["$identType","$identVal"],""" +
+      val kv = obj.map { case (k, v) => s"${j(k)}:${j(v)}" }.mkString(",")
+      post(s"""{"op":"put","ident":[${j(identType)},${j(identVal)}],""" +
         s""""obj":{$kv}}""")
       "success"
     }

@@ -262,9 +262,29 @@ object Ingest {
     */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.option("lineSep", "WARC/1.0\r\n").textFile(path)
+    // Record delimiter: the spec's BETWEEN-records structure (payload,
+    // two CRLFs, next record's version line) rather than the version
+    // line alone — "WARC/1.0\r\n" appears at line starts inside any
+    // payload that quotes a WARC header block, while "\r\n\r\nWARC/"
+    // requires the full boundary sequence. This also admits WARC/1.1
+    // (and any future 1.x) instead of silently parsing a 1.1 crawl as
+    // one garbage record. Residual limit (documented): a payload
+    // containing the literal boundary sequence still false-splits;
+    // exact framing needs Content-Length-driven record IO, which
+    // splittable text input cannot express.
+    spark.read.option("lineSep", "\r\n\r\nWARC/").textFile(path)
       .filter(_.nonEmpty)
-      .map { rec =>
+      .map { frag =>
+        // the delimiter consumed "WARC/": later fragments open with the
+        // bare version remainder ("1.0\r\n…"), the file's first with the
+        // intact version line. Normalize, then drop the version line.
+        val whole = if (frag.startsWith("WARC/")) frag else "WARC/" + frag
+        val rec = whole.indexOf("\r\n") match {
+          case -1 => whole
+          case i if whole.substring(0, i).matches("WARC/\\d+\\.\\d+") =>
+            whole.substring(i + 2)
+          case _ => whole
+        }
         val (head, payload) = rec.indexOf("\r\n\r\n") match {
           case -1 => (rec, "")
           case i => (rec.substring(0, i), rec.substring(i + 4))

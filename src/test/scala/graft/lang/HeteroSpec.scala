@@ -114,6 +114,23 @@ class HeteroSpec extends SparkSpec {
       s"unexpected error: ${e2.getMessage}")
   }
 
+  test("numeric builtins over variant elements coerce per row") {
+    run("$floor([2.7, 'a'][0])", 2L)
+    run("$ceil([1, 2.1, 'z'][1])", 3L)
+    run("$abs([-3, 'x'][0])", 3.0d)
+    run("$sqrt([9, 'x'][0])", 3.0d)
+    run("$power([2, 'x'][0], 3)", 8.0d)
+    run("$round([2.5, 'x'][0])", 2.0d) // HALF_EVEN
+  }
+
+  test("numeric builtins over non-numeric variants raise the JSONata error") {
+    val e = intercept[Exception] {
+      RM.eval("$floor([1, 'a'][1])", spark)
+    }
+    assert(e.getMessage.contains("must evaluate to a number"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("equality through the variant channel is type-strict") {
     run("[1, '1'][$ = 1]", 1L)       // number 1 matches, string '1' not
     run("[1, '1'][$ = '1']", "1")

@@ -152,6 +152,32 @@ class LlmSpec extends SparkSpec {
       s"expected ~500ms spacing, got $sleeps")
   }
 
+  test("shared limiter registry returns one limiter per key (per-executor rate)") {
+    // two "task closures" resolving the same key must share state —
+    // otherwise the cluster rate is maxCallsPerSecond × tasks
+    val a = Resilience.sharedLimiter("llm:test-endpoint-A", 1e9)
+    val b = Resilience.sharedLimiter("llm:test-endpoint-A", 1e9)
+    val c = Resilience.sharedLimiter("llm:test-endpoint-B", 1e9)
+    assert(a eq b)
+    assert(!(a eq c))
+  }
+
+  test("matchShapes resolves the session-configured client when none is given") {
+    val src = Seq((1L, "a")).toDF("customer_name", "note")
+    // default conf → replay client: name-similarity mapping derived
+    val mapping = Llm.matchShapes(src, Seq("name"))
+    assert(mapping == Seq("name" -> "customer_name"))
+    // an explicit client still wins over the conf
+    var asked = 0
+    val fixed = new Llm.LlmClient {
+      override def complete(ps: Seq[String]): Seq[String] = {
+        asked += 1; Seq("name=note")
+      }
+    }
+    assert(Llm.matchShapes(src, Seq("name"), fixed) ==
+      Seq("name" -> "note") && asked == 1)
+  }
+
   test("extract routes through the session-configured client") {
     val df = Seq((1L, "Paid Acme Ltd today")).toDF("id", "text")
     // default conf → replay client, deterministic

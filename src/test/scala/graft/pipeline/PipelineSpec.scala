@@ -497,6 +497,26 @@ class PipelineSpec extends SparkSpec {
     assert(out(3) == ((4L, "", 0L, 1L)))
   }
 
+  test("paragraph dedup keeps null-text documents (one row per input doc)") {
+    val sep = "\n\n"
+    val pdocs = Seq(
+      (1L, Some(s"real one${sep}FOOT${sep}tail one")),
+      (2L, Some(s"real two${sep}FOOT${sep}tail two")),
+      (3L, None: Option[String]),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(pdocs, "doc_id", "text",
+      sep = sep, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_kept")
+      .as[(Long, Option[String], Long)].collect()
+    // null-text docs survive as rows with null text, and their
+    // synthesized empty paragraph never enters the boilerplate profile
+    assert(out.length == 4, out.mkString("; "))
+    assert(out(2) == ((3L, None, 0L)))
+    assert(out(3) == ((4L, None, 0L)))
+    assert(out(0) == ((1L, Some(s"real one${sep}tail one"), 2L)))
+  }
+
   test("linear quality classifier: deterministic margins, literal weights") {
     val out = TextFns.linearQuality(docs, "doc_id", "text",
       dim = 16, seed = 3).orderBy("doc_id")
@@ -523,6 +543,19 @@ class PipelineSpec extends SparkSpec {
       weights = Some(Seq(1.0, 1.0, 1.0, 1.0)), bias = -2.0)
       .select("keep").as[Boolean].collect()
     assert(biased.forall(_ == false))
+    // weights outside the fixed-point envelope are rejected up front
+    // (a 1.2e5 weight would overflow decimal(20,15) to NULL and
+    // silently poison every margin in that bucket)
+    val e = intercept[IllegalArgumentException] {
+      TextFns.linearQuality(docs, "doc_id", "text", dim = 4,
+        weights = Some(Seq(1.0, 1.2e5, 1.0, 1.0)))
+    }
+    assert(e.getMessage.contains("fixed-point margin bound"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextFns.linearQuality(docs, "doc_id", "text", dim = 4,
+        weights = Some(Seq(1.0, Double.NaN, 1.0, 1.0)))
+    }
+    assert(e2.getMessage.contains("finite"))
   }
 
   test("bpe encode: rank-ordered merges, word boundaries, full words") {

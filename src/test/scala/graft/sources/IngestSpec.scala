@@ -194,6 +194,32 @@ class IngestSpec extends SparkSpec {
       == "conversion")
   }
 
+  test("WARC/1.1 parses; a payload quoting a WARC header block does not split") {
+    def rec(uri: String, id: String, body: String) = {
+      val payload = body + "\r\n"
+      s"WARC/1.1\r\n" +
+        "WARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n" + payload + "\r\n\r\n"
+    }
+    // the first record's payload quotes a WARC header block at line
+    // start — the old version-line delimiter split here mid-payload
+    val quoting = "A page explaining the WARC format:\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nis how every record opens."
+    val content = rec("https://example.com/q", "v11", quoting) +
+      rec("https://example.com/r", "v12", "Second record text.")
+    val p = java.nio.file.Files.createTempFile("graft", ".warc")
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    val df = Ingest.readWarc(spark, p.toString).orderBy("targetUri")
+    val rows = df.collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(rows(0).getAs[String]("payload") == quoting)
+    assert(rows(0).getAs[String]("recordId") == "<urn:uuid:v11>")
+    assert(rows(1).getAs[String]("payload") == "Second record text.")
+  }
+
   test("warcDocuments: conversion records become curation-ready rows") {
     val docs = Ingest.warcDocuments(spark, warcFixture())
       .orderBy("url").collect()
