@@ -120,6 +120,52 @@ object Cluster {
       cents = next
       it += 1
     }
-    (v.select(col("id"), assign(col("v"), cents).as("cluster")), cents)
+    (v.select(col("id"), assign(col("v"), cents).as("cluster"),
+      col("v")), cents)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings with [[kmeans]],
+    * then inside each cluster mark every document whose cosine
+    * similarity to a SMALLER-id document reaches `threshold` as a
+    * duplicate — keep-smallest-id, the same representative rule as
+    * exact dedup. Returns (id, cluster, is_dup): one row per input
+    * vector, callers filter `!is_dup` to curate.
+    *
+    * Scale shape (100 TB): the paper's within-cluster comparison is
+    * still quadratic in cluster size, so clusters are sub-blocked by a
+    * random-hyperplane signature (same literal-matrix LSH as
+    * [[Dedup.hyperplaneBucket]]) and only (cluster, bucket) cells
+    * pair — the verify join's key is the cell, never the corpus, and a
+    * cell is ~|cluster| / 2^planes rows. Like every LSH stage here the
+    * sub-blocking trades bounded recall for a bounded join; planes=0
+    * recovers the exact paper semantics. The assignment frame is
+    * staged once (self-join + final left join consume it) and
+    * released by the harness's Caches.releaseAll.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, threshold: Double, dim: Int = 64, planes: Int = 6,
+      seed: Int = 2026, planeSeed: Int = 77): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val (assigned, _) = kmeans(df, idCol, vecCol, k, iters, dim, seed)
+    val withB = assigned.withColumn("bucket",
+      if (planes <= 0) lit(0L)
+      else element_at(graft.functions.HyperplaneBuckets(
+        col("v"), planes, 1, dim, planeSeed), 1))
+    val a = graft.core.Caches.stage(withB)
+    // fixed-point threshold compare: floor(cos·10^6) ≥ floor(t·10^6)
+    // keeps the decision replayable in any engine computing the same
+    // ordered double arithmetic (the oracle's list_sum mirror)
+    val thFix = math.floor(threshold * 1e6)
+    val dup = a.as("l").join(a.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") > col("r.id"))
+      .filter(floor(Dedup.cosine(col("l.v"), col("r.v")) * 1e6) >=
+        lit(thFix))
+      .select(col("l.id").as("id")).distinct()
+    a.join(dup.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 }

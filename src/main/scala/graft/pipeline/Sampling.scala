@@ -141,6 +141,42 @@ object Sampling {
       seed: Int = 42): DataFrame =
     df.orderBy(sampleHash(col(idCol), seed), col(idCol))
 
+  /** Keep at most `cap` rows per key, by rank under `order` (ties must
+    * be broken by a unique column in `order` for determinism) — the
+    * RefinedWeb/C4-style per-domain cap that stops a handful of mega
+    * domains from dominating a web corpus.
+    *
+    * Scale shape (100 TB): a plain per-key row_number window puts every
+    * row of a key in ONE reducer — for a mega domain (10^9 docs) that
+    * single task is the job. With `salts > 1` the cap runs in two
+    * exact phases: rank within (key, salt) and keep `cap` per salt
+    * (bounded: the global top-`cap` of a key is a subset of the union
+    * of its per-salt top-`cap`s), then rank the ≤ cap·salts survivors
+    * per key. The heavy key's first exchange spreads over `salts`
+    * reducers; the second touches ≤ cap·salts rows per key. Result is
+    * identical to the one-phase form for any salts ≥ 1.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, order: Seq[Column],
+      cap: Int, salts: Int = 1, saltOn: Column = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(salts == 1 || saltOn != null,
+      "salts > 1 needs saltOn (a unique column, e.g. the doc id) to " +
+        "spread a key's rows deterministically — no rand()")
+    val ranked =
+      if (salts == 1) df
+      else {
+        val salt = pmod(xxhash64(saltOn), lit(salts))
+        df.withColumn("__rn1", row_number().over(
+            Window.partitionBy(col(keyCol), salt).orderBy(order: _*)))
+          .filter(col("__rn1") <= cap).drop("__rn1")
+      }
+    ranked.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(order: _*)))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
   /** Write the frame as training shards: `shards` range-partitioned
     * files in deterministic-shuffle order, each additionally capped at
     * `maxRecordsPerFile` (uniform, loader-friendly file sizes; range

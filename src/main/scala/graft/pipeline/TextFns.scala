@@ -89,6 +89,18 @@ object TextFns {
     * of the normalized text (winnowing-lite). Equal fingerprints ⇒
     * near-identical content robust to small edits at the end.
     */
+  /** Hostname of a URL, lowercased, leading `www.` stripped — the
+    * per-domain key of web curation (domain caps, domain stats).
+    * Hostname-level by design: registered-domain (eTLD+1) grouping
+    * needs the public-suffix list, a data dependency the caller can
+    * layer on top. Non-URLs and bare paths yield '' (regexp_extract's
+    * no-match), so malformed rows group together instead of erroring.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1),
+      "^www\\.", "")
+
   def fingerprint(text: Column, gram: Int = 8): Column = {
     val norm = Dedup.normalize(text)
     val grams = when(length(norm) < gram, array(norm))

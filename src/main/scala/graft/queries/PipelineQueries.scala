@@ -294,6 +294,43 @@ object PipelineQueries {
     * iterations in SQL because every update is exact integer sums +
     * one IEEE division (Cluster.kmeans determinism notes).
     */
+  /** SemDeDup over the embeddings table: k-means topic clusters
+    * (k=8, 2 Lloyd passes — the same replayable fixed-point iteration
+    * p_kmeans pins), hyperplane sub-blocking (6 planes), and a
+    * within-cell cosine prune at 0.3 (the synthetic unit-scale
+    * embeddings are near-orthogonal, so 0.3 is deep in the paired
+    * tail: some cells dedup, most don't — the gate discriminates both
+    * outcomes). Every stage replays in DuckDB: literal centroids,
+    * literal planes, ordered list-sum cosine, fixed-point threshold.
+    */
+  def pSemDedup(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Cluster.semDedup(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3,
+      planes = 6, planeSeed = 77)
+      .select(col("id").as("vec_id"), col("cluster"), col("is_dup"))
+      .orderBy("vec_id")
+
+  /** Per-domain cap over a synthesized URL column (the documents table
+    * carries source/lang, the web-corpus shape carries a URL): extract
+    * the domain with TextFns.urlDomain and keep the 10 longest docs
+    * per domain (n_chars DESC, doc_id tiebreak), through the
+    * skew-safe two-phase form (salts=4) — which the oracle's plain
+    * one-pass row_number must reproduce EXACTLY, pinning the
+    * two-phase = one-phase equivalence on real data.
+    */
+  def pDomainCap(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.documents(s, d)
+      .withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.org/"),
+          col("lang"), lit("/"), col("doc_id")))
+      .withColumn("domain", TextFns.urlDomain(col("url")))
+    graft.pipeline.Sampling.capPerKey(u, "domain",
+        Seq(col("n_chars").desc, col("doc_id")), cap = 10,
+        salts = 4, saltOn = col("doc_id"))
+      .select(col("doc_id"), col("domain"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   def pKmeans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assigned, _) = graft.pipeline.Cluster.kmeans(
@@ -604,7 +641,9 @@ object PipelineQueries {
     "p_rep_signals" -> (pRepSignals _),
     "p_weighted_sample" -> (pWeightedSample _),
     "p_batches" -> (pBatches _),
-    "p_ann_brute" -> (pAnnBrute _))
+    "p_ann_brute" -> (pAnnBrute _),
+    "p_sem_dedup" -> (pSemDedup _),
+    "p_domain_cap" -> (pDomainCap _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -737,7 +776,7 @@ object PipelineQueries {
     * division, so every iteration's centroids are bit-identical to the
     * ones Spark bakes into its next assignment pass.
     */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int,
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
       seed: Int): String = {
     val dp = dim + 1
     def assignCte(name: String, cents: String): String =
@@ -773,13 +812,55 @@ object PipelineQueries {
       assignCte(s"a$t", s"cents$t") + ",\n" + updateCtes(t)
     }
     val last = assignCte(s"a${iters - 1}", s"cents${iters - 1}")
-    s"""WITH cents0(ci, w) AS (VALUES ${centroidValues(k, dim, seed)}),
+    s"""cents0(ci, w) AS (VALUES ${centroidValues(k, dim, seed)}),
        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |${(rounds :+ last).mkString(",\n")}
+       |${(rounds :+ last).mkString(",\n")}""".stripMargin
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, dim: Int,
+      seed: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim, seed)}
        |SELECT vec_id, CAST(c AS INT) AS cluster,
        |  count(*) OVER (PARTITION BY c) AS cluster_size
        |FROM a${iters - 1} ORDER BY vec_id""".stripMargin
+
+  /** DuckDB replay of Cluster.semDedup: kmeans assignment CTEs, the
+    * literal-plane sub-bucket, and the within-cell keep-smallest-id
+    * cosine prune. The cosine mirrors Spark's expression exactly —
+    * ordered list-sum dot over sqrt-of-ordered-list-sum norms, one
+    * division — and the threshold compares in floor(·10^6) fixed
+    * point, so the dup decision is bit-replayable.
+    */
+  private def semDedupOracle(k: Int, iters: Int, dim: Int, seed: Int,
+      planes: Int, planeSeed: Int, thFix: Long): String = {
+    val dp = dim + 1
+    def cos(l: String, r: String): String =
+      s"""(list_sum(list_transform(range(1, $dp), i -> $l.v[i] * $r.v[i]))
+         | / (sqrt(list_sum(list_transform(range(1, $dp),
+         |      i -> $l.v[i] * $l.v[i])))
+         |  * sqrt(list_sum(list_transform(range(1, $dp),
+         |      i -> $r.v[i] * $r.v[i])))))""".stripMargin
+    s"""WITH ${kmeansCtes(k, iters, dim, seed)},
+       |planes(t, p, w) AS (VALUES ${planesValues(planes, 1, dim,
+            planeSeed)}),
+       |withb AS (
+       |  SELECT a.vec_id, a.c AS cluster, ${bucketExpr("e.v")} AS bucket
+       |  FROM a${iters - 1} a JOIN emb e USING (vec_id)
+       |  CROSS JOIN planes pl
+       |  GROUP BY a.vec_id, a.c),
+       |dups AS (
+       |  SELECT DISTINCT l.vec_id AS vid
+       |  FROM withb l
+       |  JOIN withb r ON l.cluster = r.cluster AND l.bucket = r.bucket
+       |    AND l.vec_id > r.vec_id
+       |  JOIN emb el ON el.vec_id = l.vec_id
+       |  JOIN emb er ON er.vec_id = r.vec_id
+       |  WHERE floor(${cos("el", "er")} * 1e6) >= $thFix)
+       |SELECT w.vec_id, CAST(w.cluster AS INT) AS cluster,
+       |  (d.vid IS NOT NULL) AS is_dup
+       |FROM withb w LEFT JOIN dups d ON w.vec_id = d.vid
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Prefix-named signature pipeline over a documents subset (mirrors
@@ -875,6 +956,23 @@ object PipelineQueries {
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
+    "p_sem_dedup" -> semDedupOracle(8, 2, 64, 2026, 6, 77, 300000L),
+    "p_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_extract(
+        |      lower('https://www.' || source || '.example.org/' ||
+        |        lang || '/' || CAST(doc_id AS VARCHAR)),
+        |      '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
+        |      '^www\.', '') AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain, n_chars,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM u)
+        |SELECT doc_id, domain, n_chars FROM r
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "p_split" -> splitOracle(11, SplitSpec),
     "p_pack" ->
       """WITH RECURSIVE t AS (

@@ -74,6 +74,32 @@ class ClusterSpec extends SparkSpec {
     assert(assigned.select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("semDedup drops within-cluster near-dups, keep-smallest-id") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val b = a.clone() // exact dup of a
+    val c = a.map(x => x * 0.999 + 0.001) // near-dup of a
+    val far = Array.tabulate(64)(i => math.cos(3.0 * i) - 0.5)
+    val df = Seq((1L, a), (2L, b), (3L, c), (7L, far))
+      .toDF("vec_id", "embedding")
+    // planes = 0: exact paper semantics (no sub-blocking)
+    val out = graft.pipeline.Cluster.semDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.99, planes = 0)
+      .orderBy("id").select("id", "is_dup")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 7L),
+      "one row per input vector")
+    assert(out == Seq((1L, false), (2L, true), (3L, true), (7L, false)),
+      s"smallest id represents the near-dup group, got $out")
+    // identical vectors always share any hyperplane bucket, so the
+    // exact dup is still caught under sub-blocking
+    val blocked = graft.pipeline.Cluster.semDedup(df, "vec_id",
+        "embedding", k = 2, iters = 2, threshold = 0.99, planes = 6)
+      .filter(col("id") === 2L).select("is_dup")
+      .as[Boolean].collect()
+    assert(blocked.toSeq == Seq(true))
+  }
+
   test("updates move centroids toward assigned points") {
     val (_, c1) = Cluster.kmeans(emb, "vec_id", "embedding",
       k = 4, iters = 1)

@@ -89,6 +89,42 @@ class PipelineSpec extends SparkSpec {
     assert(all.values.sum == 4 + 2) // doc1: 4 pairs, doc2: 2, doc3: 0
   }
 
+  test("capPerKey: two-phase salted cap equals the one-phase cap") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("domain", concat(lit("d"), col("id") % 7))
+      .withColumn("score", (col("id") * 37) % 101)
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("id").as[Long].collect().sorted.toSeq
+    val one = Sampling.capPerKey(df, "domain",
+      Seq(col("score").desc, col("id")), cap = 25)
+    val two = Sampling.capPerKey(df, "domain",
+      Seq(col("score").desc, col("id")), cap = 25, salts = 8,
+      saltOn = col("id"))
+    assert(ids(one) == ids(two),
+      "salted two-phase must be exactly the per-key top-cap")
+    assert(one.count() == 7L * 25)
+    // per-key count never exceeds the cap; keys under the cap pass whole
+    val small = Sampling.capPerKey(df.filter(col("id") < 10), "domain",
+      Seq(col("id")), cap = 25, salts = 4, saltOn = col("id"))
+    assert(small.count() == 10)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerKey(df, "domain", Seq(col("id")), cap = 5,
+        salts = 2) // salts > 1 without saltOn
+    }
+  }
+
+  test("urlDomain extracts the lowercased hostname, strips www") {
+    val rows = Seq(
+      "https://www.Example.ORG/path?q=1",
+      "http://sub.site.co.uk:8080/x",
+      "ftp://files.example.net/a",
+      "not a url",
+      "//missing.scheme/x").toDF("url")
+      .select(TextFns.urlDomain(col("url"))).as[String].collect().toSeq
+    assert(rows == Seq("example.org", "sub.site.co.uk",
+      "files.example.net", "", ""))
+  }
+
   test("weighted sampling is weight-monotone and partition-stable") {
     val df = spark.range(0, 2000).toDF("id")
     val half = Sampling.weighted(df, "id", lit(0.5), seed = 3)
