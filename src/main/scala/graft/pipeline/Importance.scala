@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting for data selection (Xie et al.
+  * 2023, arXiv:2302.03169): score every raw-corpus document by how
+  * much more likely its hashed n-gram features are under a TARGET
+  * distribution (the domain you want more of) than under the RAW
+  * distribution, then resample proportionally (compose with
+  * [[Sampling.weighted]] on the exponentiated weight, or simply keep
+  * the top slice by score).
+  *
+  * Scale shape (100 TB): two histogram scans (raw + target) each
+  * reduce to at most `dim` (bucket, count) rows via hash aggregation
+  * with map-side partials — only those `dim` cells reach the driver
+  * (the k-row footprint pattern of [[Cluster.kmeans]]). The log-ratio
+  * table then rides into the scoring plan as a literal array (the
+  * broadcast-as-literal pattern of the hyperplane matrices), so
+  * scoring is ONE scan-local projection: no joins, no shuffle, no
+  * state. Like Decontam's Bloom option, the histogram collect runs
+  * EAGERLY at plan-construction time — building the frame executes
+  * the two histogram scans.
+  *
+  * Determinism: bucket counts are exact longs; each bucket's
+  * smoothed log ratio ln((t_b+1)/(T+dim)) − ln((r_b+1)/(R+dim)) is
+  * floored to 2^20 fixed point ONCE on the driver, and a document's
+  * score is the exact long sum of its grams' fixed ratios — so the
+  * score is independent of partitioning/evaluation order and
+  * replayable by any engine with an IEEE ln (PipelineQueries
+  * p_dsir mirrors it in DuckDB).
+  */
+object Importance {
+
+  /** Fixed-point scale for the per-bucket log ratios (2^20, the
+    * [[Cluster.FixScale]] convention). A gram contributes at most
+    * |ln(smoothed ratio)| ≤ ~ln(corpus size) ≈ 40, so scores stay
+    * far inside long range for any document length.
+    */
+  val FixScale: Double = 1048576.0d
+
+  /** Word n-gram OCCURRENCES (not distinct — frequency matters for a
+    * likelihood ratio), over the same normalized tokens as
+    * [[Dedup.shingles]]; documents shorter than `n` tokens contribute
+    * their whole text as one gram, like the dedup shape does.
+    */
+  def gramSeq(text: Column, n: Int): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Portable md5-derived feature bucket of a gram (the hex-fold every
+    * oracle mirrors; see Dedup.shingleHash).
+    */
+  def bucketOf(g: Column, dim: Int): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % dim
+
+  /** Bucket histogram of a corpus: at most `dim` cells, computed in
+    * one scan and collected (the dim-bounded driver footprint).
+    */
+  private def histogram(df: DataFrame, textCol: String, n: Int,
+      dim: Int): Array[Long] = {
+    val h = Array.fill(dim)(0L)
+    df.select(explode(gramSeq(col(textCol), n)).as("g"))
+      .groupBy(bucketOf(col("g"), dim).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => h(r.getLong(0).toInt) = r.getLong(1))
+    h
+  }
+
+  /** Per-bucket fixed-point log ratios from two histograms (add-one
+    * smoothing, so unseen buckets are defined on both sides).
+    */
+  def fixedRatios(ht: Array[Long], hr: Array[Long]): Array[Long] = {
+    require(ht.length == hr.length)
+    val dim = ht.length
+    val tt = ht.sum + dim
+    val tr = hr.sum + dim
+    Array.tabulate(dim) { b =>
+      val lt = math.log((ht(b) + 1).toDouble / tt)
+      val lr = math.log((hr(b) + 1).toDouble / tr)
+      math.floor((lt - lr) * FixScale).toLong
+    }
+  }
+
+  /** Score `raw` against `target`: returns (idCol, score_fix,
+    * log_weight) — `score_fix` the exact fixed-point sum (the gate
+    * column), `log_weight` its IEEE rendering score_fix / 2^20
+    * (exact: a long of this magnitude divided by a power of two).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, dim: Int = 256,
+      gram: Int = 2): DataFrame = {
+    require(dim > 0 && dim <= (1 << 20), s"dim out of range: $dim")
+    val fixed = fixedRatios(
+      histogram(target, textCol, gram, dim),
+      histogram(raw, textCol, gram, dim))
+    raw.select(col(idCol), col(textCol))
+      .withColumn("score_fix",
+        aggregate(gramSeq(col(textCol), gram), lit(0L),
+          (acc, g) => acc +
+            element_at(lit(fixed), (bucketOf(g, dim) + 1).cast("int"))))
+      .select(col(idCol), col("score_fix"),
+        (col("score_fix") / lit(FixScale)).as("log_weight"))
+  }
+}

@@ -331,6 +331,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weights over the documents table: target = the
+    * English slice, raw = everything; hashed word-bigram features in
+    * 256 buckets. The gate column is the exact fixed-point score (the
+    * long sum of pre-floored per-bucket log ratios), which DuckDB
+    * replays bucket-for-bucket; log_weight is its exact power-of-two
+    * rendering.
+    */
+  def pDsir(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    graft.pipeline.Importance.importanceWeights(
+        doc, doc.filter(col("lang") === "en"), "doc_id", "text",
+        dim = 256, gram = 2)
+      .orderBy("doc_id")
+  }
+
   def pKmeans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assigned, _) = graft.pipeline.Cluster.kmeans(
@@ -643,7 +658,8 @@ object PipelineQueries {
     "p_batches" -> (pBatches _),
     "p_ann_brute" -> (pAnnBrute _),
     "p_sem_dedup" -> (pSemDedup _),
-    "p_domain_cap" -> (pDomainCap _))
+    "p_domain_cap" -> (pDomainCap _),
+    "p_dsir" -> (pDsir _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -730,6 +746,48 @@ object PipelineQueries {
        |  JOIN base b2 ON c.id2 = b2.doc_id
        |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
        |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)""".stripMargin
+
+  /** DuckDB replay of Importance.importanceWeights: gram OCCURRENCES
+    * (non-distinct shingles), one FILTERed histogram pass for both
+    * corpora, add-one-smoothed fixed-point log ratios per bucket
+    * (floor(·2^20) — the only transcendental is ln, and a 1-ulp ln
+    * divergence flips a pre-floored bucket with probability ~1e-10),
+    * and the exact BIGINT score sum.
+    */
+  private def dsirOracle(dim: Int, n: Int): String = {
+    val grams =
+      s"""CASE WHEN len(toks) < $n
+         | THEN [array_to_string(toks, ' ')]
+         | ELSE list_transform(range(0, len(toks) - ${n - 1}),
+         |   i -> array_to_string(list_slice(toks, i + 1, i + $n), ' '))
+         | END""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, $grams AS gs
+       |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents)),
+       |gall AS (SELECT doc_id, lang, unnest(gs) AS g FROM base),
+       |hb AS (
+       |  SELECT ${hex60("g")} % $dim AS b, count(*) AS c_r,
+       |    count(*) FILTER (lang = 'en') AS c_t
+       |  FROM gall GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(c_r) + $dim AS BIGINT) AS tr,
+       |    CAST(sum(c_t) + $dim AS BIGINT) AS tt FROM hb),
+       |ratio AS (
+       |  SELECT bb.b,
+       |    CAST(floor((ln(CAST(coalesce(hb.c_t, 0) + 1 AS DOUBLE) / tot.tt)
+       |      - ln(CAST(coalesce(hb.c_r, 0) + 1 AS DOUBLE) / tot.tr))
+       |      * 1048576.0) AS BIGINT) AS f
+       |  FROM (SELECT unnest(range(0, $dim)) AS b) bb
+       |  LEFT JOIN hb ON hb.b = bb.b CROSS JOIN tot),
+       |score AS (
+       |  SELECT ga.doc_id, sum(r.f) AS score_fix
+       |  FROM gall ga JOIN ratio r ON (${hex60("ga.g")} % $dim) = r.b
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(s.score_fix AS BIGINT) AS score_fix,
+       |  CAST(s.score_fix AS DOUBLE) / 1048576.0 AS log_weight
+       |FROM documents d LEFT JOIN score s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Word n-gram shingles over the normalized tokens — mirrors
     * `Dedup.shingles` (sequence bounds line up: Spark's inclusive
@@ -957,6 +1015,7 @@ object PipelineQueries {
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
     "p_sem_dedup" -> semDedupOracle(8, 2, 64, 2026, 6, 77, 300000L),
+    "p_dsir" -> dsirOracle(256, 2),
     "p_domain_cap" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the cat sat on the mat and the dog ran", "en"),
+    (2L, "the dog sat on the log and the cat ran", "en"),
+    (3L, "der hund sitzt auf dem baum und der hund läuft", "de"),
+    (4L, "der baum steht auf dem berg und der berg ruht", "de"),
+    (5L, "the cat and the dog sat together on the mat", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("target-like documents score above off-target documents") {
+    val out = Importance.importanceWeights(
+        corpus, corpus.filter(col("lang") === "en"), "doc_id", "text",
+        dim = 64, gram = 2)
+      .select("doc_id", "log_weight").as[(Long, Double)]
+      .collect().toMap
+    // every English doc outranks every German doc under an English
+    // target: its bigrams are relatively MORE frequent in the target
+    val en = Seq(1L, 2L, 5L).map(out)
+    val de = Seq(3L, 4L).map(out)
+    assert(en.min > de.max,
+      s"en ${en.mkString(",")} must all exceed de ${de.mkString(",")}")
+  }
+
+  test("scores are exact and partition-stable") {
+    val a = Importance.importanceWeights(corpus,
+        corpus.filter(col("lang") === "en"), "doc_id", "text",
+        dim = 64, gram = 2)
+      .orderBy("doc_id").select("score_fix").as[Long].collect().toSeq
+    val b = Importance.importanceWeights(corpus.repartition(7),
+        corpus.filter(col("lang") === "en"), "doc_id", "text",
+        dim = 64, gram = 2)
+      .orderBy("doc_id").select("score_fix").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("gramSeq counts occurrences, short docs contribute whole text") {
+    val g = Seq(("a b a b c", "x"))
+      .toDF("text", "pad")
+      .select(Importance.gramSeq(col("text"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(g == Seq("a b", "b a", "a b", "b c"),
+      "repeated bigram must appear per occurrence")
+    val short = Seq(("hi", "x")).toDF("text", "pad")
+      .select(Importance.gramSeq(col("text"), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(short == Seq("hi"))
+  }
+
+  test("fixedRatios: smoothing covers unseen buckets, ratios bounded") {
+    val ht = Array(10L, 0L, 3L, 0L)
+    val hr = Array(5L, 5L, 0L, 0L)
+    val f = Importance.fixedRatios(ht, hr)
+    assert(f.length == 4)
+    // bucket 0: more mass in target -> positive; bucket 1: only raw
+    // mass -> negative; bucket 3: unseen in both -> ln(tr/tt) constant
+    assert(f(0) > 0 && f(1) < 0)
+    val expect3 = math.floor((math.log(1.0 / (13 + 4)) -
+      math.log(1.0 / (10 + 4))) * Importance.FixScale).toLong
+    assert(f(3) == expect3)
+  }
+}
