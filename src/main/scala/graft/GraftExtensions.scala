@@ -228,6 +228,14 @@ object GraftExtensions {
         graft.functions.ChunkSizes(args.head,
           intArg(args(1), "size"), intArg(args(2), "overlap"))
       }),
+    ("graft_url_domain",
+      "graft_url_domain(url) - lowercased hostname, www. stripped " +
+        "(the per-domain curation key)",
+      (args: Seq[Expression]) => {
+        arity("graft_url_domain", args, 1)
+        ColumnGlue.resolvedExpression(
+          graft.pipeline.TextFns.urlDomain(ColumnGlue.column(args.head)))
+      }),
     ("graft_quality_margin",
       "graft_quality_margin(text[, dim[, seed]]) - linear-classifier " +
         "quality margin over hashed token features",

@@ -428,6 +428,69 @@ object TextFns {
         dlv.as("n_tokens"))), 1)
   }
 
+  /** Batch-gradient logistic training for [[linearQuality]] — the
+    * in-engine counterpart of training a fastText/CCNet-style quality
+    * classifier: `iters` full-batch gradient steps over hashed
+    * (tf/dl) token features, returning the (weights, bias) that
+    * [[linearQuality]]/[[linearQualityCol]] then apply.
+    *
+    * Scale shape (100 TB): each step is the [[Cluster.kmeans]]
+    * pattern — the current weights ride into the plan as literals, ONE
+    * corpus scan computes per-document residuals, and the gradient
+    * reduces to at most `dim`+2 driver-side cells (per-bucket sums,
+    * the bias sum, the row count) through hash aggregation with
+    * map-side partials. The per-document prefix (residual + token
+    * counts, no text) is staged once per step for its two consumers
+    * and released by the harness. Nothing but the dim-bounded
+    * gradient ever reaches the driver.
+    *
+    * Determinism: residual·feature terms are floored to 2^20 fixed
+    * point per (doc, bucket) and summed as exact longs, so gradients
+    * are partitioning/retry-independent; the weight update is one
+    * IEEE multiply-divide on the driver. The only transcendental is
+    * the sigmoid's exp, pre-floored per term — the same replayability
+    * envelope as the kmeans and DSIR oracles (PipelineQueries
+    * p_quality_train mirrors whole training steps in DuckDB).
+    */
+  def trainLinearQuality(df: org.apache.spark.sql.DataFrame,
+      textCol: String, label: Column, dim: Int = 32, iters: Int = 2,
+      lr: Double = 0.5): (Array[Double], Double) = {
+    require(dim > 0 && iters >= 1 && lr > 0, "bad training params")
+    val fix = lit(1048576.0d) // 2^20, Cluster.FixScale convention
+    var w = Array.fill(dim)(0.0d)
+    var bias = 0.0d
+    var it = 0
+    while (it < iters) {
+      val m = linearQualityCol(col(textCol), dim, 0,
+        Some(w.toIndexedSeq), bias)
+      val perDoc = graft.core.Caches.stage(
+        df.select(label.cast("double").as("y"),
+            m.getField("margin").as("mg"),
+            m.getField("n_tokens").as("dl"),
+            graft.functions.TokenCounts(col(textCol)).as("tcs"))
+          .withColumn("r",
+            lit(1.0d) / (lit(1.0d) + exp(-col("mg"))) - col("y")))
+      val bucket = conv(org.apache.spark.sql.functions.substring(
+        md5(col("tc.token")), 1, 15), 16, 10).cast("long") % dim
+      val gw = Array.fill(dim)(0L)
+      perDoc.select(col("r"), col("dl"), explode(col("tcs")).as("tc"))
+        .groupBy(bucket.as("b"))
+        .agg(sum(floor(col("r") * (col("tc.cnt") / col("dl")) * fix)
+          .cast("long")).as("s"))
+        .collect()
+        .foreach(row => gw(row.getLong(0).toInt) = row.getLong(1))
+      val Array(gbRow) = perDoc
+        .agg(sum(floor(col("r") * fix).cast("long")).as("gb"),
+          count(lit(1)).as("n")).collect()
+      val gb = gbRow.getLong(0)
+      val n = gbRow.getLong(1)
+      w = Array.tabulate(dim)(b => w(b) - lr * gw(b) / (n * 1048576.0d))
+      bias = bias - lr * gb / (n * 1048576.0d)
+      it += 1
+    }
+    (w, bias)
+  }
+
   /** BM25 keyword search over the corpus: score every document
     * containing at least one query term and return the top `topK`.
     *

@@ -346,6 +346,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Train the linear quality classifier IN-ENGINE (2 full-batch
+    * logistic gradient steps, label = English, 32 hashed buckets,
+    * lr 0.5) and apply the trained weights — the gate pins whole
+    * training iterations: margins, sigmoid residuals, fixed-point
+    * gradients, and the weight updates all replay in DuckDB.
+    */
+  def pQualityTrain(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val (w, b) = TextFns.trainLinearQuality(doc, "text",
+      col("lang") === "en", dim = 32, iters = 2, lr = 0.5)
+    doc.select(col("doc_id"),
+        TextFns.linearQualityCol(col("text"), 32, 0,
+          Some(w.toIndexedSeq), b).getField("margin").as("margin"))
+      .withColumn("keep", col("margin") > 0)
+      .orderBy("doc_id")
+  }
+
   def pKmeans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assigned, _) = graft.pipeline.Cluster.kmeans(
@@ -659,7 +676,8 @@ object PipelineQueries {
     "p_ann_brute" -> (pAnnBrute _),
     "p_sem_dedup" -> (pSemDedup _),
     "p_domain_cap" -> (pDomainCap _),
-    "p_dsir" -> (pDsir _))
+    "p_dsir" -> (pDsir _),
+    "p_quality_train" -> (pQualityTrain _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -746,6 +764,60 @@ object PipelineQueries {
        |  JOIN base b2 ON c.id2 = b2.doc_id
        |  WHERE CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
        |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)""".stripMargin
+
+  /** DuckDB replay of TextFns.trainLinearQuality + the final apply:
+    * per-iteration CTEs carry the weight table w{t}(b, w) and bias
+    * b{t}(v); margins reuse the p_quality_cls DECIMAL-reduced sum,
+    * residuals the IEEE sigmoid, gradients the floor(·2^20) exact
+    * BIGINT sums, and each weight update is the same one
+    * multiply-divide Spark's driver performs.
+    */
+  private def logregOracle(dim: Int, iters: Int, lr: String): String = {
+    def marginCte(name: String, wt: String, bt: String): String =
+      s"""$name AS (
+         |  SELECT bs.doc_id, bs.y,
+         |    coalesce(mm.s, 0.0) + (SELECT v FROM $bt) AS mg
+         |  FROM base bs LEFT JOIN (
+         |    SELECT tb.doc_id,
+         |      CAST(sum(CAST((cnt / dl) * w.w AS DECIMAL(38,15)))
+         |        AS DOUBLE) AS s
+         |    FROM tb JOIN $wt w USING (b) GROUP BY 1) mm
+         |  USING (doc_id))""".stripMargin
+    def stepCtes(t: Int): String =
+      s"""${marginCte(s"m$t", s"w$t", s"b$t")},
+         |r$t AS (
+         |  SELECT doc_id, 1.0 / (1.0 + exp(-mg)) - y AS r FROM m$t),
+         |g$t AS (
+         |  SELECT tb.b, CAST(sum(CAST(floor(r.r * (tb.cnt / tb.dl)
+         |    * 1048576.0) AS BIGINT)) AS BIGINT) AS s
+         |  FROM tb JOIN r$t r USING (doc_id) GROUP BY 1),
+         |nb$t AS (
+         |  SELECT CAST(sum(CAST(floor(r * 1048576.0) AS BIGINT))
+         |    AS BIGINT) AS gb, count(*) AS n FROM r$t),
+         |w${t + 1} AS (
+         |  SELECT w.b, w.w - ($lr * coalesce(g.s, 0)) / (nb.n * 1048576.0)
+         |    AS w
+         |  FROM w$t w LEFT JOIN g$t g USING (b) CROSS JOIN nb$t nb),
+         |b${t + 1} AS (
+         |  SELECT (SELECT v FROM b$t) - ($lr * nb.gb) / (nb.n * 1048576.0)
+         |    AS v FROM nb$t nb)""".stripMargin
+    val steps = (0 until iters).map(stepCtes).mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $toks AS ts FROM documents),
+       |tb AS (
+       |  SELECT doc_id, dl, cnt, ${hex60("token")} % $dim AS b FROM (
+       |    SELECT doc_id, len(ts) AS dl, token, count(*) AS cnt
+       |    FROM (SELECT doc_id, ts, unnest(ts) AS token FROM base)
+       |    GROUP BY 1, 2, 3)),
+       |w0 AS (SELECT unnest(range(0, $dim)) AS b, 0.0 AS w),
+       |b0 AS (SELECT 0.0 AS v),
+       |$steps,
+       |${marginCte("mfin", s"w$iters", s"b$iters")}
+       |SELECT doc_id, mg AS margin, mg > 0 AS keep
+       |FROM mfin ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of Importance.importanceWeights: gram OCCURRENCES
     * (non-distinct shingles), one FILTERed histogram pass for both
@@ -1016,6 +1088,7 @@ object PipelineQueries {
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
     "p_sem_dedup" -> semDedupOracle(8, 2, 64, 2026, 6, 77, 300000L),
     "p_dsir" -> dsirOracle(256, 2),
+    "p_quality_train" -> logregOracle(32, 2, "0.5"),
     "p_domain_cap" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,

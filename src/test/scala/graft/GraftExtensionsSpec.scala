@@ -115,6 +115,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql == df && sql.head._2 == 0.5)
   }
 
+  test("url-domain SQL matches the DataFrame form") {
+    import spark.implicits._
+    val viaSql = spark.sql(
+      """SELECT graft_url_domain('https://www.Example.ORG/p?q=1') AS a,
+        |  graft_url_domain('http://sub.site.co.uk:8080/x') AS b,
+        |  graft_url_domain('not a url') AS c""".stripMargin)
+      .as[(String, String, String)].head()
+    assert(viaSql == (("example.org", "sub.site.co.uk", "")))
+  }
+
   test("quality-margin and bpe-encode SQL match the DataFrame forms") {
     val viaSql = spark.sql(
       """SELECT doc_id, graft_quality_margin(text) AS m,

@@ -53,6 +53,30 @@ class ImportanceSpec extends SparkSpec {
     assert(short == Seq("hi"))
   }
 
+  test("trainLinearQuality separates the labeled classes") {
+    val (w, b) = TextFns.trainLinearQuality(corpus, "text",
+      col("lang") === "en", dim = 32, iters = 4, lr = 0.5)
+    assert(w.length == 32 && w.exists(_ != 0.0))
+    assert(w.forall(x => math.abs(x) <= 4 * 0.5),
+      "per-step weight change is bounded by lr")
+    val margins = corpus.select(col("doc_id"),
+        TextFns.linearQualityCol(col("text"), 32, 0,
+          Some(w.toIndexedSeq), b).getField("margin"))
+      .as[(Long, Double)].collect().toMap
+    val en = Seq(1L, 2L, 5L).map(margins)
+    val de = Seq(3L, 4L).map(margins)
+    assert(en.min > de.max,
+      s"trained margins must separate: en $en vs de $de")
+  }
+
+  test("trainLinearQuality is partition-stable (exact gradients)") {
+    val (w1, b1) = TextFns.trainLinearQuality(corpus, "text",
+      col("lang") === "en", dim = 16, iters = 2, lr = 0.5)
+    val (w2, b2) = TextFns.trainLinearQuality(corpus.repartition(7),
+      "text", col("lang") === "en", dim = 16, iters = 2, lr = 0.5)
+    assert(w1.toSeq == w2.toSeq && b1 == b2)
+  }
+
   test("fixedRatios: smoothing covers unseen buckets, ratios bounded") {
     val ht = Array(10L, 0L, 3L, 0L)
     val hr = Array(5L, 5L, 0L, 0L)
