@@ -146,33 +146,21 @@ object Sampling {
     * RefinedWeb/C4-style per-domain cap that stops a handful of mega
     * domains from dominating a web corpus.
     *
-    * Scale shape (100 TB): a plain per-key row_number window puts every
-    * row of a key in ONE reducer — for a mega domain (10^9 docs) that
-    * single task is the job. With `salts > 1` the cap runs in two
-    * exact phases: rank within (key, salt) and keep `cap` per salt
-    * (bounded: the global top-`cap` of a key is a subset of the union
-    * of its per-salt top-`cap`s), then rank the ≤ cap·salts survivors
-    * per key. The heavy key's first exchange spreads over `salts`
-    * reducers; the second touches ≤ cap·salts rows per key. Result is
-    * identical to the one-phase form for any salts ≥ 1.
+    * Scale shape (100 TB): the declarative row_number-then-filter form
+    * is DELIBERATE — Spark 4 plans it as WindowGroupLimit
+    * Partial → Exchange → WindowGroupLimit Final, i.e. every map task
+    * emits at most `cap` rows per key BEFORE the shuffle, so a mega
+    * domain lands ≤ cap · mapPartitions rows (not its corpus share)
+    * on its reducer. A hand-salted two-phase rewrite was measured and
+    * rejected: it reimplements exactly this, one exchange slower.
+    * PlanSpec pins the partial+final WindowGroupLimit pair so a
+    * regression to a full per-key window cannot land silently.
     */
   def capPerKey(df: DataFrame, keyCol: String, order: Seq[Column],
-      cap: Int, salts: Int = 1, saltOn: Column = null): DataFrame = {
+      cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    require(salts >= 1, s"salts must be >= 1, got $salts")
-    require(salts == 1 || saltOn != null,
-      "salts > 1 needs saltOn (a unique column, e.g. the doc id) to " +
-        "spread a key's rows deterministically — no rand()")
-    val ranked =
-      if (salts == 1) df
-      else {
-        val salt = pmod(xxhash64(saltOn), lit(salts))
-        df.withColumn("__rn1", row_number().over(
-            Window.partitionBy(col(keyCol), salt).orderBy(order: _*)))
-          .filter(col("__rn1") <= cap).drop("__rn1")
-      }
-    ranked.withColumn("__rn", row_number().over(
+    df.withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(order: _*)))
       .filter(col("__rn") <= cap).drop("__rn")
   }

@@ -313,10 +313,8 @@ object PipelineQueries {
   /** Per-domain cap over a synthesized URL column (the documents table
     * carries source/lang, the web-corpus shape carries a URL): extract
     * the domain with TextFns.urlDomain and keep the 10 longest docs
-    * per domain (n_chars DESC, doc_id tiebreak), through the
-    * skew-safe two-phase form (salts=4) — which the oracle's plain
-    * one-pass row_number must reproduce EXACTLY, pinning the
-    * two-phase = one-phase equivalence on real data.
+    * per domain (n_chars DESC, doc_id tiebreak). The skew story is
+    * Spark 4's WindowGroupLimit partial/final pair (PlanSpec-pinned).
     */
   def pDomainCap(s: SparkSession, d: String): DataFrame = {
     val u = Tables.documents(s, d)
@@ -325,8 +323,7 @@ object PipelineQueries {
           col("lang"), lit("/"), col("doc_id")))
       .withColumn("domain", TextFns.urlDomain(col("url")))
     graft.pipeline.Sampling.capPerKey(u, "domain",
-        Seq(col("n_chars").desc, col("doc_id")), cap = 10,
-        salts = 4, saltOn = col("doc_id"))
+        Seq(col("n_chars").desc, col("doc_id")), cap = 10)
       .select(col("doc_id"), col("domain"), col("n_chars"))
       .orderBy("doc_id")
   }

@@ -158,6 +158,31 @@ class PlanSpec extends SparkSpec {
       s"the approx branch attaches via a tiny broadcast join:\n$p")
   }
 
+  test("p_dsir: scoring is one scan-local projection, no joins") {
+    // the histogram scans run eagerly at construction; the RETURNED
+    // plan is the scoring pass only — ratio table as literals, no
+    // join, no explode (grams fold inside the projection)
+    val spark0 = spark
+    val doc = graft.Tables.documents(spark0, sf("sf0.001"))
+    val p = graft.pipeline.Importance.importanceWeights(
+        doc, doc.filter(org.apache.spark.sql.functions
+          .col("lang") === "en"), "doc_id", "text", dim = 64, gram = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("Generate"), s"scoring must not explode:\n$p")
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+  }
+
+  test("p_domain_cap: the cap plans as partial+final WindowGroupLimit") {
+    val p = plan("p_domain_cap")
+    // map tasks emit at most cap rows per key BEFORE the shuffle —
+    // the property that keeps a mega domain off a single reducer
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") &&
+      p.contains("Final"),
+      s"expect the partial/final window-group-limit pair:\n$p")
+    assert(!p.contains("Join"), s"cap must not join:\n$p")
+  }
+
   test("p_curate: quality filter runs before the dedup shuffle") {
     val p = plan("p_curate")
     // the quality predicate is a Filter below the first Exchange —
