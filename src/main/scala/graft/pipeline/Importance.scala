@@ -86,6 +86,62 @@ object Importance {
     }
   }
 
+  /** CCNet-style language-model quality signal (Wenzek et al. 2020,
+    * arXiv:1911.00359): per-document cross-entropy under an add-one
+    * unigram LM trained on a REFERENCE corpus (CCNet trains KenLM on
+    * Wikipedia and buckets documents by perplexity; the unigram form
+    * keeps the whole model in `vocabSize`+1 driver cells).
+    *
+    * Scale shape: training is one reference scan reduced to a top-V
+    * count table (plus its total) — the dim-bounded driver footprint
+    * again; scoring bakes the vocab→fixed-log-prob table into the
+    * plan as a MAP LITERAL, so it is one scan-local projection per
+    * document: TokenCounts fold + map lookups, no explode, no join,
+    * no shuffle (PlanSpec pins it). Like [[importanceWeights]], the
+    * training scan runs eagerly at plan construction.
+    *
+    * Determinism: token counts are exact; each symbol's
+    * ln((c+1)/(T+V+1)) is floored to 2^20 fixed point ONCE on the
+    * driver; a document's ce_fix is the exact long sum cnt·lp over
+    * its tokens (OOV tokens share the one smoothed OOV cell), and
+    * cross_entropy = −ce_fix / (n · 2^20) is a single correctly-
+    * rounded IEEE division — all replayed by PipelineQueries
+    * p_perplexity.
+    */
+  def unigramCrossEntropy(raw: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String,
+      vocabSize: Int = 1024): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val counts = graft.core.Caches.stage(
+      ref.select(explode(Dedup.tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c")))
+    val top = counts.orderBy(col("c").desc, col("t"))
+      .limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.agg(sum(col("c"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val denom = (total + top.length + 1).toDouble
+    def lpFix(c: Long): Long =
+      math.floor(math.log((c + 1).toDouble / denom) * FixScale).toLong
+    val lpOov = lit(lpFix(0))
+    def lpOf(tok: Column): Column =
+      if (top.isEmpty) lpOov // empty reference: everything is OOV
+      else coalesce(element_at(map(top.flatMap { case (t, c) =>
+        Seq(lit(t), lit(lpFix(c))) }.toIndexedSeq: _*), tok), lpOov)
+    val tcs = graft.functions.TokenCounts(col(textCol))
+    val ceFix = aggregate(tcs, lit(0L), (acc, x) =>
+      acc + x.getField("cnt").cast("long") * lpOf(x.getField("token")))
+    val n = aggregate(tcs, lit(0L),
+      (acc, x) => acc + x.getField("cnt"))
+    raw.select(col(idCol), ceFix.as("ce_fix"), n.as("n_tokens"))
+      .withColumn("cross_entropy",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(-col("ce_fix") /
+            (col("n_tokens") * lit(FixScale))))
+  }
+
   /** Score `raw` against `target`: returns (idCol, score_fix,
     * log_weight) — `score_fix` the exact fixed-point sum (the gate
     * column), `log_weight` its IEEE rendering score_fix / 2^20

@@ -343,6 +343,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM quality signal: add-one unigram cross-entropy of
+    * every document under the English reference slice's top-512 vocab.
+    * English docs land near the reference entropy, other languages
+    * drown in the OOV cell — the gate pins vocab selection, the
+    * fixed-point log-prob table, exact count·lp sums, and the one
+    * IEEE division.
+    */
+  def pPerplexity(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    graft.pipeline.Importance.unigramCrossEntropy(
+        doc, doc.filter(col("lang") === "en"), "doc_id", "text",
+        vocabSize = 512)
+      .orderBy("doc_id")
+  }
+
   /** Train the linear quality classifier IN-ENGINE (2 full-batch
     * logistic gradient steps, label = English, 32 hashed buckets,
     * lr 0.5) and apply the trained weights — the gate pins whole
@@ -674,7 +689,8 @@ object PipelineQueries {
     "p_sem_dedup" -> (pSemDedup _),
     "p_domain_cap" -> (pDomainCap _),
     "p_dsir" -> (pDsir _),
-    "p_quality_train" -> (pQualityTrain _))
+    "p_quality_train" -> (pQualityTrain _),
+    "p_perplexity" -> (pPerplexity _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -815,6 +831,46 @@ object PipelineQueries {
        |SELECT doc_id, mg AS margin, mg > 0 AS keep
        |FROM mfin ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB replay of Importance.unigramCrossEntropy: top-V vocab by
+    * (count DESC, token) over the English slice, add-one fixed-point
+    * log probs against total + |vocab| + 1, exact cnt·lp sums, one
+    * IEEE division for the per-token cross-entropy.
+    */
+  private def perplexityOracle(v: Int): String =
+    s"""WITH rtok AS (
+       |  SELECT unnest($toks) AS t FROM documents WHERE lang = 'en'),
+       |cnts AS (SELECT t, count(*) AS c FROM rtok GROUP BY 1),
+       |vocab AS (
+       |  SELECT t, c FROM (
+       |    SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rk
+       |    FROM cnts) WHERE rk <= $v),
+       |denom AS (
+       |  SELECT CAST((SELECT coalesce(sum(c), 0) FROM cnts)
+       |    + (SELECT count(*) FROM vocab) + 1 AS DOUBLE) AS d),
+       |lp AS (
+       |  SELECT t, CAST(floor(ln(CAST(c + 1 AS DOUBLE) / denom.d)
+       |    * 1048576.0) AS BIGINT) AS lp
+       |  FROM vocab CROSS JOIN denom),
+       |oov AS (
+       |  SELECT CAST(floor(ln(1.0 / d) * 1048576.0) AS BIGINT) AS lp
+       |  FROM denom),
+       |tc AS (
+       |  SELECT doc_id, token, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest($toks) AS token FROM documents)
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT tc.doc_id,
+       |    sum(tc.cnt * coalesce(lp.lp, (SELECT lp FROM oov))) AS ce,
+       |    sum(tc.cnt) AS n
+       |  FROM tc LEFT JOIN lp ON tc.token = lp.t GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(sc.ce, 0) AS BIGINT) AS ce_fix,
+       |  CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN coalesce(sc.n, 0) = 0 THEN NULL
+       |    ELSE (-coalesce(sc.ce, 0)) / (coalesce(sc.n, 0) * 1048576.0)
+       |  END AS cross_entropy
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of Importance.importanceWeights: gram OCCURRENCES
     * (non-distinct shingles), one FILTERed histogram pass for both
@@ -1086,6 +1142,7 @@ object PipelineQueries {
     "p_sem_dedup" -> semDedupOracle(8, 2, 64, 2026, 6, 77, 300000L),
     "p_dsir" -> dsirOracle(256, 2),
     "p_quality_train" -> logregOracle(32, 2, "0.5"),
+    "p_perplexity" -> perplexityOracle(512),
     "p_domain_cap" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,

@@ -53,6 +53,45 @@ class ImportanceSpec extends SparkSpec {
     assert(short == Seq("hi"))
   }
 
+  test("unigram cross-entropy: reference-like docs score lower") {
+    val out = Importance.unigramCrossEntropy(corpus,
+        corpus.filter(col("lang") === "en"), "doc_id", "text",
+        vocabSize = 64)
+      .select("doc_id", "cross_entropy").as[(Long, Double)]
+      .collect().toMap
+    val en = Seq(1L, 2L, 5L).map(out)
+    val de = Seq(3L, 4L).map(out)
+    assert(en.max < de.min,
+      s"en docs must have lower cross-entropy: $en vs $de")
+    assert(out.values.forall(_ > 0), "cross-entropy is positive")
+  }
+
+  test("unigram cross-entropy: exact fixed point, empty docs null") {
+    val withEmpty = corpus.union(Seq((9L, "", "en"))
+      .toDF("doc_id", "text", "lang"))
+    val out = Importance.unigramCrossEntropy(withEmpty,
+        withEmpty.filter(col("lang") === "en"), "doc_id", "text",
+        vocabSize = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "ce_fix", "n_tokens").as[(Long, Long, Long)]
+      .collect()
+    assert(out.last == ((9L, 0L, 0L)))
+    val ce = Importance.unigramCrossEntropy(withEmpty,
+        withEmpty.filter(col("lang") === "en"), "doc_id", "text",
+        vocabSize = 8)
+      .filter(col("doc_id") === 9L)
+      .select("cross_entropy").collect()(0)
+    assert(ce.isNullAt(0), "empty doc has no defined cross-entropy")
+    // repartition-stable (exact long sums)
+    val a = Importance.unigramCrossEntropy(withEmpty,
+      withEmpty.filter(col("lang") === "en"), "doc_id", "text", 8)
+      .orderBy("doc_id").select("ce_fix").as[Long].collect().toSeq
+    val b = Importance.unigramCrossEntropy(withEmpty.repartition(5),
+      withEmpty.filter(col("lang") === "en"), "doc_id", "text", 8)
+      .orderBy("doc_id").select("ce_fix").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
   test("trainLinearQuality separates the labeled classes") {
     val (w, b) = TextFns.trainLinearQuality(corpus, "text",
       col("lang") === "en", dim = 32, iters = 4, lr = 0.5)

@@ -173,6 +173,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
   }
 
+  test("p_perplexity: scoring is one scan-local projection, no joins") {
+    val doc = graft.Tables.documents(spark, sf("sf0.001"))
+    val p = graft.pipeline.Importance.unigramCrossEntropy(
+        doc, doc.filter(org.apache.spark.sql.functions
+          .col("lang") === "en"), "doc_id", "text", vocabSize = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"vocab is a map literal, no join:\n$p")
+    assert(!p.contains("Generate"), s"scoring must not explode:\n$p")
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+  }
+
   test("p_domain_cap: the cap plans as partial+final WindowGroupLimit") {
     val p = plan("p_domain_cap")
     // map tasks emit at most cap rows per key BEFORE the shuffle —
