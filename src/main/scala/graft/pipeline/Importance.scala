@@ -108,38 +108,68 @@ object Importance {
     * rounded IEEE division — all replayed by PipelineQueries
     * p_perplexity.
     */
-  def unigramCrossEntropy(raw: DataFrame, ref: DataFrame,
-      idCol: String, textCol: String,
-      vocabSize: Int = 1024): DataFrame = {
+  /** Train the unigram LM: top-`vocabSize` (token, count) table by
+    * (count DESC, token) plus the total token count — the whole model
+    * is `vocabSize`+1 driver cells, ready to bake into any batch OR
+    * streaming plan via [[crossEntropyCol]].
+    */
+  def trainUnigram(ref: DataFrame, textCol: String,
+      vocabSize: Int): (Seq[(String, Long)], Long) = {
     require(vocabSize > 0, "vocabSize must be positive")
     val counts = graft.core.Caches.stage(
       ref.select(explode(Dedup.tokens(col(textCol))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c")))
     val top = counts.orderBy(col("c").desc, col("t"))
       .limit(vocabSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val total = counts.agg(sum(col("c"))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val denom = (total + top.length + 1).toDouble
+    (top, total)
+  }
+
+  /** Scan-local cross-entropy struct<ce_fix, n_tokens, cross_entropy>
+    * of `text` under a trained unigram model — a pure projection (map
+    * literal + TokenCounts fold), so it runs unchanged under
+    * readStream (streaming.EventStreams.lmScoreStream).
+    */
+  def crossEntropyCol(text: Column, vocab: Seq[(String, Long)],
+      total: Long): Column = {
+    val denom = (total + vocab.length + 1).toDouble
     def lpFix(c: Long): Long =
       math.floor(math.log((c + 1).toDouble / denom) * FixScale).toLong
     val lpOov = lit(lpFix(0))
     def lpOf(tok: Column): Column =
-      if (top.isEmpty) lpOov // empty reference: everything is OOV
-      else coalesce(element_at(map(top.flatMap { case (t, c) =>
+      if (vocab.isEmpty) lpOov // empty reference: everything is OOV
+      else coalesce(element_at(map(vocab.flatMap { case (t, c) =>
         Seq(lit(t), lit(lpFix(c))) }.toIndexedSeq: _*), tok), lpOov)
-    val tcs = graft.functions.TokenCounts(col(textCol))
+    val tcs = graft.functions.TokenCounts(text)
     val ceFix = aggregate(tcs, lit(0L), (acc, x) =>
       acc + x.getField("cnt").cast("long") * lpOf(x.getField("token")))
     val n = aggregate(tcs, lit(0L),
       (acc, x) => acc + x.getField("cnt"))
-    raw.select(col(idCol), ceFix.as("ce_fix"), n.as("n_tokens"))
-      .withColumn("cross_entropy",
-        when(col("n_tokens") === 0, lit(null).cast("double"))
-          .otherwise(-col("ce_fix") /
-            (col("n_tokens") * lit(FixScale))))
+    // bind ce/n once through a singleton-array lambda (the
+    // linearQualityCol idiom) so the fold trees aren't re-evaluated
+    // per consuming field
+    element_at(transform(array(struct(ceFix.as("c"), n.as("n"))), s =>
+      struct(s.getField("c").as("ce_fix"),
+        s.getField("n").as("n_tokens"),
+        when(s.getField("n") === 0, lit(null).cast("double"))
+          .otherwise(-s.getField("c") /
+            (s.getField("n") * lit(FixScale)))
+          .as("cross_entropy"))), 1)
+  }
+
+  def unigramCrossEntropy(raw: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String,
+      vocabSize: Int = 1024): DataFrame = {
+    val (vocab, total) = trainUnigram(ref, textCol, vocabSize)
+    val ce = crossEntropyCol(col(textCol), vocab, total)
+    raw.select(col(idCol), ce.as("__ce"))
+      .select(col(idCol), col("__ce.ce_fix").as("ce_fix"),
+        col("__ce.n_tokens").as("n_tokens"),
+        col("__ce.cross_entropy").as("cross_entropy"))
   }
 
   /** Score `raw` against `target`: returns (idCol, score_fix,

@@ -134,6 +134,22 @@ object EventStreams {
       .withColumn("chash", TextFns.contentHash(col(textCol)))
   }
 
+  /** LM quality scoring under readStream: apply a PRE-TRAINED unigram
+    * model (Importance.trainUnigram on a batch reference corpus) as
+    * the scan-local cross-entropy projection — model as plan
+    * literals, no state, no shuffle, same values as the batch
+    * operator (StreamingSpec pins the twin).
+    */
+  def lmScoreStream(docs: DataFrame, vocab: Seq[(String, Long)],
+      total: Long, textCol: String = "text"): DataFrame = {
+    val ce = graft.pipeline.Importance.crossEntropyCol(
+      col(textCol), vocab, total)
+    docs.withColumn("__ce", ce)
+      .withColumn("cross_entropy", col("__ce.cross_entropy"))
+      .withColumn("lm_tokens", col("__ce.n_tokens"))
+      .drop("__ce")
+  }
+
   /** Streaming near-dup suppression with bounded state: drop any
     * document whose band-0 MinHash bucket was already seen inside the
     * watermark horizon. The bucket key collides for documents whose

@@ -82,6 +82,36 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("chash").length == 32)
   }
 
+  test("lm scoring stream matches the batch cross-entropy") {
+    implicit val ctx = spark.sqlContext
+    val ref = Seq((10L, "the quick brown fox jumps the fence"),
+      (11L, "the lazy dog sleeps by the quick river"))
+      .toDF("doc_id", "text")
+    val (vocab, total) =
+      graft.pipeline.Importance.trainUnigram(ref, "text", 32)
+    val input = MemoryStream[GDoc]
+    input.addData(
+      GDoc(t("2026-01-01 10:00:00"), 1L, "the quick brown fox"),
+      GDoc(t("2026-01-01 10:01:00"), 2L, "völlig anderes vokabular"))
+    val q = EventStreams.lmScoreStream(input.toDF(), vocab, total)
+      .writeStream.format("memory").queryName("lmscored")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lmscored")
+      .select("doc_id", "cross_entropy")
+      .as[(Long, Double)].collect().toMap
+    // the in-vocab doc scores strictly lower than the all-OOV doc
+    assert(got(1L) < got(2L), got.toString)
+    // twin property: identical to the batch operator's values
+    val batch = graft.pipeline.Importance.unigramCrossEntropy(
+        Seq((1L, "the quick brown fox"),
+          (2L, "völlig anderes vokabular")).toDF("doc_id", "text"),
+        ref, "doc_id", "text", vocabSize = 32)
+      .select("doc_id", "cross_entropy")
+      .as[(Long, Double)].collect().toMap
+    assert(got == batch)
+  }
+
   test("streaming near-dup drop suppresses band-bucket collisions") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GDoc]
