@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (codegen'd) kernels for [[graft.pipeline.Importance]]'s
+  * DSIR scoring (Xie et al. 2023, arXiv:2302.03169).
+  *
+  * The Column form folds an `aggregate` HOF whose lambda evaluates a
+  * `conv(substring(md5(gram)))` tree per gram occurrence — Catalyst
+  * runs higher-order lambdas INTERPRETED, and `gramSeq` itself is a
+  * `transform` that re-joins token slices per window, so p_dsir cost
+  * 27 s full-eval at sf0.1 (the RepSignals disease). These kernels
+  * compute the identical values (bit-for-bit, ImportanceSpec pins
+  * native == Column) in one tight loop per row: tokenize once, md5
+  * each sliding window, fold the first 15 hex digits to the 60-bit
+  * value, `% dim`, and either emit the bucket (histogram side) or
+  * accumulate the bucket's fixed-point log ratio (scoring side).
+  */
+object ImportanceNative {
+
+  /** Bucket of one gram: 60-bit md5 hex fold
+    * (`conv(substring(md5(g),1,15),16,10)`, i.e. the first 7 digest
+    * bytes plus the high nibble of byte 7) mod `dim` — mirrors
+    * `Importance.bucketOf`.
+    */
+  private def bucket(md: java.security.MessageDigest, gram: String,
+      dim: Int): Int = {
+    md.reset()
+    val d = md.digest(gram.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v = (v << 4) | ((d(7) >> 4) & 0xFL)
+    (v % dim).toInt
+  }
+
+  /** Visit every gram OCCURRENCE (not distinct — frequency matters
+    * for a likelihood ratio): sliding `n`-token windows, or the whole
+    * token sequence as one gram when shorter (Importance.gramSeq).
+    */
+  private def foreachGram(text: UTF8String, n: Int, useICU: Boolean)(
+      f: String => Unit): Unit = {
+    val toks = TextHash.tokensOf(text, useICU)
+    if (toks.length < n) f(String.join(" ", toks: _*))
+    else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        f(sb.toString)
+        i += 1
+      }
+    }
+  }
+
+  /** Per-occurrence feature buckets of the text — the histogram-side
+    * kernel (`explode(gramBuckets)` then count by bucket).
+    */
+  def gramBuckets(text: UTF8String, n: Int, dim: Int,
+      useICU: Boolean): GenericArrayData = {
+    val md = TextHash.digest()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    foreachGram(text, n, useICU) { g => out += bucket(md, g, dim).toLong }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Exact fixed-point DSIR score: the long sum of
+    * `ratios(bucket(gram))` over gram occurrences — the scoring-side
+    * kernel. Order-independent (long addition), so partition-stable.
+    */
+  def dsirScore(text: UTF8String, n: Int, dim: Int,
+      ratios: Array[Long], useICU: Boolean): Long = {
+    val md = TextHash.digest()
+    var acc = 0L
+    foreachGram(text, n, useICU) { g => acc += ratios(bucket(md, g, dim)) }
+    acc
+  }
+}
+
+/** `gramBuckets(text, n, dim)` as one codegen'd call → array<long>. */
+case class GramBuckets(child: Expression, n: Int, dim: Int,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ImportanceNative.gramBuckets($c, $n, $dim, $useICU)")
+  override def nullSafeEval(v: Any): Any =
+    ImportanceNative.gramBuckets(v.asInstanceOf[UTF8String], n, dim,
+      useICU)
+  override protected def withNewChildInternal(c: Expression): GramBuckets =
+    copy(child = c)
+}
+
+object GramBuckets {
+  def apply(text: Column, n: Int, dim: Int): Column =
+    ColumnGlue.column(GramBuckets(ColumnGlue.expression(text), n, dim))
+}
+
+/** `dsirScore(text, n, dim, ratios)` as one codegen'd call → long.
+  * The ratio table rides the serialized plan as a reference object
+  * (the MinhashBandBuckets coeffs pattern).
+  */
+case class DsirScore(child: Expression, n: Int, dim: Int,
+    ratios: Array[Long],
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val rf = ctx.addReferenceObj("dsirRatios", ratios, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ImportanceNative.dsirScore($c, $n, $dim, $rf, $useICU)")
+  }
+  override def nullSafeEval(v: Any): Any =
+    ImportanceNative.dsirScore(v.asInstanceOf[UTF8String], n, dim,
+      ratios, useICU)
+  override protected def withNewChildInternal(c: Expression): DsirScore =
+    copy(child = c)
+  // Array fields compare by reference in case-class equality; compare
+  // the ratio table by value so plan matching (and CSE) work.
+  override def equals(o: Any): Boolean = o match {
+    case m: DsirScore =>
+      m.child == child && m.n == n && m.dim == dim &&
+        m.useICU == useICU && java.util.Arrays.equals(m.ratios, ratios)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(n),
+      Integer.valueOf(dim), Integer.valueOf(
+        java.util.Arrays.hashCode(ratios)))
+}
+
+object DsirScore {
+  def apply(text: Column, n: Int, dim: Int,
+      ratios: Array[Long]): Column =
+    ColumnGlue.column(DsirScore(ColumnGlue.expression(text), n, dim,
+      ratios))
+}

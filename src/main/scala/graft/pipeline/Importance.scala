@@ -58,13 +58,17 @@ object Importance {
     conv(substring(md5(g), 1, 15), 16, 10).cast("long") % dim
 
   /** Bucket histogram of a corpus: at most `dim` cells, computed in
-    * one scan and collected (the dim-bounded driver footprint).
+    * one scan and collected (the dim-bounded driver footprint). The
+    * per-gram bucket runs in the native [[graft.functions.GramBuckets]]
+    * kernel (one codegen'd call/row), not the interpreted
+    * `transform`+`md5` Column tree.
     */
   private def histogram(df: DataFrame, textCol: String, n: Int,
       dim: Int): Array[Long] = {
     val h = Array.fill(dim)(0L)
-    df.select(explode(gramSeq(col(textCol), n)).as("g"))
-      .groupBy(bucketOf(col("g"), dim).as("b"))
+    df.select(explode(
+        graft.functions.GramBuckets(col(textCol), n, dim)).as("b"))
+      .groupBy("b")
       .agg(count(lit(1)).as("c"))
       .collect()
       .foreach(r => h(r.getLong(0).toInt) = r.getLong(1))
@@ -184,12 +188,45 @@ object Importance {
     val fixed = fixedRatios(
       histogram(target, textCol, gram, dim),
       histogram(raw, textCol, gram, dim))
-    raw.select(col(idCol), col(textCol))
-      .withColumn("score_fix",
-        aggregate(gramSeq(col(textCol), gram), lit(0L),
-          (acc, g) => acc +
-            element_at(lit(fixed), (bucketOf(g, dim) + 1).cast("int"))))
+    scoreWith(raw, fixed, idCol, textCol, dim, gram)
+  }
+
+  /** The common composition — target is a predicate SLICE of the raw
+    * corpus (DSIR's "domain you want more of") — computed with ONE
+    * histogram scan instead of two: conditional aggregation counts
+    * every gram occurrence into (raw, target) cells simultaneously.
+    * At 100 TB this halves the dominant cost (the corpus passes);
+    * scoring is the same single scan-local projection.
+    */
+  def importanceWeightsSliced(docs: DataFrame, targetCond: Column,
+      idCol: String, textCol: String, dim: Int = 256,
+      gram: Int = 2): DataFrame = {
+    require(dim > 0 && dim <= (1 << 20), s"dim out of range: $dim")
+    val ht = Array.fill(dim)(0L)
+    val hr = Array.fill(dim)(0L)
+    docs.select(targetCond.as("__t"), explode(
+        graft.functions.GramBuckets(col(textCol), gram, dim)).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"), count_if(col("__t")).as("ct"))
+      .collect()
+      .foreach { r =>
+        val b = r.getLong(0).toInt
+        hr(b) = r.getLong(1)
+        ht(b) = r.getLong(2)
+      }
+    scoreWith(docs, fixedRatios(ht, hr), idCol, textCol, dim, gram)
+  }
+
+  /** Scoring pass: one scan-local projection; the per-document exact
+    * long sum runs in the native [[graft.functions.DsirScore]] kernel
+    * with the ratio table riding the plan as a reference object.
+    */
+  private def scoreWith(docs: DataFrame, fixed: Array[Long],
+      idCol: String, textCol: String, dim: Int,
+      gram: Int): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.DsirScore(col(textCol), gram, dim, fixed)
+          .as("score_fix"))
       .select(col(idCol), col("score_fix"),
         (col("score_fix") / lit(FixScale)).as("log_weight"))
-  }
 }

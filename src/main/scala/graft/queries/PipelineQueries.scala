@@ -337,8 +337,8 @@ object PipelineQueries {
     */
   def pDsir(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    graft.pipeline.Importance.importanceWeights(
-        doc, doc.filter(col("lang") === "en"), "doc_id", "text",
+    graft.pipeline.Importance.importanceWeightsSliced(
+        doc, col("lang") === "en", "doc_id", "text",
         dim = 256, gram = 2)
       .orderBy("doc_id")
   }

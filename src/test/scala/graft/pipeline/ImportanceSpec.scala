@@ -53,6 +53,50 @@ class ImportanceSpec extends SparkSpec {
     assert(short == Seq("hi"))
   }
 
+  test("native kernels match the Column gram/bucket semantics") {
+    // DsirScore/GramBuckets vs the reference Column forms (gramSeq +
+    // bucketOf + aggregate) on mixed-script text, short docs, and the
+    // empty string
+    val docs = corpus.union(Seq(
+      (6L, "", "x"), (7L, "hi", "x"),
+      (8L, "Üppige BÄUME; 42 Straßen—éclairs ΣΙΣΥΦΟΣ, δύο!", "x"))
+      .toDF("doc_id", "text", "lang"))
+    val dim = 64
+    val ratios = Array.tabulate(dim)(b => (b * 2654435761L) % 1000 - 500)
+    val colForm = docs.select(col("doc_id"),
+        aggregate(Importance.gramSeq(col("text"), 2), lit(0L),
+          (acc, g) => acc + element_at(lit(ratios),
+            (Importance.bucketOf(g, dim) + 1).cast("int"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val native = docs.select(col("doc_id"),
+        graft.functions.DsirScore(col("text"), 2, dim, ratios).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == colForm)
+    val colBuckets = docs.select(col("doc_id"),
+        transform(Importance.gramSeq(col("text"), 2),
+          g => Importance.bucketOf(g, dim)).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val nativeBuckets = docs.select(col("doc_id"),
+        graft.functions.GramBuckets(col("text"), 2, dim).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nativeBuckets == colBuckets)
+  }
+
+  test("sliced one-scan weights equal the two-scan general form") {
+    val a = Importance.importanceWeightsSliced(corpus,
+        col("lang") === "en", "doc_id", "text", dim = 64, gram = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "score_fix", "log_weight")
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = Importance.importanceWeights(corpus,
+        corpus.filter(col("lang") === "en"), "doc_id", "text",
+        dim = 64, gram = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "score_fix", "log_weight")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
   test("unigram cross-entropy: reference-like docs score lower") {
     val out = Importance.unigramCrossEntropy(corpus,
         corpus.filter(col("lang") === "en"), "doc_id", "text",
