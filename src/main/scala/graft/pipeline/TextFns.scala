@@ -609,6 +609,44 @@ object TextFns {
         col("df"))
   }
 
+  /** Inverted-index (postings) materialization: for every vocabulary
+    * token with document frequency >= `minDf`, the top-`cap` posting
+    * rows (doc_id, tf) by (tf DESC, doc_id) plus the exact df and
+    * collection frequency — the retrieval-index build behind BM25 /
+    * keyword search, transposed from [[keywords]] (top DOCS per token,
+    * not top tokens per doc).
+    *
+    * Scale shape (100 TB): ONE tokenization scan feeds both branches
+    * (staged like keywords' broadcast path). The per-token cap plans
+    * as Spark 4's partial+final WindowGroupLimit pair, so a stopword
+    * appearing in every document ships at most `cap` rows per map
+    * task across the exchange — the per-token skew guard; df/cf are
+    * exact counts over the UNCAPPED frame (a plain token groupBy with
+    * map-side partials), attached by broadcast since a minDf-filtered
+    * vocabulary is bounded.
+    */
+  def postings(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, cap: Int = 5, minDf: Int = 1,
+      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc0 = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"),
+        col("tc.cnt").as("tf"))
+    val tc = if (broadcastVocab) graft.core.Caches.stage(tc0) else tc0
+    val vocab0 = tc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf)
+    val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0
+    val w = Window.partitionBy("token")
+      .orderBy(col("tf").desc, col("doc_id"))
+    tc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .join(vocab, "token")
+      .select(col("token"), col("df"), col("cf"),
+        col("rk").cast("int").as("rk"), col("doc_id"), col("tf"))
+  }
+
   /** Compliance patterns for [[redact]]/[[piiCount]] — kept
     * RE2-compatible (no backrefs or lookarounds, ASCII classes only)
     * so every engine with linear-time regexes applies them

@@ -289,6 +289,16 @@ object PipelineQueries {
     TextFns.keywords(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
       .orderBy("doc_id", "rank")
 
+  /** Inverted-index build over the documents table: per-token top-5
+    * postings by (tf DESC, doc_id) for every token seen in at least
+    * two documents, with exact df/cf — the WindowGroupLimit cap and
+    * the uncapped header counts discriminate independently.
+    */
+  def pPostings(s: SparkSession, d: String): DataFrame =
+    TextFns.postings(Tables.documents(s, d), "doc_id", "text",
+        cap = 5, minDf = 2)
+      .orderBy("token", "rk")
+
   /** Lloyd k-means over the embeddings (k=8, 3 assignment passes, 2
     * exact fixed-point centroid updates) — the oracle replays whole
     * iterations in SQL because every update is exact integer sums +
@@ -651,6 +661,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "p_keywords" -> (pKeywords _),
+    "p_postings" -> (pPostings _),
     "p_kmeans" -> (pKmeans _),
     "p_curate" -> (pCurate _),
     "p_incr_dedup" -> (pIncrDedup _),
@@ -1138,6 +1149,23 @@ object PipelineQueries {
          |      AS rank
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "p_postings" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM tc GROUP BY 1 HAVING count(*) >= 2),
+         |r AS (
+         |  SELECT token, doc_id, tf,
+         |    row_number() OVER (PARTITION BY token
+         |      ORDER BY tf DESC, doc_id) AS rk
+         |  FROM tc)
+         |SELECT r.token, v.df, v.cf, CAST(r.rk AS INT) AS rk,
+         |  r.doc_id, r.tf
+         |FROM r JOIN vocab v USING (token)
+         |WHERE r.rk <= 5 ORDER BY token, rk""".stripMargin,
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
     "p_sem_dedup" -> semDedupOracle(8, 2, 64, 2026, 6, 77, 300000L),
     "p_dsir" -> dsirOracle(256, 2),

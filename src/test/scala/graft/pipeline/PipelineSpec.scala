@@ -398,6 +398,33 @@ class PipelineSpec extends SparkSpec {
     assert(top1 == List("apple"))
   }
 
+  test("postings: per-token top-cap by tf, exact uncapped df/cf") {
+    val t = Seq(
+      (1L, "apple apple apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "apple banana banana"),
+      (4L, "apple date"))
+      .toDF("id", "text")
+    val out = TextFns.postings(t, "id", "text", cap = 2, minDf = 2)
+      .orderBy("token", "rk")
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("df"), r.getAs[Long]("cf"),
+        r.getAs[Int]("rk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"))).toList
+    // apple: df=4 docs, cf=7 occurrences; cap keeps docs 1 (tf=3)
+    // and 2 (tf=2); banana: df=2, cf=3, doc 3 (tf=2) then doc 1;
+    // cherry/date df=1 fall below minDf
+    assert(out == List(
+      ("apple", 4L, 7L, 1, 1L, 3L), ("apple", 4L, 7L, 2, 2L, 2L),
+      ("banana", 2L, 3L, 1, 3L, 2L), ("banana", 2L, 3L, 2, 1L, 1L)))
+    // ties within equal tf break on doc_id (deterministic postings)
+    val tie = TextFns.postings(t, "id", "text", cap = 3, minDf = 2)
+      .filter(col("token") === "apple")
+      .orderBy("rk").select("doc_id").as[Long].collect().toList
+    assert(tie == List(1L, 2L, 3L),
+      "tf ties (docs 2,3... ) order by doc_id")
+  }
+
   test("contamination: inverted-gram join finds leaked pairs only") {
     import graft.pipeline.Decontam
     val train = Seq(

@@ -194,6 +194,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"cap must not join:\n$p")
   }
 
+  test("p_postings: per-token cap is a WindowGroupLimit; df broadcasts") {
+    val p = plan("p_postings")
+    // a stopword's postings never all cross the wire: map tasks emit
+    // at most cap rows per token before the exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") &&
+      p.contains("Final"),
+      s"expect the partial/final window-group-limit pair:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded vocab header attaches by broadcast:\n$p")
+  }
+
   test("p_curate: quality filter runs before the dedup shuffle") {
     val p = plan("p_curate")
     // the quality predicate is a Filter below the first Exchange —
