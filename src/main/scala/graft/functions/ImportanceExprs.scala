@@ -149,3 +149,90 @@ object DsirScore {
     ColumnGlue.column(DsirScore(ColumnGlue.expression(text), n, dim,
       ratios))
 }
+
+/** Native BPE tokenizer-encode (TextFns.bpeEncode semantics). The
+  * Column form is a marker-wrapped literal `replace` chain — ~13 full
+  * string passes over a 3×-inflated copy of every document. This
+  * kernel applies each merge as ONE left-to-right non-overlapping
+  * pair-merge pass over per-word symbol arrays, which is exactly what
+  * the literal replace chain does (String.replace scans left-to-right
+  * and never re-matches inside a replacement; merges cannot cross the
+  * unmarked word separator). PipelineSpec pins kernel == chain on the
+  * boundary battery and a corpus slice.
+  */
+object BpeNative {
+  /** `flat` = [a0,b0,a1,b1,...] merge pairs in rank order. */
+  def encode(text: UTF8String, flat: Array[String],
+      useICU: Boolean): GenericArrayData = {
+    val toks = TextHash.tokensOf(text, useICU)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < toks.length) {
+      val w = toks(wi)
+      var syms = new Array[String](w.length)
+      var n = w.length
+      var i = 0
+      while (i < n) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+      var m = 0
+      while (m < flat.length) {
+        val a = flat(m)
+        val b = flat(m + 1)
+        var r = 0
+        var wr = 0
+        while (r < n) {
+          if (r + 1 < n && syms(r) == a && syms(r + 1) == b) {
+            syms(wr) = a + b
+            r += 2
+          } else {
+            syms(wr) = syms(r)
+            r += 1
+          }
+          wr += 1
+        }
+        n = wr
+        m += 2
+      }
+      i = 0
+      while (i < n) { out += UTF8String.fromString(syms(i)); i += 1 }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `BpeNative.encode(text, merges)` as one codegen'd call →
+  * array<string> of subword tokens in document order.
+  */
+case class BpeEncode(child: Expression, merges: Array[String],
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val mf = ctx.addReferenceObj("bpeMerges", merges,
+      "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeNative.encode($c, $mf, $useICU)")
+  }
+  override def nullSafeEval(v: Any): Any =
+    BpeNative.encode(v.asInstanceOf[UTF8String], merges, useICU)
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+  override def equals(o: Any): Boolean = o match {
+    case m: BpeEncode =>
+      m.child == child && m.useICU == useICU &&
+        java.util.Arrays.equals(
+          m.merges.asInstanceOf[Array[AnyRef]],
+          merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(
+        merges.asInstanceOf[Array[AnyRef]])))
+}
+
+object BpeEncode {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnGlue.column(BpeEncode(ColumnGlue.expression(text),
+      merges.flatMap { case (a, b) => Seq(a, b) }.toArray))
+}

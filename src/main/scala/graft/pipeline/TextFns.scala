@@ -327,10 +327,20 @@ object TextFns {
     * @return array of subword tokens in document order
     */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    requireBpeSymbols(merges)
+    graft.functions.BpeEncode(text, merges)
+  }
+
+  /** The original Column-composed form of [[bpeEncode]] -- ~13 literal
+    * `replace`/regex passes over a marker-inflated copy of the text
+    * (~2 s full-eval at sf0.1 for 10 merges). Kept, unused by any
+    * gate, as the executable specification the native kernel is
+    * differentially pinned against (PipelineSpec).
+    */
+  private[graft] def bpeEncodeChain(text: Column,
+      merges: Seq[(String, String)]): Column = {
     val S = "\u0001"; val E = "\u0002"
-    require(merges.forall { case (a, b) =>
-      (a + b).forall(ch => ch != S.head && ch != E.head && ch != ' ') },
-      "merge symbols must not contain the marker characters or spaces")
+    requireBpeSymbols(merges)
     val base = array_join(Dedup.tokens(text), " ")
     val marked = replace(
       regexp_replace(base, "(.)", S + "$1" + E), lit(S + " " + E),
@@ -341,6 +351,11 @@ object TextFns {
     filter(split(regexp_replace(folded, "[" + S + E + "]", " "), " "),
       t => length(t) > 0)
   }
+
+  private def requireBpeSymbols(merges: Seq[(String, String)]): Unit =
+    require(merges.forall { case (a, b) =>
+      (a + b).forall(ch => ch != '\u0001' && ch != '\u0002' && ch != ' ')
+    }, "merge symbols must not contain the marker characters or spaces")
 
   /** fastText/CCNet-style linear quality classifier over hashing-trick
     * bag-of-tokens features: bucket(t) = portable 60-bit token hash mod

@@ -57,9 +57,18 @@ object ExtQueries {
     * contract for sketches across engines.
     */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    // Dedup (flag, partkey) FIRST, then count + sketch the deduped
+    // frame: HLL insertion is idempotent for identical values, so the
+    // registers (hence the estimate) are the same as sketching every
+    // row — but Spark's single-distinct rewrite for the fused form
+    // carries the ~3 KB HLL buffer per (flag, partkey) GROUP through
+    // the first exchange (GBs of buffers at sf0.1, TBs at 100 TB);
+    // this shape ships only the narrow pairs, and the buffers first
+    // appear in the per-flag partial aggregate (32×|flags| rows).
     Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)).as("__n"))
       .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+      .agg(count(lit(1)).as("exact_nd"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
       .select(col("l_returnflag"), col("exact_nd"),
         (org.apache.spark.sql.functions.abs(

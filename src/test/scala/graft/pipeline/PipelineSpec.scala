@@ -642,6 +642,23 @@ class PipelineSpec extends SparkSpec {
     assert(enc("tata") == Seq("ta", "ta"))
   }
 
+  test("bpe encode: native kernel equals the literal replace chain") {
+    val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+      ("a", "a"), ("e", "r"))
+    val battery = Seq("table", "tale", "ta ble", "x table", "tata",
+      "aaaa aaa", "ERror TArter", "", "?!", "a", "tab tab le tables",
+      "Üppige Straßen 42, éclairs!")
+    val df = battery.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = df.select($"id",
+        TextFns.bpeEncode($"text", merges).as("e"))
+      .as[(Long, Seq[String])].collect().toMap
+    val chain = df.select($"id",
+        TextFns.bpeEncodeChain($"text", merges).as("e"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == chain)
+  }
+
   test("count-min sketch: est >= exact, sharded merge == global build") {
     val tokens = docs.select(
       explode(graft.functions.TokenCounts($"text")).as("tc"))
