@@ -120,10 +120,19 @@ object ExpressQueries {
       .agg(collect_list(struct(
         col("l_returnflag").as("flag"),
         col("l_quantity").cast("long").as("qty"))).as("items"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate pairs a
+    // plain explode with a size(e) > 0 filter that pushdown then
+    // rewrites in terms of the FULL reduce-step map tree — evaluating
+    // the interpreted HOF cascade twice per row (measured 2× on this
+    // gate). Reduce-step map keys are non-null by construction, so
+    // outer-explode + dropping the null-key row (an EMPTY map's only
+    // outer row) is exactly explode's semantics with the map built
+    // once.
     graft.lang.RM.evalCol("items{flag : $sum(qty)}", base,
         keep = Seq("l_orderkey"))
       .select(col("l_orderkey"),
-        explode(col("value")).as(Seq("flag", "qty_sum")))
+        explode_outer(col("value")).as(Seq("flag", "qty_sum")))
+      .filter(col("flag").isNotNull)
       .orderBy("l_orderkey", "flag")
   }
 
