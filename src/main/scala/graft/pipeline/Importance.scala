@@ -200,7 +200,17 @@ object Importance {
     */
   def importanceWeightsSliced(docs: DataFrame, targetCond: Column,
       idCol: String, textCol: String, dim: Int = 256,
-      gram: Int = 2): DataFrame = {
+      gram: Int = 2): DataFrame =
+    scoreWith(docs, trainDsir(docs, targetCond, textCol, dim, gram),
+      idCol, textCol, dim, gram)
+
+  /** Train the DSIR model alone: the one-scan dual histogram reduced
+    * to the `dim`-cell fixed-point ratio table — ready to bake into
+    * any batch OR streaming plan (streaming.EventStreams
+    * .dsirScoreStream), the trainUnigram/crossEntropyCol split.
+    */
+  def trainDsir(docs: DataFrame, targetCond: Column, textCol: String,
+      dim: Int = 256, gram: Int = 2): Array[Long] = {
     require(dim > 0 && dim <= (1 << 20), s"dim out of range: $dim")
     val ht = Array.fill(dim)(0L)
     val hr = Array.fill(dim)(0L)
@@ -214,8 +224,16 @@ object Importance {
         hr(b) = r.getLong(1)
         ht(b) = r.getLong(2)
       }
-    scoreWith(docs, fixedRatios(ht, hr), idCol, textCol, dim, gram)
+    fixedRatios(ht, hr)
   }
+
+  /** Score a corpus under a PRE-TRAINED ratio table ([[trainDsir]]) —
+    * one scan-local projection, usable on any batch frame (and the
+    * batch half of the streaming-twin pin).
+    */
+  def scoreDsir(docs: DataFrame, ratios: Array[Long], idCol: String,
+      textCol: String, gram: Int = 2): DataFrame =
+    scoreWith(docs, ratios, idCol, textCol, ratios.length, gram)
 
   /** Scoring pass: one scan-local projection; the per-document exact
     * long sum runs in the native [[graft.functions.DsirScore]] kernel

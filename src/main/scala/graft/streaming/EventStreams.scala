@@ -150,6 +150,21 @@ object EventStreams {
       .drop("__ce")
   }
 
+  /** DSIR importance scoring under readStream: the trained fixed-point
+    * ratio table (Importance.importanceWeightsSliced's histogram pass
+    * over a batch corpus, exposed via trainDsir) bakes into the plan
+    * as a reference object, and scoring is the native DsirScore
+    * kernel — scan-local, no state, no shuffle, same exact long
+    * scores as the batch operator (StreamingSpec pins the twin).
+    */
+  def dsirScoreStream(docs: DataFrame, ratios: Array[Long],
+      gram: Int = 2, textCol: String = "text"): DataFrame =
+    docs.withColumn("score_fix",
+        graft.functions.DsirScore(col(textCol), gram, ratios.length,
+          ratios))
+      .withColumn("log_weight",
+        col("score_fix") / lit(graft.pipeline.Importance.FixScale))
+
   /** Streaming near-dup suppression with bounded state: drop any
     * document whose band-0 MinHash bucket was already seen inside the
     * watermark horizon. The bucket key collides for documents whose

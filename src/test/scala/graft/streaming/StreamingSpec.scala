@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 case class GEvent(ts: Timestamp, event_type: String, value: Double)
@@ -109,6 +110,39 @@ class StreamingSpec extends SparkSpec {
         ref, "doc_id", "text", vocabSize = 32)
       .select("doc_id", "cross_entropy")
       .as[(Long, Double)].collect().toMap
+    assert(got == batch)
+  }
+
+  test("dsir scoring stream matches the batch importance weights") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps the fence", "en"),
+      (11L, "der hund springt über den zaun heute", "de"),
+      (12L, "the lazy dog sleeps by the quick river", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ratios = graft.pipeline.Importance.trainDsir(
+      corpus, col("lang") === "en", "text", dim = 64, gram = 2)
+    val input = MemoryStream[GDoc]
+    input.addData(
+      GDoc(t("2026-01-01 10:00:00"), 1L, "the quick brown fox"),
+      GDoc(t("2026-01-01 10:01:00"), 2L, "der hund springt heute"))
+    val q = EventStreams.dsirScoreStream(input.toDF(), ratios)
+      .writeStream.format("memory").queryName("dsirscored")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dsirscored")
+      .select("doc_id", "score_fix")
+      .as[(Long, Long)].collect().toMap
+    // the target-like doc outscores the off-target doc
+    assert(got(1L) > got(2L), got.toString)
+    // twin property: identical exact scores to the batch scorer under
+    // the same trained model
+    val batch = graft.pipeline.Importance.scoreDsir(
+        Seq((1L, "the quick brown fox"),
+          (2L, "der hund springt heute")).toDF("doc_id", "text"),
+        ratios, "doc_id", "text", gram = 2)
+      .select("doc_id", "score_fix")
+      .as[(Long, Long)].collect().toMap
     assert(got == batch)
   }
 
