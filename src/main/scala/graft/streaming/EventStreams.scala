@@ -165,6 +165,28 @@ object EventStreams {
       .withColumn("log_weight",
         col("score_fix") / lit(graft.pipeline.Importance.FixScale))
 
+  /** Incremental count-min sketch under readStream: per micro-batch,
+    * explode each document's token cells and maintain running
+    * cell-wise sums — an update-mode streaming aggregation whose
+    * STATE is bounded by construction at depth × width rows (the
+    * sketch itself), regardless of stream length or vocabulary size.
+    * That bound is the whole point: a streaming token groupBy holds
+    * vocabulary-sized state, the sketch holds a constant-size matrix.
+    * Cell-wise additivity makes the running table at any point equal
+    * to CountMin.build over everything ingested so far (StreamingSpec
+    * pins stream == batch after multiple batches).
+    */
+  def cmsStream(docs: DataFrame, textCol: String = "text",
+      depth: Int = 4, width: Int = 256, seed: Int = 9): DataFrame =
+    docs.select(explode(
+        graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("tc.token").as("token"), col("tc.cnt").as("cnt"),
+        explode(lit((0 until depth).toArray)).as("row"))
+      .groupBy(col("row"),
+        graft.pipeline.CountMin.cell(col("row"), col("token"), width,
+          seed).as("col"))
+      .agg(sum("cnt").as("cnt"))
+
   /** Streaming near-dup suppression with bounded state: drop any
     * document whose band-0 MinHash bucket was already seen inside the
     * watermark horizon. The bucket key collides for documents whose

@@ -146,6 +146,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("incremental cms stream equals the batch sketch (additivity)") {
+    implicit val ctx = spark.sqlContext
+    val d1 = Seq(
+      GDoc(t("2026-01-01 10:00:00"), 1L, "apple apple banana"),
+      GDoc(t("2026-01-01 10:01:00"), 2L, "apple cherry"))
+    val d2 = Seq(
+      GDoc(t("2026-01-01 10:02:00"), 3L, "banana banana cherry date"))
+    val input = MemoryStream[GDoc]
+    val q = EventStreams.cmsStream(input.toDF(), depth = 3, width = 16)
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    input.addData(d1: _*); q.processAllAvailable()
+    input.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cmscells")
+      .select("row", "col", "cnt")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.pipeline.CountMin.build(
+        (d1 ++ d2).toDF(), "text", depth = 3, width = 16)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == batch)
+    // the state bound: never more than depth × width cells
+    assert(got.size <= 3 * 16)
+  }
+
   test("streaming near-dup drop suppresses band-bucket collisions") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GDoc]
