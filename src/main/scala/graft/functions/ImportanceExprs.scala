@@ -161,6 +161,37 @@ object DsirScore {
   * boundary battery and a corpus slice.
   */
 object BpeNative {
+  /** Apply the merge list to one word: returns the symbol array and
+    * its live length (the array is oversized after merges shrink it).
+    */
+  private def encodeWord(w: String,
+      flat: Array[String]): (Array[String], Int) = {
+    val syms = new Array[String](w.length)
+    var n = w.length
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var m = 0
+    while (m < flat.length) {
+      val a = flat(m)
+      val b = flat(m + 1)
+      var r = 0
+      var wr = 0
+      while (r < n) {
+        if (r + 1 < n && syms(r) == a && syms(r + 1) == b) {
+          syms(wr) = a + b
+          r += 2
+        } else {
+          syms(wr) = syms(r)
+          r += 1
+        }
+        wr += 1
+      }
+      n = wr
+      m += 2
+    }
+    (syms, n)
+  }
+
   /** `flat` = [a0,b0,a1,b1,...] merge pairs in rank order. */
   def encode(text: UTF8String, flat: Array[String],
       useICU: Boolean): GenericArrayData = {
@@ -168,32 +199,32 @@ object BpeNative {
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var wi = 0
     while (wi < toks.length) {
-      val w = toks(wi)
-      var syms = new Array[String](w.length)
-      var n = w.length
+      val (syms, n) = encodeWord(toks(wi), flat)
       var i = 0
-      while (i < n) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-      var m = 0
-      while (m < flat.length) {
-        val a = flat(m)
-        val b = flat(m + 1)
-        var r = 0
-        var wr = 0
-        while (r < n) {
-          if (r + 1 < n && syms(r) == a && syms(r + 1) == b) {
-            syms(wr) = a + b
-            r += 2
-          } else {
-            syms(wr) = syms(r)
-            r += 1
-          }
-          wr += 1
-        }
-        n = wr
-        m += 2
-      }
-      i = 0
       while (i < n) { out += UTF8String.fromString(syms(i)); i += 1 }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Adjacent symbol pairs WITHIN words (as "a b" strings, one per
+    * occurrence) after applying the merge list — the counting kernel
+    * of one BPE vocabulary-training round. Word boundaries separate
+    * pairs, exactly the classic BPE formulation (Sennrich et al.
+    * 2016, arXiv:1508.07909).
+    */
+  def adjPairs(text: UTF8String, flat: Array[String],
+      useICU: Boolean): GenericArrayData = {
+    val toks = TextHash.tokensOf(text, useICU)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < toks.length) {
+      val (syms, n) = encodeWord(toks(wi), flat)
+      var i = 0
+      while (i + 1 < n) {
+        out += UTF8String.fromString(syms(i) + " " + syms(i + 1))
+        i += 1
+      }
       wi += 1
     }
     new GenericArrayData(out.toArray)
@@ -234,5 +265,43 @@ case class BpeEncode(child: Expression, merges: Array[String],
 object BpeEncode {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     ColumnGlue.column(BpeEncode(ColumnGlue.expression(text),
+      merges.flatMap { case (a, b) => Seq(a, b) }.toArray))
+}
+
+/** `BpeNative.adjPairs(text, merges)` as one codegen'd call →
+  * array<string> of within-word adjacent symbol pairs ("a b"), one
+  * element per occurrence.
+  */
+case class BpeAdjPairs(child: Expression, merges: Array[String],
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val mf = ctx.addReferenceObj("bpeMerges", merges,
+      "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeNative.adjPairs($c, $mf, $useICU)")
+  }
+  override def nullSafeEval(v: Any): Any =
+    BpeNative.adjPairs(v.asInstanceOf[UTF8String], merges, useICU)
+  override protected def withNewChildInternal(c: Expression)
+      : BpeAdjPairs = copy(child = c)
+  override def equals(o: Any): Boolean = o match {
+    case m: BpeAdjPairs =>
+      m.child == child && m.useICU == useICU &&
+        java.util.Arrays.equals(
+          m.merges.asInstanceOf[Array[AnyRef]],
+          merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(
+        merges.asInstanceOf[Array[AnyRef]])))
+}
+
+object BpeAdjPairs {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnGlue.column(BpeAdjPairs(ColumnGlue.expression(text),
       merges.flatMap { case (a, b) => Seq(a, b) }.toArray))
 }

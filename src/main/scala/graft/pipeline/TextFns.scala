@@ -352,6 +352,53 @@ object TextFns {
       t => length(t) > 0)
   }
 
+  /** Train a BPE merge list in-engine (Sennrich et al. 2016,
+    * arXiv:1508.07909): `nMerges` rounds of "count adjacent symbol
+    * pairs within words, merge the most frequent everywhere" — the
+    * vocabulary-induction loop between [[bpePairStats]] (one round's
+    * stats) and [[bpeEncode]] (applying the result).
+    *
+    * Scale shape: the k-means/trainLinearQuality iterative pattern —
+    * each round is ONE corpus scan (native BpeAdjPairs kernel: apply
+    * current merges + emit pairs in one codegen'd call) reduced by a
+    * map-side-combined count to the single argmax row; only that row
+    * reaches the driver, and the merges re-enter round k+1 as plan
+    * literals. No growing lineage, no driver-side corpus state.
+    *
+    * Determinism: counts are exact longs; the argmax tie-breaks on
+    * the pair string (ASCII: tokens are [a-z0-9], engine-portable
+    * ordering) — so whole training runs replay exactly (p_bpe_train
+    * unrolls the rounds in DuckDB).
+    *
+    * @return (a, b, count-at-selection) per round, rank order
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var k = 0
+    var dry = false
+    while (k < nMerges && !dry) {
+      val merges = out.toSeq.map { case (a, b, _) => (a, b) }
+      val best = df.select(explode(
+          graft.functions.BpeAdjPairs(col(textCol), merges)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) dry = true // every word is one symbol
+      else {
+        val p = best(0).getString(0)
+        val sp = p.indexOf(' ')
+        out += ((p.substring(0, sp), p.substring(sp + 1),
+          best(0).getLong(1)))
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
   private def requireBpeSymbols(merges: Seq[(String, String)]): Unit =
     require(merges.forall { case (a, b) =>
       (a + b).forall(ch => ch != '\u0001' && ch != '\u0002' && ch != ' ')

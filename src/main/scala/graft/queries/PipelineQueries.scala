@@ -289,6 +289,22 @@ object PipelineQueries {
     TextFns.keywords(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
       .orderBy("doc_id", "rank")
 
+  /** In-engine BPE vocabulary training over the documents table: 4
+    * merge rounds, each one corpus scan reduced to the argmax pair.
+    * The gate pins the LEARNED MERGES and their selection-time counts
+    * — whole training rounds replay in DuckDB (the p_quality_train
+    * pattern), so pair counting, the merge-apply semantics, and the
+    * deterministic tie-break are all load-bearing.
+    */
+  def pBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextFns.bpeTrain(Tables.documents(s, d), "text", nMerges = 4)
+      .zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("step", "sym_a", "sym_b", "cnt")
+      .orderBy("step")
+  }
+
   /** Inverted-index build over the documents table: per-token top-5
     * postings by (tf DESC, doc_id) for every token seen in at least
     * two documents, with exact df/cf — the WindowGroupLimit cap and
@@ -662,6 +678,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "p_keywords" -> (pKeywords _),
     "p_postings" -> (pPostings _),
+    "p_bpe_train" -> (pBpeTrain _),
     "p_kmeans" -> (pKmeans _),
     "p_curate" -> (pCurate _),
     "p_incr_dedup" -> (pIncrDedup _),
@@ -890,6 +907,45 @@ object PipelineQueries {
     * divergence flips a pre-floored bucket with probability ~1e-10),
     * and the exact BIGINT score sum.
     */
+  /** DuckDB replay of TextFns.bpeTrain: `n` unrolled merge rounds.
+    * Words ride as marker-wrapped strings (the p_bpe_encode
+    * representation); each round extracts the symbol list, zips
+    * adjacent pairs, takes the (count DESC, pair) argmax, and applies
+    * the winning merge with ONE literal `replace` — DuckDB's replace
+    * is the same left-to-right non-overlapping pass as the Spark
+    * kernel's array merge.
+    */
+  private def bpeTrainOracle(n: Int): String = {
+    val pat = s"chr(1)||'([^'||chr(1)||chr(2)||']*)'||chr(2)"
+    val steps = (0 until n).map { k =>
+      s"""s$k AS (
+         |  SELECT regexp_extract_all(mw, $pat, 1) AS syms FROM w$k),
+         |b$k AS (
+         |  SELECT pair, split_part(pair, ' ', 1) AS a,
+         |    split_part(pair, ' ', 2) AS b, count(*) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |    FROM s$k)
+         |  GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1),
+         |w${k + 1} AS (
+         |  SELECT replace(mw,
+         |    chr(1)||b$k.a||chr(2)||chr(1)||b$k.b||chr(2),
+         |    chr(1)||b$k.a||b$k.b||chr(2)) AS mw
+         |  FROM w$k CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until n).map { k =>
+      s"SELECT $k AS step, a AS sym_a, b AS sym_b, cnt FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g')
+       |    AS mw
+       |  FROM (SELECT unnest($toks) AS w FROM documents)),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   private def dsirOracle(dim: Int, n: Int): String = {
     val grams =
       s"""CASE WHEN len(toks) < $n
@@ -1149,6 +1205,7 @@ object PipelineQueries {
          |      AS rank
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "p_bpe_train" -> bpeTrainOracle(4),
     "p_postings" ->
       s"""WITH tc AS (
          |  SELECT doc_id, token, count(*) AS tf FROM (

@@ -642,6 +642,24 @@ class PipelineSpec extends SparkSpec {
     assert(enc("tata") == Seq("ta", "ta"))
   }
 
+  test("bpe train: learns the textbook merges with deterministic ties") {
+    val t = Seq((1L, "low lower lowest low low")).toDF("id", "text")
+    // pair counts round 1: "l o"=5, "o w"=5, "w e"=2, rest 1 — the
+    // 5-5 tie breaks on the pair string ("l o" < "o w")
+    val m = TextFns.bpeTrain(t, "text", nMerges = 3)
+    assert(m == Seq(("l", "o", 5L), ("lo", "w", 5L), ("low", "e", 2L)))
+    // the learned merges drive the encoder
+    val enc = t.select(TextFns.bpeEncode($"text",
+        m.map { case (a, b, _) => (a, b) }).as("e"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("low", "lowe", "r", "lowe", "s", "t", "low",
+      "low"))
+    // training dries out when every word is a single symbol
+    val tiny = Seq((1L, "ab ab")).toDF("id", "text")
+    assert(TextFns.bpeTrain(tiny, "text", nMerges = 5) ==
+      Seq(("a", "b", 2L)))
+  }
+
   test("bpe encode: native kernel equals the literal replace chain") {
     val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
       ("a", "a"), ("e", "r"))
