@@ -77,6 +77,40 @@ object ImportanceNative {
     new GenericArrayData(out.toArray)
   }
 
+  /** Positional 60-bit gram hashes: element i (0-based) is the md5
+    * hex fold of the `n`-token window starting at token i — the
+    * per-position kernel of span-level dedup (Dedup.dupSpans). No
+    * short-document fallback: texts with fewer than `n` tokens yield
+    * an empty array (a span needs a full window).
+    */
+  def gramHashSeq(text: UTF8String, n: Int,
+      useICU: Boolean): GenericArrayData = {
+    val md = TextHash.digest()
+    val toks = TextHash.tokensOf(text, useICU)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+      out(i) = (v << 4) | ((d(7) >> 4) & 0xFL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact fixed-point DSIR score: the long sum of
     * `ratios(bucket(gram))` over gram occurrences — the scoring-side
     * kernel. Order-independent (long addition), so partition-stable.
@@ -108,6 +142,27 @@ case class GramBuckets(child: Expression, n: Int, dim: Int,
 object GramBuckets {
   def apply(text: Column, n: Int, dim: Int): Column =
     ColumnGlue.column(GramBuckets(ColumnGlue.expression(text), n, dim))
+}
+
+/** `gramHashSeq(text, n)` as one codegen'd call → array<long>,
+  * index = token position of the window start.
+  */
+case class GramHashSeq(child: Expression, n: Int,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ImportanceNative.gramHashSeq($c, $n, $useICU)")
+  override def nullSafeEval(v: Any): Any =
+    ImportanceNative.gramHashSeq(v.asInstanceOf[UTF8String], n, useICU)
+  override protected def withNewChildInternal(c: Expression)
+      : GramHashSeq = copy(child = c)
+}
+
+object GramHashSeq {
+  def apply(text: Column, n: Int): Column =
+    ColumnGlue.column(GramHashSeq(ColumnGlue.expression(text), n))
 }
 
 /** `dsirScore(text, n, dim, ratios)` as one codegen'd call → long.

@@ -468,6 +468,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("example_id"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Span-level exact-substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better"): find, per document, the maximal token spans
+    * covered by `n`-token windows that occur at least `minCount`
+    * times across the corpus — the substring-granular complement to
+    * document-level (exact/minhash) and paragraph-level (para_dedup)
+    * dedup. Lee et al. build a corpus suffix array; that is not a
+    * shuffle-friendly shape, so this is the standard distributed
+    * approximation: fixed-`n` duplicated-gram marking + run merging,
+    * which finds exactly the duplicated substrings of >= n tokens
+    * (granularity n, no false spans).
+    *
+    * Scale shape (100 TB): positions+hashes come from ONE scan
+    * through the native [[graft.functions.GramHashSeq]] kernel; the
+    * duplicate-hash aggregation and the mark join both shuffle the
+    * same (doc, pos, 8-byte hash) frame — STAGED, so the exchange
+    * computes once — and never gram text; the run merge is one
+    * doc-key window over marked positions only (sparse: most of the
+    * corpus has no duplicated span). A mega-duplicated gram
+    * (boilerplate in every doc) stays a hash-partitioned equi-join
+    * row fan-out — each occurrence must be marked — never all-pairs.
+    *
+    * @return (doc_id, start_tok, end_tok, n_grams): 0-based token
+    *         span [start_tok, end_tok] inclusive, n_grams = number of
+    *         duplicated windows merged into the span
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    require(n > 0 && minCount >= 2,
+      s"need n > 0 and minCount >= 2, got n=$n minCount=$minCount")
+    val gh = graft.core.Caches.stage(
+      df.select(col(idCol).as("doc_id"),
+          posexplode(graft.functions.GramHashSeq(col(textCol), n))
+            .as(Seq("pos", "h"))))
+    val dup = gh.groupBy("h")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    gh.join(dup, "h")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start_tok"), max("pos").as("__last"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("start_tok").cast("long"),
+        (col("__last") + (n - 1)).cast("long").as("end_tok"),
+        col("n_grams"))
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, bc: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(bc, n))

@@ -289,6 +289,16 @@ object PipelineQueries {
     TextFns.keywords(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
       .orderBy("doc_id", "rank")
 
+  /** Span-level exact-substring dedup over the documents table:
+    * maximal token spans covered by 8-token windows occurring >= 2
+    * times corpus-wide — positions, run merging, and the duplicated-
+    * hash threshold all replay in DuckDB.
+    */
+  def pDupSpans(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Dedup.dupSpans(Tables.documents(s, d), "doc_id",
+        "text", n = 8, minCount = 2)
+      .orderBy("doc_id", "start_tok")
+
   /** In-engine BPE vocabulary training over the documents table: 4
     * merge rounds, each one corpus scan reduced to the argmax pair.
     * The gate pins the LEARNED MERGES and their selection-time counts
@@ -679,6 +689,7 @@ object PipelineQueries {
     "p_keywords" -> (pKeywords _),
     "p_postings" -> (pPostings _),
     "p_bpe_train" -> (pBpeTrain _),
+    "p_dup_spans" -> (pDupSpans _),
     "p_kmeans" -> (pKmeans _),
     "p_curate" -> (pCurate _),
     "p_incr_dedup" -> (pIncrDedup _),
@@ -1206,6 +1217,28 @@ object PipelineQueries {
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_bpe_train" -> bpeTrainOracle(4),
+    "p_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  -- window index is `p`, NOT `i`: hex60's fold lambda binds
+         |  -- `i`, which would capture an outer `i` (found the hard
+         |  -- way: every doc collapsed to one all-covering span)
+         |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+         |    ${hex60("array_to_string(list_slice(toks, p, p + 7), ' ')")}
+         |      AS h
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) - 6)) AS p
+         |        FROM tk WHERE len(toks) >= 8)),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |r AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY pos) AS grp
+         |      FROM m)
+         |SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+         |  count(*) AS n_grams
+         |FROM r GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_tok""".stripMargin,
     "p_postings" ->
       s"""WITH tc AS (
          |  SELECT doc_id, token, count(*) AS tf FROM (

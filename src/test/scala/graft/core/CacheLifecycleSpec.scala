@@ -16,7 +16,7 @@ class CacheLifecycleSpec extends SparkSpec {
 
   private val staged = Seq("p_minhash", "p_simhash", "p_curate",
     "q_express_deep", "p_dup_groups", "q_rm_mixed", "p_incr_dedup",
-    "p_keywords", "p_bm25", "p_cms", "p_postings")
+    "p_keywords", "p_bm25", "p_cms", "p_postings", "p_dup_spans")
 
   for (name <- staged)
     test(s"$name leaves no pinned blocks after release") {

@@ -398,6 +398,26 @@ class PipelineSpec extends SparkSpec {
     assert(top1 == List("apple"))
   }
 
+  test("dupSpans: merged maximal spans, island gaps, self-repeats") {
+    val t = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "z z p q r s t u z"),
+      (3L, "m n o p m n o p"),
+      (4L, "all tokens unique here nine total words now"))
+      .toDF("id", "text")
+    val out = Dedup.dupSpans(t, "id", "text", n = 4, minCount = 2)
+      .orderBy("doc_id", "start_tok")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+        r.getAs[Long]("n_grams"))).toList
+    // docs 1/2 share "p q r s t u": three 4-gram windows each, merged
+    // into one maximal span; doc 3's self-repeated "m n o p" marks
+    // positions 0 and 4 — a gap, so TWO spans; doc 4 yields nothing
+    assert(out == List(
+      (1L, 0L, 5L, 3L), (2L, 2L, 7L, 3L),
+      (3L, 0L, 3L, 1L), (3L, 4L, 7L, 1L)))
+  }
+
   test("postings: per-token top-cap by tf, exact uncapped df/cf") {
     val t = Seq(
       (1L, "apple apple apple banana"),
