@@ -122,6 +122,64 @@ object ImportanceNative {
     foreachGram(text, n, useICU) { g => acc += ratios(bucket(md, g, dim)) }
     acc
   }
+
+  /** Visit every CHARACTER n-gram occurrence of the normalized text
+    * (code-point windows over TextHash.normalize, the fingerprintMd5
+    * convention); texts shorter than `n` code points contribute the
+    * whole normalized text as one gram — so every document, however
+    * short, has at least one feature.
+    */
+  private def foreachCharGram(text: UTF8String, n: Int,
+      useICU: Boolean)(f: String => Unit): Unit = {
+    val norm = TextHash.normalize(text, useICU)
+    val cps = norm.codePoints().toArray
+    if (cps.length < n) f(norm)
+    else {
+      val sb = new java.lang.StringBuilder(n * 2)
+      var start = 0
+      while (start + n <= cps.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { sb.appendCodePoint(cps(start + j)); j += 1 }
+        f(sb.toString)
+        start += 1
+      }
+    }
+  }
+
+  /** Per-occurrence character-gram feature buckets — the training-side
+    * kernel of the n-gram language-ID model.
+    */
+  def charGramBuckets(text: UTF8String, n: Int, dim: Int,
+      useICU: Boolean): GenericArrayData = {
+    val md = TextHash.digest()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    foreachCharGram(text, n, useICU) { g =>
+      out += bucket(md, g, dim).toLong
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** All L language scores in ONE pass over the char grams:
+    * score(l) = Σ flat(l·dim + bucket(gram)) — `flat` is the L
+    * concatenated fixed-point log-prob tables. Exact long sums, so
+    * partition-stable and engine-replayable.
+    */
+  def charGramScores(text: UTF8String, n: Int, dim: Int,
+      flat: Array[Long], langs: Int,
+      useICU: Boolean): GenericArrayData = {
+    val md = TextHash.digest()
+    val acc = new Array[Long](langs)
+    foreachCharGram(text, n, useICU) { g =>
+      val b = bucket(md, g, dim)
+      var l = 0
+      while (l < langs) { acc(l) += flat(l * dim + b); l += 1 }
+    }
+    val out = new Array[Any](langs)
+    var l = 0
+    while (l < langs) { out(l) = acc(l); l += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `gramBuckets(text, n, dim)` as one codegen'd call → array<long>. */
@@ -203,6 +261,68 @@ object DsirScore {
       ratios: Array[Long]): Column =
     ColumnGlue.column(DsirScore(ColumnGlue.expression(text), n, dim,
       ratios))
+}
+
+/** `charGramBuckets(text, n, dim)` as one codegen'd call →
+  * array<long>.
+  */
+case class CharGramBuckets(child: Expression, n: Int, dim: Int,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ImportanceNative.charGramBuckets($c, $n, $dim, $useICU)")
+  override def nullSafeEval(v: Any): Any =
+    ImportanceNative.charGramBuckets(v.asInstanceOf[UTF8String], n,
+      dim, useICU)
+  override protected def withNewChildInternal(c: Expression)
+      : CharGramBuckets = copy(child = c)
+}
+
+object CharGramBuckets {
+  def apply(text: Column, n: Int, dim: Int): Column =
+    ColumnGlue.column(CharGramBuckets(ColumnGlue.expression(text), n,
+      dim))
+}
+
+/** `charGramScores(text, n, dim, flat, langs)` as one codegen'd call
+  * → array<long> of the L language scores; the concatenated log-prob
+  * tables ride the plan as a reference object.
+  */
+case class CharGramScores(child: Expression, n: Int, dim: Int,
+    flat: Array[Long], langs: Int,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ft = ctx.addReferenceObj("langTables", flat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ImportanceNative.charGramScores($c, $n, $dim, $ft, $langs, $useICU)")
+  }
+  override def nullSafeEval(v: Any): Any =
+    ImportanceNative.charGramScores(v.asInstanceOf[UTF8String], n,
+      dim, flat, langs, useICU)
+  override protected def withNewChildInternal(c: Expression)
+      : CharGramScores = copy(child = c)
+  override def equals(o: Any): Boolean = o match {
+    case m: CharGramScores =>
+      m.child == child && m.n == n && m.dim == dim &&
+        m.langs == langs && m.useICU == useICU &&
+        java.util.Arrays.equals(m.flat, flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(n),
+      Integer.valueOf(dim), Integer.valueOf(langs),
+      Integer.valueOf(java.util.Arrays.hashCode(flat)))
+}
+
+object CharGramScores {
+  def apply(text: Column, n: Int, dim: Int, flat: Array[Long],
+      langs: Int): Column =
+    ColumnGlue.column(CharGramScores(ColumnGlue.expression(text), n,
+      dim, flat, langs))
 }
 
 /** Native BPE tokenizer-encode (TextFns.bpeEncode semantics). The

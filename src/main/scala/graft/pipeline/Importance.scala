@@ -227,6 +227,78 @@ object Importance {
     fixedRatios(ht, hr)
   }
 
+  /** Train an n-gram language-ID model (the CLD/textcat shape:
+    * per-language character-n-gram profiles; Cavnar & Trenkle 1994):
+    * for each label in `langs`, a `dim`-cell fixed-point log-prob
+    * table ln((c_b+1)/(T_l+dim)) over hashed char-gram features of
+    * that label's slice — add-one smoothing, so every bucket is
+    * defined for every language.
+    *
+    * Scale shape: ONE corpus scan (native CharGramBuckets kernel)
+    * reduced by conditional aggregation to |langs| × dim cells — the
+    * dim-bounded driver footprint again; the model re-enters the
+    * scoring plan as a reference object. The label set is explicit
+    * (not discovered) so train/score/replay agree on the class list;
+    * rows with other labels contribute nothing.
+    */
+  def trainLangId(docs: DataFrame, langCol: String, textCol: String,
+      langs: Seq[String], dim: Int = 256,
+      gram: Int = 3): Array[Long] = {
+    require(langs.nonEmpty && langs == langs.sorted.distinct,
+      s"langs must be sorted and distinct, got $langs")
+    require(dim > 0 && dim <= (1 << 20), s"dim out of range: $dim")
+    val counts = Array.fill(langs.length, dim)(0L)
+    val aggs = langs.map(l =>
+      count_if(col("__l") === l).as(s"c_$l"))
+    docs.select(col(langCol).as("__l"), explode(
+        graft.functions.CharGramBuckets(col(textCol), gram, dim))
+        .as("b"))
+      .groupBy("b").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .foreach { r =>
+        val b = r.getLong(0).toInt
+        var l = 0
+        while (l < langs.length) {
+          counts(l)(b) = r.getLong(l + 1)
+          l += 1
+        }
+      }
+    val flat = new Array[Long](langs.length * dim)
+    var l = 0
+    while (l < langs.length) {
+      val t = (counts(l).sum + dim).toDouble
+      var b = 0
+      while (b < dim) {
+        flat(l * dim + b) = math.floor(
+          math.log((counts(l)(b) + 1).toDouble / t) * FixScale).toLong
+        b += 1
+      }
+      l += 1
+    }
+    flat
+  }
+
+  /** Classify with a trained [[trainLangId]] model: all |langs|
+    * scores in one kernel pass, argmax with ties to the
+    * lexicographically smallest label (langs are sorted and
+    * array_position takes the FIRST maximum). One scan-local
+    * projection — streams unchanged.
+    */
+  def langIdModel(docs: DataFrame, flat: Array[Long],
+      langs: Seq[String], idCol: String, textCol: String,
+      dim: Int = 256, gram: Int = 3): DataFrame = {
+    require(langs.nonEmpty && flat.length == langs.length * dim,
+      "model size must be |langs| * dim")
+    docs.select(col(idCol),
+        graft.functions.CharGramScores(col(textCol), gram, dim, flat,
+          langs.length).as("__s"))
+      .select(col(idCol),
+        element_at(lit(langs.toArray),
+          array_position(col("__s"), array_max(col("__s")))
+            .cast("int")).as("pred_lang"),
+        array_max(col("__s")).as("score_fix"))
+  }
+
   /** Score a corpus under a PRE-TRAINED ratio table ([[trainDsir]]) —
     * one scan-local projection, usable on any batch frame (and the
     * batch half of the streaming-twin pin).

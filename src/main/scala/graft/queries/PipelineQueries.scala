@@ -289,6 +289,23 @@ object PipelineQueries {
     TextFns.keywords(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
       .orderBy("doc_id", "rank")
 
+  private val LangModelLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Trained n-gram language-ID over the documents table: char-trigram
+    * log-likelihood profiles per labeled language (one training scan,
+    * 5×256 driver cells), argmax classification — the trainable
+    * counterpart of the stopword-heuristic p_lang_id. Whole train +
+    * classify replays in DuckDB (the dsirOracle pattern × 5 labels).
+    */
+  def pLangModel(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val m = graft.pipeline.Importance.trainLangId(doc, "lang", "text",
+      LangModelLangs, dim = 256, gram = 3)
+    graft.pipeline.Importance.langIdModel(doc, m, LangModelLangs,
+        "doc_id", "text", dim = 256, gram = 3)
+      .orderBy("doc_id")
+  }
+
   /** Span-level exact-substring dedup over the documents table:
     * maximal token spans covered by 8-token windows occurring >= 2
     * times corpus-wide — positions, run merging, and the duplicated-
@@ -690,6 +707,7 @@ object PipelineQueries {
     "p_postings" -> (pPostings _),
     "p_bpe_train" -> (pBpeTrain _),
     "p_dup_spans" -> (pDupSpans _),
+    "p_lang_model" -> (pLangModel _),
     "p_kmeans" -> (pKmeans _),
     "p_curate" -> (pCurate _),
     "p_incr_dedup" -> (pIncrDedup _),
@@ -910,6 +928,59 @@ object PipelineQueries {
        |  END AS cross_entropy
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of Importance.trainLangId + langIdModel: one
+    * histogram pass with per-language FILTER counts over hashed char
+    * `g`-gram features of the normalized text, add-one-smoothed
+    * fixed-point log-prob tables, per-document score sums per
+    * language, argmax with ties to the lexicographically smallest
+    * label — the dsirOracle pattern × |langs|.
+    */
+  private def langIdOracle(langs: Seq[String], dim: Int,
+      g: Int): String = {
+    val grams =
+      s"""CASE WHEN length(nt) < $g THEN [nt]
+         | ELSE list_transform(range(1, length(nt) - ${g - 2}),
+         |   p -> substr(nt, CAST(p AS INT), $g))
+         | END""".stripMargin
+    val cCols = langs.map(l =>
+      s"count(*) FILTER (lang = '$l') AS c_$l").mkString(",\n    ")
+    val tCols = langs.map(l =>
+      s"CAST(sum(c_$l) + $dim AS BIGINT) AS t_$l").mkString(", ")
+    val fCols = langs.map(l =>
+      s"""CAST(floor(ln(CAST(coalesce(hb.c_$l, 0) + 1 AS DOUBLE)
+         |      / tot.t_$l) * 1048576.0) AS BIGINT) AS f_$l""".stripMargin)
+      .mkString(",\n    ")
+    val sCols = langs.map(l => s"sum(r.f_$l) AS s_$l").mkString(", ")
+    val lList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    val sList = langs.map(l => s"s_$l").mkString("[", ", ", "]")
+    s"""WITH nm AS (SELECT doc_id, lang, $norm AS nt FROM documents),
+       |base AS (SELECT doc_id, lang, $grams AS gs FROM nm),
+       |gall AS (SELECT doc_id, lang, unnest(gs) AS gg FROM base),
+       |hb AS (
+       |  SELECT ${hex60("gg")} % $dim AS b,
+       |    $cCols
+       |  FROM gall GROUP BY 1),
+       |tot AS (SELECT $tCols FROM hb),
+       |ratio AS (
+       |  SELECT bb.b,
+       |    $fCols
+       |  FROM (SELECT unnest(range(0, $dim)) AS b) bb
+       |  LEFT JOIN hb ON hb.b = bb.b CROSS JOIN tot),
+       |score AS (
+       |  SELECT ga.doc_id, $sCols
+       |  FROM gall ga JOIN ratio r ON (${hex60("ga.gg")} % $dim) = r.b
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id, l AS pred_lang, s AS score_fix,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY s DESC, l) AS rk
+       |  FROM (
+       |    SELECT doc_id, unnest($lList) AS l, unnest($sList) AS s
+       |    FROM score))
+       |SELECT doc_id, pred_lang, CAST(score_fix AS BIGINT) AS score_fix
+       |FROM sc WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of Importance.importanceWeights: gram OCCURRENCES
     * (non-distinct shingles), one FILTERed histogram pass for both
@@ -1217,6 +1288,7 @@ object PipelineQueries {
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_bpe_train" -> bpeTrainOracle(4),
+    "p_lang_model" -> langIdOracle(LangModelLangs, 256, 3),
     "p_dup_spans" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
          |g AS (

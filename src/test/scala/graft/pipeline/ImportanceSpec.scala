@@ -160,6 +160,38 @@ class ImportanceSpec extends SparkSpec {
     assert(w1.toSeq == w2.toSeq && b1 == b2)
   }
 
+  test("trainLangId + langIdModel: classifies held-in docs, stable") {
+    val langs = Seq("de", "en")
+    val m = Importance.trainLangId(corpus, "lang", "text", langs,
+      dim = 64, gram = 3)
+    assert(m.length == 2 * 64)
+    val pred = Importance.langIdModel(corpus, m, langs, "doc_id",
+        "text", dim = 64, gram = 3)
+      .select("doc_id", "pred_lang").as[(Long, String)]
+      .collect().toMap
+    assert(pred == Map(1L -> "en", 2L -> "en", 5L -> "en",
+      3L -> "de", 4L -> "de"))
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      Importance.langIdModel(df, m, langs, "doc_id", "text",
+          dim = 64, gram = 3)
+        .orderBy("doc_id").select("score_fix").as[Long]
+        .collect().toSeq
+    assert(scores(corpus) == scores(corpus.repartition(7)),
+      "exact long scores are partition-stable")
+    // explicit label set: unknown-label rows contribute nothing but
+    // still classify
+    val withX = corpus.union(Seq((9L, "ein und zwei und drei", "xx"))
+      .toDF("doc_id", "text", "lang"))
+    val m2 = Importance.trainLangId(withX, "lang", "text", langs,
+      dim = 64, gram = 3)
+    assert(m2.toSeq == m.toSeq, "unlabeled rows don't shift the model")
+    val p9 = Importance.langIdModel(withX, m2, langs, "doc_id",
+        "text", dim = 64, gram = 3)
+      .filter(col("doc_id") === 9L).select("pred_lang")
+      .as[String].head()
+    assert(p9 == "de")
+  }
+
   test("fixedRatios: smoothing covers unseen buckets, ratios bounded") {
     val ht = Array(10L, 0L, 3L, 0L)
     val hr = Array(5L, 5L, 0L, 0L)
