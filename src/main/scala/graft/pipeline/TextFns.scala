@@ -352,6 +352,69 @@ object TextFns {
       t => length(t) > 0)
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1): the standard pre-training document-quality rule battery
+    * — word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, alphabetic-word fraction, bullet/ellipsis line ratios,
+    * and stopword presence — composed scan-local, with every ratio
+    * test expressed in INTEGER arithmetic (10·bullets ≤ 9·lines, not
+    * bullets/lines ≤ 0.9), so the flags are exact and engine-
+    * replayable: no float rounding at the thresholds.
+    *
+    * Words = whitespace tokens (punctuation attached, the Gopher
+    * convention); `alpha` counts words containing an ASCII letter;
+    * stopword presence asks for >= 2 DISTINCT hits from the Gopher
+    * list over the alnum tokens.
+    *
+    * @return struct<n_words, ok_words, ok_mean_len, ok_symbols,
+    *         ok_alpha, ok_bullets, ok_ellipsis, ok_stopwords, keep>
+    */
+  def gopherRules(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val ws = filter(split(text, "\\s+"), t => length(t) > 0)
+    val n = size(ws).cast("long")
+    // sum of word lengths == length with all whitespace removed
+    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val okWords = n >= minWords && n <= maxWords
+    // 3 <= sumLen/n <= 10, integer form
+    val okMean = n > 0 && sumLen >= n * 3 && sumLen <= n * 10
+    // (hash + ellipsis) / words <= 0.1 in integer form: tripleDiff is
+    // 3× the '...' count, so multiplying the inequality by 3 gives
+    // 30·hash + 10·tripleDiff <= 3·words
+    val hashCnt =
+      (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+    val tripleDiff =
+      (length(text) - length(replace(text, lit("..."), lit("")))).cast("long")
+    val okSymbols = hashCnt * 30 + tripleDiff * 10 <= n * 3
+    val alphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+      .cast("long")
+    val okAlpha = alphaWords * 5 >= n * 4
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nl = size(lines).cast("long")
+    val bullets = size(filter(lines, l => {
+      val t = ltrim(l)
+      t.startsWith("- ") || t.startsWith("* ") || t.startsWith("•")
+    })).cast("long")
+    val ellipsis = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("long")
+    val okBullets = bullets * 10 <= nl * 9
+    val okEllipsis = ellipsis * 10 <= nl * 3
+    val okStops = size(array_intersect(Dedup.tokens(text),
+      lit(GopherStopwords.toArray))) >= 2
+    val keep = okWords && okMean && okSymbols && okAlpha &&
+      okBullets && okEllipsis && okStops
+    struct(n.as("n_words"), okWords.as("ok_words"),
+      okMean.as("ok_mean_len"), okSymbols.as("ok_symbols"),
+      okAlpha.as("ok_alpha"), okBullets.as("ok_bullets"),
+      okEllipsis.as("ok_ellipsis"), okStops.as("ok_stopwords"),
+      keep.as("keep"))
+  }
+
+  /** Gopher's stopword-presence list (Rae et al. 2021 §A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Train a BPE merge list in-engine (Sennrich et al. 2016,
     * arXiv:1508.07909): `nMerges` rounds of "count adjacent symbol
     * pairs within words, merge the most frequent everywhere" — the

@@ -289,6 +289,16 @@ object PipelineQueries {
     TextFns.keywords(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
       .orderBy("doc_id", "rank")
 
+  /** Gopher rule battery over the documents table: every flag plus
+    * the composite keep decision, all thresholds integer-exact.
+    */
+  def pGopher(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy("doc_id")
+
   private val LangModelLangs = Seq("de", "en", "es", "fr", "zh")
 
   /** Trained n-gram language-ID over the documents table: char-trigram
@@ -708,6 +718,7 @@ object PipelineQueries {
     "p_bpe_train" -> (pBpeTrain _),
     "p_dup_spans" -> (pDupSpans _),
     "p_lang_model" -> (pLangModel _),
+    "p_gopher" -> (pGopher _),
     "p_kmeans" -> (pKmeans _),
     "p_curate" -> (pCurate _),
     "p_incr_dedup" -> (pIncrDedup _),
@@ -1289,6 +1300,52 @@ object PipelineQueries {
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_bpe_train" -> bpeTrainOracle(4),
     "p_lang_model" -> langIdOracle(LangModelLangs, 256, 3),
+    "p_gopher" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> x <> '')
+         |      AS ws,
+         |    list_filter(str_split(text, chr(10)),
+         |      x -> trim(x) <> '') AS ls
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS sum_len,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      AS BIGINT) AS hashc,
+         |    CAST(length(text) - length(replace(text, '...', ''))
+         |      AS BIGINT) AS td,
+         |    CAST(len(list_filter(ws,
+         |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS aw,
+         |    CAST(len(ls) AS BIGINT) AS nl,
+         |    CAST(len(list_filter(ls, l ->
+         |      starts_with(ltrim(l), '- ') OR
+         |      starts_with(ltrim(l), '* ') OR
+         |      starts_with(ltrim(l), '•'))) AS BIGINT) AS bl,
+         |    CAST(len(list_filter(ls, l ->
+         |      ends_with(rtrim(l), '...') OR
+         |      ends_with(rtrim(l), '…'))) AS BIGINT) AS el,
+         |    len(list_intersect(list_distinct($toks),
+         |      ['the','be','to','of','and','that','have','with']))
+         |      AS sw
+         |  FROM base)
+         |SELECT doc_id, n AS n_words,
+         |  (n >= 50 AND n <= 100000) AS ok_words,
+         |  (n > 0 AND sum_len >= n*3 AND sum_len <= n*10)
+         |    AS ok_mean_len,
+         |  (hashc*30 + td*10 <= n*3) AS ok_symbols,
+         |  (aw*5 >= n*4) AS ok_alpha,
+         |  (bl*10 <= nl*9) AS ok_bullets,
+         |  (el*10 <= nl*3) AS ok_ellipsis,
+         |  (sw >= 2) AS ok_stopwords,
+         |  ((n >= 50 AND n <= 100000)
+         |    AND (n > 0 AND sum_len >= n*3 AND sum_len <= n*10)
+         |    AND (hashc*30 + td*10 <= n*3) AND (aw*5 >= n*4)
+         |    AND (bl*10 <= nl*9) AND (el*10 <= nl*3)
+         |    AND (sw >= 2)) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     "p_dup_spans" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
          |g AS (

@@ -165,6 +165,27 @@ object EventStreams {
       .withColumn("log_weight",
         col("score_fix") / lit(graft.pipeline.Importance.FixScale))
 
+  /** Language-ID under readStream with a pre-trained n-gram model
+    * (Importance.trainLangId on a labeled batch corpus): the scoring
+    * kernel is scan-local, so classification streams with no state
+    * or shuffle — same predictions as the batch operator
+    * (StreamingSpec pins the twin).
+    */
+  def langIdStream(docs: DataFrame, flat: Array[Long],
+      langs: Seq[String], gram: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val dim = flat.length / langs.length
+    docs.withColumn("__s",
+        graft.functions.CharGramScores(col(textCol), gram, dim, flat,
+          langs.length))
+      .withColumn("pred_lang",
+        element_at(lit(langs.toArray),
+          array_position(col("__s"), array_max(col("__s")))
+            .cast("int")))
+      .withColumn("lang_score_fix", array_max(col("__s")))
+      .drop("__s")
+  }
+
   /** Incremental count-min sketch under readStream: per micro-batch,
     * explode each document's token cells and maintain running
     * cell-wise sums — an update-mode streaming aggregation whose

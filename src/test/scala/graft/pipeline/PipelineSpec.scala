@@ -398,6 +398,32 @@ class PipelineSpec extends SparkSpec {
     assert(top1 == List("apple"))
   }
 
+  test("gopher rules: each flag trips on its own violation") {
+    val good = ("the deal was done with care and that gave " +
+      "everyone time to have lunch near the office be it rain " +
+      "or shine and of course they came back later ") * 2
+    def flags(s: String): Map[String, Any] = {
+      val r = Seq((1L, s)).toDF("id", "text")
+        .select(TextFns.gopherRules(col("text"), minWords = 10).as("g"))
+        .select(col("g.*")).collect()(0)
+      r.schema.fieldNames.zip(r.toSeq).toMap
+    }
+    val g = flags(good)
+    assert(g("keep") == true, g.toString)
+    assert(flags("too few words the and of")("ok_words") == false)
+    assert(flags(("a " * 30) + "the be to of")("ok_mean_len") == false,
+      "mean word length below 3")
+    assert(flags(("## # " * 10) + "the be to of and")("ok_symbols")
+      == false)
+    assert(flags(("123 456 " * 10) + "the be of")("ok_alpha") == false)
+    assert(flags((1 to 10).map(i => s"- bullet $i the be of and")
+      .mkString("\n"))("ok_bullets") == false)
+    assert(flags((1 to 10).map(i => s"line $i the be of and...")
+      .mkString("\n"))("ok_ellipsis") == false)
+    assert(flags("viele worte ohne englische funktionswoerter " * 5)(
+      "ok_stopwords") == false)
+  }
+
   test("dupSpans: merged maximal spans, island gaps, self-repeats") {
     val t = Seq(
       (1L, "p q r s t u v w"),

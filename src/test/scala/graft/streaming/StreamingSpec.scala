@@ -146,6 +146,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("lang-id stream matches the batch model predictions") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the cat sat on the mat and the dog ran there", "en"),
+      (11L, "der hund sitzt auf dem baum und der hund läuft", "de"))
+      .toDF("doc_id", "text", "lang")
+    val langs = Seq("de", "en")
+    val m = graft.pipeline.Importance.trainLangId(
+      corpus, "lang", "text", langs, dim = 64, gram = 3)
+    val input = MemoryStream[GDoc]
+    input.addData(
+      GDoc(t("2026-01-01 10:00:00"), 1L, "the cat and the dog sat"),
+      GDoc(t("2026-01-01 10:01:00"), 2L, "der hund und der baum"))
+    val q = EventStreams.langIdStream(input.toDF(), m, langs)
+      .writeStream.format("memory").queryName("langids")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("langids")
+      .select("doc_id", "pred_lang", "lang_score_fix")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == "en" && got(2L)._1 == "de", got.toString)
+    // twin property: identical predictions and exact scores
+    val batch = graft.pipeline.Importance.langIdModel(
+        Seq((1L, "the cat and the dog sat"),
+          (2L, "der hund und der baum")).toDF("doc_id", "text"),
+        m, langs, "doc_id", "text", dim = 64, gram = 3)
+      .select("doc_id", "pred_lang", "score_fix")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == batch)
+  }
+
   test("incremental cms stream equals the batch sketch (additivity)") {
     implicit val ctx = spark.sqlContext
     val d1 = Seq(
