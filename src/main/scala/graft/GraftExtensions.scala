@@ -258,6 +258,38 @@ object GraftExtensions {
           graft.pipeline.TextFns.bpeEncode(ColumnGlue.column(args.head),
             parseMerges(strArg(args(1), "merges"))))
       }),
+    ("graft_bpe_pairs",
+      "graft_bpe_pairs(text, merges) - within-word adjacent symbol " +
+        "pairs after applying the merge list (one BPE training " +
+        "round's counting kernel); merges as in graft_bpe_encode",
+      (args: Seq[Expression]) => {
+        arity("graft_bpe_pairs", args, 2)
+        ColumnGlue.resolvedExpression(
+          graft.functions.BpeAdjPairs(ColumnGlue.column(args.head),
+            parseMerges(strArg(args(1), "merges"))))
+      }),
+    ("graft_gram_hash_seq",
+      "graft_gram_hash_seq(text, n) - positional 60-bit token n-gram " +
+        "hashes (span-dedup primitive; empty for texts shorter than " +
+        "n tokens)",
+      (args: Seq[Expression]) => {
+        arity("graft_gram_hash_seq", args, 2)
+        ColumnGlue.resolvedExpression(
+          graft.functions.GramHashSeq(ColumnGlue.column(args.head),
+            intArg(args(1), "n")))
+      }),
+    ("graft_gopher",
+      "graft_gopher(text[, min_words[, max_words]]) - Gopher rule " +
+        "battery struct (per-rule flags + keep)",
+      (args: Seq[Expression]) => {
+        arity("graft_gopher", args, 1, 2, 3)
+        ColumnGlue.resolvedExpression(
+          graft.pipeline.TextFns.gopherRules(
+            ColumnGlue.column(args.head),
+            if (args.size > 1) intArg(args(1), "min_words") else 50,
+            if (args.size > 2) intArg(args(2), "max_words")
+            else 100000))
+      }),
     ("graft_dup_gram_frac",
       "graft_dup_gram_frac(text[, n]) - duplicate n-gram fraction " +
         "(within-document repetition signal)",

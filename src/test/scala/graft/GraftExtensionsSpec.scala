@@ -146,6 +146,23 @@ class GraftExtensionsSpec extends SparkSpec {
         e.getCause.getMessage.contains("left right"))
   }
 
+  test("gopher, bpe-pairs, and gram-hash SQL match the DataFrame forms") {
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_gopher(text, 20).keep AS keep,
+        |  graft_bpe_pairs(text, 't a|ta b') AS prs,
+        |  graft_gram_hash_seq(text, 8) AS ghs
+        |FROM docs""".stripMargin)
+    val viaDf = Tables.documents(spark, sf("sf0.001")).select(
+      col("doc_id"),
+      TextFns.gopherRules(col("text"), minWords = 20)
+        .getField("keep").as("keep"),
+      graft.functions.BpeAdjPairs(col("text"),
+        Seq(("t", "a"), ("ta", "b"))).as("prs"),
+      graft.functions.GramHashSeq(col("text"), 8).as("ghs"))
+    assert(viaSql.exceptAll(viaDf).count() == 0)
+    assert(viaDf.exceptAll(viaSql).count() == 0)
+  }
+
   test("integer knobs beyond Int range error instead of truncating") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_fingerprint('abc def', 4294967297)")
