@@ -161,8 +161,36 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Pure range join (no equi key): per error event, how much traffic
+    * landed in the 90 s window after it. Plans as a bucketed equi-join
+    * (operators.RangeJoin) instead of the nested-loop/cartesian Spark
+    * would otherwise pick — RangeJoinSpec pins the plan shape. The
+    * DuckDB oracle states the same join as a plain inequality join.
+    */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 90 SECONDS")).as("win_end"))
+    val pts = ev.select(col("event_id").as("p_id"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+    val counts = graft.operators.RangeJoin
+      .intervalJoin(pts, iv, "p_ts", "win_start", "win_end",
+        bucketWidthUs = 90L * 1000000L)
+      .filter(col("p_id") =!= col("win_id"))
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_events"),
+        Tables.dsum(col("p_value"), 6).as("sum_value"))
+    iv.select(col("win_id")).join(counts, Seq("win_id"), "left")
+      .select(col("win_id").as("event_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_sketch_merge" -> (qSketchMerge _),
+    "q_range_join" -> (qRangeJoin _),
     "q_quantiles" -> (qQuantiles _),
     "q_asof" -> (qAsof _),
     "q_rollup" -> (qRollup _),
@@ -171,6 +199,18 @@ object ExtQueries {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS win_id, ts AS s,
+        |    ts + INTERVAL 90 SECOND AS e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT iv.win_id AS event_id,
+        |  count(p.event_id) AS n_events,
+        |  CAST(coalesce(sum(CAST(p.value AS DECIMAL(18,6))), 0)
+        |    AS DOUBLE) AS sum_value
+        |FROM iv LEFT JOIN events p
+        |  ON p.ts >= iv.s AND p.ts < iv.e AND p.event_id <> iv.win_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  qs[CAST(ceil(len(qs) * 0.25) AS INT)] AS p25,
