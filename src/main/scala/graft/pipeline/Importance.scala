@@ -176,6 +176,80 @@ object Importance {
         col("__ce.cross_entropy").as("cross_entropy"))
   }
 
+  /** Train ONE unigram LM per language with a single corpus scan:
+    * token counts keyed by (lang, token), per-language top-`vocabSize`
+    * via a partitioned rank — the driver holds |langs|·(V+1) cells,
+    * the multi-model generalization of [[trainUnigram]]'s bounded
+    * footprint. Returns (lang → (vocab, total)) sorted by lang.
+    */
+  def trainUnigramPerLang(docs: DataFrame, langCol: String,
+      textCol: String, vocabSize: Int)
+      : Seq[(String, (Seq[(String, Long)], Long))] = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize > 0, "vocabSize must be positive")
+    val counts = graft.core.Caches.stage(
+      docs.select(col(langCol).as("l"),
+          explode(Dedup.tokens(col(textCol))).as("t"))
+        .groupBy("l", "t").agg(count(lit(1)).as("c")))
+    val w = Window.partitionBy("l").orderBy(col("c").desc, col("t"))
+    val top = counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= vocabSize)
+      .orderBy("l", "rk")
+      .select("l", "t", "c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counts.groupBy("l").agg(sum(col("c")).as("tc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.groupBy(_._1).toSeq.sortBy(_._1).map { case (lg, rows) =>
+      lg -> (rows.map(r => (r._2, r._3)).toSeq -> totals(lg))
+    }
+  }
+
+  /** Scan-local per-language cross-entropy: a CASE over the trained
+    * models, each branch a [[crossEntropyCol]] map-literal fold — the
+    * matched branch alone evaluates. Documents in a language with no
+    * trained model score null.
+    */
+  def ccnetScoreCol(text: Column, lang: Column,
+      models: Seq[(String, (Seq[(String, Long)], Long))]): Column = {
+    require(models.nonEmpty, "no trained language models")
+    val (lg0, (v0, tot0)) = models.head
+    models.tail.foldLeft(
+      when(lang === lit(lg0), crossEntropyCol(text, v0, tot0))) {
+      case (acc, (lg, (v, tot))) =>
+        acc.when(lang === lit(lg), crossEntropyCol(text, v, tot))
+    }
+  }
+
+  /** CCNet's defining step (Wenzek et al. 2020 §3.4): score every
+    * document under ITS OWN language's reference LM and split each
+    * language into perplexity tertiles — head/middle/tail, head the
+    * most reference-like. Training is the one-scan multi-model
+    * histogram ([[trainUnigramPerLang]]); scoring is one scan-local
+    * CASE projection (no join — the models ride as literals); the
+    * tertile split is ntile(3) over ONE exchange keyed by language,
+    * ordered by (cross_entropy, id) so ties and empty documents
+    * (null entropy → tail end) break deterministically. Batch-only by
+    * nature: the tertile boundary is a global per-language statistic
+    * (stream the scoring half via lmScoreStream and bucket against
+    * frozen boundaries instead).
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, vocabSize: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val models = trainUnigramPerLang(docs, langCol, textCol, vocabSize)
+    val scored = docs.select(col(idCol), col(langCol).as("lang"),
+        ccnetScoreCol(col(textCol), col(langCol), models).as("__ce"))
+      .select(col(idCol), col("lang"),
+        col("__ce.ce_fix").as("ce_fix"),
+        col("__ce.n_tokens").as("n_tokens"),
+        col("__ce.cross_entropy").as("cross_entropy"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cross_entropy").asc_nulls_last, col(idCol))
+    scored.withColumn("bucket", element_at(
+      lit(Array("head", "middle", "tail")), ntile(3).over(w)))
+  }
+
   /** Score `raw` against `target`: returns (idCol, score_fix,
     * log_weight) — `score_fix` the exact fixed-point sum (the gate
     * column), `log_weight` its IEEE rendering score_fix / 2^20

@@ -421,6 +421,17 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet per-language perplexity tertiles: one-scan multi-model LM
+    * training + scan-local CASE scoring + one lang-keyed exchange for
+    * the ntile split — the gate pins trained vocab cut-offs, exact
+    * fixed-point entropies, and every tertile boundary per language.
+    */
+  def pCcnet(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Importance.ccnetBuckets(
+        Tables.documents(s, d), "doc_id", "text", "lang",
+        vocabSize = 256)
+      .orderBy("doc_id")
+
   /** Train the linear quality classifier IN-ENGINE (2 full-batch
     * logistic gradient steps, label = English, 32 hashed buckets,
     * lr 0.5) and apply the trained weights — the gate pins whole
@@ -758,7 +769,8 @@ object PipelineQueries {
     "p_domain_cap" -> (pDomainCap _),
     "p_dsir" -> (pDsir _),
     "p_quality_train" -> (pQualityTrain _),
-    "p_perplexity" -> (pPerplexity _))
+    "p_perplexity" -> (pPerplexity _),
+    "p_ccnet" -> (pCcnet _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -939,6 +951,63 @@ object PipelineQueries {
        |  END AS cross_entropy
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of Importance.ccnetBuckets: the perplexityOracle
+    * per language (counts keyed by (lang, token), per-lang vocab rank
+    * / denominator / OOV cell), then CCNet's tertile split as ntile
+    * over (cross_entropy ASC NULLS LAST, doc_id) within language.
+    */
+  private def ccnetOracle(v: Int): String =
+    s"""WITH rtok AS (
+       |  SELECT lang, unnest($toks) AS t FROM documents),
+       |cnts AS (SELECT lang, t, count(*) AS c FROM rtok GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT lang, t, c FROM (
+       |    SELECT lang, t, c, row_number() OVER (PARTITION BY lang
+       |      ORDER BY c DESC, t) AS rk
+       |    FROM cnts) WHERE rk <= $v),
+       |denom AS (
+       |  SELECT tot.lang,
+       |    CAST(tot.tc + vsz.vc + 1 AS DOUBLE) AS d
+       |  FROM (SELECT lang, sum(c) AS tc FROM cnts GROUP BY 1) tot
+       |  JOIN (SELECT lang, count(*) AS vc FROM vocab GROUP BY 1) vsz
+       |    USING (lang)),
+       |lp AS (
+       |  SELECT vocab.lang, vocab.t,
+       |    CAST(floor(ln(CAST(c + 1 AS DOUBLE) / denom.d)
+       |      * 1048576.0) AS BIGINT) AS lp
+       |  FROM vocab JOIN denom ON vocab.lang = denom.lang),
+       |oov AS (
+       |  SELECT lang, CAST(floor(ln(1.0 / d) * 1048576.0) AS BIGINT)
+       |    AS lp
+       |  FROM denom),
+       |tc AS (
+       |  SELECT doc_id, lang, token, count(*) AS cnt FROM (
+       |    SELECT doc_id, lang, unnest($toks) AS token FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT tc.doc_id,
+       |    sum(tc.cnt * coalesce(lp.lp, oov.lp)) AS ce,
+       |    sum(tc.cnt) AS n
+       |  FROM tc
+       |  LEFT JOIN lp ON tc.lang = lp.lang AND tc.token = lp.t
+       |  JOIN oov ON tc.lang = oov.lang
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(coalesce(sc.ce, 0) AS BIGINT) AS ce_fix,
+       |    CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens,
+       |    CASE WHEN coalesce(sc.n, 0) = 0 THEN NULL
+       |      ELSE (-coalesce(sc.ce, 0))
+       |        / (coalesce(sc.n, 0) * 1048576.0)
+       |    END AS cross_entropy
+       |  FROM documents d LEFT JOIN sc USING (doc_id))
+       |SELECT doc_id, lang, ce_fix, n_tokens, cross_entropy,
+       |  CASE ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY cross_entropy ASC NULLS LAST, doc_id)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       |  END AS bucket
+       |FROM scored ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of Importance.trainLangId + langIdModel: one
     * histogram pass with per-language FILTER counts over hashed char
@@ -1390,6 +1459,7 @@ object PipelineQueries {
     "p_dsir" -> dsirOracle(256, 2),
     "p_quality_train" -> logregOracle(32, 2, "0.5"),
     "p_perplexity" -> perplexityOracle(512),
+    "p_ccnet" -> ccnetOracle(256),
     "p_domain_cap" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,

@@ -136,6 +136,43 @@ class ImportanceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ccnetBuckets: per-language models, deterministic tertiles") {
+    // three languages: >2 CASE branches (the when-chain regression)
+    val docs = corpus.union(Seq(
+        (6L, "completely unrelated xylophone quartz vortex", "en"),
+        (7L, "", "de"),
+        (8L, "le chat et le chien dorment sur le tapis", "fr"))
+      .toDF("doc_id", "text", "lang"))
+    val out = Importance.ccnetBuckets(docs, "doc_id", "text", "lang",
+        vocabSize = 16)
+      .select("doc_id", "lang", "bucket").as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 4 en docs -> tertiles 2/1/1; 3 de docs -> 1/1/1
+    assert(out.values.count(_._1 == "en") == 4)
+    assert(out(6L)._2 == "tail",
+      s"the all-OOV en doc must land in the tail: $out")
+    assert(out(7L)._2 == "tail",
+      "the empty de doc (null entropy, NULLS LAST) lands in the tail")
+    // scoring under a single-language corpus == the plain unigram CE
+    val en = docs.filter(col("lang") === "en")
+    val plain = Importance.unigramCrossEntropy(en, en, "doc_id",
+        "text", vocabSize = 16)
+      .select("doc_id", "ce_fix").as[(Long, Long)].collect().toMap
+    val multi = Importance.ccnetBuckets(docs, "doc_id", "text",
+        "lang", vocabSize = 16)
+      .filter(col("lang") === "en")
+      .select("doc_id", "ce_fix").as[(Long, Long)].collect().toMap
+    assert(multi == plain,
+      "per-language CASE scoring must equal the single-model form")
+    // partition-stable
+    val a = Importance.ccnetBuckets(docs, "doc_id", "text", "lang", 16)
+      .orderBy("doc_id").select("bucket").as[String].collect().toSeq
+    val b = Importance.ccnetBuckets(docs.repartition(5), "doc_id",
+        "text", "lang", 16)
+      .orderBy("doc_id").select("bucket").as[String].collect().toSeq
+    assert(a == b)
+  }
+
   test("trainLinearQuality separates the labeled classes") {
     val (w, b) = TextFns.trainLinearQuality(corpus, "text",
       col("lang") === "en", dim = 32, iters = 4, lr = 0.5)
