@@ -25,14 +25,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark rejects by
-    * default; read nanos as long and convert to a µs timestamp. Integer
-    * division (`DIV`) is required: ns-epoch exceeds 2^53, double division
-    * would lose precision. */
+  /** events.parquet's `ts` physical type has varied across driver testdata
+    * generations: INT64 TIMESTAMP(NANOS) (read as long via
+    * `nanosAsLong`, ns-epoch exceeds 2^53 so integer `DIV` is required)
+    * and plain TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ). Normalize
+    * both to a session-TZ µs TimestampType so every downstream operator
+    * sees one schema; with the session pinned to UTC the NTZ cast is a
+    * pure reinterpretation, no instant shift. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -690,7 +690,9 @@ object PipelineQueries {
     * most frequent tokens, reported beside their exact counts (the CMS
     * guarantee est ≥ exact is thereby pinned row by row). All integer
     * arithmetic — the oracle replays cells, merge, and min-estimates
-    * exactly.
+    * exactly. Oracle integer sums are CAST to BIGINT: DuckDB promotes
+    * sum(BIGINT) to HUGEINT, which pandas renders as float64 — the
+    * driver's comparator then hashes "123.0" against Spark's "123".
     */
   def pCms(s: SparkSession, d: String): DataFrame = {
     import graft.pipeline.CountMin
@@ -1929,9 +1931,11 @@ object PipelineQueries {
          |  FROM occ, UNNEST(range(0, 4)) AS t(row)
          |  GROUP BY 1, 2, 3),
          |sk AS (
-         |  SELECT row, col, sum(cnt) AS cnt FROM cells GROUP BY 1, 2),
+         |  SELECT row, col, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY 1, 2),
          |est AS (
-         |  SELECT token, min(coalesce(cnt, 0)) AS est FROM (
+         |  SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+         |  FROM (
          |    SELECT e.token, s.cnt
          |    FROM exact e
          |    CROSS JOIN UNNEST(range(0, 4)) AS t(row)
