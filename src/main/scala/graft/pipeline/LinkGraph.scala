@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over an aggregated link graph — the standard
+  * web-corpus quality signal (a page linked from well-linked pages is
+  * itself trustworthy; used as a document-level curation feature the
+  * same way harmonic centrality ranks Common Crawl hosts).
+  *
+  * Scale shape: the expensive part of ranking a 100 TB corpus is
+  * deriving the EDGE frame (a corpus-scale aggregation that partial-
+  * aggs map-side); the iterations touch only that aggregated graph.
+  * Each pass is one co-partitioned join of the rank frame with the
+  * edge frame plus one groupBy(dst) — both shuffle on node ids, and
+  * AQE handles hub skew the same way it does any aggregation. Rank
+  * frames are localCheckpointed per pass so the plan does not grow
+  * with the iteration count (the dupGroups lineage discipline).
+  *
+  * Arithmetic is FIXED-POINT: ranks are longs scaled by `scale`, a
+  * contribution is (rank·w) div out_w evaluated in DECIMAL(38,0)
+  * (exact, no Long overflow), and the damping update is
+  * base + (dampPct·Σcontrib) div 100 — every iteration is integer-
+  * exact and order-independent, so whole runs replay bit-for-bit in
+  * an external engine (the pDsir fixed-point discipline).
+  */
+object LinkGraph {
+
+  /** Rank `iters` passes over `edges` (columns src, dst, w). Returns
+    * (id, rank) with rank in fixed-point `scale` units; Σrank drifts
+    * below `scale` only by the per-node floor truncations. Dangling
+    * nodes (no out-edges) keep only their base share — the classic
+    * simplification, documented rather than hidden. */
+  def pagerank(edges: DataFrame, iters: Int, dampPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = graft.core.Caches.stage(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // |nodes| is one count over the aggregated graph frame (not the
+    // corpus); it sizes the uniform prior baked into the plan.
+    val n = nodes.count()
+    val base = (scale / 100 * (100 - dampPct)) / n
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    var rank = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outW, "src")
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr("(CAST(rank AS DECIMAL(38,0)) * w) div out_w").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampPct * coalesce(cs, 0L)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  /** Convenience: rank in [0,1] as a double rendering of the fixed-
+    * point column (one IEEE division, engine-portable). */
+  def withRankDouble(ranked: DataFrame,
+      scale: Long = 1000000000000L): DataFrame =
+    ranked.withColumn("rank_d",
+      col("rank").cast("double") / lit(scale.toDouble))
+}

@@ -122,6 +122,27 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable-histogram quantiles over events: per-shard fixed-width
+    * histograms (event_id % 8 plays the ingest-shard key) → cell-wise
+    * merge → p50/p90/p99 estimates read off the cumulative counts.
+    * Completes the additive-sketch family beside HLL (q_sketch_merge)
+    * and count-min (p_cms); unlike GK/KLL the whole lifecycle is
+    * integer-deterministic, so the oracle replays it exactly, and
+    * HistSketchSpec pins the estimate within one bin width of the
+    * exact order statistic.
+    */
+  def qHistQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.HistSketch
+    val ev = Tables.events(s, d)
+    val sketch = HistSketch.merge(HistSketch.buildSharded(
+      ev, "event_type", "value", col("event_id") % 8, width = 25.0))
+    HistSketch.quantiles(sketch,
+        Seq("est_p50" -> 0.5, "est_p90" -> 0.9, "est_p99" -> 0.99), 25.0)
+      .select(col("key").as("event_type"), col("n"), col("est_p50"),
+        col("est_p90"), col("est_p99"))
+      .orderBy("event_type")
+  }
+
   /** Batch gap-based sessionization over events (30-min inactivity):
     * one shuffle on user serves the lag pass, the running session
     * counter, and the per-session aggregation. Timestamps surface as
@@ -196,6 +217,7 @@ object ExtQueries {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_sessions" -> (qSessions _),
+    "q_hist_quantiles" -> (qHistQuantiles _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -261,6 +283,29 @@ object ExtQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |    AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_hist_quantiles" ->
+      """WITH cells AS (
+        |  SELECT event_type AS key, event_id % 8 AS shard,
+        |    GREATEST(CAST(floor(value / 25.0) AS BIGINT), 0) AS bin,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT key, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT key, bin,
+        |    CAST(sum(cnt) OVER (PARTITION BY key ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT key AS event_type, max(n) AS n,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN (bin + 1) * 25.0 END) AS est_p50,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.9) AS BIGINT)
+        |    THEN (bin + 1) * 25.0 END) AS est_p90,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.99) AS BIGINT)
+        |    THEN (bin + 1) * 25.0 END) AS est_p99
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
         |  TRUE AS within_5pct

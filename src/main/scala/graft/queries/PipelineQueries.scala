@@ -713,6 +713,41 @@ object PipelineQueries {
       .orderBy(col("exact").desc, col("token"))
   }
 
+  /** One-pass column profiler over documents: per column the row/null/
+    * distinct counts, typed numeric and lexicographic min/max, and the
+    * modal value — the triage scan run before committing a 100 TB job
+    * to a dataset. One unpivot projection + one value-count shuffle;
+    * the rollup and top-1 window touch only the frequency table.
+    */
+  def pProfile(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Profile.profile(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
+  /** Weighted PageRank over the nation-level trade graph (customer
+    * nation → supplier nation, edge weight = lineitem count): the
+    * corpus-scale work is the edge aggregation; three fixed-point
+    * Lloyd-style passes then run on the aggregated graph and the
+    * oracle replays every floor-divided update exactly. The curation
+    * reading: link-graph centrality as a source-quality signal.
+    */
+  def pPagerank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val ranked = graft.pipeline.LinkGraph.pagerank(edges, iters = 3)
+    ranked.join(Tables.nation(s, d),
+        ranked("id") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("rank"))
+      .orderBy(col("rank").desc, col("nation"))
+  }
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -772,7 +807,9 @@ object PipelineQueries {
     "p_dsir" -> (pDsir _),
     "p_quality_train" -> (pQualityTrain _),
     "p_perplexity" -> (pPerplexity _),
-    "p_ccnet" -> (pCcnet _))
+    "p_ccnet" -> (pCcnet _),
+    "p_profile" -> (pProfile _),
+    "p_pagerank" -> (pPagerank _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -1945,6 +1982,85 @@ object PipelineQueries {
          |  GROUP BY 1)
          |SELECT token, est, exact FROM est JOIN exact USING (token)
          |ORDER BY exact DESC, token""".stripMargin,
+    "p_profile" ->
+      """WITH st AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR)
+        |    AS value_s, doc_id AS value_n FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', lang, CAST(NULL AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(n_chars AS VARCHAR), n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source, CAST(NULL AS BIGINT) FROM documents),
+        |vc AS (
+        |  SELECT col_name, value_s, value_n, count(*) AS cnt
+        |  FROM st GROUP BY 1, 2, 3),
+        |ag AS (
+        |  SELECT col_name,
+        |    CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN value_s IS NULL THEN cnt END),
+        |      0) AS BIGINT) AS n_null,
+        |    count(CASE WHEN value_s IS NOT NULL THEN 1 END)
+        |      AS n_distinct,
+        |    coalesce(min(value_n), -1) AS min_n,
+        |    coalesce(max(value_n), -1) AS max_n,
+        |    min(value_s) AS min_s,
+        |    max(value_s) AS max_s
+        |  FROM vc GROUP BY 1),
+        |tp AS (
+        |  SELECT col_name, value_s AS top1, cnt AS top1_cnt FROM (
+        |    SELECT col_name, value_s, cnt,
+        |      row_number() OVER (PARTITION BY col_name
+        |        ORDER BY cnt DESC, value_s) AS rn
+        |    FROM vc WHERE value_s IS NOT NULL)
+        |  WHERE rn = 1)
+        |SELECT a.col_name, n, n_null, n_distinct, min_n, max_n,
+        |  min_s, max_s, coalesce(top1, '') AS top1,
+        |  CAST(coalesce(top1_cnt, 0) AS BIGINT) AS top1_cnt
+        |FROM ag a LEFT JOIN tp USING (col_name)
+        |ORDER BY col_name""".stripMargin,
+    "p_pagerank" ->
+      """WITH edges AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |    count(*) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS id FROM edges
+        |          UNION SELECT dst FROM edges),
+        |cnt AS (SELECT count(*) AS nn FROM nodes),
+        |outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, 1000000000000 // (SELECT nn FROM cnt)
+        |         AS rank FROM nodes),
+        |c1 AS (SELECT e.dst, CAST(sum(
+        |         (CAST(r.rank AS HUGEINT) * e.w) // o.out_w)
+        |         AS BIGINT) AS cs
+        |       FROM edges e JOIN outw o ON e.src = o.src
+        |       JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(150000000000 // (SELECT nn FROM cnt)
+        |         + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.id = c.dst),
+        |c2 AS (SELECT e.dst, CAST(sum(
+        |         (CAST(r.rank AS HUGEINT) * e.w) // o.out_w)
+        |         AS BIGINT) AS cs
+        |       FROM edges e JOIN outw o ON e.src = o.src
+        |       JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(150000000000 // (SELECT nn FROM cnt)
+        |         + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.id = c.dst),
+        |c3 AS (SELECT e.dst, CAST(sum(
+        |         (CAST(r.rank AS HUGEINT) * e.w) // o.out_w)
+        |         AS BIGINT) AS cs
+        |       FROM edges e JOIN outw o ON e.src = o.src
+        |       JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id, CAST(150000000000 // (SELECT nn FROM cnt)
+        |         + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst)
+        |SELECT nt.n_name AS nation, r3.rank
+        |FROM r3 JOIN nation nt ON r3.id = nt.n_nationkey
+        |ORDER BY rank DESC, nation""".stripMargin,
     "p_quality_cls" ->
       s"""WITH base AS (
          |  SELECT doc_id, $toks AS ts FROM documents),

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Round-8 operators: mergeable histogram quantiles, the column
+  * profiler, and fixed-point PageRank.
+  */
+class SketchGraphSpec extends SparkSpec {
+
+  test("histogram sketch is additive: sharded merge == unsharded build") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val merged = HistSketch.merge(HistSketch.buildSharded(
+      ev, "event_type", "value", col("event_id") % 8, 25.0))
+    val single = HistSketch.build(ev, "event_type", "value", 25.0)
+      .withColumnRenamed("cnt", "cnt1")
+    val joined = merged.join(single, Seq("key", "bin"), "full")
+    assert(joined.filter(col("cnt").isNull || col("cnt1").isNull ||
+      col("cnt") =!= col("cnt1")).count() == 0)
+  }
+
+  test("histogram quantile estimate within one bin width of exact") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val est = HistSketch.quantiles(
+      HistSketch.build(ev, "event_type", "value", 25.0),
+      Seq("est_p50" -> 0.5, "est_p90" -> 0.9), 25.0)
+    val ex = ev.select(col("event_type").as("key"), col("value"))
+      .groupBy("key")
+      .agg(expr("percentile(value, 0.5)").as("x50"),
+        expr("percentile(value, 0.9)").as("x90"))
+    val j = est.join(ex, "key").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (e50, e90) = (r.getAs[Double]("est_p50"), r.getAs[Double]("est_p90"))
+      val (x50, x90) = (r.getAs[Double]("x50"), r.getAs[Double]("x90"))
+      assert(e50 >= x50 - 25.0 && e50 <= x50 + 25.0,
+        s"p50 $e50 vs exact $x50")
+      assert(e90 >= x90 - 25.0 && e90 <= x90 + 25.0,
+        s"p90 $e90 vs exact $x90")
+    }
+  }
+
+  test("profile computes counts, min/max, and modal value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a"), (2L, "b"), (3L, "b"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "s")
+    val p = Profile.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val k = p("k")
+    assert(k.getAs[Long]("n") == 4 && k.getAs[Long]("n_null") == 0)
+    assert(k.getAs[Long]("n_distinct") == 4)
+    assert(k.getAs[Long]("min_n") == 1 && k.getAs[Long]("max_n") == 4)
+    assert(k.getAs[String]("top1") == "1") // all cnt=1, smallest string
+    val s = p("s")
+    assert(s.getAs[Long]("n") == 4 && s.getAs[Long]("n_null") == 1)
+    assert(s.getAs[Long]("n_distinct") == 2)
+    assert(s.getAs[Long]("min_n") == -1L) // non-numeric sentinel
+    assert(s.getAs[String]("min_s") == "a" && s.getAs[String]("max_s") == "b")
+    assert(s.getAs[String]("top1") == "b" && s.getAs[Long]("top1_cnt") == 2)
+  }
+
+  test("pagerank: uniform cycle stays uniform; sink-heavy graph ranks it") {
+    import spark.implicits._
+    // 3-cycle with equal weights: ranks stay at scale/3 every pass
+    val cycle = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val scale = 1000000000000L
+    val r = LinkGraph.pagerank(cycle, iters = 3, scale = scale)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.core.Caches.releaseAll(spark)
+    val third = scale / 3
+    val expected = (scale / 100 * 15) / 3 + (85L * third) / 100
+    assert(r.values.toSet == Set(expected),
+      s"cycle ranks $r, expected uniform $expected")
+    // star: everyone points at node 0 — it must outrank the leaves
+    val star = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val s = LinkGraph.pagerank(star, iters = 2, scale = scale)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.core.Caches.releaseAll(spark)
+    assert(s(0L) > s(1L) && s(1L) == s(2L) && s(2L) == s(3L))
+  }
+
+  test("pagerank oracle identity: contribution floor-division is exact") {
+    import spark.implicits._
+    // weighted fan: 0 -> 1 (w=2), 0 -> 2 (w=1): contributions split 2:1
+    val fan = Seq((0L, 1L, 2L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val scale = 1000000000000L
+    val r = LinkGraph.pagerank(fan, iters = 1, scale = scale)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.core.Caches.releaseAll(spark)
+    val init = scale / 3
+    val base = (scale / 100 * 15) / 3
+    assert(r(1L) == base + 85L * (init * 2 / 3) / 100)
+    assert(r(2L) == base + 85L * (init * 1 / 3) / 100)
+    assert(r(0L) == base) // dangling source receives nothing
+  }
+}
