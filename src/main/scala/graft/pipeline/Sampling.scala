@@ -165,6 +165,18 @@ object Sampling {
       .filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Deterministic per-key uniform reservoir: the k rows with the
+    * smallest seeded sampling hash survive per key — distributionally
+    * a uniform k-sample like classic reservoir sampling, but
+    * reproducible under repartitioning/retries/appends-of-other-keys,
+    * and it executes as the same partial+final WindowGroupLimit pair
+    * as capPerKey (map-side candidate pruning, no full per-key sort).
+    */
+  def reservoirPerKey(df: DataFrame, keyCol: String, idCol: String,
+      k: Int, seed: Int = 42): DataFrame =
+    capPerKey(df, keyCol,
+      Seq(sampleHash(col(idCol), seed), col(idCol)), k)
+
   /** Write the frame as training shards: `shards` range-partitioned
     * files in deterministic-shuffle order, each additionally capped at
     * `maxRecordsPerFile` (uniform, loader-friendly file sizes; range

@@ -748,6 +748,30 @@ object PipelineQueries {
       .orderBy(col("rank").desc, col("nation"))
   }
 
+  /** Declarative data-quality check suite over documents — ONE
+    * conditional-aggregation scan validating row count, completeness,
+    * doc_id uniqueness, n_chars bounds, and the lang code shape; the
+    * (check_name, violation count, verdict) report is what gates a
+    * 100 TB pipeline before it runs.
+    */
+  def pChecks(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Checks._
+    graft.pipeline.Checks.run(Tables.documents(s, d), Seq(
+        MinRows(100), NotNull("text"), Unique("doc_id"),
+        InRange("n_chars", 1, 100000), Matches("lang", "^[a-z]{2}$")))
+      .orderBy("check_name")
+  }
+
+  /** Deterministic per-language uniform reservoir (40 docs per lang):
+    * smallest-seeded-hash survivors, reproducible under repartition/
+    * retry, executed as the partial+final WindowGroupLimit pair.
+    */
+  def pReservoir(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.reservoirPerKey(
+        Tables.documents(s, d), "lang", "doc_id", k = 40, seed = 7)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -809,7 +833,9 @@ object PipelineQueries {
     "p_perplexity" -> (pPerplexity _),
     "p_ccnet" -> (pCcnet _),
     "p_profile" -> (pProfile _),
-    "p_pagerank" -> (pPagerank _))
+    "p_pagerank" -> (pPagerank _),
+    "p_checks" -> (pChecks _),
+    "p_reservoir" -> (pReservoir _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -1982,6 +2008,33 @@ object PipelineQueries {
          |  GROUP BY 1)
          |SELECT token, est, exact FROM est JOIN exact USING (token)
          |ORDER BY exact DESC, token""".stripMargin,
+    "p_checks" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(CASE WHEN text IS NULL THEN 1 END) AS nn,
+        |    count(CASE WHEN doc_id IS NOT NULL THEN 1 END)
+        |      - count(DISTINCT doc_id) AS du,
+        |    count(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 END)
+        |      AS nr,
+        |    count(CASE WHEN NOT regexp_matches(lang, '^[a-z]{2}$')
+        |      THEN 1 END) AS nl
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'min_rows' AS check_name, n AS observed,
+        |    n >= 100 AS passed FROM m
+        |  UNION ALL SELECT 'not_null_text', nn, nn = 0 FROM m
+        |  UNION ALL SELECT 'unique_doc_id', du, du = 0 FROM m
+        |  UNION ALL SELECT 'in_range_n_chars', nr, nr = 0 FROM m
+        |  UNION ALL SELECT 'matches_lang', nl, nl = 0 FROM m)
+        |ORDER BY check_name""".stripMargin,
+    "p_reservoir" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id)
+        |      AS rn
+        |  FROM documents)
+        |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
     "p_profile" ->
       """WITH st AS (
         |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR)

@@ -208,6 +208,19 @@ object EventStreams {
           seed).as("col"))
       .agg(sum("cnt").as("cnt"))
 
+  /** Streaming histogram sketch: running (key, bin) counts in update
+    * mode. State is |keys| × |bins| cells — value-domain-sized, never
+    * row-count-sized — and cell-wise additivity makes the running
+    * table at any point equal to HistSketch.build over everything
+    * ingested so far, so quantile reads (HistSketch.quantiles on the
+    * sink table) are batch-identical (StreamingSpec pins it).
+    */
+  def histStream(events: DataFrame, keyCol: String, valueCol: String,
+      width: Double): DataFrame =
+    events.groupBy(col(keyCol).as("key"),
+        graft.pipeline.HistSketch.bin(col(valueCol), width).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming near-dup suppression with bounded state: drop any
     * document whose band-0 MinHash bucket was already seen inside the
     * watermark horizon. The bucket key collides for documents whose

@@ -60,6 +60,24 @@ class SketchGraphSpec extends SparkSpec {
     assert(s.getAs[String]("top1") == "b" && s.getAs[Long]("top1_cnt") == 2)
   }
 
+  test("checks count violations, not just pass/fail") {
+    import spark.implicits._
+    import Checks._
+    val df = Seq(
+      (1L, "ok", 5.0), (1L, "ok", 50.0), (2L, null, 500.0))
+      .toDF("id", "s", "v")
+    val r = Checks.run(df, Seq(
+        MinRows(10), NotNull("s"), Unique("id"), InRange("v", 0, 100),
+        Matches("s", "^ok$")))
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r("min_rows") == (3L, false))
+    assert(r("not_null_s") == (1L, false))
+    assert(r("unique_id") == (1L, false)) // 3 non-null ids, 2 distinct
+    assert(r("in_range_v") == (1L, false))
+    assert(r("matches_s") == (0L, true)) // nulls don't count as mismatch
+  }
+
   test("pagerank: uniform cycle stays uniform; sink-heavy graph ranks it") {
     import spark.implicits._
     // 3-cycle with equal weights: ranks stay at scale/3 every pass

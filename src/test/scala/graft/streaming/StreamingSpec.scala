@@ -204,6 +204,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.size <= 3 * 16)
   }
 
+  test("incremental histogram stream equals the batch sketch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val d1 = Seq(
+      GEvent(t("2026-01-01 10:00:00"), "click", 12.0),
+      GEvent(t("2026-01-01 10:01:00"), "click", 61.5),
+      GEvent(t("2026-01-01 10:02:00"), "view", 30.0))
+    val d2 = Seq(
+      GEvent(t("2026-01-01 10:03:00"), "click", 12.5),
+      GEvent(t("2026-01-01 10:04:00"), "view", 99.9))
+    val input = MemoryStream[GEvent]
+    val q = EventStreams.histStream(input.toDF(), "event_type",
+        "value", width = 25.0)
+      .writeStream.format("memory").queryName("histcells")
+      .outputMode("complete").start()
+    input.addData(d1: _*); q.processAllAvailable()
+    input.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("histcells")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.pipeline.HistSketch.build(
+        (d1 ++ d2).toDF(), "event_type", "value", 25.0)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
   test("streaming near-dup drop suppresses band-bucket collisions") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GDoc]
