@@ -34,18 +34,23 @@ object LinkGraph {
   def pagerank(edges: DataFrame, iters: Int, dampPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
     val spark = edges.sparkSession
-    val e = graft.core.Caches.stage(
-      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    val e0 = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w"))
+    // bake the out-weight denominator into the staged edge frame once
+    // (a window partitioned by src) so each iteration is exactly one
+    // join + one aggregation, not two joins
+    val e = graft.core.Caches.stage(e0.withColumn("out_w",
+      sum("w").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src"))))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // |nodes| is one count over the aggregated graph frame (not the
     // corpus); it sizes the uniform prior baked into the plan.
     val n = nodes.count()
     val base = (scale / 100 * (100 - dampPct)) / n
-    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
     var rank = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = e.join(outW, "src")
+      val contrib = e
         .join(rank.withColumnRenamed("id", "src"), "src")
         .select(col("dst"),
           expr("(CAST(rank AS DECIMAL(38,0)) * w) div out_w").as("c"))
