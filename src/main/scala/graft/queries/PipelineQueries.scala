@@ -772,6 +772,23 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Cluster-balanced selection (the DataComp-style curation shape):
+    * k-means clusters over the embeddings, then a uniform per-cluster
+    * quota via the deterministic reservoir — topic-diverse subsets
+    * instead of frequency-weighted ones. Pure composition of
+    * p_kmeans's and p_reservoir's operators; the gate pins the
+    * composed result (cluster replay + per-cluster hash quota).
+    */
+  def pBalanced(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _) = graft.pipeline.Cluster.kmeans(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3)
+    graft.pipeline.Sampling.reservoirPerKey(
+        assigned.select(col("id").as("vec_id"), col("cluster")),
+        "cluster", "vec_id", k = 30, seed = 11)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -835,7 +852,8 @@ object PipelineQueries {
     "p_profile" -> (pProfile _),
     "p_pagerank" -> (pPagerank _),
     "p_checks" -> (pChecks _),
-    "p_reservoir" -> (pReservoir _))
+    "p_reservoir" -> (pReservoir _),
+    "p_balanced" -> (pBalanced _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -1520,6 +1538,13 @@ object PipelineQueries {
          |FROM r JOIN vocab v USING (token)
          |WHERE r.rk <= 5 ORDER BY token, rk""".stripMargin,
     "p_kmeans" -> kmeansOracle(8, 3, 64, 2026),
+    "p_balanced" ->
+      s"""WITH ${kmeansCtes(8, 3, 64, 2026)}
+         |SELECT vec_id, CAST(c AS INT) AS cluster FROM (
+         |  SELECT vec_id, c, row_number() OVER (PARTITION BY c
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':11'), vec_id)
+         |    AS rn
+         |  FROM a2) WHERE rn <= 30 ORDER BY vec_id""".stripMargin,
     "p_sem_dedup" -> semDedupOracle(8, 2, 64, 2026, 6, 77, 300000L),
     "p_dsir" -> dsirOracle(256, 2),
     "p_quality_train" -> logregOracle(32, 2, "0.5"),

@@ -221,6 +221,21 @@ object EventStreams {
         graft.pipeline.HistSketch.bin(col(valueCol), width).as("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming data-quality monitor: the same one-scan Checks suite
+    * as the batch gate, in update mode — state is ONE row of
+    * counters, and the report at any point equals Checks.run over
+    * everything ingested so far. Unique() needs a distinct
+    * aggregation, which streaming forbids — rejected here;
+    * dedupStream and the batch sweep own that axis.
+    */
+  def checksStream(df: DataFrame,
+      checks: Seq[graft.pipeline.Checks.Check]): DataFrame = {
+    require(!checks.exists(_.isInstanceOf[graft.pipeline.Checks.Unique]),
+      "Unique() is not streamable (distinct aggregation); " +
+        "run it in the batch sweep")
+    graft.pipeline.Checks.run(df, checks)
+  }
+
   /** Streaming near-dup suppression with bounded state: drop any
     * document whose band-0 MinHash bucket was already seen inside the
     * watermark horizon. The bucket key collides for documents whose

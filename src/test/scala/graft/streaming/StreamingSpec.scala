@@ -230,6 +230,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming checks equal the batch report as data arrives") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.pipeline.Checks._
+    val suite = Seq(MinRows(3), NotNull("text"),
+      InRange("doc_id", 0, 100))
+    val d1 = Seq(GDoc(t("2026-01-01 10:00:00"), 1L, "ok"),
+      GDoc(t("2026-01-01 10:01:00"), 200L, "out of range"))
+    val d2 = Seq(GDoc(t("2026-01-01 10:02:00"), 2L,
+      null.asInstanceOf[String]))
+    val input = MemoryStream[GDoc]
+    val q = EventStreams.checksStream(input.toDF(), suite)
+      .writeStream.format("memory").queryName("checksrep")
+      .outputMode("complete").start()
+    input.addData(d1: _*); q.processAllAvailable()
+    input.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("checksrep")
+      .as[(String, Long, Boolean)].collect().toSet
+    val batch = graft.pipeline.Checks.run((d1 ++ d2).toDF(), suite)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(got == batch)
+    assert(got == Set(("min_rows", 3L, true), ("not_null_text", 1L, false),
+      ("in_range_doc_id", 1L, false)))
+    intercept[IllegalArgumentException] {
+      EventStreams.checksStream(input.toDF(), Seq(Unique("doc_id")))
+    }
+  }
+
   test("streaming near-dup drop suppresses band-bucket collisions") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GDoc]
