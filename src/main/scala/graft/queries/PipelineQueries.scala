@@ -789,6 +789,21 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Drift report between the even- and odd-doc_id halves of the
+    * corpus (standing in for yesterday's snapshot vs today's batch):
+    * per-column L1 distance over lang, source, and binned n_chars —
+    * the exact cross-multiplied integer form, one union scan.
+    */
+  def pDrift(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d).withColumn("n_chars_bin",
+      floor(col("n_chars") / 500).cast("long").cast("string"))
+    graft.pipeline.Drift.l1Drift(
+        doc.filter(col("doc_id") % 2 === 0),
+        doc.filter(col("doc_id") % 2 =!= 0),
+        Seq("lang", "source", "n_chars_bin"), threshold = 0.05)
+      .orderBy("col_name")
+  }
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -853,7 +868,8 @@ object PipelineQueries {
     "p_pagerank" -> (pPagerank _),
     "p_checks" -> (pChecks _),
     "p_reservoir" -> (pReservoir _),
-    "p_balanced" -> (pBalanced _))
+    "p_balanced" -> (pBalanced _),
+    "p_drift" -> (pDrift _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -2033,6 +2049,39 @@ object PipelineQueries {
          |  GROUP BY 1)
          |SELECT token, est, exact FROM est JOIN exact USING (token)
          |ORDER BY exact DESC, token""".stripMargin,
+    "p_drift" ->
+      """WITH st AS (
+        |  SELECT doc_id % 2 AS side, col_name, value_s FROM (
+        |    SELECT doc_id, 'lang' AS col_name, lang AS value_s
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, 'source', source FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, 'n_chars_bin',
+        |      CAST(CAST(floor(n_chars / 500) AS BIGINT) AS VARCHAR)
+        |    FROM documents)),
+        |vc AS (
+        |  SELECT col_name, value_s,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM st GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT col_name, CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(cc) AS BIGINT) AS nc
+        |  FROM vc GROUP BY 1),
+        |nm AS (
+        |  SELECT v.col_name,
+        |    sum(abs(CAST(v.cr AS HUGEINT) * t.nc
+        |      - CAST(v.cc AS HUGEINT) * t.nr)) AS num
+        |  FROM vc v JOIN tot t USING (col_name) GROUP BY 1)
+        |SELECT n.col_name, t.nr AS n_ref, t.nc AS n_cur,
+        |  CAST(n.num AS DOUBLE)
+        |    / (CAST(t.nr AS DOUBLE) * CAST(t.nc AS DOUBLE)) AS l1,
+        |  CAST(n.num AS DOUBLE)
+        |    / (CAST(t.nr AS DOUBLE) * CAST(t.nc AS DOUBLE)) > 0.05
+        |    AS drifted
+        |FROM nm n JOIN tot t USING (col_name)
+        |ORDER BY col_name""".stripMargin,
     "p_checks" ->
       """WITH m AS (
         |  SELECT count(*) AS n,

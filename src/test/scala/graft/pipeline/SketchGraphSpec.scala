@@ -78,6 +78,21 @@ class SketchGraphSpec extends SparkSpec {
     assert(r("matches_s") == (0L, true)) // nulls don't count as mismatch
   }
 
+  test("drift: identical halves score 0, disjoint supports score 2") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("c")
+    val same = Drift.l1Drift(a, a, Seq("c")).collect().head
+    assert(same.getAs[Double]("l1") == 0.0 && !same.getAs[Boolean]("drifted"))
+    val b = Seq("z", "z", "w").toDF("c")
+    val disj = Drift.l1Drift(a, b, Seq("c")).collect().head
+    assert(disj.getAs[Double]("l1") == 2.0 && disj.getAs[Boolean]("drifted"))
+    // hand-computed asymmetric case: ref {x:2,y:1} cur {x:1,y:2}
+    val c = Seq("x", "y", "y").toDF("c")
+    val mid = Drift.l1Drift(a, c, Seq("c")).collect().head
+    // |2*3-1*3| + |1*3-2*3| = 6 over 9 = 2/3
+    assert(math.abs(mid.getAs[Double]("l1") - 2.0 / 3) < 1e-15)
+  }
+
   test("pagerank: uniform cycle stays uniform; sink-heavy graph ranks it") {
     import spark.implicits._
     // 3-cycle with equal weights: ranks stay at scale/3 every pass

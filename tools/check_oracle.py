@@ -71,7 +71,16 @@ def main(sf_dir, out_dir):
             print("  duck :", w[idx].head(3).to_dict("records"))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            # dtype parity warning: this mirror's %.10g formatting hides
+            # int64-vs-float64 divergence (e.g. DuckDB HUGEINT sums
+            # arriving as float64) that the driver's comparator may NOT
+            # hide — the p_cms round-7 failure mode. Warn even on PASS.
+            dt = {c: (str(got[c].dtype), str(want[c].dtype))
+                  for c in got.columns
+                  if c in want.columns
+                  and str(got[c].dtype) != str(want[c].dtype)}
+            tag = f"  [DTYPE WARN {dt}]" if dt else ""
+            print(f"PASS {name} ({len(g)} rows){tag}"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     return 1 if n_fail else 0
 
