@@ -60,6 +60,28 @@ class SketchGraphSpec extends SparkSpec {
     assert(s.getAs[String]("top1") == "b" && s.getAs[Long]("top1_cnt") == 2)
   }
 
+  test("histogram estimate brackets the exact order statistic " +
+      "(randomized widths/data)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(2026)
+    for (wid <- Seq(10.0, 25.0, 100.0); trial <- 1 to 2) {
+      val n = 50 + rng.nextInt(150)
+      val vals = Seq.fill(n)(rng.nextDouble() * 500)
+      val df = vals.map(("k", _)).toDF("key", "value")
+      val est = HistSketch.quantiles(
+          HistSketch.build(df, "key", "value", wid),
+          Seq("e25" -> 0.25, "e50" -> 0.5, "e99" -> 0.99), wid)
+        .collect().head
+      val sorted = vals.sorted
+      for ((nm, q) <- Seq("e25" -> 0.25, "e50" -> 0.5, "e99" -> 0.99)) {
+        val exact = sorted(math.ceil(q * n).toInt - 1)
+        val e = est.getAs[Double](nm)
+        assert(e > exact && e <= exact + wid,
+          s"width $wid trial $trial $nm: est $e exact $exact")
+      }
+    }
+  }
+
   test("checks count violations, not just pass/fail") {
     import spark.implicits._
     import Checks._
