@@ -25,6 +25,17 @@ object CountMin {
     conv(substring(md5(concat(row.cast("string"), lit(":" + seed + ":"),
       token)), 1, 15), 16, 10).cast("long") % width
 
+  /** Sketch cells from a (shard, token, cnt) frame — the shared tail
+    * of buildSharded and heavyHitters (which stages the tokenized
+    * frame so candidates and cells come from one scan). */
+  def cellsFromCounts(tc: DataFrame, depth: Int = 4, width: Int = 256,
+      seed: Int = 9): DataFrame =
+    tc.select(col("shard"), col("token"), col("cnt"),
+        explode(lit((0 until depth).toArray)).as("row"))
+      .groupBy(col("shard"), col("row"),
+        cell(col("row"), col("token"), width, seed).as("col"))
+      .agg(sum("cnt").as("cnt"))
+
   /** Per-shard sketch cells: (shard, row, col) → count. ONE corpus
     * scan — the shard key is a column, not a filter, so sharding adds
     * no extra passes; at cluster scale the shard key is whatever unit
@@ -32,14 +43,12 @@ object CountMin {
     */
   def buildSharded(df: DataFrame, textCol: String, shardCol: Column,
       depth: Int = 4, width: Int = 256, seed: Int = 9): DataFrame =
-    df.select(shardCol.as("shard"),
-        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
-      .select(col("shard"), col("tc.token").as("token"),
-        col("tc.cnt").as("cnt"),
-        explode(lit((0 until depth).toArray)).as("row"))
-      .groupBy(col("shard"), col("row"),
-        cell(col("row"), col("token"), width, seed).as("col"))
-      .agg(sum("cnt").as("cnt"))
+    cellsFromCounts(
+      df.select(shardCol.as("shard"),
+          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+        .select(col("shard"), col("tc.token").as("token"),
+          col("tc.cnt").as("cnt")),
+      depth, width, seed)
 
   /** Unsharded build (a single logical shard). */
   def build(df: DataFrame, textCol: String, depth: Int = 4,
@@ -53,6 +62,35 @@ object CountMin {
     */
   def merge(cells: DataFrame): DataFrame =
     cells.groupBy("row", "col").agg(sum("cnt").as("cnt"))
+
+  /** Sketch-backed heavy hitters: per-shard top-`m` candidate tokens
+    * (a WindowGroupLimit over per-shard counts — any token with
+    * global share above 1/m must lead in at least one shard), then
+    * the global top-`k` of the candidates ranked by their merged-CMS
+    * estimates. The global token groupBy never happens: each shard
+    * ranks its own counts where the data lives, and only ≤ shards×m
+    * candidate tokens plus the depth×width cell matrix cross an
+    * exchange — the frequent-items shape that works when the
+    * vocabulary itself is shuffle-prohibitive.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, shardCol: Column,
+      m: Int = 50, k: Int = 25, depth: Int = 4, width: Int = 256,
+      seed: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = graft.core.Caches.stage(
+      df.select(shardCol.as("shard"),
+          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+        .select(col("shard"), col("tc.token").as("token"),
+          col("tc.cnt").as("cnt")))
+    val cand = tc.groupBy("shard", "token").agg(sum("cnt").as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy("shard")
+        .orderBy(col("c").desc, col("token"))))
+      .filter(col("rn") <= m)
+      .select("token").distinct()
+    val sketch = merge(cellsFromCounts(tc, depth, width, seed))
+    estimate(sketch, cand, depth, width, seed)
+      .orderBy(col("est").desc, col("token")).limit(k)
+  }
 
   /** Point estimates for a frame of query tokens (column `token`):
     * min over the depth addressed cells; absent cells are true zeros.

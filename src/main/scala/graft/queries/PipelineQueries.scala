@@ -804,6 +804,17 @@ object PipelineQueries {
       .orderBy("col_name")
   }
 
+  /** Sketch-backed heavy hitters: per-shard top-50 candidates + CMS
+    * estimates, global top-25 — frequent items without a global token
+    * groupBy (candidates and cells derive from ONE staged tokenized
+    * scan). The oracle replays shard ranking, cells, merge, and the
+    * min-estimates exactly.
+    */
+  def pHeavy(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.CountMin.heavyHitters(
+        Tables.documents(s, d), "text", col("doc_id") % 4)
+      .orderBy(col("est").desc, col("token"))
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -869,7 +880,8 @@ object PipelineQueries {
     "p_checks" -> (pChecks _),
     "p_reservoir" -> (pReservoir _),
     "p_balanced" -> (pBalanced _),
-    "p_drift" -> (pDrift _))
+    "p_drift" -> (pDrift _),
+    "p_heavy" -> (pHeavy _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -2049,6 +2061,40 @@ object PipelineQueries {
          |  GROUP BY 1)
          |SELECT token, est, exact FROM est JOIN exact USING (token)
          |ORDER BY exact DESC, token""".stripMargin,
+    "p_heavy" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id % 4 AS shard, unnest($toks) AS token
+         |  FROM documents),
+         |sc AS (
+         |  SELECT shard, token, count(*) AS c FROM occ GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT token FROM (
+         |    SELECT shard, token,
+         |      row_number() OVER (PARTITION BY shard
+         |        ORDER BY c DESC, token) AS rn
+         |    FROM sc) WHERE rn <= 50),
+         |cells AS (
+         |  SELECT shard, t.row,
+         |    ${hex60("CAST(t.row AS VARCHAR) || ':9:' || token")} % 256
+         |      AS col,
+         |    CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM sc, UNNEST(range(0, 4)) AS t(row)
+         |  GROUP BY 1, 2, 3),
+         |sk AS (
+         |  SELECT row, col, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY 1, 2),
+         |est AS (
+         |  SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+         |  FROM (
+         |    SELECT ca.token, s.cnt
+         |    FROM cand ca
+         |    CROSS JOIN UNNEST(range(0, 4)) AS t(row)
+         |    LEFT JOIN sk s ON s.row = t.row AND s.col =
+         |      ${hex60("CAST(t.row AS VARCHAR) || ':9:' || ca.token")}
+         |        % 256)
+         |  GROUP BY 1)
+         |SELECT token, est FROM est
+         |ORDER BY est DESC, token LIMIT 25""".stripMargin,
     "p_drift" ->
       """WITH st AS (
         |  SELECT doc_id % 2 AS side, col_name, value_s FROM (

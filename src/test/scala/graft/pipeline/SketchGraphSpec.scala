@@ -82,6 +82,24 @@ class SketchGraphSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: truly frequent tokens survive, est >= exact") {
+    import spark.implicits._
+    val doc = graft.Tables.documents(spark, sf("sf0.001"))
+    val hh = CountMin.heavyHitters(doc, "text", col("doc_id") % 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll(spark)
+    val exact = doc.select(explode(
+        graft.functions.TokenCounts(col("text"))).as("tc"))
+      .groupBy(col("tc.token")).agg(sum(col("tc.cnt")).as("c"))
+      .orderBy(col("c").desc, col("tc.token"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // the exact top-10 are unambiguously heavy: all must be returned
+    exact.take(10).foreach { case (t, c) =>
+      assert(hh.contains(t), s"top token $t missing from heavy hitters")
+      assert(hh(t) >= c, s"CMS estimate ${hh(t)} < exact $c for $t")
+    }
+  }
+
   test("checks count violations, not just pass/fail") {
     import spark.implicits._
     import Checks._
