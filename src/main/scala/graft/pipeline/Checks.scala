@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Declarative data-quality checks (the Deequ shape): a check suite
   * compiles to ONE conditional-aggregation scan whose single result
   * row unpivots to a (check_name, observed, passed) report. `observed`
-  * is always the VIOLATION count (0 = clean) so every check reads the
-  * same way and thresholds stay trivial.
+  * is the VIOLATION count (0 = clean) for every check EXCEPT MinRows,
+  * which reports the row count itself (its violation would be a
+  * shortfall, and the count is the number the operator wants anyway);
+  * `passed` is the uniform verdict column to gate on.
   *
   * Scale: all checks share one pass; uniqueness checks need a distinct
   * count, which Spark plans as an Expand (one duplicated map-side
@@ -37,7 +39,8 @@ object Checks {
       extends Check {
     val name = s"in_range_$c"
   }
-  /** `c` matches anchored `regex`; observed = non-matching count. */
+  /** `c` fully matches `regex` (anchored here — the caller writes the
+    * bare pattern); observed = non-matching count, NULLs exempt. */
   final case class Matches(c: String, regex: String) extends Check {
     val name = s"matches_$c"
   }
@@ -50,7 +53,9 @@ object Checks {
     case InRange(c, lo, hi) =>
       count(when(col(c) < lo || col(c) > hi, lit(1)))
     case Matches(c, re) =>
-      count(when(!col(c).rlike(re), lit(1)))
+      // rlike is a substring search; anchor in a group so the check
+      // is the full-string match the name promises
+      count(when(!col(c).rlike("^(?:" + re + ")$"), lit(1)))
   }
 
   private def passed(ck: Check, obs: Column): Column = ck match {

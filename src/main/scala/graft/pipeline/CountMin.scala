@@ -43,12 +43,18 @@ object CountMin {
     */
   def buildSharded(df: DataFrame, textCol: String, shardCol: Column,
       depth: Int = 4, width: Int = 256, seed: Int = 9): DataFrame =
-    cellsFromCounts(
-      df.select(shardCol.as("shard"),
-          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
-        .select(col("shard"), col("tc.token").as("token"),
-          col("tc.cnt").as("cnt")),
+    cellsFromCounts(tokenCounts(df, textCol, shardCol),
       depth, width, seed)
+
+  /** The (shard, token, cnt) tokenized frame both the sketch cells
+    * and heavyHitters' candidates derive from — one definition so the
+    * two sides can never tokenize differently. */
+  private def tokenCounts(df: DataFrame, textCol: String,
+      shardCol: Column): DataFrame =
+    df.select(shardCol.as("shard"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("shard"), col("tc.token").as("token"),
+        col("tc.cnt").as("cnt"))
 
   /** Unsharded build (a single logical shard). */
   def build(df: DataFrame, textCol: String, depth: Int = 4,
@@ -78,10 +84,7 @@ object CountMin {
       seed: Int = 9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tc = graft.core.Caches.stage(
-      df.select(shardCol.as("shard"),
-          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
-        .select(col("shard"), col("tc.token").as("token"),
-          col("tc.cnt").as("cnt")))
+      tokenCounts(df, textCol, shardCol))
     val cand = tc.groupBy("shard", "token").agg(sum("cnt").as("c"))
       .withColumn("rn", row_number().over(Window.partitionBy("shard")
         .orderBy(col("c").desc, col("token"))))

@@ -35,10 +35,13 @@ object HistSketch {
 
   /** Per-shard histogram cells: (key, shard, bin) → cnt. ONE scan; the
     * shard key is a column (partition, ingest batch, day), never a
-    * filter, so sharding adds no passes. */
+    * filter, so sharding adds no passes. NULL values are dropped —
+    * quantiles are over the non-null population (greatest() would
+    * otherwise silently fold NULL into bin 0 and inflate it). */
   def buildSharded(df: DataFrame, keyCol: String, valueCol: String,
       shardCol: Column, width: Double): DataFrame =
-    df.select(col(keyCol).as("key"), shardCol.as("shard"),
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), shardCol.as("shard"),
         bin(col(valueCol), width).as("bin"))
       .groupBy("key", "shard", "bin")
       .agg(count(lit(1)).as("cnt"))

@@ -42,11 +42,15 @@ object LinkGraph {
     val e = graft.core.Caches.stage(e0.withColumn("out_w",
       sum("w").over(org.apache.spark.sql.expressions.Window
         .partitionBy("src"))))
+    // materialize the node set once — it re-enters the plan every
+    // pass (the rank rebuild join), and without the checkpoint each
+    // pass would redo the union+distinct over the edge frame
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     // |nodes| is one count over the aggregated graph frame (not the
     // corpus); it sizes the uniform prior baked into the plan.
     val n = nodes.count()
+    require(n > 0, "pagerank over an empty edge frame")
     val base = (scale / 100 * (100 - dampPct)) / n
     var rank = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
     for (_ <- 1 to iters) {

@@ -758,7 +758,7 @@ object PipelineQueries {
     import graft.pipeline.Checks._
     graft.pipeline.Checks.run(Tables.documents(s, d), Seq(
         MinRows(100), NotNull("text"), Unique("doc_id"),
-        InRange("n_chars", 1, 100000), Matches("lang", "^[a-z]{2}$")))
+        InRange("n_chars", 1, 100000), Matches("lang", "[a-z]{2}")))
       .orderBy("check_name")
   }
 

@@ -208,25 +208,30 @@ object EventStreams {
           seed).as("col"))
       .agg(sum("cnt").as("cnt"))
 
-  /** Streaming histogram sketch: running (key, bin) counts in update
-    * mode. State is |keys| × |bins| cells — value-domain-sized, never
-    * row-count-sized — and cell-wise additivity makes the running
-    * table at any point equal to HistSketch.build over everything
-    * ingested so far, so quantile reads (HistSketch.quantiles on the
-    * sink table) are batch-identical (StreamingSpec pins it).
+  /** Streaming histogram sketch: a running (key, bin) count
+    * aggregation. State is |keys| × |bins| cells — value-domain-
+    * sized, never row-count-sized. The running aggregation equals
+    * HistSketch.build over everything ingested so far; to READ that
+    * equality out of a sink, either use complete mode (what
+    * StreamingSpec pins against a memory sink) or an upsert sink
+    * keyed on (key, bin) under update mode — a plain append of
+    * update-mode output retains stale cell versions. NULLs are
+    * dropped as in the batch build.
     */
   def histStream(events: DataFrame, keyCol: String, valueCol: String,
       width: Double): DataFrame =
-    events.groupBy(col(keyCol).as("key"),
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
         graft.pipeline.HistSketch.bin(col(valueCol), width).as("bin"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Streaming data-quality monitor: the same one-scan Checks suite
-    * as the batch gate, in update mode — state is ONE row of
-    * counters, and the report at any point equals Checks.run over
-    * everything ingested so far. Unique() needs a distinct
-    * aggregation, which streaming forbids — rejected here;
-    * dedupStream and the batch sweep own that axis.
+    * as the batch gate as a running aggregation — state is ONE row of
+    * counters, and the report equals Checks.run over everything
+    * ingested so far when read through complete mode (what
+    * StreamingSpec pins) or an upsert sink keyed on check_name.
+    * Unique() needs a distinct aggregation, which streaming forbids —
+    * rejected here; dedupStream and the batch sweep own that axis.
     */
   def checksStream(df: DataFrame,
       checks: Seq[graft.pipeline.Checks.Check]): DataFrame = {

@@ -40,6 +40,17 @@ class SketchGraphSpec extends SparkSpec {
     }
   }
 
+  test("histogram drops nulls: quantiles are over the non-null population") {
+    import spark.implicits._
+    val df = Seq(("k", Some(100.0)), ("k", None), ("k", Some(100.0)))
+      .toDF("key", "value")
+    val est = HistSketch.quantiles(
+      HistSketch.build(df, "key", "value", 25.0),
+      Seq("e50" -> 0.5), 25.0).collect().head
+    assert(est.getAs[Long]("n") == 2)
+    assert(est.getAs[Double]("e50") == 125.0) // bin 4 upper edge, not 25.0
+  }
+
   test("profile computes counts, min/max, and modal value") {
     import spark.implicits._
     val df = Seq(
