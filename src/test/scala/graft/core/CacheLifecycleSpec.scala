@@ -16,7 +16,10 @@ class CacheLifecycleSpec extends SparkSpec {
 
   private val staged = Seq("p_minhash", "p_simhash", "p_curate",
     "q_express_deep", "p_dup_groups", "q_rm_mixed", "p_incr_dedup",
-    "p_keywords", "p_bm25", "p_cms", "p_postings", "p_dup_spans")
+    "p_keywords", "p_bm25", "p_cms", "p_postings", "p_dup_spans",
+    // round 8: profiler value-count frame, heavy-hitter tokenized
+    // frame, pagerank edge frame + per-pass localCheckpoints
+    "p_profile", "p_heavy", "p_pagerank")
 
   for (name <- staged)
     test(s"$name leaves no pinned blocks after release") {
