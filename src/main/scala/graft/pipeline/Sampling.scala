@@ -177,6 +177,36 @@ object Sampling {
     capPerKey(df, keyCol,
       Seq(sampleHash(col(idCol), seed), col(idCol)), k)
 
+  /** Shard manifest: per hash-assigned shard, the row count, content
+    * size, and an ORDER-INDEPENDENT content fingerprint (the sum of
+    * per-row 60-bit content hashes in DECIMAL, folded mod 2^60) — the
+    * frame a consumer diffs against yesterday's manifest to certify a
+    * delivered dataset without re-reading it. Everything is one
+    * partial-agg scan; the fingerprint survives repartitioning and
+    * row reordering by construction, so two manifests match iff the
+    * shard contents match.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      shards: Int, seed: Int = 42): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h60 = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    df.select(
+        pmod(h60(concat(col(idCol).cast("string"), lit(":" + seed))),
+          lit(shards.toLong)).as("shard"),
+        length(col(textCol)).cast("long").as("len"),
+        h60(concat(col(idCol).cast("string"), lit("|"),
+          md5(col(textCol)))).as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("sum_chars"),
+        sum(col("fp").cast("decimal(38,0)")).as("__fpsum"))
+      .withColumn("fingerprint",
+        expr("CAST(__fpsum % 1152921504606846976 AS BIGINT)"))
+      .select(col("shard"), col("n_docs"), col("sum_chars"),
+        col("fingerprint"))
+  }
+
   /** Write the frame as training shards: `shards` range-partitioned
     * files in deterministic-shuffle order, each additionally capped at
     * `maxRecordsPerFile` (uniform, loader-friendly file sizes; range

@@ -815,6 +815,16 @@ object PipelineQueries {
         Tables.documents(s, d), "text", col("doc_id") % 4)
       .orderBy(col("est").desc, col("token"))
 
+  /** Shard manifest over documents (8 hash-assigned shards): counts,
+    * content size, and the order-independent mod-2^60 fingerprint per
+    * shard — what certifies a delivered dataset against its previous
+    * manifest without a re-read.
+    */
+  def pManifest(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.shardManifest(
+        Tables.documents(s, d), "doc_id", "text", shards = 8)
+      .orderBy("shard")
+
   /** $llmMatch as an executable projection: the derived field mapping
     * (name-similarity heuristic standing in for the model, behind the
     * same interface) applied over customer — the oracle pins WHICH
@@ -881,7 +891,8 @@ object PipelineQueries {
     "p_reservoir" -> (pReservoir _),
     "p_balanced" -> (pBalanced _),
     "p_drift" -> (pDrift _),
-    "p_heavy" -> (pHeavy _))
+    "p_heavy" -> (pHeavy _),
+    "p_manifest" -> (pManifest _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -2061,6 +2072,19 @@ object PipelineQueries {
          |  GROUP BY 1)
          |SELECT token, est, exact FROM est JOIN exact USING (token)
          |ORDER BY exact DESC, token""".stripMargin,
+    "p_manifest" ->
+      s"""WITH sh AS (
+         |  SELECT
+         |    ${hex60("CAST(doc_id AS VARCHAR) || ':42'")} % 8 AS shard,
+         |    length(text) AS n_chars,
+         |    ${hex60("CAST(doc_id AS VARCHAR) || '|' || md5(text)")}
+         |      AS fp
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(fp) % 1152921504606846976 AS BIGINT)
+         |    AS fingerprint
+         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_heavy" ->
       s"""WITH occ AS (
          |  SELECT doc_id % 4 AS shard, unnest($toks) AS token

@@ -129,6 +129,30 @@ class SketchGraphSpec extends SparkSpec {
     assert(r("matches_s") == (0L, true)) // nulls don't count as mismatch
   }
 
+  test("manifest is partition/order independent and change sensitive") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"content of doc $i"))
+      .toDF("doc_id", "text")
+    val m1 = Sampling.shardManifest(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val m2 = Sampling.shardManifest(
+        docs.repartition(7).orderBy(col("doc_id").desc),
+        "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m1.keySet == m2.keySet)
+    m1.keySet.foreach { s =>
+      assert(m1(s).getLong(3) == m2(s).getLong(3) &&
+        m1(s).getLong(1) == m2(s).getLong(1), s"shard $s diverged")
+    }
+    // one edited row flips exactly its shard's fingerprint
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 42L, lit("tampered")).otherwise(col("text")))
+    val m3 = Sampling.shardManifest(edited, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val changed = m1.keySet.filter(s => m1(s).getLong(3) != m3(s).getLong(3))
+    assert(changed.size == 1, s"expected one changed shard, got $changed")
+  }
+
   test("drift: identical halves score 0, disjoint supports score 2") {
     import spark.implicits._
     val a = Seq("x", "x", "y").toDF("c")
