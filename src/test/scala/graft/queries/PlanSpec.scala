@@ -216,4 +216,84 @@ class PlanSpec extends SparkSpec {
     assert(p.lastIndexOf("Filter") > exchangeIdx,
       s"quality Filter should appear below (after in text) an Exchange:\n$p")
   }
+
+  /** The unpivot/tokenize Generate must live ONLY inside the staged
+    * cache, with both consumer branches reading it — the one-scan
+    * contract of p_profile and p_heavy. */
+  private def pinStagedGenerate(name: String): Unit = {
+    val qe = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution
+    // data-driven Generates only: a literal explode (e.g. the CMS
+    // depth fan-out over [0..3]) is O(depth) per row, not a re-scan
+    val outsideCache = qe.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generator.children.exists(c =>
+            !c.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Literal]) => g
+    }
+    assert(outsideCache.isEmpty,
+      s"$name: data Generates must live only inside the staged cache:\n" +
+        qe.optimizedPlan)
+    val cacheScans = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cacheScans.size >= 2,
+      s"$name: both branches should read the staged frame:\n" +
+        qe.optimizedPlan)
+    graft.core.Caches.releaseAll(spark)
+  }
+
+  test("p_profile: one unpivot, both branches read the staged counts") {
+    pinStagedGenerate("p_profile")
+  }
+
+  test("p_heavy: one tokenization; candidate cap is a WindowGroupLimit") {
+    val p = plan("p_heavy")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") &&
+      p.contains("Final"),
+      s"per-shard candidate cap should plan partial+final:\n$p")
+    pinStagedGenerate("p_heavy")
+  }
+
+  test("p_reservoir: per-key quota is a partial+final WindowGroupLimit") {
+    val p = plan("p_reservoir")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") &&
+      p.contains("Final"),
+      s"expect the partial/final window-group-limit pair:\n$p")
+  }
+
+  test("q_hist_quantiles: windows run over the sketch, no joins") {
+    val p = plan("q_hist_quantiles")
+    assert(!p.contains("Join"), s"merge must be an aggregation:\n$p")
+    assert(p.contains("Window"), s"cumulative read needs a window:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"one events scan feeds the sharded build:\n$p")
+  }
+
+  test("p_checks: the whole suite is one scan") {
+    val p = plan("p_checks")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"all checks must share one scan:\n$p")
+    // the single countDistinct plans as a doc_id-keyed partial-agg
+    // chain (no Expand needed for one distinct group), still one scan
+    assert(p.contains("partial_count(distinct"),
+      s"the uniqueness check rides the same aggregation:\n$p")
+    assert(!p.contains("Join"), s"no joins in a check suite:\n$p")
+  }
+
+  test("p_manifest: one partial-agg scan, no wide ops beyond the agg") {
+    val p = plan("p_manifest")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the manifest is one scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("WindowGroupLimit"),
+      s"count/sum/fingerprint all partial-aggregate:\n$p")
+  }
+
+  test("p_drift: two snapshot branches, no joins, window on the counts") {
+    val p = plan("p_drift")
+    assert(!p.contains("Join"),
+      s"totals ride a window over the count frame, not a join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"exactly the two snapshot scans:\n$p")
+  }
 }
