@@ -41,6 +41,41 @@ object Drift {
     val vc = stacked.groupBy("col_name", "value_s").agg(
       sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cr"),
       sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cc"))
+    finishL1(vc, threshold)
+  }
+
+  /** (col_name, value_s, cnt) value counts of `cols` — one unpivot +
+    * one aggregation, legal on a STREAMING frame too (a running
+    * aggregation with |columns| × |domain| state), which is how a
+    * live pipeline materializes the current-batch side of a drift
+    * check: stream this into an upsert/complete sink, then diff the
+    * sink against a reference manifest with [[l1FromCounts]]. */
+  def valueCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val entries = cols.map(c => struct(lit(c).as("col_name"),
+      col(c).cast("string").as("value_s")))
+    df.select(explode(array(entries: _*)).as("kv"))
+      .groupBy(col("kv.col_name").as("col_name"),
+        col("kv.value_s").as("value_s"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The drift report from two pre-aggregated count frames (shape of
+    * [[valueCounts]]) — no raw data touched, so snapshots can be
+    * compared long after the data moved on. */
+  def l1FromCounts(ref: DataFrame, cur: DataFrame,
+      threshold: Double = 0.1): DataFrame = {
+    val r = ref.select(col("col_name"), col("value_s"),
+      col("cnt").as("cr"))
+    val c = cur.select(col("col_name"), col("value_s"),
+      col("cnt").as("cc"))
+    val vc = r.join(c, Seq("col_name", "value_s"), "full")
+      .select(col("col_name"), col("value_s"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    finishL1(vc, threshold)
+  }
+
+  private def finishL1(vc: DataFrame, threshold: Double): DataFrame = {
     val w = Window.partitionBy("col_name")
     val withTot = vc
       .withColumn("nr", sum("cr").over(w))

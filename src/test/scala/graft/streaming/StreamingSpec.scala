@@ -259,6 +259,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed value counts feed the same drift report as batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val refDocs = Seq((1L, "en"), (2L, "en"), (3L, "de"))
+      .toDF("doc_id", "lang")
+    val d1 = Seq(GDoc(t("2026-01-01 10:00:00"), 10L, "en"))
+    val d2 = Seq(GDoc(t("2026-01-01 10:01:00"), 11L, "fr"),
+      GDoc(t("2026-01-01 10:02:00"), 12L, "fr"))
+    val input = MemoryStream[GDoc]
+    // the GDoc `text` column carries the lang value for this test
+    val q = graft.pipeline.Drift.valueCounts(
+        input.toDF().withColumnRenamed("text", "lang"), Seq("lang"))
+      .writeStream.format("memory").queryName("langcounts")
+      .outputMode("complete").start()
+    input.addData(d1: _*); q.processAllAvailable()
+    input.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    val viaStream = graft.pipeline.Drift.l1FromCounts(
+        graft.pipeline.Drift.valueCounts(refDocs, Seq("lang")),
+        spark.table("langcounts"))
+      .collect().head
+    val curDocs = Seq((10L, "en"), (11L, "fr"), (12L, "fr"))
+      .toDF("doc_id", "lang")
+    val viaBatch = graft.pipeline.Drift.l1Drift(refDocs, curDocs,
+      Seq("lang")).collect().head
+    assert(viaStream.getAs[Double]("l1") == viaBatch.getAs[Double]("l1"))
+    // ref {en:2, de:1} vs cur {en:1, fr:2}: |2*3-1*3|+|1*3-0|+|0-2*3| = 12/9
+    assert(math.abs(viaStream.getAs[Double]("l1") - 12.0 / 9) < 1e-15)
+  }
+
   test("streaming near-dup drop suppresses band-bucket collisions") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GDoc]
