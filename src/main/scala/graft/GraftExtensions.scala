@@ -63,6 +63,21 @@ object GraftExtensions {
     }
   }
 
+  /** Evaluate a foldable argument to Double (SQL literal parameters). */
+  private def dblArg(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+  }
+
   /** Evaluate a foldable argument to String (SQL literal parameters). */
   private def strArg(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a literal")
@@ -158,6 +173,23 @@ object GraftExtensions {
           ColumnGlue.column(args.head), intArg(args(1), "planes"),
           intArg(args(2), "tables"), intArg(args(3), "dim"),
           intArg(args(4), "seed")))
+      }),
+    ("graft_sample_hash",
+      "graft_sample_hash(id[, seed]) - seeded uniform sampling hash",
+      (args: Seq[Expression]) => {
+        arity("graft_sample_hash", args, 1, 2)
+        val seed = if (args.size > 1) intArg(args(1), "seed") else 42
+        viaColumn(c => graft.pipeline.Sampling.sampleHash(c, seed))(
+          args.head)
+      }),
+    ("graft_hist_bin",
+      "graft_hist_bin(value, width) - fixed-width histogram bin index",
+      (args: Seq[Expression]) => {
+        arity("graft_hist_bin", args, 2)
+        val width = dblArg(args(1), "width")
+        require(width > 0, s"width must be positive, got $width")
+        viaColumn(c => graft.pipeline.HistSketch.bin(c, width))(
+          args.head)
       }),
     ("graft_quality",
       "graft_quality(text) - heuristic quality score in [0,1]",

@@ -207,6 +207,24 @@ object Sampling {
         col("fingerprint"))
   }
 
+  /** Certification diff of two manifests (shape of [[shardManifest]]):
+    * per shard, both sides' stats and whether they fully agree — the
+    * read a consumer runs to accept a delivery. Null-safe: a shard
+    * present on only one side reports ok = false. */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("shard"), col("n_docs").as("n_docs_a"),
+      col("sum_chars").as("sum_chars_a"),
+      col("fingerprint").as("fingerprint_a"))
+    val r = b.select(col("shard"), col("n_docs").as("n_docs_b"),
+      col("sum_chars").as("sum_chars_b"),
+      col("fingerprint").as("fingerprint_b"))
+    l.join(r, Seq("shard"), "full")
+      .withColumn("ok",
+        col("n_docs_a") <=> col("n_docs_b") &&
+        col("sum_chars_a") <=> col("sum_chars_b") &&
+        col("fingerprint_a") <=> col("fingerprint_b"))
+  }
+
   /** Write the frame as training shards: `shards` range-partitioned
     * files in deterministic-shuffle order, each additionally capped at
     * `maxRecordsPerFile` (uniform, loader-friendly file sizes; range

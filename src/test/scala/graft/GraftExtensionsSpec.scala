@@ -57,6 +57,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 2)
   }
 
+  test("graft_sample_hash and graft_hist_bin match the DataFrame forms") {
+    import org.apache.spark.sql.functions._
+    val r = spark.sql(
+      """SELECT graft_sample_hash('42') AS h,
+        |  graft_sample_hash('42', 7) AS h7,
+        |  graft_hist_bin(61.5d, 25.0d) AS b,
+        |  graft_hist_bin(-3.0d, 25.0d) AS bneg""".stripMargin).head()
+    val viaDf = spark.range(1).select(
+      graft.pipeline.Sampling.sampleHash(lit("42"), 42).as("h"),
+      graft.pipeline.Sampling.sampleHash(lit("42"), 7).as("h7"),
+      graft.pipeline.HistSketch.bin(lit(61.5), 25.0).as("b")).head()
+    assert(r.getString(0) == viaDf.getString(0))
+    assert(r.getString(1) == viaDf.getString(1))
+    assert(r.getLong(2) == viaDf.getLong(2) && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 0L) // negative values clamp to bin 0
+  }
+
   test("graft_chunks and graft_jaccard through SQL") {
     val r = spark.sql(
       """SELECT size(graft_chunks('a b c d e f', 4, 2)) AS nc,

@@ -153,6 +153,19 @@ class SketchGraphSpec extends SparkSpec {
     assert(changed.size == 1, s"expected one changed shard, got $changed")
   }
 
+  test("manifestDiff certifies equal deliveries and localizes tampering") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val m1 = Sampling.shardManifest(docs, "doc_id", "text", 4)
+    val same = Sampling.manifestDiff(m1,
+      Sampling.shardManifest(docs.repartition(3), "doc_id", "text", 4))
+    assert(same.filter(!col("ok")).count() == 0)
+    val tampered = docs.filter(col("doc_id") =!= 30L) // drop one row
+    val diff = Sampling.manifestDiff(m1,
+      Sampling.shardManifest(tampered, "doc_id", "text", 4))
+    assert(diff.filter(!col("ok")).count() == 1)
+  }
+
   test("drift: identical halves score 0, disjoint supports score 2") {
     import spark.implicits._
     val a = Seq("x", "x", "y").toDF("c")
