@@ -174,6 +174,12 @@ object GraftExtensions {
           intArg(args(2), "tables"), intArg(args(3), "dim"),
           intArg(args(4), "seed")))
       }),
+    ("graft_nfc",
+      "graft_nfc(text) - Unicode NFC normalization",
+      (args: Seq[Expression]) => {
+        arity("graft_nfc", args, 1)
+        NfcNormalize(args.head)
+      }),
     ("graft_sample_hash",
       "graft_sample_hash(id[, seed]) - seeded uniform sampling hash",
       (args: Seq[Expression]) => {

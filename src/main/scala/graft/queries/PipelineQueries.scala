@@ -815,6 +815,26 @@ object PipelineQueries {
         Tables.documents(s, d), "text", col("doc_id") % 4)
       .orderBy(col("est").desc, col("token"))
 
+  /** Unicode NFC normalization gate: every row gets a marker whose
+    * normalization form depends on doc_id parity (even rows carry
+    * e + combining acute U+0301, odd rows the precomposed U+00E9), so
+    * the gate discriminates — NFC must rewrite exactly the even rows
+    * and both forms must hash identically after it. DuckDB's
+    * nfc_normalize replays the JDK Normalizer (NFC is stable for
+    * assigned codepoints across Unicode versions).
+    */
+  def pNfc(s: SparkSession, d: String): DataFrame = {
+    val marked = Tables.documents(s, d).withColumn("raw",
+      concat(col("text"), lit(" nfc"),
+        when(col("doc_id") % 2 === 0, lit("e\u0301"))
+          .otherwise(lit("\u00e9"))))
+    marked.select(col("doc_id"), col("raw"),
+        graft.functions.NfcNormalize(col("raw")).as("__n"))
+      .select(col("doc_id"), md5(col("__n")).as("nhash"),
+        (col("__n") =!= col("raw")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -892,7 +912,8 @@ object PipelineQueries {
     "p_balanced" -> (pBalanced _),
     "p_drift" -> (pDrift _),
     "p_heavy" -> (pHeavy _),
-    "p_manifest" -> (pManifest _))
+    "p_manifest" -> (pManifest _),
+    "p_nfc" -> (pNfc _))
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -2072,6 +2093,15 @@ object PipelineQueries {
          |  GROUP BY 1)
          |SELECT token, est, exact FROM est JOIN exact USING (token)
          |ORDER BY exact DESC, token""".stripMargin,
+    "p_nfc" ->
+      """WITH m AS (
+        |  SELECT doc_id, text || ' nfc' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769)
+        |         ELSE chr(233) END AS raw
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(raw)) AS nhash,
+        |  nfc_normalize(raw) <> raw AS changed
+        |FROM m ORDER BY doc_id""".stripMargin,
     "p_manifest" ->
       s"""WITH sh AS (
          |  SELECT

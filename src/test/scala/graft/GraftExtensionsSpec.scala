@@ -57,6 +57,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 2)
   }
 
+  test("graft_nfc composes through SQL") {
+    // literal codepoints, not chr(): Spark's chr() is ASCII-mod-256
+    // (chr(769) = chr(1)), unlike DuckDB's codepoint chr()
+    val r = spark.sql(
+      "SELECT md5(graft_nfc('café')) = " +
+        "md5('café') AS same").head()
+    assert(r.getBoolean(0))
+  }
+
   test("graft_sample_hash and graft_hist_bin match the DataFrame forms") {
     import org.apache.spark.sql.functions._
     val r = spark.sql(
