@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
+  /** Render a bound compactly for a check name (drop ".0"). */
+  private def num(d: Double): String =
+    if (d.isWhole && d.abs < 1e15) d.toLong.toString else d.toString
+
   sealed trait Check { def name: String }
   /** Table must have at least `min` rows; observed = row count. */
   final case class MinRows(min: Long) extends Check {
-    val name = s"min_rows"
+    val name = s"min_rows_$min"
   }
   /** No NULLs in `c`; observed = null count. */
   final case class NotNull(c: String) extends Check {
@@ -37,7 +41,7 @@ object Checks {
     * count — pair with NotNull to forbid them). */
   final case class InRange(c: String, lo: Double, hi: Double)
       extends Check {
-    val name = s"in_range_$c"
+    val name = s"in_range_${c}_${num(lo)}_${num(hi)}"
   }
   /** `c` fully matches `regex` (anchored here — the caller writes the
     * bare pattern); observed = non-matching count, NULLs exempt. */
@@ -63,9 +67,19 @@ object Checks {
     case _ => obs === 0L
   }
 
-  /** Run the suite: one scan, one report row per check. */
+  /** Run the suite: one scan, one report row per check. Check names
+    * must be unique — report rows are keyed by check_name, so two
+    * indistinguishable rows (e.g. two Matches on the same column)
+    * would be unusable for a consumer gating on the name. Parameters
+    * are baked into MinRows/InRange names; Matches collides only on
+    * same-column-different-regex, which this require surfaces. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
+    val dup = checks.groupBy(_.name).collect {
+      case (n, cs) if cs.size > 1 => n
+    }
+    require(dup.isEmpty,
+      s"duplicate check names: ${dup.mkString(", ")}")
     val aggs = checks.zipWithIndex.map { case (ck, i) =>
       observed(ck).as(s"__c$i")
     }

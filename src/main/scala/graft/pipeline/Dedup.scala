@@ -68,10 +68,27 @@ object Dedup {
     * warehouse scale inputs have many splits and this is a no-op;
     * when it does fire, the round-robin exchange moves only the raw
     * text once and buys full parallelism for the hashing above it.
+    *
+    * Width comes from logical-plan statistics (scan bytes over the
+    * file-split size), NOT `df.rdd.getNumPartitions` — materializing
+    * the RDD would physically plan the input a second time just to
+    * count its splits. Unknown-stats plans (joins, huge default
+    * sizeInBytes) estimate many splits and pass through unchanged,
+    * same as the many-split file case. `spark.graft.spread.partitions`
+    * overrides the decision explicitly (0 = auto, -1 = never spread).
     */
   def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val sess = df.sparkSession
+    val par = sess.sparkContext.defaultParallelism
+    val knob = sess.conf.get("spark.graft.spread.partitions", "0").toInt
+    if (knob > 0) return df.repartition(knob)
+    if (knob < 0) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val split = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        sess.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estSplits = (bytes / split) + 1
+    if (estSplits < par) df.repartition(par) else df
   }
 
   /** k minhashes of the shingle set (Murmur3 with per-row seed mix). */

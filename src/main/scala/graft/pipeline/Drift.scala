@@ -68,8 +68,15 @@ object Drift {
       col("cnt").as("cr"))
     val c = cur.select(col("col_name"), col("value_s"),
       col("cnt").as("cc"))
-    val vc = r.join(c, Seq("col_name", "value_s"), "full")
-      .select(col("col_name"), col("value_s"),
+    // null-safe on value_s: valueCounts emits a NULL value group
+    // (cast-to-string of NULL is NULL), which must match across sides
+    // the way l1Drift's single groupBy folds it into one bucket — a
+    // plain equi-join would split it into two disjoint rows and
+    // inflate the L1 numerator.
+    val vc = r.join(c, r("col_name") === c("col_name") &&
+        r("value_s") <=> c("value_s"), "full")
+      .select(coalesce(r("col_name"), c("col_name")).as("col_name"),
+        coalesce(r("value_s"), c("value_s")).as("value_s"),
         coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("cc"), lit(0L)).as("cc"))
     finishL1(vc, threshold)

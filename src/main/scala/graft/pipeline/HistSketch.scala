@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
 object HistSketch {
 
   /** Bin index of a value: floor(v / width), clamped at 0 so negative
-    * outliers land in the first bin rather than a negative cell. */
+    * outliers land in the first bin rather than a negative cell.
+    * NULL-propagating: greatest() ignores NULLs, so without the guard
+    * a NULL value would silently land in bin 0 — the builds filter
+    * NULLs anyway, but the SQL surface (graft_hist_bin) exposes this
+    * directly and must behave like a normal scalar. */
   def bin(v: Column, width: Double): Column =
-    greatest(floor(v / lit(width)).cast("long"), lit(0L))
+    when(v.isNotNull,
+      greatest(floor(v / lit(width)).cast("long"), lit(0L)))
 
   /** Per-shard histogram cells: (key, shard, bin) → cnt. ONE scan; the
     * shard key is a column (partition, ingest batch, day), never a

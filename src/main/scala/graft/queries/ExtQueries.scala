@@ -288,7 +288,7 @@ object ExtQueries {
         |  SELECT event_type AS key, event_id % 8 AS shard,
         |    GREATEST(CAST(floor(value / 25.0) AS BIGINT), 0) AS bin,
         |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2, 3),
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
         |hist AS (
         |  SELECT key, bin, CAST(sum(cnt) AS BIGINT) AS cnt
         |  FROM cells GROUP BY 1, 2),

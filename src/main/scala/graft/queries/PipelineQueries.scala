@@ -2194,11 +2194,11 @@ object PipelineQueries {
         |      THEN 1 END) AS nl
         |  FROM documents)
         |SELECT * FROM (
-        |  SELECT 'min_rows' AS check_name, n AS observed,
+        |  SELECT 'min_rows_100' AS check_name, n AS observed,
         |    n >= 100 AS passed FROM m
         |  UNION ALL SELECT 'not_null_text', nn, nn = 0 FROM m
         |  UNION ALL SELECT 'unique_doc_id', du, du = 0 FROM m
-        |  UNION ALL SELECT 'in_range_n_chars', nr, nr = 0 FROM m
+        |  UNION ALL SELECT 'in_range_n_chars_1_100000', nr, nr = 0 FROM m
         |  UNION ALL SELECT 'matches_lang', nl, nl = 0 FROM m)
         |ORDER BY check_name""".stripMargin,
     "p_reservoir" ->

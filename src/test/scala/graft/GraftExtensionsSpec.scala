@@ -81,6 +81,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == viaDf.getString(1))
     assert(r.getLong(2) == viaDf.getLong(2) && r.getLong(2) == 2L)
     assert(r.getLong(3) == 0L) // negative values clamp to bin 0
+    // NULL propagates like a normal scalar (not silently bin 0)
+    val rn = spark.sql(
+      "SELECT graft_hist_bin(CAST(NULL AS DOUBLE), 25.0d) AS b").head()
+    assert(rn.isNullAt(0))
   }
 
   test("graft_chunks and graft_jaccard through SQL") {

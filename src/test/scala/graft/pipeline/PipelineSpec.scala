@@ -790,4 +790,24 @@ class PipelineSpec extends SparkSpec {
         .getField("width").as("w")).as[Int].collect()
     assert(resized.forall(_ <= 64))
   }
+
+  test("spread widens single-split file scans without double planning") {
+    val par = spark.sparkContext.defaultParallelism
+    // sf0.001 documents is one small parquet file = one split; the
+    // stats-derived estimate must trigger the round-robin widen
+    val one = spark.read.parquet(sf() + "/documents.parquet")
+      .select($"doc_id", $"text")
+    assert(Dedup.spread(one).rdd.getNumPartitions == par)
+    // explicit knob: fixed width, and -1 disables entirely
+    spark.conf.set("spark.graft.spread.partitions", "3")
+    try assert(Dedup.spread(one).rdd.getNumPartitions == 3)
+    finally spark.conf.set("spark.graft.spread.partitions", "0")
+    spark.conf.set("spark.graft.spread.partitions", "-1")
+    try assert(Dedup.spread(one).rdd.getNumPartitions ==
+      one.rdd.getNumPartitions)
+    finally spark.conf.unset("spark.graft.spread.partitions")
+    // a wide (unknown-stats) plan passes through: no forced exchange
+    val joined = one.as("a").join(one.as("b"), "doc_id")
+    assert(Dedup.spread(joined) eq joined)
+  }
 }

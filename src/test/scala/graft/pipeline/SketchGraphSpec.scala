@@ -122,11 +122,21 @@ class SketchGraphSpec extends SparkSpec {
         Matches("s", "^ok$")))
       .collect()
       .map(x => x.getString(0) -> (x.getLong(1), x.getBoolean(2))).toMap
-    assert(r("min_rows") == (3L, false))
+    assert(r("min_rows_10") == (3L, false))
     assert(r("not_null_s") == (1L, false))
     assert(r("unique_id") == (1L, false)) // 3 non-null ids, 2 distinct
-    assert(r("in_range_v") == (1L, false))
+    assert(r("in_range_v_0_100") == (1L, false))
     assert(r("matches_s") == (0L, true)) // nulls don't count as mismatch
+    // parameters disambiguate same-shape checks; true collisions error
+    val two = Checks.run(df, Seq(MinRows(1), MinRows(10),
+        InRange("v", 0, 100), InRange("v", 0, 1000)))
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(two("min_rows_1") == (3L, true))
+    assert(two("in_range_v_0_1000") == (0L, true))
+    intercept[IllegalArgumentException] {
+      Checks.run(df, Seq(Matches("s", "a"), Matches("s", "b")))
+    }
   }
 
   test("manifest is partition/order independent and change sensitive") {
@@ -179,6 +189,24 @@ class SketchGraphSpec extends SparkSpec {
     val mid = Drift.l1Drift(a, c, Seq("c")).collect().head
     // |2*3-1*3| + |1*3-2*3| = 6 over 9 = 2/3
     assert(math.abs(mid.getAs[Double]("l1") - 2.0 / 3) < 1e-15)
+  }
+
+  test("drift: NULL value group matches across sides in both entry points") {
+    import spark.implicits._
+    // ref {x:1, NULL:2} vs cur {x:2, NULL:1}: both sides carry a NULL
+    // group; l1FromCounts must treat it as ONE value like l1Drift's
+    // groupBy does (a plain equi-join would split it into two rows)
+    val ref = Seq(Some("x"), None, None).toDF("c")
+    val cur = Seq(Some("x"), Some("x"), None).toDF("c")
+    val direct = Drift.l1Drift(ref, cur, Seq("c")).collect().head
+    val viaCounts = Drift.l1FromCounts(
+      Drift.valueCounts(ref, Seq("c")),
+      Drift.valueCounts(cur, Seq("c"))).collect().head
+    // |1*3-2*3| + |2*3-1*3| = 6 over 9 = 2/3
+    assert(math.abs(direct.getAs[Double]("l1") - 2.0 / 3) < 1e-15)
+    assert(viaCounts.getAs[Double]("l1") == direct.getAs[Double]("l1"))
+    assert(viaCounts.getAs[Long]("n_ref") == 3L &&
+      viaCounts.getAs[Long]("n_cur") == 3L)
   }
 
   test("pagerank: uniform cycle stays uniform; sink-heavy graph ranks it") {

@@ -252,8 +252,9 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.pipeline.Checks.run((d1 ++ d2).toDF(), suite)
       .as[(String, Long, Boolean)].collect().toSet
     assert(got == batch)
-    assert(got == Set(("min_rows", 3L, true), ("not_null_text", 1L, false),
-      ("in_range_doc_id", 1L, false)))
+    assert(got == Set(("min_rows_3", 3L, true),
+      ("not_null_text", 1L, false),
+      ("in_range_doc_id_0_100", 1L, false)))
     intercept[IllegalArgumentException] {
       EventStreams.checksStream(input.toDF(), Seq(Unique("doc_id")))
     }
