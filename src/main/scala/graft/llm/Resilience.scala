@@ -75,9 +75,28 @@ object Resilience {
       _ => new RateLimiter(maxPerSecond, Thread.sleep(_),
         () => System.nanoTime()))
 
+  /** Parse an HTTP Retry-After header (delta-seconds form only — the
+    * HTTP-date form is rare on rate limiters and not worth a date
+    * parser on the executor hot path). */
+  def retryAfterMs(headers: java.net.http.HttpHeaders): Option[Long] = {
+    val v = headers.firstValue("retry-after")
+    if (v.isPresent) v.get.trim.toLongOption.map(_ * 1000L) else None
+  }
+
+  /** HTTP 429 from a transport, carrying the server's Retry-After
+    * hint when it sent one — [[withRetry]] honors the hint instead of
+    * hammering the endpoint again after a (possibly shorter)
+    * exponential backoff.
+    */
+  final case class RateLimitedException(retryAfterMs: Option[Long])
+    extends java.io.IOException("endpoint rate limited (retry-after: " +
+      retryAfterMs.map(m => s"${m}ms").getOrElse("unspecified") + ")")
+
   /** Run `f` under the retry policy: attempt, sleep
     * base·2^(attempt-1) (capped) on failure, rethrow the last error
-    * once maxAttempts is exhausted.
+    * once maxAttempts is exhausted. A [[RateLimitedException]] with a
+    * Retry-After hint sleeps at least that long (still capped by
+    * maxBackoffMs so a hostile header can't park the task forever).
     */
   def withRetry[T](policy: Policy, sleeper: Long => Unit)(f: => T): T = {
     var attempt = 1
@@ -86,8 +105,13 @@ object Resilience {
       catch {
         case scala.util.control.NonFatal(e) =>
           if (attempt >= policy.maxAttempts) throw e
-          val backoff = math.min(policy.maxBackoffMs,
+          val base = math.min(policy.maxBackoffMs,
             policy.baseBackoffMs << (attempt - 1))
+          val backoff = e match {
+            case RateLimitedException(Some(ms)) =>
+              math.min(policy.maxBackoffMs, math.max(base, ms))
+            case _ => base
+          }
           sleeper(backoff)
           attempt += 1
       }
@@ -162,6 +186,9 @@ final class HttpLlmClient(endpoint: String, model: String,
       .build()
     val resp = http.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 429)
+      throw Resilience.RateLimitedException(
+        Resilience.retryAfterMs(resp.headers()))
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"LLM endpoint returned ${resp.statusCode()}")

@@ -92,6 +92,9 @@ object Graph {
           .build()
         val resp = http.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 429)
+          throw graft.llm.Resilience.RateLimitedException(
+            graft.llm.Resilience.retryAfterMs(resp.headers()))
         if (resp.statusCode() / 100 != 2)
           throw new java.io.IOException(
             s"graph endpoint returned ${resp.statusCode()}")
