@@ -55,9 +55,14 @@ object Ast {
     patterns: Seq[QPattern], preds: Seq[Expr] = Nil,
     options: Map[String, String] = Map.empty,
     identArg: Option[Expr] = None) extends Expr
-  /** `express($params){ {template} }` */
+  /** `express($params){ {template} }`. The reference grammar also
+    * admits an `<|options|>` map here (parse.cljc:1146-1166) but
+    * consults none of its keys (rewrite.cljc:195 stores them, nothing
+    * reads them) — we parse it for grammar parity and reject non-empty
+    * maps at compile time. */
   final case class ExpressDef(params: Seq[String],
-    template: Expr) extends Expr
+    template: Expr, options: Map[String, String] = Map.empty)
+    extends Expr
   final case class Lambda(params: Seq[String], body: Expr) extends Expr
   final case class Apply(fn: Expr, args: Seq[Expr]) extends Expr
   final case class Block(bindings: Seq[(String, Expr)], result: Expr)

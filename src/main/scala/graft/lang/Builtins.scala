@@ -590,8 +590,33 @@ object Builtins {
           case other => fail(s"$$llmMatch: target shape must be an " +
             s"array or object literal, got $other")
         }
+        // optional third arg (reference builtin.cljc:2537,2618-2623):
+        // {'asFn?': true} (the 2-arg default) returns the executable
+        // mapping; {'asFn?': false} returns the mapping as data
+        // (target → source), the match-post-set-paths shape
+        val asFn = argExprs.lift(2) match {
+          case None => true
+          case Some(Ast.ObjLit(pairs)) =>
+            val opts = pairs.map {
+              case (Ast.StrLit(k), v) => k -> v
+              case (k, _) => fail(s"$$llmMatch: option keys must be " +
+                s"string literals, got $k")
+            }
+            opts.collectFirst {
+              case (k, _) if k != "asFn?" =>
+                fail(s"$$llmMatch: unknown option '$k' (only asFn?)")
+            }
+            opts.collectFirst { case ("asFn?", Ast.BoolLit(b)) => b }
+              .getOrElse(true)
+          case Some(other) => fail(s"$$llmMatch: options must be an " +
+            s"object literal, got $other")
+        }
         val mapping = graft.llm.Llm.matchShapes(srcDf, targets)
-        CF(1, fnArgs => fnArgs.head match {
+        if (!asFn)
+          CObj(mapping.map { case (t, s) =>
+            t -> sval(org.apache.spark.sql.functions.lit(s), StringType)
+          })
+        else CF(1, fnArgs => fnArgs.head match {
           case CTab(df) => CTab(graft.llm.Llm.applyMapping(df, mapping))
           case _ => fail("$llmMatch mapping applies to a frame")
         })

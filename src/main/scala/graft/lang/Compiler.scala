@@ -243,15 +243,24 @@ object Compiler {
           CF(-1, args => QueryBridge.runQuery(spark, q, subst, args))
         })
 
-    case ExpressDef(Nil, FnCall("$eIdent", Seq(arg))) =>
+    case ExpressDef(_, _, opts) if opts.nonEmpty =>
+      // the reference parses an express options map but consults none
+      // of its keys (rewrite.cljc:195); rejecting beats silently
+      // ignoring something the user wrote (same stance as query's
+      // unknown-option check)
+      fail(s"unknown express option(s): ${opts.keys.mkString(", ")} " +
+        "(the reference admits an options map on express but no key " +
+        "has any effect; remove it)")
+
+    case ExpressDef(Nil, FnCall("$eIdent", Seq(arg)), _) =>
       // identity template: express{$eIdent($data)}
       val spark = sparkCtx.value
       if (spark == null) fail("express{} needs RM.eval (no session bound)")
       CE(QueryBridge.identPair(QueryBridge.identSchemaOf(spark,
         materialize(compile(arg, env))))._2)
 
-    case ExpressDef(Nil, t) => CE(QueryBridge.templateOf(t))
-    case ExpressDef(params, t) =>
+    case ExpressDef(Nil, t, _) => CE(QueryBridge.templateOf(t))
+    case ExpressDef(params, t, _) =>
       // parameterized template: substitute literal args, then compile
       CF(params.size, pargs =>
         CE(QueryBridge.templateOf(t,

@@ -346,16 +346,21 @@ object Parser {
       QPattern(src, e, attr, v)
     }
 
-    /** `express($p...)?{ {template} }` (parse.cljc:1146-1166) */
+    /** `express($p...)?{ {template} }` (parse.cljc:1146-1166); the
+      * grammar admits `<|opts|>` among the params like query does. */
     private def expressDef(): Expr = {
       val params = Seq.newBuilder[String]
+      var options = Map.empty[String, String]
       if (peekOp("(")) {
         next()
         if (!peekOp(")")) {
-          def param(): Unit = next() match {
-            case TVar(n) => params += n
-            case other => throw new IllegalArgumentException(
-              s"express parameter must be $$var, got $other")
+          def param(): Unit = peek match {
+            case Some(TOp("<|")) => options = optionBlock()
+            case _ => next() match {
+              case TVar(n) => params += n
+              case other => throw new IllegalArgumentException(
+                s"express parameter must be $$var or <|opts|>, got $other")
+            }
           }
           param()
           while (peekOp(",")) { next(); param() }
@@ -365,7 +370,7 @@ object Parser {
       expect("{")
       val tmpl = expr(0)
       expect("}")
-      val e = ExpressDef(params.result(), tmpl)
+      val e = ExpressDef(params.result(), tmpl, options)
       // immediate binding: express($t){...}('MyType')
       if (peekOp("(")) { next(); Apply(e, callArgs()) } else e
     }

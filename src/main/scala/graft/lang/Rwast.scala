@@ -72,7 +72,7 @@ object Rwast {
             v => obj("qvar" -> q(v))),
           "val" -> render(p.v)))),
         "preds" -> arr(preds.map(render)))
-    case ExpressDef(ps, t) =>
+    case ExpressDef(ps, t, _) =>
       obj("typ" -> q("ExpressDef"), "params" -> arr(ps.map(q)),
         "template" -> render(t))
   }

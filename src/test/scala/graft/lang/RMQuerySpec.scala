@@ -215,6 +215,111 @@ class RMQuerySpec extends SparkSpec {
     assert(plain == Map("name" -> "Bob"))
   }
 
+  // ------------------------------------------------------------------
+  // Option-surface sweep vs the reference grammar (VERDICT r8 item 8).
+  // Every option token the reference's tests/grammar admit, pinned as
+  // accepted (with its effect) or rejected (with a clear error):
+  //   query <|keepDBid|>      — the ONLY key the reference consults at
+  //                             runtime (builtin.cljc:1753): executes
+  //   query <|anythingElse|>  — reference parses + silently ignores
+  //                             (rewrite_test.cljc:192 'otherStuff',
+  //                             parse_test.cljc:139 'entities');
+  //                             we reject with a clear message
+  //   express <|opts|>        — reference parses (parse.cljc:1146-66),
+  //                             consults no key (rewrite.cljc:195);
+  //                             we parse + reject non-empty maps
+  //   $llmMatch {'asFn?': b}  — plain object arg, not <|opts|>
+  //                             (builtin.cljc:2537,2618-2623): true =
+  //                             executable fn (2-arg default), false =
+  //                             mapping as data
+  // ------------------------------------------------------------------
+
+  test("<|keepDBid: false|> is accepted and drops entity qvars") {
+    val got = RM.eval(
+      """( $data := [{'name' : 'Bob'}];
+        |  query(<|keepDBid: false|>){[?e :name ?name]}($data) )"""
+        .stripMargin, spark).get
+    assert(got == Map("name" -> "Bob"))
+  }
+
+  test("option map position among params is free (parse.cljc post-1131 note)") {
+    for (src <- Seq(
+        """( $data := [{'name' : 'Bob'}];
+          |  $q := query(<|keepDBid: true|>, $n){[?e :name $n]
+          |    [?e :name ?n2]};
+          |  $qb := $q('Bob');
+          |  $qb($data) )""".stripMargin,
+        """( $data := [{'name' : 'Bob'}];
+          |  $q := query($n, <|keepDBid: true|>){[?e :name $n]
+          |    [?e :name ?n2]};
+          |  $qb := $q('Bob');
+          |  $qb($data) )""".stripMargin)) {
+      val got = RM.eval(src, spark).get.asInstanceOf[Map[String, Any]]
+      assert(got("n2") == "Bob" && got.contains("e"), s"src=$src got=$got")
+    }
+  }
+
+  test("reference parse-only option keys (otherStuff, entities) are rejected") {
+    for (opt <- Seq("otherStuff", "entities")) {
+      val e = intercept[Exception] {
+        RM.eval(
+          s"""( $$data := [{'name' : 'Bob'}];
+             |  query(<|$opt: true|>){[?e :name ?name]}($$data) )"""
+            .stripMargin, spark)
+      }
+      assert(e.getMessage.contains("unknown query option") &&
+        e.getMessage.contains(opt), s"for $opt got: ${e.getMessage}")
+    }
+    // multi-key map (rewrite_test.cljc:192 shape): the unknown key
+    // poisons the map even when keepDBid rides along
+    val e = intercept[Exception] {
+      RM.eval(
+        """( $data := [{'name' : 'Bob'}];
+          |  query(<|keepDBid : true, otherStuff : true|>)
+          |    {[?e :name ?name]}($data) )""".stripMargin, spark)
+    }
+    assert(e.getMessage.contains("otherStuff"))
+  }
+
+  test("express <|opts|> parses (grammar parity) and rejects at compile") {
+    val e = intercept[Exception] {
+      RM.eval(
+        """( $bSets := [{?id : 1}];
+          |  $reduce($bSets, express(<|entities: true|>){{'id': ?id}}) )"""
+          .stripMargin, spark)
+    }
+    assert(e.getMessage.contains("unknown express option") &&
+      e.getMessage.contains("entities"), e.getMessage)
+  }
+
+  test("$llmMatch 'asFn?' option: true = executable (default), false = data") {
+    import spark.implicits._
+    val src = Seq(("Acme", 3L)).toDF("shipper_name", "quantity_ordered")
+    // explicit true behaves like the 2-arg default: applicable fn
+    val frame = RM.queryFrame(
+      """( $m := $llmMatch($src, ['shipperName', 'quantityOrdered'],
+        |    {'asFn?': true});
+        |  $m($src) )""".stripMargin, spark, Map("src" -> src))
+    assert(frame.columns.toSeq == Seq("shipperName", "quantityOrdered"))
+    assert(frame.head().getString(0) == "Acme")
+    // false returns the mapping itself (target → source)
+    val data = RM.eval(
+      """( $src := [{'shipper_name': 'Acme', 'quantity_ordered': 3}];
+        |  $llmMatch($src, ['shipperName', 'quantityOrdered'],
+        |    {'asFn?': false}) )""".stripMargin, spark).get
+      .asInstanceOf[Map[String, Any]]
+    assert(data == Map("shipperName" -> "shipper_name",
+      "quantityOrdered" -> "quantity_ordered"), s"got $data")
+    // unknown option keys error
+    val e = intercept[Exception] {
+      RM.eval(
+        """( $src := [{'shipper_name': 'Acme'}];
+          |  $llmMatch($src, ['shipperName'], {'asFn': true}) )"""
+          .stripMargin, spark)
+    }
+    assert(e.getMessage.contains("unknown option"), e.getMessage)
+  }
+
   test("$get reads files into query sources") {
     val p = java.nio.file.Files.createTempFile("people", ".json")
     java.nio.file.Files.writeString(p,
