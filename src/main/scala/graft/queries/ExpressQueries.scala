@@ -165,8 +165,38 @@ object ExpressQueries {
       .orderBy("region")
   }
 
+  /** Skewed-key express reduce (VERDICT r8 item 5): the top level has
+    * THREE keys (o_orderstatus) over the whole orders table — 29 of 32
+    * reducers idle at the final aggregation, the worst key-distribution
+    * shape for the cascade. The cascade stays safe because the inner
+    * levels key on (status, priority, okey) prefixes that spread load;
+    * the measured alternative (single root-keyed shuffle, see
+    * tools/ExpressDeepExperiment + ROADMAP round-9 notes) would put
+    * ~1/3 of the corpus in ONE task's buffer. Orders are sampled
+    * deterministically (okey % 100) to bound the leaf lists the gate
+    * hash-compares; the 3-key skew shape is unaffected.
+    */
+  def qExpressSkew(s: SparkSession, d: String): DataFrame = {
+    val bsets = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"),
+        col("o_orderkey").as("okey"))
+    val tmpl = XObj.of(
+      KKey("status", "status") -> XLit(null),
+      KLit("priorities") -> XArr(XObj.of(
+        KKey("priority", "prio") -> XLit(null),
+        KLit("orders") -> XArr(XObj.of(
+          KKey("okey", "okey") -> XLit(null))))))
+    Express.reduceBsets(bsets, tmpl)
+      .select(col("status"),
+        to_json(col("priorities")).as("priorities_json"))
+      .orderBy("status")
+  }
+
   val all: Map[String, Q] = Map(
     "q_express_deep" -> (qExpressDeep _),
+    "q_express_skew" -> (qExpressSkew _),
     "q_reduce_step" -> (qReduceStep _),
     "q_rm_e2e" -> (qRmE2e _),
     "q_express_reduce" -> (qExpressReduce _),
@@ -175,6 +205,18 @@ object ExpressQueries {
     "q_express_map_keys" -> (qExpressMapKeys _))
 
   val oracles: Map[String, String] = Map(
+    "q_express_skew" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |    o_orderkey AS okey
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |l2 AS (
+        |  SELECT status, prio,
+        |    list(struct_pack(okey := okey) ORDER BY okey) AS orders
+        |  FROM base GROUP BY 1, 2)
+        |SELECT status, to_json(list(struct_pack(priority := prio,
+        |  orders := orders) ORDER BY prio)) AS priorities_json
+        |FROM l2 GROUP BY 1 ORDER BY status""".stripMargin,
     "q_express_deep" ->
       """WITH base AS (
         |  SELECT r_name AS rname, n_name AS nname, c_name AS cname,
