@@ -29,6 +29,7 @@ import org.apache.spark.sql.graftglue.ColumnGlue
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SimplifyElementAtArray)
+    ext.injectOptimizerRule(_ => graft.plans.UnshredEav)
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         GraftExtensions.info(name, usage), builder))

@@ -24,6 +24,7 @@ object Sessions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.SimplifyElementAtArray.install(spark)
+    graft.plans.UnshredEav.install(spark)
     spark
   }
 }

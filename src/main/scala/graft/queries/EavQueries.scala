@@ -94,7 +94,31 @@ object EavQueries {
       predicates = Seq(b => QueryCompiler.num(b("bal")) > 1000))
       .orderBy("name")
 
+  /** Nested-document source: the customer's segment/balance moved into
+    * a `profile` struct, so the query must chain through a ref-typed
+    * attribute (`[?c :profile ?p][?p :c_mktsegment ...]`) — the shape
+    * `runDocs` refuses. With [[graft.plans.UnshredEav]] each pattern
+    * still collapses to a narrow scan projection (no ShredGenerator in
+    * the optimized plan — pinned by UnshredEavSpec/PlanSpec).
+    */
+  def qEavNested(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_name"),
+      struct(col("c_mktsegment"), col("c_acctbal")).as("profile"))
+    val triples = Shred.shred(docs, Some("c_custkey"))
+    QueryCompiler.run(
+      Map("default" -> triples),
+      Seq(
+        Pattern(V("c"), C("c_name"), V("name")),
+        Pattern(V("c"), C("profile"), V("p")),
+        Pattern(V("p"), C("c_mktsegment"), C("BUILDING")),
+        Pattern(V("p"), C("c_acctbal"), V("bal"))),
+      predicates = Seq(b => QueryCompiler.num(b("bal")) > 1000))
+      .orderBy("name", "bal")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_eav_nested" -> (qEavNested _),
     "q_eav_direct" -> (qEavDirect _),
     "q_eav_identity" -> (qEavIdentity _),
     "q_eav_filter" -> (qEavFilter _),
@@ -109,6 +133,11 @@ object EavQueries {
        |  ELSE CAST($col AS VARCHAR) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_eav_nested" ->
+      s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
+         |FROM customer
+         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+         |ORDER BY name, bal""".stripMargin,
     "q_eav_direct" ->
       s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
          |FROM customer

@@ -25,6 +25,7 @@ object SparkSpec {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.plans.SimplifyElementAtArray.install(s)
+    graft.plans.UnshredEav.install(s)
     s
   }
 }
