@@ -144,4 +144,110 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  // ---------- PQ (product quantization) ----------
+  //
+  // Jégou et al. 2011: the vector splits into m contiguous sub-vectors
+  // and each is replaced by its nearest codebook entry's id, so a
+  // corpus vector is stored as m small ints instead of dim doubles
+  // (64 doubles → 8 codes = ~64× less scan I/O). Search is ADC
+  // (asymmetric distance computation): the QUERY keeps its exact
+  // vector, precomputes a (m × ks) table of sub-dot-products against
+  // the codebooks once, and scoring a corpus row is m array lookups —
+  // the scan never touches an embedding. At 100 TB this is the only
+  // layout where the candidate scan is code-column-only; composed
+  // with IVF probing (ivfTopK's centroid lists) it is the standard
+  // IVF-PQ billion-vector layout.
+  //
+  // Codebooks here are deterministic seeded entries (one generator
+  // per subspace) for the same reason as the IVF centroids: the
+  // encode / LUT / scan topology is the part that has to scale, and
+  // determinism keeps the operator oracle-checkable. [[pqTrain]] is
+  // the production path — per-subspace Lloyd codebooks via
+  // [[Cluster.kmeans]] — and PipelineSpec pins that trained books
+  // strictly reduce reconstruction distortion vs the seeded ones.
+
+  /** Deterministic per-subspace codebooks: `books(s)(c)` is entry `c`
+    * of subspace `s`. Public so oracle SQL can embed identical
+    * literals.
+    */
+  def pqBooks(m: Int, ks: Int, subDim: Int,
+      seed: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m)(s => centroids(ks, subDim, seed + 131 * s))
+
+  /** Production codebook training: Lloyd k-means per subspace over
+    * the corpus sub-vectors ([[Cluster.kmeans]] — one scan per
+    * iteration per subspace with the codebook as plan literals; only
+    * ks rows reach the driver). Deterministic given the corpus.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int, ks: Int,
+      subDim: Int, iters: Int, seed: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { s =>
+      val sub = corpus.select(monotonically_increasing_id().as("id"),
+        slice(col(vecCol).cast("array<double>"),
+          s * subDim + 1, subDim).as("v"))
+      Cluster.kmeans(sub, "id", "v", ks, iters, subDim,
+        seed + 131 * s)._2
+    }
+
+  /** PQ code array (length m) for a vector — one fused codegen'd pass
+    * (graft.functions.PqCodes), argmin ||sub − entry||² per subspace,
+    * ties to the smaller id.
+    */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqCodes(vec, books)
+
+  /** Reconstruction: concatenated codebook entries for a code array —
+    * the decoded approximation of the original vector (spec-level;
+    * search never materializes it). Native single-call kernel
+    * (graft.functions.PqDecode).
+    */
+  def pqDecode(codes: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqDecode(codes, books)
+
+  /** Query-side ADC lookup table: flat array of m×ks sub-dot-products
+    * `lut[s*ks + c] = q_sub(s) · books(s)(c)`, each accumulated in
+    * index order — the fold the oracle's list_sum replays. Computed
+    * once per QUERY row; corpus rows never touch it. Native kernel
+    * (graft.functions.PqLut): the Column-chain form's m×ks literal
+    * multiply-add trees overflow Janino's 64 KB method limit and drop
+    * the stage out of whole-stage codegen.
+    */
+  def pqLut(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqLut(vec, books)
+
+  /** ADC inner-product score: Σ_s lut[s*ks + codes[s]], summed in
+    * subspace order (fixed left fold, oracle-replayable).
+    */
+  def pqAdcScore(codes: Column, lut: Column, m: Int, ks: Int): Column =
+    (0 until m).map(s =>
+        element_at(lut, lit(s * ks) + element_at(codes, s + 1) + 1))
+      .reduceLeft(_ + _)
+
+  /** PQ approximate top-k by ADC inner product: the corpus side is
+    * ONE scan producing (id, m codes) — at scale this column is
+    * precomputed at write time and the scan reads codes only — and
+    * the query side (queries with their LUTs) broadcasts, so scoring
+    * is scan-local with no corpus shuffle; the only exchange is the
+    * per-query top-k window over candidates.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      m: Int = 8, ks: Int = 16, dim: Int = 64,
+      seed: Int = 9090): DataFrame = {
+    val books = pqBooks(m, ks, dim / m, seed)
+    val q = queries.select(col(qId).as("query_id"),
+      pqLut(col(vecCol).cast("array<double>"), books).as("lut"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      pqEncode(col(vecCol), books).as("codes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        pqAdcScore(col("codes"), col("lut"), m, ks))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
 }

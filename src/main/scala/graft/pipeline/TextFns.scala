@@ -294,6 +294,82 @@ object TextFns {
         .cast("long"))
   }
 
+  /** Strict (capacity-respecting) batch assembly: unlike
+    * [[assembleBatches]]'s prefix-sum approximation, a chunk that
+    * would push the open batch past `capacity` CLOSES it and starts
+    * the next one (next-fit), so no batch ever exceeds `capacity` —
+    * the semantics of a fixed-size training buffer that cannot split
+    * a sequence. With `bySize = true` chunks take size-descending
+    * order inside the shard (next-fit-decreasing, the streaming
+    * member of the classic bin-packing family): the short tail chunks
+    * pack together instead of each truncating a batch of full
+    * windows, which is what cuts padding waste (PipelineSpec measures
+    * it; ROADMAP records the numbers).
+    *
+    * Scale shape (100 TB): strict packing is a non-associative scan
+    * (the running fill RESETS at each overflow), so no window
+    * expresses it. This runs it as ONE exchange on `shard` followed by
+    * a sorted per-partition pass with O(1) state per shard (open-bin
+    * fill level) — no shard buffering, no driver involvement; the
+    * deliberate `mapPartitions` exception the survey reserves for
+    * genuinely sequential per-partition logic. Determinism:
+    * `repartition(shard)` + `sortWithinPartitions` fixes the visit
+    * order regardless of input partitioning; shards never split
+    * across partitions, and state resets at each shard boundary.
+    */
+  def assembleBatchesStrict(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, window: Int, capacity: Int,
+      shards: Int, bySize: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    require(capacity >= window, s"capacity ($capacity) must fit at " +
+      s"least one window ($window)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cs = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ChunkSizes(col(textCol), window, 0))
+          .as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"),
+        col("c.n_tokens").as("n_tokens"))
+      .withColumn("shard", (col("doc_id") % shards).cast("int"))
+    val ordering =
+      if (bySize) Seq(col("shard"), col("n_tokens").desc,
+        col("doc_id"), col("idx"))
+      else Seq(col("shard"), col("doc_id"), col("idx"))
+    cs.repartition(col("shard"))
+      .sortWithinPartitions(ordering: _*)
+      .as[(Long, Long, Long, Int)]
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (docId, idx, n, sh) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = 0L }
+          else if (fill + n > capacity) { bin += 1; fill = 0L }
+          fill += n
+          (docId, idx, n, sh, bin)
+        }
+      }
+      .toDF("doc_id", "idx", "n_tokens", "shard", "bin")
+  }
+
+  /** Padding-waste accounting for a batch assignment frame
+    * ((shard, bin) batches of `n_tokens` chunks): per-batch fill,
+    * and the corpus-level padded-token fraction a trainer would burn —
+    * `1 − Σtokens / (n_batches · capacity)`. One aggregation; used to
+    * decide packing-order policy with data (PipelineSpec / ROADMAP).
+    */
+  def packingStats(assignment: org.apache.spark.sql.DataFrame,
+      capacity: Int): org.apache.spark.sql.DataFrame =
+    assignment.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tokens"),
+        count(lit(1)).as("n_chunks"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum("tokens").as("tokens"),
+        max("tokens").as("max_fill"))
+      .select(col("n_batches"), col("tokens"), col("max_fill"),
+        (lit(1.0d) - col("tokens") /
+          (col("n_batches") * capacity)).as("waste_frac"))
+
   /** Corpus vocabulary statistics: per-token total occurrences (tf)
     * and document frequency (df) — the vocabulary/idf-building pass of
     * a training-data pipeline. The per-document counting happens

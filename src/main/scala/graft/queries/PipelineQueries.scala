@@ -133,6 +133,23 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ADC top-k (Ann.pqTopK): corpus vectors
+    * compress to 8 codebook ids (one fused codegen'd encode pass) and
+    * candidate scoring is 8 lookups into the query's precomputed LUT —
+    * the scan-local, code-column-only search shape that makes
+    * billion-vector ANN feasible. The oracle replays encode (per-
+    * subspace argmin, ordered-sum dots), LUT, and the fixed-order ADC
+    * fold exactly.
+    */
+  def pAnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Ann.pqTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, m = 8, ks = 16, dim = 64, seed = 9090)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -585,6 +602,17 @@ object PipelineQueries {
       window = 32, capacity = 80, shards = 8)
       .orderBy("doc_id", "idx")
 
+  /** Strict capacity-respecting packing (TextFns.assembleBatchesStrict,
+    * next-fit-decreasing order): no batch exceeds capacity — the
+    * fixed-buffer trainer semantics. The oracle replays the
+    * sequential per-shard fill with a recursive CTE, so the gate pins
+    * the non-associative scan exactly, not just its row count.
+    */
+  def pPackStrict(s: SparkSession, d: String): DataFrame =
+    TextFns.assembleBatchesStrict(Tables.documents(s, d), "doc_id",
+      "text", window = 32, capacity = 80, shards = 8, bySize = true)
+      .orderBy("doc_id", "idx")
+
   /** Within-document repetition signals (Gopher-style): duplicate
     * trigram fraction + most-frequent-token fraction, with the
     * curation flag their thresholds imply — the repetition filter
@@ -887,6 +915,7 @@ object PipelineQueries {
     "p_embed_dup" -> (pEmbedDup _),
     "p_ann_topk" -> (pAnnTopk _),
     "p_ann_ivf" -> (pAnnIvf _),
+    "p_ann_pq" -> (pAnnPq _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
     "p_bm25" -> (pBm25 _),
@@ -898,6 +927,7 @@ object PipelineQueries {
     "p_rep_signals" -> (pRepSignals _),
     "p_weighted_sample" -> (pWeightedSample _),
     "p_batches" -> (pBatches _),
+    "p_pack_strict" -> (pPackStrict _),
     "p_ann_brute" -> (pAnnBrute _),
     "p_sem_dedup" -> (pSemDedup _),
     "p_domain_cap" -> (pDomainCap _),
@@ -1316,6 +1346,22 @@ object PipelineQueries {
     graft.pipeline.Ann.centroids(k, dim, seed).zipWithIndex
       .map { case (w, i) => s"($i, [${w.mkString(", ")}])" }
       .mkString(", ")
+
+  /** PQ codebook VALUES rows (s, c, nrm, w): nrm is |entry|² summed
+    * driver-side in index order — the identical double PqCodes bakes
+    * into the plan, so the oracle never recomputes it.
+    */
+  private def pqBookValues(m: Int, ks: Int, subDim: Int,
+      seed: Int): String =
+    graft.pipeline.Ann.pqBooks(m, ks, subDim, seed).zipWithIndex
+      .flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (w, c) =>
+          var n = 0.0d
+          var j = 0
+          while (j < w.length) { n += w(j) * w(j); j += 1 }
+          s"($s, $c, $n, [${w.mkString(", ")}])"
+        }
+      }.mkString(", ")
 
   /** Bucket id of vector list `vref` against the planes CTE rows of
     * one table: sum of 2^p over planes with positive dot product.
@@ -1995,6 +2041,47 @@ object PipelineQueries {
          |  JOIN emb ne ON c.neighbor_id = ne.vec_id)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "p_ann_pq" -> {
+      // ADC score replay: per-(query, neighbor, subspace) LUT parts
+      // pivot to columns, then sum in the IDENTICAL left-fold order
+      // (s = 0..7) the Spark expression chain uses
+      val adcSum = (0 until 8).map(s =>
+        s"max(CASE WHEN s = $s THEN part END)").reduceLeft((a, b) =>
+        s"($a + $b)")
+      s"""WITH books(s, c, nrm, w) AS (VALUES ${pqBookValues(8, 16, 8,
+            9090)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, b.s, b.c,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.s
+         |        ORDER BY b.nrm - 2.0 * list_sum(list_transform(
+         |          range(1, 9), j -> e.v[b.s * 8 + j] * b.w[j])) ASC,
+         |          b.c ASC) AS rk
+         |    FROM emb e CROSS JOIN books b) WHERE rk = 1),
+         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_sum(list_transform(range(1, 9),
+         |      j -> qe.v[b.s * 8 + j] * b.w[j])) AS part
+         |  FROM qids q JOIN emb qe ON qe.vec_id = q.vec_id
+         |  CROSS JOIN books b),
+         |parts AS (
+         |  SELECT l.query_id, cd.vec_id AS neighbor_id, l.s, l.part
+         |  FROM coded cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
+         |  WHERE l.query_id <> cd.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $adcSum AS score
+         |  FROM parts GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "p_sample" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang,
@@ -2449,6 +2536,43 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 80.0) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id, idx""".stripMargin,
+    "p_pack_strict" ->
+      // the strict fill is a sequential per-shard scan (running fill
+      // RESETS on overflow) — replayed one chunk per recursion step
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, unnest(range(0,
+        |    greatest(CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 32)
+        |      AS INT), 0) + 1)) AS idx
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, idx,
+        |    CAST(len(list_slice(toks, idx * 32 + 1, idx * 32 + 32))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM w),
+        |ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard
+        |    ORDER BY n_tokens DESC, doc_id, idx) AS rn
+        |  FROM c),
+        |fill AS (
+        |  SELECT shard, rn, doc_id, idx, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.idx, o.n_tokens,
+        |    CASE WHEN f.fill + o.n_tokens > 80 THEN f.bin + 1
+        |      ELSE f.bin END,
+        |    CASE WHEN f.fill + o.n_tokens > 80 THEN o.n_tokens
+        |      ELSE f.fill + o.n_tokens END
+        |  FROM fill f JOIN ord o
+        |    ON o.shard = f.shard AND o.rn = f.rn + 1)
+        |SELECT doc_id, idx, n_tokens, shard, bin
+        |FROM fill ORDER BY doc_id, idx""".stripMargin,
     "p_ann_brute" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -342,6 +342,107 @@ class PipelineSpec extends SparkSpec {
     assert(assigned <= 16 && n == 200)
   }
 
+  test("strict packing: capacity holds, partition-invariant, NFD cuts waste") {
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    def run(bySize: Boolean, src: org.apache.spark.sql.DataFrame = d) =
+      TextFns.assembleBatchesStrict(src, "doc_id", "text",
+        window = 32, capacity = 80, shards = 8, bySize = bySize)
+    // strict: no (shard, bin) exceeds capacity, in either order
+    Seq(run(false), run(true)).foreach { a =>
+      val over = a.groupBy("shard", "bin")
+        .agg(sum("n_tokens").as("t")).filter($"t" > 80).count()
+      assert(over == 0, "strict packing must never exceed capacity")
+    }
+    // deterministic under input partitioning
+    val base = run(true).collect().toSet
+    assert(run(true, d.repartition(13)).collect().toSet == base,
+      "assignment must not depend on input partitioning")
+    // every chunk packed exactly once
+    val nChunks = d.select(explode(
+      graft.functions.ChunkSizes($"text", 32, 0))).count()
+    assert(base.size.toLong == nChunks)
+    // size-sorted (next-fit-decreasing) waste ≤ doc-order waste
+    def waste(bySize: Boolean): Double =
+      TextFns.packingStats(run(bySize), capacity = 80)
+        .select("waste_frac").head().getDouble(0)
+    val (doc, nfd) = (waste(false), waste(true))
+    info(f"padding waste: doc-order $doc%.4f vs size-sorted $nfd%.4f")
+    assert(nfd <= doc,
+      s"NFD must not waste more than doc order: $nfd vs $doc")
+    // at a real context ratio (capacity = 4 windows) size-sorting is
+    // a strict win — 11.3% → 3.8% padded tokens on this corpus
+    // (tools.WasteProbe sweeps the ratio; ROADMAP records the call)
+    def waste128(bySize: Boolean): Double =
+      TextFns.packingStats(TextFns.assembleBatchesStrict(d, "doc_id",
+        "text", 32, 128, 8, bySize), 128)
+        .select("waste_frac").head().getDouble(0)
+    assert(waste128(true) < waste128(false),
+      "size-sorted order must strictly cut waste at capacity=4·window")
+  }
+
+  test("PQ: roundtrip is exact when vectors ARE codebook entries") {
+    val books = Ann.pqBooks(m = 4, ks = 8, subDim = 4, seed = 77)
+    // vectors built by concatenating one entry per subspace
+    val rows = (0 until 8).map { c =>
+      (c.toLong, (0 until 4).flatMap(s => books(s)(c)).toArray)
+    }
+    val df = rows.toDF("id", "v")
+    val out = df.select($"id",
+      Ann.pqEncode($"v", books).as("codes"))
+      .select($"id", $"codes",
+        Ann.pqDecode($"codes", books).as("dec"))
+      .collect()
+    out.foreach { r =>
+      val c = r.getSeq[Int](1)
+      assert(c == Seq.fill(4)(r.getLong(0).toInt),
+        s"codes must recover the entry id, got $c for id ${r.getLong(0)}")
+      val orig = rows(r.getLong(0).toInt)._2
+      val dec = r.getSeq[Double](2)
+      assert(dec == orig.toSeq, "decode must be bit-exact on entries")
+    }
+  }
+
+  test("PQ: trained codebooks reduce reconstruction distortion") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(200).cache()
+    def distortion(books: Array[Array[Array[Double]]]): Double =
+      emb.select(Ann.pqDecode(
+          Ann.pqEncode($"embedding", books), books).as("dec"),
+          $"embedding".cast("array<double>").as("v"))
+        .select(aggregate(zip_with($"v", $"dec",
+          (a, b) => (a - b) * (a - b)), lit(0.0d), _ + _).as("e"))
+        .agg(avg($"e")).head().getDouble(0)
+    val seeded = distortion(Ann.pqBooks(8, 16, 8, seed = 9090))
+    val trained = distortion(Ann.pqTrain(emb, "embedding",
+      m = 8, ks = 16, subDim = 8, iters = 3, seed = 9090))
+    assert(trained < seeded,
+      s"Lloyd codebooks must beat seeded: trained=$trained seeded=$seeded")
+  }
+
+  test("PQ: ADC scores rank true near neighbors above the field") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(200).cache()
+    val queries = emb.limit(10)
+    val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // full ADC field per query (k = corpus size): mean ADC score of the
+    // true top-5 must exceed the mean over all candidates — the ranking
+    // signal PQ compresses the vectors down to
+    val adc = Ann.pqTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 200, m = 8, ks = 16, dim = 64, seed = 9090)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+    val byQ = adc.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val all = rows.map(_._3)
+      val top = rows.filter(r => bf.contains((r._1, r._2))).map(_._3)
+      assert(top.nonEmpty, s"query $q lost its true neighbors")
+      assert(top.sum / top.size > all.sum / all.size,
+        s"ADC must separate true neighbors for query $q")
+    }
+  }
+
   test("stratified sample: exact counts, stable under repartition") {
     val docs = (1L to 100L).map(i =>
       (i, if (i <= 40) "en" else if (i <= 70) "de" else "xx"))
