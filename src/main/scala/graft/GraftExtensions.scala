@@ -297,6 +297,19 @@ object GraftExtensions {
           graft.pipeline.TextFns.bpeEncode(ColumnGlue.column(args.head),
             parseMerges(strArg(args(1), "merges"))))
       }),
+    ("graft_unigram_encode",
+      "graft_unigram_encode(text, vocab) - unigram-tokenizer subword " +
+        "pieces (fewest-pieces Viterbi); vocab is a literal of " +
+        "pipe-separated multi-char pieces like 'th|ing|tion' " +
+        "(single chars are always valid)",
+      (args: Seq[Expression]) => {
+        arity("graft_unigram_encode", args, 2)
+        val vocab = strArg(args(1), "vocab").split("\\|").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        ColumnGlue.resolvedExpression(
+          graft.pipeline.TextFns.unigramEncode(
+            ColumnGlue.column(args.head), vocab))
+      }),
     ("graft_bpe_pairs",
       "graft_bpe_pairs(text, merges) - within-word adjacent symbol " +
         "pairs after applying the merge list (one BPE training " +

@@ -225,6 +225,41 @@ object Ann {
         element_at(lut, lit(s * ks) + element_at(codes, s + 1) + 1))
       .reduceLeft(_ + _)
 
+  /** IVF-PQ: the standard billion-vector ANN layout (coarse centroid
+    * lists × in-list product-quantized codes). Corpus side is ONE
+    * scan emitting (id, list id, m codes) — at scale written
+    * bucketed+sorted by list id with only these columns, so the probe
+    * is a co-located EQUI-join reading no vectors; queries explode to
+    * their `nprobe` nearest lists and score candidates by ADC lookups.
+    * Unlike LSH multi-tables a vector lives in exactly one list, so
+    * no pair dedup pass is needed.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 16,
+      dim: Int = 64, seed: Int = 4242, pqSeed: Int = 9090): DataFrame = {
+    val books = pqBooks(m, ks, dim / m, pqSeed)
+    val q = queries.select(col(qId).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"),
+        explode(probeCentroids(col("qv"), nprobe, nCentroids, dim,
+          seed)).as("cent"),
+        pqLut(col("qv"), books).as("lut"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      assignCentroid(col(vecCol).cast("array<double>"), nCentroids,
+        dim, seed).as("cent"),
+      pqEncode(col(vecCol), books).as("codes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        pqAdcScore(col("codes"), col("lut"), m, ks))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** PQ approximate top-k by ADC inner product: the corpus side is
     * ONE scan producing (id, m codes) — at scale this column is
     * precomputed at write time and the scan reads codes only — and

@@ -538,6 +538,80 @@ object TextFns {
     out.toSeq
   }
 
+  /** Unigram-LM-shape tokenizer training (the SentencePiece family,
+    * Kudo 2018, arXiv:1804.10959), in the deterministic hard-EM form
+    * that replays in an external oracle: seed a candidate vocabulary
+    * with the corpus's weightiest substrings, then alternate
+    *   E-step: Viterbi-segment every distinct word into the FEWEST
+    *           pieces (single chars always valid — the implicit base
+    *           alphabet — multi-char pieces must be in the vocab;
+    *           ties break on the space-joined piece string, so the
+    *           segmentation is a total deterministic function), and
+    *   M-step: count piece usage (word count × occurrences) and prune
+    *           the multi-char vocab to the top `vocabSize` by usage.
+    * Integer costs replace SentencePiece's float EM likelihoods —
+    * same fixed-point structure, but exactly replayable (the DuckDB
+    * oracle runs the identical DP as a recursive CTE, p_unigram_train).
+    *
+    * Scale shape (100 TB): the corpus is scanned ONCE, into the
+    * distinct-words frame (Zipf: |distinct| ≪ |tokens|), which is
+    * staged and reused by seeding and every round; each round is one
+    * scan of THAT frame with the vocab baked in as plan literals
+    * (graft.functions.UnigramSegment — one O(len·maxPieceLen) integer
+    * DP per word, codegen'd) and one map-side-combined usage count;
+    * only `vocabSize` rows ever reach the driver per round — the
+    * bpeTrain / k-means iteration pattern.
+    *
+    * @return final-round piece usage: (piece, usage), every piece the
+    *         trained tokenizer emits on this corpus with its weight
+    */
+  def unigramTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      seedSize: Int = 120, vocabSize: Int = 80, rounds: Int = 2,
+      maxPieceLen: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    require(maxPieceLen >= 2, "maxPieceLen must be at least 2")
+    val words = graft.core.Caches.stage(
+      df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
+    // seed: substring occurrences weighted by word count; bounded
+    // TakeOrdered, ties on the piece string
+    var vocab = words
+      .select(explode(graft.functions.WordSubstrings(col("w"), 2,
+        maxPieceLen)).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("wt"))
+      .orderBy(col("wt").desc, col("piece"))
+      .limit(seedSize)
+      .collect().map(_.getString(0))
+    var usage: org.apache.spark.sql.DataFrame = null
+    var r = 1
+    while (r <= rounds) {
+      usage = words
+        .select(explode(graft.functions.UnigramSegment(col("w"), vocab,
+          maxPieceLen)).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("usage"))
+      if (r < rounds) {
+        vocab = usage.filter(length(col("piece")) >= 2)
+          .orderBy(col("usage").desc, col("piece"))
+          .limit(vocabSize)
+          .collect().map(_.getString(0))
+      }
+      r += 1
+    }
+    usage
+  }
+
+  /** Apply a trained unigram vocab to text: tokenize, then Viterbi-
+    * segment each word with the same shortest-segmentation DP as
+    * training — the corpus-encode pass. Scan-local, vocab as plan
+    * literals.
+    *
+    * @return array of subword pieces in document order
+    */
+  def unigramEncode(text: Column, vocab: Seq[String],
+      maxPieceLen: Int = 4): Column =
+    flatten(transform(Dedup.tokens(text), w =>
+      graft.functions.UnigramSegment(w, vocab.toArray, maxPieceLen)))
+
   private def requireBpeSymbols(merges: Seq[(String, String)]): Unit =
     require(merges.forall { case (a, b) =>
       (a + b).forall(ch => ch != '\u0001' && ch != '\u0002' && ch != ' ')

@@ -150,6 +150,20 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ composition (Ann.ivfPqTopK): centroid-list equi-probe +
+    * code-only ADC scoring — the billion-vector layout; the oracle
+    * replays coarse assignment, probe lists, PQ encode, and the
+    * fixed-order ADC fold.
+    */
+  def pAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Ann.ivfPqTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, nCentroids = 16, nprobe = 4, m = 8, ks = 16)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -570,6 +584,17 @@ object PipelineQueries {
         col("c.n_tokens").as("n_tokens"), col("c.bin").as("bin"))
       .orderBy("doc_id", "idx")
 
+  /** Unigram-LM-shape tokenizer training (TextFns.unigramTrain):
+    * substring seeding + two hard-EM rounds of shortest-segmentation
+    * Viterbi and usage pruning, all integer/deterministic — the
+    * oracle replays the identical DP with recursive CTEs, so the
+    * whole training run (not just its row count) is hash-pinned.
+    */
+  def pUnigramTrain(s: SparkSession, d: String): DataFrame =
+    TextFns.unigramTrain(Tables.documents(s, d), "text",
+      seedSize = 120, vocabSize = 80, rounds = 2, maxPieceLen = 4)
+      .orderBy("piece")
+
   /** BPE merge-pair statistics: the corpus's top-50 adjacent token
     * pairs — the counting kernel of one vocabulary-training round
     * (one scan, row-local pair construction, bounded TakeOrdered).
@@ -889,6 +914,7 @@ object PipelineQueries {
     "p_keywords" -> (pKeywords _),
     "p_postings" -> (pPostings _),
     "p_bpe_train" -> (pBpeTrain _),
+    "p_unigram_train" -> (pUnigramTrain _),
     "p_dup_spans" -> (pDupSpans _),
     "p_lang_model" -> (pLangModel _),
     "p_gopher" -> (pGopher _),
@@ -916,6 +942,7 @@ object PipelineQueries {
     "p_ann_topk" -> (pAnnTopk _),
     "p_ann_ivf" -> (pAnnIvf _),
     "p_ann_pq" -> (pAnnPq _),
+    "p_ann_ivfpq" -> (pAnnIvfPq _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
     "p_bm25" -> (pBm25 _),
@@ -1281,6 +1308,79 @@ object PipelineQueries {
        |ORDER BY step""".stripMargin
   }
 
+  /** One Viterbi-segmentation round as a recursive CTE (DuckDB
+    * replay of graft.functions.UnigramSegment): DP state carries the
+    * best (piece count, space-joined key) at the last four prefix
+    * lengths; each step extends by the l=1..4 candidate pieces (l=1
+    * always valid, l≥2 requires membership in `vl`'s vocab list) and
+    * takes the struct-sort minimum — DuckDB sorts struct(n, k) by
+    * field order with binary VARCHAR collation, identical to the
+    * kernel's (Int, String.compareTo) tie-break on ASCII tokens.
+    */
+  private def unigramSegCte(nm: String, vl: String): String = {
+    val cands = (1 to 4).map { l =>
+      val bn = s"b${l - 1}n"
+      val bk = s"b${l - 1}k"
+      val piece = s"substr(w, p + ${2 - l}, $l)"
+      val guard = if (l == 1) "TRUE"
+        else s"$bn IS NOT NULL AND list_contains($vl.vs, $piece)"
+      s"""CASE WHEN $guard THEN struct_pack(n := $bn + 1,
+         |        k := CASE WHEN $bk = '' THEN $piece
+         |          ELSE $bk || ' ' || $piece END) END""".stripMargin
+    }.mkString(",\n      ")
+    s"""$nm AS (
+       |  SELECT w, cnt, 0 AS p, 0 AS b0n, '' AS b0k,
+       |    NULL::INT AS b1n, NULL::VARCHAR AS b1k,
+       |    NULL::INT AS b2n, NULL::VARCHAR AS b2k,
+       |    NULL::INT AS b3n, NULL::VARCHAR AS b3k
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, cnt, p + 1, best.n, best.k,
+       |    b0n, b0k, b1n, b1k, b2n, b2k
+       |  FROM (
+       |    SELECT $nm.*, list_sort(list_filter([
+       |      $cands
+       |    ], x -> x IS NOT NULL))[1] AS best
+       |    FROM $nm, $vl WHERE p < len(w)))""".stripMargin
+  }
+
+  private def unigramUseCte(nm: String, seg: String): String =
+    s"""$nm AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+       |    SELECT unnest(str_split(b0k, ' ')) AS piece, cnt
+       |    FROM $seg WHERE p = len(w))
+       |  GROUP BY piece)""".stripMargin
+
+  /** DuckDB replay of TextFns.unigramTrain (2 rounds): distinct-word
+    * counts → substring-weight seeding → segment/count/prune →
+    * segment/count. Integer throughout; prototype cross-checked
+    * against an independent Python DP implementation.
+    */
+  private def unigramTrainOracle(seedSize: Int,
+      vocabSize: Int): String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+       |subs AS (
+       |  SELECT piece, sum(cnt) AS wt FROM (
+       |    SELECT substr(w, CAST(ir.i AS INT), lr.l) AS piece, cnt
+       |    FROM words
+       |    CROSS JOIN (VALUES (2), (3), (4)) lr(l)
+       |    CROSS JOIN LATERAL unnest(range(1, len(w) - lr.l + 2)) ir(i)
+       |    WHERE len(w) >= lr.l)
+       |  GROUP BY piece),
+       |vl1 AS (SELECT list(piece) AS vs FROM (
+       |  SELECT piece FROM subs ORDER BY wt DESC, piece
+       |  LIMIT $seedSize)),
+       |${unigramSegCte("seg1", "vl1")},
+       |${unigramUseCte("use1", "seg1")},
+       |vl2 AS (SELECT list(piece) AS vs FROM (
+       |  SELECT piece FROM use1 WHERE len(piece) >= 2
+       |  ORDER BY usage DESC, piece LIMIT $vocabSize)),
+       |${unigramSegCte("seg2", "vl2")},
+       |${unigramUseCte("use2", "seg2")}
+       |SELECT piece, usage FROM use2 ORDER BY piece""".stripMargin
+
   private def dsirOracle(dim: Int, n: Int): String = {
     val grams =
       s"""CASE WHEN len(toks) < $n
@@ -1557,6 +1657,7 @@ object PipelineQueries {
          |  FROM tc JOIN vocab v USING (token))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "p_bpe_train" -> bpeTrainOracle(4),
+    "p_unigram_train" -> unigramTrainOracle(120, 80),
     "p_lang_model" -> langIdOracle(LangModelLangs, 256, 3),
     "p_gopher" ->
       s"""WITH base AS (
@@ -2071,6 +2172,62 @@ object PipelineQueries {
          |  SELECT l.query_id, cd.vec_id AS neighbor_id, l.s, l.part
          |  FROM coded cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
          |  WHERE l.query_id <> cd.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $adcSum AS score
+         |  FROM parts GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "p_ann_ivfpq" -> {
+      val adcSum = (0 until 8).map(s =>
+        s"max(CASE WHEN s = $s THEN part END)").reduceLeft((a, b) =>
+        s"($a + $b)")
+      s"""WITH cents(i, w) AS (VALUES ${centroidValues(16, 64, 4242)}),
+         |books(s, c, nrm, bw) AS (VALUES ${pqBookValues(8, 16, 8,
+            9090)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cscore AS (
+         |  SELECT e.vec_id, c.i,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, 65),
+         |        j -> e.v[j] * c.w[j])) DESC, c.i DESC) AS rk
+         |  FROM emb e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, i AS cent FROM cscore WHERE rk = 1),
+         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+         |qprobe AS (
+         |  SELECT s.vec_id AS query_id, s.i AS cent
+         |  FROM cscore s JOIN qids ON s.vec_id = qids.vec_id
+         |  WHERE s.rk <= 4),
+         |coded AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, b.s, b.c,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.s
+         |        ORDER BY b.nrm - 2.0 * list_sum(list_transform(
+         |          range(1, 9), j -> e.v[b.s * 8 + j] * b.bw[j])) ASC,
+         |          b.c ASC) AS rk
+         |    FROM emb e CROSS JOIN books b) WHERE rk = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_sum(list_transform(range(1, 9),
+         |      j -> qe.v[b.s * 8 + j] * b.bw[j])) AS part
+         |  FROM qids q JOIN emb qe ON qe.vec_id = q.vec_id
+         |  CROSS JOIN books b),
+         |cand AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN assign a ON q.cent = a.cent
+         |  WHERE q.query_id <> a.vec_id),
+         |parts AS (
+         |  SELECT ca.query_id, ca.neighbor_id, l.s, l.part
+         |  FROM cand ca
+         |  JOIN coded cd ON cd.vec_id = ca.neighbor_id
+         |  JOIN lut l ON l.query_id = ca.query_id
+         |    AND l.s = cd.s AND l.c = cd.c),
          |scored AS (
          |  SELECT query_id, neighbor_id, $adcSum AS score
          |  FROM parts GROUP BY query_id, neighbor_id),

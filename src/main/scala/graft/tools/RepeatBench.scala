@@ -9,6 +9,9 @@ package graft.tools
   *
   * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_ITERS=7 \
   *          sbt "runMain graft.tools.RepeatBench q_express_reduce ..."
+  * SPARK_GRAFT_OUT overrides the output path (default
+  * BENCH_REPEAT.json) so scale-rehearsal runs don't clobber the
+  * attribution record.
   */
 object RepeatBench {
 
@@ -57,9 +60,9 @@ object RepeatBench {
     val line = s"""{"metric":"repeat","sf":"$sfDir","n_iters":$iters,""" +
       s""""queries":$summary}"""
     println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_REPEAT.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_REPEAT.json"),
-      line.getBytes("UTF-8"))
+      java.nio.file.Paths.get(out), line.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }

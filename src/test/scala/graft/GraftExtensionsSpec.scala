@@ -174,6 +174,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("left right") ||
       e.getCause != null &&
         e.getCause.getMessage.contains("left right"))
+    // unigram encode: same kernel as the DataFrame form
+    val uniSql = spark.sql(
+      "SELECT graft_unigram_encode(text, 'th|he|ing|tion') AS p FROM docs")
+    val uniDf = Tables.documents(spark, sf("sf0.001")).select(
+      TextFns.unigramEncode(col("text"),
+        Seq("th", "he", "ing", "tion")).as("p"))
+    assert(uniSql.exceptAll(uniDf).count() == 0)
+    assert(uniDf.exceptAll(uniSql).count() == 0)
   }
 
   test("gopher, bpe-pairs, and gram-hash SQL match the DataFrame forms") {

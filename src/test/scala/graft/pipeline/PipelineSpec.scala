@@ -380,6 +380,59 @@ class PipelineSpec extends SparkSpec {
       "size-sorted order must strictly cut waste at capacity=4·window")
   }
 
+  test("unigram trainer: segmentation laws + usage conservation") {
+    // kernel laws on a controlled vocab, brute-force differential
+    val vocab = Array("ab", "ba", "aba", "abab", "ng", "ing")
+    val words = Seq("abab", "ababa", "singing", "x", "queue")
+    val seg = words.toDF("w")
+      .select($"w", graft.functions.UnigramSegment($"w", vocab, 4)
+        .as("pieces"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      val p = seg(w)
+      assert(p.mkString("") == w, s"pieces must concat back to $w")
+      assert(p.forall(x => x.length == 1 || vocab.contains(x)),
+        s"every multi-char piece of $w must be in vocab: $p")
+      // brute force: fewest pieces, ties by joined string
+      def splits(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          val piece = s.take(l)
+          if (l == 1 || vocab.contains(piece))
+            splits(s.drop(l)).map(piece +: _)
+          else Seq.empty
+        }
+      val best = splits(w).minBy(ps => (ps.size, ps.mkString(" ")))
+      assert(p == best, s"$w: got $p, brute force says $best")
+    }
+    // corpus training: usage mass equals total character-piece mass
+    // segmented, and training is partition-invariant
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val out = TextFns.unigramTrain(d, "text", seedSize = 40,
+      vocabSize = 20, rounds = 2, maxPieceLen = 4)
+    val rows = out.orderBy("piece").collect()
+    graft.core.Caches.releaseAll(spark)
+    val out2 = TextFns.unigramTrain(d.repartition(7), "text",
+      seedSize = 40, vocabSize = 20, rounds = 2, maxPieceLen = 4)
+      .orderBy("piece").collect()
+    graft.core.Caches.releaseAll(spark)
+    assert(rows.toSeq == out2.toSeq,
+      "training must not depend on input partitioning")
+    // piece-char mass == corpus token-char mass (nothing lost/dup'd)
+    val pieceChars = rows.map(r =>
+      r.getString(0).length * r.getLong(1)).sum
+    val tokChars = d.select(explode(Dedup.tokens($"text")).as("w"))
+      .select(sum(length($"w"))).head().getLong(0)
+    assert(pieceChars == tokChars,
+      s"segmented char mass $pieceChars != corpus char mass $tokChars")
+    // encode agrees with the trained tokenizer's segmentation rule
+    val vocab2 = rows.map(_.getString(0)).filter(_.length >= 2)
+    val enc = Seq("the quick percentile").toDF("text")
+      .select(TextFns.unigramEncode($"text", vocab2.toSeq, 4).as("p"))
+      .as[Seq[String]].head()
+    assert(enc.mkString("") == "thequickpercentile")
+  }
+
   test("PQ: roundtrip is exact when vectors ARE codebook entries") {
     val books = Ann.pqBooks(m = 4, ks = 8, subDim = 4, seed = 77)
     // vectors built by concatenating one entry per subspace
@@ -440,6 +493,34 @@ class PipelineSpec extends SparkSpec {
       assert(top.nonEmpty, s"query $q lost its true neighbors")
       assert(top.sum / top.size > all.sum / all.size,
         s"ADC must separate true neighbors for query $q")
+    }
+  }
+
+  test("IVF-PQ: candidates respect probed lists; ADC ranks contiguous") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(200).cache()
+    val queries = emb.limit(10)
+    val res = Ann.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5, nCentroids = 16, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    // every neighbor's coarse list must be among the query's probes
+    val assign = emb.select($"vec_id", Ann.assignCentroid(
+        $"embedding".cast("array<double>")).as("cent"))
+      .as[(Long, Int)].collect().toMap
+    val probes = queries.select($"vec_id",
+        Ann.probeCentroids($"embedding".cast("array<double>"), 4)
+          .as("ps"))
+      .as[(Long, Seq[Int])].collect().toMap
+    res.foreach { case (q, _, n) =>
+      assert(probes(q).contains(assign(n)),
+        s"neighbor $n of query $q not in a probed list")
+    }
+    // ranks are 1..k contiguous per query and neighbors distinct
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"ranks must be contiguous for query $q")
+      assert(rows.map(_._3).distinct.length == rows.length)
     }
   }
 
