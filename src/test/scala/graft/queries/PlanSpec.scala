@@ -296,4 +296,51 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 2,
       s"exactly the two snapshot scans:\n$p")
   }
+
+  test("p_ann_pq: query LUTs broadcast; corpus scan reads codes input only") {
+    val p = plan("p_ann_pq")
+    // non-equi (self-exclusion) join against the 20-row query side
+    // must be a broadcast nested loop, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), p)
+    // corpus side reads only the id + embedding (encode input)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint," +
+      "embedding:array<float>>"), p)
+    // top-k is a partial+final WindowGroupLimit, not a full sort
+    assert(p.contains("row_number(), 5, Partial") &&
+      p.contains("row_number(), 5, Final"), p)
+  }
+
+  test("p_ann_ivfpq: the probe is a broadcast EQUI-join on the list id") {
+    val p = plan("p_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid probe must be an equi hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("p_pack_strict: one shard exchange feeds the sequential fill") {
+    val p = plan("p_pack_strict")
+    // exactly one hash exchange (the shard repartition); the trailing
+    // range exchange is the gate's presentation orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"strict packing must shuffle once, on shard:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"the O(1)-state sequential fill runs as mapPartitions:\n$p")
+    assert(!p.contains("Window"),
+      s"no window pass belongs in the strict fill:\n$p")
+  }
+
+  test("p_unigram_train: rounds iterate on the staged words frame") {
+    val p = plan("p_unigram_train")
+    assert(p.toLowerCase.contains("unigramsegment"),
+      s"the Viterbi kernel must appear as a native expression:\n$p")
+    assert(p.contains("InMemoryRelation") ||
+      p.contains("InMemoryTableScan"),
+      s"the distinct-words frame must be staged, not re-derived:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"usage counting must be partial+final:\n$p")
+    graft.core.Caches.releaseAll(spark)
+  }
 }
