@@ -38,6 +38,44 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class ChunkIn(doc_id: Long, idx: Long, n_tokens: Long,
+    shard: Int)
+  final case class PackState(bin: Long, fill: Long)
+  final case class PackOut(doc_id: Long, idx: Long, n_tokens: Long,
+    shard: Int, bin: Long)
+
+  /** Streaming twin of TextFns.assembleBatchesStrict (doc-order
+    * form): per-shard next-fit batch assembly with the open bin's
+    * (id, fill) carried across micro-batches — a continuously fed
+    * trainer never sees a batch over `capacity`. State is O(1) PER
+    * SHARD (two longs), regardless of stream length — the smallest
+    * state bound in this module. Chunks sort by (doc_id, idx) within
+    * each micro-batch; stream == batch when chunks arrive in doc
+    * order across batches (StreamingSpec pins it), which a file/queue
+    * source emitting chunker output in order provides.
+    */
+  def packStream(chunks: Dataset[ChunkIn],
+      capacity: Int): Dataset[PackOut] = {
+    import chunks.sparkSession.implicits._
+    def update(shard: Int, it: Iterator[ChunkIn],
+        state: GroupState[PackState]): Iterator[PackOut] = {
+      var s = state.getOption.getOrElse(PackState(0L, 0L))
+      val out = it.toSeq.sortBy(c => (c.doc_id, c.idx)).map { c =>
+        var bin = s.bin
+        var fill = s.fill
+        if (fill + c.n_tokens > capacity) { bin += 1; fill = 0L }
+        fill += c.n_tokens
+        s = PackState(bin, fill)
+        PackOut(c.doc_id, c.idx, c.n_tokens, shard, bin)
+      }
+      state.update(s)
+      out.iterator
+    }
+    chunks.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp,
     value: Double)
   final case class SessionState(start: Long, end: Long, n: Long,

@@ -230,6 +230,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming strict packing equals the batch fill, O(1) state") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStreams.ChunkIn
+    // chunker output for a small corpus, split across two micro-batches
+    // in doc order (the stream==batch precondition)
+    val docs = spark.read
+      .parquet(s"${sf("sf0.001")}/documents.parquet").limit(60)
+    val chunks = docs
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+        graft.functions.ChunkSizes(col("text"), 32, 0)).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"),
+        col("c.n_tokens").as("n_tokens"),
+        (col("doc_id") % 8).cast("int").as("shard"))
+      .as[ChunkIn].collect().sortBy(c => (c.doc_id, c.idx))
+    val (b1, b2) = chunks.splitAt(chunks.length / 2)
+    val input = MemoryStream[ChunkIn]
+    val q = EventStreams.packStream(input.toDS(), capacity = 80)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    input.addData(b1.toSeq: _*); q.processAllAvailable()
+    input.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("packed")
+      .select("doc_id", "idx", "shard", "bin")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val batch = graft.pipeline.TextFns.assembleBatchesStrict(
+        docs, "doc_id", "text", window = 32, capacity = 80,
+        shards = 8, bySize = false)
+      .select("doc_id", "idx", "shard", "bin")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == batch, "stream must equal the batch next-fit")
+  }
+
   test("streaming checks equal the batch report as data arrives") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
