@@ -225,6 +225,49 @@ object Ann {
         element_at(lut, lit(s * ks) + element_at(codes, s + 1) + 1))
       .reduceLeft(_ + _)
 
+  /** PQ search with exact refinement — the production recipe: ADC
+    * scan produces a `shortlist` of candidates per query (code column
+    * only), then ONLY those shortlist×dim vectors are fetched and
+    * re-ranked by exact cosine. At 100 TB the refine step is point
+    * lookups against the vector store (shortlist ≪ corpus), so the
+    * full-precision data is read for k·O(10) rows per query, not the
+    * scan.
+    */
+  def pqTopKRefined(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      shortlist: Int = 50, m: Int = 8, ks: Int = 16, dim: Int = 64,
+      seed: Int = 9090): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val adc = pqTopK(queries, corpus, qId, cId, vecCol, shortlist,
+      m, ks, dim, seed)
+    val qv = queries.select(col(qId).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cv = corpus.select(col(cId).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    adc.select("query_id", "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Scalar 8-bit quantization (FAISS-SQ8 shape): per-vector affine
+    * codes, 64 doubles → 64 bytes + (lo, hi). The write-side
+    * compression for an embedding lake when per-component fidelity
+    * matters more than PQ's ratio; pairs with [[sqDecode]] for exact
+    * oracle-replayable reconstruction.
+    */
+  def sqEncode(vec: Column): Column = graft.functions.SqEncode(vec)
+
+  /** Dequantize an [[sqEncode]] struct back to `array<double>`
+    * (within half a quantization step per component).
+    */
+  def sqDecode(sq: Column): Column = graft.functions.SqDecode(sq)
+
   /** IVF-PQ: the standard billion-vector ANN layout (coarse centroid
     * lists × in-list product-quantized codes). Corpus side is ONE
     * scan emitting (id, list id, m codes) — at scale written

@@ -538,6 +538,21 @@ object TextFns {
     out.toSeq
   }
 
+  /** Dictionary keyword tagging (topic/blocklist/PII-term tagging):
+    * every dictionary keyword occurring in the normalized text with
+    * its occurrence count (overlaps counted) — ONE Aho–Corasick pass
+    * per row regardless of dictionary size
+    * (graft.functions.KeywordTags), where per-keyword `contains`
+    * scans cost |dict| passes; at a 10k-term blocklist over 100 TB
+    * that factor is the whole job. Matching is over
+    * [[Dedup.normalize]]d text (lowercase, collapsed whitespace) so
+    * phrase keywords span line breaks.
+    *
+    * @return array<struct<keyword, n>> of the keywords present
+    */
+  def tagKeywords(text: Column, dict: Seq[String]): Column =
+    graft.functions.KeywordTags(Dedup.normalize(text), dict)
+
   /** Unigram-LM-shape tokenizer training (the SentencePiece family,
     * Kudo 2018, arXiv:1804.10959), in the deterministic hard-EM form
     * that replays in an external oracle: seed a candidate vocabulary

@@ -164,6 +164,52 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The tagging dictionary for p_tag_keywords: common corpus tokens
+    * plus entries that exercise overlap counting ("ata" hits inside
+    * "data"/"database") and shared-suffix automaton paths.
+    */
+  private val TagDict = Seq("the", "data", "ata", "spark", "window",
+    "er", "re")
+
+  /** Dictionary tagging (TextFns.tagKeywords): one Aho–Corasick pass
+    * per document over the normalized text; the oracle counts every
+    * (possibly overlapping) occurrence with a per-keyword position
+    * scan, pinning the automaton's exact match semantics.
+    */
+  def pTagKeywords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFns.tagKeywords(col("text"), TagDict)).as("t"))
+      .select(col("doc_id"), col("t.keyword").as("keyword"),
+        col("t.n").as("n"))
+      .orderBy("doc_id", "keyword")
+
+  /** PQ + exact refinement (Ann.pqTopKRefined): ADC shortlist of 25,
+    * exact-cosine top-5 re-rank — the production two-stage recipe,
+    * both stages oracle-replayed.
+    */
+  def pAnnPqRefined(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Ann.pqTopKRefined(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, shortlist = 25, m = 8, ks = 16)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Scalar int8 embedding quantization (Ann.sqEncode): the affine
+    * per-vector code layout, hash-pinned end to end (lo/hi doubles +
+    * full code arrays) — deterministic IEEE arithmetic both engines
+    * execute identically.
+    */
+  def pSqEncode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Ann.sqEncode(col("embedding")).as("sq"))
+      .select(col("vec_id"), col("sq.lo").as("lo"),
+        col("sq.hi").as("hi"),
+        md5(array_join(col("sq.codes"), "/")).as("chash"))
+      .orderBy("vec_id")
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -943,6 +989,9 @@ object PipelineQueries {
     "p_ann_ivf" -> (pAnnIvf _),
     "p_ann_pq" -> (pAnnPq _),
     "p_ann_ivfpq" -> (pAnnIvfPq _),
+    "p_sq_encode" -> (pSqEncode _),
+    "p_ann_pq_refined" -> (pAnnPqRefined _),
+    "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
     "p_bm25" -> (pBm25 _),
@@ -2182,6 +2231,78 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "p_tag_keywords" -> {
+      val dictValues = TagDict.map(k => s"('$k')").mkString(", ")
+      s"""WITH dict(kw) AS (VALUES $dictValues),
+         |base AS (SELECT doc_id, $norm AS t FROM documents),
+         |cnts AS (
+         |  SELECT doc_id, kw,
+         |    len(list_filter(range(1, len(t) - len(kw) + 2),
+         |      i -> substr(t, CAST(i AS INT), len(kw)) = kw)) AS n
+         |  FROM base CROSS JOIN dict
+         |  WHERE len(t) >= len(kw))
+         |SELECT doc_id, kw AS keyword, CAST(n AS BIGINT) AS n
+         |FROM cnts WHERE n > 0 ORDER BY doc_id, keyword""".stripMargin
+    },
+    "p_sq_encode" ->
+      """SELECT vec_id, lo, hi,
+        |  md5(array_to_string(
+        |    CASE WHEN hi = lo THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(floor(
+        |        (x - lo) * 255.0 / (hi - lo) + 0.5) AS INT)) END,
+        |    '/')) AS chash
+        |FROM (
+        |  SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings))
+        |ORDER BY vec_id""".stripMargin,
+    "p_ann_pq_refined" -> {
+      val adcSum = (0 until 8).map(s =>
+        s"max(CASE WHEN s = $s THEN part END)").reduceLeft((a, b) =>
+        s"($a + $b)")
+      s"""WITH books(s, c, nrm, w) AS (VALUES ${pqBookValues(8, 16, 8,
+            9090)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, b.s, b.c,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.s
+         |        ORDER BY b.nrm - 2.0 * list_sum(list_transform(
+         |          range(1, 9), j -> e.v[b.s * 8 + j] * b.w[j])) ASC,
+         |          b.c ASC) AS rk
+         |    FROM emb e CROSS JOIN books b) WHERE rk = 1),
+         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_sum(list_transform(range(1, 9),
+         |      j -> qe.v[b.s * 8 + j] * b.w[j])) AS part
+         |  FROM qids q JOIN emb qe ON qe.vec_id = q.vec_id
+         |  CROSS JOIN books b),
+         |parts AS (
+         |  SELECT l.query_id, cd.vec_id AS neighbor_id, l.s, l.part
+         |  FROM coded cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
+         |  WHERE l.query_id <> cd.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $adcSum AS score
+         |  FROM parts GROUP BY query_id, neighbor_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rank
+         |    FROM scored) WHERE rank <= 25),
+         |refined AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+         |        s.neighbor_id) AS rank
+         |  FROM short s
+         |  JOIN emb qe ON qe.vec_id = s.query_id
+         |  JOIN emb ne ON ne.vec_id = s.neighbor_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         |FROM refined WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "p_ann_ivfpq" -> {
       val adcSum = (0 until 8).map(s =>

@@ -496,6 +496,83 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("keyword tagging: Aho-Corasick matches naive overlap counts") {
+    val dict = Seq("he", "she", "his", "hers", "aa")
+    val texts = Seq(
+      (1L, "ushers"),           // classic: she, he, hers overlap
+      (2L, "aaaa"),             // aa x3 (overlapping)
+      (3L, "His cat"),          // case-normalized his
+      (4L, "nothing here at all"),
+      (5L, ""))
+    def naive(t: String, kw: String): Long =
+      (0 to t.length - kw.length)
+        .count(i => t.regionMatches(i, kw, 0, kw.length)).toLong
+    val got = texts.toDF("id", "text")
+      .select($"id", explode(TextFns.tagKeywords($"text", dict)).as("t"))
+      .select($"id", $"t.keyword", $"t.n")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap)
+      .toMap
+    texts.foreach { case (id, raw) =>
+      val t = raw.toLowerCase.replaceAll("\\s+", " ").trim
+      val want = dict.map(k => k -> naive(t, k)).filter(_._2 > 0).toMap
+      assert(got.getOrElse(id, Map.empty) == want,
+        s"doc $id: got ${got.get(id)}, want $want")
+    }
+    assert(got(1L) == Map("she" -> 1L, "he" -> 1L, "hers" -> 1L))
+    assert(got(2L) == Map("aa" -> 3L))
+  }
+
+  test("PQ refine: exact re-rank of the ADC shortlist lifts recall") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(200).cache()
+    val queries = emb.limit(10)
+    val bf = Ann.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    val adc = recall(Ann.pqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5))
+    val ref = recall(Ann.pqTopKRefined(queries, emb, "vec_id",
+      "vec_id", "embedding", k = 5, shortlist = 25))
+    info(f"recall@5: adc $adc%.2f refined $ref%.2f")
+    assert(ref >= adc, s"refinement must not lose recall: $ref < $adc")
+    // refined results come from the ADC shortlist by construction
+    val short = Ann.pqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refPairs = Ann.pqTopKRefined(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5, shortlist = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(refPairs.subsetOf(short))
+  }
+
+  test("SQ int8: decode error bounded by half a step; constant vectors exact") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(100)
+    val worst = emb.select(
+        $"embedding".cast("array<double>").as("v"),
+        Ann.sqDecode(Ann.sqEncode($"embedding")).as("dec"),
+        Ann.sqEncode($"embedding").getField("hi").as("hi"),
+        Ann.sqEncode($"embedding").getField("lo").as("lo"))
+      .select(aggregate(zip_with($"v", $"dec",
+          (a, b) => abs(a - b)), lit(0.0d),
+          (acc, x) => greatest(acc, x)).as("err"),
+        (($"hi" - $"lo") / 255.0 / 2.0).as("half_step"))
+      .filter($"err" > $"half_step" * 1.0000001).count()
+    assert(worst == 0, "per-component error must be <= half a step")
+    // constant vector: span 0 -> all-zero codes, exact roundtrip
+    val c = Seq(Tuple1(Array.fill(4)(0.25d))).toDF("v")
+      .select(Ann.sqEncode($"v").as("sq"))
+      .select($"sq.codes", Ann.sqDecode($"sq").as("dec"))
+      .as[(Seq[Int], Seq[Double])].head()
+    assert(c._1 == Seq(0, 0, 0, 0) && c._2 == Seq.fill(4)(0.25d))
+  }
+
   test("IVF-PQ: candidates respect probed lists; ADC ranks contiguous") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
       .limit(200).cache()
