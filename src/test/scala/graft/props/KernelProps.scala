@@ -1,0 +1,120 @@
+package graft.props
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the round-9 pure kernels: unigram Viterbi
+  * segmentation, the Aho–Corasick tagger, and the PQ/SQ quantizers —
+  * all exercised directly (no Spark session), differentially against
+  * brute-force references.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private val vocabGen: Gen[Set[String]] =
+    Gen.listOf(Gen.chooseNum(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      .map(_.toSet)
+
+  private def segment(w: String, vocab: Set[String]): Seq[String] = {
+    val hs = new java.util.HashSet[String]()
+    vocab.foreach(hs.add)
+    val out = graft.functions.UnigramSegment.segment(
+      UTF8String.fromString(w), hs, 4)
+    (0 until out.numElements()).map(i =>
+      out.getUTF8String(i).toString)
+  }
+
+  /** All segmentations of `s` under the l=1-always / vocab-for-longer
+    * rule (words are short enough to enumerate).
+    */
+  private def allSplits(s: String, vocab: Set[String]): Seq[Seq[String]] =
+    if (s.isEmpty) Seq(Seq.empty)
+    else (1 to math.min(4, s.length)).flatMap { l =>
+      val piece = s.take(l)
+      if (l == 1 || vocab.contains(piece))
+        allSplits(s.drop(l), vocab).map(piece +: _)
+      else Seq.empty
+    }
+
+  property("unigram: pieces concat back to the word") =
+    forAll(word, vocabGen) { (w, v) =>
+      segment(w, v).mkString("") == w
+    }
+
+  property("unigram: multi-char pieces come from the vocab") =
+    forAll(word, vocabGen) { (w, v) =>
+      segment(w, v).forall(p => p.length == 1 || v.contains(p))
+    }
+
+  property("unigram: DP equals brute-force (count, joined) minimum") =
+    forAll(word, vocabGen) { (w, v) =>
+      val got = segment(w, v)
+      val best = allSplits(w, v)
+        .minBy(ps => (ps.size, ps.mkString(" ")))
+      got == best
+    }
+
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))
+
+  private val dictGen: Gen[List[String]] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(1, 4).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b')).map(_.mkString))))
+      .map(_.distinct)
+
+  private def naiveCount(t: String, kw: String): Long =
+    (0 to t.length - kw.length)
+      .count(i => t.regionMatches(i, kw, 0, kw.length)).toLong
+
+  property("aho-corasick: counts equal naive overlap scan") =
+    forAll(textGen, dictGen) { (t, dict) =>
+      val auto = new graft.functions.AcAutomaton(dict.toArray)
+      val counts = auto.countAll(t)
+      dict.indices.forall(i => counts(i) == naiveCount(t, dict(i)))
+    }
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.listOfN(8, Gen.chooseNum(-4.0, 4.0)).map(_.toArray)
+
+  property("pq: every code is the per-subspace argmin") =
+    forAll(vecGen) { v =>
+      val books = graft.pipeline.Ann.pqBooks(2, 4, 4, seed = 5)
+      val flat = Array.tabulate(2 * 4 * 4)(i =>
+        books(i / 16)((i % 16) / 4)(i % 4))
+      val nrms = Array.tabulate(2 * 4)(i =>
+        books(i / 4)(i % 4).map(x => x * x).sum)
+      val codes = graft.functions.PqCodes.encode(
+        new GenericArrayData(v.map(x => x: Any)), flat, nrms, 2, 4, 4)
+      (0 until 2).forall { s =>
+        val sub = v.slice(s * 4, s * 4 + 4)
+        def d(c: Int) = {
+          val w = books(s)(c)
+          w.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        val got = codes.getInt(s)
+        // argmin within float tolerance (the kernel uses the
+        // |c|^2 - 2 v.c form; ties go to the smaller id)
+        (0 until 4).forall(c => d(got) <= d(c) + 1e-9)
+      }
+    }
+
+  property("sq: roundtrip error within half a quantization step") =
+    forAll(vecGen) { v =>
+      val enc = graft.functions.SqEncode.encode(
+        new GenericArrayData(v.map(x => x: Any)))
+      val dec = graft.functions.SqDecode.decode(enc)
+      val lo = enc.getDouble(0)
+      val hi = enc.getDouble(1)
+      val half = (hi - lo) / 255.0 / 2.0
+      v.indices.forall(i =>
+        math.abs(dec.getDouble(i) - v(i)) <= half + 1e-12)
+    }
+}

@@ -332,6 +332,18 @@ class PlanSpec extends SparkSpec {
       s"no window pass belongs in the strict fill:\n$p")
   }
 
+  test("p_tag_keywords and p_sq_encode: scan-local, no joins") {
+    Seq("p_tag_keywords", "p_sq_encode").foreach { g =>
+      val p = plan(g)
+      assert(!p.contains("Join"), s"$g must not join:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1,
+        s"$g is one corpus scan:\n$p")
+      // the only exchange is the gate's presentation orderBy
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$g must not shuffle beyond the final sort:\n$p")
+    }
+  }
+
   test("p_unigram_train: rounds iterate on the staged words frame") {
     val p = plan("p_unigram_train")
     assert(p.toLowerCase.contains("unigramsegment"),
