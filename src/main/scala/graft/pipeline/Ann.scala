@@ -328,4 +328,77 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  // ---------- Binary (1-bit) quantization ----------
+  //
+  // Sign-bit compression: dim floats → dim bits (64 dims = 8 bytes, a
+  // 32× smaller scan payload than raw doubles), packed as dim/16
+  // 16-bit words in an `array<int>` so every word stays in [0, 65535]
+  // and no engine's integer arithmetic can overflow (bit 31 of a
+  // 32-bit word would wrap a signed INT in Spark and error in DuckDB).
+  // Hamming distance over the words tracks angular distance
+  // (Goemans–Williamson: P[sign mismatch per component] = θ/π), so a
+  // popcount scan produces a shortlist that an exact cosine pass
+  // re-ranks — the scan-then-refine topology of [[pqTopKRefined]]
+  // with an even cheaper first stage.
+
+  /** Pack sign bits of a `dim`-component vector into dim/16 16-bit
+    * words (`array<int>`): word w bit i = (v[16w+i] > 0).
+    */
+  def binEncode(vec: Column, dim: Int = 64): Column = {
+    require(dim % 16 == 0, "dim must be a multiple of 16")
+    val words = (0 until dim / 16).map { w =>
+      (0 until 16).map { i =>
+        when(element_at(vec, w * 16 + i + 1) > 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two [[binEncode]] word arrays
+    * (Σ popcount(xor) per word).
+    */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (s, x) => s + x.cast("int"))
+
+  /** Binary-quantized top-k: Hamming shortlist over packed sign bits,
+    * exact cosine re-rank of the shortlist. The first stage is
+    * corpus-linear but reads 8 bytes/row (at scale the bit column is
+    * precomputed at write time, so the scan touches no vectors); the
+    * refine stage fetches shortlist × dim full vectors only. For
+    * fixed-radius workloads the pigeonhole word-blocking used by
+    * `Dedup.simhashPairs` turns the scan into an equi-join (a pair at
+    * Hamming ≤ r agrees exactly on some word whenever r < #words).
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      shortlist: Int = 50, dim: Int = 64): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val q = queries.select(col(qId).as("query_id"),
+      binEncode(col(vecCol).cast("array<double>"), dim).as("qb"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
+    val wh = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val cand = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", hammingWords(col("qb"), col("cb")))
+      .withColumn("hrank", row_number().over(wh))
+      .filter(col("hrank") <= shortlist)
+      .select("query_id", "neighbor_id", "ham")
+    val qv = queries.select(col(qId).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cv = corpus.select(col(cId).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "ham")
+  }
 }

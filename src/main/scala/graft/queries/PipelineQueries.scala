@@ -210,6 +210,56 @@ object PipelineQueries {
         md5(array_join(col("sq.codes"), "/")).as("chash"))
       .orderBy("vec_id")
 
+  /** Binary (1-bit sign) embedding quantization search
+    * (Ann.binaryTopK): Hamming shortlist of 50 over the packed
+    * 16-bit sign words, exact-cosine top-5 re-rank. The output keeps
+    * the integer Hamming distance so the gate pins the shortlist
+    * metric itself, not just the final ranking.
+    */
+  def pAnnBinary(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Ann.binaryTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, shortlist = 50, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("ham"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-query lexical term sets for p_rrf (corpus-vocabulary tokens;
+    * q2 has three terms so list lengths differ across queries).
+    */
+  private[queries] val RrfTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "window"),
+    1L -> Seq("vector", "stream"),
+    2L -> Seq("join", "hash", "merge"))
+
+  /** Hybrid retrieval (Retrieval.rrf): BM25 lexical top-30 per query
+    * fused with exact-cosine vector top-30 for the same query ids
+    * (vec_id n ↔ query n's embedding) by reciprocal-rank fusion with
+    * the SIGIR'09 constant k=60. Scores are per-addend decimal-rounded
+    * (Tables.dsum) so DuckDB replays the fused ranking exactly.
+    */
+  def pRrf(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Retrieval
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val lex = RrfTerms.map { case (qid, terms) =>
+      TextFns.bm25(docs, "doc_id", "text", terms, topK = 30,
+          logIdf = false)
+        .select(lit(qid).as("query_id"), col("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).as("rank"))
+    }.reduce(_ unionAll _)
+    val vec = Ann.bruteForceTopK(
+        emb.filter(col("vec_id") < RrfTerms.size), emb,
+        "vec_id", "vec_id", "embedding", k = 30)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    Retrieval.rrf(Seq(lex, vec), kConst = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -991,6 +1041,8 @@ object PipelineQueries {
     "p_ann_ivfpq" -> (pAnnIvfPq _),
     "p_sq_encode" -> (pSqEncode _),
     "p_ann_pq_refined" -> (pAnnPqRefined _),
+    "p_ann_binary" -> (pAnnBinary _),
+    "p_rrf" -> (pRrf _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -2257,6 +2309,103 @@ object PipelineQueries {
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings))
         |ORDER BY vec_id""".stripMargin,
+    "p_ann_binary" -> {
+      // identical 16-bit sign packing: word w bit i = (v[16w+i] > 0)
+      val pows = (0 until 16).map(1 << _).mkString("[", ", ", "]")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, list_transform(range(0, 4), w ->
+         |    list_sum(list_transform(range(1, 17), i ->
+         |      CASE WHEN v[w * 16 + CAST(i AS INT)] > 0
+         |        THEN ($pows)[i] ELSE 0 END))) AS b
+         |  FROM emb),
+         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+         |ham AS (
+         |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, 5), w ->
+         |      bit_count(xor(CAST(qb.b[w] AS BIGINT),
+         |        CAST(cb.b[w] AS BIGINT))))) AS INT) AS ham
+         |  FROM bits qb JOIN qids q ON qb.vec_id = q.vec_id
+         |  CROSS JOIN bits cb WHERE qb.vec_id <> cb.vec_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id, ham,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ham, neighbor_id) AS hrank
+         |  FROM ham),
+         |ranked AS (
+         |  SELECT s.query_id, s.neighbor_id, s.ham,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+         |        s.neighbor_id) AS rank
+         |  FROM short s JOIN emb qe ON s.query_id = qe.vec_id
+         |  JOIN emb ne ON s.neighbor_id = ne.vec_id
+         |  WHERE s.hrank <= 50)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ham
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "p_rrf" -> {
+      val qtValues = RrfTerms.map { case (qid, terms) =>
+        s"(CAST($qid AS BIGINT), ${terms.mkString("['", "', '", "']")})"
+      }.mkString(", ")
+      s"""WITH base AS (SELECT doc_id, $toks AS ts FROM documents),
+         |lens AS (SELECT doc_id, len(ts) AS dl FROM base),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |m AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(ts) AS token FROM base)
+         |  GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM m GROUP BY 1),
+         |scored AS (
+         |  SELECT m.doc_id, m.token,
+         |    (CAST(s.n_docs - d.df + 0.5 AS DOUBLE) /
+         |       CAST(d.df + 0.5 AS DOUBLE))
+         |      * (m.tf * CAST(1.2 + 1 AS DOUBLE))
+         |      / (m.tf + CAST(1.2 AS DOUBLE) *
+         |          (CAST(1 - 0.75 AS DOUBLE) +
+         |           CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl))) AS sc
+         |  FROM m JOIN dfs d USING (token)
+         |  JOIN lens l USING (doc_id), stats s),
+         |qt(query_id, terms) AS (VALUES $qtValues),
+         |lexs AS (
+         |  SELECT q.query_id, s.doc_id,
+         |    CAST(sum(CAST(s.sc AS DECIMAL(38,12))) AS DOUBLE) AS score
+         |  FROM qt q JOIN scored s ON list_contains(q.terms, s.token)
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rank
+         |    FROM lexs) WHERE rank <= 30),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |vec AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+         |          c.vec_id) AS rank
+         |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < ${RrfTerms.size}) WHERE rank <= 30),
+         |uni AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(CAST(CAST(1.0 AS DOUBLE) / (60 + rank)
+         |      AS DECIMAL(18,12))) AS DOUBLE) AS rrf,
+         |    count(*) AS n_lists
+         |  FROM uni GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+         |  n_lists
+         |FROM (
+         |  SELECT query_id, doc_id, rrf, n_lists,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "p_ann_pq_refined" -> {
       val adcSum = (0 until 8).map(s =>
         s"max(CASE WHEN s = $s THEN part END)").reduceLeft((a, b) =>

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Binary (sign-bit) embedding quantization + reciprocal-rank fusion. */
+class RetrievalSpec extends SparkSpec {
+
+  test("binEncode packs sign bits into 16-bit words") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => if (i % 3 == 0) 1.0 else -1.0)
+    val words = Seq(Tuple1(v)).toDF("v")
+      .select(Ann.binEncode(col("v"), 64).as("b"))
+      .head.getSeq[Int](0)
+    val expected = (0 until 4).map { w =>
+      (0 until 16).map(i =>
+        if ((w * 16 + i) % 3 == 0) 1 << i else 0).sum
+    }
+    assert(words == expected)
+    assert(words.forall(w => w >= 0 && w <= 0xffff))
+  }
+
+  test("hammingWords equals the naive sign-mismatch count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 24).map { i =>
+      val a = Seq.fill(64)(rnd.nextGaussian())
+      val b = Seq.fill(64)(rnd.nextGaussian())
+      (i, a, b, (0 until 64).count(j => (a(j) > 0) != (b(j) > 0)))
+    }
+    val got = rows.toDF("i", "a", "b", "naive")
+      .select(col("i"), col("naive"),
+        Ann.hammingWords(Ann.binEncode(col("a"), 64),
+          Ann.binEncode(col("b"), 64)).as("ham"))
+      .collect()
+    got.foreach(r => assert(r.getInt(2) == r.getInt(1),
+      s"row ${r.getInt(0)}"))
+  }
+
+  test("binaryTopK: Hamming shortlist, exact cosine order within it") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.orderBy("vec_id").limit(3)
+    val res = Ann.binaryTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 5, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3)))
+
+    // Scala reference implementation over the same vectors
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def bits(v: Array[Double]): Array[Int] =
+      (0 until 4).map(w => (0 until 16).map(i =>
+        if (v(w * 16 + i) > 0) 1 << i else 0).sum).toArray
+    def ham(a: Array[Double], b: Array[Double]): Int =
+      bits(a).zip(bits(b)).map { case (x, y) =>
+        Integer.bitCount(x ^ y) }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L until 3L).foreach { q =>
+      val short = vecs.keys.filter(_ != q).toSeq
+        .map(c => (ham(vecs(q), vecs(c)), c))
+        .sortBy(identity).take(20)
+      val expect = short.map { case (h, c) =>
+        (cos(vecs(q), vecs(c)), c, h) }
+        .sortBy { case (s, c, _) => (-s, c) }.take(5)
+      val gotQ = res.filter(_._1 == q).sortBy(_._2)
+      assert(gotQ.map(_._3).toSeq == expect.map(_._2),
+        s"query $q neighbor order")
+      assert(gotQ.map(_._4).toSeq == expect.map(_._3),
+        s"query $q hamming values")
+    }
+  }
+
+  test("rrf fuses a hand-computed example") {
+    import spark.implicits._
+    val la = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id",
+      "rank")
+    val lb = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("query_id", "doc_id",
+      "rank")
+    val got = Retrieval.rrf(Seq(la, lb), kConst = 60, topK = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val s11 = (dec(1.0 / 62) + dec(1.0 / 61)).toDouble
+    val s10 = dec(1.0 / 61).toDouble
+    val s12 = dec(1.0 / 62).toDouble
+    assert(got.toSeq == Seq((1, 11L, s11, 2L), (2, 10L, s10, 1L),
+      (3, 12L, s12, 1L)))
+  }
+
+  test("rrf: a document present in both lists outranks one with the " +
+      "same best rank in a single list") {
+    import spark.implicits._
+    // doc 5 is rank 3 in both lists; doc 6 is rank 3 in one only
+    val la = Seq((1L, 5L, 3), (1L, 7L, 1)).toDF("query_id", "doc_id",
+      "rank")
+    val lb = Seq((1L, 5L, 3), (1L, 6L, 3)).toDF("query_id", "doc_id",
+      "rank")
+    val order = Retrieval.rrf(Seq(la, lb), topK = 10)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(order.indexOf(5L) < order.indexOf(6L))
+  }
+}

@@ -312,6 +312,35 @@ class PlanSpec extends SparkSpec {
       p.contains("row_number(), 5, Final"), p)
   }
 
+  test("p_ann_binary: broadcast bit scan; shortlist and rerank are " +
+      "group-limits") {
+    val p = plan("p_ann_binary")
+    // Hamming stage: 20-row query bits broadcast against the corpus
+    // bit scan — never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), p)
+    // shortlist (50) and cosine rerank (5) both run as partial+final
+    // WindowGroupLimit, not full sorts
+    assert(p.contains("row_number(), 50, Partial") &&
+      p.contains("row_number(), 50, Final"), p)
+    // the rerank inherits the shortlist's query_id clustering through
+    // the broadcast joins, so a Final group-limit with NO second
+    // exchange is the expected (optimal) shape
+    assert(p.contains("row_number(), 5, Final"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one shuffle (the shortlist window) for the whole search:\n$p")
+  }
+
+  test("p_rrf: fusion is a partial+final aggregate with a group-limit " +
+      "rerank") {
+    val p = plan("p_rrf")
+    assert(p.contains("row_number(), 10, Partial") &&
+      p.contains("row_number(), 10, Final"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p_ann_ivfpq: the probe is a broadcast EQUI-join on the list id") {
     val p = plan("p_ann_ivfpq")
     assert(p.contains("BroadcastHashJoin"),
