@@ -627,6 +627,18 @@ object TextFns {
     flatten(transform(Dedup.tokens(text), w =>
       graft.functions.UnigramSegment(w, vocab.toArray, maxPieceLen)))
 
+  /** WordPiece greedy longest-match-first encode (Wu et al. 2016 /
+    * BERT): per word, repeatedly the longest vocab piece at the
+    * cursor ("##"-prefixed after the first), the whole word collapsing
+    * to `[UNK]` when no piece matches — completing the tokenizer trio
+    * next to [[bpeEncode]] (merge replay) and [[unigramEncode]]
+    * (fewest-pieces DP). Scan-local over a plan-baked vocab.
+    */
+  def wordpieceEncode(text: Column, vocab: Seq[String],
+      maxPieceLen: Int = 6): Column =
+    flatten(transform(Dedup.tokens(text), w =>
+      graft.functions.WordpieceSegment(w, vocab.toArray, maxPieceLen)))
+
   private def requireBpeSymbols(merges: Seq[(String, String)]): Unit =
     require(merges.forall { case (a, b) =>
       (a + b).forall(ch => ch != '\u0001' && ch != '\u0002' && ch != ' ')

@@ -260,6 +260,33 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** WordPiece vocab for p_wordpiece: corpus-realistic pieces chosen
+    * to exercise every semantic branch — longest-match preference
+    * ("table" beats "ta"), ## continuations (window = wind + ##ow),
+    * and whole-word [UNK] poisoning both at the opener (no "r" piece
+    * → "row" is UNK) and MID-word ("ha" matches but "##sh" doesn't,
+    * so "hash" is UNK despite a successful first piece).
+    */
+  private[queries] val WpVocab = Seq("spark", "wind", "##ow", "custom",
+    "##er", "table", "ta", "##ble", "val", "##ue", "data", "da", "##ta",
+    "sca", "##n", "join", "merge", "a", "##a", "ha", "or", "##der",
+    "stream", "key")
+
+  /** WordPiece greedy encode (TextFns.wordpieceEncode): per-doc piece
+    * sequence pinned via md5 plus piece/UNK counts; the oracle replays
+    * the greedy cursor walk with a linear recursive CTE.
+    */
+  def pWordpiece(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.wordpieceEncode(col("text"), WpVocab, 6).as("p"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("p"))).as("chash"),
+        size(col("p")).cast("bigint").as("n_pieces"),
+        size(filter(col("p"), x => x === "[UNK]")).cast("bigint")
+          .as("n_unk"))
+      .orderBy("doc_id")
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -1043,6 +1070,7 @@ object PipelineQueries {
     "p_ann_pq_refined" -> (pAnnPqRefined _),
     "p_ann_binary" -> (pAnnBinary _),
     "p_rrf" -> (pRrf _),
+    "p_wordpiece" -> (pWordpiece _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -2405,6 +2433,54 @@ object PipelineQueries {
          |      ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fused) WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
+    },
+    "p_wordpiece" -> {
+      val vocabList = WpVocab.mkString("['", "', '", "']")
+      // candidate piece at cursor `pos` (0-based) with length l:
+      // opener = raw substring, continuation = '##' + substring
+      def cand(l: String) =
+        s"""CASE WHEN pos = 0 THEN substr(w, 1, CAST($l AS INT))
+           |  ELSE '##' || substr(w, pos + 1, CAST($l AS INT)) END"""
+          .stripMargin
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, $toks AS ts FROM documents),
+         |words AS (
+         |  SELECT doc_id, CAST(i AS INT) AS wi,
+         |    ts[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, ts,
+         |    unnest(range(1, len(ts) + 1)) AS i FROM base)),
+         |step(doc_id, wi, w, pos, pieces, unk) AS (
+         |  SELECT doc_id, wi, w, 0, '', false FROM words
+         |  UNION ALL
+         |  SELECT doc_id, wi, w,
+         |    CASE WHEN ml IS NULL THEN len(w)
+         |      ELSE pos + CAST(ml AS INT) END,
+         |    CASE WHEN ml IS NULL THEN pieces
+         |      WHEN pieces = '' THEN ${cand("ml")}
+         |      ELSE pieces || ' ' || ${cand("ml")} END,
+         |    ml IS NULL
+         |  FROM (
+         |    SELECT doc_id, wi, w, pos, pieces,
+         |      list_max(list_filter(
+         |        range(1, least(6, len(w) - pos) + 1),
+         |        l -> list_contains($vocabList, ${cand("l")}))) AS ml
+         |    FROM step WHERE NOT unk AND pos < len(w))),
+         |fin AS (
+         |  SELECT doc_id, wi,
+         |    CASE WHEN unk THEN '[UNK]' ELSE pieces END AS wp,
+         |    CASE WHEN unk THEN 1
+         |      ELSE len(str_split(pieces, ' ')) END AS np,
+         |    CASE WHEN unk THEN 1 ELSE 0 END AS nu
+         |  FROM step WHERE unk OR (pos > 0 AND pos >= len(w))),
+         |agg AS (
+         |  SELECT doc_id, string_agg(wp, ' ' ORDER BY wi) AS seq,
+         |    sum(np) AS n_pieces, sum(nu) AS n_unk
+         |  FROM fin GROUP BY doc_id)
+         |SELECT d.doc_id, md5(coalesce(a.seq, '')) AS chash,
+         |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
     "p_ann_pq_refined" -> {
       val adcSum = (0 until 8).map(s =>

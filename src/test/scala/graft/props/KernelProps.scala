@@ -60,6 +60,55 @@ object KernelProps extends Properties("graft.kernels") {
       got == best
     }
 
+  private val wpVocabGen: Gen[Set[String]] =
+    Gen.listOf(for {
+      cont <- Gen.oneOf(true, false)
+      n <- Gen.chooseNum(1, 4)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield (if (cont) "##" else "") + cs.mkString).map(_.toSet)
+
+  private def wpSegment(w: String, vocab: Set[String]): Seq[String] = {
+    val hs = new java.util.HashSet[String]()
+    vocab.foreach(hs.add)
+    val out = graft.functions.WordpieceSegment.segment(
+      UTF8String.fromString(w), hs, 4)
+    (0 until out.numElements()).map(i =>
+      out.getUTF8String(i).toString)
+  }
+
+  /** Independent greedy reference: longest continuation-aware match
+    * at each cursor, whole-word [UNK] on any miss.
+    */
+  private def wpNaive(w: String, vocab: Set[String]): Seq[String] = {
+    var pos = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (pos < w.length) {
+      val hit = (1 to math.min(4, w.length - pos)).reverse.iterator
+        .map(l => (if (pos == 0) "" else "##") +
+          w.substring(pos, pos + l))
+        .find(vocab.contains)
+      hit match {
+        case None => return Seq("[UNK]")
+        case Some(p) =>
+          out += p
+          pos += p.length - (if (pos == 0) 0 else 2)
+      }
+    }
+    out.toSeq
+  }
+
+  property("wordpiece: kernel equals the greedy reference walk") =
+    forAll(word, wpVocabGen) { (w, v) =>
+      wpSegment(w, v) == wpNaive(w, v)
+    }
+
+  property("wordpiece: non-UNK pieces reassemble the word") =
+    forAll(word, wpVocabGen) { (w, v) =>
+      val ps = wpSegment(w, v)
+      ps == Seq("[UNK]") ||
+        (ps.head + ps.tail.map(_.drop(2)).mkString) == w
+    }
+
   private val textGen: Gen[String] =
     Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))

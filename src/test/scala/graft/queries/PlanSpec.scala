@@ -361,8 +361,8 @@ class PlanSpec extends SparkSpec {
       s"no window pass belongs in the strict fill:\n$p")
   }
 
-  test("p_tag_keywords and p_sq_encode: scan-local, no joins") {
-    Seq("p_tag_keywords", "p_sq_encode").foreach { g =>
+  test("p_tag_keywords, p_sq_encode, p_wordpiece: scan-local, no joins") {
+    Seq("p_tag_keywords", "p_sq_encode", "p_wordpiece").foreach { g =>
       val p = plan(g)
       assert(!p.contains("Join"), s"$g must not join:\n$p")
       assert("Scan parquet".r.findAllIn(p).size == 1,
