@@ -175,6 +175,23 @@ object GraftExtensions {
           intArg(args(2), "tables"), intArg(args(3), "dim"),
           intArg(args(4), "seed")))
       }),
+    ("graft_html_text",
+      "graft_html_text(html) - extract readable text from HTML markup",
+      (args: Seq[Expression]) => {
+        arity("graft_html_text", args, 1)
+        viaColumn(graft.pipeline.TextFns.htmlToText)(args.head)
+      }),
+    ("graft_wordpiece",
+      "graft_wordpiece(text, vocab_csv[, maxPieceLen]) - WordPiece " +
+        "greedy encode with a comma-separated vocab",
+      (args: Seq[Expression]) => {
+        arity("graft_wordpiece", args, 2, 3)
+        val vocab = strArg(args(1), "vocab_csv").split(',').toSeq
+        val maxLen = if (args.size > 2) intArg(args(2), "maxPieceLen")
+          else 6
+        viaColumn(c => graft.pipeline.TextFns.wordpieceEncode(c, vocab,
+          maxLen))(args.head)
+      }),
     ("graft_nfc",
       "graft_nfc(text) - Unicode NFC normalization",
       (args: Seq[Expression]) => {

@@ -949,6 +949,48 @@ object TextFns {
         col("rk").cast("int").as("rk"), col("doc_id"), col("tf"))
   }
 
+  /** HTML→text extraction rule chain — the crawl-pipeline step
+    * between WARC record splitting ([[graft.sources.Ingest]]) and the
+    * quality/dedup operators. Deliberately a DETERMINISTIC ordered
+    * regex chain, not a DOM parse: the semantics (strip comments,
+    * script/style subtrees, tag-to-newline block boundaries, the six
+    * core entities, whitespace collapse) are what C4/CCNet-style
+    * pipelines actually apply, and a rule chain replays identically
+    * in any RE2-compatible engine — readability-style link-density
+    * block scoring needs a DOM and is out of scope by design.
+    * Order is part of the contract (`&amp;` decodes LAST so decoded
+    * `&lt;` cannot re-form a tag; block tags become newlines BEFORE
+    * generic tag stripping).
+    */
+  val HtmlRules: Seq[(String, String)] = Seq(
+    "(?s)<!--.*?-->" -> "",
+    "(?is)<head[^>]*>.*?</head>" -> "",
+    "(?is)<script[^>]*>.*?</script>" -> "",
+    "(?is)<style[^>]*>.*?</style>" -> "",
+    ("(?i)<(?:br|hr)\\b[^>]*>|(?i)</(?:p|div|h[1-6]|li|tr|ul|ol|" +
+      "table|blockquote)\\b[^>]*>") -> "\n",
+    "<[^>]*>" -> "",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&apos;" -> "'",
+    "&amp;" -> "&",
+    "[ \\t\\r]+" -> " ",
+    " *\\n *" -> "\n",
+    "\\n{3,}" -> "\n\n",
+    "^\\n+|\\n+$" -> "")
+
+  /** Extract readable text from HTML markup by the [[HtmlRules]]
+    * chain. Pure codegen'd regexp_replace chain inside the scan
+    * projection — no shuffle, no UDF, scan-local at any scale.
+    */
+  def htmlToText(html: Column): Column =
+    trim(HtmlRules.foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    })
+
   /** Compliance patterns for [[redact]]/[[piiCount]] — kept
     * RE2-compatible (no backrefs or lookarounds, ASCII classes only)
     * so every engine with linear-time regexes applies them

@@ -287,6 +287,37 @@ object PipelineQueries {
           .as("n_unk"))
       .orderBy("doc_id")
 
+  /** HTML main-content extraction (TextFns.htmlToText). The documents
+    * fixture is plain text, so the gate wraps each doc in a
+    * deterministic HTML page both engines construct identically — a
+    * head subtree with style+script (dropped, including a raw '<'
+    * inside script code), heading/paragraph/list markup (block-tag
+    * newlines), an anchor whose href holds an entity (tag stripped
+    * BEFORE entity decode), and the six-entity set — then pins the
+    * extracted text via md5 + length.
+    */
+  def pHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>t</title><style type=\"text/css\">" +
+        "body { color: #fff; }</style>"),
+      lit("<script>if (1 < 2) { x = \"y\"; }</script></head><body>"),
+      lit("<h1 class=\"hd\">doc "), id.cast("string"), lit("</h1>"),
+      lit("<p>"), substring(col("text"), 1, 160), lit("</p>"),
+      lit("<div><a href=\"http://example.com/a?b=1&amp;c=2\">link "),
+      id.cast("string"),
+      lit("</a> &amp; more &lt;raw&gt;&nbsp;text&quot;&#39;</div>"),
+      when(id % 2 === 0,
+        lit("<ul><li>item one</li><li>item two</li></ul>"))
+        .otherwise(lit("<br><br><p>tail para</p>")),
+      lit("</body></html>"))
+    Tables.documents(s, d)
+      .select(id, TextFns.htmlToText(html).as("x"))
+      .select(id, md5(col("x")).as("chash"),
+        length(col("x")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -1071,6 +1102,7 @@ object PipelineQueries {
     "p_ann_binary" -> (pAnnBinary _),
     "p_rrf" -> (pRrf _),
     "p_wordpiece" -> (pWordpiece _),
+    "p_html_extract" -> (pHtmlExtract _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -2481,6 +2513,35 @@ object PipelineQueries {
          |  CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+    "p_html_extract" -> {
+      // the SAME rule chain, folded into nested regexp_replace calls;
+      // single-quoted DuckDB literals pass backslashes through to RE2
+      // exactly as Scala passes them to java.util.regex
+      def sqlLit(s: String): String =
+        "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") +
+          "'"
+      val htmlSql =
+        """('<html><head><title>t</title><style type="text/css">' ||
+          |'body { color: #fff; }</style>' ||
+          |'<script>if (1 < 2) { x = "y"; }</script></head><body>' ||
+          |'<h1 class="hd">doc ' || CAST(doc_id AS VARCHAR) ||
+          |'</h1>' || '<p>' || substr(text, 1, 160) || '</p>' ||
+          |'<div><a href="http://example.com/a?b=1&amp;c=2">link ' ||
+          |CAST(doc_id AS VARCHAR) ||
+          |'</a> &amp; more &lt;raw&gt;&nbsp;text&quot;&#39;</div>' ||
+          |CASE WHEN doc_id % 2 = 0
+          |  THEN '<ul><li>item one</li><li>item two</li></ul>'
+          |  ELSE '<br><br><p>tail para</p>' END ||
+          |'</body></html>')""".stripMargin
+      val chain = graft.pipeline.TextFns.HtmlRules
+        .foldLeft(htmlSql) { case (acc, (p, r)) =>
+          s"regexp_replace($acc,\n  ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+        }
+      s"""SELECT doc_id, md5(x) AS chash,
+         |  CAST(length(x) AS BIGINT) AS n_chars
+         |FROM (SELECT doc_id, trim($chain) AS x FROM documents)
+         |ORDER BY doc_id""".stripMargin
     },
     "p_ann_pq_refined" -> {
       val adcSum = (0 until 8).map(s =>

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TextFns.htmlToText rule-chain semantics on hand-written fixtures. */
+class HtmlSpec extends SparkSpec {
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(TextFns.htmlToText(col("h"))).head
+      .getString(0)
+  }
+
+  test("full page: head dropped, blocks become newlines, tags strip") {
+    val html = "<html><head><title>nav title</title>" +
+      "<style>p { x: 1; }</style></head><body>" +
+      "<h1 id=\"a\">Head</h1><p>one two</p>" +
+      "<div><a href=\"http://x\">a link</a> tail</div></body></html>"
+    assert(extract(html) == "Head\none two\na link tail")
+  }
+
+  test("script survives a raw '<' in code and case variation") {
+    val html = "before<SCRIPT type=\"x\">if (1 < 2) { y(\"</p>\"); }" +
+      "</ScRiPt>after"
+    assert(extract(html) == "beforeafter")
+  }
+
+  test("comments removed across newlines") {
+    assert(extract("a<!-- multi\nline\ncomment -->b") == "ab")
+  }
+
+  test("entities decode once; double-escape stays escaped") {
+    // standard double-escape behavior: &amp;lt; renders as the literal
+    // text "&lt;" (decoded exactly once, cannot re-form a tag)
+    assert(extract("x &lt;b&gt; &amp; &quot;q&quot; &#39;a&#39;" +
+      " &amp;lt;") == "x <b> & \"q\" 'a' &lt;")
+  }
+
+  test("br and self-closing br break lines; 3+ newlines collapse") {
+    assert(extract("a<br>b<br/>c<br><br><br>d") == "a\nb\nc\n\nd")
+  }
+
+  test("whitespace collapses and the result is trimmed") {
+    // the source blank lines + the </p> newline collapse to ONE
+    // paragraph break (two newlines), never more
+    assert(extract("  <p>a\t\tb</p>\n\n\n  <p>c</p>  ") ==
+      "a b\n\nc")
+  }
+
+  test("graft_html_text SQL surface matches the Column form") {
+    graft.GraftExtensions.registerFunctions(spark)
+    val got = spark.sql(
+      "SELECT graft_html_text('<p>x</p><p>y</p>')").head.getString(0)
+    assert(got == "x\ny")
+  }
+
+  test("graft_wordpiece SQL surface segments with the csv vocab") {
+    graft.GraftExtensions.registerFunctions(spark)
+    val got = spark.sql("SELECT graft_wordpiece('windows win', " +
+      "'wind,##ow,##s,win')").head.getSeq[String](0)
+    assert(got == Seq("wind", "##ow", "##s", "win"))
+  }
+}
