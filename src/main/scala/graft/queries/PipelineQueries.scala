@@ -318,6 +318,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** k-anonymity audit (Privacy.kAnonymityClasses) over customer
+    * quasi-identifiers — market segment, nation, account-balance
+    * band: per-class sizes + the k=8 verdict. The balance band keeps
+    * classes fine enough that violating classes exist at every sf,
+    * so the gate discriminates on both verdict values.
+    */
+  def pKAnon(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Privacy.kAnonymityClasses(Tables.customer(s, d),
+        Seq(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 2000.0).as("bal_band")),
+        k = 8)
+      .orderBy("c_mktsegment", "c_nationkey", "bal_band")
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -1103,6 +1116,7 @@ object PipelineQueries {
     "p_rrf" -> (pRrf _),
     "p_wordpiece" -> (pWordpiece _),
     "p_html_extract" -> (pHtmlExtract _),
+    "p_k_anon" -> (pKAnon _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -2514,6 +2528,12 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+    "p_k_anon" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        |  count(*) AS class_size, count(*) >= 8 AS ok
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "p_html_extract" -> {
       // the SAME rule chain, folded into nested regexp_replace calls;
       // single-quoted DuckDB literals pass backslashes through to RE2
