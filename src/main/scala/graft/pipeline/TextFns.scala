@@ -857,6 +857,73 @@ object TextFns {
       .limit(topK)
   }
 
+  /** Multi-query BM25: score a whole QUERY TABLE (query_id, terms
+    * array) against the corpus in ONE tokenization scan — the
+    * production retrieval shape ([[bm25]] is the single-query
+    * special case and shares its arithmetic exactly, including the
+    * DECIMAL-reduced per-document sum).
+    *
+    * Scale shape: the distinct query vocabulary (driver-small by the
+    * retrieval contract; guarded) bakes into the tokenization scan's
+    * posting filter, so only query-relevant (doc, token, tf) rows
+    * leave the ONE staged corpus pass; document frequencies and
+    * corpus stats are tiny aggregates broadcast back, the
+    * term→query fan-out joins the broadcast query-term frame, and
+    * the per-query top-k is a partial+final WindowGroupLimit, never
+    * a global sort. A corpus-sized query side would instead want the
+    * [[postings]] inverted index materialized once and joined.
+    */
+  def bm25Queries(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queries: org.apache.spark.sql.DataFrame,
+      qIdCol: String, termsCol: String, k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 100,
+      logIdf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val qt = queries.select(col(qIdCol).as("query_id"),
+        explode(col(termsCol)).as("__t"))
+      .select(col("query_id"), lower(col("__t")).as("token"))
+    // the query VOCABULARY is driver-small by the retrieval contract;
+    // baking it into the scan filter keeps corpus tokenization to the
+    // single staged pass of [[bm25]] (bounded collect, guarded)
+    val vocab = qt.select("token").distinct().limit(65537).collect()
+      .map(_.getString(0))
+    require(vocab.length <= 65536,
+      "query vocabulary too large to bake into the scan filter; " +
+        "materialize TextFns.postings and join against it instead")
+    val termLits = vocab.toSeq.map(t => lit(t))
+    val base = df.select(col(idCol).as("doc_id"),
+      graft.functions.TokenCounts(col(textCol)).as("__tcs"))
+    val lens = graft.core.Caches.stage(base.select(col("doc_id"),
+      aggregate(col("__tcs"), lit(0L),
+        (acc, x) => acc + x.getField("cnt")).as("dl"),
+      filter(col("__tcs"),
+        x => x.getField("token").isin(termLits: _*)).as("__q")))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = lens.select(col("doc_id"), col("dl"),
+        explode(col("__q")).as("t"))
+      .select(col("doc_id"), col("dl"),
+        col("t.token").as("token"), col("t.cnt").as("tf"))
+    val dfs = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    val idfOdds = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+    val idf = if (logIdf) log(idfOdds + 1.0) else idfOdds
+    val score = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * (col("dl") /
+        col("avgdl"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    matched.join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), "token")
+      .select(col("query_id"), col("doc_id"), score.as("__sc"))
+      .groupBy("query_id", "doc_id")
+      .agg(graft.Tables.dsum(col("__sc"), 12).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "score", "n_terms")
+  }
+
   def docFrequency(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topN: Int = 200): org.apache.spark.sql.DataFrame =
     df.select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))

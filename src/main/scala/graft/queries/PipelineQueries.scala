@@ -240,17 +240,22 @@ object PipelineQueries {
     * the SIGIR'09 constant k=60. Scores are per-addend decimal-rounded
     * (Tables.dsum) so DuckDB replays the fused ranking exactly.
     */
+  /** The RrfTerms tuples as a query frame (query_id, terms). */
+  private def rrfQueryFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RrfTerms.toDF("query_id", "terms")
+  }
+
   def pRrf(s: SparkSession, d: String): DataFrame = {
     import graft.pipeline.Retrieval
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
-    val lex = RrfTerms.map { case (qid, terms) =>
-      TextFns.bm25(docs, "doc_id", "text", terms, topK = 30,
-          logIdf = false)
-        .select(lit(qid).as("query_id"), col("doc_id"),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))).as("rank"))
-    }.reduce(_ unionAll _)
+    // one corpus scan for ALL lexical queries (bm25Queries); ranks
+    // are identical to per-query bm25 calls by construction
+    val lex = TextFns.bm25Queries(docs, "doc_id", "text",
+        rrfQueryFrame(s), "query_id", "terms", topK = 30,
+        logIdf = false)
+      .select(col("query_id"), col("doc_id"), col("rank"))
     val vec = Ann.bruteForceTopK(
         emb.filter(col("vec_id") < RrfTerms.size), emb,
         "vec_id", "vec_id", "embedding", k = 30)
@@ -259,6 +264,16 @@ object PipelineQueries {
     Retrieval.rrf(Seq(lex, vec), kConst = 60, topK = 10)
       .orderBy("query_id", "rank")
   }
+
+  /** Multi-query BM25 (TextFns.bm25Queries): the whole query table
+    * scored in one corpus tokenization pass; scores + ranks pinned
+    * (the decimal-reduced sums replay exactly in SQL).
+    */
+  def pBm25Multi(s: SparkSession, d: String): DataFrame =
+    TextFns.bm25Queries(Tables.documents(s, d), "doc_id", "text",
+        rrfQueryFrame(s), "query_id", "terms", topK = 10,
+        logIdf = false)
+      .orderBy("query_id", "rank")
 
   /** WordPiece vocab for p_wordpiece: corpus-realistic pieces chosen
     * to exercise every semantic branch — longest-match preference
@@ -1117,6 +1132,7 @@ object PipelineQueries {
     "p_wordpiece" -> (pWordpiece _),
     "p_html_extract" -> (pHtmlExtract _),
     "p_k_anon" -> (pKAnon _),
+    "p_bm25_multi" -> (pBm25Multi _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -2527,6 +2543,49 @@ object PipelineQueries {
          |  CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+    "p_bm25_multi" -> {
+      val qtValues = RrfTerms.map { case (qid, terms) =>
+        s"(CAST($qid AS BIGINT), ${terms.mkString("['", "', '", "']")})"
+      }.mkString(", ")
+      s"""WITH base AS (SELECT doc_id, $toks AS ts FROM documents),
+         |lens AS (SELECT doc_id, len(ts) AS dl FROM base),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |qt(query_id, terms) AS (VALUES $qtValues),
+         |qtok AS (
+         |  SELECT DISTINCT query_id, unnest(terms) AS token FROM qt),
+         |m AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(ts) AS token FROM base)
+         |  WHERE token IN (SELECT DISTINCT token FROM qtok)
+         |  GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM m GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, m.doc_id,
+         |    (CAST(s.n_docs - d.df + 0.5 AS DOUBLE) /
+         |       CAST(d.df + 0.5 AS DOUBLE))
+         |      * (m.tf * CAST(1.2 + 1 AS DOUBLE))
+         |      / (m.tf + CAST(1.2 AS DOUBLE) *
+         |          (CAST(1 - 0.75 AS DOUBLE) +
+         |           CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl))) AS sc
+         |  FROM m JOIN dfs d USING (token)
+         |  JOIN qtok q USING (token)
+         |  JOIN lens l USING (doc_id), stats s),
+         |summed AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE) AS score,
+         |    count(*) AS n_terms
+         |  FROM scored GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score,
+         |  n_terms
+         |FROM (
+         |  SELECT query_id, doc_id, score, n_terms,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM summed) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
     },
     "p_k_anon" ->
       """SELECT c_mktsegment, c_nationkey,

@@ -76,6 +76,29 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25Queries equals per-term-set bm25 calls") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val sets = Seq(0L -> Seq("spark", "window"), 1L -> Seq("vector"))
+    val multi = TextFns.bm25Queries(docs, "doc_id", "text",
+        sets.toDF("query_id", "terms"), "query_id", "terms",
+        topK = 20, logIdf = false)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r =>
+          (r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+      }
+    sets.foreach { case (qid, terms) =>
+      val single = TextFns.bm25(docs, "doc_id", "text", terms,
+          topK = 20, logIdf = false)
+        .collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(multi(qid) == single, s"query $qid")
+    }
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("rrf fuses a hand-computed example") {
     import spark.implicits._
     val la = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id",

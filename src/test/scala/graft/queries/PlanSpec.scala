@@ -335,10 +335,27 @@ class PlanSpec extends SparkSpec {
   test("p_rrf: fusion is a partial+final aggregate with a group-limit " +
       "rerank") {
     val p = plan("p_rrf")
-    assert(p.contains("row_number(), 10, Partial") &&
-      p.contains("row_number(), 10, Final"), p)
+    // at minimum the Final group-limit (the Partial disappears when
+    // the fusion aggregate already clustered the frame on query_id)
+    assert(p.contains("row_number(), 10, Final"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p_bm25_multi: one corpus tokenization; broadcast stats; " +
+      "group-limit top-k") {
+    val p = plan("p_bm25_multi")
+    // the documents table is tokenized exactly once (the staged lens
+    // frame): every corpus scan in the MAIN plan sits under an
+    // InMemoryRelation (whose printed string embeds its build scan),
+    // i.e. there is no uncached tokenization left
+    val main = p.split("--- cached ---").head
+    assert("Scan parquet".r.findAllIn(main).size ==
+      "InMemoryRelation".r.findAllIn(main).size,
+      s"uncached corpus scan in main plan:\n$p")
+    assert(main.contains("InMemoryTableScan"), p)
+    assert(p.contains("row_number(), 10, Final"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("p_ann_ivfpq: the probe is a broadcast EQUI-join on the list id") {
