@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{
   CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftglue.ColumnGlue
 import org.apache.spark.unsafe.types.UTF8String
@@ -177,4 +177,71 @@ case class ChunkSizes(child: Expression, size: Int, overlap: Int)
 object ChunkSizes {
   def apply(text: Column, size: Int, overlap: Int): Column =
     ColumnGlue.column(ChunkSizes(ColumnGlue.expression(text), size, overlap))
+}
+
+/** `SentenceChunks(sentences, budget)` → array<int>: greedy
+  * sentence-preserving chunk assignment — consecutive sentences pack
+  * into a chunk until adding the next one would push its whitespace
+  * token count past `budget`; a chunk always takes at least one
+  * sentence, so an over-budget sentence gets its own chunk rather
+  * than being split (the sentence-aware alternative to the
+  * fixed-token-window [[ChunkNative]] family — boundaries land on
+  * sentence ends, the property RAG/pretraining chunkers want).
+  * Greedy next-fit is non-associative, but it runs per ROW (per
+  * document), so it stays a scan-local projection at any corpus
+  * scale; only document length bounds the state.
+  */
+case class SentenceChunks(child: Expression, budget: Int)
+    extends UnaryExpression {
+  require(budget > 0, s"budget must be positive, got $budget")
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SentenceChunks.assign($c, $budget)")
+  override def nullSafeEval(v: Any): Any =
+    SentenceChunks.assign(v.asInstanceOf[ArrayData], budget)
+  override protected def withNewChildInternal(c: Expression)
+      : SentenceChunks = copy(child = c)
+}
+
+object SentenceChunks {
+  def apply(sentences: Column, budget: Int): Column =
+    ColumnGlue.column(SentenceChunks(
+      ColumnGlue.expression(sentences), budget))
+
+  private def tokens(s: UTF8String): Int = {
+    val str = s.toString
+    var n = 0
+    var i = 0
+    var inTok = false
+    while (i < str.length) {
+      val ws = Character.isWhitespace(str.charAt(i))
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  def assign(sentences: ArrayData, budget: Int): ArrayData = {
+    val n = sentences.numElements()
+    val out = new Array[Any](n)
+    var chunk = 0
+    var curTok = 0
+    var curCount = 0
+    var i = 0
+    while (i < n) {
+      val t = tokens(sentences.getUTF8String(i))
+      if (curCount > 0 && curTok + t > budget) {
+        chunk += 1; curTok = 0; curCount = 0
+      }
+      out(i) = chunk
+      curTok += t
+      curCount += 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -356,12 +356,17 @@ object Ann {
     array(words: _*)
   }
 
-  /** Hamming distance between two [[binEncode]] word arrays
-    * (Σ popcount(xor) per word).
+  /** Hamming distance between two [[binEncode]] word arrays:
+    * Σ popcount(xor) per word, UNROLLED over the statically-known
+    * word count — plain codegen'd expressions. (A zip_with/aggregate
+    * higher-order form computes the same value but falls out of
+    * whole-stage codegen into interpreted lambda eval, which costs
+    * ~4× on the corpus-linear scan this feeds.)
     */
-  def hammingWords(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0), (s, x) => s + x.cast("int"))
+  def hammingWords(a: Column, b: Column, words: Int = 4): Column =
+    (1 to words).map(i =>
+      bit_count(element_at(a, i).bitwiseXOR(element_at(b, i)))
+        .cast("int")).reduce(_ + _)
 
   /** Binary-quantized top-k: Hamming shortlist over packed sign bits,
     * exact cosine re-rank of the shortlist. The first stage is
@@ -378,13 +383,22 @@ object Ann {
     require(shortlist >= k, "shortlist must cover k")
     val q = queries.select(col(qId).as("query_id"),
       binEncode(col(vecCol).cast("array<double>"), dim).as("qb"))
-    val c = corpus.select(col(cId).as("neighbor_id"),
-      binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
+    // bits are computed BEFORE the spread exchange: the shuffle
+    // materializes each corpus row's words exactly once, where a
+    // same-stage projection would be re-evaluated inside the join's
+    // per-query loop (codegen defers column eval to first use — the
+    // 64-branch encode ran |corpus|×|queries| times, ~4× the whole
+    // operator). spread() also un-pins the scan from a few-split
+    // parquet layout; at write time the bit column is precomputed
+    // and both concerns are moot.
+    val c = Dedup.spread(corpus.select(col(cId).as("neighbor_id"),
+      binEncode(col(vecCol).cast("array<double>"), dim).as("cb")))
     val wh = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id"))
     val cand = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("ham", hammingWords(col("qb"), col("cb")))
+      .withColumn("ham",
+        hammingWords(col("qb"), col("cb"), dim / 16))
       .withColumn("hrank", row_number().over(wh))
       .filter(col("hrank") <= shortlist)
       .select("query_id", "neighbor_id", "ham")

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -47,5 +47,58 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("query_id", "rank", "doc_id", "rrf", "n_lists")
+  }
+
+  /** nDCG discount 1/log2(rank+1) for ranks 1..k, computed ONCE on
+    * the driver and embedded as literals in the plan (and in oracle
+    * SQL), so no engine's `ln` implementation — whose last ulp is
+    * library-defined — enters the comparison.
+    */
+  def dcgGains(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ranking-evaluation metrics for an approximate retriever against
+    * an exact reference — the numbers every ANN recall claim in this
+    * library should be (and now can be) measured with in-engine.
+    *
+    * Inputs are ranked lists (query_id, doc_id/neighbor_id, rank);
+    * relevance is binary membership in the reference top-k. Per
+    * query: `recall@k`, `mrr` (1/rank of the first relevant hit, 0
+    * if none), and `ndcg@k` with the [[dcgGains]] literal discounts
+    * (DCG reduced through DECIMAL so summation order is immaterial).
+    *
+    * Scale shape: both inputs are top-k lists (|queries| × k rows);
+    * one broadcast-able equi-join on (query_id, doc_id) marks hits
+    * and one aggregation keyed by query_id produces the report — no
+    * corpus data is touched.
+    */
+  def rankMetrics(approx: DataFrame, exact: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val gains = dcgGains(k)
+    val idcg = BigDecimal(gains.map(g =>
+      BigDecimal(g).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble)
+    val gainCol = (1 to k).foldRight(lit(0.0d): Column) { (r, acc) =>
+      when(col("rank") === r, lit(gains(r - 1))).otherwise(acc)
+    }
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), lit(1).as("__rel"))
+    a.join(e, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("__rel"), lit(0)).as("hit"))
+      .groupBy("query_id")
+      .agg(
+        sum(col("hit")).cast("long").as("n_hit"),
+        (sum(col("hit")).cast("double") / k).as("recall"),
+        coalesce(lit(1.0d) /
+            min(when(col("hit") === 1, col("rank"))),
+          lit(0.0d)).as("mrr"),
+        (graft.Tables.dsum(when(col("hit") === 1, gainCol)
+            .otherwise(lit(0.0d)), 12) /
+          lit(idcg.toDouble)).as("ndcg"))
   }
 }

@@ -143,6 +143,28 @@ object TextFns {
     * scan projection; the explode is Spark's Generate (no shuffle).
     * Short documents yield exactly one chunk.
     */
+  /** Rule-based sentence segmentation: maximal runs of
+    * non-terminator characters with their trailing `[.!?]+`
+    * attached, trimmed, empties dropped. Deliberately a single
+    * RE2-compatible extraction (no lookbehind — RE2 has none — and
+    * no abbreviation dictionary): deterministic, engine-replayable,
+    * and the shape crawl pipelines actually use before chunking.
+    */
+  def sentences(text: Column): Column =
+    filter(transform(
+        regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      // a sentence carries at least one letter/digit — stray
+      // terminator runs ("  !!") are noise, not sentences
+      s => s.rlike("[\\p{L}\\p{N}]"))
+
+  /** Sentence-aware chunk ids (one per sentence) under a whitespace
+    * token `budget` — greedy next-fit per document, boundaries on
+    * sentence ends (graft.functions.SentenceChunks kernel).
+    */
+  def sentenceChunks(sentences: Column, budget: Int): Column =
+    graft.functions.SentenceChunks(sentences, budget)
+
   def chunks(text: Column, size: Int, overlap: Int): Column = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")

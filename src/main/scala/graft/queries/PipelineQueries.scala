@@ -346,6 +346,55 @@ object PipelineQueries {
         k = 8)
       .orderBy("c_mktsegment", "c_nationkey", "bal_band")
 
+  /** Ranking-metrics evaluation (Retrieval.rankMetrics): the binary-
+    * quantized retriever measured in-engine against the exact-cosine
+    * reference — recall@5, MRR, nDCG@5 per query with the discount
+    * factors embedded as shared literals; both ranked lists AND the
+    * metric arithmetic replay in the oracle.
+    */
+  def pRankEval(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val approx = Ann.binaryTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 5, shortlist = 50)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    graft.pipeline.Retrieval.rankMetrics(approx, exact, 5)
+      .orderBy("query_id")
+  }
+
+  /** Sentence segmentation + sentence-aware chunking
+    * (TextFns.sentences / sentenceChunks). The documents fixture has
+    * no punctuation, so the gate builds a punctuated text from
+    * deterministic substrings (., !, ? terminators, a double
+    * terminator, and trailing unterminated tail) and pins the
+    * sentence list and the greedy budget-12 chunk assignment.
+    */
+  def pSentences(s: SparkSession, d: String): DataFrame = {
+    val punct = concat(
+      substring(col("text"), 1, 40), lit(". "),
+      substring(col("text"), 41, 55), lit("! "),
+      substring(col("text"), 96, 30), lit("?? "),
+      substring(col("text"), 126, 25), lit(".  "),
+      substring(col("text"), 151, 20))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.sentences(punct).as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).cast("bigint").as("n_sentences"),
+        md5(concat_ws("|", col("sents"))).as("shash"),
+        TextFns.sentenceChunks(col("sents"), budget = 12).as("cids"))
+      .select(col("doc_id"), col("n_sentences"), col("shash"),
+        coalesce(element_at(col("cids"), -1) + 1, lit(0))
+          .cast("bigint").as("n_chunks"),
+        md5(concat_ws("/", col("cids"))).as("chash"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -1133,6 +1182,8 @@ object PipelineQueries {
     "p_html_extract" -> (pHtmlExtract _),
     "p_k_anon" -> (pKAnon _),
     "p_bm25_multi" -> (pBm25Multi _),
+    "p_rank_eval" -> (pRankEval _),
+    "p_sentences" -> (pSentences _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -1162,6 +1213,44 @@ object PipelineQueries {
     "p_heavy" -> (pHeavy _),
     "p_manifest" -> (pManifest _),
     "p_nfc" -> (pNfc _))
+
+  /** Shared oracle CTEs for the binary-quantized ANN search
+    * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
+    * (word w bit i = v[16w+i] > 0), Hamming shortlist of 50, exact
+    * cosine `ranked` output.
+    */
+  private lazy val binaryAnnCtes: String = {
+    val pows = (0 until 16).map(1 << _).mkString("[", ", ", "]")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, list_transform(range(0, 4), w ->
+       |    list_sum(list_transform(range(1, 17), i ->
+       |      CASE WHEN v[w * 16 + CAST(i AS INT)] > 0
+       |        THEN ($pows)[i] ELSE 0 END))) AS b
+       |  FROM emb),
+       |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+       |ham AS (
+       |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 5), w ->
+       |      bit_count(xor(CAST(qb.b[w] AS BIGINT),
+       |        CAST(cb.b[w] AS BIGINT))))) AS INT) AS ham
+       |  FROM bits qb JOIN qids q ON qb.vec_id = q.vec_id
+       |  CROSS JOIN bits cb WHERE qb.vec_id <> cb.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, ham,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ham, neighbor_id) AS hrank
+       |  FROM ham),
+       |ranked AS (
+       |  SELECT s.query_id, s.neighbor_id, s.ham,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+       |        s.neighbor_id) AS rank
+       |  FROM short s JOIN emb qe ON s.query_id = qe.vec_id
+       |  JOIN emb ne ON s.neighbor_id = ne.vec_id
+       |  WHERE s.hrank <= 50)""".stripMargin
+  }
 
   private val norm =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -2399,40 +2488,43 @@ object PipelineQueries {
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings))
         |ORDER BY vec_id""".stripMargin,
-    "p_ann_binary" -> {
-      // identical 16-bit sign packing: word w bit i = (v[16w+i] > 0)
-      val pows = (0 until 16).map(1 << _).mkString("[", ", ", "]")
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |bits AS (
-         |  SELECT vec_id, list_transform(range(0, 4), w ->
-         |    list_sum(list_transform(range(1, 17), i ->
-         |      CASE WHEN v[w * 16 + CAST(i AS INT)] > 0
-         |        THEN ($pows)[i] ELSE 0 END))) AS b
-         |  FROM emb),
-         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
-         |ham AS (
-         |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
-         |    CAST(list_sum(list_transform(range(1, 5), w ->
-         |      bit_count(xor(CAST(qb.b[w] AS BIGINT),
-         |        CAST(cb.b[w] AS BIGINT))))) AS INT) AS ham
-         |  FROM bits qb JOIN qids q ON qb.vec_id = q.vec_id
-         |  CROSS JOIN bits cb WHERE qb.vec_id <> cb.vec_id),
-         |short AS (
-         |  SELECT query_id, neighbor_id, ham,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ham, neighbor_id) AS hrank
-         |  FROM ham),
-         |ranked AS (
-         |  SELECT s.query_id, s.neighbor_id, s.ham,
-         |    row_number() OVER (PARTITION BY s.query_id
-         |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
-         |        s.neighbor_id) AS rank
-         |  FROM short s JOIN emb qe ON s.query_id = qe.vec_id
-         |  JOIN emb ne ON s.neighbor_id = ne.vec_id
-         |  WHERE s.hrank <= 50)
+    "p_ann_binary" ->
+      s"""WITH $binaryAnnCtes
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ham
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "p_rank_eval" -> {
+      val gains = graft.pipeline.Retrieval.dcgGains(5)
+      val idcg = gains.map(g => BigDecimal(g)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val gainCase = (1 to 5).map(r =>
+        s"WHEN rank = $r THEN CAST(${gains(r - 1)} AS DOUBLE)")
+        .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
+      s"""WITH $binaryAnnCtes,
+         |bru AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+         |          c.vec_id) AS rank
+         |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id IN (SELECT vec_id FROM qids))
+         |  WHERE rank <= 5),
+         |j AS (
+         |  SELECT a.query_id, a.rank,
+         |    CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM (SELECT query_id, neighbor_id, rank FROM ranked
+         |    WHERE rank <= 5) a
+         |  LEFT JOIN bru e ON a.query_id = e.query_id
+         |    AND a.neighbor_id = e.neighbor_id)
+         |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  CAST(sum(hit) AS DOUBLE) / 5 AS recall,
+         |  coalesce(CAST(1 AS DOUBLE) /
+         |      min(CASE WHEN hit = 1 THEN rank END),
+         |    CAST(0 AS DOUBLE)) AS mrr,
+         |  CAST(sum(CAST(CASE WHEN hit = 1 THEN $gainCase
+         |      ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,12)))
+         |    AS DOUBLE) / CAST($idcg AS DOUBLE) AS ndcg
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "p_rrf" -> {
       val qtValues = RrfTerms.map { case (qid, terms) =>
@@ -2587,6 +2679,49 @@ object PipelineQueries {
          |  FROM summed) WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+    "p_sentences" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || '. ' || substr(text, 41, 55)
+        |      || '! ' || substr(text, 96, 30) || '?? '
+        |      || substr(text, 126, 25) || '.  '
+        |      || substr(text, 151, 20) AS t
+        |  FROM documents),
+        |sents AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
+        |      x -> regexp_matches(x, '[\p{L}\p{N}]')) AS ss
+        |  FROM base),
+        |sent AS (
+        |  SELECT doc_id, CAST(i AS INT) AS si,
+        |    ss[CAST(i AS INT)] AS s,
+        |    len(list_filter(str_split_regex(ss[CAST(i AS INT)],
+        |      '\s+'), x -> x <> '')) AS t
+        |  FROM (SELECT doc_id, ss,
+        |    unnest(range(1, len(ss) + 1)) AS i FROM sents)),
+        |walk(doc_id, si, chunk, curtok) AS (
+        |  SELECT doc_id, si, 0, t FROM sent WHERE si = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.si,
+        |    CASE WHEN w.curtok + s.t > 12 THEN w.chunk + 1
+        |      ELSE w.chunk END,
+        |    CASE WHEN w.curtok + s.t > 12 THEN s.t
+        |      ELSE w.curtok + s.t END
+        |  FROM walk w JOIN sent s
+        |    ON s.doc_id = w.doc_id AND s.si = w.si + 1),
+        |agg AS (
+        |  SELECT doc_id, max(chunk) + 1 AS n_chunks,
+        |    md5(string_agg(CAST(chunk AS VARCHAR), '/' ORDER BY si))
+        |      AS chash
+        |  FROM walk GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(len(s.ss) AS BIGINT) AS n_sentences,
+        |  md5(array_to_string(s.ss, '|')) AS shash,
+        |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  coalesce(a.chash, md5('')) AS chash
+        |FROM sents s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "p_k_anon" ->
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,

@@ -172,6 +172,24 @@ object EventStreams {
       .withColumn("chash", TextFns.contentHash(col(textCol)))
   }
 
+  /** Streaming crawl-ingestion front-end: HTML→text extraction
+    * ([[graft.pipeline.TextFns.htmlToText]]) plus token / WordPiece
+    * length accounting as a stateless readStream projection — the
+    * WARC tail of the pipeline running continuously. Same kernels as
+    * the batch operators, no state, no watermark (stream == batch
+    * pinned by StreamingSpec).
+    */
+  def extractStream(docs: DataFrame, htmlCol: String = "html",
+      wpVocab: Seq[String] = Nil): DataFrame = {
+    import graft.pipeline.TextFns
+    val base = docs
+      .withColumn("text", TextFns.htmlToText(col(htmlCol)))
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+    if (wpVocab.isEmpty) base
+    else base.withColumn("n_pieces",
+      size(TextFns.wordpieceEncode(col("text"), wpVocab)))
+  }
+
   /** LM quality scoring under readStream: apply a PRE-TRAINED unigram
     * model (Importance.trainUnigram on a batch reference corpus) as
     * the scan-local cross-entropy projection — model as plan

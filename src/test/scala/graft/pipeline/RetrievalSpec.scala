@@ -118,6 +118,35 @@ class RetrievalSpec extends SparkSpec {
       (3, 12L, s12, 1L)))
   }
 
+  test("rankMetrics: hand-computed recall, MRR, nDCG") {
+    import spark.implicits._
+    val approx = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+        (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val exact = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3),
+        (2L, 30L, 1), (2L, 31L, 2), (2L, 32L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankMetrics(approx, exact, 3)
+      .orderBy("query_id").collect()
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val g = Retrieval.dcgGains(3)
+    val idcg = (dec(g(0)) + dec(g(1)) + dec(g(2))).toDouble
+    // query 1: hits at ranks 1 and 2 (docs 10, 11), miss at 3
+    val q1 = got(0)
+    assert(q1.getLong(1) == 2L)
+    assert(q1.getDouble(2) == 2.0 / 3)
+    assert(q1.getDouble(3) == 1.0)
+    assert(q1.getDouble(4) ==
+      (dec(g(0)) + dec(g(1))).toDouble / idcg)
+    // query 2: zero overlap → all-zero metrics
+    val q2 = got(1)
+    assert(q2.getLong(1) == 0L)
+    assert(q2.getDouble(2) == 0.0)
+    assert(q2.getDouble(3) == 0.0)
+    assert(q2.getDouble(4) == 0.0)
+  }
+
   test("rrf: a document present in both lists outranks one with the " +
       "same best rank in a single list") {
     import spark.implicits._

@@ -83,6 +83,36 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("chash").length == 32)
   }
 
+  test("html extraction stream matches the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val html = "<html><head><style>x{}</style></head><body>" +
+      "<h1>Title</h1><p>windows are &amp; good</p></body></html>"
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, html))
+    val vocab = Seq("title", "wind", "##ow", "##s", "are", "good")
+    val q = EventStreams.extractStream(input.toDF()
+        .toDF("doc_id", "html"), wpVocab = vocab)
+      .writeStream.format("memory").queryName("extracted")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("extracted").head()
+    assert(r.getAs[String]("text") == "Title\nwindows are & good")
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    // batch twin on the same row: identical values
+    val b = EventStreams.extractStream(
+      Seq((1L, html)).toDF("doc_id", "html"), wpVocab = vocab).head()
+    assert(b.getAs[String]("text") ==
+      r.getAs[String]("text"))
+    assert(b.getAs[Int]("n_pieces") == r.getAs[Int]("n_pieces"))
+    // wordpiece accounting saw the ## continuations: windows = 3
+    // pieces, the rest one each + [UNK] for the '&'
+    assert(r.getAs[Int]("n_pieces") ==
+      Seq((1L, html)).toDF("doc_id", "html")
+        .select(graft.pipeline.TextFns.wordpieceEncode(
+          graft.pipeline.TextFns.htmlToText(col("html")), vocab))
+        .head.getSeq[String](0).size)
+  }
+
   test("lm scoring stream matches the batch cross-entropy") {
     implicit val ctx = spark.sqlContext
     val ref = Seq((10L, "the quick brown fox jumps the fence"),
