@@ -192,6 +192,21 @@ object GraftExtensions {
         viaColumn(c => graft.pipeline.TextFns.wordpieceEncode(c, vocab,
           maxLen))(args.head)
       }),
+    ("graft_sentences",
+      "graft_sentences(text) - rule-based sentence segmentation",
+      (args: Seq[Expression]) => {
+        arity("graft_sentences", args, 1)
+        viaColumn(graft.pipeline.TextFns.sentences)(args.head)
+      }),
+    ("graft_sentence_chunks",
+      "graft_sentence_chunks(sentences, budget) - greedy " +
+        "sentence-preserving chunk ids under a token budget",
+      (args: Seq[Expression]) => {
+        arity("graft_sentence_chunks", args, 2)
+        val budget = intArg(args(1), "budget")
+        viaColumn(c => graft.pipeline.TextFns.sentenceChunks(c,
+          budget))(args.head)
+      }),
     ("graft_nfc",
       "graft_nfc(text) - Unicode NFC normalization",
       (args: Seq[Expression]) => {

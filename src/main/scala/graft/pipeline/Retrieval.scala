@@ -49,6 +49,41 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "rrf", "n_lists")
   }
 
+  /** Contrastive-pair mining for embedding-model training: for each
+    * anchor, the `nPos` nearest SAME-label vectors (positives) and
+    * the `nNeg` nearest DIFFERENT-label vectors — the hard negatives
+    * that actually move a contrastive/triplet loss, as opposed to
+    * random negatives a batch sampler would draw.
+    *
+    * This exact-scoring form broadcasts the anchor set over one
+    * corpus scan (anchors ≪ corpus, the mining norm) and takes both
+    * per-anchor top lists in ONE window pass partitioned by (anchor,
+    * polarity). At billion-vector scale the scoring stage swaps for
+    * an ANN shortlist ([[Ann.ivfPqTopK]] / [[Ann.binaryTopK]]) with
+    * this same ranking tail — the join topology is unchanged.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      aId: String, cId: String, vecCol: String, labelCol: String,
+      nPos: Int = 3, nNeg: Int = 3): DataFrame = {
+    val a = anchors.select(col(aId).as("anchor_id"),
+      col(vecCol).cast("array<double>").as("av"),
+      col(labelCol).as("anchor_label"))
+    val c = corpus.select(col(cId).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      col(labelCol).as("cand_label"))
+    val w = Window.partitionBy("anchor_id", "is_positive")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
+      .withColumn("cos", Dedup.cosine(col("av"), col("cv")))
+      .withColumn("is_positive",
+        col("cand_label") === col("anchor_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(when(col("is_positive"), col("rank") <= nPos)
+        .otherwise(col("rank") <= nNeg))
+      .select("anchor_id", "is_positive", "rank", "cand_id",
+        "cand_label")
+  }
+
   /** nDCG discount 1/log2(rank+1) for ranks 1..k, computed ONCE on
     * the driver and embedded as literals in the plan (and in oracle
     * SQL), so no engine's `ln` implementation — whose last ulp is

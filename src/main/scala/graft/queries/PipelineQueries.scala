@@ -395,6 +395,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Contrastive-pair mining (Retrieval.hardNegatives): nearest
+    * same-label positives + nearest different-label hard negatives
+    * per anchor over the labeled embeddings — the training-pair
+    * generator for embedding models, fully oracle-replayed.
+    */
+  def pHardNeg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.orderBy("vec_id").limit(10)
+    graft.pipeline.Retrieval.hardNegatives(anchors, emb, "vec_id",
+        "vec_id", "embedding", "label", nPos = 3, nNeg = 3)
+      .orderBy("anchor_id", "is_positive", "rank")
+  }
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -1184,6 +1197,7 @@ object PipelineQueries {
     "p_bm25_multi" -> (pBm25Multi _),
     "p_rank_eval" -> (pRankEval _),
     "p_sentences" -> (pSentences _),
+    "p_hard_neg" -> (pHardNeg _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -2679,6 +2693,24 @@ object PipelineQueries {
          |  FROM summed) WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+    "p_hard_neg" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |anch AS (SELECT * FROM emb ORDER BY vec_id LIMIT 10),
+        |scored AS (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+        |    c.label AS cand_label,
+        |    c.label = a.label AS is_positive,
+        |    row_number() OVER (
+        |      PARTITION BY a.vec_id, (c.label = a.label)
+        |      ORDER BY list_cosine_similarity(a.v, c.v) DESC,
+        |        c.vec_id) AS rank
+        |  FROM anch a JOIN emb c ON a.vec_id <> c.vec_id)
+        |SELECT anchor_id, is_positive, CAST(rank AS INT) AS rank,
+        |  cand_id, cand_label
+        |FROM scored WHERE rank <= 3
+        |ORDER BY anchor_id, is_positive, rank""".stripMargin,
     "p_sentences" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id,

@@ -57,6 +57,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 2)
   }
 
+  test("graft_sentences and graft_sentence_chunks through SQL") {
+    val r = spark.sql("SELECT graft_sentence_chunks(" +
+      "graft_sentences('a b c. d e! f g h i? j'), 5) AS c").head()
+    assert(r.getSeq[Int](0) == Seq(0, 0, 1, 1))
+  }
+
   test("graft_nfc composes through SQL") {
     // literal codepoints, not chr(): Spark's chr() is ASCII-mod-256
     // (chr(769) = chr(1)), unlike DuckDB's codepoint chr()

@@ -118,6 +118,38 @@ class RetrievalSpec extends SparkSpec {
       (3, 12L, s12, 1L)))
   }
 
+  test("hardNegatives: polarity honors labels; ranks follow cosine") {
+    val emb = Tables.embeddings(spark, sf())
+    val anchors = emb.orderBy("vec_id").limit(3)
+    val got = Retrieval.hardNegatives(anchors, emb, "vec_id",
+        "vec_id", "embedding", "label", nPos = 2, nNeg = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getInt(2), r.getLong(3), r.getInt(4)))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L until 3L).foreach { anc =>
+      Seq(true, false).foreach { pos =>
+        val expect = vecs.keys.filter(c => c != anc &&
+            (labels(c) == labels(anc)) == pos).toSeq
+          .map(c => (cos(vecs(anc), vecs(c)), c))
+          .sortBy { case (s, c) => (-s, c) }.take(2).map(_._2)
+        val gotP = got.filter(r => r._1 == anc && r._2 == pos)
+          .sortBy(_._3)
+        assert(gotP.map(_._4).toSeq == expect, s"anchor $anc pos=$pos")
+        assert(gotP.forall(r =>
+          (labels(r._4) == labels(anc)) == pos))
+      }
+    }
+  }
+
   test("rankMetrics: hand-computed recall, MRR, nDCG") {
     import spark.implicits._
     val approx = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
