@@ -43,11 +43,27 @@ object Decontam {
     * filters (spark.sql.optimizer.runtime.bloomFilter.enabled), which
     * build the same filter inside the join at execution time.
     */
+  /** `maxShingleFrac`: RELATIVE boilerplate cap — drop grams present
+    * in more than this fraction of train documents (effective cap =
+    * min(maxShingleFreq, frac·|train|), computed lazily in-plan).
+    * The absolute `maxShingleFreq` alone stops protecting as the
+    * corpus grows: at 100× the data the same boilerplate gram has
+    * 100× the count and sails under any fixed threshold — a 10×
+    * rehearsal measured the join fan-out going quadratic exactly
+    * this way (ROADMAP round-9 sf10 notes). A gram shared by a
+    * constant fraction of the corpus is boilerplate at every scale,
+    * so the fraction is the scale-stable form of the guard. Default
+    * 1.0 = disabled (backward-compatible); 0.001–0.01 is the useful
+    * range.
+    */
   def contamination(train: DataFrame, trainId: String,
       test: DataFrame, testId: String, textCol: String,
       n: Int = 8, minCommon: Int = 2,
       maxShingleFreq: Int = 1000,
-      bloomPreFilter: Boolean = false): DataFrame = {
+      bloomPreFilter: Boolean = false,
+      maxShingleFrac: Double = 1.0): DataFrame = {
+    require(maxShingleFrac > 0 && maxShingleFrac <= 1.0,
+      s"maxShingleFrac must be in (0, 1], got $maxShingleFrac")
     // per-document hash dedup happens INSIDE the row (the native
     // expression returns distinct hashes), so no shuffle-distinct is
     // needed before the join — (id, h) rows are unique by construction
@@ -72,9 +88,17 @@ object Decontam {
           org.apache.spark.sql.types.BinaryType),
         ColumnGlue.expression(col("h")))))
     }
-    val tr = tr1
+    val cap: Column = if (maxShingleFrac >= 1.0) lit(maxShingleFreq)
+      else least(lit(maxShingleFreq.toLong),
+        ceil(lit(maxShingleFrac) *
+          col("__n_train")).cast("long"))
+    val tr2 = if (maxShingleFrac >= 1.0) tr1
+      else tr1.crossJoin(broadcast(
+        train.agg(count(lit(1)).as("__n_train"))))
+    val tr = tr2
       .withColumn("__freq", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+      .filter(col("__freq") <= cap)
+      .drop("__freq", "__n_train")
     te.join(tr, "h")
       .groupBy("test_id", "train_id")
       .agg(count(lit(1)).as("n_common"))

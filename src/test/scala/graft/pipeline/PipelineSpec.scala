@@ -766,6 +766,22 @@ class PipelineSpec extends SparkSpec {
       test.filter(col("id") < 0), "id", "text",
       n = 3, minCommon = 1, bloomPreFilter = true).count()
     assert(none == 0L)
+    // RELATIVE cap: "alpha beta gamma" lands in 2/4 train docs (50%);
+    // frac=0.25 → cap ceil(0.25·4)=1 drops it, demoting pair (1,10)
+    // below minCommon; the rarer (3,11) grams (df=1) survive — and
+    // frac=1.0 (the default) is a no-op
+    val train2 = train.unionAll(Seq(
+      (13L, "alpha beta gamma something else here")).toDF("id", "text"))
+    val rel = Decontam.contamination(train2, "id", test, "id", "text",
+        n = 3, minCommon = 2, maxShingleFrac = 0.25)
+      .collect().map(r => (r.getAs[Long]("test_id"),
+        r.getAs[Long]("train_id"))).toSet
+    assert(rel == Set((3L, 11L)), rel)
+    val noop = Decontam.contamination(train, "id", test, "id", "text",
+        n = 3, minCommon = 2, maxShingleFrac = 1.0)
+      .collect().map(r => (r.getAs[Long]("test_id"),
+        r.getAs[Long]("train_id"), r.getAs[Long]("n_common"))).toSet
+    assert(noop == got)
   }
 
   test("redact: typed placeholders, ordered patterns, match counts") {
