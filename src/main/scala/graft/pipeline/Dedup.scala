@@ -687,7 +687,16 @@ object Dedup {
   // ---------- embedding cosine ----------
 
   /** Cosine similarity of two float-array columns (row-local). */
-  def cosine(a: Column, bc: Column): Column = {
+  def cosine(a: Column, bc: Column): Column =
+    graft.functions.CosineSim(a, bc)
+
+  /** The Column-HOF cosine — kept as the executable specification the
+    * native [[graft.functions.CosineSim]] kernel is differentially
+    * tested against (VecSimSpec pins bit-identity; the kernel uses
+    * the same left-fold element order, so every oracle that mirrors
+    * this arithmetic is unaffected).
+    */
+  def cosineHof(a: Column, bc: Column): Column = {
     val dot = aggregate(zip_with(a, bc, (x, y) => x * y),
       lit(0.0d), (s, x) => s + x)
     val na = sqrt(aggregate(a, lit(0.0d), (s, x) => s + x * x))
