@@ -70,3 +70,90 @@ object TokenCounts {
   def apply(text: Column): Column =
     ColumnGlue.column(TokenCounts(ColumnGlue.expression(text)))
 }
+
+/** `TokenPostings(text, vocab)` → struct<dl:long,
+  * q:array<struct<token:string, cnt:long>>>: document length (total
+  * token count) plus the postings restricted to a plan-baked
+  * vocabulary, in ONE codegen'd call — the BM25 scan projection
+  * ([[graft.pipeline.TextFns.bm25]]/`bm25Queries`) without the
+  * interpreted aggregate/filter lambdas it previously paid per
+  * document. First-occurrence posting order matches
+  * `filter(tokenCounts(text), isin(vocab))` exactly.
+  */
+case class TokenPostings(child: Expression, vocab: Array[String],
+    useICU: Boolean = TextHash.resolveUseICU())
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, false),
+    StructField("q", ArrayType(StructType(Seq(
+      StructField("token", StringType, false),
+      StructField("cnt", LongType, false))), false), false)))
+
+  private val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val vs = ctx.addReferenceObj("bmVocab", vocabSet,
+      "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        |${ev.value} = graft.functions.TokenPostings.compute(
+        |  $c, $vs, $useICU);
+        |""".stripMargin
+    })
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TokenPostings.compute(v.asInstanceOf[UTF8String], vocabSet, useICU)
+
+  override protected def withNewChildInternal(c: Expression)
+      : TokenPostings = copy(child = c)
+
+  override def equals(o: Any): Boolean = o match {
+    case t: TokenPostings =>
+      t.child == child && t.useICU == useICU &&
+        java.util.Arrays.equals(
+          t.vocab.asInstanceOf[Array[AnyRef]],
+          vocab.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Boolean.valueOf(useICU),
+      Integer.valueOf(java.util.Arrays.hashCode(
+        vocab.asInstanceOf[Array[AnyRef]])))
+}
+
+object TokenPostings {
+  def apply(text: Column, vocab: Array[String]): Column =
+    ColumnGlue.column(TokenPostings(ColumnGlue.expression(text), vocab))
+
+  def compute(text: UTF8String, vocab: java.util.HashSet[String],
+      useICU: Boolean): InternalRow = {
+    val toks = TextHash.tokensOf(text, useICU)
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (vocab.contains(t)) {
+        val prev = m.get(t)
+        m.put(t, if (prev eq null) 1L else prev.longValue() + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey),
+        e.getValue.longValue())
+      k += 1
+    }
+    InternalRow(toks.length.toLong, new GenericArrayData(out))
+  }
+}

@@ -842,21 +842,20 @@ object TextFns {
       b: Double = 0.75, topK: Int = 100,
       logIdf: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val termLits = terms.map(t => lit(t.toLowerCase)).toSeq
+    // doc length + query-term postings in ONE codegen'd kernel call
+    // (TokenPostings — no interpreted aggregate/filter lambdas in the
+    // scan). STAGED (persist, harness-released): three consumers
+    // (stats, dfs, postings) would otherwise each re-tokenize the
+    // corpus — three full text scans — and none of them shares an
+    // exchange for ReusedExchange to latch onto. The staged frame is
+    // narrow (id, length, ≤|terms| postings — no text), so the cache
+    // is a small fraction of corpus size.
     val base = df.select(col(idCol).as("doc_id"),
-      graft.functions.TokenCounts(col(textCol)).as("__tcs"))
-    // doc length = Σ cnt (total tokens); query-term postings filtered
-    // inside the same projection. STAGED (persist, harness-released):
-    // three consumers (stats, dfs, postings) would otherwise each
-    // re-tokenize the corpus — three full text scans — and none of
-    // them shares an exchange for ReusedExchange to latch onto. The
-    // staged frame is narrow (id, length, ≤|terms| postings — no
-    // text), so the cache is a small fraction of corpus size.
+      graft.functions.TokenPostings(col(textCol),
+        terms.map(_.toLowerCase).toArray).as("__tp"))
     val lens = graft.core.Caches.stage(base.select(col("doc_id"),
-      aggregate(col("__tcs"), lit(0L),
-        (acc, x) => acc + x.getField("cnt")).as("dl"),
-      filter(col("__tcs"),
-        x => x.getField("token").isin(termLits: _*)).as("__q")))
+      col("__tp").getField("dl").as("dl"),
+      col("__tp").getField("q").as("__q")))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val matched = lens.select(col("doc_id"), col("dl"),
@@ -911,14 +910,11 @@ object TextFns {
     require(vocab.length <= 65536,
       "query vocabulary too large to bake into the scan filter; " +
         "materialize TextFns.postings and join against it instead")
-    val termLits = vocab.toSeq.map(t => lit(t))
     val base = df.select(col(idCol).as("doc_id"),
-      graft.functions.TokenCounts(col(textCol)).as("__tcs"))
+      graft.functions.TokenPostings(col(textCol), vocab).as("__tp"))
     val lens = graft.core.Caches.stage(base.select(col("doc_id"),
-      aggregate(col("__tcs"), lit(0L),
-        (acc, x) => acc + x.getField("cnt")).as("dl"),
-      filter(col("__tcs"),
-        x => x.getField("token").isin(termLits: _*)).as("__q")))
+      col("__tp").getField("dl").as("dl"),
+      col("__tp").getField("q").as("__q")))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val matched = lens.select(col("doc_id"), col("dl"),
