@@ -211,13 +211,21 @@ object SentenceChunks {
     ColumnGlue.column(SentenceChunks(
       ColumnGlue.expression(sentences), budget))
 
+  // the RE2 \s set ({\t \n \f \r ' '}) — NOT Character.isWhitespace:
+  // the oracle replays token counts with DuckDB's str_split_regex,
+  // and Unicode-only whitespace (U+2028, U+001C–1F) would flip chunk
+  // boundaries cross-engine. (Java's \s additionally matches \x0B —
+  // RE2's is the narrower set, so it is the portable contract.)
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   private def tokens(s: UTF8String): Int = {
     val str = s.toString
     var n = 0
     var i = 0
     var inTok = false
     while (i < str.length) {
-      val ws = Character.isWhitespace(str.charAt(i))
+      val ws = isWs(str.charAt(i))
       if (!ws && !inTok) { n += 1; inTok = true }
       else if (ws) inTok = false
       i += 1

@@ -25,14 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * multiset the DuckDB oracle replays with str_split_regex(lower()).
   */
 object TokenStatsNative {
-  def tokenCounts(text: UTF8String, useICU: Boolean): GenericArrayData = {
-    val toks = TextHash.tokensOf(text, useICU)
+  /** First-occurrence-ordered (token, count) array; `vocab == null`
+    * counts every token, otherwise only members (the shared loop of
+    * [[TokenCounts]] and [[TokenPostings]]).
+    */
+  private[functions] def countsOf(toks: Array[String],
+      vocab: java.util.HashSet[String]): GenericArrayData = {
     val m = new java.util.LinkedHashMap[String, java.lang.Long]()
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      val prev = m.get(t)
-      m.put(t, if (prev eq null) 1L else prev.longValue() + 1L)
+      if ((vocab eq null) || vocab.contains(t)) {
+        val prev = m.get(t)
+        m.put(t, if (prev eq null) 1L else prev.longValue() + 1L)
+      }
       i += 1
     }
     val out = new Array[Any](m.size)
@@ -46,6 +52,9 @@ object TokenStatsNative {
     }
     new GenericArrayData(out)
   }
+
+  def tokenCounts(text: UTF8String, useICU: Boolean): GenericArrayData =
+    countsOf(TextHash.tokensOf(text, useICU), null)
 }
 
 /** `tokenCounts(text)` as one codegen'd call →
@@ -135,25 +144,7 @@ object TokenPostings {
   def compute(text: UTF8String, vocab: java.util.HashSet[String],
       useICU: Boolean): InternalRow = {
     val toks = TextHash.tokensOf(text, useICU)
-    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      if (vocab.contains(t)) {
-        val prev = m.get(t)
-        m.put(t, if (prev eq null) 1L else prev.longValue() + 1L)
-      }
-      i += 1
-    }
-    val out = new Array[Any](m.size)
-    val it = m.entrySet().iterator()
-    var k = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(k) = InternalRow(UTF8String.fromString(e.getKey),
-        e.getValue.longValue())
-      k += 1
-    }
-    InternalRow(toks.length.toLong, new GenericArrayData(out))
+    InternalRow(toks.length.toLong,
+      TokenStatsNative.countsOf(toks, vocab))
   }
 }

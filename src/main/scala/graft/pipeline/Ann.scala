@@ -353,7 +353,13 @@ object Ann {
           .otherwise(lit(0))
       }.reduce(_ + _)
     }
-    array(words: _*)
+    // a wrong-dimension vector would silently zero-fill its missing
+    // sign bits (element_at past the end is NULL → the otherwise
+    // branch) and produce a plausible-looking but meaningless
+    // signature; fail the row instead
+    when(assert_true(size(vec) === dim,
+        lit(s"binEncode expects $dim components")).isNull,
+      array(words: _*))
   }
 
   /** Hamming distance between two [[binEncode]] word arrays:

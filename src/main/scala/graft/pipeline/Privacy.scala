@@ -53,6 +53,7 @@ object Privacy {
   def suppressSmallClasses(df: DataFrame, quasi: Seq[Column],
       k: Long): DataFrame = {
     require(quasi.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1, "k must be positive")
     val w = Window.partitionBy(quasi: _*)
     df.withColumn("__csz", count(lit(1)).over(w))
       .filter(col("__csz") >= k)

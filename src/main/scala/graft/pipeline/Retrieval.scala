@@ -65,12 +65,19 @@ object Retrieval {
   def hardNegatives(anchors: DataFrame, corpus: DataFrame,
       aId: String, cId: String, vecCol: String, labelCol: String,
       nPos: Int = 3, nNeg: Int = 3): DataFrame = {
-    val a = anchors.select(col(aId).as("anchor_id"),
-      col(vecCol).cast("array<double>").as("av"),
-      col(labelCol).as("anchor_label"))
-    val c = corpus.select(col(cId).as("cand_id"),
-      col(vecCol).cast("array<double>").as("cv"),
-      col(labelCol).as("cand_label"))
+    // unlabeled rows are excluded from mining on BOTH sides: a NULL
+    // label can certify neither a positive nor a (safe) negative, and
+    // without the filter the three-valued === would route NULL-label
+    // candidates through the negative branch as a third window
+    // partition
+    val a = anchors.filter(col(labelCol).isNotNull)
+      .select(col(aId).as("anchor_id"),
+        col(vecCol).cast("array<double>").as("av"),
+        col(labelCol).as("anchor_label"))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(cId).as("cand_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        col(labelCol).as("cand_label"))
     val w = Window.partitionBy("anchor_id", "is_positive")
       .orderBy(col("cos").desc, col("cand_id"))
     c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
@@ -122,7 +129,7 @@ object Retrieval {
         col("rank").cast("int").as("rank"))
     val e = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), lit(1).as("__rel"))
-    a.join(e, Seq("query_id", "doc_id"), "left")
+    val perQuery = a.join(e, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("rank"),
         coalesce(col("__rel"), lit(0)).as("hit"))
       .groupBy("query_id")
@@ -135,5 +142,15 @@ object Retrieval {
         (graft.Tables.dsum(when(col("hit") === 1, gainCol)
             .otherwise(lit(0.0d)), 12) /
           lit(idcg.toDouble)).as("ndcg"))
+    // a query the retriever returned NOTHING for must score zero, not
+    // vanish (a silent drop inflates any aggregate over the report) —
+    // every query in the reference gets a row
+    e.select("query_id").distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("recall"), lit(0.0d)).as("recall"),
+        coalesce(col("mrr"), lit(0.0d)).as("mrr"),
+        coalesce(col("ndcg"), lit(0.0d)).as("ndcg"))
   }
 }

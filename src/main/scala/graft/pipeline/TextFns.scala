@@ -657,9 +657,19 @@ object TextFns {
     * (fewest-pieces DP). Scan-local over a plan-baked vocab.
     */
   def wordpieceEncode(text: Column, vocab: Seq[String],
-      maxPieceLen: Int = 6): Column =
+      maxPieceLen: Int = 6): Column = {
+    // a piece longer than maxPieceLen would be silently unmatchable
+    // (every word containing it collapses to [UNK]); surface the dead
+    // vocab entry at plan build instead
+    val tooLong = vocab.filter(p =>
+      (if (p.startsWith("##")) p.length - 2 else p.length) >
+        maxPieceLen)
+    require(tooLong.isEmpty,
+      s"vocab pieces exceed maxPieceLen=$maxPieceLen: " +
+        tooLong.take(5).mkString(", "))
     flatten(transform(Dedup.tokens(text), w =>
       graft.functions.WordpieceSegment(w, vocab.toArray, maxPieceLen)))
+  }
 
   private def requireBpeSymbols(merges: Seq[(String, String)]): Unit =
     require(merges.forall { case (a, b) =>
@@ -899,9 +909,13 @@ object TextFns {
       qIdCol: String, termsCol: String, k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 100,
       logIdf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // DISTINCT after lowercasing: duplicate terms in a query's array
+    // (or case variants of one term) must score once, matching the
+    // single-query form's set semantics and the oracle's DISTINCT
     val qt = queries.select(col(qIdCol).as("query_id"),
         explode(col(termsCol)).as("__t"))
       .select(col("query_id"), lower(col("__t")).as("token"))
+      .distinct()
     // the query VOCABULARY is driver-small by the retrieval contract;
     // baking it into the scan filter keeps corpus tokenization to the
     // single staged pass of [[bm25]] (bounded collect, guarded)

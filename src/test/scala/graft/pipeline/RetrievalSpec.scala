@@ -99,6 +99,65 @@ class RetrievalSpec extends SparkSpec {
     graft.core.Caches.releaseAll(spark)
   }
 
+  test("bm25Queries: duplicate and case-variant terms score once") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val clean = TextFns.bm25Queries(docs, "doc_id", "text",
+        Seq((0L, Seq("spark"))).toDF("query_id", "terms"),
+        "query_id", "terms", topK = 5, logIdf = false)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val duped = TextFns.bm25Queries(docs, "doc_id", "text",
+        Seq((0L, Seq("spark", "Spark", "spark"))).toDF("query_id",
+          "terms"),
+        "query_id", "terms", topK = 5, logIdf = false)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(duped == clean)
+    graft.core.Caches.releaseAll(spark)
+  }
+
+  test("hardNegatives: unlabeled rows are excluded from mining") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), Some(1)), (1L, Seq(0.9, 0.1), Some(1)),
+      (2L, Seq(0.8, 0.2), None), (3L, Seq(0.0, 1.0), Some(2)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.hardNegatives(emb.filter(col("vec_id") === 0),
+        emb, "vec_id", "vec_id", "embedding", "label", 2, 2)
+      .collect().map(r => (r.getBoolean(1), r.getLong(3))).toSet
+    // vec 2 (NULL label) appears in neither polarity
+    assert(got == Set((true, 1L), (false, 3L)))
+  }
+
+  test("rankMetrics: a query with no approx rows scores zero") {
+    import spark.implicits._
+    val approx = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val exact = Seq((1L, 10L, 1), (7L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankMetrics(approx, exact, 1)
+      .orderBy("query_id").collect()
+    assert(got.length == 2)
+    assert(got(1).getLong(0) == 7L && got(1).getLong(1) == 0L &&
+      got(1).getDouble(2) == 0.0 && got(1).getDouble(3) == 0.0 &&
+      got(1).getDouble(4) == 0.0)
+  }
+
+  test("binEncode fails loudly on a wrong-dimension vector") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0, -1.0))).toDF("v")
+        .select(Ann.binEncode(col("v"), 64)).collect()
+    }
+    assert(err.getMessage.contains("binEncode expects 64"))
+  }
+
+  test("wordpieceEncode rejects vocab pieces longer than the cap") {
+    val err = intercept[IllegalArgumentException] {
+      TextFns.wordpieceEncode(col("t"), Seq("customer", "##s"),
+        maxPieceLen = 6)
+    }
+    assert(err.getMessage.contains("customer"))
+  }
+
   test("rrf fuses a hand-computed example") {
     import spark.implicits._
     val la = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id",

@@ -40,6 +40,16 @@ class SentenceSpec extends SparkSpec {
     assert(got2 == Seq(0, 1, 2))
   }
 
+  test("token counting uses the RE2 whitespace set, not Unicode") {
+    import spark.implicits._
+    // U+2028 LINE SEPARATOR is Character.isWhitespace but not RE2 \s:
+    // "a b" is ONE token, so both sentences fit budget 2
+    val got = Seq(Seq("a b", "x")).toDF("ss")
+      .select(TextFns.sentenceChunks(col("ss"), budget = 2))
+      .head.getSeq[Int](0)
+    assert(got == Seq(0, 0))
+  }
+
   test("chunk ids are dense and non-decreasing (random texts)") {
     val rnd = new scala.util.Random(11)
     import spark.implicits._
