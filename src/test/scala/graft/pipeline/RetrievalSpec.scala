@@ -209,6 +209,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesApprox: shortlist mining tracks the exact miner") {
+    val emb = Tables.embeddings(spark, sf())
+    val anchors = emb.orderBy("vec_id").limit(10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getInt(2), r.getLong(3))).toSeq
+    val exact = pairs(Retrieval.hardNegatives(anchors, emb, "vec_id",
+      "vec_id", "embedding", "label", 3, 3))
+    val approx = pairs(Retrieval.hardNegativesApprox(anchors, emb,
+      "vec_id", "vec_id", "embedding", "label", 3, 3,
+      shortlist = 100))
+    // same output shape: ≤3 per polarity per anchor, dense ranks
+    assert(approx.groupBy(r => (r._1, r._2)).forall { case (_, rs) =>
+      rs.map(_._3).sorted == (1 to rs.size) })
+    // within-shortlist mining finds most of the exact pairs
+    // (fixture-deterministic: 52/60 at shortlist 100 over 500 vecs)
+    val overlap = exact.map(r => (r._1, r._2, r._4)).toSet
+      .intersect(approx.map(r => (r._1, r._2, r._4)).toSet).size
+    assert(overlap >= 45, s"overlap $overlap of ${exact.size}")
+  }
+
   test("rankMetrics: hand-computed recall, MRR, nDCG") {
     import spark.implicits._
     val approx = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
