@@ -99,7 +99,11 @@ case class KeywordTags(child: Expression, dict: Array[String])
     StructField("n", LongType, nullable = false))),
     containsNull = false)
 
-  private val auto = new AcAutomaton(dict)
+  // lazy + transient: Catalyst copies expressions dozens of times
+  // during analysis/optimization (withNewChildInternal → copy), and a
+  // strict val would rebuild the O(Σ|dict|) trie+BFS on every copy;
+  // built once where first evaluated (per JVM after serialization)
+  @transient private lazy val auto = new AcAutomaton(dict)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {

@@ -606,8 +606,15 @@ object Builtins {
               case (k, _) if k != "asFn?" =>
                 fail(s"$$llmMatch: unknown option '$k' (only asFn?)")
             }
-            opts.collectFirst { case ("asFn?", Ast.BoolLit(b)) => b }
-              .getOrElse(true)
+            // the value must be a boolean LITERAL — a string 'false'
+            // silently coercing to the default would hand the user a
+            // function where they asked for mapping-as-data
+            opts.collectFirst { case ("asFn?", v) => v } match {
+              case Some(Ast.BoolLit(b)) => b
+              case Some(other) => fail("$llmMatch: asFn? must be a " +
+                s"boolean literal, got $other")
+              case None => true
+            }
           case Some(other) => fail(s"$$llmMatch: options must be an " +
             s"object literal, got $other")
         }

@@ -573,7 +573,12 @@ object TextFns {
     * @return array<struct<keyword, n>> of the keywords present
     */
   def tagKeywords(text: Column, dict: Seq[String]): Column =
-    graft.functions.KeywordTags(Dedup.normalize(text), dict)
+    // the dictionary goes through the SAME normalization as the text
+    // (a natural-casing blocklist entry could otherwise never match),
+    // deduped so case variants don't emit twin rows
+    graft.functions.KeywordTags(Dedup.normalize(text),
+      dict.map(k => k.toLowerCase(java.util.Locale.ROOT).trim
+        .replaceAll("\\s+", " ")).distinct)
 
   /** Unigram-LM-shape tokenizer training (the SentencePiece family,
     * Kudo 2018, arXiv:1804.10959), in the deterministic hard-EM form

@@ -90,7 +90,14 @@ object UnshredEav extends Rule[LogicalPlan] with PredicateHelper {
     }
     val conjuncts = splitConjunctivePredicates(cond)
     val (aEq, rest) = conjuncts.partition(aLiteral(_).isDefined)
-    val attrName = aEq.headOption.flatMap(aLiteral).getOrElse(return None)
+    // EXACTLY one pinned attribute: two different `a === lit`
+    // conjuncts (CombineFilters merges stacked filters before this
+    // rule runs) contradict each other — taking the first would turn
+    // an always-empty result into wrong rows, so bail and let the
+    // generator path produce the correct empty frame
+    val aNames = aEq.flatMap(aLiteral).distinct
+    if (aNames.size != 1) return None
+    val attrName = aNames.head
 
     // generator child must be the analyzed struct(e, row) build
     def strip(e: Expression): Expression = e match {

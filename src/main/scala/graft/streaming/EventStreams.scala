@@ -61,6 +61,14 @@ object EventStreams {
         state: GroupState[PackState]): Iterator[PackOut] = {
       var s = state.getOption.getOrElse(PackState(0L, 0L))
       val out = it.toSeq.sortBy(c => (c.doc_id, c.idx)).map { c =>
+        // the batch twin cannot receive an oversized chunk (ChunkSizes
+        // bounds n_tokens ≤ window and assembleBatchesStrict requires
+        // capacity ≥ window); an arbitrary stream input could, which
+        // would silently emit an over-capacity "strict" batch AND
+        // diverge from the batch assignment — fail it instead
+        require(c.n_tokens <= capacity,
+          s"chunk (${c.doc_id}, ${c.idx}) has ${c.n_tokens} tokens " +
+            s"> capacity $capacity; strict packing cannot hold it")
         var bin = s.bin
         var fill = s.fill
         if (fill + c.n_tokens > capacity) { bin += 1; fill = 0L }

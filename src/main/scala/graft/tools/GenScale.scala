@@ -42,7 +42,8 @@ object GenScale {
       .withColumn("text", array_join(transform(
         sequence(lit(0L), lit(15L) + h(col("__seed"), 2) % 45L),
         i => element_at(vocab,
-          (abs(hash(col("__seed"), i, lit(42))) % 28 + 1).cast("int"))),
+          (abs(hash(col("__seed"), i, lit(42)).cast("long")) % 28 + 1)
+            .cast("int"))),
         " "))
       .withColumn("lang", when(h(col("__seed"), 3) % 100 < 41, "en")
         .when(h(col("__seed"), 3) % 100 < 56, "de")
@@ -63,7 +64,8 @@ object GenScale {
         (h(col("id"), 5) % 10).cast("int").as("label"))
       .withColumn("embedding", transform(sequence(lit(0), lit(63)),
         i => (cos(col("label") * 1.7 + i * lit(0.3)) +
-          (abs(hash(col("vec_id"), i, lit(42))) % 600 - 300) / lit(1000.0))
+          (abs(hash(col("vec_id"), i, lit(42)).cast("long")) % 600 - 300)
+            / lit(1000.0))
           .cast("float")))
       .select("vec_id", "embedding", "label")
     emb.repartition(2 * mult / 10 max 2).write.mode(SaveMode.Overwrite)

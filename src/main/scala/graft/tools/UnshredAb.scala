@@ -13,9 +13,12 @@ object UnshredAb {
     val spark = graft.Sessions.local("32")
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.entry(spark).count()
-    def run(name: String, flag: Boolean): Seq[Double] = {
+    // ONE timed run per call — the outer loop below interleaves the
+    // n samples (a run()-internal loop would execute n runs per
+    // sample and discard all but the first)
+    def run(name: String, flag: Boolean): Double = {
       spark.conf.set(graft.plans.UnshredEav.FLAG, flag.toString)
-      try (1 to n).map { _ =>
+      try {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         graft.core.Caches.releaseAll(spark)
@@ -27,8 +30,8 @@ object UnshredAb {
       // interleave to keep host noise symmetric
       val on = Seq.newBuilder[Double]; val off = Seq.newBuilder[Double]
       (1 to n).foreach { _ =>
-        off += run(name, flag = false).head
-        on += run(name, flag = true).head
+        off += run(name, flag = false)
+        on += run(name, flag = true)
       }
       val (mOn, mOff) = (med(on.result()), med(off.result()))
       println(f"AB $name%-18s off=$mOff%6.3f on=$mOn%6.3f " +

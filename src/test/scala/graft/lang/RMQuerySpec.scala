@@ -318,6 +318,14 @@ class RMQuerySpec extends SparkSpec {
           .stripMargin, spark)
     }
     assert(e.getMessage.contains("unknown option"), e.getMessage)
+    // a non-boolean value must error, not silently default to true
+    val e2 = intercept[Exception] {
+      RM.eval(
+        """( $src := [{'shipper_name': 'Acme'}];
+          |  $llmMatch($src, ['shipperName'], {'asFn?': 'false'}) )"""
+          .stripMargin, spark)
+    }
+    assert(e2.getMessage.contains("boolean literal"), e2.getMessage)
   }
 
   test("$get reads files into query sources") {

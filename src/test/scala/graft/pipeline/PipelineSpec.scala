@@ -521,6 +521,15 @@ class PipelineSpec extends SparkSpec {
     }
     assert(got(1L) == Map("she" -> 1L, "he" -> 1L, "hers" -> 1L))
     assert(got(2L) == Map("aa" -> 3L))
+    // the dictionary normalizes like the text: a natural-casing or
+    // doubled-space blocklist entry still matches, case variants
+    // collapse to one row
+    val cased = Seq((1L, "the credit  card\nand another credit card"))
+      .toDF("id", "text")
+      .select(explode(TextFns.tagKeywords($"text",
+        Seq("Credit  Card", "CREDIT CARD"))).as("t"))
+      .select($"t.keyword", $"t.n").as[(String, Long)].collect().toSeq
+    assert(cased == Seq("credit card" -> 2L), cased)
   }
 
   test("PQ refine: exact re-rank of the ADC shortlist lifts recall") {

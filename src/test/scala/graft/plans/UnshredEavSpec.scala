@@ -59,6 +59,20 @@ class UnshredEavSpec extends SparkSpec {
   private def triples(df: DataFrame = docs): DataFrame =
     Shred.shred(df, Some("id"))
 
+  test("contradictory attribute pins bail to the (empty) generator") {
+    // CombineFilters merges the stacked filters into one conjunction;
+    // taking just the first a-literal would return all name triples —
+    // the correct result is empty
+    val df = differential(() =>
+      triples().filter($"a" === "name").filter($"a" === "age"))
+    assert(df.count() == 0)
+    // redundant duplicate pins of the SAME attribute still rewrite
+    val dup = differential(() =>
+      triples().filter($"a" === "name").filter($"a" === "name"))
+    assert(!plan(dup).contains("shredgenerator"), plan(dup))
+    assert(dup.count() == 4)
+  }
+
   test("top-level scalar filter collapses to a projection") {
     val df = differential(() => triples().filter($"a" === "name"))
     assert(!plan(df).contains("shredgenerator"), plan(df))

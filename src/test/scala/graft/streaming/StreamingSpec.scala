@@ -293,6 +293,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "stream must equal the batch next-fit")
   }
 
+  test("packStream rejects a chunk larger than the capacity") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStreams.ChunkIn
+    val input = MemoryStream[ChunkIn]
+    val q = EventStreams.packStream(input.toDS(), capacity = 10)
+      .writeStream.format("memory").queryName("packed_oversize")
+      .outputMode("append").start()
+    input.addData(ChunkIn(1L, 0L, 99L, 0))
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null &&
+      m.contains("strict packing cannot hold it")), chain(e))
+  }
+
   test("streaming checks equal the batch report as data arrives") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
