@@ -192,6 +192,13 @@ object GraftExtensions {
         viaColumn(c => graft.pipeline.TextFns.wordpieceEncode(c, vocab,
           maxLen))(args.head)
       }),
+    ("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two vectors",
+      (args: Seq[Expression]) => {
+        arity("graft_cosine", args, 2)
+        ColumnGlue.resolvedExpression(graft.functions.CosineSim(
+          ColumnGlue.column(args.head), ColumnGlue.column(args(1))))
+      }),
     ("graft_sentences",
       "graft_sentences(text) - rule-based sentence segmentation",
       (args: Seq[Expression]) => {

@@ -57,6 +57,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 2)
   }
 
+  test("graft_cosine matches the kernel through SQL") {
+    val r = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), " +
+      "array(0.0D, 2.0D)) AS c, graft_cosine(array(1.0D, 2.0D), " +
+      "array(2.0D, 4.0D)) AS s").head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("graft_sentences and graft_sentence_chunks through SQL") {
     val r = spark.sql("SELECT graft_sentence_chunks(" +
       "graft_sentences('a b c. d e! f g h i? j'), 5) AS c").head()
