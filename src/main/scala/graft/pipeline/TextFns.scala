@@ -101,6 +101,57 @@ object TextFns {
       regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1),
       "^www\\.", "")
 
+  /** Query parameters dropped by [[canonicalizeUrl]]: tracking
+    * decorations that vary per click but never change the resource —
+    * the reason one page shows up as thousands of "distinct" URLs in
+    * a crawl frontier.
+    */
+  val TrackingParams: String =
+    "utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src"
+
+  /** Crawl-frontier URL canonicalization — the URL-level dedup key
+    * (one fetch per resource, not per tracking decoration). A
+    * deterministic RE2-compatible rule chain, exactly replayable by
+    * the oracle:
+    *   1. drop the fragment (never sent to the server),
+    *   2. lowercase scheme and authority (case-insensitive per RFC
+    *      3986) — the PATH keeps its case,
+    *   3. strip default ports (:80 http, :443 https),
+    *   4. collapse duplicate slashes in the path and strip a trailing
+    *      slash (bare authority → '/'),
+    *   5. drop [[TrackingParams]] and empty params, SORT the
+    *      remainder (param order is almost never semantic; sorting
+    *      merges permutations) — an empty result drops the '?'.
+    * Scan-local; non-URLs pass through the regex chain unchanged
+    * enough to group as themselves (no errors on malformed rows).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val auth0 = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val auth = when(scheme === "http",
+        regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val pathq = regexp_replace(rest, "^[^/?]+", "")
+    val path0 = regexp_replace(
+      regexp_replace(regexp_extract(pathq, "^([^?]*)", 1),
+        "/{2,}", "/"),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike(s"^(?:$TrackingParams)(?:=|$$)"))
+    val sorted = array_join(array_sort(params), "&")
+    when(scheme === "", url)  // not a URL: leave untouched
+      .otherwise(concat(scheme, lit("://"), auth, path,
+        when(sorted === "", lit("")).otherwise(concat(lit("?"),
+          sorted))))
+  }
+
   def fingerprint(text: Column, gram: Int = 8): Column = {
     val norm = Dedup.normalize(text)
     val grams = when(length(norm) < gram, array(norm))

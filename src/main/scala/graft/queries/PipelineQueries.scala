@@ -408,6 +408,36 @@ object PipelineQueries {
       .orderBy("anchor_id", "is_positive", "rank")
   }
 
+  /** URL canonicalization (TextFns.canonicalizeUrl): synthetic crawl
+    * URLs built per doc covering every rule — case-variant scheme and
+    * host (path case preserved), default ports under both schemes,
+    * duplicate/trailing slashes, tracking params, unsorted params,
+    * fragments — plus the canonical-key dedup count.
+    */
+  def pUrlCanon(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(
+      when(id % 3 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      when(id % 2 === 0, lit("WWW.Example")).otherwise(lit("Site")),
+      lit(".com"),
+      when(id % 4 === 0, lit(":443"))
+        .when(id % 4 === 1, lit(":80")).otherwise(lit("")),
+      lit("/Dir//Sub/page"), (id % 7).cast("string"),
+      when(id % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?z="), (id % 5).cast("string"),
+      lit("&utm_source=feed&a=1"),
+      when(id % 5 === 0, lit("&gclid=zz")).otherwise(lit("")),
+      lit("#sec"), (id % 3).cast("string"))
+    val base = Tables.documents(s, d)
+      .select(id, raw.as("url"))
+      .select(id, col("url"),
+        TextFns.canonicalizeUrl(col("url")).as("canon"))
+    val dups = base.groupBy("canon").agg(count(lit(1)).as("n_urls"))
+    base.join(dups, "canon")
+      .select(col("doc_id"), col("canon"), col("n_urls"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sample + reproducible training order:
     * keep 50% of en, 25% of de, all fr, 12.5% of everything else
     * (binary-exact fractions), then emit the global shuffle position.
@@ -1198,6 +1228,7 @@ object PipelineQueries {
     "p_rank_eval" -> (pRankEval _),
     "p_sentences" -> (pSentences _),
     "p_hard_neg" -> (pHardNeg _),
+    "p_url_canon" -> (pUrlCanon _),
     "p_tag_keywords" -> (pTagKeywords _),
     "p_sample" -> (pSample _),
     "p_bpe_pairs" -> (pBpePairs _),
@@ -2711,6 +2742,65 @@ object PipelineQueries {
         |  cand_id, cand_label
         |FROM scored WHERE rank <= 3
         |ORDER BY anchor_id, is_positive, rank""".stripMargin,
+    "p_url_canon" -> {
+      val track = graft.pipeline.TextFns.TrackingParams
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+         |       ELSE 'http://' END)
+         |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example'
+         |       ELSE 'Site' END) || '.com'
+         |    || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+         |       WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END)
+         |    || '/Dir//Sub/page' || CAST(doc_id % 7 AS VARCHAR)
+         |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         |    || '?z=' || CAST(doc_id % 5 AS VARCHAR)
+         |    || '&utm_source=feed&a=1'
+         |    || (CASE WHEN doc_id % 5 = 0 THEN '&gclid=zz'
+         |       ELSE '' END)
+         |    || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+         |  FROM documents),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(regexp_replace(url, '#.*$$', ''),
+         |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(regexp_replace(url, '#.*$$', ''),
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+         |  FROM raw),
+         |pieces AS (
+         |  SELECT doc_id, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(
+         |        lower(regexp_extract(rest, '^([^/?]+)', 1)),
+         |        ':80$$', '')
+         |      WHEN scheme = 'https' THEN regexp_replace(
+         |        lower(regexp_extract(rest, '^([^/?]+)', 1)),
+         |        ':443$$', '')
+         |      ELSE lower(regexp_extract(rest, '^([^/?]+)', 1))
+         |    END AS auth,
+         |    regexp_replace(regexp_replace(regexp_extract(
+         |      regexp_replace(rest, '^[^/?]+', ''), '^([^?]*)', 1),
+         |      '/{2,}', '/', 'g'), '/+$$', '') AS path0,
+         |    regexp_extract(regexp_replace(rest, '^[^/?]+', ''),
+         |      '\\?(.*)$$', 1) AS query
+         |  FROM parts),
+         |canon AS (
+         |  SELECT doc_id,
+         |    scheme || '://' || auth
+         |    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+         |    || (CASE WHEN sorted = '' THEN ''
+         |        ELSE '?' || sorted END) AS canon
+         |  FROM (SELECT doc_id, scheme, auth, path0,
+         |    array_to_string(list_sort(list_filter(
+         |      str_split(query, '&'), p -> p <> '' AND NOT
+         |        regexp_matches(p, '^(?:$track)(?:=|$$)'))),
+         |      '&') AS sorted
+         |    FROM pieces)),
+         |dups AS (
+         |  SELECT canon, count(*) AS n_urls FROM canon GROUP BY 1)
+         |SELECT c.doc_id, c.canon, d.n_urls
+         |FROM canon c JOIN dups d USING (canon)
+         |ORDER BY c.doc_id""".stripMargin
+    },
     "p_sentences" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id,

@@ -48,6 +48,29 @@ class HtmlSpec extends SparkSpec {
       "a b\n\nc")
   }
 
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(TextFns.canonicalizeUrl(col("u")))
+      .head.getString(0)
+  }
+
+  test("canonicalizeUrl: scheme/host case, ports, slashes, params") {
+    assert(canon("HTTP://WWW.Ex.COM:80//A//b/?b=2&a=1&utm_source=x#f")
+      == "http://www.ex.com/A/b?a=1&b=2")
+    // path case preserved; https default port stripped, http's kept
+    assert(canon("https://Ex.com:443/Case") == "https://ex.com/Case")
+    assert(canon("http://ex.com:443/x") == "http://ex.com:443/x")
+    // bare authority gets the root path; empty query drops the '?'
+    assert(canon("https://ex.com") == "https://ex.com/")
+    assert(canon("https://ex.com/p?utm_campaign=a&gclid=b") ==
+      "https://ex.com/p")
+    // 'ref' param dropped, 'referrer' kept (anchored name match)
+    assert(canon("http://e.com/p?referrer=x&ref=y") ==
+      "http://e.com/p?referrer=x")
+    // non-URLs pass through untouched
+    assert(canon("not a url") == "not a url")
+  }
+
   test("graft_html_text SQL surface matches the Column form") {
     graft.GraftExtensions.registerFunctions(spark)
     val got = spark.sql(
