@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - gram windows count CODE POINTS (Spark substring semantics)
   */
 object TextHash {
-  private val ws = Pattern.compile("\\s+")
+  private val ws = Pattern.compile(graft.pipeline.TextFns.WsRe)
   private val nonAlnum = Pattern.compile("[^a-z0-9]+")
   private val mdLocal = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =

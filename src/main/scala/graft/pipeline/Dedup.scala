@@ -26,7 +26,7 @@ object Dedup {
 
   /** Normalized text: lowercase, collapse whitespace. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), graft.pipeline.TextFns.WsRe, " "))
 
   /** Word tokens of normalized text. */
   def tokens(text: Column): Column =

@@ -10,9 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** The whitespace class of the text-pipeline contract: RE2's \s
+    * ({\t \n \f \r ' '}), written explicitly because Java's \s
+    * ALSO matches \x0B vertical tab while the DuckDB/RE2 oracles'
+    * '\s' does not — one scraped \x0B would otherwise flip token
+    * counts, normalize() content hashes, and chunk boundaries
+    * between the engines. (The JSONata $trim surface keeps Java \s:
+    * reference semantics, oracle-exempt.)
+    */
+  val WsRe: String = "[\t\n\f\r ]+"
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+    size(filter(split(text, WsRe), t => length(t) > 0)).cast("long")
 
   /** BPE-ish subword count: word-piece regex (letters / digits /
     * punctuation runs), the usual pre-tokenizer shape.
@@ -220,7 +230,7 @@ object TextFns {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val step = size - overlap
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val toks = filter(split(text, WsRe), t => length(t) > 0)
     val n = org.apache.spark.sql.functions.size(toks)
     // window starts: 0, step, 2*step ... while start < n (at least one).
     // greatest() IGNORES null operands, so without the outer null guard
@@ -520,10 +530,10 @@ object TextFns {
     */
   def gopherRules(text: Column, minWords: Int = 50,
       maxWords: Int = 100000): Column = {
-    val ws = filter(split(text, "\\s+"), t => length(t) > 0)
+    val ws = filter(split(text, WsRe), t => length(t) > 0)
     val n = size(ws).cast("long")
     // sum of word lengths == length with all whitespace removed
-    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val sumLen = length(regexp_replace(text, WsRe, "")).cast("long")
     val okWords = n >= minWords && n <= maxWords
     // 3 <= sumLen/n <= 10, integer form
     val okMean = n > 0 && sumLen >= n * 3 && sumLen <= n * 10

@@ -239,7 +239,7 @@ object ExpressQueries {
         |FROM l2 GROUP BY 1 ORDER BY region""".stripMargin,
     "q_reduce_step" ->
       """SELECT l_orderkey, l_returnflag AS flag,
-        |  sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+        |  sum(CAST(trunc(l_quantity) AS BIGINT)) AS qty_sum -- trunc: Spark cast("long") truncates, DuckDB CAST rounds
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rm_e2e" ->
       """SELECT r_name AS region,

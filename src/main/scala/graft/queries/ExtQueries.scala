@@ -104,7 +104,11 @@ object ExtQueries {
       .agg(count(lit(1)).as("cnt"))
     val byFlag = Window.partitionBy("l_returnflag")
     val cum = counts
-      .withColumn("cum", sum("cnt").over(byFlag.orderBy("l_quantity")))
+      // asc_nulls_last: Spark windows default NULLS FIRST but DuckDB
+      // sorts NULLS LAST — a NULL quantity row would shift every
+      // cumulative rank between the engines
+      .withColumn("cum", sum("cnt").over(
+        byFlag.orderBy(col("l_quantity").asc_nulls_last)))
       .withColumn("n", sum("cnt").over(byFlag))
     // value at sorted position ceil(p·n) = smallest value whose
     // cumulative count reaches the rank

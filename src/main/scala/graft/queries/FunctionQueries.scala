@@ -283,8 +283,10 @@ object FunctionQueries {
     "f_rm_expr" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 150000 THEN 'large'
-        |    ELSE substr(o_orderpriority, 1,
-        |           strpos(o_orderpriority, '-') - 1)
+        |    ELSE (CASE WHEN strpos(o_orderpriority, '-') > 0
+        |      THEN substr(o_orderpriority, 1,
+        |             strpos(o_orderpriority, '-') - 1)
+        |      ELSE o_orderpriority END)
         |         || ':' || o_orderstatus END AS value
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f_path_steps" ->
@@ -361,14 +363,14 @@ object FunctionQueries {
         |    v -> v >= 7)) AS nsift,
         |  (event_id % 7) * 10 AS upd
         |FROM (SELECT *,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv -- TRY_: a malformed value must compare as NULL, not abort the run
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
     "f_truthy" ->
       """SELECT doc_id,
-        |  length(text) > 0 AS tb_text,
-        |  n_chars - 500 <> 0 AS tb_num,
-        |  NOT (n_chars - 500 <> 0) AS nb_num,
+        |  coalesce(length(text) > 0, false) AS tb_text,
+        |  coalesce(n_chars - 500 <> 0, false) AS tb_num,
+        |  NOT coalesce(n_chars - 500 <> 0, false) AS nb_num,
         |  lang IS NOT NULL AS ex_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
     "f_regex" ->

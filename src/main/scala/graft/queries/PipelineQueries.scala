@@ -1315,6 +1315,18 @@ object PipelineQueries {
   private def swCount(ws: Seq[String]) =
     s"len(list_filter($toks, x -> x IN ${swList(ws)}))"
 
+  /** Unicode-letter token variant mirroring TextFns.lowerTokens
+    * ([^\p{L}0-9]+ — RE2 supports \p{L}): ONLY the stopword-ratio /
+    * language-id oracles use it, because only those Spark operators
+    * tokenize with Unicode letters (their de/fr stopword lists carry
+    * non-ASCII entries); every other gate's Spark side tokenizes
+    * ASCII and keeps `toks`.
+    */
+  private val toksU =
+    """list_filter(str_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '')"""
+  private def swCountU(ws: Seq[String]) =
+    s"len(list_filter($toksU, x -> x IN ${swList(ws)}))"
+
   /** Literal [16^14 .. 16^0] powers for hex→int folding (doubles are
     * only exact to 2^53, so `power()` cannot be used).
     */
@@ -1962,8 +1974,8 @@ object PipelineQueries {
        |      x -> x <> '')) AS DOUBLE) AS n_toks,
        |    CAST(length(text) - length(regexp_replace(text,
        |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) AS np,
-       |    CASE WHEN len($toks) > 0
-       |      THEN CAST(${swCount(en)} AS DOUBLE) / len($toks)
+       |    CASE WHEN len($toksU) > 0
+       |      THEN CAST(${swCountU(en)} AS DOUBLE) / len($toksU)
        |      ELSE 0.0 END AS sr
        |  FROM $src)""".stripMargin
 
@@ -2295,19 +2307,19 @@ object PipelineQueries {
          |    AS n_tokens,
          |  length(text) - length(regexp_replace(text,
          |    '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-         |  CASE WHEN len($toks) > 0
-         |    THEN CAST(${swCount(en)} AS DOUBLE) / len($toks)
+         |  CASE WHEN len($toksU) > 0
+         |    THEN CAST(${swCountU(en)} AS DOUBLE) / len($toksU)
          |    ELSE 0.0 END AS stop_ratio,
          |  md5($norm) AS chash
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p_lang_id" ->
       s"""SELECT doc_id,
          |  CASE
-         |    WHEN greatest(${swCount(en)}, ${swCount(de)}, ${swCount(fr)}) = 0
+         |    WHEN greatest(${swCountU(en)}, ${swCountU(de)}, ${swCountU(fr)}) = 0
          |      THEN 'und'
-         |    WHEN ${swCount(en)} >= ${swCount(de)}
-         |      AND ${swCount(en)} >= ${swCount(fr)} THEN 'en'
-         |    WHEN ${swCount(de)} >= ${swCount(fr)} THEN 'de'
+         |    WHEN ${swCountU(en)} >= ${swCountU(de)}
+         |      AND ${swCountU(en)} >= ${swCountU(fr)} THEN 'en'
+         |    WHEN ${swCountU(de)} >= ${swCountU(fr)} THEN 'de'
          |    ELSE 'fr' END AS lang_guess
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p_quality" ->
@@ -2324,8 +2336,8 @@ object PipelineQueries {
          |      x -> x <> '')) AS DOUBLE) AS n_toks,
          |    CAST(length(text) - length(regexp_replace(text,
          |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) AS np,
-         |    CASE WHEN len($toks) > 0
-         |      THEN CAST(${swCount(en)} AS DOUBLE) / len($toks)
+         |    CASE WHEN len($toksU) > 0
+         |      THEN CAST(${swCountU(en)} AS DOUBLE) / len($toksU)
          |      ELSE 0.0 END AS sr
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
@@ -3400,8 +3412,8 @@ object PipelineQueries {
          |        x -> x <> '')) AS DOUBLE) AS n_toks,
          |      CAST(length(text) - length(regexp_replace(text,
          |        '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) AS np,
-         |      CASE WHEN len($toks) > 0
-         |        THEN CAST(${swCount(en)} AS DOUBLE) / len($toks)
+         |      CASE WHEN len($toksU) > 0
+         |        THEN CAST(${swCountU(en)} AS DOUBLE) / len($toksU)
          |        ELSE 0.0 END AS sr
          |    FROM documents)),
          |f AS (

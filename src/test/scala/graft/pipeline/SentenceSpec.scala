@@ -50,6 +50,18 @@ class SentenceSpec extends SparkSpec {
     assert(got == Seq(0, 0))
   }
 
+  test("tokenCount and normalize treat \\x0B as text, like RE2") {
+    import spark.implicits._
+    // Java's \s matches vertical tab, RE2's does not; the pipeline
+    // contract (TextFns.WsRe) follows RE2 so the DuckDB oracles agree
+    val r = Seq(("ab c", "ab  c")).toDF("t", "u")
+      .select(TextFns.tokenCount(col("t")).as("n"),
+        Dedup.normalize(col("u")).as("norm"))
+      .head
+    assert(r.getLong(0) == 2L)          // "a\x0Bb" is ONE token
+    assert(r.getString(1) == "ab c")
+  }
+
   test("chunk ids are dense and non-decreasing (random texts)") {
     val rnd = new scala.util.Random(11)
     import spark.implicits._
