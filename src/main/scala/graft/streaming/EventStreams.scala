@@ -188,11 +188,17 @@ object EventStreams {
     * pinned by StreamingSpec).
     */
   def extractStream(docs: DataFrame, htmlCol: String = "html",
-      wpVocab: Seq[String] = Nil): DataFrame = {
+      wpVocab: Seq[String] = Nil,
+      urlCol: Option[String] = None): DataFrame = {
     import graft.pipeline.TextFns
-    val base = docs
+    val base0 = docs
       .withColumn("text", TextFns.htmlToText(col(htmlCol)))
       .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+    // the crawl front-end's URL half: canonical fetch key + domain,
+    // also stateless projections
+    val base = urlCol.fold(base0)(u => base0
+      .withColumn("canon_url", TextFns.canonicalizeUrl(col(u)))
+      .withColumn("domain", TextFns.urlDomain(col(u))))
     if (wpVocab.isEmpty) base
     else base.withColumn("n_pieces",
       size(TextFns.wordpieceEncode(col("text"), wpVocab)))

@@ -87,20 +87,25 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val html = "<html><head><style>x{}</style></head><body>" +
       "<h1>Title</h1><p>windows are &amp; good</p></body></html>"
-    val input = MemoryStream[(Long, String)]
-    input.addData((1L, html))
+    val input = MemoryStream[(Long, String, String)]
+    input.addData((1L, html,
+      "HTTP://Ex.com:80/a//b/?utm_source=x&z=1#f"))
     val vocab = Seq("title", "wind", "##ow", "##s", "are", "good")
     val q = EventStreams.extractStream(input.toDF()
-        .toDF("doc_id", "html"), wpVocab = vocab)
+        .toDF("doc_id", "html", "url"), wpVocab = vocab,
+        urlCol = Some("url"))
       .writeStream.format("memory").queryName("extracted")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     val r = spark.table("extracted").head()
     assert(r.getAs[String]("text") == "Title\nwindows are & good")
     assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[String]("canon_url") == "http://ex.com/a/b?z=1")
+    assert(r.getAs[String]("domain") == "ex.com")
     // batch twin on the same row: identical values
     val b = EventStreams.extractStream(
       Seq((1L, html)).toDF("doc_id", "html"), wpVocab = vocab).head()
+    // batch twin without a url column: no canon columns appear
     assert(b.getAs[String]("text") ==
       r.getAs[String]("text"))
     assert(b.getAs[Int]("n_pieces") == r.getAs[Int]("n_pieces"))
