@@ -99,7 +99,11 @@ case class TokenPostings(child: Expression, vocab: Array[String],
       StructField("token", StringType, false),
       StructField("cnt", LongType, false))), false), false)))
 
-  private val vocabSet: java.util.HashSet[String] = {
+  // @transient lazy: Catalyst copies expressions on every transform
+  // during analysis/optimization, and a strict val would rebuild this
+  // HashSet (up to 65,536 bm25Queries terms) per copy — the KeywordTags
+  // pattern; recomputed on demand from `vocab` after deserialization
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](vocab.length * 2)
     vocab.foreach(s.add)
     s

@@ -33,8 +33,10 @@ case class WordpieceSegment(child: Expression, vocab: Array[String],
 
   override def dataType: DataType = ArrayType(StringType)
 
-  // baked once per plan; serialized with the expression
-  private val vocabSet: java.util.HashSet[String] = {
+  // @transient lazy: Catalyst copies expressions on every transform,
+  // and a strict val would rebuild the vocab HashSet per copy (the
+  // KeywordTags fix); recomputed from `vocab` after deserialization
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](vocab.length * 2)
     vocab.foreach(s.add)
     s

@@ -365,10 +365,19 @@ object Ann {
     // guard on the LEFT so it evaluates before word 0's element_ats
     // (which under ANSI mode would otherwise throw their own
     // out-of-bounds error first)
-    val guard = when(size(vec) === dim, lit(0))
+    val guard = when(size(vec).isNull || size(vec) === dim, lit(0))
       .otherwise(raise_error(
         lit(s"binEncode expects $dim components")).cast("int"))
-    array(((guard + words.head) +: words.tail): _*)
+    val arr = array(((guard + words.head) +: words.tail): _*)
+    // NULL input → NULL output, matching every sibling vector kernel
+    // (CosineSim, PqCodes): without this a null embedding row aborts
+    // the whole job through the dimension guard with a misleading
+    // message. The propagation is BRANCH-FREE — slice's length
+    // argument (size(vec) - size(vec) + nWords) is nWords for a real
+    // vector and NULL for a null one, and a NULL length nulls the
+    // slice — so the 64 conditional sums never move inside a CaseWhen
+    // branch (the JIT-method-size hazard documented above).
+    slice(arr, lit(1), size(vec) - size(vec) + lit(dim / 16))
   }
 
   /** Hamming distance between two [[binEncode]] word arrays:
@@ -396,8 +405,13 @@ object Ann {
       qId: String, cId: String, vecCol: String, k: Int,
       shortlist: Int = 50, dim: Int = 64): DataFrame = {
     require(shortlist >= k, "shortlist must cover k")
+    // null-embedding rows encode to NULL bits and are excluded from
+    // the search on both sides (a NULL Hamming distance would sort
+    // FIRST under the asc window's nulls-first default, promoting
+    // unsearchable rows to the top of every shortlist)
     val q = queries.select(col(qId).as("query_id"),
-      binEncode(col(vecCol).cast("array<double>"), dim).as("qb"))
+        binEncode(col(vecCol).cast("array<double>"), dim).as("qb"))
+      .filter(col("qb").isNotNull)
     // bits are computed BEFORE the spread exchange: the shuffle
     // materializes each corpus row's words exactly once, where a
     // same-stage projection would be re-evaluated inside the join's
@@ -407,7 +421,8 @@ object Ann {
     // parquet layout; at write time the bit column is precomputed
     // and both concerns are moot.
     val c = Dedup.spread(corpus.select(col(cId).as("neighbor_id"),
-      binEncode(col(vecCol).cast("array<double>"), dim).as("cb")))
+        binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
+      .filter(col("cb").isNotNull))
     val wh = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id"))
     val cand = c.join(broadcast(q),
@@ -428,6 +443,11 @@ object Ann {
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "ham")
+      // both stage metrics ride out: `ham` pins the shortlist stage,
+      // `cos` is the similarity that actually determined the final
+      // ranking — without it callers (hard-negative miners, threshold
+      // filters) couldn't calibrate on the rerank score, unlike the
+      // sibling pqTopKRefined which always returned its refine score
+      .select("query_id", "rank", "neighbor_id", "ham", "cos")
   }
 }

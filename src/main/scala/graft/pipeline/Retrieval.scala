@@ -134,6 +134,16 @@ object Retrieval {
   def dcgGains(k: Int): Seq[Double] =
     (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
 
+  /** Ideal DCG at each reference-list length 1..k (cumulative
+    * [[dcgGains]] prefix sums through DECIMAL, like the DCG itself) —
+    * the per-query nDCG denominators. `idcgAt(k).last` is the
+    * full-length denominator. */
+  def idcgAt(k: Int): Seq[Double] = {
+    val dec = dcgGains(k).map(g =>
+      BigDecimal(g).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    dec.scanLeft(BigDecimal(0))(_ + _).tail.map(_.toDouble)
+  }
+
   /** Ranking-evaluation metrics for an approximate retriever against
     * an exact reference — the numbers every ANN recall claim in this
     * library should be (and now can be) measured with in-engine.
@@ -143,6 +153,9 @@ object Retrieval {
     * query: `recall@k`, `mrr` (1/rank of the first relevant hit, 0
     * if none), and `ndcg@k` with the [[dcgGains]] literal discounts
     * (DCG reduced through DECIMAL so summation order is immaterial).
+    * Recall and nDCG normalize by the query's ACTUAL reference-list
+    * length (≤ k), not k itself ([[idcgAt]]), so a truncated
+    * reference can still score 1.0.
     *
     * Scale shape: both inputs are top-k lists (|queries| × k rows);
     * one broadcast-able equi-join on (query_id, doc_id) marks hits
@@ -153,9 +166,7 @@ object Retrieval {
       k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val gains = dcgGains(k)
-    val idcg = BigDecimal(gains.map(g =>
-      BigDecimal(g).setScale(12, BigDecimal.RoundingMode.HALF_UP))
-      .sum.toDouble)
+    val idcgs = idcgAt(k)
     val gainCol = (1 to k).foldRight(lit(0.0d): Column) { (r, acc) =>
       when(col("rank") === r, lit(gains(r - 1))).otherwise(acc)
     }
@@ -164,28 +175,37 @@ object Retrieval {
         col("rank").cast("int").as("rank"))
     val e = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), lit(1).as("__rel"))
+    // per-query reference-list LENGTH is the normalization base: a
+    // reference shorter than k (corpus smaller than k+1, truncated
+    // exact list) must still be able to score recall/nDCG = 1.0 — a
+    // hardcoded /k and idcg@k silently deflate both whenever the
+    // exactly-k-reference-rows assumption breaks
+    val refs = e.groupBy("query_id")
+      .agg(count(lit(1)).cast("int").as("__n_ref"))
+    val idcgCol = (1 until k).foldRight(lit(idcgs.last): Column) {
+      (n, acc) => when(col("__n_ref") === n, lit(idcgs(n - 1)))
+        .otherwise(acc)
+    }
     val perQuery = a.join(e, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("rank"),
         coalesce(col("__rel"), lit(0)).as("hit"))
       .groupBy("query_id")
       .agg(
         sum(col("hit")).cast("long").as("n_hit"),
-        (sum(col("hit")).cast("double") / k).as("recall"),
         coalesce(lit(1.0d) /
             min(when(col("hit") === 1, col("rank"))),
           lit(0.0d)).as("mrr"),
-        (graft.Tables.dsum(when(col("hit") === 1, gainCol)
-            .otherwise(lit(0.0d)), 12) /
-          lit(idcg.toDouble)).as("ndcg"))
+        graft.Tables.dsum(when(col("hit") === 1, gainCol)
+            .otherwise(lit(0.0d)), 12).as("__dcg"))
     // a query the retriever returned NOTHING for must score zero, not
     // vanish (a silent drop inflates any aggregate over the report) —
     // every query in the reference gets a row
-    e.select("query_id").distinct()
-      .join(perQuery, Seq("query_id"), "left")
+    refs.join(perQuery, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        coalesce(col("recall"), lit(0.0d)).as("recall"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("__n_ref")).as("recall"),
         coalesce(col("mrr"), lit(0.0d)).as("mrr"),
-        coalesce(col("ndcg"), lit(0.0d)).as("ndcg"))
+        (coalesce(col("__dcg"), lit(0.0d)) / idcgCol).as("ndcg"))
   }
 }

@@ -114,34 +114,46 @@ object TextFns {
   /** Query parameters dropped by [[canonicalizeUrl]]: tracking
     * decorations that vary per click but never change the resource —
     * the reason one page shows up as thousands of "distinct" URLs in
-    * a crawl frontier.
+    * a crawl frontier. The generic `ref` is deliberately NOT here:
+    * unlike `ref_src` (Twitter's tracking decoration) it is semantic
+    * on real sites (GitHub's `?ref=branch` selects a different
+    * resource), and a canonicalizer must never merge distinct
+    * resources — callers curating a corpus where `ref` is known to be
+    * referrer tracking can pass their own list to [[canonicalizeUrl]].
     */
   val TrackingParams: String =
-    "utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src"
+    "utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref_src"
 
   /** Crawl-frontier URL canonicalization — the URL-level dedup key
     * (one fetch per resource, not per tracking decoration). A
     * deterministic RE2-compatible rule chain, exactly replayable by
     * the oracle:
     *   1. drop the fragment (never sent to the server),
-    *   2. lowercase scheme and authority (case-insensitive per RFC
-    *      3986) — the PATH keeps its case,
+    *   2. lowercase scheme and host[:port] — only those are
+    *      case-insensitive per RFC 3986 §3.2.2/§6.2.2.1; the PATH and
+    *      any userinfo (`user:pass@`) keep their case,
     *   3. strip default ports (:80 http, :443 https),
     *   4. collapse duplicate slashes in the path and strip a trailing
     *      slash (bare authority → '/'),
-    *   5. drop [[TrackingParams]] and empty params, SORT the
-    *      remainder (param order is almost never semantic; sorting
-    *      merges permutations) — an empty result drops the '?'.
+    *   5. drop `trackingParams` ([[TrackingParams]] by default) and
+    *      empty params, SORT the remainder (param order is almost
+    *      never semantic; sorting merges permutations) — an empty
+    *      result drops the '?'.
     * Scan-local; non-URLs pass through the regex chain unchanged
     * enough to group as themselves (no errors on malformed rows).
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column,
+      trackingParams: String = TrackingParams): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,
       "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val auth0 = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val authRaw = regexp_extract(rest, "^([^/?]+)", 1)
+    // userinfo (through the LAST '@' — the host itself cannot contain
+    // one) is case-SENSITIVE; only host[:port] lowercases
+    val auth0 = concat(regexp_extract(authRaw, "^(.*@)", 1),
+      lower(regexp_replace(authRaw, "^.*@", "")))
     val auth = when(scheme === "http",
         regexp_replace(auth0, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
@@ -154,7 +166,7 @@ object TextFns {
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
     val params = filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike(s"^(?:$TrackingParams)(?:=|$$)"))
+      p =!= "" && !p.rlike(s"^(?:$trackingParams)(?:=|$$)"))
     val sorted = array_join(array_sort(params), "&")
     when(scheme === "", url)  // not a URL: leave untouched
       .otherwise(concat(scheme, lit("://"), auth, path,

@@ -2551,11 +2551,16 @@ object PipelineQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "p_rank_eval" -> {
       val gains = graft.pipeline.Retrieval.dcgGains(5)
-      val idcg = gains.map(g => BigDecimal(g)
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val idcgs = graft.pipeline.Retrieval.idcgAt(5)
       val gainCase = (1 to 5).map(r =>
         s"WHEN rank = $r THEN CAST(${gains(r - 1)} AS DOUBLE)")
         .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
+      // recall/nDCG normalize by the per-query reference-list length
+      // (mirrors Retrieval.rankMetrics' idcgAt normalization; on this
+      // fixture every query carries exactly 5 reference rows)
+      val idcgCase = (1 to 5).map(n =>
+        s"WHEN n_ref = $n THEN CAST(${idcgs(n - 1)} AS DOUBLE)")
+        .mkString("CASE ", " ", s" ELSE CAST(${idcgs.last} AS DOUBLE) END")
       s"""WITH $binaryAnnCtes,
          |bru AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -2566,22 +2571,28 @@ object PipelineQueries {
          |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
          |    WHERE q.vec_id IN (SELECT vec_id FROM qids))
          |  WHERE rank <= 5),
+         |rc AS (SELECT query_id, count(*) AS n_ref FROM bru GROUP BY 1),
          |j AS (
          |  SELECT a.query_id, a.rank,
          |    CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
          |  FROM (SELECT query_id, neighbor_id, rank FROM ranked
          |    WHERE rank <= 5) a
          |  LEFT JOIN bru e ON a.query_id = e.query_id
-         |    AND a.neighbor_id = e.neighbor_id)
-         |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hit,
-         |  CAST(sum(hit) AS DOUBLE) / 5 AS recall,
-         |  coalesce(CAST(1 AS DOUBLE) /
-         |      min(CASE WHEN hit = 1 THEN rank END),
-         |    CAST(0 AS DOUBLE)) AS mrr,
-         |  CAST(sum(CAST(CASE WHEN hit = 1 THEN $gainCase
-         |      ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,12)))
-         |    AS DOUBLE) / CAST($idcg AS DOUBLE) AS ndcg
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+         |    AND a.neighbor_id = e.neighbor_id),
+         |agg AS (
+         |  SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hit,
+         |    coalesce(CAST(1 AS DOUBLE) /
+         |        min(CASE WHEN hit = 1 THEN rank END),
+         |      CAST(0 AS DOUBLE)) AS mrr,
+         |    CAST(sum(CAST(CASE WHEN hit = 1 THEN $gainCase
+         |        ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,12)))
+         |      AS DOUBLE) AS dcg
+         |  FROM j GROUP BY 1)
+         |SELECT rc.query_id, coalesce(n_hit, 0) AS n_hit,
+         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / n_ref AS recall,
+         |  coalesce(mrr, CAST(0 AS DOUBLE)) AS mrr,
+         |  coalesce(dcg, CAST(0 AS DOUBLE)) / ($idcgCase) AS ndcg
+         |FROM rc LEFT JOIN agg USING (query_id) ORDER BY 1""".stripMargin
     },
     "p_rrf" -> {
       val qtValues = RrfTerms.map { case (qid, terms) =>

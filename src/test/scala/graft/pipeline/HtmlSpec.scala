@@ -64,9 +64,21 @@ class HtmlSpec extends SparkSpec {
     assert(canon("https://ex.com") == "https://ex.com/")
     assert(canon("https://ex.com/p?utm_campaign=a&gclid=b") ==
       "https://ex.com/p")
-    // 'ref' param dropped, 'referrer' kept (anchored name match)
-    assert(canon("http://e.com/p?referrer=x&ref=y") ==
-      "http://e.com/p?referrer=x")
+    // generic 'ref' is SEMANTIC on real sites (GitHub branch refs) —
+    // kept by default; Twitter's ref_src tracking decoration dropped
+    assert(canon("http://e.com/p?referrer=x&ref=main&ref_src=tw") ==
+      "http://e.com/p?ref=main&referrer=x")
+    // caller-supplied tracking list can opt into merging 'ref'
+    import spark.implicits._
+    val aggressive = Seq("http://e.com/p?ref=y&a=1").toDF("u")
+      .select(TextFns.canonicalizeUrl(col("u"),
+        TextFns.TrackingParams + "|ref")).head.getString(0)
+    assert(aggressive == "http://e.com/p?a=1")
+    // userinfo is case-SENSITIVE (RFC 3986: only scheme and host are
+    // case-insensitive) — host lowercases around it, through the LAST @
+    assert(canon("HTTPS://User:PW@Ex.COM/p") ==
+      "https://User:PW@ex.com/p")
+    assert(canon("http://A@B@Ex.COM/p") == "http://A@B@ex.com/p")
     // non-URLs pass through untouched
     assert(canon("not a url") == "not a url")
   }

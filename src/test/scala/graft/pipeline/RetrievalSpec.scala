@@ -20,6 +20,34 @@ class RetrievalSpec extends SparkSpec {
     assert(words.forall(w => w >= 0 && w <= 0xffff))
   }
 
+  test("binEncode: NULL vector yields NULL, not the dimension error") {
+    import spark.implicits._
+    val rows = Seq((1L, Option((0 until 64).map(i => i - 32.0))),
+        (2L, None))
+      .toDF("id", "v")
+      .select(col("id"), Ann.binEncode(col("v"), 64).as("b"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1), "null input must propagate to null")
+  }
+
+  test("binaryTopK skips null-embedding corpus rows instead of crashing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Option[Seq[Double]])] =
+      (0L until 8L).map(i => (i, Option(Seq.fill(64)(rnd.nextGaussian())))) :+
+        (8L, Option.empty[Seq[Double]])
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Ann.binaryTopK(df.filter(col("vec_id") === 0),
+      df, "vec_id", "vec_id", "embedding", k = 3, shortlist = 5)
+      .collect()
+    assert(got.length == 3)
+    assert(!got.exists(_.getLong(2) == 8L),
+      "the unsearchable null row must not appear as a neighbor")
+    // the rerank cosine rides out next to the Hamming shortlist metric
+    assert(got.forall(r => math.abs(r.getDouble(4)) <= 1.0 + 1e-12))
+  }
+
   test("hammingWords equals the naive sign-mismatch count") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -139,6 +167,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1).getLong(0) == 7L && got(1).getLong(1) == 0L &&
       got(1).getDouble(2) == 0.0 && got(1).getDouble(3) == 0.0 &&
       got(1).getDouble(4) == 0.0)
+  }
+
+  test("rankMetrics: a reference shorter than k can still score 1.0") {
+    import spark.implicits._
+    // corpus of 3: only 2 reference rows exist for k=3 — a /k
+    // denominator would cap recall at 2/3 and nDCG below 1
+    val approx = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankMetrics(approx, exact, 3).head
+    assert(got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 1.0, s"recall ${got.getDouble(2)}")
+    assert(got.getDouble(3) == 1.0)
+    assert(got.getDouble(4) == 1.0, s"ndcg ${got.getDouble(4)}")
   }
 
   test("binEncode fails loudly on a wrong-dimension vector") {
