@@ -45,23 +45,28 @@ object Decontam {
     */
   /** `maxShingleFrac`: RELATIVE boilerplate cap — drop grams present
     * in more than this fraction of train documents (effective cap =
-    * min(maxShingleFreq, frac·|train|), computed lazily in-plan).
-    * The absolute `maxShingleFreq` alone stops protecting as the
-    * corpus grows: at 100× the data the same boilerplate gram has
-    * 100× the count and sails under any fixed threshold — a 10×
-    * rehearsal measured the join fan-out going quadratic exactly
-    * this way (ROADMAP round-9 sf10 notes). A gram shared by a
-    * constant fraction of the corpus is boilerplate at every scale,
-    * so the fraction is the scale-stable form of the guard. Default
-    * 1.0 = disabled (backward-compatible); 0.001–0.01 is the useful
-    * range.
+    * min(maxShingleFreq, ceil(frac·|train|)), computed lazily
+    * in-plan from the train count; `ceil` means a gram unique to one
+    * train document ALWAYS survives, at any corpus size). The
+    * absolute `maxShingleFreq` alone stops protecting as the corpus
+    * grows: at 100× the data the same boilerplate gram has 100× the
+    * count and sails under any fixed threshold — the sf10 rehearsal
+    * measured the join fan-out going quadratic exactly this way
+    * (p_curate 550.8 → 11.6 s with the relative cap; ROADMAP round-9
+    * sf10 notes). A gram shared by a constant fraction of the corpus
+    * is boilerplate at every scale, so the fraction is the
+    * scale-stable form of the guard and 0.001 is the DEFAULT
+    * production posture — running `contamination()` with default
+    * arguments at warehouse scale must not hit the quadratic cliff.
+    * Pass 1.0 to disable (the legacy absolute-cap-only behavior,
+    * which also skips the in-plan train count entirely).
     */
   def contamination(train: DataFrame, trainId: String,
       test: DataFrame, testId: String, textCol: String,
       n: Int = 8, minCommon: Int = 2,
       maxShingleFreq: Int = 1000,
       bloomPreFilter: Boolean = false,
-      maxShingleFrac: Double = 1.0): DataFrame = {
+      maxShingleFrac: Double = 0.001): DataFrame = {
     require(maxShingleFrac > 0 && maxShingleFrac <= 1.0,
       s"maxShingleFrac must be in (0, 1], got $maxShingleFrac")
     // per-document hash dedup happens INSIDE the row (the native

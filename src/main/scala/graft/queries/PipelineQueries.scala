@@ -561,6 +561,28 @@ object PipelineQueries {
     */
   def pContamination(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
+    // frac = 1.0 pins the LEGACY absolute-cap-only path (hash-stable
+    // across rounds); the production default (relative cap) is pinned
+    // by p_contamination_frac and exercised with defaults in p_curate
+    graft.pipeline.Decontam.contamination(
+        doc.filter(col("doc_id") % 20 =!= 0), "doc_id",
+        doc.filter(col("doc_id") % 20 === 0), "doc_id",
+        "text", n = 3, minCommon = 2, maxShingleFrac = 1.0)
+      .orderBy(col("n_common").desc, col("test_id"), col("train_id"))
+      .limit(500)
+  }
+
+  /** The production-DEFAULT decontamination posture (no cap argument
+    * passed at all): the corpus-RELATIVE boilerplate cap, effective =
+    * min(maxShingleFreq, ceil(0.001·|train|)), train count computed
+    * in-plan. At sf0.01 that is cap 1 (ceil(0.475)) — only grams
+    * unique to a single train doc join — which genuinely
+    * discriminates from p_contamination's legacy absolute-cap pin
+    * (different pair set), so the gate proves the default code path,
+    * not just the signature.
+    */
+  def pContaminationFrac(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
     graft.pipeline.Decontam.contamination(
         doc.filter(col("doc_id") % 20 =!= 0), "doc_id",
         doc.filter(col("doc_id") % 20 === 0), "doc_id",
@@ -790,6 +812,11 @@ object PipelineQueries {
         Window.partitionBy(md5(Dedup.normalize(col("text"))))
           .orderBy("doc_id")))
       .filter(col("__rn") === 1).drop("__rn"))
+    // DEFAULT arguments deliberately: this gate pins that the
+    // out-of-the-box decontamination posture is the corpus-relative
+    // boilerplate cap (min(1000, ceil(0.001·|train|)) — the
+    // scale-safe default the sf10 rehearsal demanded), replayed
+    // in-oracle against the dd count
     val contaminated = graft.pipeline.Decontam.contamination(
         deduped, "doc_id", evalDocs, "doc_id", "text",
         n = 3, minCommon = 2)
@@ -1202,6 +1229,7 @@ object PipelineQueries {
     "p_doc_freq" -> (pDocFreq _),
     "p_redact" -> (pRedact _),
     "p_contamination" -> (pContamination _),
+    "p_contamination_frac" -> (pContaminationFrac _),
     "p_chunks" -> (pChunks _),
     "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
@@ -2187,7 +2215,8 @@ object PipelineQueries {
          |trf AS (
          |  SELECT doc_id, h FROM (
          |    SELECT *, count(*) OVER (PARTITION BY h) AS f FROM trg)
-         |  WHERE f <= 1000),
+         |  WHERE f <= least(1000, CAST(ceil(0.001 *
+         |    (SELECT count(*) FROM dd)) AS BIGINT))),
          |teg AS (
          |  SELECT DISTINCT doc_id, ${hash60("s")} AS h FROM (
          |    SELECT doc_id, unnest($shinglesSql) AS s
@@ -2240,6 +2269,25 @@ object PipelineQueries {
          |  SELECT train_id, h FROM (
          |    SELECT *, count(*) OVER (PARTITION BY h) AS f FROM tr)
          |  WHERE f <= 1000),
+         |te AS (
+         |  SELECT DISTINCT doc_id AS test_id, ${hash60("s")} AS h FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS s
+         |    FROM documents WHERE doc_id % 20 = 0))
+         |SELECT test_id, train_id, count(*) AS n_common
+         |FROM te JOIN trf USING (h)
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY n_common DESC, test_id, train_id LIMIT 500""".stripMargin,
+    "p_contamination_frac" ->
+      s"""WITH tr AS (
+         |  SELECT DISTINCT doc_id AS train_id, ${hash60("s")} AS h FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS s
+         |    FROM documents WHERE doc_id % 20 <> 0)),
+         |trf AS (
+         |  SELECT train_id, h FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY h) AS f FROM tr)
+         |  WHERE f <= least(1000, CAST(ceil(0.001 *
+         |    (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0))
+         |    AS BIGINT))),
          |te AS (
          |  SELECT DISTINCT doc_id AS test_id, ${hash60("s")} AS h FROM (
          |    SELECT doc_id, unnest($shinglesSql) AS s

@@ -777,8 +777,10 @@ class PipelineSpec extends SparkSpec {
     assert(none == 0L)
     // RELATIVE cap: "alpha beta gamma" lands in 2/4 train docs (50%);
     // frac=0.25 → cap ceil(0.25·4)=1 drops it, demoting pair (1,10)
-    // below minCommon; the rarer (3,11) grams (df=1) survive — and
-    // frac=1.0 (the default) is a no-op
+    // below minCommon; the rarer (3,11) grams (df=1) survive. The
+    // DEFAULT frac (0.001) rounds up to cap 1 on this 3-doc corpus,
+    // which is why `got` above — all df=1 grams — is unaffected by
+    // it; frac=1.0 opts back into the legacy absolute-only cap
     val train2 = train.unionAll(Seq(
       (13L, "alpha beta gamma something else here")).toDF("id", "text"))
     val rel = Decontam.contamination(train2, "id", test, "id", "text",
