@@ -404,6 +404,30 @@ object Ann {
   def binaryTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       shortlist: Int = 50, dim: Int = 64): DataFrame = {
+    // bits are computed BEFORE the spread exchange: the shuffle
+    // materializes each corpus row's words exactly once, where a
+    // same-stage projection would be re-evaluated inside the join's
+    // per-query loop (codegen defers column eval to first use — the
+    // 64-branch encode ran |corpus|×|queries| times, ~4× the whole
+    // operator). spread() also un-pins the scan from a few-split
+    // parquet layout; with a persisted index (Indexes.writeBinaryIndex
+    // → binaryTopKFrom) the bit column is precomputed and both
+    // concerns are moot.
+    val c = Dedup.spread(corpus.select(col(cId).as("neighbor_id"),
+        binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
+      .filter(col("cb").isNotNull))
+    binaryTopKFrom(queries, c, corpus, qId, cId, vecCol, k,
+      shortlist, dim)
+  }
+
+  /** The [[binaryTopK]] probe against an ALREADY-ENCODED corpus
+    * frame `index` (neighbor_id, cb) — the shared tail of the
+    * recompute form and [[Indexes.binaryTopKIndexed]]; `vectors`
+    * supplies full embeddings for the shortlist re-rank only.
+    */
+  private[pipeline] def binaryTopKFrom(queries: DataFrame,
+      index: DataFrame, vectors: DataFrame, qId: String, cId: String,
+      vecCol: String, k: Int, shortlist: Int, dim: Int): DataFrame = {
     require(shortlist >= k, "shortlist must cover k")
     // null-embedding rows encode to NULL bits and are excluded from
     // the search on both sides (a NULL Hamming distance would sort
@@ -412,20 +436,9 @@ object Ann {
     val q = queries.select(col(qId).as("query_id"),
         binEncode(col(vecCol).cast("array<double>"), dim).as("qb"))
       .filter(col("qb").isNotNull)
-    // bits are computed BEFORE the spread exchange: the shuffle
-    // materializes each corpus row's words exactly once, where a
-    // same-stage projection would be re-evaluated inside the join's
-    // per-query loop (codegen defers column eval to first use — the
-    // 64-branch encode ran |corpus|×|queries| times, ~4× the whole
-    // operator). spread() also un-pins the scan from a few-split
-    // parquet layout; at write time the bit column is precomputed
-    // and both concerns are moot.
-    val c = Dedup.spread(corpus.select(col(cId).as("neighbor_id"),
-        binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
-      .filter(col("cb").isNotNull))
     val wh = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id"))
-    val cand = c.join(broadcast(q),
+    val cand = index.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("ham",
         hammingWords(col("qb"), col("cb"), dim / 16))
@@ -434,7 +447,7 @@ object Ann {
       .select("query_id", "neighbor_id", "ham")
     val qv = queries.select(col(qId).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val cv = corpus.select(col(cId).as("neighbor_id"),
+    val cv = vectors.select(col(cId).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))

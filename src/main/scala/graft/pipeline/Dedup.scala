@@ -341,8 +341,24 @@ object Dedup {
   def incrementalDupPairsMd5(incoming: DataFrame, incId: String,
       corpus: DataFrame, corId: String, textCol: String,
       n: Int = 3, k: Int = 32, b: Int = 8, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
-    val corIdx = minhashIndexMd5(corpus, corId, textCol, n, k, b)
+      maxBucket: Int = 1000): DataFrame =
+    incrementalDupPairsFromIndex(incoming, incId,
+      minhashIndexMd5(corpus, corId, textCol, n, k, b),
+      corpus, corId, textCol, n, k, b, threshold, maxBucket)
+
+  /** [[incrementalDupPairsMd5]] probing an ALREADY-BUILT corpus band
+    * index (id, band, bucket) — the shared tail of the recompute form
+    * and [[Indexes.incrementalDupPairsIndexed]]. The maxBucket skew
+    * cap applies at probe time (a query knob, not baked into the
+    * artifact), and corpus TEXT is read only for the Jaccard verify
+    * of candidate ids.
+    */
+  private[pipeline] def incrementalDupPairsFromIndex(
+      incoming: DataFrame, incId: String, index: DataFrame,
+      corpus: DataFrame, corId: String, textCol: String,
+      n: Int, k: Int, b: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val corIdx = index
       .withColumn("__n", count(lit(1))
         .over(Window.partitionBy("band", "bucket")))
       .filter(col("__n") <= maxBucket).drop("__n")

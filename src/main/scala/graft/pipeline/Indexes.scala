@@ -1,0 +1,241 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted retrieval indexes — the write-time artifacts that turn
+  * the retrieval family's "at scale this column is precomputed"
+  * docstrings into an actual contract.
+  *
+  * Every search operator in [[Ann]]/[[TextFns]]/[[Dedup]] recomputes
+  * its corpus-side representation (sign bits, PQ codes, postings,
+  * MinHash band buckets) inside the query plan; that is correct and
+  * convenient at test scale, but at 100 TB re-encoding the corpus per
+  * query batch is the difference between an index and a scan. This
+  * module writes each representation ONCE as a parquet artifact laid
+  * out for its probe pattern, and provides query operators that
+  * consume the prebuilt frame — RESULT-IDENTICAL to their recompute
+  * twins (the p_*_indexed gates hash-match the recompute gates'
+  * oracles), with plans containing no encode kernel and no exchange
+  * on the corpus side (PlanSpec pins).
+  *
+  * Layout discipline per family:
+  *  - binary ANN: (neighbor_id, cb) — 8 bytes of sign bits per row;
+  *    the Hamming scan streams it file-parallel, so plain splittable
+  *    parquet is the right layout (no clustering key exists).
+  *  - IVF-PQ: (neighbor_id, codes) PARTITIONED BY cent — the probe
+  *    join's equi-key is the directory key, so a probed query reads
+  *    only its nprobe list directories (partition pruning; with a
+  *    broadcast query side Spark's dynamic partition pruning applies
+  *    the probe list at runtime).
+  *  - BM25 postings: (token, doc_id, tf, dl) repartitioned+sorted by
+  *    token (min/max row-group pruning under the pushed `In(token)`
+  *    filter) plus write-time dfs/(n_docs, avgdl) side tables.
+  *  - MinHash: (id, band, bucket) — the [[Dedup.minhashIndexMd5]]
+  *    frame persisted; incremental batches probe it without touching
+  *    corpus text except for the Jaccard verify of matched ids.
+  */
+object Indexes {
+
+  // ---------- binary (1-bit sign) ANN ----------
+
+  /** Write the [[Ann.binEncode]] sign-bit column for a corpus:
+    * (neighbor_id, cb array<int>) parquet at `path`. Null embeddings
+    * encode to NULL and are excluded at write time (they are
+    * unsearchable; [[Ann.binaryTopK]] drops them per query instead).
+    */
+  def writeBinaryIndex(corpus: DataFrame, cId: String, vecCol: String,
+      path: String, dim: Int = 64): Unit =
+    corpus.select(col(cId).as("neighbor_id"),
+        Ann.binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
+      .filter(col("cb").isNotNull)
+      .write.mode("overwrite").parquet(path)
+
+  def openBinaryIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[Ann.binaryTopK]] against a prebuilt [[writeBinaryIndex]]
+    * frame: the corpus side is the 8-byte-per-row index scan — no
+    * encode kernel, no exchange below the probe join — and only the
+    * shortlist×dim full vectors are fetched from `vectors` for the
+    * exact-cosine re-rank. Bit-identical to the recompute twin.
+    */
+  def binaryTopKIndexed(queries: DataFrame, index: DataFrame,
+      vectors: DataFrame, qId: String, cId: String, vecCol: String,
+      k: Int, shortlist: Int = 50, dim: Int = 64): DataFrame =
+    Ann.binaryTopKFrom(queries, index, vectors, qId, cId, vecCol,
+      k, shortlist, dim)
+
+  // ---------- IVF-PQ ----------
+
+  /** Write the IVF-PQ layout: (neighbor_id, codes) partitioned by
+    * coarse list id `cent` — one directory per inverted list, so a
+    * probe reads only its `nprobe` lists. Same seeded centroids /
+    * codebooks as [[Ann.ivfPqTopK]]; pass identical parameters at
+    * query time (they are the index's schema, not tunables).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, cId: String, vecCol: String,
+      path: String, nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
+      dim: Int = 64, seed: Int = 4242, pqSeed: Int = 9090): Unit = {
+    val books = Ann.pqBooks(m, ks, dim / m, pqSeed)
+    corpus.select(col(cId).as("neighbor_id"),
+        Ann.assignCentroid(col(vecCol).cast("array<double>"),
+          nCentroids, dim, seed).as("cent"),
+        Ann.pqEncode(col(vecCol), books).as("codes"))
+      .write.mode("overwrite").partitionBy("cent").parquet(path)
+  }
+
+  def openIvfPqIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[Ann.ivfPqTopK]] against a prebuilt [[writeIvfPqIndex]] frame:
+    * queries explode to their probe lists and broadcast; the corpus
+    * side reads (cent, neighbor_id, codes) only — ADC scoring never
+    * touches a vector and the scan prunes to the probed list
+    * directories. Result-identical to the recompute twin.
+    *
+    * `pruneLists` (default on) collects the distinct probed list ids
+    * to the driver (≤ nCentroids ints — the bm25 query-vocab
+    * precedent) and bakes them into the scan as a literal partition
+    * filter, so the unprobed list DIRECTORIES are never opened — the
+    * point of the layout. The equi-join makes the filter a no-op
+    * relationally; pass false to keep plan construction fully lazy.
+    */
+  def ivfPqTopKIndexed(queries: DataFrame, index: DataFrame,
+      qId: String, vecCol: String, k: Int, nCentroids: Int = 16,
+      nprobe: Int = 4, m: Int = 8, ks: Int = 16, dim: Int = 64,
+      seed: Int = 4242, pqSeed: Int = 9090,
+      pruneLists: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = Ann.pqBooks(m, ks, dim / m, pqSeed)
+    val q = queries.select(col(qId).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"),
+        explode(Ann.probeCentroids(col("qv"), nprobe, nCentroids,
+          dim, seed)).as("cent"),
+        Ann.pqLut(col("qv"), books).as("lut"))
+    val pruned = if (!pruneLists) index else {
+      val probed = q.select("cent").distinct().limit(nCentroids + 1)
+        .collect().map(_.get(0))
+      index.filter(col("cent").isin(probed.toSeq: _*))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pruned.join(broadcast(q), Seq("cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        Ann.pqAdcScore(col("codes"), col("lut"), m, ks))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  // ---------- BM25 inverted postings ----------
+
+  /** Write the full inverted index for a corpus: `path/postings` =
+    * (token, doc_id, tf, dl) repartitioned and sorted by token (the
+    * probe key — row groups carry tight token min/max, so the pushed
+    * `In(token, …)` filter skips everything else), `path/dfs` =
+    * (token, df), `path/stats` = one row (n_docs, avgdl). The dl
+    * denormalization (+8 bytes/posting) buys the query path freedom
+    * from any doc-length join. Write-time cost is ONE tokenization
+    * scan; the per-document length folds over the same TokenCounts
+    * array (interpreted HOF — fine once at write, never at query).
+    */
+  def writePostingsIndex(corpus: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val base = graft.core.Caches.stage(
+      corpus.select(col(idCol).as("doc_id"),
+        graft.functions.TokenCounts(col(textCol)).as("tc")))
+    try {
+      val lens = base.select(col("doc_id"),
+        aggregate(col("tc"), lit(0L),
+          (acc, t) => acc + t.getField("cnt")).as("dl"))
+      lens.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      val postings = base.join(lens, "doc_id")
+        .select(col("doc_id"), col("dl"), explode(col("tc")).as("t"))
+        .select(col("t.token").as("token"), col("doc_id"),
+          col("t.cnt").as("tf"), col("dl"))
+      postings.groupBy("token").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/dfs")
+      postings.repartition(col("token"))
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings")
+    } finally graft.core.Caches.releaseAll(corpus.sparkSession)
+  }
+
+  /** [[TextFns.bm25Queries]] against a prebuilt [[writePostingsIndex]]
+    * artifact: the corpus is never tokenized — the scan reads only
+    * postings rows for the query vocabulary (pushed In filter), df
+    * and corpus stats come from the write-time side tables, and the
+    * scoring/ranking tail is shared code with the recompute twin, so
+    * scores are bit-identical.
+    */
+  def bm25QueriesIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, termsCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 100,
+      logIdf: Boolean = true): DataFrame = {
+    val qt = queries.select(col(qIdCol).as("query_id"),
+        explode(col(termsCol)).as("__t"))
+      .select(col("query_id"), lower(col("__t")).as("token"))
+      .distinct()
+    // same bounded-vocabulary contract (and guard) as bm25Queries:
+    // the literal In list is what reaches the parquet scan as a
+    // pushed filter — a join would read every posting row
+    val vocab = qt.select("token").distinct().limit(65537).collect()
+      .map(_.getString(0))
+    require(vocab.length <= 65536,
+      "query vocabulary too large to bake into the scan filter; " +
+        "join against the postings frame directly instead")
+    val matched = spark.read.parquet(s"$path/postings")
+      .filter(col("token").isin(vocab.toSeq: _*))
+    val dfs = spark.read.parquet(s"$path/dfs")
+      .filter(col("token").isin(vocab.toSeq: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    TextFns.bm25QueryTail(matched, dfs, stats, qt, k1, b, topK, logIdf)
+  }
+
+  /** Single-query convenience over [[bm25QueriesIndexed]]. */
+  def bm25Indexed(spark: SparkSession, path: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 100, logIdf: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    import spark.implicits._
+    bm25QueriesIndexed(spark,
+      path, Seq((0L, terms)).toDF("query_id", "terms"), "query_id",
+      "terms", k1, b, topK, logIdf)
+      .select("rank", "doc_id", "score", "n_terms")
+  }
+
+  // ---------- MinHash band-bucket index ----------
+
+  /** Persist [[Dedup.minhashIndexMd5]]: (id, band, bucket) at `path`.
+    * At warehouse scale this is the bucketed+sorted-on-(band, bucket)
+    * table [[graft.sources.Bucketing]] describes; plain parquet here
+    * keeps the artifact splittable and the probe an equi-join.
+    */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 3, k: Int = 32,
+      b: Int = 8): Unit =
+    Dedup.minhashIndexMd5(corpus, idCol, textCol, n, k, b)
+      .write.mode("overwrite").parquet(path)
+
+  def openMinhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[Dedup.incrementalDupPairsMd5]] probing a prebuilt
+    * [[writeMinhashIndex]] frame: only the incoming batch computes
+    * signatures; the corpus contributes its persisted band buckets
+    * (capped at probe time — the skew guard is a query knob, not
+    * baked into the artifact) and text for the Jaccard verify of
+    * matched ids only.
+    */
+  def incrementalDupPairsIndexed(incoming: DataFrame, incId: String,
+      index: DataFrame, corpus: DataFrame, corId: String,
+      textCol: String, n: Int = 3, k: Int = 32, b: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
+    Dedup.incrementalDupPairsFromIndex(incoming, incId, index,
+      corpus, corId, textCol, n, k, b, threshold, maxBucket)
+}

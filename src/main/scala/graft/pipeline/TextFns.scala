@@ -1014,6 +1014,22 @@ object TextFns {
       .select(col("doc_id"), col("dl"),
         col("t.token").as("token"), col("t.cnt").as("tf"))
     val dfs = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    bm25QueryTail(matched, dfs, stats, qt, k1, b, topK, logIdf)
+  }
+
+  /** Scoring/ranking tail shared by [[bm25Queries]] and the
+    * persisted-index form ([[Indexes.bm25QueriesIndexed]]): per-term
+    * BM25 over (doc_id, dl, token, tf) postings with broadcast dfs /
+    * corpus stats / query-term frames, DECIMAL-reduced per-document
+    * sums, per-query WindowGroupLimit top-k. Shared CODE, not just
+    * shared semantics — the indexed path's scores are bit-identical
+    * because this is literally the same arithmetic.
+    */
+  private[pipeline] def bm25QueryTail(matched: org.apache.spark.sql.DataFrame,
+      dfs: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      qt: org.apache.spark.sql.DataFrame, k1: Double, b: Double,
+      topK: Int, logIdf: Boolean): org.apache.spark.sql.DataFrame = {
     val idfOdds = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
     val idf = if (logIdf) log(idfOdds + 1.0) else idfOdds
     val score = idf * (col("tf") * (k1 + 1)) /

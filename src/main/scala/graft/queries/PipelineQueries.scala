@@ -226,6 +226,95 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-sf-dir scratch root for the persisted-index gates: each
+    * gate writes its artifact fresh (overwrite) then queries it, so
+    * the gate proves the full write→open→probe contract and can
+    * never consume a stale artifact from an earlier code version.
+    */
+  private def idxDir(d: String): String =
+    "/tmp/graft_idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Persisted binary-ANN index (Indexes.writeBinaryIndex →
+    * binaryTopKIndexed): same search as p_ann_binary but the corpus
+    * side is the prebuilt (neighbor_id, cb) parquet — the query plan
+    * contains no corpus-side encode kernel and no exchange below the
+    * probe join (PlanSpec pins). Hash-matches p_ann_binary's oracle
+    * verbatim.
+    */
+  def pAnnIndexed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = idxDir(d) + "/binary"
+    graft.pipeline.Indexes.writeBinaryIndex(emb, "vec_id",
+      "embedding", path)
+    val queries = emb.orderBy("vec_id").limit(20)
+    graft.pipeline.Indexes.binaryTopKIndexed(queries,
+        graft.pipeline.Indexes.openBinaryIndex(s, path), emb,
+        "vec_id", "vec_id", "embedding", k = 5, shortlist = 50)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("ham"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Persisted IVF-PQ index (Indexes.writeIvfPqIndex →
+    * ivfPqTopKIndexed): the billion-vector layout actually laid out —
+    * one directory per inverted list, probe reads codes only.
+    * Hash-matches p_ann_ivfpq's oracle verbatim.
+    */
+  def pAnnIvfPqIdx(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = idxDir(d) + "/ivfpq"
+    graft.pipeline.Indexes.writeIvfPqIndex(emb, "vec_id",
+      "embedding", path, nCentroids = 16, m = 8, ks = 16)
+    val queries = emb.orderBy("vec_id").limit(20)
+    graft.pipeline.Indexes.ivfPqTopKIndexed(queries,
+        graft.pipeline.Indexes.openIvfPqIndex(s, path),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nprobe = 4,
+        m = 8, ks = 16)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Persisted BM25 postings index (Indexes.writePostingsIndex →
+    * bm25QueriesIndexed): the corpus is tokenized once at write
+    * time; the probe reads only the query vocabulary's posting rows
+    * (pushed In filter) plus the write-time dfs/stats side tables.
+    * Hash-matches p_bm25_multi's oracle verbatim.
+    */
+  def pBm25Indexed(s: SparkSession, d: String): DataFrame = {
+    val path = idxDir(d) + "/postings"
+    graft.pipeline.Indexes.writePostingsIndex(Tables.documents(s, d),
+      "doc_id", "text", path)
+    graft.pipeline.Indexes.bm25QueriesIndexed(s, path,
+        rrfQueryFrame(s), "query_id", "terms", topK = 10,
+        logIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Persisted MinHash band index (Indexes.writeMinhashIndex →
+    * incrementalDupPairsIndexed): the incremental-ingest probe
+    * against the write-once band-bucket artifact; corpus text is
+    * read only to Jaccard-verify matched candidates. Hash-matches
+    * p_incr_dedup's oracle verbatim.
+    */
+  def pIncrIndexed(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val inc = doc.filter(col("doc_id") % 10 === 7)
+    val cor = doc.filter(col("doc_id") % 10 =!= 7)
+    val path = idxDir(d) + "/minhash"
+    graft.pipeline.Indexes.writeMinhashIndex(cor, "doc_id", "text",
+      path)
+    val pairs = graft.pipeline.Indexes.incrementalDupPairsIndexed(
+      inc, "doc_id", graft.pipeline.Indexes.openMinhashIndex(s, path),
+      cor, "doc_id", "text")
+    inc.select(col("doc_id"))
+      .join(pairs.groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+          min("corpus_id").as("first_dup")),
+        Seq("doc_id"), "left")
+      .na.fill(Map("n_dups" -> 0, "first_dup" -> -1))
+      .orderBy("doc_id")
+  }
+
   /** Per-query lexical term sets for p_rrf (corpus-vocabulary tokens;
     * q2 has three terms so list lengths differ across queries).
     */
@@ -1248,6 +1337,10 @@ object PipelineQueries {
     "p_sq_encode" -> (pSqEncode _),
     "p_ann_pq_refined" -> (pAnnPqRefined _),
     "p_ann_binary" -> (pAnnBinary _),
+    "p_ann_indexed" -> (pAnnIndexed _),
+    "p_ann_ivfpq_idx" -> (pAnnIvfPqIdx _),
+    "p_bm25_indexed" -> (pBm25Indexed _),
+    "p_incr_indexed" -> (pIncrIndexed _),
     "p_rrf" -> (pRrf _),
     "p_wordpiece" -> (pWordpiece _),
     "p_html_extract" -> (pHtmlExtract _),
@@ -2007,7 +2100,7 @@ object PipelineQueries {
        |      ELSE 0.0 END AS sr
        |  FROM $src)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "p_keywords" ->
       s"""WITH tc AS (
          |  SELECT doc_id, token, count(*) AS tf FROM (
@@ -3555,4 +3648,15 @@ object PipelineQueries {
         |  CROSS JOIN embeddings c
         |  WHERE q.vec_id <> c.vec_id)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+
+  /** The persisted-index gates assert result-IDENTITY with their
+    * recompute twins, so they share the twin's oracle SQL verbatim —
+    * the strongest possible pin: write → open → probe must reproduce
+    * the exact rows the one-shot operator computes.
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "p_ann_indexed" -> oraclesBase("p_ann_binary"),
+    "p_ann_ivfpq_idx" -> oraclesBase("p_ann_ivfpq"),
+    "p_bm25_indexed" -> oraclesBase("p_bm25_multi"),
+    "p_incr_indexed" -> oraclesBase("p_incr_dedup"))
 }

@@ -338,6 +338,33 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stateless streaming ANN probe against a PERSISTED binary index
+    * ([[graft.pipeline.Indexes.writeBinaryIndex]]): each micro-batch
+    * of query rows runs the exact batch probe
+    * (Indexes.binaryTopKIndexed) via foreachBatch and hands the
+    * ranked result to `sink`. A probe carries no cross-batch state —
+    * queries are independent of each other — so there is nothing for
+    * mapGroupsWithState to hold; and the per-query top-k ranking pass
+    * is precisely the operation append-mode streaming cannot express,
+    * which is what foreachBatch exists for. stream == batch by
+    * construction (StreamingSpec pins the union-of-batches equality),
+    * and the corpus side stays the 8-byte-per-row index scan — the
+    * stream never re-encodes the corpus.
+    *
+    * Returns the configured writer; callers set trigger/checkpoint
+    * and `.start()`.
+    */
+  def annProbeStream(queries: DataFrame, index: DataFrame,
+      vectors: DataFrame, qId: String, cId: String, vecCol: String,
+      k: Int, shortlist: Int = 50, dim: Int = 64)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.pipeline.Indexes.binaryTopKIndexed(batch, index,
+        vectors, qId, cId, vecCol, k, shortlist, dim), id)
+    }
+
   /** Sliding-window rate monitor (5-minute slide over 1-hour window). */
   def slidingRate(events: DataFrame,
       watermark: String = "2 hours"): DataFrame =

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted retrieval indexes: write → open → probe must reproduce
+  * the recompute operator's rows EXACTLY (the gates pin this against
+  * the DuckDB oracle at sf0.01; these specs pin it in-engine at
+  * sf0.001 including the non-default knobs the gates don't reach).
+  */
+class IndexesSpec extends SparkSpec {
+
+  private val root = "/tmp/graft_idx_spec"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("binary index probe == recompute binaryTopK") {
+    val emb = Tables.embeddings(spark, sf())
+    val qs = emb.orderBy("vec_id").limit(7)
+    Indexes.writeBinaryIndex(emb, "vec_id", "embedding",
+      s"$root/binary")
+    val idx = Indexes.openBinaryIndex(spark, s"$root/binary")
+    val got = Indexes.binaryTopKIndexed(qs, idx, emb, "vec_id",
+      "vec_id", "embedding", k = 4, shortlist = 20)
+    val want = Ann.binaryTopK(qs, emb, "vec_id", "vec_id",
+      "embedding", k = 4, shortlist = 20)
+    assert(rows(got) == rows(want))
+  }
+
+  test("ivf-pq index probe == recompute, with and without list pruning") {
+    val emb = Tables.embeddings(spark, sf())
+    val qs = emb.orderBy("vec_id").limit(7)
+    Indexes.writeIvfPqIndex(emb, "vec_id", "embedding",
+      s"$root/ivfpq")
+    val idx = Indexes.openIvfPqIndex(spark, s"$root/ivfpq")
+    val want = rows(Ann.ivfPqTopK(qs, emb, "vec_id", "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    val pruned = Indexes.ivfPqTopKIndexed(qs, idx, "vec_id",
+      "embedding", k = 4, nprobe = 2)
+    val lazyPlan = Indexes.ivfPqTopKIndexed(qs, idx, "vec_id",
+      "embedding", k = 4, nprobe = 2, pruneLists = false)
+    assert(rows(pruned) == want)
+    assert(rows(lazyPlan) == want)
+  }
+
+  test("postings index probe == recompute bm25Queries, scores bit-equal") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    Indexes.writePostingsIndex(docs, "doc_id", "text",
+      s"$root/postings")
+    val queries = Seq((0L, Seq("customer", "the")),
+      (1L, Seq("order", "part", "zzz-no-such-token")))
+      .toDF("query_id", "terms")
+    val got = Indexes.bm25QueriesIndexed(spark, s"$root/postings",
+      queries, "query_id", "terms", topK = 8)
+    val want = TextFns.bm25Queries(docs, "doc_id", "text", queries,
+      "query_id", "terms", topK = 8)
+    assert(rows(got) == rows(want))
+    graft.core.Caches.releaseAll(spark)
+    // the single-query convenience rides the same artifact
+    val one = Indexes.bm25Indexed(spark, s"$root/postings",
+      Seq("customer", "the"), topK = 8)
+    assert(one.columns.toSeq ==
+      Seq("rank", "doc_id", "score", "n_terms"))
+    assert(one.count() == 8)
+  }
+
+  test("minhash index probe == recompute incremental pairs") {
+    val docs = Tables.documents(spark, sf())
+    val inc = docs.filter(col("doc_id") % 10 === 7)
+    val cor = docs.filter(col("doc_id") % 10 =!= 7)
+    Indexes.writeMinhashIndex(cor, "doc_id", "text", s"$root/mh")
+    val idx = Indexes.openMinhashIndex(spark, s"$root/mh")
+    val got = Indexes.incrementalDupPairsIndexed(inc, "doc_id", idx,
+      cor, "doc_id", "text")
+    val want = Dedup.incrementalDupPairsMd5(inc, "doc_id", cor,
+      "doc_id", "text")
+    assert(rows(got) == rows(want))
+  }
+}

@@ -390,6 +390,64 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p_ann_indexed: prebuilt bits scan — no corpus encode, no corpus exchange") {
+    val p = plan("p_ann_indexed")
+    assert(p.contains("graft_idx_") && p.contains("cb:array<int>"),
+      s"corpus side must scan the persisted bit index:\n$p")
+    // no encode expression in the probe plan at all: the corpus bits
+    // come from disk, and the 20-query-side encode hides inside a
+    // TakeOrderedAndProject whose projection this string elides — the
+    // contrast test pins that the recompute twin DOES show its two
+    // encode sites, so a regression here surfaces as a nonzero count
+    assert("binEncode expects".r.findAllIn(p).isEmpty,
+      s"the sign encode must not touch corpus rows:\n$p")
+    // no spread/repartition below the probe join — the index scan
+    // feeds the broadcast join directly
+    assert(!p.toLowerCase.contains("roundrobin"),
+      s"no corpus-side exchange in the indexed probe:\n$p")
+  }
+
+  test("p_ann_binary (contrast): the recompute twin encodes both sides") {
+    val p = plan("p_ann_binary")
+    assert("binEncode expects".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("p_bm25_indexed: pushed token filter, corpus never tokenized") {
+    val p = plan("p_bm25_indexed")
+    assert(p.contains("In(token, ["),
+      s"query vocabulary must reach the postings scan as a pushed filter:\n$p")
+    val lp = p.toLowerCase
+    assert(!lp.contains("tokenpostings") && !lp.contains("tokencounts"),
+      s"no tokenization kernel belongs in the indexed probe:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"the corpus itself must never be scanned:\n$p")
+  }
+
+  test("p_ann_ivfpq_idx: probe reads only its list directories, codes only") {
+    val p = plan("p_ann_ivfpq_idx")
+    assert(p.contains("graft_idx_") &&
+      p.contains("codes:array<int>"), s"code-only index scan:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("INSET"),
+      s"probed list ids must prune partitions statically:\n$p")
+    val lp = p.toLowerCase
+    assert(!lp.contains("pqcodes"),
+      s"corpus-side PQ encode must not run at query time:\n$p")
+    // centroid kernel survives only as the query-side probe list
+    // (Generate + its projection = 2 prints; the recompute twin shows
+    // 4, paying corpus-side assignment too)
+    assert("centroidrank".r.findAllIn(lp).size <= 2,
+      s"corpus-side coarse assignment must come from the layout:\n$p")
+  }
+
+  test("p_incr_indexed: corpus bands come from the artifact") {
+    val p = plan("p_incr_indexed")
+    assert(p.contains("graft_idx_"), s"persisted band index scan:\n$p")
+    // the signature kernel runs for the INCOMING batch only (the
+    // recompute twin pays it on both sides)
+    assert("minhashbandbuckets".r.findAllIn(p.toLowerCase).size == 1,
+      s"corpus signatures must not be recomputed at probe time:\n$p")
+  }
+
   test("p_unigram_train: rounds iterate on the staged words frame") {
     val p = plan("p_unigram_train")
     assert(p.toLowerCase.contains("unigramsegment"),

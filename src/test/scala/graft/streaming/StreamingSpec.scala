@@ -414,6 +414,41 @@ class StreamingSpec extends SparkSpec {
       "null-text docs must not collapse into one another")
   }
 
+  test("streaming ANN probe against the persisted index == batch probe") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf())
+    val path = "/tmp/graft_idx_spec_stream/binary"
+    graft.pipeline.Indexes.writeBinaryIndex(emb, "vec_id",
+      "embedding", path)
+    val idx = graft.pipeline.Indexes.openBinaryIndex(spark, path)
+    val qrows = emb.orderBy("vec_id").limit(6)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    // probe in two micro-batches; the sink accumulates ranked rows
+    val writer = EventStreams.annProbeStream(
+      input.toDF().toDF("vec_id", "embedding"), idx, emb,
+      "vec_id", "vec_id", "embedding", k = 3, shortlist = 15) {
+      (ranked, _) => got ++= ranked.collect().map(_.toString)
+    }
+    input.addData(qrows.take(3).toSeq)
+    val q = writer.start()
+    q.processAllAvailable()
+    input.addData(qrows.drop(3).toSeq)
+    q.processAllAvailable(); q.stop()
+    // union of per-batch probes == one batch probe over all queries
+    // (stateless by construction: queries are independent)
+    val want = graft.pipeline.Indexes.binaryTopKIndexed(
+        emb.orderBy("vec_id").limit(6), idx, emb, "vec_id", "vec_id",
+        "embedding", k = 3, shortlist = 15)
+      .collect().map(_.toString)
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.size == 18)
+  }
+
   test("streaming dedup drops duplicates within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GEvent]
