@@ -94,6 +94,53 @@ object Multimodal {
       .select(col(idCol), col("pos").as("frame_idx"),
         col("col").as("ts_ms"))
 
+  /** Perceptual dHash of a media struct's payload
+    * ([[graft.functions.DHashWords]]): 64 comparison bits over the
+    * (stub-)decoded 9×8 luma grid, packed in [[Ann.binEncode]]'s
+    * 4×16-bit word layout so the whole binary-ANN toolchain (Hamming
+    * kernels, word-blocked pair joins, persisted bit indexes) applies
+    * to images unchanged.
+    */
+  def dHash(media: Column): Column =
+    graft.functions.DHashWords(media.getField("data"))
+
+  /** Image-level near-duplicate pairs by perceptual hash: documents
+    * whose dHashes differ in at most `maxHamming` bits.
+    *
+    * Scale shape: ONE scan computes the 8-byte signature per row
+    * (at scale it is precomputed at write time like every other
+    * retrieval artifact); candidates come from the PIGEONHOLE block
+    * join — a pair at Hamming ≤ r over 4 words must agree EXACTLY on
+    * some word whenever r < 4, so the join is equi on (word index,
+    * word value), never all-pairs — and each candidate is verified by
+    * the codegen'd popcount ([[Ann.hammingWords]]). Identical
+    * topology to [[Dedup.simhashPairs]], which is the point: image
+    * dedup is text dedup with a different kernel.
+    */
+  def imageDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole blocking over 4 words needs maxHamming < 4, " +
+        s"got $maxHamming")
+    val sigs = Dedup.spread(df.select(col(idCol).as("id"),
+        col(s"$mediaCol.data").as("__d")))
+      .select(col("id"), graft.functions.DHashWords(col("__d")).as("dh"))
+    val chunks = sigs.select(col("id"), col("dh"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+            element_at(col("dh"), i + 1).as("val"))): _*)).as("c"))
+      .select(col("id"), col("dh"), col("c.chunk"), col("c.val"))
+    val l = chunks.as("l")
+    val r = chunks.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") &&
+        col("l.val") === col("r.val") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        Ann.hammingWords(col("l.dh"), col("r.dh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+
   /** Resize metadata transform (the byte payload would be rewritten by
     * the decoder; the metadata math is the real part).
     */

@@ -592,6 +592,36 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash image dedup (Multimodal.dHash / imageDupPairs):
+    * every document's fake-media payload hashes to a 64-bit dHash
+    * (the stub luma grid is the decode seam; the packing, word
+    * layout, pigeonhole block join, and popcount verify are the real
+    * machinery, shared with the binary-ANN family), and pairs within
+    * Hamming ≤ 3 surface as per-doc dup counts. Exact duplicate
+    * payloads hash identically (distance 0), so the fixture's planted
+    * dups discriminate. Fully integer — the oracle replays the grid,
+    * the 64 comparisons, the word packing, the block join, and the
+    * xor-popcount verify.
+    */
+  def pImageDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Multimodal
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Multimodal.packFakeMedia(col("text")).as("media"))
+    val sigs = media.select(col("doc_id"),
+      array_join(Multimodal.dHash(col("media")), "/").as("dh"))
+    val pairs = Multimodal.imageDupPairs(media, "doc_id", "media",
+      maxHamming = 3)
+    val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("p"))
+      .unionAll(pairs.select(col("id2").as("doc_id"),
+        col("id1").as("p")))
+    sigs.join(sym.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dups"), min("p").as("first_dup")),
+        Seq("doc_id"), "left")
+      .na.fill(Map("n_dups" -> 0, "first_dup" -> -1))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup clusters: connected components over the Jaccard-verified
     * md5-minhash pair graph (keep-one-per-group is then a trivial
     * `comp = doc_id` filter). The oracle replays the same pair
@@ -1322,6 +1352,7 @@ object PipelineQueries {
     "p_chunks" -> (pChunks _),
     "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
+    "p_image_dedup" -> (pImageDedup _),
     "p_llm_extract" -> (pLlmExtract _),
     "p_exact_dedup" -> (pExactDedup _),
     "p_text_stats" -> (pTextStats _),
@@ -2588,6 +2619,63 @@ object PipelineQueries {
         |  CAST(dur // 5000 + 1 AS BIGINT) AS n_frames
         |FROM m LEFT JOIN f USING (doc_id)
         |ORDER BY m.doc_id""".stripMargin,
+    "p_image_dedup" -> {
+      val contrib =
+        "(unicode(substr(text, i, 1)) * 2654435761 + (i - 1) * 40503) % 1000"
+      val cellSums = (0 until 72).map(g =>
+        s"sum(CASE WHEN (i - 1) % 72 = $g THEN $contrib ELSE 0 END) AS s$g")
+        .mkString(", ")
+      val cellCoal = (0 until 72).map(g =>
+        s"coalesce(s$g, 0) AS s$g").mkString(", ")
+      // bit b = r*8+c set iff luma(r*9+c) < luma(r*9+c+1); word w
+      // carries bits 16w..16w+15 — DHashWords' exact packing
+      val words = (0 until 4).map { w =>
+        val bits = (0 until 16).map { i =>
+          val b = w * 16 + i; val r = b / 8; val c = b % 8
+          s"CASE WHEN s${r * 9 + c} < s${r * 9 + c + 1} " +
+            s"THEN ${1 << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS w$w"
+      }.mkString(", ")
+      val ham = (0 until 4).map(w =>
+        s"bit_count(xor(CAST(a.w$w AS BIGINT), CAST(b.w$w AS BIGINT)))")
+        .mkString(" + ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i,
+         |    text
+         |  FROM documents),
+         |csums AS (SELECT doc_id, $cellSums FROM pos GROUP BY doc_id),
+         |cells AS (
+         |  SELECT d.doc_id, $cellCoal
+         |  FROM documents d LEFT JOIN csums USING (doc_id)),
+         |hashes AS (SELECT doc_id, $words FROM cells),
+         |chunks AS (
+         |  SELECT doc_id, 0 AS c, w0 AS v FROM hashes UNION ALL
+         |  SELECT doc_id, 1, w1 FROM hashes UNION ALL
+         |  SELECT doc_id, 2, w2 FROM hashes UNION ALL
+         |  SELECT doc_id, 3, w3 FROM hashes),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM chunks l JOIN chunks r
+         |    ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT p.id1, p.id2 FROM cand p
+         |  JOIN hashes a ON p.id1 = a.doc_id
+         |  JOIN hashes b ON p.id2 = b.doc_id
+         |  WHERE $ham <= 3),
+         |sym AS (
+         |  SELECT id1 AS doc_id, id2 AS p FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_dups, min(p) AS first_dup
+         |  FROM sym GROUP BY doc_id)
+         |SELECT h.doc_id,
+         |  concat_ws('/', w0, w1, w2, w3) AS dh,
+         |  coalesce(n_dups, 0) AS n_dups,
+         |  coalesce(first_dup, -1) AS first_dup
+         |FROM hashes h LEFT JOIN agg USING (doc_id)
+         |ORDER BY h.doc_id""".stripMargin
+    },
     "p_ann_ivf" ->
       s"""WITH cents(i, w) AS (VALUES ${centroidValues(16, 64, 4242)}),
          |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -1077,6 +1077,51 @@ class PipelineSpec extends SparkSpec {
     assert(resized.forall(_ <= 64))
   }
 
+  test("image dedup: dHash kernel matches reference, pairs verify by Hamming") {
+    // Scala reference of the kernel's contract: stripe luma grid →
+    // 64 horizontal comparisons → binEncode word packing
+    def ref(text: String): Seq[Int] = {
+      val cps = text.codePoints.toArray
+      val luma = new Array[Long](72)
+      cps.indices.foreach(i => luma(i % 72) +=
+        (cps(i).toLong * 2654435761L + i.toLong * 40503L) % 1000L)
+      val w = new Array[Int](4)
+      for (b <- 0 until 64) {
+        val r = b / 8; val c = b % 8
+        if (luma(r * 9 + c) < luma(r * 9 + c + 1)) w(b / 16) |= 1 << (b % 16)
+      }
+      w.toSeq
+    }
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with other words entirely here"),
+      (4L, "")).toDF("doc_id", "text")
+    val media = rows.select($"doc_id",
+      Multimodal.packFakeMedia($"text").as("media"))
+    val got = media.select($"doc_id", Multimodal.dHash($"media").as("dh"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    got.foreach { case (id, dh) =>
+      val text = rows.filter($"doc_id" === id).head.getString(1)
+      assert(dh == ref(text), s"doc $id")
+    }
+    // empty payload → all-zero luma → no strict inequalities → 0 words
+    assert(got(3)._2 == Seq(0, 0, 0, 0))
+    // identical payloads are distance-0 pairs; the unrelated doc isn't
+    val pairs = Multimodal.imageDupPairs(media, "doc_id", "media",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // NULL payload yields NULL hash, not a crash
+    val n = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(Multimodal.dHash(
+        Multimodal.packFakeMedia($"text")).as("dh"))
+      .head
+    assert(n.isNullAt(0))
+  }
+
   test("spread widens single-split file scans without double planning") {
     val par = spark.sparkContext.defaultParallelism
     // sf0.001 documents is one small parquet file = one split; the
