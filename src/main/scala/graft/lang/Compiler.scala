@@ -491,6 +491,48 @@ object Compiler {
           case KNested(_) => flatten(s.col)
           case _ => s.col
         }
+        // FAST PATH for the dominant aggregate-grouping shape
+        // `seq{key : $sum(field)}` over a struct sequence with a
+        // string key and numeric field: one codegen'd hash pass
+        // (graft.functions.GroupSumMap) instead of the interpreted
+        // HOF cascade below — same keys (first occurrence, null keys
+        // drop), same values (field path drops nulls; $sum([]) = 0.0,
+        // DoubleType). ReduceStepSpec pins equivalence against the
+        // general lowering; any other body falls through unchanged.
+        val fastSum = pairs match {
+          case Seq((Ident(kf), FnCall("$sum", Seq(Ident(vf))))) =>
+            s.dt match {
+              case st: org.apache.spark.sql.types.StructType =>
+                val ki = st.fieldNames.indexOf(kf)
+                val vi = st.fieldNames.indexOf(vf)
+                if (ki < 0 || vi < 0) None
+                else (st(ki).dataType, st(vi).dataType) match {
+                  case (org.apache.spark.sql.types.StringType, vt) =>
+                    import graft.functions.GroupAggNative._
+                    val code = vt match {
+                      case org.apache.spark.sql.types.IntegerType =>
+                        Some(VInt)
+                      case org.apache.spark.sql.types.LongType =>
+                        Some(VLong)
+                      case org.apache.spark.sql.types.DoubleType =>
+                        Some(VDouble)
+                      case org.apache.spark.sql.types.FloatType =>
+                        Some(VFloat)
+                      case _ => None
+                    }
+                    code.map(c => CD(
+                      org.apache.spark.sql.graftglue.ColumnGlue.column(
+                        graft.functions.GroupSumMap(
+                          org.apache.spark.sql.graftglue.ColumnGlue
+                            .expression(xs), ki, vi, c, st.size)),
+                      MapType(StringType, DoubleType), KScalar))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+        if (fastSum.isDefined) return fastSum.get
         val built = pairs.map { case (kExpr, vExpr) =>
           def keyOf(x: Column): Column =
             materialize(compile(kExpr,

@@ -31,6 +31,39 @@ class ReduceStepSpec extends SparkSpec {
       Map("hat" -> 15L, "coat" -> 50L))
   }
 
+  test("native $sum fast path == general lowering, incl. null keys/values") {
+    // nulls both ways: a null KEY drops the element entirely, a null
+    // VALUE drops from the sum (field paths skip non-matches), an
+    // all-null group sums to $sum([]) = 0
+    val data =
+      """$o := [{'cat': 'hat',  'price': 10},
+        |       {'cat': 'coat', 'price': null},
+        |       {'cat': null,   'price': 99},
+        |       {'cat': 'hat',  'price': 5},
+        |       {'cat': 'coat', 'price': null}];""".stripMargin
+    val expected = Map("hat" -> 15L, "coat" -> 0L)
+    // bare-Ident body compiles to the codegen'd GroupSumMap kernel;
+    // the parenthesized key is semantically identical but falls back
+    // to the general HOF lowering — the two must agree exactly
+    run(s"($data $$o{cat : $$sum(price)})", expected)
+    run(s"($data $$o{(cat) : $$sum(price)})", expected)
+    // and the fast path must actually be the fast path
+    import org.apache.spark.sql.functions.{col, collect_list, struct, lit}
+    import spark.implicits._
+    val base = Seq((1L, "a", 2L), (1L, "b", 3L), (1L, "a", 5L))
+      .toDF("id", "k", "v")
+      .groupBy("id")
+      .agg(collect_list(struct(col("k").as("flag"),
+        col("v").as("qty"))).as("items"))
+    val fast = RM.evalCol("items{flag : $sum(qty)}", base,
+      keep = Seq("id"))
+    assert(fast.queryExecution.analyzed.toString.toLowerCase
+      .contains("groupsummap"),
+      "bare-Ident aggregate grouping must compile to the native kernel")
+    val m = fast.head.getMap[String, Double](1)
+    assert(m == Map("a" -> 7.0, "b" -> 3.0))
+  }
+
   test("value expr maps over the group sequence, singletons collapse") {
     run(s"($orders $$o{cat : $$.(price * qty)})",
       Map("hat" -> Seq(20L, 20L), "coat" -> 50L))
