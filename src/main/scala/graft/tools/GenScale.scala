@@ -27,32 +27,60 @@ object GenScale {
     def h(c: Column, salt: Int): Column =
       abs(hash(c, lit(42), lit(salt)).cast("long"))
 
-    // ---- documents: word-salad texts over the sf0.1 vocabulary,
-    // with a ~0.4% exact-duplicate rate (doc copies its predecessor)
-    val vocab = array(Seq("spark", "line", "column", "order", "batch",
+    // ---- documents: word-salad texts with a ~0.4% exact-duplicate
+    // rate (doc copies its predecessor). en/zh rows use the sf0.1
+    // ASCII vocabulary; de/fr/es rows draw GENUINE accented
+    // extended-Latin vocabulary (umlauts, ß, acute/grave/circumflex,
+    // ñ, ç, œ — all already-lowercase NFC), so the Unicode oracle
+    // path (\p{L} tokenization, toksU/swCountU, ICU lower, the
+    // tokenizer-training tie orders) runs against real non-ASCII
+    // input instead of being dead code until the first German corpus
+    // (VERDICT r9 item 5). Each list carries that language's
+    // stopwords so lang-id has signal.
+    val vocabEn = Seq("spark", "line", "column", "order", "batch",
       "part", "small", "sort", "fast", "value", "scan", "query", "agg",
       "table", "hash", "stream", "filter", "big", "merge", "group",
       "join", "vector", "customer", "slow", "key", "a", "the",
-      "index").map(lit): _*)
+      "index")
+    val vocabDe = Seq("über", "größe", "straße", "müller", "schön",
+      "für", "während", "dreißig", "änderung", "öl", "bäcker", "zwölf",
+      "der", "die", "das", "und", "ist", "nicht", "mit", "wörter",
+      "grün", "käse", "füße", "weiß", "heiß", "spaß", "münchen",
+      "tabelle")
+    val vocabFr = Seq("café", "déjà", "être", "français", "élève",
+      "forêt", "où", "ça", "garçon", "hôtel", "naïve", "noël", "père",
+      "mère", "été", "à", "le", "la", "les", "et", "très", "après",
+      "première", "côté", "fenêtre", "cœur", "sœur", "août")
+    val vocabEs = Seq("niño", "señor", "mañana", "está", "días",
+      "corazón", "aquí", "también", "además", "año", "español",
+      "educación", "música", "rápido", "fácil", "él", "ella", "según",
+      "más", "qué", "montaña", "pequeño", "jardín", "número", "camión",
+      "avión", "lápiz", "inglés")
+    def varr(ws: Seq[String]) = array(ws.map(lit): _*)
     val nDocs = 5000L * mult
     val dupOf = when(h(col("id"), 1) % 250 === 0 && col("id") > 0,
       col("id") - 1).otherwise(col("id"))
+    val langCol = when(h(col("__seed"), 3) % 100 < 41, "en")
+      .when(h(col("__seed"), 3) % 100 < 56, "de")
+      .when(h(col("__seed"), 3) % 100 < 71, "zh")
+      .when(h(col("__seed"), 3) % 100 < 86, "es").otherwise("fr")
+    val langVocab = when(col("lang") === "de", varr(vocabDe))
+      .when(col("lang") === "fr", varr(vocabFr))
+      .when(col("lang") === "es", varr(vocabEs))
+      .otherwise(varr(vocabEn))
     val docs = spark.range(nDocs)
       .select(col("id").as("doc_id"), dupOf.as("__seed"))
+      .withColumn("lang", langCol)
       .withColumn("text", array_join(transform(
         sequence(lit(0L), lit(15L) + h(col("__seed"), 2) % 45L),
-        i => element_at(vocab,
+        i => element_at(langVocab,
           (abs(hash(col("__seed"), i, lit(42)).cast("long")) % 28 + 1)
             .cast("int"))),
         " "))
-      .withColumn("lang", when(h(col("__seed"), 3) % 100 < 41, "en")
-        .when(h(col("__seed"), 3) % 100 < 56, "de")
-        .when(h(col("__seed"), 3) % 100 < 71, "zh")
-        .when(h(col("__seed"), 3) % 100 < 86, "es").otherwise("fr"))
       .withColumn("source",
         concat(lit("src"), (h(col("doc_id"), 4) % 20).cast("string")))
-      .withColumn("n_chars", length(col("text")))
-      .drop("__seed")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
     docs.repartition(4 * mult / 10 max 2).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/documents.parquet")
 
