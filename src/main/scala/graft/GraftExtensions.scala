@@ -199,6 +199,19 @@ object GraftExtensions {
         ColumnGlue.resolvedExpression(graft.functions.CosineSim(
           ColumnGlue.column(args.head), ColumnGlue.column(args(1))))
       }),
+    ("graft_dhash",
+      "graft_dhash(payload) - perceptual image dHash as 4x16-bit words",
+      (args: Seq[Expression]) => {
+        arity("graft_dhash", args, 1)
+        graft.functions.DHashWords(args.head)
+      }),
+    ("graft_audio_fp",
+      "graft_audio_fp(payload) - acoustic frame-energy fingerprint " +
+        "as 4x16-bit words",
+      (args: Seq[Expression]) => {
+        arity("graft_audio_fp", args, 1)
+        graft.functions.AudioFpWords(args.head)
+      }),
     ("graft_sentences",
       "graft_sentences(text) - rule-based sentence segmentation",
       (args: Seq[Expression]) => {

@@ -413,9 +413,17 @@ object Ann {
     // parquet layout; with a persisted index (Indexes.writeBinaryIndex
     // → binaryTopKFrom) the bit column is precomputed and both
     // concerns are moot.
-    val c = Dedup.spread(corpus.select(col(cId).as("neighbor_id"),
-        binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
-      .filter(col("cb").isNotNull))
+    // null rows are dropped on the RAW column, BELOW the encode
+    // projection: binEncode is NULL exactly when its input is, but a
+    // filter written on the encoded alias gets substituted through
+    // the Project by predicate pushdown and the 64-branch encode tree
+    // is then evaluated TWICE per corpus row (filter + project) — and
+    // the doubled tree falls out of whole-stage codegen (measured
+    // 1.97 → 10.8 s on the sf1 gate). The raw isnotnull reaches the
+    // parquet scan as a pushed filter instead.
+    val c = Dedup.spread(corpus.filter(col(vecCol).isNotNull)
+      .select(col(cId).as("neighbor_id"),
+        binEncode(col(vecCol).cast("array<double>"), dim).as("cb")))
     binaryTopKFrom(queries, c, corpus, qId, cId, vecCol, k,
       shortlist, dim)
   }
@@ -429,13 +437,14 @@ object Ann {
       index: DataFrame, vectors: DataFrame, qId: String, cId: String,
       vecCol: String, k: Int, shortlist: Int, dim: Int): DataFrame = {
     require(shortlist >= k, "shortlist must cover k")
-    // null-embedding rows encode to NULL bits and are excluded from
-    // the search on both sides (a NULL Hamming distance would sort
-    // FIRST under the asc window's nulls-first default, promoting
-    // unsearchable rows to the top of every shortlist)
-    val q = queries.select(col(qId).as("query_id"),
+    // null-embedding rows are excluded from the search on both sides
+    // (a NULL Hamming distance would sort FIRST under the asc
+    // window's nulls-first default, promoting unsearchable rows to
+    // the top of every shortlist). The filter is on the RAW vector,
+    // not the encoded alias — see binaryTopK's corpus side for why.
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(qId).as("query_id"),
         binEncode(col(vecCol).cast("array<double>"), dim).as("qb"))
-      .filter(col("qb").isNotNull)
     val wh = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id"))
     val cand = index.join(broadcast(q),

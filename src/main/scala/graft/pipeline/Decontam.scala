@@ -97,13 +97,21 @@ object Decontam {
       else least(lit(maxShingleFreq.toLong),
         ceil(lit(maxShingleFrac) *
           col("__n_train")).cast("long"))
-    val tr2 = if (maxShingleFrac >= 1.0) tr1
-      else tr1.crossJoin(broadcast(
+    // boilerplate gram list via groupBy, NOT a window over the gram
+    // stream: count().over(partitionBy(h)) has no partial aggregation
+    // — it shuffles EVERY train gram row and buffers each h-group —
+    // while groupBy(h).count() map-side-combines to one row per
+    // distinct gram per partition before the exchange. The offending
+    // grams (freq > cap) are a small frame by construction (they are
+    // the boilerplate), so AQE turns the anti-join into a broadcast
+    // and the gram stream reaches the eval join with NO extra
+    // exchange. Same rows survive; only the plan changed.
+    val freq0 = tr1.groupBy("h").agg(count(lit(1)).as("__freq"))
+    val freq = if (maxShingleFrac >= 1.0) freq0
+      else freq0.crossJoin(broadcast(
         train.agg(count(lit(1)).as("__n_train"))))
-    val tr = tr2
-      .withColumn("__freq", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("__freq") <= cap)
-      .drop("__freq", "__n_train")
+    val boiler = freq.filter(col("__freq") > cap).select("h")
+    val tr = tr1.join(boiler, Seq("h"), "left_anti")
     te.join(tr, "h")
       .groupBy("test_id", "train_id")
       .agg(count(lit(1)).as("n_common"))

@@ -46,13 +46,37 @@ object Indexes {
     */
   def writeBinaryIndex(corpus: DataFrame, cId: String, vecCol: String,
       path: String, dim: Int = 64): Unit =
-    corpus.select(col(cId).as("neighbor_id"),
+    // filter on the RAW column (binEncode is NULL iff its input is):
+    // an isnotnull on the encoded alias would be alias-substituted
+    // below the Project and evaluate the encode tree twice per row —
+    // see Ann.binaryTopK's corpus side.
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(cId).as("neighbor_id"),
         Ann.binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
-      .filter(col("cb").isNotNull)
       .write.mode("overwrite").parquet(path)
 
   def openBinaryIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Append an ingest batch to a [[writeBinaryIndex]] artifact. The
+    * binary layout is append-friendly by construction: rows are
+    * independent (no per-row statistic depends on the rest of the
+    * corpus), so new files land next to the old ones and the next
+    * probe scans base+delta with no merge step — the property that
+    * makes this index maintainable at warehouse scale, where a
+    * rebuild per batch would re-encode the full corpus. (Contrast
+    * [[writePostingsIndex]]: BM25's df/avgdl are corpus-global, so a
+    * postings append without a stats rebuild would score against
+    * stale statistics — that family rebuilds or delta-merges.)
+    * Result-identical to a rebuild over base ∪ batch (gate
+    * p_ann_index_append hash-matches p_ann_binary's oracle).
+    */
+  def appendBinaryIndex(batch: DataFrame, cId: String, vecCol: String,
+      path: String, dim: Int = 64): Unit =
+    batch.filter(col(vecCol).isNotNull)
+      .select(col(cId).as("neighbor_id"),
+        Ann.binEncode(col(vecCol).cast("array<double>"), dim).as("cb"))
+      .write.mode("append").parquet(path)
 
   /** [[Ann.binaryTopK]] against a prebuilt [[writeBinaryIndex]]
     * frame: the corpus side is the 8-byte-per-row index scan — no
@@ -224,6 +248,19 @@ object Indexes {
 
   def openMinhashIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Append a batch's band buckets to a [[writeMinhashIndex]]
+    * artifact. Signatures are row-local (md5-derived, no corpus
+    * statistic), so like [[appendBinaryIndex]] the append is
+    * merge-free and probe-equivalent to a rebuild over base ∪ batch
+    * — the ingest loop is: probe the index for near-dups of the
+    * incoming batch, drop matches, append the survivors.
+    */
+  def appendMinhashIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 3, k: Int = 32,
+      b: Int = 8): Unit =
+    Dedup.minhashIndexMd5(batch, idCol, textCol, n, k, b)
+      .write.mode("append").parquet(path)
 
   /** [[Dedup.incrementalDupPairsMd5]] probing a prebuilt
     * [[writeMinhashIndex]] frame: only the incoming batch computes

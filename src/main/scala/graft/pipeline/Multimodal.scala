@@ -118,13 +118,48 @@ object Multimodal {
     * dedup is text dedup with a different kernel.
     */
   def imageDupPairs(df: DataFrame, idCol: String, mediaCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    wordBlockPairs(df, idCol, mediaCol,
+      graft.functions.DHashWords(_), maxHamming)
+
+  /** Acoustic fingerprint of a media struct's payload
+    * ([[graft.functions.AudioFpWords]]): 64 consecutive-frame energy
+    * comparisons over the (stub-)decoded PCM, packed in
+    * [[Ann.binEncode]]'s 4×16-bit word layout — images and audio
+    * share one near-dup toolchain, differing only in the kernel.
+    */
+  def audioFp(media: Column): Column =
+    graft.functions.AudioFpWords(media.getField("data"))
+
+  /** Audio-level near-duplicate pairs by acoustic fingerprint: same
+    * pigeonhole word-block topology as [[imageDupPairs]] (see there
+    * for the scale shape), keyed on [[audioFp]].
+    */
+  def audioDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 3): DataFrame =
+    wordBlockPairs(df, idCol, mediaCol,
+      graft.functions.AudioFpWords(_), maxHamming)
+
+  /** Shared near-dup pair topology over any 4×16-bit-word signature
+    * kernel: ONE scan computes the 8-byte signature per row (at scale
+    * it is precomputed at write time like every other retrieval
+    * artifact); candidates come from the PIGEONHOLE block join — a
+    * pair at Hamming ≤ r over 4 words must agree EXACTLY on some word
+    * whenever r < 4, so the join is equi on (word index, word value),
+    * never all-pairs — and each candidate is verified by the
+    * codegen'd popcount ([[Ann.hammingWords]]). Identical topology to
+    * [[Dedup.simhashPairs]], which is the point: media dedup is text
+    * dedup with a different kernel.
+    */
+  private def wordBlockPairs(df: DataFrame, idCol: String,
+      mediaCol: String, kernel: Column => Column,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"pigeonhole blocking over 4 words needs maxHamming < 4, " +
         s"got $maxHamming")
     val sigs = Dedup.spread(df.select(col(idCol).as("id"),
         col(s"$mediaCol.data").as("__d")))
-      .select(col("id"), graft.functions.DHashWords(col("__d")).as("dh"))
+      .select(col("id"), kernel(col("__d")).as("dh"))
     val chunks = sigs.select(col("id"), col("dh"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),

@@ -255,6 +255,32 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental index maintenance (Indexes.appendBinaryIndex): 90%
+    * of the corpus writes the base artifact, the remaining 10%
+    * appends as an ingest batch, and the probe runs over base+delta
+    * with no merge step. Hash-matching the full-rebuild oracle
+    * (p_ann_binary's, verbatim) proves append == rebuild — the
+    * property that lets the artifact absorb a batch without
+    * re-encoding the corpus.
+    */
+  def pAnnIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = idxDir(d) + "/binary_append"
+    graft.pipeline.Indexes.writeBinaryIndex(
+      emb.filter(col("vec_id") % 10 =!= 3), "vec_id", "embedding",
+      path)
+    graft.pipeline.Indexes.appendBinaryIndex(
+      emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+      path)
+    val queries = emb.orderBy("vec_id").limit(20)
+    graft.pipeline.Indexes.binaryTopKIndexed(queries,
+        graft.pipeline.Indexes.openBinaryIndex(s, path), emb,
+        "vec_id", "vec_id", "embedding", k = 5, shortlist = 50)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("ham"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persisted IVF-PQ index (Indexes.writeIvfPqIndex →
     * ivfPqTopKIndexed): the billion-vector layout actually laid out —
     * one directory per inverted list, probe reads codes only.
@@ -611,6 +637,33 @@ object PipelineQueries {
     val sigs = media.select(col("doc_id"),
       array_join(Multimodal.dHash(col("media")), "/").as("dh"))
     val pairs = Multimodal.imageDupPairs(media, "doc_id", "media",
+      maxHamming = 3)
+    val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("p"))
+      .unionAll(pairs.select(col("id2").as("doc_id"),
+        col("id1").as("p")))
+    sigs.join(sym.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dups"), min("p").as("first_dup")),
+        Seq("doc_id"), "left")
+      .na.fill(Map("n_dups" -> 0, "first_dup" -> -1))
+      .orderBy("doc_id")
+  }
+
+  /** Acoustic-fingerprint audio dedup (Multimodal.audioFp /
+    * audioDupPairs): the Haitsma–Kalker-shaped twin of p_image_dedup
+    * — 65 consecutive frame energies over the stub-decoded PCM, 64
+    * delta bits, the same word layout / pigeonhole block join /
+    * popcount verify. Fully integer; the oracle replays the LCG
+    * samples, the temporal framing, the energy sums, and the pair
+    * topology end to end.
+    */
+  def pAudioDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Multimodal
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Multimodal.packFakeMedia(col("text")).as("media"))
+    val sigs = media.select(col("doc_id"),
+      array_join(Multimodal.audioFp(col("media")), "/").as("fp"))
+    val pairs = Multimodal.audioDupPairs(media, "doc_id", "media",
       maxHamming = 3)
     val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("p"))
       .unionAll(pairs.select(col("id2").as("doc_id"),
@@ -983,6 +1036,24 @@ object PipelineQueries {
   private val SplitSpec: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Leakage-safe GROUPED split (Sampling.split keyed on the group):
+    * every document of a source lands in the same split, so
+    * near-duplicates — which concentrate within a source/domain —
+    * cannot straddle train and test. Same scan-local hash-interval
+    * membership as p_split, hashed on `source` instead of `doc_id`
+    * (the grouped key is the whole mechanism: no join, no shuffle,
+    * membership stays append-stable per group).
+    */
+  def pSplitGroup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.pipeline.Sampling.split(Tables.documents(s, d), "source",
+        SplitSpec, seed = 11)
+      .select(col("doc_id"), col("source"), col("split"))
+      .withColumn("split_n",
+        count(lit(1)).over(Window.partitionBy("split")))
+      .orderBy("doc_id")
+  }
+
   /** Corpus boilerplate profile: 5-grams shared by ≥ 2 documents,
     * heaviest first (bounded top-300 — TakeOrdered, no global sort).
     */
@@ -1353,6 +1424,7 @@ object PipelineQueries {
     "p_llm_match" -> (pLlmMatch _),
     "p_multimodal" -> (pMultimodal _),
     "p_image_dedup" -> (pImageDedup _),
+    "p_audio_dedup" -> (pAudioDedup _),
     "p_llm_extract" -> (pLlmExtract _),
     "p_exact_dedup" -> (pExactDedup _),
     "p_text_stats" -> (pTextStats _),
@@ -1369,7 +1441,9 @@ object PipelineQueries {
     "p_ann_pq_refined" -> (pAnnPqRefined _),
     "p_ann_binary" -> (pAnnBinary _),
     "p_ann_indexed" -> (pAnnIndexed _),
+    "p_ann_index_append" -> (pAnnIndexAppend _),
     "p_ann_ivfpq_idx" -> (pAnnIvfPqIdx _),
+    "p_split_group" -> (pSplitGroup _),
     "p_bm25_indexed" -> (pBm25Indexed _),
     "p_incr_indexed" -> (pIncrIndexed _),
     "p_rrf" -> (pRrf _),
@@ -2086,7 +2160,9 @@ object PipelineQueries {
     * Scala arithmetic, embedded as literals via Double round-trip).
     */
   private def splitOracle(seed: Int,
-      splits: Seq[(String, Double)]): String = {
+      splits: Seq[(String, Double)],
+      keyExpr: String = "CAST(doc_id AS VARCHAR)",
+      extraSel: String = ""): String = {
     val total = splits.map(_._2).sum
     val bounds = splits.scanLeft(0.0) { case (a, (_, w)) =>
       a + w / total
@@ -2096,15 +2172,15 @@ object PipelineQueries {
       s"CASE WHEN frac < $b THEN '$nm' ELSE $acc END"
     }
     s"""WITH f AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id,$extraSel
        |    CAST(CAST(list_sum(list_transform(range(1, 16), i ->
        |      (strpos('0123456789abcdef', substr(
-       |        md5(CAST(doc_id AS VARCHAR) || ':$seed'), i, 1)) - 1)
+       |        md5($keyExpr || ':$seed'), i, 1)) - 1)
        |        * ($pow16)[i])) AS BIGINT) AS DOUBLE)
        |      / 1152921504606846976.0 AS frac
        |  FROM documents),
-       |sp AS (SELECT doc_id, $caseExpr AS split FROM f)
-       |SELECT doc_id, split,
+       |sp AS (SELECT doc_id,$extraSel $caseExpr AS split FROM f)
+       |SELECT doc_id,$extraSel split,
        |  count(*) OVER (PARTITION BY split) AS split_n
        |FROM sp ORDER BY doc_id""".stripMargin
   }
@@ -2671,6 +2747,68 @@ object PipelineQueries {
          |  FROM sym GROUP BY doc_id)
          |SELECT h.doc_id,
          |  concat_ws('/', w0, w1, w2, w3) AS dh,
+         |  coalesce(n_dups, 0) AS n_dups,
+         |  coalesce(first_dup, -1) AS first_dup
+         |FROM hashes h LEFT JOIN agg USING (doc_id)
+         |ORDER BY h.doc_id""".stripMargin
+    },
+    "p_audio_dedup" -> {
+      // AudioHashNative replay: sample i (1-based here) =
+      // (cp * 1103515245 + (i-1) * 12345) % 2048, frame of sample i
+      // over n chars = ((i-1) * 65) // n, energy = Σ sample²
+      // BIGINT cast up front: unlike the image oracle's 2654435761
+      // (too big for INT32, so DuckDB promotes the product), this LCG
+      // multiplier fits INT32 and the bare product would overflow
+      val samp = "((CAST(unicode(substr(text, i, 1)) AS BIGINT) " +
+        "* 1103515245 + (i - 1) * 12345) % 2048)"
+      val frameSums = (0 until 65).map(f =>
+        s"sum(CASE WHEN ((i - 1) * 65) // length(text) = $f " +
+          s"THEN $samp * $samp ELSE 0 END) AS e$f").mkString(", ")
+      val frameCoal = (0 until 65).map(f =>
+        s"coalesce(e$f, 0) AS e$f").mkString(", ")
+      // bit b set iff e_b < e_{b+1}; word w carries bits 16w..16w+15
+      // — AudioFpWords' exact packing
+      val words = (0 until 4).map { w =>
+        val bits = (0 until 16).map { i =>
+          val b = w * 16 + i
+          s"CASE WHEN e$b < e${b + 1} THEN ${1 << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS w$w"
+      }.mkString(", ")
+      val ham = (0 until 4).map(w =>
+        s"bit_count(xor(CAST(a.w$w AS BIGINT), CAST(b.w$w AS BIGINT)))")
+        .mkString(" + ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i,
+         |    text
+         |  FROM documents),
+         |esums AS (SELECT doc_id, $frameSums FROM pos GROUP BY doc_id),
+         |frames AS (
+         |  SELECT d.doc_id, $frameCoal
+         |  FROM documents d LEFT JOIN esums USING (doc_id)),
+         |hashes AS (SELECT doc_id, $words FROM frames),
+         |chunks AS (
+         |  SELECT doc_id, 0 AS c, w0 AS v FROM hashes UNION ALL
+         |  SELECT doc_id, 1, w1 FROM hashes UNION ALL
+         |  SELECT doc_id, 2, w2 FROM hashes UNION ALL
+         |  SELECT doc_id, 3, w3 FROM hashes),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM chunks l JOIN chunks r
+         |    ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT p.id1, p.id2 FROM cand p
+         |  JOIN hashes a ON p.id1 = a.doc_id
+         |  JOIN hashes b ON p.id2 = b.doc_id
+         |  WHERE $ham <= 3),
+         |sym AS (
+         |  SELECT id1 AS doc_id, id2 AS p FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_dups, min(p) AS first_dup
+         |  FROM sym GROUP BY doc_id)
+         |SELECT h.doc_id,
+         |  concat_ws('/', w0, w1, w2, w3) AS fp,
          |  coalesce(n_dups, 0) AS n_dups,
          |  coalesce(first_dup, -1) AS first_dup
          |FROM hashes h LEFT JOIN agg USING (doc_id)
@@ -3744,6 +3882,8 @@ object PipelineQueries {
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "p_ann_indexed" -> oraclesBase("p_ann_binary"),
+    "p_ann_index_append" -> oraclesBase("p_ann_binary"),
+    "p_split_group" -> splitOracle(11, SplitSpec, "source", " source,"),
     "p_ann_ivfpq_idx" -> oraclesBase("p_ann_ivfpq"),
     "p_bm25_indexed" -> oraclesBase("p_bm25_multi"),
     "p_incr_indexed" -> oraclesBase("p_incr_dedup"))

@@ -29,6 +29,41 @@ class IndexesSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("binary index append == rebuild over base ∪ batch") {
+    val emb = Tables.embeddings(spark, sf())
+    val qs = emb.orderBy("vec_id").limit(7)
+    val base = emb.filter(col("vec_id") % 7 =!= 2)
+    val batch = emb.filter(col("vec_id") % 7 === 2)
+    Indexes.writeBinaryIndex(base, "vec_id", "embedding",
+      s"$root/binapp")
+    Indexes.appendBinaryIndex(batch, "vec_id", "embedding",
+      s"$root/binapp")
+    val got = Indexes.binaryTopKIndexed(qs,
+      Indexes.openBinaryIndex(spark, s"$root/binapp"), emb,
+      "vec_id", "vec_id", "embedding", k = 4, shortlist = 20)
+    // rebuild over the union = the recompute twin over the full corpus
+    val want = Ann.binaryTopK(qs, emb, "vec_id", "vec_id",
+      "embedding", k = 4, shortlist = 20)
+    assert(rows(got) == rows(want))
+  }
+
+  test("minhash index append == rebuild over base ∪ batch") {
+    val docs = Tables.documents(spark, sf())
+    val inc = docs.filter(col("doc_id") % 10 === 7)
+    val corA = docs.filter(col("doc_id") % 10 === 0)
+    val corB = docs.filter(col("doc_id") % 10 > 0 &&
+      col("doc_id") % 10 =!= 7)
+    val cor = corA.union(corB)
+    Indexes.writeMinhashIndex(corA, "doc_id", "text", s"$root/mhapp")
+    Indexes.appendMinhashIndex(corB, "doc_id", "text", s"$root/mhapp")
+    val got = Indexes.incrementalDupPairsIndexed(inc, "doc_id",
+      Indexes.openMinhashIndex(spark, s"$root/mhapp"), cor, "doc_id",
+      "text")
+    val want = Dedup.incrementalDupPairsMd5(inc, "doc_id", cor,
+      "doc_id", "text")
+    assert(rows(got) == rows(want))
+  }
+
   test("ivf-pq index probe == recompute, with and without list pruning") {
     val emb = Tables.embeddings(spark, sf())
     val qs = emb.orderBy("vec_id").limit(7)

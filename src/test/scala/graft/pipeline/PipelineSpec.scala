@@ -50,6 +50,19 @@ class PipelineSpec extends SparkSpec {
     assert(sub.forall { case (k, v) => a(k) == v })
   }
 
+  test("grouped split: every row of a group lands in one split") {
+    // key the split on the GROUP column — the leakage-safe form:
+    // near-dups concentrate within a source, so putting whole
+    // sources in one split keeps them off the train/test boundary
+    val rows = (0 until 600).map(i => (i.toLong, s"src${i % 7}"))
+      .toDF("doc_id", "source")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.split(rows, "source", splits, seed = 5)
+      .select("source", "split").distinct().collect()
+    // one split per source — no source straddles a boundary
+    assert(got.length == 7, got.mkString(", "))
+  }
+
   test("packChunks bins consecutive chunks greedily under the budget") {
     // 10 tokens, window 3 -> chunks of 3/3/3/1; budget 7 packs
     // 3+3 | 3+1 (second 3 opens bin 1? no: 3+3=6 fits, +3=9 > 7 ->
@@ -1118,6 +1131,53 @@ class PipelineSpec extends SparkSpec {
     val n = Seq((9L, null: String)).toDF("doc_id", "text")
       .select(Multimodal.dHash(
         Multimodal.packFakeMedia($"text")).as("dh"))
+      .head
+    assert(n.isNullAt(0))
+  }
+
+  test("audio dedup: fingerprint kernel matches reference, pairs verify") {
+    // Scala reference of the kernel's contract: LCG samples →
+    // 65 consecutive frame energies → 64 delta bits, word-packed
+    def ref(text: String): Seq[Int] = {
+      val cps = text.codePoints.toArray
+      val n = cps.length
+      val e = new Array[Long](65)
+      cps.indices.foreach { i =>
+        val s = (cps(i).toLong * 1103515245L + i.toLong * 12345L) % 2048L
+        e(((i.toLong * 65) / n).toInt) += s * s
+      }
+      val w = new Array[Int](4)
+      for (b <- 0 until 64)
+        if (e(b) < e(b + 1)) w(b / 16) |= 1 << (b % 16)
+      w.toSeq
+    }
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with other words entirely here"),
+      (4L, "")).toDF("doc_id", "text")
+    val media = rows.select($"doc_id",
+      Multimodal.packFakeMedia($"text").as("media"))
+    val got = media.select($"doc_id",
+        Multimodal.audioFp($"media").as("fp"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    got.take(3).foreach { case (id, fp) =>
+      val text = rows.filter($"doc_id" === id).head.getString(1)
+      assert(fp == ref(text), s"doc $id")
+    }
+    // empty payload → all-zero energies → no strict inequalities
+    assert(got(3)._2 == Seq(0, 0, 0, 0))
+    // identical payloads are distance-0 pairs; the unrelated doc isn't
+    val pairs = Multimodal.audioDupPairs(media, "doc_id", "media",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // NULL payload yields NULL fingerprint, not a crash
+    val n = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(Multimodal.audioFp(
+        Multimodal.packFakeMedia($"text")).as("fp"))
       .head
     assert(n.isNullAt(0))
   }

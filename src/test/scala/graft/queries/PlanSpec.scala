@@ -394,12 +394,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("p_ann_indexed")
     assert(p.contains("graft_idx_") && p.contains("cb:array<int>"),
       s"corpus side must scan the persisted bit index:\n$p")
-    // no encode expression in the probe plan at all: the corpus bits
-    // come from disk, and the 20-query-side encode hides inside a
-    // TakeOrderedAndProject whose projection this string elides — the
-    // contrast test pins that the recompute twin DOES show its two
-    // encode sites, so a regression here surfaces as a nonzero count
-    assert("binEncode expects".r.findAllIn(p).isEmpty,
+    // at most ONE encode site in the probe plan — the 20-row query
+    // side (a broadcast input; since the null filter moved below the
+    // encode projection it is a visible Project, no longer elided
+    // inside TakeOrderedAndProject's projection string). The corpus
+    // bits come from disk, so a second site would mean the corpus is
+    // being re-encoded — the contrast test pins that the recompute
+    // twin DOES show two encode sites.
+    assert("binEncode expects".r.findAllIn(p).size <= 1,
       s"the sign encode must not touch corpus rows:\n$p")
     // no spread/repartition below the probe join — the index scan
     // feeds the broadcast join directly
