@@ -97,21 +97,31 @@ object Decontam {
       else least(lit(maxShingleFreq.toLong),
         ceil(lit(maxShingleFrac) *
           col("__n_train")).cast("long"))
-    // boilerplate gram list via groupBy, NOT a window over the gram
-    // stream: count().over(partitionBy(h)) has no partial aggregation
-    // — it shuffles EVERY train gram row and buffers each h-group —
-    // while groupBy(h).count() map-side-combines to one row per
-    // distinct gram per partition before the exchange. The offending
-    // grams (freq > cap) are a small frame by construction (they are
-    // the boilerplate), so AQE turns the anti-join into a broadcast
-    // and the gram stream reaches the eval join with NO extra
-    // exchange. Same rows survive; only the plan changed.
-    val freq0 = tr1.groupBy("h").agg(count(lit(1)).as("__freq"))
-    val freq = if (maxShingleFrac >= 1.0) freq0
-      else freq0.crossJoin(broadcast(
+    // Boilerplate cap as ONE window over the gram stream — measured
+    // A/B at sf10 (ROADMAP round-10) against the "obvious"
+    // improvement (groupBy(h).count → broadcast anti-join of the
+    // offending grams): window 189 s vs 243–302 s for the whole gate.
+    // The groupBy shape looks scale-right (partial agg before the
+    // exchange) but buys nothing: real n-gram streams are
+    // high-entropy (probe: 17.6 M distinct of 19.8 M rows at n=8),
+    // so the freq aggregate's partial states ARE the gram stream and
+    // both shapes shuffle the same volume — the anti-join variant
+    // then pays the extra cache materialization and second pass on
+    // top. At warehouse scale the exact-df guard is superseded
+    // differently: boilerplate grams are by definition φ-heavy
+    // hitters (df > frac·N), so the sketch-based heavy-hitter pass
+    // ([[Quality]] p_heavy topology: sharded candidates + merged CMS,
+    // no full gram shuffle) finds them with bounded over-dropping —
+    // an approximate GUARD is semantically acceptable where an exact
+    // result is not, which is why the exact window stays the default
+    // and the sketch is the documented opt-in for trillion-gram runs.
+    val tr2 = if (maxShingleFrac >= 1.0) tr1
+      else tr1.crossJoin(broadcast(
         train.agg(count(lit(1)).as("__n_train"))))
-    val boiler = freq.filter(col("__freq") > cap).select("h")
-    val tr = tr1.join(boiler, Seq("h"), "left_anti")
+    val tr = tr2
+      .withColumn("__freq", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__freq") <= cap)
+      .drop("__freq", "__n_train")
     te.join(tr, "h")
       .groupBy("test_id", "train_id")
       .agg(count(lit(1)).as("n_common"))

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Principal-component extraction over an embedding column — the
+  * whitening / decorrelation / compression step of an embedding
+  * pipeline (PCA-reduced vectors feed the same ANN family at a
+  * fraction of the scan width; the top component is also the
+  * standard "dominant direction" diagnostic for embedding drift).
+  *
+  * Shape (100 TB): ONE corpus scan computes the mean vector and the
+  * upper-triangle second-moment matrix inside a single
+  * [[graft.functions.VecMomentSums]] aggregate — a fixed 17 KB
+  * long-array buffer per partition, ordinary partial/final combine,
+  * so no shuffle carries anything but the per-partition states (and
+  * no plan carries 2 144 aggregate expressions — see the kernel's
+  * docstring for the measured codegen cost of the wide-agg form).
+  * The power iteration then runs on the DRIVER over the
+  * dim×dim matrix (microseconds; k-means precedent: model math on
+  * collected dim-bounded state, model baked into the plan as
+  * literals), and projection is a scan-local centered dot product.
+  *
+  * Engine portability (the reason for the arithmetic choices): every
+  * cross-row reduction goes through per-addend DECIMAL rounding
+  * ([[graft.Tables.dec]] contract) so summation order cannot perturb
+  * the result; every scalar step between reductions is plain IEEE
+  * double arithmetic in a FIXED evaluation order. The DuckDB oracle
+  * replays the moments, the covariance assembly, all `iters` power
+  * steps (a recursive CTE over a DOUBLE[] state), and the projection
+  * — bit-for-bit, the same discipline as p_kmeans/p_pagerank.
+  */
+object Pca {
+
+  /** Trained model: mean vector + unit top component (both length
+    * `dim`), plus the moment scale used (the oracle needs it).
+    */
+  final case class PcaModel(mean: Array[Double], comp: Array[Double])
+
+  private def dec12(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(x).setScale(12,
+      java.math.RoundingMode.HALF_UP)
+
+  /** Fit mean + top principal component: one wide-agg corpus scan
+    * (null vectors excluded), then `iters` fixed-point power steps on
+    * the driver from the constant start vector (1/8, …, 1/8). The
+    * iteration count is part of the model definition (no convergence
+    * test — a data-dependent stopping rule would make the result
+    * non-replayable), and the fixed all-positive start plus fixed
+    * count also pins the component's sign.
+    */
+  def fit(df: DataFrame, vecCol: String, dim: Int = 64,
+      iters: Int = 12): PcaModel = {
+    // all 1 + dim + dim(dim+1)/2 moment sums in ONE aggregate with a
+    // fixed long-array buffer (see VecMomentSums for why not 2 144
+    // sum() columns) — exact 1e-6 fixed-point, order-free
+    val fxArr = df.filter(col(vecCol).isNotNull)
+      .agg(graft.functions.VecMomentSums(
+        col(vecCol).cast("array<double>"), dim).as("m"))
+      .head().getSeq[Long](0)
+    val n = fxArr(0).toDouble
+    require(n > 0, "pca needs at least one non-null vector")
+    // fixed-point → double exactly as the oracle does:
+    // CAST(sum AS DOUBLE) / 1e6, then the same expression order
+    // m/n - (s_j/n)*(s_k/n)
+    def s(j: Int) = fxArr(1 + j).toDouble / 1e6
+    def m(j: Int, k: Int) = {
+      val (a, b) = if (j <= k) (j, k) else (k, j)
+      val p = 1 + dim + (a * (2 * dim - a + 1)) / 2 + (b - a)
+      fxArr(p).toDouble / 1e6
+    }
+    val mu = Array.tabulate(dim)(j => s(j) / n)
+    val cov = Array.tabulate(dim, dim) { (j, k) =>
+      m(j, k) / n - mu(j) * mu(k)
+    }
+    var vec = Array.fill(dim)(0.125)
+    for (_ <- 1 to iters) {
+      // matvec through exact decimal accumulation of 12-dp-rounded
+      // addends (order-independent), back to double per component
+      val t = Array.tabulate(dim) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dim) {
+          acc = acc.add(dec12(cov(i)(j) * vec(j))); j += 1
+        }
+        acc.doubleValue
+      }
+      var n2 = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < dim) { n2 = n2.add(dec12(t(i) * t(i))); i += 1 }
+      val nrm = math.sqrt(n2.doubleValue)
+      require(nrm > 0, "degenerate covariance: zero power-step norm")
+      vec = t.map(_ / nrm)
+    }
+    PcaModel(mu, vec)
+  }
+
+  /** Scan-local projection of a vector onto the model's component
+    * (centered dot product), accumulated as EXACT 1e-8 fixed-point:
+    * each addend rounds to DECIMAL(18,8) (the dec contract), shifts
+    * to an integral LONG, and the 64-term sum runs in long arithmetic
+    * — reduction-order-free and oracle-replayable. (A chained DECIMAL
+    * `+` would NOT be: Spark's decimal Add grows precision per link,
+    * caps at 38, and then reduces SCALE to fit — a 64-link chain
+    * silently degrades to scale 6. Aggregate sum() keeps its scale;
+    * column-level chains do not. Long addends sidestep the rule.)
+    */
+  def project(vec: Column, model: PcaModel): Column = {
+    val v = vec.cast("array<double>")
+    val shift = 100000000L // 1e8 = decimal scale 8
+    (0 until model.mean.length).map { j =>
+      (graft.Tables.dec(
+        (element_at(v, j + 1) - lit(model.mean(j))) *
+          lit(model.comp(j)), 8) * lit(shift)).cast("long")
+    }.reduce(_ + _).cast("double") / lit(shift.toDouble)
+  }
+}

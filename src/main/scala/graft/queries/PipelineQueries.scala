@@ -255,6 +255,27 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PCA top component (Pca.fit/project): one corpus scan through
+    * the VecMomentSums aggregate (fixed long-array buffer) for mean +
+    * second moments, 12 driver power steps (dim-bounded model math,
+    * the k-means pattern), projection as a scan-local centered dot
+    * product with the model baked in as literals. The oracle
+    * recomputes the moments, assembles the covariance with the
+    * identical expression order, replays all 12 iterations in a
+    * recursive CTE over a DOUBLE[64] state, and projects — every
+    * cross-row reduction integer/decimal-pinned, every scalar step
+    * IEEE.
+    */
+  def pPca(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.pipeline.Pca.fit(emb, "embedding", dim = 64,
+      iters = 12)
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.pipeline.Pca.project(col("embedding"), model).as("proj"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental index maintenance (Indexes.appendBinaryIndex): 90%
     * of the corpus writes the base artifact, the remaining 10%
     * appends as an ingest batch, and the probe runs over base+delta
@@ -1442,6 +1463,7 @@ object PipelineQueries {
     "p_ann_binary" -> (pAnnBinary _),
     "p_ann_indexed" -> (pAnnIndexed _),
     "p_ann_index_append" -> (pAnnIndexAppend _),
+    "p_pca" -> (pPca _),
     "p_ann_ivfpq_idx" -> (pAnnIvfPqIdx _),
     "p_split_group" -> (pSplitGroup _),
     "p_bm25_indexed" -> (pBm25Indexed _),
@@ -2153,6 +2175,65 @@ object PipelineQueries {
        |      x -> CAST(x AS VARCHAR)), '|')) AS bucket
        |  FROM ${p}sigs, (SELECT unnest(range(0, 8)) AS band) bb)"""
       .stripMargin
+
+  /** DuckDB replay of Pca.fit + project: moments as exact 1e-6
+    * fixed-point integer sums (VecMomentSums), covariance entries in
+    * the driver's exact expression order (m/n - (s_j/n)·(s_k/n)),
+    * all 12 power steps as a recursive CTE over a DOUBLE[64] state
+    * with DECIMAL(28,12)-pinned matvec/norm reductions, projection
+    * with DECIMAL(18,8) addends — each step numerically identical to
+    * the Scala driver's BigDecimal/IEEE sequence.
+    */
+  private lazy val pcaOracle: String = {
+    val dim = 64
+    // exact 1e-6 fixed-point addends (floor(x·1e6 + 0.5), pure IEEE)
+    // summed as integers — VecMomentSums' arithmetic verbatim
+    val sums = (0 until dim).map(j =>
+      s"CAST(sum(CAST(floor(v[${j + 1}] * 1000000.0 + 0.5) " +
+        s"AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_$j")
+    val moms = for (j <- 0 until dim; k <- j until dim) yield
+      s"CAST(sum(CAST(floor(v[${j + 1}] * v[${k + 1}] * 1000000.0 " +
+        s"+ 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS m_${j}_$k"
+    val covRows = (0 until dim).map { j =>
+      (0 until dim).map { k =>
+        val (a, b) = if (j <= k) (j, k) else (k, j)
+        s"m_${a}_$b / n - (s_$j / n) * (s_$k / n)"
+      }.mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    val muList = (0 until dim).map(j => s"s_$j / n")
+      .mkString("[", ", ", "]")
+    val start = Seq.fill(dim)("0.125").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |mom AS (
+       |  SELECT count(*) AS n, ${(sums ++ moms).mkString(", ")}
+       |  FROM e),
+       |cm AS (SELECT n, $covRows AS C, $muList AS MU FROM mom),
+       |it AS (
+       |  SELECT 0 AS t, $start::DOUBLE[] AS v
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    list_transform(range(1, ${dim + 1}), i -> tt[i] / nrm)
+       |  FROM (
+       |    SELECT t, tt,
+       |      sqrt(CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(tt[i] * tt[i] AS DECIMAL(28,12))))
+       |        AS DOUBLE)) AS nrm
+       |    FROM (
+       |      SELECT it.t AS t,
+       |        list_transform(range(1, ${dim + 1}), i ->
+       |          CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |            j -> CAST(C[i][j] * it.v[j] AS DECIMAL(28,12))))
+       |            AS DOUBLE)) AS tt
+       |      FROM it, cm WHERE it.t < 12)))
+       |SELECT e.vec_id,
+       |  CAST(list_sum(list_transform(range(1, ${dim + 1}), j ->
+       |    CAST(CAST((e.v[j] - cm.MU[j]) * f.v[j] AS DECIMAL(18,8))
+       |      * 100000000 AS BIGINT))) AS DOUBLE) / 100000000.0 AS proj
+       |FROM e, cm, (SELECT v FROM it WHERE t = 12) f
+       |ORDER BY e.vec_id""".stripMargin
+  }
 
   /** DuckDB replay of Sampling.split: the hash fraction is the first
     * 15 md5 hex digits as an exact BIGINT over 16^15, and the interval
@@ -3883,6 +3964,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "p_ann_indexed" -> oraclesBase("p_ann_binary"),
     "p_ann_index_append" -> oraclesBase("p_ann_binary"),
+    "p_pca" -> pcaOracle,
     "p_split_group" -> splitOracle(11, SplitSpec, "source", " source,"),
     "p_ann_ivfpq_idx" -> oraclesBase("p_ann_ivfpq"),
     "p_bm25_indexed" -> oraclesBase("p_bm25_multi"),

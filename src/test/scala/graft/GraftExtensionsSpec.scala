@@ -57,6 +57,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 2)
   }
 
+  test("graft_dhash / graft_audio_fp match the kernels through SQL") {
+    val viaSql = spark.sql(
+      "SELECT graft_dhash(CAST('hello media payload' AS BINARY)) AS d, " +
+        "graft_audio_fp(CAST('hello media payload' AS BINARY)) AS a")
+      .head()
+    val viaKernel = spark.range(1).select(
+        graft.functions.DHashWords(
+          lit("hello media payload").cast("binary")).as("d"),
+        graft.functions.AudioFpWords(
+          lit("hello media payload").cast("binary")).as("a"))
+      .head()
+    assert(viaSql.getSeq[Int](0) == viaKernel.getSeq[Int](0))
+    assert(viaSql.getSeq[Int](1) == viaKernel.getSeq[Int](1))
+    // every word stays a 16-bit value (binEncode's layout contract)
+    assert(viaSql.getSeq[Int](0).forall(w => w >= 0 && w < 65536))
+    assert(viaSql.getSeq[Int](1).forall(w => w >= 0 && w < 65536))
+  }
+
   test("graft_cosine matches the kernel through SQL") {
     val r = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), " +
       "array(0.0D, 2.0D)) AS c, graft_cosine(array(1.0D, 2.0D), " +
