@@ -107,14 +107,15 @@ object Decontam {
     // so the freq aggregate's partial states ARE the gram stream and
     // both shapes shuffle the same volume — the anti-join variant
     // then pays the extra cache materialization and second pass on
-    // top. At warehouse scale the exact-df guard is superseded
-    // differently: boilerplate grams are by definition φ-heavy
-    // hitters (df > frac·N), so the sketch-based heavy-hitter pass
-    // ([[Quality]] p_heavy topology: sharded candidates + merged CMS,
-    // no full gram shuffle) finds them with bounded over-dropping —
-    // an approximate GUARD is semantically acceptable where an exact
-    // result is not, which is why the exact window stays the default
-    // and the sketch is the documented opt-in for trillion-gram runs.
+    // top. For trillion-gram corpora the direction is an APPROXIMATE
+    // guard (a guard tolerates over-dropping where a result cannot):
+    // e.g. uniform gram sampling at rate p with cap p·frac·N — an
+    // expected-(p·df) binomial count concentrates tightly at
+    // boilerplate df — or the [[CountMin]] sharded-candidate shape.
+    // Neither is wired in because the exact window WON the A/B at
+    // every measured scale and the approximate forms change results
+    // (gate hashes); revisit when a profiled corpus makes the gram
+    // exchange itself the bottleneck.
     val tr2 = if (maxShingleFrac >= 1.0) tr1
       else tr1.crossJoin(broadcast(
         train.agg(count(lit(1)).as("__n_train"))))

@@ -235,6 +235,21 @@ object EventStreams {
       .withColumn("log_weight",
         col("score_fix") / lit(graft.pipeline.Importance.FixScale))
 
+  /** PCA projection under readStream: a batch-trained
+    * [[graft.pipeline.Pca.PcaModel]] bakes its mean/component into
+    * the plan as literals and scoring is the scan-local fixed-point
+    * centered dot product — no state, no shuffle, the same exact
+    * values as the batch operator (StreamingSpec pins the twin).
+    * The embedding-drift monitoring shape: train the component on
+    * yesterday's corpus, stream today's projections.
+    */
+  def pcaScoreStream(rows: DataFrame,
+      model: graft.pipeline.Pca.PcaModel,
+      vecCol: String = "embedding"): DataFrame =
+    rows.filter(col(vecCol).isNotNull)
+      .withColumn("proj",
+        graft.pipeline.Pca.project(col(vecCol), model))
+
   /** Language-ID under readStream with a pre-trained n-gram model
     * (Importance.trainLangId on a labeled batch corpus): the scoring
     * kernel is scan-local, so classification streams with no state

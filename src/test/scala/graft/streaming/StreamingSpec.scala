@@ -148,6 +148,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("pca projection stream matches the batch projections") {
+    implicit val ctx = spark.sqlContext
+    // train on the batch fixture, stream a subset of the same vectors
+    val emb = graft.Tables.embeddings(spark, sf())
+    val model = graft.pipeline.Pca.fit(emb, "embedding", 64)
+    val rows = emb.orderBy("vec_id").limit(5)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    input.addData(rows: _*)
+    val q = EventStreams.pcaScoreStream(
+        input.toDF().toDF("vec_id", "embedding"), model)
+      .writeStream.format("memory").queryName("pcascored")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pcascored").select("vec_id", "proj")
+      .as[(Long, Double)].collect().toMap
+    val batch = emb.orderBy("vec_id").limit(5)
+      .select($"vec_id",
+        graft.pipeline.Pca.project($"embedding", model).as("p"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == batch)
+  }
+
   test("dsir scoring stream matches the batch importance weights") {
     implicit val ctx = spark.sqlContext
     val corpus = Seq(
