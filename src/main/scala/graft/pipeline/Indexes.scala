@@ -90,6 +90,43 @@ object Indexes {
     Ann.binaryTopKFrom(queries, index, vectors, qId, cId, vecCol,
       k, shortlist, dim)
 
+  // ---------- freshness certification ----------
+
+  /** Certify a persisted index against the live corpus WITHOUT
+    * re-encoding anything: id-level [[Sampling.shardManifest]]s of
+    * the index's id column (8 bytes/row — the cheap scan the artifact
+    * was laid out for) and the corpus's id column, diffed per shard
+    * ([[Sampling.manifestDiff]] shape: ok = false rows localize the
+    * drift). Catches the staleness that actually happens to
+    * write-once indexes — rows added/deleted/re-keyed since the
+    * write (run the matching append, or rebuild). In-place VECTOR
+    * mutation under an unchanged id is outside the contract, as for
+    * every content-addressed artifact here: corpora are immutable
+    * deliveries, re-keyed on change (p_manifest's certification
+    * model). No stored manifest file exists to go stale — both sides
+    * compute from live data, so the check stays correct across
+    * [[appendBinaryIndex]]/[[appendMinhashIndex]] batches.
+    */
+  def indexFreshness(index: DataFrame, indexId: String,
+      corpus: DataFrame, corpusId: String,
+      shards: Int = 16): DataFrame =
+    Sampling.manifestDiff(
+      idManifest(index, indexId, shards),
+      idManifest(corpus, corpusId, shards))
+
+  /** True iff every shard certifies ([[indexFreshness]] all-ok). */
+  def isFresh(index: DataFrame, indexId: String, corpus: DataFrame,
+      corpusId: String, shards: Int = 16): Boolean =
+    indexFreshness(index, indexId, corpus, corpusId, shards)
+      .filter(!col("ok")).isEmpty
+
+  private def idManifest(df: DataFrame, id: String,
+      shards: Int): DataFrame =
+    Sampling.shardManifest(
+      df.select(col(id).as("__id"),
+        col(id).cast("string").as("__c")),
+      "__id", "__c", shards)
+
   // ---------- IVF-PQ ----------
 
   /** Write the IVF-PQ layout: (neighbor_id, codes) partitioned by

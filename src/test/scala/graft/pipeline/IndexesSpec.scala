@@ -64,6 +64,26 @@ class IndexesSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("index freshness certifies appends and flags drift") {
+    val emb = Tables.embeddings(spark, sf())
+    val base = emb.filter(col("vec_id") % 5 =!= 1)
+    val batch = emb.filter(col("vec_id") % 5 === 1)
+    Indexes.writeBinaryIndex(base, "vec_id", "embedding",
+      s"$root/fresh")
+    def idx = Indexes.openBinaryIndex(spark, s"$root/fresh")
+    // fresh against the corpus it was built from
+    assert(Indexes.isFresh(idx, "neighbor_id", base, "vec_id"))
+    // stale against the grown corpus: some shard must flag
+    assert(!Indexes.isFresh(idx, "neighbor_id", emb, "vec_id"))
+    val diff = Indexes.indexFreshness(idx, "neighbor_id", emb,
+      "vec_id")
+    assert(diff.filter(!col("ok")).count() > 0)
+    // the matching append restores certification
+    Indexes.appendBinaryIndex(batch, "vec_id", "embedding",
+      s"$root/fresh")
+    assert(Indexes.isFresh(idx, "neighbor_id", emb, "vec_id"))
+  }
+
   test("ivf-pq index probe == recompute, with and without list pruning") {
     val emb = Tables.embeddings(spark, sf())
     val qs = emb.orderBy("vec_id").limit(7)

@@ -166,4 +166,37 @@ object KernelProps extends Properties("graft.kernels") {
       v.indices.forall(i =>
         math.abs(dec.getDouble(i) - v(i)) <= half + 1e-12)
     }
+
+  // unicode-ish payload text: latin, accented, CJK, emoji-plane
+  private val payloadGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('ä', 'é', 'ß', 'ü', 'à'),
+      1 -> Gen.oneOf('中', '文', '语'),
+      1 -> Gen.const(' '))).map(_.mkString)
+
+  /** Driver model of AudioFpWords' full contract (LCG samples →
+    * consecutive 65-frame energies → 64 delta bits, word-packed). */
+  private def audioRef(s: String): Seq[Int] = {
+    val cps = s.codePoints.toArray
+    val n = cps.length
+    val e = new Array[Long](65)
+    cps.indices.foreach { i =>
+      val x = (cps(i).toLong * 1103515245L + i.toLong * 12345L) % 2048L
+      e(((i.toLong * 65) / n).toInt) += x * x
+    }
+    val w = new Array[Int](4)
+    for (b <- 0 until 64)
+      if (e(b) < e(b + 1)) w(b / 16) |= 1 << (b % 16)
+    w.toSeq
+  }
+
+  property("audio fp: kernel equals driver model on unicode payloads") =
+    forAll(payloadGen) { s =>
+      val out = graft.functions.AudioHashNative.audioFpWords(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val got = (0 until out.numElements()).map(out.getInt)
+      val want = if (s.isEmpty) Seq(0, 0, 0, 0) else audioRef(s)
+      got == want && got.forall(w => w >= 0 && w < 65536)
+    }
 }
