@@ -307,6 +307,87 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** MinHash estimator calibration against exact Jaccard — the dedup
+    * twin of the retrieval family's rank-metrics eval: before trusting
+    * a signature threshold at corpus scale, measure what the
+    * estimator's match counts actually mean on this corpus. Pairs are
+    * a deterministic systematic sample (doc i vs doc i+δ for each
+    * `delta` — consecutive ids catch the generator/crawl locality
+    * where near-dups live, large δ supplies the unrelated-pair mass);
+    * for each pair the k-component signature match count is compared
+    * with the exact shingle Jaccard, grouped by match count into a
+    * calibration table (expected Jaccard ≈ matches/k by the MinHash
+    * collision argument; `avg_jaccard` and `mae` quantify it on the
+    * real corpus).
+    *
+    * The sample covers BOTH similarity regimes: the id-delta pairs
+    * supply the unbiased low-similarity mass, and the band-bucket
+    * candidate pairs (the LSH blocking itself) supply the
+    * high-similarity tail that id deltas almost never hit — the
+    * range where thresholds actually live. The union is grouped by
+    * match count, so the blocking's similarity bias shifts which
+    * buckets are POPULATED, not what a populated bucket's
+    * `avg_jaccard` means (it is conditioned on the match count).
+    *
+    * Scale shape: signatures and shingle sets are computed ONCE per
+    * doc in a staged projection consumed by both pair sides; the
+    * delta pairs are id-equi joins and the candidates the standard
+    * capped band self-join; output is ≤ k+1 rows. The match count is
+    * an unrolled codegen'd sum (a zip_with/aggregate HOF falls out of
+    * codegen — the hammingWords lesson).
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      deltas: Seq[Long] = Seq(1L, 7L, 50L), n: Int = 3,
+      k: Int = 32, b: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(deltas.nonEmpty, "need at least one pair delta")
+    require(k % b == 0, s"bands must divide the signature: k=$k b=$b")
+    val sigs = graft.core.Caches.stage(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+        .select(col("id"),
+          graft.functions.Shingles(col("__t"), n).as("sh"))
+        .withColumn("hs", transform(col("sh"), shingleHash _))
+        .withColumn("sig", signatureOfHashes(col("hs"), k))
+        .drop("hs"))
+    val dcand = sigs.select(col("id").as("id1"),
+        explode(array(deltas.map(lit): _*)).as("__d"))
+      .select(col("id1"), (col("id1") + col("__d")).as("id2"))
+    val bandRows = sigs.select(col("id"),
+        explode(bandsMd5(col("sig"), b, k / b)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket)
+    val bcand = bandRows.as("l").join(bandRows.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+    val cand = dcand.unionAll(bcand).distinct()
+    val sideA = sigs.select(col("id").as("id1"), col("sh").as("sha"),
+      col("sig").as("siga"))
+    val sideB = sigs.select(col("id").as("id2"), col("sh").as("shb"),
+      col("sig").as("sigb"))
+    val matches = (1 to k).map(i =>
+      when(element_at(col("siga"), i) === element_at(col("sigb"), i),
+        1).otherwise(0)).reduce(_ + _)
+    cand.join(sideA, "id1").join(sideB, "id2")
+      .withColumn("matches", matches)
+      .withColumn("jac",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(size(array_union(col("sha"), col("shb"))) > 0)
+      .groupBy("matches")
+      .agg(count(lit(1)).as("n_pairs"),
+        (graft.Tables.dsum(col("jac"), 6) / count(lit(1)))
+          .as("avg_jaccard"),
+        (graft.Tables.dsum(
+          abs(col("matches").cast("double") / k - col("jac")), 6) /
+          count(lit(1))).as("mae"))
+      .withColumn("est", col("matches").cast("double") / k)
+      .select("matches", "est", "n_pairs", "avg_jaccard", "mae")
+  }
+
   /** Portable band-bucket index of a corpus: (id, band, bucket) rows —
     * the write-once artifact incremental dedup joins new batches
     * against. At warehouse scale this is persisted bucketed+sorted on

@@ -669,6 +669,18 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** MinHash calibration vs exact Jaccard (Dedup.minhashCalibration):
+    * the measurement that turns a signature threshold into a defended
+    * choice — systematic id-delta pair sample, per-pair signature
+    * match count vs exact shingle Jaccard, grouped into a ≤ k+1-row
+    * calibration table. Oracle replays signatures, the pair sample,
+    * both similarity computations, and the decimal-pinned averages.
+    */
+  def pDedupEval(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Dedup.minhashCalibration(
+        Tables.documents(s, d), "doc_id", "text")
+      .orderBy("matches")
+
   /** Acoustic-fingerprint audio dedup (Multimodal.audioFp /
     * audioDupPairs): the Haitsma–Kalker-shaped twin of p_image_dedup
     * — 65 consecutive frame energies over the stub-decoded PCM, 64
@@ -1446,6 +1458,7 @@ object PipelineQueries {
     "p_multimodal" -> (pMultimodal _),
     "p_image_dedup" -> (pImageDedup _),
     "p_audio_dedup" -> (pAudioDedup _),
+    "p_dedup_eval" -> (pDedupEval _),
     "p_llm_extract" -> (pLlmExtract _),
     "p_exact_dedup" -> (pExactDedup _),
     "p_text_stats" -> (pTextStats _),
@@ -2833,6 +2846,59 @@ object PipelineQueries {
          |FROM hashes h LEFT JOIN agg USING (doc_id)
          |ORDER BY h.doc_id""".stripMargin
     },
+    "p_dedup_eval" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |perms(i, a, b) AS (VALUES $permValues),
+         |hsx AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${hash60("s")}) AS hs
+         |  FROM base),
+         |sigl AS (
+         |  SELECT doc_id, p.i,
+         |    list_min(list_transform(hs, h -> (h * p.a + p.b) % 2147483647))
+         |      AS v
+         |  FROM hsx, perms p),
+         |sigs AS (
+         |  SELECT s.doc_id, b.sh, list(s.v ORDER BY s.i) AS sig
+         |  FROM sigl s JOIN base b USING (doc_id)
+         |  GROUP BY s.doc_id, b.sh),
+         |bands AS (
+         |  SELECT doc_id, bb.band, md5(array_to_string(
+         |    list_transform(list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4),
+         |      x -> CAST(x AS VARCHAR)), '|')) AS bucket
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
+         |capped AS (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS n
+         |    FROM bands) WHERE n <= 1000),
+         |cand AS (
+         |  SELECT doc_id AS id1, doc_id + d.d AS id2
+         |  FROM sigs, (VALUES (1), (7), (50)) d(d)
+         |  UNION
+         |  SELECT l.doc_id, r.doc_id
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.bucket = r.bucket
+         |    AND l.doc_id < r.doc_id),
+         |pr AS (
+         |  SELECT a.sig AS sa, a.sh AS ha, b.sig AS sb, b.sh AS hb
+         |  FROM cand c
+         |  JOIN sigs a ON c.id1 = a.doc_id
+         |  JOIN sigs b ON c.id2 = b.doc_id),
+         |m AS (
+         |  SELECT CAST(list_sum(list_transform(range(1, 33), i ->
+         |      CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS INT)
+         |      AS matches,
+         |    CAST(len(list_intersect(ha, hb)) AS DOUBLE) /
+         |      len(list_distinct(ha || hb)) AS jac
+         |  FROM pr WHERE len(list_distinct(ha || hb)) > 0)
+         |SELECT matches, CAST(matches AS DOUBLE) / 32.0 AS est,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CAST(jac AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS avg_jaccard,
+         |  CAST(sum(CAST(abs(CAST(matches AS DOUBLE) / 32.0 - jac)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mae
+         |FROM m GROUP BY matches ORDER BY matches""".stripMargin,
     "p_audio_dedup" -> {
       // AudioHashNative replay: sample i (1-based here) =
       // (cp * 1103515245 + (i-1) * 12345) % 2048, frame of sample i

@@ -50,6 +50,25 @@ class PipelineSpec extends SparkSpec {
     assert(sub.forall { case (k, v) => a(k) == v })
   }
 
+  test("minhash calibration: identical pair at k matches, disjoint at 0") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "utterly disjoint content words entirely other tokens"))
+      .toDF("doc_id", "text")
+    val cal = Dedup.minhashCalibration(rows, "doc_id", "text",
+        deltas = Seq(1L, 2L, 3L))
+      .orderBy("matches")
+      .select("matches", "n_pairs", "avg_jaccard")
+      .as[(Int, Long, Double)].collect()
+    // the identical pair (1,2) lands in the top bucket with jac 1.0
+    assert(cal.last._1 == 32 && cal.last._3 == 1.0, cal.toSeq)
+    // disjoint pairs land at 0 matches with jac 0.0
+    assert(cal.head._1 == 0 && cal.head._3 == 0.0, cal.toSeq)
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("grouped split: every row of a group lands in one split") {
     // key the split on the GROUP column — the leakage-safe form:
     // near-dups concentrate within a source, so putting whole
