@@ -49,7 +49,9 @@ object GroupAggNative {
         if (!row.isNullAt(keyIdx)) {
           val k = row.getUTF8String(keyIdx)
           val prev = sums.get(k)
-          if (prev == null && !sums.containsKey(k)) order.add(k)
+          // values are always non-null boxed doubles, so a null get
+          // IS key absence — no second containsKey probe needed
+          if (prev == null) order.add(k)
           val base = if (prev == null) 0.0d else prev.doubleValue()
           val next =
             if (row.isNullAt(valIdx)) base

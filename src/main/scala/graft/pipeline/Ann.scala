@@ -365,19 +365,24 @@ object Ann {
     // guard on the LEFT so it evaluates before word 0's element_ats
     // (which under ANSI mode would otherwise throw their own
     // out-of-bounds error first)
-    val guard = when(size(vec).isNull || size(vec) === dim, lit(0))
+    // null check via isNull on the ARRAY, not size(vec).isNull: under
+    // spark.sql.ansi.enabled=false the legacy sizeOfNull rule makes
+    // size(NULL) return -1 instead of NULL, which would route a null
+    // row into raise_error — the exact crash this guard exists to
+    // avoid — and mode-dependence in a kernel is a bug either way.
+    val guard = when(vec.isNull || size(vec) === dim, lit(0))
       .otherwise(raise_error(
         lit(s"binEncode expects $dim components")).cast("int"))
     val arr = array(((guard + words.head) +: words.tail): _*)
     // NULL input → NULL output, matching every sibling vector kernel
     // (CosineSim, PqCodes): without this a null embedding row aborts
     // the whole job through the dimension guard with a misleading
-    // message. The propagation is BRANCH-FREE — slice's length
-    // argument (size(vec) - size(vec) + nWords) is nWords for a real
-    // vector and NULL for a null one, and a NULL length nulls the
-    // slice — so the 64 conditional sums never move inside a CaseWhen
-    // branch (the JIT-method-size hazard documented above).
-    slice(arr, lit(1), size(vec) - size(vec) + lit(dim / 16))
+    // message. The propagation rides slice's LENGTH argument — NULL
+    // for a null vector (a CaseWhen around two literals, so the 64
+    // word sums never move inside a conditional branch: the
+    // JIT-method-size hazard documented above), nWords otherwise.
+    slice(arr, lit(1),
+      when(vec.isNull, lit(null).cast("int")).otherwise(lit(dim / 16)))
   }
 
   /** Hamming distance between two [[binEncode]] word arrays:

@@ -60,6 +60,18 @@ object Decontam {
     * arguments at warehouse scale must not hit the quadratic cliff.
     * Pass 1.0 to disable (the legacy absolute-cap-only behavior,
     * which also skips the in-plan train count entirely).
+    *
+    * ORDERING CAVEAT the default cap assumes: dedup runs BEFORE
+    * decontamination (as [[graft.queries.PipelineQueries.pCurate]]
+    * composes them, and as every production curation pipeline
+    * orders them). On a small or un-deduplicated train corpus the
+    * relative cap is tight — ceil(0.001·N) is 1 below 1 000 docs —
+    * so a document leaked INTO TRAIN MORE THAN ceil(frac·N) TIMES
+    * has its grams classified as boilerplate and escapes detection.
+    * That is the cap's semantics (a gram in a corpus-constant
+    * fraction of documents carries no contamination signal), but on
+    * duplicate-heavy input it is a false-negative source: dedup
+    * first, or raise `maxShingleFrac` toward 1.0 for small corpora.
     */
   def contamination(train: DataFrame, trainId: String,
       test: DataFrame, testId: String, textCol: String,

@@ -205,9 +205,16 @@ object Indexes {
     */
   def writePostingsIndex(corpus: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
-    val base = graft.core.Caches.stage(
-      corpus.select(col(idCol).as("doc_id"),
-        graft.functions.TokenCounts(col(textCol)).as("tc")))
+    // NOT Caches.stage: this is a write-side utility whose consumers
+    // all complete inside this call, so it can (and must) unpersist
+    // exactly its own frame on exit. Caches.releaseAll is the
+    // HARNESS's between-queries sweep — calling it here would clear
+    // every session cache and truncate localCheckpoint lineage a
+    // caller's still-unconsumed frames depend on (Caches.scala
+    // contract).
+    val base = corpus.select(col(idCol).as("doc_id"),
+        graft.functions.TokenCounts(col(textCol)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val lens = base.select(col("doc_id"),
         aggregate(col("tc"), lit(0L),
@@ -224,7 +231,7 @@ object Indexes {
       postings.repartition(col("token"))
         .sortWithinPartitions("token", "doc_id")
         .write.mode("overwrite").parquet(s"$path/postings")
-    } finally graft.core.Caches.releaseAll(corpus.sparkSession)
+    } finally base.unpersist(blocking = false)
   }
 
   /** [[TextFns.bm25Queries]] against a prebuilt [[writePostingsIndex]]
@@ -238,18 +245,12 @@ object Indexes {
       queries: DataFrame, qIdCol: String, termsCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 100,
       logIdf: Boolean = true): DataFrame = {
-    val qt = queries.select(col(qIdCol).as("query_id"),
-        explode(col(termsCol)).as("__t"))
-      .select(col("query_id"), lower(col("__t")).as("token"))
-      .distinct()
-    // same bounded-vocabulary contract (and guard) as bm25Queries:
+    // shared with bm25Queries (TextFns.queryVocab) so the indexed
+    // and recompute paths can never tokenize or bound differently;
     // the literal In list is what reaches the parquet scan as a
     // pushed filter — a join would read every posting row
-    val vocab = qt.select("token").distinct().limit(65537).collect()
-      .map(_.getString(0))
-    require(vocab.length <= 65536,
-      "query vocabulary too large to bake into the scan filter; " +
-        "join against the postings frame directly instead")
+    val (qt, vocab) = TextFns.queryVocab(queries, qIdCol, termsCol,
+      "join against the postings frame directly instead")
     val matched = spark.read.parquet(s"$path/postings")
       .filter(col("token").isin(vocab.toSeq: _*))
     val dfs = spark.read.parquet(s"$path/dfs")

@@ -118,9 +118,18 @@ object Multimodal {
     * dedup is text dedup with a different kernel.
     */
   def imageDupPairs(df: DataFrame, idCol: String, mediaCol: String,
-      maxHamming: Int = 3): DataFrame =
-    wordBlockPairs(df, idCol, mediaCol,
-      graft.functions.DHashWords(_), maxHamming)
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    wordBlockPairsFromSigs(sigFrame(df, idCol, mediaCol,
+      graft.functions.DHashWords(_)), maxHamming, maxBucket)
+
+  /** [[imageDupPairs]] over an ALREADY-COMPUTED signature frame
+    * `(id, dh array<int>)` — for callers that also project the
+    * signature (the gates do): the kernel runs once, not once per
+    * consumer. The MinHash-family FromIndex precedent.
+    */
+  def imageDupPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    wordBlockPairsFromSigs(sigs, maxHamming, maxBucket)
 
   /** Acoustic fingerprint of a media struct's payload
     * ([[graft.functions.AudioFpWords]]): 64 consecutive-frame energy
@@ -136,35 +145,50 @@ object Multimodal {
     * for the scale shape), keyed on [[audioFp]].
     */
   def audioDupPairs(df: DataFrame, idCol: String, mediaCol: String,
-      maxHamming: Int = 3): DataFrame =
-    wordBlockPairs(df, idCol, mediaCol,
-      graft.functions.AudioFpWords(_), maxHamming)
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    wordBlockPairsFromSigs(sigFrame(df, idCol, mediaCol,
+      graft.functions.AudioFpWords(_)), maxHamming, maxBucket)
+
+  /** [[audioDupPairs]] from a precomputed `(id, dh)` frame. */
+  def audioDupPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    wordBlockPairsFromSigs(sigs, maxHamming, maxBucket)
+
+  private def sigFrame(df: DataFrame, idCol: String, mediaCol: String,
+      kernel: Column => Column): DataFrame =
+    Dedup.spread(df.select(col(idCol).as("id"),
+        col(s"$mediaCol.data").as("__d")))
+      .select(col("id"), kernel(col("__d")).as("dh"))
 
   /** Shared near-dup pair topology over any 4×16-bit-word signature
-    * kernel: ONE scan computes the 8-byte signature per row (at scale
-    * it is precomputed at write time like every other retrieval
-    * artifact); candidates come from the PIGEONHOLE block join — a
-    * pair at Hamming ≤ r over 4 words must agree EXACTLY on some word
-    * whenever r < 4, so the join is equi on (word index, word value),
-    * never all-pairs — and each candidate is verified by the
-    * codegen'd popcount ([[Ann.hammingWords]]). Identical topology to
+    * frame `(id, dh)`: candidates come from the PIGEONHOLE block join
+    * — a pair at Hamming ≤ r over 4 words must agree EXACTLY on some
+    * word whenever r < 4, so the join is equi on (word index, word
+    * value), never all-pairs — capped per (word, value) block at
+    * `maxBucket` rows (a corpus with an N-sized exact-duplicate
+    * cluster would otherwise fan that block out to N²/2 rows; the
+    * same skew guard every LSH family here carries), and each
+    * candidate is verified by the codegen'd popcount
+    * ([[Ann.hammingWords]]). Identical topology to
     * [[Dedup.simhashPairs]], which is the point: media dedup is text
     * dedup with a different kernel.
     */
-  private def wordBlockPairs(df: DataFrame, idCol: String,
-      mediaCol: String, kernel: Column => Column,
-      maxHamming: Int): DataFrame = {
+  private def wordBlockPairsFromSigs(sigs: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(maxHamming >= 0 && maxHamming < 4,
       s"pigeonhole blocking over 4 words needs maxHamming < 4, " +
         s"got $maxHamming")
-    val sigs = Dedup.spread(df.select(col(idCol).as("id"),
-        col(s"$mediaCol.data").as("__d")))
-      .select(col("id"), kernel(col("__d")).as("dh"))
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val chunks = sigs.select(col("id"), col("dh"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),
             element_at(col("dh"), i + 1).as("val"))): _*)).as("c"))
       .select(col("id"), col("dh"), col("c.chunk"), col("c.val"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("chunk", "val")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
     val l = chunks.as("l")
     val r = chunks.as("r")
     l.join(r,

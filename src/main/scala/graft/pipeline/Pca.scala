@@ -37,8 +37,13 @@ object Pca {
     */
   final case class PcaModel(mean: Array[Double], comp: Array[Double])
 
+  // valueOf (shortest-decimal base), NOT new BigDecimal(x) (exact
+  // binary expansion): Spark's double→DECIMAL Cast rounds the
+  // shortest decimal representation, and the two bases break HALF_UP
+  // ties differently (2.675 is 2.67499…82 in binary) — the driver
+  // must round on the same base as the engine it bakes literals into.
   private def dec12(x: Double): java.math.BigDecimal =
-    new java.math.BigDecimal(x).setScale(12,
+    java.math.BigDecimal.valueOf(x).setScale(12,
       java.math.RoundingMode.HALF_UP)
 
   /** Fit mean + top principal component: one wide-agg corpus scan

@@ -987,21 +987,8 @@ object TextFns {
       qIdCol: String, termsCol: String, k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 100,
       logIdf: Boolean = true): org.apache.spark.sql.DataFrame = {
-    // DISTINCT after lowercasing: duplicate terms in a query's array
-    // (or case variants of one term) must score once, matching the
-    // single-query form's set semantics and the oracle's DISTINCT
-    val qt = queries.select(col(qIdCol).as("query_id"),
-        explode(col(termsCol)).as("__t"))
-      .select(col("query_id"), lower(col("__t")).as("token"))
-      .distinct()
-    // the query VOCABULARY is driver-small by the retrieval contract;
-    // baking it into the scan filter keeps corpus tokenization to the
-    // single staged pass of [[bm25]] (bounded collect, guarded)
-    val vocab = qt.select("token").distinct().limit(65537).collect()
-      .map(_.getString(0))
-    require(vocab.length <= 65536,
-      "query vocabulary too large to bake into the scan filter; " +
-        "materialize TextFns.postings and join against it instead")
+    val (qt, vocab) = queryVocab(queries, qIdCol, termsCol,
+      "materialize TextFns.postings and join against it instead")
     val base = df.select(col(idCol).as("doc_id"),
       graft.functions.TokenPostings(col(textCol), vocab).as("__tp"))
     val lens = graft.core.Caches.stage(base.select(col("doc_id"),
@@ -1015,6 +1002,34 @@ object TextFns {
         col("t.token").as("token"), col("t.cnt").as("tf"))
     val dfs = matched.groupBy("token").agg(count(lit(1)).as("df"))
     bm25QueryTail(matched, dfs, stats, qt, k1, b, topK, logIdf)
+  }
+
+  /** Query-side term normalization + bounded vocabulary collect,
+    * shared by [[bm25Queries]] and [[graft.pipeline.Indexes]]'
+    * indexed twin so the two paths can never tokenize or bound
+    * differently (their scores are promised bit-identical).
+    * DISTINCT after lowercasing: duplicate terms in a query's array
+    * (or case variants of one term) must score once, matching the
+    * single-query form's set semantics and the oracle's DISTINCT.
+    * The query VOCABULARY is driver-small by the retrieval contract;
+    * baking it into the scan filter keeps the corpus side to one
+    * pass/pushed posting read (bounded collect, guarded — the
+    * `alternative` names each caller's corpus-sized escape hatch).
+    */
+  private[pipeline] def queryVocab(
+      queries: org.apache.spark.sql.DataFrame, qIdCol: String,
+      termsCol: String, alternative: String)
+      : (org.apache.spark.sql.DataFrame, Array[String]) = {
+    val qt = queries.select(col(qIdCol).as("query_id"),
+        explode(col(termsCol)).as("__t"))
+      .select(col("query_id"), lower(col("__t")).as("token"))
+      .distinct()
+    val vocab = qt.select("token").distinct().limit(65537).collect()
+      .map(_.getString(0))
+    require(vocab.length <= 65536,
+      "query vocabulary too large to bake into the scan filter; " +
+        alternative)
+    (qt, vocab)
   }
 
   /** Scoring/ranking tail shared by [[bm25Queries]] and the

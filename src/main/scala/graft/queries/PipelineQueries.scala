@@ -655,10 +655,13 @@ object PipelineQueries {
     val media = Tables.documents(s, d)
       .select(col("doc_id"),
         Multimodal.packFakeMedia(col("text")).as("media"))
-    val sigs = media.select(col("doc_id"),
-      array_join(Multimodal.dHash(col("media")), "/").as("dh"))
-    val pairs = Multimodal.imageDupPairs(media, "doc_id", "media",
-      maxHamming = 3)
+    // signature kernel runs ONCE into a staged frame consumed by
+    // both the output projection and the pair join
+    val sigW = graft.core.Caches.stage(media.select(
+      col("doc_id").as("id"), Multimodal.dHash(col("media")).as("dh")))
+    val sigs = sigW.select(col("id").as("doc_id"),
+      array_join(col("dh"), "/").as("dh"))
+    val pairs = Multimodal.imageDupPairsFromSigs(sigW, maxHamming = 3)
     val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("p"))
       .unionAll(pairs.select(col("id2").as("doc_id"),
         col("id1").as("p")))
@@ -694,10 +697,12 @@ object PipelineQueries {
     val media = Tables.documents(s, d)
       .select(col("doc_id"),
         Multimodal.packFakeMedia(col("text")).as("media"))
-    val sigs = media.select(col("doc_id"),
-      array_join(Multimodal.audioFp(col("media")), "/").as("fp"))
-    val pairs = Multimodal.audioDupPairs(media, "doc_id", "media",
-      maxHamming = 3)
+    val sigW = graft.core.Caches.stage(media.select(
+      col("doc_id").as("id"),
+      Multimodal.audioFp(col("media")).as("dh")))
+    val sigs = sigW.select(col("id").as("doc_id"),
+      array_join(col("dh"), "/").as("fp"))
+    val pairs = Multimodal.audioDupPairsFromSigs(sigW, maxHamming = 3)
     val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("p"))
       .unionAll(pairs.select(col("id2").as("doc_id"),
         col("id1").as("p")))
@@ -2824,9 +2829,13 @@ object PipelineQueries {
          |  SELECT doc_id, 1, w1 FROM hashes UNION ALL
          |  SELECT doc_id, 2, w2 FROM hashes UNION ALL
          |  SELECT doc_id, 3, w3 FROM hashes),
+         |capped AS (
+         |  SELECT doc_id, c, v FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY c, v) AS n
+         |    FROM chunks) WHERE n <= 1000),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         |  FROM chunks l JOIN chunks r
+         |  FROM capped l JOIN capped r
          |    ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id),
          |pairs AS (
          |  SELECT p.id1, p.id2 FROM cand p
@@ -2939,9 +2948,13 @@ object PipelineQueries {
          |  SELECT doc_id, 1, w1 FROM hashes UNION ALL
          |  SELECT doc_id, 2, w2 FROM hashes UNION ALL
          |  SELECT doc_id, 3, w3 FROM hashes),
+         |capped AS (
+         |  SELECT doc_id, c, v FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY c, v) AS n
+         |    FROM chunks) WHERE n <= 1000),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         |  FROM chunks l JOIN chunks r
+         |  FROM capped l JOIN capped r
          |    ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id),
          |pairs AS (
          |  SELECT p.id1, p.id2 FROM cand p

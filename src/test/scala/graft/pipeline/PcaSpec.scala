@@ -64,7 +64,8 @@ class PcaSpec extends SparkSpec {
       "embedding", 64)
     assert(m.comp.toSeq == mNoNull.comp.toSeq)
     // driver replay of project's decimal chain on one row
-    def dec8(x: Double) = new java.math.BigDecimal(x)
+    // valueOf = Spark's Cast rounding base (shortest decimal repr)
+    def dec8(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(8, java.math.RoundingMode.HALF_UP)
     val (id0, v0) = base.head
     val want = v0.indices.map(j =>
