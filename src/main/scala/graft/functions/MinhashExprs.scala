@@ -119,6 +119,43 @@ object MinhashNative {
     new GenericArrayData(out)
   }
 
+  /** Full k-permutation signature — the fused shingles → hashes →
+    * k minima pipeline (computeBands without the banding tail). An
+    * empty shingle set yields an array of k NULLs, exactly matching
+    * the column form's array_min-over-empty semantics.
+    */
+  def signature(text: UTF8String, n: Int, coeffs: Array[Long],
+      useICU: Boolean): GenericArrayData = {
+    val k = coeffs.length / 2
+    val md = TextHash.digest()
+    val sh = shingles(text, n, useICU)
+    if (sh.isEmpty)
+      return new GenericArrayData(new Array[Any](k))
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      md.reset()
+      hs(i) = hash60(md.digest(sh(i).getBytes))
+      i += 1
+    }
+    val sig = new Array[Any](k)
+    var p = 0
+    while (p < k) {
+      val a = coeffs(2 * p)
+      val c = coeffs(2 * p + 1)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (hs(j) * a + c) % 2147483647L
+        if (v < min) min = v
+        j += 1
+      }
+      sig(p) = min
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Distinct 60-bit hashes of the distinct shingles, first-occurrence
     * order (hash collisions between distinct shingles dedup, matching
     * `SELECT DISTINCT doc_id, hash` in the oracle replays).
@@ -245,6 +282,49 @@ object MinhashBandBuckets {
       .flatMap { case (a, b) => Seq(a, b) }.toArray
     ColumnGlue.column(MinhashBandBuckets(
       ColumnGlue.expression(text), n, coeffs, bands))
+  }
+}
+
+/** Full k-element portable signature (Dedup.minhashSignatureMd5) as
+  * ONE call → array<long>: the column form's k array_min/transform
+  * branches each re-walk the shingle hashes through interpreted
+  * lambdas, which dominates any consumer that needs the whole
+  * signature (minhashCalibration measured 9.4 s → the kernel's one
+  * text pass at sf1). Empty shingle sets yield k NULL elements,
+  * the column form's exact semantics.
+  */
+case class MinhashSignature(child: Expression, n: Int,
+    coeffs: Array[Long],
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, true)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cf = ctx.addReferenceObj("minhashSigCoeffs", coeffs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinhashNative.signature($c, $n, $cf, $useICU)")
+  }
+  override def nullSafeEval(v: Any): Any =
+    MinhashNative.signature(v.asInstanceOf[UTF8String], n, coeffs,
+      useICU)
+  override protected def withNewChildInternal(c: Expression)
+      : MinhashSignature = copy(child = c)
+  override def equals(o: Any): Boolean = o match {
+    case m: MinhashSignature =>
+      m.child == child && m.n == n && m.useICU == useICU &&
+        java.util.Arrays.equals(m.coeffs, coeffs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(n),
+      Integer.valueOf(coeffs.length))
+}
+
+object MinhashSignature {
+  def apply(text: Column, n: Int, k: Int): Column = {
+    val coeffs = graft.pipeline.Dedup.permCoeffs(k)
+      .flatMap { case (a, b) => Seq(a, b) }.toArray
+    ColumnGlue.column(MinhashSignature(
+      ColumnGlue.expression(text), n, coeffs))
   }
 }
 

@@ -341,13 +341,17 @@ object Dedup {
       k: Int = 32, b: Int = 8, maxBucket: Int = 1000): DataFrame = {
     require(deltas.nonEmpty, "need at least one pair delta")
     require(k % b == 0, s"bands must divide the signature: k=$k b=$b")
+    // two one-pass kernels per doc: the shingle STRINGS (exact
+    // Jaccard needs the sets) and the fused full signature
+    // (MinhashSignature — the k-branch column form re-walks the
+    // hashes per permutation through interpreted lambdas, measured
+    // 9.4 s vs ~1 s at sf1 on this operator)
     val sigs = graft.core.Caches.stage(
       spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
         .select(col("id"),
-          graft.functions.Shingles(col("__t"), n).as("sh"))
-        .withColumn("hs", transform(col("sh"), shingleHash _))
-        .withColumn("sig", signatureOfHashes(col("hs"), k))
-        .drop("hs"))
+          graft.functions.Shingles(col("__t"), n).as("sh"),
+          graft.functions.MinhashSignature(col("__t"), n, k)
+            .as("sig")))
     val dcand = sigs.select(col("id").as("id1"),
         explode(array(deltas.map(lit): _*)).as("__d"))
       .select(col("id1"), (col("id1") + col("__d")).as("id2"))

@@ -54,6 +54,28 @@ class MinhashNativeSpec extends SparkSpec {
     }
   }
 
+  test("native MinhashSignature == Column signatureOfHashes pipeline") {
+    val colForm = Dedup.signatureOfHashes(
+      transform(Dedup.shingles(col("text"), 3), Dedup.shingleHash _),
+      32)
+    val diff = texts.select(
+        MinhashSignature(col("text"), 3, 32).as("n"),
+        colForm.as("c"))
+      .filter(not(col("n").cast("string") <=> col("c").cast("string")))
+      .count()
+    assert(diff == 0)
+    // the empty-string edge rides the same equality (whatever the
+    // shingle rule emits for "", the kernel must match the column
+    // form element-for-element — array_min over empty being NULL)
+    import spark.implicits._
+    val e = Seq("").toDF("text")
+      .select(MinhashSignature(col("text"), 3, 32).cast("string")
+          .as("n"),
+        colForm.cast("string").as("c"))
+      .head
+    assert(e.getString(0) == e.getString(1), e.toString)
+  }
+
   test("native ShingleHashes == distinct Column shingleHash transform") {
     val diff = texts.select(
         ShingleHashes(col("text"), 3).as("n"),
