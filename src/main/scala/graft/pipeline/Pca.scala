@@ -56,6 +56,30 @@ object Pca {
     */
   def fit(df: DataFrame, vecCol: String, dim: Int = 64,
       iters: Int = 12): PcaModel = {
+    val m = fitK(df, vecCol, dim, 1, iters)
+    PcaModel(m.mean, m.comps.head)
+  }
+
+  /** Top-`k` components: mean + `comps` (each unit length, in
+    * decreasing-eigenvalue order) + the Rayleigh-quotient
+    * `eigenvalues` the deflation used. The practical whitening /
+    * compression form — project onto the k components and feed the
+    * reduced vectors to the ANN family at k/dim of the scan width.
+    */
+  final case class PcaKModel(mean: Array[Double],
+      comps: Seq[Array[Double]], eigenvalues: Seq[Double])
+
+  /** Fit mean + top-`k` principal components: one moment scan, then
+    * per component `iters` driver power steps followed by Hotelling
+    * DEFLATION (C ← C − λ v vᵀ, λ = vᵀCv) so the next iteration
+    * converges to the next component. Every reduction is
+    * decimal-pinned and every scalar step IEEE in fixed order, so
+    * the whole k-component chain replays in the oracle — the same
+    * contract as the single-component [[fit]].
+    */
+  def fitK(df: DataFrame, vecCol: String, dim: Int = 64, k: Int = 2,
+      iters: Int = 12): PcaKModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= $dim components")
     // all 1 + dim + dim(dim+1)/2 moment sums in ONE aggregate with a
     // fixed long-array buffer (see VecMomentSums for why not 2 144
     // sum() columns) — exact 1e-6 fixed-point, order-free
@@ -69,35 +93,53 @@ object Pca {
     // CAST(sum AS DOUBLE) / 1e6, then the same expression order
     // m/n - (s_j/n)*(s_k/n)
     def s(j: Int) = fxArr(1 + j).toDouble / 1e6
-    def m(j: Int, k: Int) = {
-      val (a, b) = if (j <= k) (j, k) else (k, j)
+    def m(j: Int, kk: Int) = {
+      val (a, b) = if (j <= kk) (j, kk) else (kk, j)
       val p = 1 + dim + (a * (2 * dim - a + 1)) / 2 + (b - a)
       fxArr(p).toDouble / 1e6
     }
     val mu = Array.tabulate(dim)(j => s(j) / n)
-    val cov = Array.tabulate(dim, dim) { (j, k) =>
-      m(j, k) / n - mu(j) * mu(k)
+    var cov = Array.tabulate(dim, dim) { (j, kk) =>
+      m(j, kk) / n - mu(j) * mu(kk)
     }
-    var vec = Array.fill(dim)(0.125)
-    for (_ <- 1 to iters) {
-      // matvec through exact decimal accumulation of 12-dp-rounded
-      // addends (order-independent), back to double per component
-      val t = Array.tabulate(dim) { i =>
+    // matvec through exact decimal accumulation of 12-dp-rounded
+    // addends (order-independent), back to double per component
+    def matvec(c: Array[Array[Double]],
+        v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
         var acc = java.math.BigDecimal.ZERO
         var j = 0
-        while (j < dim) {
-          acc = acc.add(dec12(cov(i)(j) * vec(j))); j += 1
-        }
+        while (j < dim) { acc = acc.add(dec12(c(i)(j) * v(j))); j += 1 }
         acc.doubleValue
       }
-      var n2 = java.math.BigDecimal.ZERO
+    val comps = Vector.newBuilder[Array[Double]]
+    val eigs = Vector.newBuilder[Double]
+    for (_ <- 1 to k) {
+      var vec = Array.fill(dim)(0.125)
+      for (_ <- 1 to iters) {
+        val t = matvec(cov, vec)
+        var n2 = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < dim) { n2 = n2.add(dec12(t(i) * t(i))); i += 1 }
+        val nrm = math.sqrt(n2.doubleValue)
+        require(nrm > 0, "degenerate covariance: zero power-step norm")
+        vec = t.map(_ / nrm)
+      }
+      // Rayleigh quotient λ = vᵀ(Cv) with the same decimal discipline
+      val t = matvec(cov, vec)
+      var lacc = java.math.BigDecimal.ZERO
       var i = 0
-      while (i < dim) { n2 = n2.add(dec12(t(i) * t(i))); i += 1 }
-      val nrm = math.sqrt(n2.doubleValue)
-      require(nrm > 0, "degenerate covariance: zero power-step norm")
-      vec = t.map(_ / nrm)
+      while (i < dim) { lacc = lacc.add(dec12(vec(i) * t(i))); i += 1 }
+      val lam = lacc.doubleValue
+      comps += vec
+      eigs += lam
+      // Hotelling deflation, entry order fixed: C - lam*v_i*v_j
+      val v = vec
+      cov = Array.tabulate(dim, dim) { (i2, j2) =>
+        cov(i2)(j2) - lam * v(i2) * v(j2)
+      }
     }
-    PcaModel(mu, vec)
+    PcaKModel(mu, comps.result(), eigs.result())
   }
 
   /** Scan-local projection of a vector onto the model's component
@@ -110,13 +152,21 @@ object Pca {
     * silently degrades to scale 6. Aggregate sum() keeps its scale;
     * column-level chains do not. Long addends sidestep the rule.)
     */
-  def project(vec: Column, model: PcaModel): Column = {
+  def project(vec: Column, model: PcaModel): Column =
+    projectOn(vec, model.mean, model.comp)
+
+  /** [[project]] onto component `c` (0-based) of a k-model. */
+  def project(vec: Column, model: PcaKModel, c: Int): Column =
+    projectOn(vec, model.mean, model.comps(c))
+
+  private def projectOn(vec: Column, mean: Array[Double],
+      comp: Array[Double]): Column = {
     val v = vec.cast("array<double>")
     val shift = 100000000L // 1e8 = decimal scale 8
-    (0 until model.mean.length).map { j =>
+    mean.indices.map { j =>
       (graft.Tables.dec(
-        (element_at(v, j + 1) - lit(model.mean(j))) *
-          lit(model.comp(j)), 8) * lit(shift)).cast("long")
+        (element_at(v, j + 1) - lit(mean(j))) *
+          lit(comp(j)), 8) * lit(shift)).cast("long")
     }.reduce(_ + _).cast("double") / lit(shift.toDouble)
   }
 }

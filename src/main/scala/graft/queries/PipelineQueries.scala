@@ -276,6 +276,26 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Top-2 PCA via Hotelling deflation (Pca.fitK): the practical
+    * whitening form — after the top component converges, λ = vᵀCv
+    * deflates the covariance and the second power iteration yields
+    * the next component. The oracle chains a second recursive CTE
+    * over the deflated matrix, every reduction decimal-pinned and
+    * the deflation arithmetic in the driver's exact entry order.
+    */
+  def pPca2(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val m = graft.pipeline.Pca.fitK(emb, "embedding", dim = 64,
+      k = 2, iters = 12)
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.pipeline.Pca.project(col("embedding"), m, 0)
+          .as("proj1"),
+        graft.pipeline.Pca.project(col("embedding"), m, 1)
+          .as("proj2"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental index maintenance (Indexes.appendBinaryIndex): 90%
     * of the corpus writes the base artifact, the remaining 10%
     * appends as an ingest batch, and the probe runs over base+delta
@@ -1482,6 +1502,7 @@ object PipelineQueries {
     "p_ann_indexed" -> (pAnnIndexed _),
     "p_ann_index_append" -> (pAnnIndexAppend _),
     "p_pca" -> (pPca _),
+    "p_pca2" -> (pPca2 _),
     "p_ann_ivfpq_idx" -> (pAnnIvfPqIdx _),
     "p_split_group" -> (pSplitGroup _),
     "p_bm25_indexed" -> (pBm25Indexed _),
@@ -2250,6 +2271,88 @@ object PipelineQueries {
        |    CAST(CAST((e.v[j] - cm.MU[j]) * f.v[j] AS DECIMAL(18,8))
        |      * 100000000 AS BIGINT))) AS DOUBLE) / 100000000.0 AS proj
        |FROM e, cm, (SELECT v FROM it WHERE t = 12) f
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** DuckDB replay of Pca.fitK(k=2) + both projections: the p_pca
+    * oracle's moment/covariance/power-iteration machinery, then
+    * λ = vᵀCv (decimal-pinned Rayleigh quotient), Hotelling deflation
+    * C − λ·v·vᵀ in the driver's exact entry order, and a SECOND
+    * recursive power chain over the deflated matrix.
+    */
+  private lazy val pca2Oracle: String = {
+    val dim = 64
+    val d1 = dim + 1
+    val sums = (0 until dim).map(j =>
+      s"CAST(sum(CAST(floor(v[${j + 1}] * 1000000.0 + 0.5) " +
+        s"AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_$j")
+    val moms = for (j <- 0 until dim; k <- j until dim) yield
+      s"CAST(sum(CAST(floor(v[${j + 1}] * v[${k + 1}] * 1000000.0 " +
+        s"+ 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS m_${j}_$k"
+    val covRows = (0 until dim).map { j =>
+      (0 until dim).map { k =>
+        val (a, b) = if (j <= k) (j, k) else (k, j)
+        s"m_${a}_$b / n - (s_$j / n) * (s_$k / n)"
+      }.mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    val muList = (0 until dim).map(j => s"s_$j / n")
+      .mkString("[", ", ", "]")
+    val start = Seq.fill(dim)("0.125").mkString("[", ", ", "]")
+    def chain(c: Int): String = {
+      val cm = if (c == 0) "cm" else s"cm$c"
+      s"""it$c AS (
+         |  SELECT 0 AS t, $start::DOUBLE[] AS v
+         |  UNION ALL
+         |  SELECT t + 1,
+         |    list_transform(range(1, $d1), i -> tt[i] / nrm)
+         |  FROM (
+         |    SELECT t, tt,
+         |      sqrt(CAST(list_sum(list_transform(range(1, $d1),
+         |        i -> CAST(tt[i] * tt[i] AS DECIMAL(28,12))))
+         |        AS DOUBLE)) AS nrm
+         |    FROM (
+         |      SELECT it$c.t AS t,
+         |        list_transform(range(1, $d1), i ->
+         |          CAST(list_sum(list_transform(range(1, $d1),
+         |            j -> CAST($cm.C[i][j] * it$c.v[j]
+         |              AS DECIMAL(28,12)))) AS DOUBLE)) AS tt
+         |      FROM it$c, $cm WHERE it$c.t < 12))),
+         |f$c AS (SELECT v FROM it$c WHERE t = 12),
+         |t$c AS (
+         |  SELECT list_transform(range(1, $d1), i ->
+         |    CAST(list_sum(list_transform(range(1, $d1),
+         |      j -> CAST($cm.C[i][j] * f$c.v[j] AS DECIMAL(28,12))))
+         |      AS DOUBLE)) AS tv
+         |  FROM $cm, f$c),
+         |lam$c AS (
+         |  SELECT CAST(list_sum(list_transform(range(1, $d1), i ->
+         |    CAST(f$c.v[i] * t$c.tv[i] AS DECIMAL(28,12))))
+         |    AS DOUBLE) AS l
+         |  FROM f$c, t$c),
+         |cm${c + 1} AS (
+         |  SELECT list_transform(range(1, $d1), i ->
+         |    list_transform(range(1, $d1), j ->
+         |      $cm.C[i][j] - lam$c.l * f$c.v[i] * f$c.v[j])) AS C
+         |  FROM $cm, f$c, lam$c)""".stripMargin
+    }
+    def proj(c: Int, as: String): String =
+      s"""CAST(list_sum(list_transform(range(1, $d1), j ->
+         |    CAST(CAST((e.v[j] - cm.MU[j]) * f$c.v[j] AS DECIMAL(18,8))
+         |      * 100000000 AS BIGINT))) AS DOUBLE) / 100000000.0
+         |    AS $as""".stripMargin
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |mom AS (
+       |  SELECT count(*) AS n, ${(sums ++ moms).mkString(", ")}
+       |  FROM e),
+       |cm AS (SELECT n, $covRows AS C, $muList AS MU FROM mom),
+       |${chain(0)},
+       |${chain(1)}
+       |SELECT e.vec_id,
+       |  ${proj(0, "proj1")},
+       |  ${proj(1, "proj2")}
+       |FROM e, cm, f0, f1
        |ORDER BY e.vec_id""".stripMargin
   }
 
@@ -4044,6 +4147,7 @@ object PipelineQueries {
     "p_ann_indexed" -> oraclesBase("p_ann_binary"),
     "p_ann_index_append" -> oraclesBase("p_ann_binary"),
     "p_pca" -> pcaOracle,
+    "p_pca2" -> pca2Oracle,
     "p_split_group" -> splitOracle(11, SplitSpec, "source", " source,"),
     "p_ann_ivfpq_idx" -> oraclesBase("p_ann_ivfpq"),
     "p_bm25_indexed" -> oraclesBase("p_bm25_multi"),

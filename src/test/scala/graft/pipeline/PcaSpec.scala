@@ -76,6 +76,48 @@ class PcaSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("fitK: deflation recovers two planted directions, orthogonal") {
+    val dim = 64
+    // two orthogonal planted directions with distinct variances
+    // (disjoint supports → exactly orthogonal): strong on j%7==0,
+    // weaker on j%7==3
+    val u1 = Array.tabulate(dim)(j => if (j % 7 == 0) 1.0 else 0.0)
+    val u2 = Array.tabulate(dim)(j => if (j % 7 == 3) 1.0 else 0.0)
+    def unit(a: Array[Double]) = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    val (v1, v2) = (unit(u1), unit(u2))
+    val rows = (0 until 400).map { i =>
+      val t1 = ((i * 2654435761L) % 1000L) / 500.0 - 1.0
+      val t2 = ((i * 1103515245L) % 1000L) / 500.0 - 1.0
+      (i.toLong, Array.tabulate(dim) { j =>
+        val noise = (((i * 40503L + j * 69069L) % 97L) / 97.0 - 0.5) * 0.02
+        (t1 * 3.0 * v1(j) + t2 * 1.5 * v2(j) + noise).toFloat
+      })
+    }
+    val m = Pca.fitK(rows.toDF("vec_id", "embedding"), "embedding",
+      dim, k = 2)
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum
+    assert(math.abs(cos(m.comps(0), v1)) > 0.99,
+      s"comp0 vs planted: ${cos(m.comps(0), v1)}")
+    assert(math.abs(cos(m.comps(1), v2)) > 0.99,
+      s"comp1 vs planted: ${cos(m.comps(1), v2)}")
+    // deflation property: well-separated components are orthogonal;
+    // unit to within the dec12-rounded norm's residue
+    assert(math.abs(cos(m.comps(0), m.comps(1))) < 1e-4)
+    m.comps.foreach(c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-6))
+    // eigenvalues decrease with the planted variances
+    assert(m.eigenvalues(0) > m.eigenvalues(1) &&
+      m.eigenvalues(1) > 0, m.eigenvalues.toString)
+    // fit is fitK's head component
+    val single = Pca.fit(rows.toDF("vec_id", "embedding"),
+      "embedding", dim)
+    assert(single.comp.toSeq == m.comps.head.toSeq)
+    assert(single.mean.toSeq == m.mean.toSeq)
+  }
+
   test("projections on the fixture embeddings are finite and distinct") {
     val emb = Tables.embeddings(spark, sf())
     val m = Pca.fit(emb, "embedding", 64)
