@@ -199,6 +199,16 @@ object GraftExtensions {
         ColumnGlue.resolvedExpression(graft.functions.CosineSim(
           ColumnGlue.column(args.head), ColumnGlue.column(args(1))))
       }),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(text, n, k) - full k-permutation MinHash " +
+        "signature",
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_sig", args, 3)
+        val n = intArg(args(1), "n")
+        val k = intArg(args(2), "k")
+        viaColumn(c =>
+          graft.functions.MinhashSignature(c, n, k))(args.head)
+      }),
     ("graft_dhash",
       "graft_dhash(payload) - perceptual image dHash as 4x16-bit words",
       (args: Seq[Expression]) => {

@@ -57,6 +57,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 2)
   }
 
+  test("graft_minhash_sig matches the kernel through SQL") {
+    val viaSql = spark.sql(
+      "SELECT graft_minhash_sig('the quick brown fox jumps', 3, 32)")
+      .head().getSeq[Long](0)
+    val viaKernel = spark.range(1).select(
+        graft.functions.MinhashSignature(
+          lit("the quick brown fox jumps"), 3, 32))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaKernel && viaSql.length == 32)
+  }
+
   test("graft_dhash / graft_audio_fp match the kernels through SQL") {
     val viaSql = spark.sql(
       "SELECT graft_dhash(CAST('hello media payload' AS BINARY)) AS d, " +
