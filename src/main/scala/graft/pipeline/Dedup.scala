@@ -635,6 +635,52 @@ object Dedup {
         col("n_grams"))
   }
 
+  /** Winnowed document fingerprints (Schleimer et al., SIGMOD 2003):
+    * the sparse alternative to indexing EVERY gram hash. Selects the
+    * rightmost-minimum hash of each w-window over the k-gram hash
+    * sequence — `array<struct<pos, h>>`, expected density 2/(w+1),
+    * with the guarantee that any shared run of ≥ w+k−1 tokens shares
+    * a fingerprint. Same md5-fold hash family as [[dupSpans]]
+    * (reference identity hashing: builtin.cljc:2183), so a SQL
+    * engine replays every selection.
+    *
+    * Scale shape (100 TB): fingerprinting is scan-local (one text
+    * pass for the gram hashes + one O(n) winnow pass, both inside
+    * whole-stage codegen); the downstream index/join volume drops
+    * ~(w+1)/2× vs the all-grams frame — the difference between a
+    * fingerprint index you can persist per-corpus and one you
+    * cannot.
+    */
+  def winnow(text: Column, k: Int = 4, w: Int = 8): Column =
+    graft.functions.WinnowSelect(
+      graft.functions.GramHashSeq(text, k), w)
+
+  /** Near-duplicate candidate pairs (id1 < id2, n_shared) over the
+    * winnowed fingerprint index: docs sharing ≥ `minShared` DISTINCT
+    * fingerprint hashes. The self-join runs on the sparse fingerprint
+    * frame only; `maxBucket` drops boilerplate fingerprints shared by
+    * more than that many docs (the [[minhashCandidates]] skew guard —
+    * a corpus-wide header would otherwise quadratically fan out its
+    * bucket).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8, minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = graft.core.Caches.stage(
+      df.select(col(idCol).as("id"),
+          explode(winnow(col(textCol), k, w)).as("f"))
+        .select(col("id"), col("f.h").as("h")).distinct()
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("__n") <= maxBucket).drop("__n"))
+    val l = fps.as("l")
+    val r = fps.as("r")
+    l.join(r, col("l.h") === col("r.h") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, bc: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(bc, n))

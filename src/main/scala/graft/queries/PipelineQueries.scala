@@ -1437,6 +1437,65 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom seen-set probe ([[graft.pipeline.SeenSet]]) over a crawl
+    * split: even doc_ids play "yesterday's crawl" (the persisted
+    * filter's build side), the full table plays today's batch. The
+    * oracle replays EVERY bit decision — shard = h1 mod 4, four
+    * Kirsch–Mitzenmacher positions per key, membership = all
+    * positions present in the build side's (shard, position) set
+    * (identical semantics to the bitset, which IS that set) — plus
+    * the exact-membership join, so false positives are pinned
+    * row-by-row, not just counted. m = 2¹⁶ bits × 4 shards / j = 4
+    * keeps the gate's FP rate realistic (sparse at sf0.01, ~4%
+    * loaded at sf0.1) while every decision stays deterministic.
+    */
+  def pBloomSeen(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val seen = graft.pipeline.SeenSet.build(
+      doc.filter(col("doc_id") % 2 === 0), "text",
+      mBits = 65536, nHashes = 4, nShards = 4)
+    val baseTexts = doc.filter(col("doc_id") % 2 === 0)
+      .select(col("text").as("__bt")).distinct()
+    graft.pipeline.SeenSet.probe(doc, "text", seen)
+      .join(baseTexts, col("text") === col("__bt"), "left")
+      .select(col("doc_id"), col("maybe_seen"),
+        col("__bt").isNotNull.as("exact_seen"),
+        (col("maybe_seen") && col("__bt").isNull).as("is_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (Dedup.winnow / winnowPairs, k=4 w=8):
+    * per doc the selection count, the order-independent mod-2⁶⁰ fold
+    * of selected hashes (pins every selected VALUE), and the count of
+    * partners sharing ≥ 2 distinct fingerprints. The oracle replays
+    * the whole algorithm — gram hashes, each window's rightmost-min
+    * selection, the distinct-position set, the capped self-join —
+    * in list SQL, so a wrong tie-break or off-by-one window flips the
+    * hash.
+    */
+  def pWinnow(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val agg = doc.select(col("doc_id"),
+        explode(graft.pipeline.Dedup.winnow(col("text"), 4, 8)).as("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("f.h").cast("decimal(38,0)")).as("__hs"))
+      .withColumn("fp_fold",
+        expr("CAST(__hs % 1152921504606846976 AS BIGINT)"))
+    val pairs = graft.pipeline.Dedup.winnowPairs(doc, "doc_id", "text",
+      k = 4, w = 8, minShared = 2)
+    val pc = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+    doc.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .join(pc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("fp_fold"), lit(0L)).as("fp_fold"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("doc_id")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1544,7 +1603,9 @@ object PipelineQueries {
     "p_drift" -> (pDrift _),
     "p_heavy" -> (pHeavy _),
     "p_manifest" -> (pManifest _),
-    "p_nfc" -> (pNfc _))
+    "p_nfc" -> (pNfc _),
+    "p_bloom_seen" -> (pBloomSeen _),
+    "p_winnow" -> (pWinnow _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -1630,6 +1691,16 @@ object PipelineQueries {
     s"""CAST(list_sum(list_transform(range(1, 16), i ->
        |  (strpos('0123456789abcdef', substr(md5($sref), i, 1)) - 1)
        |    * ($pow16)[i])) AS BIGINT)""".stripMargin
+
+  /** Positional fold of md5 hex digits [start, start+14] — the SQL
+    * mirror of `conv(substring(md5(s), start, 15), 16, 10)`;
+    * hex60 == hexFoldAt(_, 1), kept separate for the many existing
+    * call sites. SeenSet's h2 uses start = 16.
+    */
+  private def hexFoldAt(sref: String, start: Int): String =
+    s"""CAST(list_sum(list_transform(range($start, ${start + 15}), i ->
+       |  (strpos('0123456789abcdef', substr(md5($sref), i, 1)) - 1)
+       |    * ($pow16)[i - ${start - 1}])) AS BIGINT)""".stripMargin
 
   private def hash60(sref: String): String =
     s"${hex60(sref)} % 2147483647"
@@ -3742,6 +3813,77 @@ object PipelineQueries {
         |SELECT doc_id, md5(nfc_normalize(raw)) AS nhash,
         |  nfc_normalize(raw) <> raw AS changed
         |FROM m ORDER BY doc_id""".stripMargin,
+    "p_bloom_seen" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, text AS k,
+         |    ${hexFoldAt("text", 1)} AS f1,
+         |    ${hexFoldAt("text", 16)} AS f2
+         |  FROM documents),
+         |hp AS (
+         |  SELECT doc_id, k, CAST(f1 % 4 AS INT) AS shard,
+         |    f1 % 65536 AS a, f2 % 65536 AS b
+         |  FROM keyed),
+         |basepos AS (
+         |  SELECT DISTINCT shard, (a + i.i * b) % 65536 AS p
+         |  FROM hp, (SELECT unnest(range(0, 4)) AS i) i
+         |  WHERE doc_id % 2 = 0),
+         |probe AS (
+         |  SELECT DISTINCT doc_id, shard, (a + i.i * b) % 65536 AS p
+         |  FROM hp, (SELECT unnest(range(0, 4)) AS i) i),
+         |mem AS (
+         |  SELECT pr.doc_id, count(*) = count(bp.p) AS maybe_seen
+         |  FROM probe pr LEFT JOIN basepos bp
+         |    ON pr.shard = bp.shard AND pr.p = bp.p
+         |  GROUP BY pr.doc_id),
+         |bt AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0)
+         |SELECT m.doc_id, m.maybe_seen,
+         |  (b.text IS NOT NULL) AS exact_seen,
+         |  (m.maybe_seen AND b.text IS NULL) AS is_fp
+         |FROM mem m
+         |JOIN documents d USING (doc_id)
+         |LEFT JOIN bt b ON d.text = b.text
+         |ORDER BY doc_id""".stripMargin,
+    "p_winnow" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+         |    ${hex60("array_to_string(list_slice(toks, p, p + 3), ' ')")}
+         |      AS h
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) - 2)) AS p
+         |        FROM tk WHERE len(toks) >= 4)),
+         |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs
+         |       FROM g GROUP BY doc_id),
+         |w1 AS (SELECT doc_id, hs,
+         |         unnest(range(0, greatest(len(hs) - 7, 1))) AS st
+         |       FROM hl),
+         |w2 AS (SELECT doc_id, st,
+         |         list_slice(hs, st + 1, st + 8) AS sl FROM w1),
+         |sel AS (SELECT DISTINCT doc_id,
+         |    st + len(sl)
+         |      - list_position(list_reverse(sl), list_min(sl)) AS pos,
+         |    list_min(sl) AS h
+         |  FROM w2),
+         |fp AS (SELECT doc_id, count(*) AS n_fps,
+         |    CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_fold
+         |  FROM sel GROUP BY doc_id),
+         |dh AS (SELECT DISTINCT doc_id, h FROM sel),
+         |okh AS (SELECT h FROM dh GROUP BY h HAVING count(*) <= 1000),
+         |dhc AS (SELECT dh.doc_id, dh.h FROM dh JOIN okh USING (h)),
+         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM dhc a JOIN dhc b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |pc AS (SELECT doc_id, count(*) AS n_partners FROM (
+         |    SELECT id1 AS doc_id FROM pr
+         |    UNION ALL SELECT id2 FROM pr) u
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(f.n_fps, 0) AS n_fps,
+         |  coalesce(f.fp_fold, 0) AS fp_fold,
+         |  coalesce(pc.n_partners, 0) AS n_partners
+         |FROM documents d
+         |LEFT JOIN fp f USING (doc_id)
+         |LEFT JOIN pc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "p_manifest" ->
       s"""WITH sh AS (
          |  SELECT

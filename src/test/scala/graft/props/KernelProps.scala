@@ -199,4 +199,46 @@ object KernelProps extends Properties("graft.kernels") {
       val want = if (s.isEmpty) Seq(0, 0, 0, 0) else audioRef(s)
       got == want && got.forall(w => w >= 0 && w < 65536)
     }
+
+  /** Brute-force winnowing: per window take the rightmost minimum,
+    * dedupe consecutive same-position selections. Small value range
+    * forces tie-heavy inputs — the rule the deque must get right.
+    */
+  private def winnowRef(hs: Seq[Long], w: Int): Seq[(Int, Long)] = {
+    if (hs.isEmpty) return Seq.empty
+    val nw = math.max(hs.length - w + 1, 1)
+    val sels = (0 until nw).map { st =>
+      val win = hs.slice(st, st + w)
+      val mn = win.min
+      val sel = st + win.lastIndexOf(mn)
+      (sel, mn)
+    }
+    sels.foldLeft(Vector.empty[(Int, Long)]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last._1 == s._1) acc else acc :+ s
+    }
+  }
+
+  private val winnowGen: Gen[(List[Long], Int)] = for {
+    hs <- Gen.listOf(Gen.chooseNum(0L, 6L))
+    w <- Gen.chooseNum(1, 10)
+  } yield (hs, w)
+
+  property("winnow: deque kernel equals brute force incl. ties") =
+    forAll(winnowGen) { case (hs, w) =>
+      val out = graft.functions.WinnowNative.winnowSelect(
+        new GenericArrayData(hs.toArray), w)
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2)
+        (r.getInt(0), r.getLong(1))
+      }
+      got == winnowRef(hs, w)
+    }
+
+  property("winnow: selections are strictly increasing in position") =
+    forAll(winnowGen) { case (hs, w) =>
+      val out = graft.functions.WinnowNative.winnowSelect(
+        new GenericArrayData(hs.toArray), w)
+      val ps = (0 until out.numElements()).map(out.getStruct(_, 2).getInt(0))
+      ps == ps.sorted && ps.distinct == ps
+    }
 }
