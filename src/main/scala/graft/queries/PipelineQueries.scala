@@ -1496,6 +1496,33 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Z-order layout arithmetic ([[graft.sources.Layout]]): the Morton
+    * value of (l_partkey, l_suppkey) under in-plan exact bounds,
+    * rolled up into 256 z-range buckets — count, span, and the
+    * mod-2⁶⁰ fold pin every row's interleaved value (a single wrong
+    * bit in any row moves its bucket's fold). bits=16 and d=2 → zv is
+    * 32 bits; bucket = zv DIV 2²⁴.
+    */
+  def pZorder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+    val (mins, maxs) = graft.sources.Layout.bounds(li, Seq("x", "y"))
+    li.withColumn("zv", graft.sources.Layout.zvalue(
+        Seq(col("x"), col("y")), mins, maxs, bits = 16))
+      .withColumn("bucket",
+        expr("CAST(zv DIV 16777216 AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("zv").as("zv_min"), max("zv").as("zv_max"),
+        sum(col("zv").cast("decimal(38,0)")).as("__zs"))
+      .withColumn("zv_fold",
+        expr("CAST(__zs % 1152921504606846976 AS BIGINT)"))
+      .select(col("bucket"), col("n_rows"), col("zv_min"),
+        col("zv_max"), col("zv_fold"))
+      .orderBy("bucket")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1605,7 +1632,8 @@ object PipelineQueries {
     "p_manifest" -> (pManifest _),
     "p_nfc" -> (pNfc _),
     "p_bloom_seen" -> (pBloomSeen _),
-    "p_winnow" -> (pWinnow _))
+    "p_winnow" -> (pWinnow _),
+    "p_zorder" -> (pZorder _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -3843,6 +3871,33 @@ object PipelineQueries {
          |JOIN documents d USING (doc_id)
          |LEFT JOIN bt b ON d.text = b.text
          |ORDER BY doc_id""".stripMargin,
+    "p_zorder" ->
+      """WITH b AS (SELECT CAST(min(l_partkey) AS BIGINT) AS mnx,
+        |    CAST(max(l_partkey) AS BIGINT) AS mxx,
+        |    CAST(min(l_suppkey) AS BIGINT) AS mny,
+        |    CAST(max(l_suppkey) AS BIGINT) AS mxy
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT
+        |    CASE WHEN mxx = mnx THEN 0 ELSE
+        |      (greatest(0, least(mxx - mnx,
+        |        CAST(l_partkey AS BIGINT) - mnx)) * 65535)
+        |        // (mxx - mnx) END AS sx,
+        |    CASE WHEN mxy = mny THEN 0 ELSE
+        |      (greatest(0, least(mxy - mny,
+        |        CAST(l_suppkey AS BIGINT) - mny)) * 65535)
+        |        // (mxy - mny) END AS sy
+        |  FROM lineitem, b),
+        |z AS (
+        |  SELECT CAST(list_sum(list_transform(range(0, 16), bb ->
+        |      (((sx >> bb) & 1) << (2 * bb))
+        |        + (((sy >> bb) & 1) << (2 * bb + 1)))) AS BIGINT)
+        |    AS zv
+        |  FROM s)
+        |SELECT zv // 16777216 AS bucket, count(*) AS n_rows,
+        |  min(zv) AS zv_min, max(zv) AS zv_max,
+        |  CAST(sum(zv) % 1152921504606846976 AS BIGINT) AS zv_fold
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_winnow" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
          |g AS (
