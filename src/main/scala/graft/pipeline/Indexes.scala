@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Persisted retrieval indexes — the write-time artifacts that turn
   * the retrieval family's "at scale this column is precomputed"
@@ -313,4 +314,70 @@ object Indexes {
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
     Dedup.incrementalDupPairsFromIndex(incoming, incId, index,
       corpus, corId, textCol, n, k, b, threshold, maxBucket)
+
+  // ---------- Winnowed fingerprint index ----------
+
+  /** Persist [[Dedup.winnow]] fingerprints: distinct (id, h) sorted
+    * by h. Winnowing is the reason this index is AFFORDABLE — the
+    * expected 2/(w+1) selection density stores ~(w+1)/2× fewer rows
+    * than the all-grams frame [[Dedup.dupSpans]] scans, while keeping
+    * the ≥ w+k−1-token match guarantee. The h-sorted layout is what
+    * [[winnowCandidatesIndexed]]'s pushed In filter prunes against
+    * (row-group min/max on h). Fingerprints are row-local, so the
+    * append is merge-free and probe-equivalent to a rebuild (the
+    * [[appendBinaryIndex]] argument).
+    */
+  def writeWinnowIndex(corpus: DataFrame, idCol: String,
+      textCol: String, path: String, k: Int = 4, w: Int = 8): Unit =
+    winnowFrame(corpus, idCol, textCol, k, w)
+      .repartitionByRange(col("h"))
+      .sortWithinPartitions("h")
+      .write.mode("overwrite").parquet(path)
+
+  def openWinnowIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def appendWinnowIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String, k: Int = 4, w: Int = 8): Unit =
+    winnowFrame(batch, idCol, textCol, k, w)
+      .write.mode("append").parquet(path)
+
+  private def winnowFrame(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(Dedup.winnow(col(textCol), k, w)).as("f"))
+      .select(col("id"), col("f.h").as("h")).distinct()
+
+  /** Near-dup candidates of an incoming batch against a prebuilt
+    * [[writeWinnowIndex]] artifact: (batch_id, corpus_id, n_shared =
+    * distinct shared fingerprints ≥ `minShared`). Only the batch
+    * fingerprints at probe time; the corpus side is an 16-byte-row
+    * scan pruned by the batch's fingerprint set as a pushed In filter
+    * (the [[bm25QueriesIndexed]] discipline), with the boilerplate
+    * cap applied at probe time on the TRUE per-h corpus counts — the
+    * In filter keeps whole h-groups, so the counts are exact.
+    * The literal list is bounded by `maxProbeFps`; beyond that,
+    * join the index frame directly instead (the error says so).
+    */
+  def winnowCandidatesIndexed(batch: DataFrame, batchId: String,
+      textCol: String, index: DataFrame, k: Int = 4, w: Int = 8,
+      minShared: Int = 2, maxBucket: Int = 1000,
+      maxProbeFps: Int = 65536): DataFrame = {
+    val bf = graft.core.Caches.stage(
+      winnowFrame(batch, batchId, textCol, k, w)
+        .withColumnRenamed("id", "bid"))
+    val probeHs = bf.select("h").distinct()
+      .limit(maxProbeFps + 1).collect().map(_.getLong(0))
+    require(probeHs.length <= maxProbeFps,
+      s"batch carries more than $maxProbeFps distinct fingerprints; " +
+        "join against the winnow index frame directly instead")
+    val capped = index
+      .filter(col("h").isin(probeHs.toSeq: _*))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    bf.join(capped, "h")
+      .groupBy(col("bid").as("batch_id"), col("id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -1523,6 +1523,33 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  /** Winnow fingerprint index probe (Indexes.writeWinnowIndex /
+    * winnowCandidatesIndexed): even docs persist their fingerprints,
+    * odd docs probe as the incoming batch. Per batch doc: candidate
+    * count and the best shared-fingerprint score. The probe plan
+    * reads the index with a pushed In filter and never fingerprints
+    * the corpus (WinnowIndexSpec pins the plan); the oracle replays
+    * the full algorithm on both sides plus the probe-time cap.
+    */
+  def pWinnowIndexed(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val path = idxDir(d) + "/winnow"
+    graft.pipeline.Indexes.writeWinnowIndex(
+      doc.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    val batch = doc.filter(col("doc_id") % 2 === 1)
+    val cands = graft.pipeline.Indexes.winnowCandidatesIndexed(
+      batch, "doc_id", "text",
+      graft.pipeline.Indexes.openWinnowIndex(s, path))
+    val agg = cands.groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        max("n_shared").as("best_shared"))
+    batch.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("best_shared"), lit(0L)).as("best_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1633,7 +1660,8 @@ object PipelineQueries {
     "p_nfc" -> (pNfc _),
     "p_bloom_seen" -> (pBloomSeen _),
     "p_winnow" -> (pWinnow _),
-    "p_zorder" -> (pZorder _))
+    "p_zorder" -> (pZorder _),
+    "p_winnow_indexed" -> (pWinnowIndexed _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -1719,6 +1747,33 @@ object PipelineQueries {
     s"""CAST(list_sum(list_transform(range(1, 16), i ->
        |  (strpos('0123456789abcdef', substr(md5($sref), i, 1)) - 1)
        |    * ($pow16)[i])) AS BIGINT)""".stripMargin
+
+  /** Shared winnowing replay (p_winnow, p_winnow_indexed): gram
+    * hashes k=4 with position, per-window rightmost-min selection
+    * w=8, distinct selections per doc — the SQL mirror of
+    * `Dedup.winnow(text, 4, 8)`.
+    */
+  private lazy val winnowSelCtes: String =
+    s"""tk AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+       |    ${hex60("array_to_string(list_slice(toks, p, p + 3), ' ')")}
+       |      AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, len(toks) - 2)) AS p
+       |        FROM tk WHERE len(toks) >= 4)),
+       |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs
+       |       FROM g GROUP BY doc_id),
+       |w1 AS (SELECT doc_id, hs,
+       |         unnest(range(0, greatest(len(hs) - 7, 1))) AS st
+       |       FROM hl),
+       |w2 AS (SELECT doc_id, st,
+       |         list_slice(hs, st + 1, st + 8) AS sl FROM w1),
+       |sel AS (SELECT DISTINCT doc_id,
+       |    st + len(sl)
+       |      - list_position(list_reverse(sl), list_min(sl)) AS pos,
+       |    list_min(sl) AS h
+       |  FROM w2)""".stripMargin
 
   /** Positional fold of md5 hex digits [start, start+14] — the SQL
     * mirror of `conv(substring(md5(s), start, 15), 16, 10)`;
@@ -3871,6 +3926,28 @@ object PipelineQueries {
          |JOIN documents d USING (doc_id)
          |LEFT JOIN bt b ON d.text = b.text
          |ORDER BY doc_id""".stripMargin,
+    "p_winnow_indexed" ->
+      s"""WITH $winnowSelCtes,
+         |dho AS (SELECT DISTINCT doc_id, h FROM sel
+         |        WHERE doc_id % 2 = 1),
+         |dhe AS (SELECT DISTINCT doc_id, h FROM sel
+         |        WHERE doc_id % 2 = 0),
+         |oke AS (SELECT h FROM dhe GROUP BY h
+         |        HAVING count(*) <= 1000),
+         |dhec AS (SELECT dhe.doc_id, dhe.h FROM dhe
+         |         JOIN oke USING (h)),
+         |pr AS (SELECT o.doc_id AS ob, e.doc_id AS ec,
+         |    count(*) AS ns
+         |  FROM dho o JOIN dhec e USING (h)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ag AS (SELECT ob AS doc_id, count(*) AS n_cands,
+         |    max(ns) AS best_shared
+         |  FROM pr GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_cands, 0) AS n_cands,
+         |  coalesce(a.best_shared, 0) AS best_shared
+         |FROM documents d LEFT JOIN ag a USING (doc_id)
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY doc_id""".stripMargin,
     "p_zorder" ->
       """WITH b AS (SELECT CAST(min(l_partkey) AS BIGINT) AS mnx,
         |    CAST(max(l_partkey) AS BIGINT) AS mxx,
@@ -3899,26 +3976,7 @@ object PipelineQueries {
         |  CAST(sum(zv) % 1152921504606846976 AS BIGINT) AS zv_fold
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_winnow" ->
-      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
-         |g AS (
-         |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
-         |    ${hex60("array_to_string(list_slice(toks, p, p + 3), ' ')")}
-         |      AS h
-         |  FROM (SELECT doc_id, toks,
-         |          unnest(range(1, len(toks) - 2)) AS p
-         |        FROM tk WHERE len(toks) >= 4)),
-         |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs
-         |       FROM g GROUP BY doc_id),
-         |w1 AS (SELECT doc_id, hs,
-         |         unnest(range(0, greatest(len(hs) - 7, 1))) AS st
-         |       FROM hl),
-         |w2 AS (SELECT doc_id, st,
-         |         list_slice(hs, st + 1, st + 8) AS sl FROM w1),
-         |sel AS (SELECT DISTINCT doc_id,
-         |    st + len(sl)
-         |      - list_position(list_reverse(sl), list_min(sl)) AS pos,
-         |    list_min(sl) AS h
-         |  FROM w2),
+      s"""WITH $winnowSelCtes,
          |fp AS (SELECT doc_id, count(*) AS n_fps,
          |    CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_fold
          |  FROM sel GROUP BY doc_id),

@@ -380,6 +380,26 @@ object EventStreams {
         vectors, qId, cId, vecCol, k, shortlist, dim), id)
     }
 
+  /** Crawl-frontier novelty on a stream: probe each arriving key
+    * against a PERSISTED Bloom seen-set
+    * ([[graft.pipeline.SeenSet]]) and keep only rows the filter
+    * PROVES new (no false negatives — a dropped row was definitely
+    * built into the filter... or is one of its bounded false
+    * positives, the deliberate trade). Completely STATELESS: the
+    * artifact carries the history, the probe is a stream-static
+    * broadcast join on the shard id plus codegen'd bit tests, so
+    * append mode needs no watermark and no state store — contrast
+    * [[nearDupDropStream]], which suppresses within a bounded
+    * horizon it must keep state for. The batch authority is
+    * `SeenSet.novel` itself (the spec pins stream == batch);
+    * between micro-batches the filter frame stays fixed — fold
+    * accepted batches in with `SeenSet.appendTo` on whatever cadence
+    * the pipeline re-opens it.
+    */
+  def novelStream(docs: DataFrame, keyCol: String,
+      seen: DataFrame): DataFrame =
+    graft.pipeline.SeenSet.novel(docs, keyCol, seen)
+
   /** Sliding-window rate monitor (5-minute slide over 1-hour window). */
   def slidingRate(events: DataFrame,
       watermark: String = "2 hours"): DataFrame =

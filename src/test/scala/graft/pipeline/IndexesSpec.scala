@@ -134,4 +134,51 @@ class IndexesSpec extends SparkSpec {
       "doc_id", "text")
     assert(rows(got) == rows(want))
   }
+
+  test("winnow index probe == batch winnowPairs restricted to cross pairs") {
+    val docs = Tables.documents(spark, sf())
+    val cor = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    Indexes.writeWinnowIndex(cor, "doc_id", "text", s"$root/win")
+    val got = Indexes.winnowCandidatesIndexed(inc, "doc_id", "text",
+        Indexes.openWinnowIndex(spark, s"$root/win"))
+      .select(col("batch_id"), col("corpus_id"), col("n_shared"))
+    // batch authority: winnowPairs over the union, kept only where
+    // the pair crosses the parity split. The corpus here carries no
+    // >1000-doc boilerplate fingerprint (asserted), so the probe-time
+    // cap and winnowPairs' union-side cap coincide.
+    val all = Dedup.winnowPairs(docs, "doc_id", "text")
+    val want = all.filter(col("id1") % 2 =!= col("id2") % 2)
+      .select(
+        when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+          .as("batch_id"),
+        when(col("id1") % 2 === 1, col("id2")).otherwise(col("id1"))
+          .as("corpus_id"),
+        col("n_shared"))
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0, "fixture must exercise real candidates")
+  }
+
+  test("winnow index append == rebuild over base ∪ batch") {
+    val docs = Tables.documents(spark, sf())
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val delta = docs.filter(col("doc_id") % 3 === 1)
+    Indexes.writeWinnowIndex(base, "doc_id", "text", s"$root/winapp")
+    Indexes.appendWinnowIndex(delta, "doc_id", "text", s"$root/winapp")
+    Indexes.writeWinnowIndex(base.union(delta), "doc_id", "text",
+      s"$root/winfull")
+    assert(rows(Indexes.openWinnowIndex(spark, s"$root/winapp")) ==
+      rows(Indexes.openWinnowIndex(spark, s"$root/winfull")))
+  }
+
+  test("winnow probe guards the bounded fingerprint collect") {
+    val docs = Tables.documents(spark, sf())
+    Indexes.writeWinnowIndex(docs, "doc_id", "text", s"$root/wing")
+    val e = intercept[IllegalArgumentException] {
+      Indexes.winnowCandidatesIndexed(docs, "doc_id", "text",
+        Indexes.openWinnowIndex(spark, s"$root/wing"),
+        maxProbeFps = 10)
+    }
+    assert(e.getMessage.contains("join against the winnow index"))
+  }
 }

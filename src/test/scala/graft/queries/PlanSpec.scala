@@ -450,6 +450,22 @@ class PlanSpec extends SparkSpec {
       s"corpus signatures must not be recomputed at probe time:\n$p")
   }
 
+  test("p_winnow_indexed: pushed fingerprint filter, corpus never " +
+      "fingerprinted") {
+    val p = plan("p_winnow_indexed")
+    assert(p.contains("In(h, ["),
+      s"batch fingerprints must reach the index scan as a pushed filter:\n$p")
+    assert(p.contains("graft_idx_"),
+      s"persisted fingerprint index scan expected:\n$p")
+    // the decisive pin: every documents scan in the probe carries the
+    // batch filter — the corpus rows are never READ at probe time,
+    // let alone fingerprinted (their fingerprints come from the
+    // artifact)
+    val docScans = p.split('\n').filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty && docScans.forall(_.contains("% 2) = 1")),
+      s"a corpus-side documents scan leaked into the indexed probe:\n$p")
+  }
+
   test("p_unigram_train: rounds iterate on the staged words frame") {
     val p = plan("p_unigram_train")
     assert(p.toLowerCase.contains("unigramsegment"),

@@ -32,6 +32,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("bloom novelty stream equals the batch novel() over the union of batches") {
+    implicit val ctx = spark.sqlContext
+    val baseKeys = (0 until 120).map(i => s"seen-url-$i")
+    val seen = graft.pipeline.SeenSet.build(
+      baseKeys.toDF("k"), "k", mBits = 4096, nHashes = 4, nShards = 2)
+    val input = MemoryStream[GDoc]
+    // two micro-batches, mixing seen and new keys
+    input.addData((0 until 30).map(i =>
+      GDoc(t("2026-01-01 10:00:00"), i.toLong, s"seen-url-$i")): _*)
+    input.addData((0 until 30).map(i =>
+      GDoc(t("2026-01-01 10:01:00"), 100L + i, s"new-url-$i")): _*)
+    val q = EventStreams.novelStream(input.toDF(), "text", seen)
+      .writeStream.format("memory").queryName("novelout")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("novelout").select("doc_id")
+      .as[Long].collect().toSet
+    val batchAll = (0 until 30).map(i => (i.toLong, s"seen-url-$i")) ++
+      (0 until 30).map(i => (100L + i, s"new-url-$i"))
+    val batch = graft.pipeline.SeenSet.novel(
+        batchAll.toDF("doc_id", "text"), "text", seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == batch)
+    // and the filter did its job: every surviving key is genuinely new
+    assert(got.forall(_ >= 100L))
+  }
+
   test("stream-stream interval join bounds state by event time") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[GEvent]
