@@ -351,13 +351,21 @@ object Indexes {
   /** Near-dup candidates of an incoming batch against a prebuilt
     * [[writeWinnowIndex]] artifact: (batch_id, corpus_id, n_shared =
     * distinct shared fingerprints ≥ `minShared`). Only the batch
-    * fingerprints at probe time; the corpus side is an 16-byte-row
-    * scan pruned by the batch's fingerprint set as a pushed In filter
-    * (the [[bm25QueriesIndexed]] discipline), with the boilerplate
-    * cap applied at probe time on the TRUE per-h corpus counts — the
-    * In filter keeps whole h-groups, so the counts are exact.
-    * The literal list is bounded by `maxProbeFps`; beyond that,
-    * join the index frame directly instead (the error says so).
+    * fingerprints at probe time; the corpus side is a 16-byte-row
+    * scan pruned by the batch's fingerprint set. Two result-identical
+    * pruning strategies, auto-selected by the batch's distinct
+    * fingerprint count (ONE count over the staged frame):
+    *
+    *  - ≤ `maxProbeFps`: the set becomes a literal pushed In filter
+    *    (the [[bm25QueriesIndexed]] discipline) — row-group min/max
+    *    pruning on the h-sorted layout, no shuffle of the index.
+    *  - above it: a left-semi join prunes instead (a multi-hundred-
+    *    thousand-literal In list would bloat the plan past what
+    *    codegen tolerates); large batches amortize the shuffle.
+    *
+    * The boilerplate cap applies at probe time on the TRUE per-h
+    * corpus counts — both prunings keep whole h-groups, so the
+    * window counts are exact either way.
     */
   def winnowCandidatesIndexed(batch: DataFrame, batchId: String,
       textCol: String, index: DataFrame, k: Int = 4, w: Int = 8,
@@ -366,13 +374,15 @@ object Indexes {
     val bf = graft.core.Caches.stage(
       winnowFrame(batch, batchId, textCol, k, w)
         .withColumnRenamed("id", "bid"))
-    val probeHs = bf.select("h").distinct()
-      .limit(maxProbeFps + 1).collect().map(_.getLong(0))
-    require(probeHs.length <= maxProbeFps,
-      s"batch carries more than $maxProbeFps distinct fingerprints; " +
-        "join against the winnow index frame directly instead")
-    val capped = index
-      .filter(col("h").isin(probeHs.toSeq: _*))
+    val nFps = bf.select("h").distinct().count()
+    val pruned =
+      if (nFps <= maxProbeFps) {
+        val probeHs = bf.select("h").distinct()
+          .collect().map(_.getLong(0))
+        index.filter(col("h").isin(probeHs.toSeq: _*))
+      } else
+        index.join(bf.select("h").distinct(), Seq("h"), "leftsemi")
+    val capped = pruned
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("__n") <= maxBucket).drop("__n")
     bf.join(capped, "h")

@@ -171,14 +171,19 @@ class IndexesSpec extends SparkSpec {
       rows(Indexes.openWinnowIndex(spark, s"$root/winfull")))
   }
 
-  test("winnow probe guards the bounded fingerprint collect") {
+  test("winnow probe above the literal-list cap falls back to the " +
+      "semi-join pruning with identical results") {
     val docs = Tables.documents(spark, sf())
-    Indexes.writeWinnowIndex(docs, "doc_id", "text", s"$root/wing")
-    val e = intercept[IllegalArgumentException] {
-      Indexes.winnowCandidatesIndexed(docs, "doc_id", "text",
-        Indexes.openWinnowIndex(spark, s"$root/wing"),
-        maxProbeFps = 10)
-    }
-    assert(e.getMessage.contains("join against the winnow index"))
+    val cor = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    Indexes.writeWinnowIndex(cor, "doc_id", "text", s"$root/wing")
+    val idx = Indexes.openWinnowIndex(spark, s"$root/wing")
+    val pushed = Indexes.winnowCandidatesIndexed(inc, "doc_id",
+      "text", idx)
+    // force the join path by shrinking the literal-list cap
+    val joined = Indexes.winnowCandidatesIndexed(inc, "doc_id",
+      "text", idx, maxProbeFps = 10)
+    assert(rows(pushed) == rows(joined))
+    assert(pushed.count() > 0)
   }
 }
