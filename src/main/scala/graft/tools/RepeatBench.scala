@@ -40,9 +40,17 @@ object RepeatBench {
     hygiene(spark)
     val obs = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // SPARK_GRAFT_FULL=1: evaluate through the noop sink instead of
+    // count() — count() can prune final projections AND eliminate
+    // left joins onto group-by-unique keys, which for join-assembled
+    // gates (p_winnow, p_bloom_seen) elides the whole operator.
+    val fullEval = sys.env.get("SPARK_GRAFT_FULL").contains("1")
     for (i <- 1 to iters; n <- names) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (fullEval)
+        df.write.mode("overwrite").format("noop").save()
+      else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       hygiene(spark)
       obs(n) = obs(n) :+ dt
