@@ -1550,6 +1550,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Record linkage / entity resolution (Linkage.entities): a dirty
+    * registry derived deterministically from customer — every
+    * custkey as a digit-word name (reversed zero-padded digits so
+    * prefixes VARY), every third with a one-edit variant row. OR-
+    * blocking on name prefix-12 and suffix-10 (the suffix key is
+    * near-degenerate — mostly-zero high digits — so it exercises the
+    * maxBucket cap at both SFs), levenshtein ≤ 1 verify (true
+    * variants are exactly 1 edit; distinct keys differ by a full
+    * digit-word ≥ 2), entities via min-label components. Oracle:
+    * the identical registry, blocking, cap and verify in SQL plus the
+    * recursive-CTE transitive closure.
+    */
+  def pEr(s: SparkSession, d: String): DataFrame = {
+    val words = Seq("zero", "one", "two", "three", "four", "five",
+      "six", "seven", "eight", "nine")
+    val digits = reverse(lpad(col("ck").cast("string"), 6, "0"))
+    val nm = rtrim((0 to 9).foldLeft(digits: org.apache.spark.sql.Column) {
+      (acc, dg) => regexp_replace(acc, dg.toString, words(dg) + " ")
+    })
+    val named = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("ck"))
+      .withColumn("nm", nm)
+    val reg = named.select((col("ck") * 2).as("rid"),
+        col("nm").as("name"))
+      .union(named.filter(col("ck") % 3 === 0)
+        .select((col("ck") * 2 + 1).as("rid"),
+          expr("substring(nm, 1, length(nm) - 1)").as("name")))
+    val keys = Seq(substring(col("name"), 1, 12),
+      expr("right(name, 10)"))
+    val ent = graft.pipeline.Linkage.entities(reg, "rid", "name",
+      keys, maxDist = 1)
+    val lp = graft.pipeline.Linkage.linkPairs(reg, "rid", "name",
+      keys, maxDist = 1)
+    val nl = lp.select(col("id1").as("id"))
+      .union(lp.select(col("id2")))
+      .groupBy("id").agg(count(lit(1)).as("n_links"))
+    ent.join(nl, Seq("id"), "left")
+      .select(col("id").as("rid"), col("entity"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"))
+      .orderBy("rid")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1661,7 +1703,8 @@ object PipelineQueries {
     "p_bloom_seen" -> (pBloomSeen _),
     "p_winnow" -> (pWinnow _),
     "p_zorder" -> (pZorder _),
-    "p_winnow_indexed" -> (pWinnowIndexed _))
+    "p_winnow_indexed" -> (pWinnowIndexed _),
+    "p_er" -> (pEr _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -3948,6 +3991,55 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN ag a USING (doc_id)
          |WHERE d.doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin,
+    "p_er" ->
+      """WITH RECURSIVE reg0 AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    rtrim(replace(replace(replace(replace(replace(replace(
+        |      replace(replace(replace(replace(
+        |      reverse(lpad(CAST(c_custkey AS VARCHAR), 6, '0')),
+        |      '0', 'zero '), '1', 'one '), '2', 'two '),
+        |      '3', 'three '), '4', 'four '), '5', 'five '),
+        |      '6', 'six '), '7', 'seven '), '8', 'eight '),
+        |      '9', 'nine ')) AS nm
+        |  FROM customer),
+        |reg AS (
+        |  SELECT ck * 2 AS rid, nm AS name FROM reg0
+        |  UNION ALL
+        |  SELECT ck * 2 + 1, substr(nm, 1, length(nm) - 1)
+        |  FROM reg0 WHERE ck % 3 = 0),
+        |kd AS (
+        |  SELECT DISTINCT rid, t, v FROM (
+        |    SELECT rid, 0 AS t, substr(name, 1, 12) AS v FROM reg
+        |    UNION ALL SELECT rid, 1, right(name, 10) FROM reg)
+        |  WHERE v IS NOT NULL),
+        |okk AS (SELECT t, v FROM kd GROUP BY t, v
+        |        HAVING count(*) <= 1000),
+        |kc AS (SELECT kd.rid, kd.t, kd.v FROM kd
+        |       JOIN okk USING (t, v)),
+        |cand AS (SELECT DISTINCT a.rid AS id1, b.rid AS id2
+        |  FROM kc a JOIN kc b
+        |    ON a.t = b.t AND a.v = b.v AND a.rid < b.rid),
+        |links AS (
+        |  SELECT c.id1, c.id2
+        |  FROM cand c JOIN reg n1 ON n1.rid = c.id1
+        |    JOIN reg n2 ON n2.rid = c.id2
+        |  WHERE levenshtein(n1.name, n2.name) <= 1),
+        |edges AS (SELECT id1, id2 FROM links
+        |          UNION SELECT id2, id1 FROM links),
+        |reach(id, comp) AS (
+        |  SELECT rid, rid FROM reg
+        |  UNION
+        |  SELECT e.id2, r.comp FROM reach r
+        |  JOIN edges e ON e.id1 = r.id),
+        |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        |nl AS (SELECT id, count(*) AS n_links FROM (
+        |    SELECT id1 AS id FROM links
+        |    UNION ALL SELECT id2 FROM links)
+        |  GROUP BY 1)
+        |SELECT c.id AS rid, c.comp AS entity,
+        |  coalesce(nl.n_links, 0) AS n_links
+        |FROM comps c LEFT JOIN nl USING (id)
+        |ORDER BY rid""".stripMargin,
     "p_zorder" ->
       """WITH b AS (SELECT CAST(min(l_partkey) AS BIGINT) AS mnx,
         |    CAST(max(l_partkey) AS BIGINT) AS mxx,
