@@ -64,6 +64,19 @@ object GraftExtensions {
     }
   }
 
+  /** Evaluate a foldable argument to Long (SQL literal parameters). */
+  private def longArg(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
   /** Evaluate a foldable argument to Double (SQL literal parameters). */
   private def dblArg(e: Expression, what: String): Double = {
     require(e.foldable, s"$what must be a literal")
@@ -208,6 +221,28 @@ object GraftExtensions {
         val k = intArg(args(2), "k")
         viaColumn(c =>
           graft.functions.MinhashSignature(c, n, k))(args.head)
+      }),
+    ("graft_winnow",
+      "graft_winnow(text, k, w) - winnowed fingerprint selections " +
+        "as array<struct<pos,h>>",
+      (args: Seq[Expression]) => {
+        arity("graft_winnow", args, 3)
+        val k = intArg(args(1), "k")
+        val w = intArg(args(2), "w")
+        viaColumn(c =>
+          graft.pipeline.Dedup.winnow(c, k, w))(args.head)
+      }),
+    ("graft_zvalue",
+      "graft_zvalue(x, y, xmin, xmax, ymin, ymax, bits) - exact " +
+        "2-d Morton interleave for z-order layouts",
+      (args: Seq[Expression]) => {
+        arity("graft_zvalue", args, 7)
+        val bounds = (2 to 5).map(i => longArg(args(i),
+          Seq("xmin", "xmax", "ymin", "ymax")(i - 2)))
+        val bits = intArg(args(6), "bits")
+        ColumnGlue.resolvedExpression(graft.sources.Layout.zvalue(
+          Seq(ColumnGlue.column(args.head), ColumnGlue.column(args(1))),
+          Seq(bounds(0), bounds(2)), Seq(bounds(1), bounds(3)), bits))
       }),
     ("graft_dhash",
       "graft_dhash(payload) - perceptual image dHash as 4x16-bit words",

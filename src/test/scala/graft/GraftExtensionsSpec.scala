@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Row, SparkSessionExtensions}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, TextFns}
 
@@ -66,6 +66,23 @@ class GraftExtensionsSpec extends SparkSpec {
           lit("the quick brown fox jumps"), 3, 32))
       .head().getSeq[Long](0)
     assert(viaSql == viaKernel && viaSql.length == 32)
+  }
+
+  test("graft_winnow and graft_zvalue match the library surfaces") {
+    val viaSql = spark.sql(
+      "SELECT graft_winnow('one two three four five six seven eight " +
+        "nine ten eleven twelve', 4, 8) AS f").head().getSeq[Row](0)
+    val viaLib = spark.range(1).select(graft.pipeline.Dedup.winnow(
+        lit("one two three four five six seven eight nine ten " +
+          "eleven twelve"), 4, 8))
+      .head().getSeq[Row](0)
+    assert(viaSql == viaLib && viaSql.nonEmpty)
+    val zSql = spark.sql(
+      "SELECT graft_zvalue(5, 9, 0, 15, 0, 15, 4)").head().getLong(0)
+    val zLib = spark.range(1).select(graft.sources.Layout.zvalue(
+        Seq(lit(5L), lit(9L)), Seq(0L, 0L), Seq(15L, 15L), 4))
+      .head().getLong(0)
+    assert(zSql == zLib)
   }
 
   test("graft_dhash / graft_audio_fp match the kernels through SQL") {
