@@ -62,11 +62,14 @@ object Bench {
     }.toMap
     // Secondary FULL-evaluation pass through the noop sink: count()
     // lets Catalyst prune projection expressions and final sorts, so
-    // it under-measures projection-heavy queries; the noop write
-    // evaluates every output column. `value` stays count-based for
-    // comparability with BASELINE's first recording; `full_total` is
-    // the honest end-to-end throughput number — gate regression
-    // judgments on it.
+    // it under-measures projection-heavy queries — and for gates
+    // assembled as a left join onto group-by-unique keys (p_winnow,
+    // p_bloom_seen, p_er) it ELIMINATES the join entirely, i.e. the
+    // operator never runs (caught at sf10: p_winnow "took" 0.3 s
+    // while doing nothing). The noop write evaluates every output
+    // column. `value` stays count-based for comparability with
+    // BASELINE's first recording; `full_total` is the honest
+    // end-to-end throughput number — gate regression judgments on it.
     val full = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
