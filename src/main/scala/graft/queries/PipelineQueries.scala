@@ -1554,11 +1554,14 @@ object PipelineQueries {
     * registry derived deterministically from customer — every
     * custkey as a digit-word name (reversed zero-padded digits so
     * prefixes VARY), every third with a one-edit variant row. OR-
-    * blocking on name prefix-12 and suffix-10 (the suffix key is
+    * blocking on name prefix-20 and suffix-10 (the suffix key is
     * near-degenerate — mostly-zero high digits — so it exercises the
     * maxBucket cap at both SFs), levenshtein ≤ 1 verify (true
     * variants are exactly 1 edit; distinct keys differ by a full
-    * digit-word ≥ 2), entities via min-label components. Oracle:
+    * digit-word ≥ 2), entities via min-label components. maxBucket =
+    * 100: the suffix keyspace is 15 values over 20k rows, and its
+    * just-under-1000 buckets alone would fan out 1.2M junk
+    * candidates — the cap measurement that sized it is ErProbe. Oracle:
     * the identical registry, blocking, cap and verify in SQL plus the
     * recursive-CTE transitive closure.
     */
@@ -1577,12 +1580,16 @@ object PipelineQueries {
       .union(named.filter(col("ck") % 3 === 0)
         .select((col("ck") * 2 + 1).as("rid"),
           expr("substring(nm, 1, length(nm) - 1)").as("name")))
-    val keys = Seq(substring(col("name"), 1, 12),
+    val keys = Seq(substring(col("name"), 1, 20),
       expr("right(name, 10)"))
-    val ent = graft.pipeline.Linkage.entities(reg, "rid", "name",
-      keys, maxDist = 1)
-    val lp = graft.pipeline.Linkage.linkPairs(reg, "rid", "name",
-      keys, maxDist = 1)
+    // ONE verify pass: stage the link pairs and feed both the
+    // component step and the per-record link counts from the cache
+    // (entities() would re-derive blocking + levenshtein internally)
+    val lp = graft.core.Caches.stage(
+      graft.pipeline.Linkage.linkPairs(reg, "rid", "name",
+        keys, maxDist = 1, maxBucket = 100))
+    val ent = graft.pipeline.Dedup.dupGroups(reg, "rid", lp)
+      .withColumnRenamed("comp", "entity")
     val nl = lp.select(col("id1").as("id"))
       .union(lp.select(col("id2")))
       .groupBy("id").agg(count(lit(1)).as("n_links"))
@@ -4009,11 +4016,11 @@ object PipelineQueries {
         |  FROM reg0 WHERE ck % 3 = 0),
         |kd AS (
         |  SELECT DISTINCT rid, t, v FROM (
-        |    SELECT rid, 0 AS t, substr(name, 1, 12) AS v FROM reg
+        |    SELECT rid, 0 AS t, substr(name, 1, 20) AS v FROM reg
         |    UNION ALL SELECT rid, 1, right(name, 10) FROM reg)
         |  WHERE v IS NOT NULL),
         |okk AS (SELECT t, v FROM kd GROUP BY t, v
-        |        HAVING count(*) <= 1000),
+        |        HAVING count(*) <= 100),
         |kc AS (SELECT kd.rid, kd.t, kd.v FROM kd
         |       JOIN okk USING (t, v)),
         |cand AS (SELECT DISTINCT a.rid AS id1, b.rid AS id2
