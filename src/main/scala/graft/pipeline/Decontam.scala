@@ -140,4 +140,42 @@ object Decontam {
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
   }
+
+  /** Persist a [[SeenSet]] Bloom filter over an eval corpus's
+    * distinct shingles — decontamination as a reusable ARTIFACT.
+    * [[contamination]]'s `bloomPreFilter` is query-local (rebuilt per
+    * run from the eval frame); this writes the eval side ONCE —
+    * benchmark suites change rarely — and every later training batch
+    * screens against the artifact without the eval sets even being
+    * readable anymore. Keys are the shingle STRINGS (the portable
+    * md5 contract), so the filter replays in SQL.
+    */
+  def writeEvalFilter(eval: DataFrame, textCol: String, path: String,
+      n: Int = 3, mBits: Int = 1 << 20, nHashes: Int = 4,
+      nShards: Int = 1): Unit =
+    SeenSet.write(
+      eval.select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+        .distinct(),
+      "g", path, mBits, nHashes, nShards)
+
+  /** Per-document suspicion screen against a persisted
+    * [[writeEvalFilter]] artifact: (doc, n_grams, n_suspicious) where
+    * n_suspicious counts this doc's distinct shingles the filter
+    * cannot rule out of the eval corpus. NO FALSE NEGATIVES: a doc
+    * with n_suspicious = 0 PROVABLY shares no n-gram with the eval
+    * sets and needs no further check; the small false-positive mass
+    * only routes extra docs into the exact [[contamination]] pass.
+    * One scan of the batch, a broadcast of the filter, no eval-side
+    * I/O at all — the cheap front of a two-tier decontamination.
+    */
+  def suspiciousGrams(train: DataFrame, idCol: String,
+      textCol: String, seen: DataFrame, n: Int = 3): DataFrame = {
+    val g = train.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+    SeenSet.probe(g, "g", seen)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("maybe_seen"), 1L).otherwise(0L))
+          .as("n_suspicious"))
+  }
 }

@@ -1599,6 +1599,28 @@ object PipelineQueries {
       .orderBy("rid")
   }
 
+  /** Persisted eval-set gram filter (Decontam.writeEvalFilter /
+    * suspiciousGrams over SeenSet): every 20th doc plays the eval
+    * suite, the rest the training batch. Per train doc: distinct
+    * 3-gram count and how many the Bloom artifact cannot rule out of
+    * the eval corpus (no false negatives — n_suspicious = 0 is a
+    * PROOF of gram-disjointness). The oracle replays filter build and
+    * probe at the bit level: gram-string folds, shard, 4
+    * Kirsch–Mitzenmacher positions, membership = all positions in
+    * the eval (shard, position) set.
+    */
+  def pDecontamSeen(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val path = idxDir(d) + "/evalfilter"
+    graft.pipeline.Decontam.writeEvalFilter(
+      doc.filter(col("doc_id") % 20 === 0), "text", path,
+      n = 3, mBits = 262144, nHashes = 4, nShards = 4)
+    graft.pipeline.Decontam.suspiciousGrams(
+        doc.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        graft.pipeline.SeenSet.open(s, path), n = 3)
+      .orderBy("doc_id")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1711,7 +1733,8 @@ object PipelineQueries {
     "p_winnow" -> (pWinnow _),
     "p_zorder" -> (pZorder _),
     "p_winnow_indexed" -> (pWinnowIndexed _),
-    "p_er" -> (pEr _))
+    "p_er" -> (pEr _),
+    "p_decontam_seen" -> (pDecontamSeen _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -3998,6 +4021,41 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN ag a USING (doc_id)
          |WHERE d.doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin,
+    "p_decontam_seen" ->
+      s"""WITH evg AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest($shinglesSql) AS g FROM documents
+         |    WHERE doc_id % 20 = 0)),
+         |ehp AS (
+         |  SELECT ${hexFoldAt("g", 1)} AS f1,
+         |    ${hexFoldAt("g", 16)} AS f2
+         |  FROM evg),
+         |seenpos AS (
+         |  SELECT DISTINCT CAST(f1 % 4 AS INT) AS shard,
+         |    ((f1 % 262144) + i.i * (f2 % 262144)) % 262144 AS p
+         |  FROM ehp, (SELECT unnest(range(0, 4)) AS i) i),
+         |tg AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS g FROM documents
+         |    WHERE doc_id % 20 <> 0)),
+         |thp AS (
+         |  SELECT doc_id, g, CAST(${hexFoldAt("g", 1)} % 4 AS INT)
+         |      AS shard,
+         |    ${hexFoldAt("g", 1)} % 262144 AS a,
+         |    ${hexFoldAt("g", 16)} % 262144 AS b
+         |  FROM tg),
+         |tpp AS (
+         |  SELECT DISTINCT doc_id, g, shard,
+         |    (a + i.i * b) % 262144 AS p
+         |  FROM thp, (SELECT unnest(range(0, 4)) AS i) i),
+         |mem AS (
+         |  SELECT doc_id, g, count(*) = count(sp.p) AS maybe
+         |  FROM tpp LEFT JOIN seenpos sp USING (shard, p)
+         |  GROUP BY doc_id, g)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_suspicious
+         |FROM mem GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_er" ->
       """WITH RECURSIVE reg0 AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS ck,

@@ -1220,4 +1220,29 @@ class PipelineSpec extends SparkSpec {
     val joined = one.as("a").join(one.as("b"), "doc_id")
     assert(Dedup.spread(joined) eq joined)
   }
+
+  test("persisted eval filter: no false negatives vs exact contamination") {
+    import graft.pipeline.Decontam
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"),
+      (12L, "totally unrelated content right here"))
+      .toDF("id", "text")
+    val eval = Seq(
+      (1L, "alpha beta gamma delta NOT the rest"),
+      (3L, "one two three four nine ten"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("evalfilter").toString + "/f"
+    Decontam.writeEvalFilter(eval, "text", dir, n = 3,
+      mBits = 4096, nHashes = 4, nShards = 2)
+    val sus = Decontam.suspiciousGrams(train, "id", "text",
+        graft.pipeline.SeenSet.open(spark, dir), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exact contamination says docs 10 and 11 leak; the filter must
+    // flag at least their shared grams (n >= 2 each)
+    assert(sus(10L) >= 2 && sus(11L) >= 2, sus.toString)
+    // doc 12 shares nothing; at this filter load FPs are ~0
+    assert(sus(12L) == 0, sus.toString)
+  }
 }
