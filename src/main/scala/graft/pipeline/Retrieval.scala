@@ -208,4 +208,62 @@ object Retrieval {
         coalesce(col("mrr"), lit(0.0d)).as("mrr"),
         (coalesce(col("__dcg"), lit(0.0d)) / idcgCol).as("ndcg"))
   }
+
+  /** Bitext margin mining (Artetxe & Schwenk, ACL 2019): align a
+    * source-language embedding set with a target-language one by the
+    * MARGIN criterion rather than raw cosine —
+    * `margin(x, y) = cos(x, y) / ((avgK_fwd(x) + avgK_bwd(y)) / 2)` —
+    * which normalizes away hubness (a target that is everyone's
+    * near-neighbor gets a high denominator and stops winning every
+    * source). Returns the best target per source by margin.
+    *
+    * Determinism across engines: the top-k averages are computed as
+    * an EXPLICIT fixed-association sum over the rank-pivoted values
+    * ((c1+c2)+…)/n — never an engine `avg`, whose reduction order is
+    * partition-dependent — so the DuckDB oracle replays the same IEEE
+    * operations in the same order (gate p_bitext).
+    *
+    * Scale shape: this exact form is the RECALL ORACLE — it scores
+    * every (src, tgt) pair and is quadratic by definition; run it on
+    * samples. The production path at corpus scale feeds the same
+    * margin arithmetic from the binary-index shortlists both
+    * directions ([[graft.pipeline.Indexes.binaryTopKIndexed]]), the
+    * standard LASER/CCMatrix layout.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, srcId: String,
+      tgtId: String, vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s0 = src.select(col(srcId).as("src_id"),
+      col(vecCol).cast("array<double>").as("sv"))
+    val t0 = tgt.select(col(tgtId).as("tgt_id"),
+      col(vecCol).cast("array<double>").as("tv"))
+    val pairs = graft.core.Caches.stage(
+      s0.crossJoin(t0)
+        .withColumn("cos", Dedup.cosine(col("sv"), col("tv")))
+        .select(col("src_id"), col("tgt_id"), col("cos")))
+    def sideAvg(key: String, other: String): DataFrame = {
+      val w = Window.partitionBy(key)
+        .orderBy(col("cos").desc, col(other))
+      val ranked = pairs.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k)
+      val pivots = (1 to k).map(i =>
+        max(when(col("__r") === i, col("cos"))).as(s"__c$i"))
+      val sum = (1 to k).map(i => coalesce(col(s"__c$i"), lit(0.0d)))
+        .reduce(_ + _)
+      val n = (1 to k).map(i =>
+        when(col(s"__c$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+      ranked.groupBy(key).agg(pivots.head, pivots.tail: _*)
+        .select(col(key), (sum / n).as(s"__avg_$key"))
+    }
+    pairs
+      .join(sideAvg("src_id", "tgt_id"), "src_id")
+      .join(sideAvg("tgt_id", "src_id"), "tgt_id")
+      .withColumn("margin",
+        col("cos") / ((col("__avg_src_id") + col("__avg_tgt_id")) / 2))
+      .withColumn("__mr", row_number().over(
+        Window.partitionBy("src_id")
+          .orderBy(col("margin").desc, col("tgt_id"))))
+      .filter(col("__mr") === 1)
+      .select(col("src_id"), col("tgt_id"), col("margin"))
+  }
 }

@@ -1621,6 +1621,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Bitext margin mining (Retrieval.marginMine): even vec_ids play
+    * the source language, odd the target. Best target per source by
+    * the hubness-normalized margin. Output is alignment pairs only
+    * (ids, not the margin double): the ORDERING of margins is the
+    * pinned contract, the same float-portability posture as
+    * p_ann_brute; the fixed-association pivot averages keep both
+    * engines' arithmetic step-identical.
+    */
+  def pBitext(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.pipeline.Retrieval.marginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "vec_id", "embedding", k = 4)
+      .select(col("src_id"), col("tgt_id"))
+      .orderBy("src_id")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1734,7 +1752,8 @@ object PipelineQueries {
     "p_zorder" -> (pZorder _),
     "p_winnow_indexed" -> (pWinnowIndexed _),
     "p_er" -> (pEr _),
-    "p_decontam_seen" -> (pDecontamSeen _))
+    "p_decontam_seen" -> (pDecontamSeen _),
+    "p_bitext" -> (pBitext _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -1847,6 +1866,21 @@ object PipelineQueries {
        |      - list_position(list_reverse(sl), list_min(sl)) AS pos,
        |    list_min(sl) AS h
        |  FROM w2)""".stripMargin
+
+  /** Fixed-association top-k average for p_bitext: pivot ranks 1..k
+    * to columns, sum left-associatively, divide by the non-null
+    * count — the SQL mirror of Retrieval.marginMine's sideAvg (an
+    * engine `avg` would reduce in partition order and diverge in
+    * the last ulp).
+    */
+  private def pivotAvgSql(k: Int): String = {
+    val cs = (1 to k).map(i =>
+      s"max(CASE WHEN r = $i THEN cos END)")
+    val sum = cs.map(c => s"coalesce($c, 0)").mkString("(", " + ", ")")
+    val n = cs.map(c => s"(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"($sum / $n)"
+  }
 
   /** Positional fold of md5 hex digits [start, start+14] — the SQL
     * mirror of `conv(substring(md5(s), start, 15), 16, 10)`;
@@ -4021,6 +4055,35 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN ag a USING (doc_id)
          |WHERE d.doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin,
+    "p_bitext" ->
+      s"""WITH s AS (SELECT vec_id AS src_id,
+         |    CAST(embedding AS DOUBLE[]) AS sv
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |t AS (SELECT vec_id AS tgt_id,
+         |    CAST(embedding AS DOUBLE[]) AS tv
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT src_id, tgt_id,
+         |    list_cosine_similarity(sv, tv) AS cos
+         |  FROM s CROSS JOIN t),
+         |rs AS (SELECT src_id, cos, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+         |  FROM p),
+         |asrc AS (SELECT src_id, ${pivotAvgSql(4)} AS avg_s
+         |  FROM rs WHERE r <= 4 GROUP BY src_id),
+         |rt AS (SELECT tgt_id, cos, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+         |  FROM p),
+         |atgt AS (SELECT tgt_id, ${pivotAvgSql(4)} AS avg_t
+         |  FROM rt WHERE r <= 4 GROUP BY tgt_id),
+         |m AS (SELECT p.src_id, p.tgt_id,
+         |    p.cos / ((a.avg_s + b.avg_t) / 2) AS margin
+         |  FROM p JOIN asrc a USING (src_id)
+         |  JOIN atgt b USING (tgt_id)),
+         |best AS (SELECT src_id, tgt_id, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS mr
+         |  FROM m)
+         |SELECT src_id, tgt_id FROM best WHERE mr = 1
+         |ORDER BY src_id""".stripMargin,
     "p_decontam_seen" ->
       s"""WITH evg AS (
          |  SELECT DISTINCT g FROM (

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, Retrieval}
+
+class BitextSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Textbook hubness fixture: hub target t0 = h direction is the raw-
+  // cosine top-1 of EVERY source (cos ≈ 0.89 vs 0.84 for the aligned
+  // target), but its backward average is equally high, so the margin
+  // criterion demotes it and recovers the true alignment s_i -> t_i.
+  private val h = Array(0.5, 0.5, 0.5, 0.5)
+  private def e(i: Int) = Array.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+  private def s(i: Int) =
+    Array.tabulate(4)(j => 0.4667 * e(i)(j) + 0.5667 * h(j))
+
+  private val srcs = (0 until 4).map(i => (i.toLong, s(i)))
+  private val tgts = (100L, h) +: (0 until 4).map(i => (101L + i, e(i)))
+
+  test("raw cosine sends every source to the hub") {
+    val top1 = Ann.bruteForceTopK(srcs.toDF("vec_id", "embedding"),
+        tgts.toDF("vec_id", "embedding"),
+        "vec_id", "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    assert(top1.values.forall(_ == 100L), top1.toString)
+  }
+
+  test("margin mining demotes the hub and recovers the alignment") {
+    val mined = Retrieval.marginMine(srcs.toDF("vec_id", "embedding"),
+        tgts.toDF("vec_id", "embedding"),
+        "vec_id", "vec_id", "embedding", k = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toMap
+    (0 until 4).foreach { i =>
+      assert(mined(i.toLong) == 101L + i, mined.toString)
+    }
+  }
+
+  test("margins are finite and the best margin exceeds 1 for aligned pairs") {
+    val m = Retrieval.marginMine(srcs.toDF("vec_id", "embedding"),
+        tgts.toDF("vec_id", "embedding"),
+        "vec_id", "vec_id", "embedding", k = 2)
+      .select("margin").as[Double].collect()
+    assert(m.forall(v => !v.isNaN && !v.isInfinite && v > 1.0))
+  }
+}
