@@ -244,20 +244,72 @@ object Retrieval {
     def sideAvg(key: String, other: String): DataFrame = {
       val w = Window.partitionBy(key)
         .orderBy(col("cos").desc, col(other))
-      val ranked = pairs.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= k)
-      val pivots = (1 to k).map(i =>
-        max(when(col("__r") === i, col("cos"))).as(s"__c$i"))
-      val sum = (1 to k).map(i => coalesce(col(s"__c$i"), lit(0.0d)))
-        .reduce(_ + _)
-      val n = (1 to k).map(i =>
-        when(col(s"__c$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
-      ranked.groupBy(key).agg(pivots.head, pivots.tail: _*)
-        .select(col(key), (sum / n).as(s"__avg_$key"))
+      fixedAssocAvg(
+        pairs.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= k),
+        key, k, s"__avg_$key")
     }
+    bestByMargin(pairs, sideAvg("src_id", "tgt_id"),
+      sideAvg("tgt_id", "src_id"))
+  }
+
+  /** [[marginMine]] fed from 1-bit-index shortlists both directions —
+    * the corpus-scale path the exact form's docstring names (the
+    * LASER/CCMatrix layout). Forward and backward k-NN come from
+    * [[Ann.binaryTopK]] (the persisted-artifact twin
+    * `Indexes.binaryTopKIndexed` has the same output shape and drops
+    * in); the margin arithmetic — fixed-association averages, the
+    * same denominator — is IDENTICAL, so the only approximation is
+    * shortlist recall (BitextSpec pins full agreement with the exact
+    * form on the fixture corpus).
+    */
+  def marginMineApprox(src: DataFrame, tgt: DataFrame, srcId: String,
+      tgtId: String, vecCol: String, k: Int = 4, shortlist: Int = 50,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
+    // candidates = the WHOLE forward shortlist, margin-reranked (the
+    // LASER practice): margin can promote a pair from below the
+    // cosine top-k once the hub denominator bites, so restricting
+    // candidates to k would silently re-introduce the hubness bias
+    val fwd = graft.core.Caches.stage(
+      Ann.binaryTopK(src, tgt, srcId, tgtId, vecCol, shortlist,
+          shortlist, dim)
+        .select(col("query_id").as("src_id"),
+          col("neighbor_id").as("tgt_id"),
+          col("rank").as("__r"), col("cos")))
+    val bwd = Ann.binaryTopK(tgt, src, tgtId, srcId, vecCol, k,
+        shortlist, dim)
+      .select(col("query_id").as("tgt_id"),
+        col("rank").as("__r"), col("cos"))
+    bestByMargin(fwd.select("src_id", "tgt_id", "cos"),
+      fixedAssocAvg(fwd.filter(col("__r") <= k), "src_id", k,
+        "__avg_src_id"),
+      fixedAssocAvg(bwd, "tgt_id", k, "__avg_tgt_id"))
+  }
+
+  /** Fixed-association top-k cosine average over a ranked frame
+    * (columns `key`, __r in 1..k, cos): ((c1+c2)+…)/n — never an
+    * engine `avg`, whose reduction order is partition-dependent and
+    * would diverge from the SQL oracle in the last ulp.
+    */
+  private def fixedAssocAvg(ranked: DataFrame, key: String, k: Int,
+      out: String): DataFrame = {
+    val pivots = (1 to k).map(i =>
+      max(when(col("__r") === i, col("cos"))).as(s"__c$i"))
+    val sum = (1 to k).map(i => coalesce(col(s"__c$i"), lit(0.0d)))
+      .reduce(_ + _)
+    val n = (1 to k).map(i =>
+      when(col(s"__c$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    ranked.groupBy(key).agg(pivots.head, pivots.tail: _*)
+      .select(col(key), (sum / n).as(out))
+  }
+
+  private def bestByMargin(pairs: DataFrame, avgS: DataFrame,
+      avgT: DataFrame): DataFrame =
     pairs
-      .join(sideAvg("src_id", "tgt_id"), "src_id")
-      .join(sideAvg("tgt_id", "src_id"), "tgt_id")
+      .join(avgS, "src_id")
+      .join(avgT, "tgt_id")
       .withColumn("margin",
         col("cos") / ((col("__avg_src_id") + col("__avg_tgt_id")) / 2))
       .withColumn("__mr", row_number().over(
@@ -265,5 +317,4 @@ object Retrieval {
           .orderBy(col("margin").desc, col("tgt_id"))))
       .filter(col("__mr") === 1)
       .select(col("src_id"), col("tgt_id"), col("margin"))
-  }
 }

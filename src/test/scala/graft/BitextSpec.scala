@@ -37,6 +37,30 @@ class BitextSpec extends SparkSpec {
     }
   }
 
+  test("approx (1-bit shortlist) form agrees with exact mining on real data") {
+    val emb = Tables.embeddings(spark, sf())
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    import org.apache.spark.sql.DataFrame
+    def pairsOf(df: DataFrame) = df.select("src_id", "tgt_id")
+      .as[(Long, Long)].collect().toMap
+    val exact = pairsOf(Retrieval.marginMine(src, tgt,
+      "vec_id", "vec_id", "embedding", k = 4))
+    val approx = pairsOf(Retrieval.marginMineApprox(src, tgt,
+      "vec_id", "vec_id", "embedding", k = 4, shortlist = 50))
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (s0, t0) => approx(s0) == t0 }
+    // 50-of-250 hamming shortlists: the disagreement budget is
+    // shortlist recall AND the backward average seeing only
+    // shortlisted cosines — require strong but not total agreement
+    assert(agree >= (exact.size * 8) / 10, s"$agree/${exact.size}")
+    // the decisive pin: with the shortlist covering the whole corpus
+    // the two forms share every number — equality must be EXACT
+    val full = pairsOf(Retrieval.marginMineApprox(src, tgt,
+      "vec_id", "vec_id", "embedding", k = 4, shortlist = 250))
+    assert(full == exact)
+  }
+
   test("margins are finite and the best margin exceeds 1 for aligned pairs") {
     val m = Retrieval.marginMine(srcs.toDF("vec_id", "embedding"),
         tgts.toDF("vec_id", "embedding"),
