@@ -74,4 +74,48 @@ object LinkGraph {
       scale: Long = 1000000000000L): DataFrame =
     ranked.withColumn("rank_d",
       col("rank").cast("double") / lit(scale.toDouble))
+
+  /** Per-node triangle counts and degrees over an undirected edge
+    * list — the local-density features (a node in many triangles
+    * sits in a clique-like cluster; degree without triangles is a
+    * hub or a chain). On a near-dup graph this separates template
+    * FAMILIES (cliques) from coincidental chains — a curation signal
+    * no single dedup pass gives.
+    *
+    * Algorithm: normalize to a < b distinct edges, enumerate wedges
+    * a<b<c through the middle id, close them against the edge list —
+    * each triangle is found exactly once (its id-ordered form), then
+    * credited to all three corners. Joins only; no iteration.
+    *
+    * Scale shape: wedge fan-out is Σ_b d⁺(b)·d⁻(b) under the id
+    * orientation. Near-dup edge lists arrive bucket-capped
+    * (`maxBucket`), which bounds degrees by construction; for
+    * power-law graphs re-orient by (degree, id) before the wedge
+    * join (the standard compact-forward trick) — the join shape is
+    * identical.
+    *
+    * @param edges (id1, id2) any orientation, self-loops ignored
+    * @return (id, degree, n_triangles) for every id with degree ≥ 1
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = graft.core.Caches.stage(
+      edges.filter(col("id1") =!= col("id2"))
+        .select(least(col("id1"), col("id2")).as("a"),
+          greatest(col("id1"), col("id2")).as("b"))
+        .distinct())
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+      .join(e.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -1639,6 +1639,22 @@ object PipelineQueries {
       .orderBy("src_id")
   }
 
+  /** Near-dup graph density (LinkGraph.triangles over the verified
+    * MinHash pair graph): per duplicate-involved doc its degree and
+    * triangle count — cliques (template families) vs chains. The
+    * oracle reuses the p_dup_groups pair machinery verbatim and
+    * closes wedges with plain joins.
+    */
+  def pTriangles(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
+      n = 3, k = 32, b = 8, threshold = 0.8)
+    graft.pipeline.LinkGraph.triangles(pairs)
+      .select(col("id").as("doc_id"), col("degree"),
+        col("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1753,7 +1769,8 @@ object PipelineQueries {
     "p_winnow_indexed" -> (pWinnowIndexed _),
     "p_er" -> (pEr _),
     "p_decontam_seen" -> (pDecontamSeen _),
-    "p_bitext" -> (pBitext _))
+    "p_bitext" -> (pBitext _),
+    "p_triangles" -> (pTriangles _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -4055,6 +4072,24 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN ag a USING (doc_id)
          |WHERE d.doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin,
+    "p_triangles" ->
+      s"""WITH $sigCtes,
+         |e AS (SELECT DISTINCT id1 AS a, id2 AS b FROM vpairs
+         |      WHERE id1 <> id2),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (SELECT id, count(*) AS n_triangles FROM (
+         |    SELECT x AS id FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri) u GROUP BY 1),
+         |deg AS (SELECT id, count(*) AS degree FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) u
+         |  GROUP BY 1)
+         |SELECT deg.id AS doc_id, deg.degree,
+         |  coalesce(pn.n_triangles, 0) AS n_triangles
+         |FROM deg LEFT JOIN pn USING (id) ORDER BY doc_id""".stripMargin,
     "p_bitext" ->
       s"""WITH s AS (SELECT vec_id AS src_id,
          |    CAST(embedding AS DOUBLE[]) AS sv

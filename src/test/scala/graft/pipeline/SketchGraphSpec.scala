@@ -245,4 +245,22 @@ class SketchGraphSpec extends SparkSpec {
     assert(r(2L) == base + 85L * (init * 1 / 3) / 100)
     assert(r(0L) == base) // dangling source receives nothing
   }
+
+  test("triangles: K4 plus a pendant chain, any edge orientation") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, each node in 3), pendant 5 attached to
+    // 4 (no triangle), chain 5-6; edges deliberately mis-oriented and
+    // duplicated to exercise normalization, plus a self-loop
+    val edges = Seq((2L, 1L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (5L, 4L), (6L, 5L), (6L, 6L))
+      .toDF("id1", "id2")
+    val got = graft.pipeline.LinkGraph.triangles(edges)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (1L to 3L).foreach(i => assert(got(i) == ((3L, 3L)), got.toString))
+    assert(got(4L) == ((4L, 3L))) // degree 4 (K4 + pendant), 3 triangles
+    assert(got(5L) == ((2L, 0L)) && got(6L) == ((1L, 0L)))
+    // total triangle credit = 3 x 4 distinct triangles
+    assert(got.values.map(_._2).sum == 12L)
+  }
 }
