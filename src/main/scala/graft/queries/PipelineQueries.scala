@@ -1631,8 +1631,12 @@ object PipelineQueries {
     */
   def pBitext(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // source side bounded (the p_ann_brute discipline): the exact
+    // form scores every (src, tgt) pair by design, so the gate keeps
+    // |src| fixed and rides linear in the corpus side across SFs
     graft.pipeline.Retrieval.marginMine(
-        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 0)
+          .orderBy("vec_id").limit(250),
         emb.filter(col("vec_id") % 2 === 1),
         "vec_id", "vec_id", "embedding", k = 4)
       .select(col("src_id"), col("tgt_id"))
@@ -4093,7 +4097,8 @@ object PipelineQueries {
     "p_bitext" ->
       s"""WITH s AS (SELECT vec_id AS src_id,
          |    CAST(embedding AS DOUBLE[]) AS sv
-         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |  FROM embeddings WHERE vec_id % 2 = 0
+         |  ORDER BY vec_id LIMIT 250),
          |t AS (SELECT vec_id AS tgt_id,
          |    CAST(embedding AS DOUBLE[]) AS tv
          |  FROM embeddings WHERE vec_id % 2 = 1),
