@@ -1199,6 +1199,22 @@ object TextFns {
       regexp_replace(c, p, r)
     })
 
+  /** Absolute outlink extraction from raw HTML — the crawl-graph
+    * front end: `array<string>` of double-quoted http(s) href values,
+    * `&amp;`-unescaped (the one entity that legally appears inside a
+    * URL's query string). Deliberately a regex, not a DOM (the
+    * [[htmlToText]] posture — what CommonCrawl-class link extraction
+    * does at scale): scan-local, codegen'd, RE2-safe. Relative links
+    * are excluded by construction — resolving them needs the page's
+    * base URL, a caller-side join, not a kernel concern. Compose with
+    * [[canonicalizeUrl]] for frontier keys and
+    * [[graft.pipeline.LinkGraph.pagerank]] for authority.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(
+      regexp_replace(html, "&amp;", "&"),
+      lit("[hH][rR][eE][fF]=\"(https?://[^\"]+)\""), lit(1))
+
   /** Compliance patterns for [[redact]]/[[piiCount]] — kept
     * RE2-compatible (no backrefs or lookarounds, ASCII classes only)
     * so every engine with linear-time regexes applies them

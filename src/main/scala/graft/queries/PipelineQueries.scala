@@ -1659,6 +1659,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Outlink extraction (TextFns.extractLinks): deterministic HTML
+    * with per-doc absolute links (one &amp;-escaped), a shared hub
+    * link on even docs, and relative/unquoted links that must NOT
+    * extract. Output = the aggregated outlink table (url, n_refs,
+    * n_docs) — the frame a crawl frontier or link graph builds from.
+    */
+  def pLinks(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><body><p>intro</p>"),
+      lit("<a href=\"http://site"), (id % 7).cast("string"),
+      lit(".com/p/"), (id % 40).cast("string"),
+      lit("?a=1&amp;b=2\">out</a>"),
+      when(id % 2 === 0,
+        lit("<a href=\"https://hub.example.org/home\">hub</a>"))
+        .otherwise(lit("<a href=\"/relative/skipped\">rel</a>")),
+      lit("<a href='http://unquoted-style.com/skipped'>q</a>"),
+      lit("</body></html>"))
+    Tables.documents(s, d)
+      .select(id, explode(TextFns.extractLinks(html)).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("url")
+  }
+
   /** Shard manifest over documents (8 hash-assigned shards): counts,
     * content size, and the order-independent mod-2^60 fingerprint per
     * shard — what certifies a delivered dataset against its previous
@@ -1774,7 +1800,8 @@ object PipelineQueries {
     "p_er" -> (pEr _),
     "p_decontam_seen" -> (pDecontamSeen _),
     "p_bitext" -> (pBitext _),
-    "p_triangles" -> (pTriangles _))
+    "p_triangles" -> (pTriangles _),
+    "p_links" -> (pLinks _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -4076,6 +4103,27 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN ag a USING (doc_id)
          |WHERE d.doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin,
+    "p_links" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>intro</p><a href="http://site'
+        |    || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+        |    || CAST(doc_id % 40 AS VARCHAR)
+        |    || '?a=1&amp;b=2">out</a>'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN
+        |         '<a href="https://hub.example.org/home">hub</a>'
+        |       ELSE '<a href="/relative/skipped">rel</a>' END)
+        |    || '<a href=''http://unquoted-style.com/skipped''>q</a>'
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(
+        |    replace(html, '&amp;', '&'),
+        |    '[hH][rR][eE][fF]="(https?://[^"]+)"', 1)) AS url
+        |  FROM h)
+        |SELECT url, count(*) AS n_refs,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM ex GROUP BY url ORDER BY url""".stripMargin,
     "p_triangles" ->
       s"""WITH $sigCtes,
          |e AS (SELECT DISTINCT id1 AS a, id2 AS b FROM vpairs
