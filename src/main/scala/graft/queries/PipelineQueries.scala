@@ -502,6 +502,19 @@ object PipelineQueries {
         k = 8)
       .orderBy("c_mktsegment", "c_nationkey", "bal_band")
 
+  /** l-diversity audit (Privacy.lDiversityClasses) over customer:
+    * quasi = (segment, balance band), sensitive = nation. l=20/c=2
+    * chosen so BOTH verdict columns carry both values at sf0.01
+    * (23/30 distinct-diverse, 16/30 recursively diverse) — the gate
+    * discriminates the window rank, the tail sum, and both rules.
+    */
+  def pLDiv(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Privacy.lDiversityClasses(Tables.customer(s, d),
+        Seq(col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).as("bal_band")),
+        col("c_nationkey"), l = 20, c = 2)
+      .orderBy("c_mktsegment", "bal_band")
+
   /** Ranking-metrics evaluation (Retrieval.rankMetrics): the binary-
     * quantized retriever measured in-engine against the exact-cosine
     * reference — recall@5, MRR, nDCG@5 per query with the discount
@@ -1801,7 +1814,8 @@ object PipelineQueries {
     "p_decontam_seen" -> (pDecontamSeen _),
     "p_bitext" -> (pBitext _),
     "p_triangles" -> (pTriangles _),
-    "p_links" -> (pLinks _))
+    "p_links" -> (pLinks _),
+    "p_l_div" -> (pLDiv _))
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -3812,6 +3826,29 @@ object PipelineQueries {
         |  count(*) AS class_size, count(*) >= 8 AS ok
         |FROM customer GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "p_l_div" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        |    c_nationkey AS sv, count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY c_mktsegment, bal_band
+        |      ORDER BY n DESC, CAST(sv AS VARCHAR)) AS rk
+        |  FROM cells)
+        |SELECT c_mktsegment, bal_band,
+        |  CAST(sum(n) AS BIGINT) AS class_size,
+        |  count(*) AS n_sensitive,
+        |  CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT)
+        |    AS top_count,
+        |  CAST(sum(CASE WHEN rk >= 20 THEN n ELSE 0 END) AS BIGINT)
+        |    AS tail_count,
+        |  count(*) >= 20 AS ok_distinct,
+        |  max(CASE WHEN rk = 1 THEN n END) <
+        |    2 * sum(CASE WHEN rk >= 20 THEN n ELSE 0 END)
+        |    AS ok_recursive
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p_html_extract" -> {
       // the SAME rule chain, folded into nested regexp_replace calls;
       // single-quoted DuckDB literals pass backslashes through to RE2

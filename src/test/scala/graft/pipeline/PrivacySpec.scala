@@ -38,6 +38,42 @@ class PrivacySpec extends SparkSpec {
       "helper column must not leak")
   }
 
+  test("l-diversity: distinct and recursive verdicts on known classes") {
+    import spark.implicits._
+    // class A: counts 5,1,1 — 3 distinct but dominated by one value
+    // class B: counts 2,2,2 — balanced
+    // class C: one value only
+    val rows =
+      Seq.fill(5)(("A", "x")) ++ Seq(("A", "y"), ("A", "z")) ++
+      Seq(("B", "x"), ("B", "x"), ("B", "y"), ("B", "y"),
+        ("B", "z"), ("B", "z")) ++
+      Seq.fill(4)(("C", "x"))
+    val df = rows.toDF("q", "s")
+    val out = Privacy.lDiversityClasses(df, Seq(col("q")), col("s"),
+        l = 2, c = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 7 && a.getLong(2) == 3)   // size, distinct
+    assert(a.getLong(3) == 5 && a.getLong(4) == 2)   // r1, tail(l=2)
+    assert(a.getBoolean(5) && !a.getBoolean(6))      // distinct ok, rec fails
+    val b = out("B")
+    assert(b.getLong(3) == 2 && b.getLong(4) == 4)
+    assert(b.getBoolean(5) && b.getBoolean(6))
+    val cC = out("C")
+    assert(cC.getLong(2) == 1 && cC.getLong(4) == 0)
+    assert(!cC.getBoolean(5) && !cC.getBoolean(6))
+  }
+
+  test("l-diversity: tail is the full class when l = 1") {
+    import spark.implicits._
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y")).toDF("q", "s")
+    val r = Privacy.lDiversityClasses(df, Seq(col("q")), col("s"),
+      l = 1, c = 1).head
+    assert(r.getLong(4) == 3)          // tail includes r1
+    assert(r.getBoolean(5))            // any non-empty class has ≥1
+    assert(r.getBoolean(6))            // 2 < 1·3
+  }
+
   test("NULL quasi values form their own (joinable) class") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, Some("a")), (3, None),
