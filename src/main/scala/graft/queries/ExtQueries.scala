@@ -31,6 +31,17 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** SCD2 history (operators.Scd2): each customer's order-priority
+    * observations collapse into versioned validity intervals — runs
+    * of consecutive equal values between change points, closed by the
+    * next run's start date. One key-shuffle plan; oracle replays the
+    * run detection, version counter, and interval close.
+    */
+  def qScd2(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scd2.history(Tables.orders(s, d), "o_custkey",
+        "o_orderpriority", "o_orderdate", "o_orderkey")
+      .orderBy("o_custkey", "version")
+
   /** ROLLUP aggregation (free via Catalyst once plans are declarative). */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -222,9 +233,37 @@ object ExtQueries {
     "q_cube" -> (qCube _),
     "q_sessions" -> (qSessions _),
     "q_hist_quantiles" -> (qHistQuantiles _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderpriority AS attr,
+        |    o_orderdate AS ts, o_orderkey AS tie,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |v AS (
+        |  SELECT *, sum(CASE WHEN rn = 1
+        |      OR prev IS DISTINCT FROM attr THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY o_custkey ORDER BY ts, tie
+        |      ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM w),
+        |g AS (
+        |  SELECT o_custkey, version, min(attr) AS attr,
+        |    min(ts) AS valid_from, count(*) AS n_obs
+        |  FROM v GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(version AS BIGINT) AS version, attr,
+        |  valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY version) AS valid_to,
+        |  CAST(n_obs AS BIGINT) AS n_obs,
+        |  (lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY version) IS NULL) AS is_current
+        |FROM g ORDER BY o_custkey, version""".stripMargin,
     "q_range_join" ->
       """WITH iv AS (
         |  SELECT event_id AS win_id, ts AS s,
