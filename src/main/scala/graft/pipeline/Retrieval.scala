@@ -305,6 +305,95 @@ object Retrieval {
       .select(col(key), (sum / n).as(out))
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    * greedily re-rank a per-query candidate shortlist balancing
+    * relevance against redundancy — pick argmax of
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` k times. The
+    * training-data use is diversity-aware selection: a nearest-
+    * neighbor shortlist full of near-duplicates wastes its slots, and
+    * MMR is the standard fix (RAG context packing, eval-set
+    * construction, demonstration selection).
+    *
+    * Inputs are SHORTLISTS, not corpora: `shortlist` carries
+    * (query_id, cand_id, rel) from any retriever — exact cosine,
+    * [[Ann.binaryTopK]], [[Ann.ivfPqTopK]], BM25 — and `vecs` the
+    * candidate vectors for the redundancy term. Every frame in the
+    * loop is |queries|·shortlist rows (pairwise sims:
+    * |queries|·shortlist²) — corpus size never enters.
+    *
+    * Determinism/portability: rel and sim are [[Dedup.cosine]]
+    * (ordered-fold IEEE arithmetic an external engine replays
+    * bit-for-bit), the marginal score is two literal multiplies and a
+    * subtract, ties break on cand_id — so the whole greedy trajectory
+    * is engine-portable (λ as integer percent to keep the literals
+    * exact).
+    *
+    * @return (query_id, step, cand_id), step = 1..k in selection order
+    */
+  def mmr(shortlist: DataFrame, vecs: DataFrame, k: Int,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0,100], got $lambdaPct")
+    val lam = lit(lambdaPct / 100.0d)
+    val oneMinus = lit((100 - lambdaPct) / 100.0d)
+    val cand = graft.core.Caches.stage(
+      shortlist.select("query_id", "cand_id", "rel"))
+    val a = cand.select("query_id", "cand_id")
+      .join(vecs.select(col("cand_id"),
+        col("v").cast("array<double>").as("v")), "cand_id")
+    val b = a.select(col("query_id"), col("cand_id").as("sel_id"),
+      col("v").as("sv"))
+    val sims = graft.core.Caches.stage(
+      a.join(b, Seq("query_id"))
+        .filter(col("cand_id") =!= col("sel_id"))
+        .select(col("query_id"), col("cand_id"), col("sel_id"),
+          Dedup.cosine(col("v"), col("sv")).as("sim")))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    var sel = cand
+      .withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("step"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val selIds = sel.select(col("query_id"),
+        col("cand_id").as("sel_id"))
+      val scored = cand
+        .join(sel.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(sims, Seq("query_id", "cand_id"))
+        .join(selIds, Seq("query_id", "sel_id"))
+        .groupBy("query_id", "cand_id", "rel")
+        .agg(max(col("sim")).as("__ms"))
+        .withColumn("__score",
+          lam * col("rel") - oneMinus * col("__ms"))
+      val wS = Window.partitionBy("query_id")
+        .orderBy(col("__score").desc, col("cand_id"))
+      val pick = scored.withColumn("__rn", row_number().over(wS))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(t).as("step"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel.select("query_id", "step", "cand_id")
+  }
+
+  /** Convenience form of [[mmr]]: exact-cosine shortlist from a
+    * corpus (the recall-oracle posture — at scale swap the shortlist
+    * stage for an ANN probe; the greedy tail is identical).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int = 5, shortlist: Int = 20,
+      lambdaPct: Int = 70): DataFrame = {
+    val short = Ann.bruteForceTopK(queries, corpus, qId, cId, vecCol,
+        shortlist)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("cos").as("rel"))
+    val vecs = corpus.select(col(cId).as("cand_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    mmr(short, vecs, k, lambdaPct)
+  }
+
   private def bestByMargin(pairs: DataFrame, avgS: DataFrame,
       avgT: DataFrame): DataFrame =
     pairs

@@ -515,6 +515,21 @@ object PipelineQueries {
         col("c_nationkey"), l = 20, c = 2)
       .orderBy("c_mktsegment", "bal_band")
 
+  /** MMR diversity re-ranking (Retrieval.mmrRerank): exact-cosine
+    * shortlist of 20 per query, then 5 greedy picks balancing
+    * relevance against max-similarity-to-selected at λ=0.7. The
+    * oracle replays the ENTIRE greedy trajectory — shortlist, pair
+    * sims, and every step's argmax — with the same ordered-fold IEEE
+    * arithmetic, so the selection ids are pinned, not just plausible.
+    */
+  def pMmr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(12)
+    graft.pipeline.Retrieval.mmrRerank(queries, emb, "vec_id",
+        "vec_id", "embedding", k = 5, shortlist = 20, lambdaPct = 70)
+      .orderBy("query_id", "step")
+  }
+
   /** Ranking-metrics evaluation (Retrieval.rankMetrics): the binary-
     * quantized retriever measured in-engine against the exact-cosine
     * reference — recall@5, MRR, nDCG@5 per query with the discount
@@ -1815,7 +1830,74 @@ object PipelineQueries {
     "p_bitext" -> (pBitext _),
     "p_triangles" -> (pTriangles _),
     "p_links" -> (pLinks _),
-    "p_l_div" -> (pLDiv _))
+    "p_l_div" -> (pLDiv _),
+    "p_mmr" -> (pMmr _))
+
+  /** DuckDB replay of the whole MMR greedy trajectory: the exact
+    * ordered-fold cosine (bit-identical to graft.functions.CosineSim)
+    * for shortlist relevance AND pairwise sims, then `k` unrolled
+    * selection CTEs, each computing max-sim-to-selected and the
+    * marginal-score argmax with the same literals and tie order.
+    */
+  private def mmrOracle(nq: Int, short: Int, k: Int,
+      lamPct: Int): String = {
+    def cosF(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> $a[i] * $a[i])))
+         |      * sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> $b[i] * $b[i])))))""".stripMargin
+    val lam = s"CAST(${lamPct / 100.0} AS DOUBLE)"
+    val oneMinus = s"CAST(${(100 - lamPct) / 100.0} AS DOUBLE)"
+    val steps = (2 to k).map { t =>
+      s"""s$t AS (
+         |  SELECT query_id, cand_id, $t AS step FROM (
+         |    SELECT c.query_id, c.cand_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY $lam * c.rel - $oneMinus * m.ms DESC,
+         |          c.cand_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT s.query_id, s.cand_id, max(s.sim) AS ms
+         |          FROM sims s JOIN sel${t - 1} p
+         |            ON p.query_id = s.query_id
+         |            AND p.cand_id = s.sel_id
+         |          GROUP BY 1, 2) m
+         |      ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} p
+         |      WHERE p.query_id = c.query_id
+         |        AND p.cand_id = c.cand_id))
+         |  WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1}
+         |  UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $nq),
+       |cand AS (
+       |  SELECT query_id, cand_id, rel FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      ${cosF("q.v", "c.v")} AS rel,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosF("q.v", "c.v")} DESC, c.vec_id) AS rk
+       |    FROM q CROSS JOIN emb c WHERE q.vec_id <> c.vec_id)
+       |  WHERE rk <= $short),
+       |sims AS (
+       |  SELECT a.query_id, a.cand_id, b.cand_id AS sel_id,
+       |    ${cosF("av.v", "bv.v")} AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+       |    AND a.cand_id <> b.cand_id
+       |  JOIN emb av ON av.vec_id = a.cand_id
+       |  JOIN emb bv ON bv.vec_id = b.cand_id),
+       |sel1 AS (
+       |  SELECT query_id, cand_id, 1 AS step FROM (
+       |    SELECT query_id, cand_id, row_number() OVER (
+       |        PARTITION BY query_id
+       |        ORDER BY rel DESC, cand_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT query_id, CAST(step AS INT) AS step, cand_id
+       |FROM sel$k ORDER BY query_id, step""".stripMargin
+  }
 
   /** Shared oracle CTEs for the binary-quantized ANN search
     * (p_ann_binary, p_rank_eval): identical 16-bit sign packing
@@ -3826,6 +3908,7 @@ object PipelineQueries {
         |  count(*) AS class_size, count(*) >= 8 AS ok
         |FROM customer GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "p_mmr" -> mmrOracle(12, 20, 5, 70),
     "p_l_div" ->
       """WITH cells AS (
         |  SELECT c_mktsegment,

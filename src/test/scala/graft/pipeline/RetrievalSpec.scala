@@ -314,4 +314,42 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getLong(2)).toSeq
     assert(order.indexOf(5L) < order.indexOf(6L))
   }
+
+  test("mmr demotes a near-duplicate of the first pick in favor of " +
+      "a diverse candidate") {
+    import spark.implicits._
+    def pad(xs: Double*): Seq[Double] =
+      xs ++ Seq.fill(64 - xs.length)(0.0)
+    // query between two clusters: cand 10 = best, cand 11 ≈ clone of
+    // 10 (second by relevance), cand 12 = the OTHER cluster, third by
+    // relevance but nearly orthogonal to 10 — MMR must flip 11 and 12
+    val q = Seq((1L, pad(1.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, pad(0.8, 0.6)),
+      (11L, pad(0.8, 0.601)),
+      (12L, pad(0.79, -0.6))).toDF("vec_id", "embedding")
+    val byRel = Ann.bruteForceTopK(q, corpus, "vec_id", "vec_id",
+      "embedding", 3).orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(byRel == Seq(10L, 11L, 12L), s"fixture broken: $byRel")
+    val sel = Retrieval.mmrRerank(q, corpus, "vec_id", "vec_id",
+        "embedding", k = 2, shortlist = 3, lambdaPct = 70)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(sel == Seq(10L, 12L),
+      s"MMR should pick the diverse candidate second, got $sel")
+  }
+
+  test("mmr at lambda=100 is pure relevance order") {
+    import spark.implicits._
+    def pad(xs: Double*): Seq[Double] =
+      xs ++ Seq.fill(64 - xs.length)(0.0)
+    val q = Seq((1L, pad(1.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, pad(0.8, 0.6)),
+      (11L, pad(0.8, 0.601)),
+      (12L, pad(0.79, -0.6))).toDF("vec_id", "embedding")
+    val sel = Retrieval.mmrRerank(q, corpus, "vec_id", "vec_id",
+        "embedding", k = 3, shortlist = 3, lambdaPct = 100)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(sel == Seq(10L, 11L, 12L))
+  }
 }
