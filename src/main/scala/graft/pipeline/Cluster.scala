@@ -124,6 +124,62 @@ object Cluster {
       col("v")), cents)
   }
 
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * diversity-maximizing subset rule (Sener & Savarese, ICLR 2018
+    * use it as the core-set active-learning criterion): start from
+    * the smallest id, then repeatedly add the point FARTHEST from
+    * every already-selected center. A k-center coreset is the
+    * opposite selection posture to head sampling — it covers the
+    * embedding space's extremes, which is what eval-set seeding and
+    * diverse fine-tuning subsets want.
+    *
+    * Scale shape (100 TB): each of the k−1 selection steps is ONE
+    * corpus scan — the selected centers are baked into the plan as
+    * literal arrays (the [[kmeans]] posture) and the per-point
+    * min-distance is a flat codegen'd least() chain feeding a
+    * TakeOrdered(1); only one row reaches the driver per step. The
+    * final assignment pass is the same literal-centroid argmin kmeans
+    * uses. k scans, no joins, no collect of anything corpus-sized.
+    *
+    * Determinism/portability: d² = (|c|² − 2·v·c) + |v|² evaluated in
+    * the ordered-fold IEEE arithmetic every engine replays; argmax
+    * ties break on the smaller id, assignment ties on the earlier
+    * center. The whole trajectory (selection AND assignment) is
+    * therefore oracle-replayable.
+    *
+    * @return (assignment frame (id, center_step, center_id), selected
+    *         centers in selection order)
+    */
+  def kcenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int = 64): (DataFrame, Seq[(Long, Array[Double])]) = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) >= dim)
+    val sqNormCol: Column = (0 until dim)
+      .map(i => element_at(col("v"), i + 1) * element_at(col("v"), i + 1))
+      .reduceLeft(_ + _)
+    def dist2(c: Array[Double]): Column =
+      lit(sqNorm(c)) - lit(2.0d) * dot(col("v"), c) + sqNormCol
+    val first = v.orderBy("id").limit(1).collect().head
+    var centers = Vector((first.getLong(0),
+      first.getSeq[Double](1).toArray))
+    for (_ <- 2 to k) {
+      val minD = centers.map(c => dist2(c._2)).reduceLeft(least(_, _))
+      val next = v.withColumn("__md", minD)
+        .orderBy(col("__md").desc, col("id")).limit(1)
+        .collect().head
+      centers = centers :+ ((next.getLong(0),
+        next.getSeq[Double](1).toArray))
+    }
+    val cents = centers.map(_._2).toArray
+    val centerIds = array(centers.map(c => lit(c._1)): _*)
+    val assigned = v.select(col("id"),
+        (assign(col("v"), cents) + 1).as("center_step"))
+      .withColumn("center_id", element_at(centerIds, col("center_step")))
+    (assigned, centers)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus embeddings with [[kmeans]],
     * then inside each cluster mark every document whose cosine

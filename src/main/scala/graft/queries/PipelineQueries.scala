@@ -515,6 +515,19 @@ object PipelineQueries {
         col("c_nationkey"), l = 20, c = 2)
       .orderBy("c_mktsegment", "bal_band")
 
+  /** Greedy k-center coreset (Cluster.kcenterGreedy): 6 farthest-point
+    * selections over the embeddings plus the literal-centroid
+    * assignment pass. The oracle unrolls the selection trajectory —
+    * every step's min-distance argmax with the identical ordered-fold
+    * distance arithmetic — so both the chosen centers and the final
+    * partition are pinned.
+    */
+  def pKcenter(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _) = graft.pipeline.Cluster.kcenterGreedy(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 6)
+    assigned.orderBy("id")
+  }
+
   /** MMR diversity re-ranking (Retrieval.mmrRerank): exact-cosine
     * shortlist of 20 per query, then 5 greedy picks balancing
     * relevance against max-similarity-to-selected at λ=0.7. The
@@ -1831,7 +1844,49 @@ object PipelineQueries {
     "p_triangles" -> (pTriangles _),
     "p_links" -> (pLinks _),
     "p_l_div" -> (pLDiv _),
-    "p_mmr" -> (pMmr _))
+    "p_mmr" -> (pMmr _),
+    "p_kcenter" -> (pKcenter _))
+
+  /** DuckDB replay of the greedy k-center trajectory: unrolled
+    * selection CTEs (min-distance over the selected set, argmax with
+    * id tie-break) plus the kmeans-style assignment argmin, all in
+    * the ordered-fold distance arithmetic the Spark plan uses.
+    */
+  private def kcenterOracle(k: Int): String = {
+    def ls(expr: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> $expr))"
+    val d2 =
+      s"""((${ls("c.v[i] * c.v[i]")}
+         |  - 2 * ${ls("e.v[i] * c.v[i]")})
+         |  + ${ls("e.v[i] * e.v[i]")})""".stripMargin
+    val dAssign =
+      s"""(${ls("c.v[i] * c.v[i]")}
+         |  - 2 * ${ls("e.v[i] * c.v[i]")})""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""d${t - 1} AS (
+         |  SELECT e.id, min($d2) AS md
+         |  FROM emb e CROSS JOIN cents${t - 1} c GROUP BY e.id),
+         |sel$t AS (
+         |  SELECT $t AS step, e.id, e.v
+         |  FROM d${t - 1} dd JOIN emb e USING (id)
+         |  ORDER BY dd.md DESC, e.id LIMIT 1),
+         |cents$t AS (SELECT * FROM cents${t - 1}
+         |  UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sel1 AS (SELECT 1 AS step, id, v FROM emb ORDER BY id LIMIT 1),
+       |cents1 AS (SELECT * FROM sel1),
+       |$steps,
+       |a AS (
+       |  SELECT e.id, c.step, row_number() OVER (PARTITION BY e.id
+       |      ORDER BY $dAssign ASC, c.step ASC) AS rk
+       |  FROM emb e CROSS JOIN cents$k c)
+       |SELECT a.id, CAST(a.step AS INT) AS center_step,
+       |  c2.id AS center_id
+       |FROM a JOIN cents$k c2 ON a.step = c2.step
+       |WHERE a.rk = 1 ORDER BY a.id""".stripMargin
+  }
 
   /** DuckDB replay of the whole MMR greedy trajectory: the exact
     * ordered-fold cosine (bit-identical to graft.functions.CosineSim)
@@ -3909,6 +3964,7 @@ object PipelineQueries {
         |FROM customer GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
     "p_mmr" -> mmrOracle(12, 20, 5, 70),
+    "p_kcenter" -> kcenterOracle(6),
     "p_l_div" ->
       """WITH cells AS (
         |  SELECT c_mktsegment,

@@ -108,4 +108,46 @@ class ClusterSpec extends SparkSpec {
     assert(c1.flatten.toSeq != c3.flatten.toSeq,
       "two update rounds must change the deterministic init centroids")
   }
+
+  test("kcenterGreedy covers well-separated clusters and assigns " +
+      "each point to its own cluster's center") {
+    import spark.implicits._
+    def vec(a: Double, b: Double): Seq[Double] =
+      Seq(a, b) ++ Seq.fill(62)(0.0)
+    // three tight clusters far apart; ids interleaved so selection
+    // order is geometry, not id order
+    val pts = Seq(
+      (1L, vec(0, 0)), (4L, vec(0.1, 0)), (7L, vec(0, 0.1)),
+      (2L, vec(100, 0)), (5L, vec(100.1, 0)),
+      (3L, vec(0, 100)), (6L, vec(0, 100.2))).toDF("id", "v")
+    val (assigned, centers) =
+      Cluster.kcenterGreedy(pts, "id", "v", k = 3, dim = 64)
+    // first center = smallest id; the other two are one per far cluster
+    assert(centers.head._1 == 1L)
+    val centerIds = centers.map(_._1).toSet
+    assert(centerIds.contains(2L) || centerIds.contains(5L))
+    assert(centerIds.contains(3L) || centerIds.contains(6L))
+    // every point lands with its own cluster's center
+    val byCenter = assigned.collect()
+      .groupBy(_.getLong(2)).map { case (c, rs) =>
+        c -> rs.map(_.getLong(0)).toSet }
+    val clusterOf = Map(1L -> 0, 4L -> 0, 7L -> 0, 2L -> 1, 5L -> 1,
+      3L -> 2, 6L -> 2)
+    byCenter.foreach { case (c, members) =>
+      assert(members.map(clusterOf).size == 1,
+        s"center $c mixes clusters: $members")
+      assert(members.contains(c))
+    }
+  }
+
+  test("kcenterGreedy second pick is the farthest point from the " +
+      "first center") {
+    import spark.implicits._
+    def vec(a: Double): Seq[Double] = Seq(a) ++ Seq.fill(63)(0.0)
+    val pts = Seq((1L, vec(0)), (2L, vec(5)), (3L, vec(9)),
+      (4L, vec(2))).toDF("id", "v")
+    val (_, centers) = Cluster.kcenterGreedy(pts, "id", "v", k = 2,
+      dim = 64)
+    assert(centers.map(_._1) == Seq(1L, 3L))
+  }
 }
