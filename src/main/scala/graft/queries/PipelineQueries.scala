@@ -515,6 +515,37 @@ object PipelineQueries {
         col("c_nationkey"), l = 20, c = 2)
       .orderBy("c_mktsegment", "bal_band")
 
+  /** Host-graph ranking — the crawl seed-selection composition: HTML
+    * outlink extraction (TextFns.extractLinks) → host canonicalization
+    * (TextFns.urlDomain) → aggregated host→host edges → fixed-point
+    * weighted PageRank (LinkGraph.pagerank). Source hosts rotate over
+    * 5 sites, outlinks over 7 + a hub domain, so the graph has real
+    * in-degree skew. At 100 TB the edge aggregation is the only
+    * corpus-scale stage (map-side partial agg); the iterations touch
+    * the aggregated host graph.
+    */
+  def pHostRank(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><body><a href=\"http://site"), (id % 7).cast("string"),
+      lit(".com/p/"), (id % 40).cast("string"), lit("\">out</a>"),
+      when(id % 2 === 0,
+        lit("<a href=\"https://hub.example.org/home\">hub</a>"))
+        .otherwise(lit("<a href=\"http://site0.com/x\">s0</a>")),
+      lit("</body></html>"))
+    val src = concat(lit("site"), (id % 5).cast("string"), lit(".com"))
+    val edges = Tables.documents(s, d)
+      .select(src.as("src"),
+        explode(graft.pipeline.TextFns.extractLinks(html)).as("url"))
+      .select(col("src"),
+        graft.pipeline.TextFns.urlDomain(col("url")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.pipeline.LinkGraph.pagerank(edges, iters = 3)
+      .select(col("id").as("host"), col("rank"))
+      .orderBy(col("rank").desc, col("host"))
+  }
+
   /** Greedy k-center coreset (Cluster.kcenterGreedy): 6 farthest-point
     * selections over the embeddings plus the literal-centroid
     * assignment pass. The oracle unrolls the selection trajectory —
@@ -1845,7 +1876,8 @@ object PipelineQueries {
     "p_links" -> (pLinks _),
     "p_l_div" -> (pLDiv _),
     "p_mmr" -> (pMmr _),
-    "p_kcenter" -> (pKcenter _))
+    "p_kcenter" -> (pKcenter _),
+    "p_host_rank" -> (pHostRank _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -3965,6 +3997,54 @@ object PipelineQueries {
         |ORDER BY 1, 2, 3""".stripMargin,
     "p_mmr" -> mmrOracle(12, 20, 5, 70),
     "p_kcenter" -> kcenterOracle(6),
+    // hosts constructed directly (extraction fidelity is p_links'
+    // pin); the pagerank replay is the p_pagerank fixed-point chain
+    // over string node ids
+    "p_host_rank" ->
+      """WITH l AS (
+        |  SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+        |      AS src,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'hub.example.org'
+        |      ELSE 'site0.com' END
+        |  FROM documents),
+        |edges AS (SELECT src, dst, count(*) AS w FROM l
+        |  WHERE src <> dst GROUP BY 1, 2),
+        |nodes AS (SELECT src AS id FROM edges
+        |          UNION SELECT dst FROM edges),
+        |cnt AS (SELECT count(*) AS nn FROM nodes),
+        |outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, 1000000000000 // (SELECT nn FROM cnt)
+        |         AS rank FROM nodes),
+        |c1 AS (SELECT e.dst, CAST(sum(
+        |         (CAST(r.rank AS HUGEINT) * e.w) // o.out_w)
+        |         AS BIGINT) AS cs
+        |       FROM edges e JOIN outw o ON e.src = o.src
+        |       JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(150000000000 // (SELECT nn FROM cnt)
+        |         + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.id = c.dst),
+        |c2 AS (SELECT e.dst, CAST(sum(
+        |         (CAST(r.rank AS HUGEINT) * e.w) // o.out_w)
+        |         AS BIGINT) AS cs
+        |       FROM edges e JOIN outw o ON e.src = o.src
+        |       JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(150000000000 // (SELECT nn FROM cnt)
+        |         + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.id = c.dst),
+        |c3 AS (SELECT e.dst, CAST(sum(
+        |         (CAST(r.rank AS HUGEINT) * e.w) // o.out_w)
+        |         AS BIGINT) AS cs
+        |       FROM edges e JOIN outw o ON e.src = o.src
+        |       JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id, CAST(150000000000 // (SELECT nn FROM cnt)
+        |         + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.id = c.dst)
+        |SELECT id AS host, rank FROM r3
+        |ORDER BY rank DESC, host""".stripMargin,
     "p_l_div" ->
       """WITH cells AS (
         |  SELECT c_mktsegment,
