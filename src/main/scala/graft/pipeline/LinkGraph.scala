@@ -118,4 +118,53 @@ object LinkGraph {
       .select(col("id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over an undirected edge list (id1, id2): every node starts as
+    * its own label; each round it adopts the most frequent label
+    * among its NEIGHBORS, ties to the smallest label. Where connected
+    * components ([[graft.pipeline.Dedup.dupGroups]]) answer "reachable
+    * at all", LPA's fixed-round form splits a component into dense
+    * cores — on a near-dup graph that separates template families
+    * that CC would merge through one accidental bridge pair.
+    *
+    * Deterministic by construction: synchronous updates, a fixed
+    * iteration count (no data-dependent convergence test), and the
+    * (count desc, label asc) tie order — the whole trajectory replays
+    * in any engine, unlike the randomized asynchronous original.
+    *
+    * Scale shape: each round is one join of the symmetrized edge
+    * frame with the label frame (both keyed by node id) plus one
+    * (node, label) hash aggregation and one per-node window over the
+    * aggregated counts — all bounded by |E|, nothing corpus-sized;
+    * label frames are localCheckpointed per round (the dupGroups
+    * lineage discipline). Degree skew rides the same AQE handling as
+    * any aggregation; near-dup inputs arrive bucket-capped.
+    *
+    * @return (id, label) — nodes of the edge list only (an isolated
+    *         corpus row has no edges and keeps its own community
+    *         trivially; callers left-join if they need those rows)
+    */
+  def labelProp(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = edges.select(col("id1").as("a"), col("id2").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = graft.core.Caches.stage(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nb = sym
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("__n").desc, col("label"))
+      labels = nb.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -1731,6 +1731,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Label-propagation communities (LinkGraph.labelProp) over the
+    * verified MinHash near-dup graph: 3 synchronous rounds,
+    * most-frequent-neighbor-label with min tie-break. Complements
+    * p_dup_groups (components) and p_triangles (local density) with
+    * the community split; the oracle replays every round's counts and
+    * argmax.
+    */
+  def pLpa(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
+      n = 3, k = 32, b = 8, threshold = 0.8)
+    graft.pipeline.LinkGraph.labelProp(pairs, iters = 3)
+      .select(col("id").as("doc_id"), col("label").as("community"))
+      .orderBy("doc_id")
+  }
+
   /** Outlink extraction (TextFns.extractLinks): deterministic HTML
     * with per-doc absolute links (one &amp;-escaped), a shared hub
     * link on even docs, and relative/unquoted links that must NOT
@@ -1877,7 +1893,8 @@ object PipelineQueries {
     "p_l_div" -> (pLDiv _),
     "p_mmr" -> (pMmr _),
     "p_kcenter" -> (pKcenter _),
-    "p_host_rank" -> (pHostRank _))
+    "p_host_rank" -> (pHostRank _),
+    "p_lpa" -> (pLpa _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -4398,6 +4415,27 @@ object PipelineQueries {
          |SELECT deg.id AS doc_id, deg.degree,
          |  coalesce(pn.n_triangles, 0) AS n_triangles
          |FROM deg LEFT JOIN pn USING (id) ORDER BY doc_id""".stripMargin,
+    "p_lpa" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""n$t AS (
+           |  SELECT s.a AS id, l.label, count(*) AS n
+           |  FROM sym s JOIN l${t - 1} l ON l.id = s.b GROUP BY 1, 2),
+           |l$t AS (
+           |  SELECT id, label FROM (
+           |    SELECT id, label, row_number() OVER (PARTITION BY id
+           |      ORDER BY n DESC, label) AS rk FROM n$t)
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sigCtes,
+         |e0 AS (SELECT DISTINCT id1 AS a, id2 AS b FROM vpairs
+         |       WHERE id1 <> id2),
+         |sym AS (SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)),
+         |l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
+         |$rounds
+         |SELECT id AS doc_id, label AS community
+         |FROM l3 ORDER BY doc_id""".stripMargin
+    },
     "p_bitext" ->
       s"""WITH s AS (SELECT vec_id AS src_id,
          |    CAST(embedding AS DOUBLE[]) AS sv

@@ -263,4 +263,30 @@ class SketchGraphSpec extends SparkSpec {
     // total triangle credit = 3 x 4 distinct triangles
     assert(got.values.map(_._2).sum == 12L)
   }
+
+  test("labelProp: disjoint triangles converge to per-component " +
+      "min labels in 3 synchronous rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (9L, 9L))
+      .toDF("id1", "id2")
+    val got = graft.pipeline.LinkGraph.labelProp(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll(spark)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"self-loop node must be dropped, components split: $got")
+  }
+
+  test("labelProp: tie between neighbor labels breaks to the " +
+      "smaller label") {
+    import spark.implicits._
+    // path 5-1-7: node 1 sees labels {5, 7}, each once → adopts 5
+    val edges = Seq((5L, 1L), (1L, 7L)).toDF("id1", "id2")
+    val r1 = graft.pipeline.LinkGraph.labelProp(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll(spark)
+    assert(r1(1L) == 5L)
+    assert(r1(5L) == 1L && r1(7L) == 1L)
+  }
 }
