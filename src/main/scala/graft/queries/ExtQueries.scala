@@ -42,6 +42,29 @@ object ExtQueries {
         "o_orderpriority", "o_orderdate", "o_orderkey")
       .orderBy("o_custkey", "version")
 
+  /** CDC application (operators.Cdc.applyChanges): the orders table
+    * plays a change feed against a customer snapshot — latest change
+    * per key wins (date, orderkey tie), status P deletes, every 10th
+    * orderkey inserts a fresh key. Exercises all four MERGE outcomes:
+    * untouched pass-through, update, delete, insert.
+    */
+  def qCdc(s: SparkSession, d: String): DataFrame = {
+    val snap = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+    val ch = Tables.orders(s, d).select(
+      when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      when(col("o_orderstatus") === "P", lit("D"))
+        .otherwise(lit("U")).as("op"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("tie"),
+      concat(lit("SEG-"), col("o_orderpriority")).as("c_mktsegment"),
+      (col("o_custkey") % 25).cast("long").as("c_nationkey"))
+    graft.operators.Cdc.applyChanges(snap, ch, "c_custkey", "op",
+        "ts", "tie")
+      .orderBy("c_custkey")
+  }
+
   /** ROLLUP aggregation (free via Catalyst once plans are declarative). */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -234,9 +257,37 @@ object ExtQueries {
     "q_sessions" -> (qSessions _),
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_scd2" -> (qScd2 _))
+    "q_scd2" -> (qScd2 _),
+    "q_cdc" -> (qCdc _))
 
   val oracles: Map[String, String] = Map(
+    "q_cdc" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0
+        |      THEN o_custkey + 1000000 ELSE o_custkey END AS k,
+        |    CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END
+        |      AS op,
+        |    o_orderdate AS ts, o_orderkey AS tie,
+        |    'SEG-' || o_orderpriority AS seg,
+        |    o_custkey % 25 AS nk
+        |  FROM orders),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY ts DESC, tie DESC) AS rk FROM ch)
+        |  WHERE rk = 1),
+        |m AS (
+        |  SELECT coalesce(l.k, c.c_custkey) AS c_custkey, l.op,
+        |    CASE WHEN l.k IS NOT NULL THEN l.seg
+        |      ELSE c.c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN l.k IS NOT NULL THEN l.nk
+        |      ELSE c.c_nationkey END AS c_nationkey
+        |  FROM customer c FULL OUTER JOIN latest l
+        |    ON c.c_custkey = l.k)
+        |SELECT c_custkey, c_mktsegment,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM m WHERE op IS NULL OR op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "q_scd2" ->
       """WITH w AS (
         |  SELECT o_custkey, o_orderpriority AS attr,
