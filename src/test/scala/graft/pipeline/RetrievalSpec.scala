@@ -338,6 +338,40 @@ class RetrievalSpec extends SparkSpec {
       s"MMR should pick the diverse candidate second, got $sel")
   }
 
+  test("mmr over a binaryTopK shortlist: full-cover shortlist equals " +
+      "the exact-cosine trajectory") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf())
+    val queries = emb.orderBy("vec_id").limit(5)
+    // binary candidate pool: Hamming-100 shortlist reranked to the
+    // cosine top-20, rel = the rerank cosine the index probe already
+    // computes — the same (query, cand, rel) contract as the exact
+    // path. A 20-wide Hamming probe loses tail candidates (the
+    // quantization trade p_rank_eval measures); 100/500 recovers most
+    // of the exact pool, which is the production posture: widen the
+    // probe, not the final k.
+    val short = Ann.binaryTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 20, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("cos").as("rel"))
+    val vecs = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val viaIndex = Retrieval.mmr(short, vecs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    graft.core.Caches.releaseAll(spark)
+    val exact = Retrieval.mmrRerank(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 3, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    graft.core.Caches.releaseAll(spark)
+    // Hamming-shortlist membership is approximate; require high but
+    // not total agreement on this fixture, and identical shape
+    assert(viaIndex.map(_._1) == exact.map(_._1))
+    val overlap = viaIndex.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"overlap $overlap: $viaIndex vs $exact")
+  }
+
   test("mmr at lambda=100 is pure relevance order") {
     import spark.implicits._
     def pad(xs: Double*): Seq[Double] =
