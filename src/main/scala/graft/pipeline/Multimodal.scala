@@ -154,6 +154,69 @@ object Multimodal {
       maxBucket: Int = 1000): DataFrame =
     wordBlockPairsFromSigs(sigs, maxHamming, maxBucket)
 
+  /** Per-frame perceptual fingerprints of a media struct's payload
+    * ([[graft.functions.VideoFpHashes]]): the video near-dup key —
+    * one dHash per sampled frame, folded to a (hi, lo) 2×32-bit join
+    * key. One fused kernel call per row (the MinhashSignature
+    * precedent: a per-frame HOF over a custom expression would fall
+    * out of codegen).
+    */
+  def videoFrameHashes(media: Column, frameLen: Int = 128): Column =
+    graft.functions.VideoFpHashes(media.getField("data"), frameLen)
+
+  /** Video-level near-duplicate pairs by shared frame fingerprints
+    * (content-ID shape): two videos match when at least `minShared`
+    * DISTINCT frame hashes coincide exactly — robust to trims,
+    * re-cuts, and concatenation, because frames match individually
+    * (a whole-stream hash would miss every partial overlap).
+    *
+    * Scale shape: ONE scan computes all frame hashes per row (at
+    * scale the fingerprint column is precomputed at write time like
+    * every retrieval artifact), candidates come from the inverted
+    * (hi, lo)→video join — equi on the frame hash, never all-pairs —
+    * capped per hash value at `maxBucket` videos (an N-video
+    * still-intro/black-frame cluster would otherwise fan out N²/2;
+    * the same skew guard every LSH family here carries; real
+    * pipelines additionally drop low-entropy frames). The shared
+    * count aggregates pair rows that are already joined — no second
+    * corpus scan; per-video frame counts ride the fingerprint frame.
+    *
+    * @return (id1, id2, shared, n1, n2) with id1 < id2, shared ≥
+    *         minShared; n1/n2 = distinct frame-hash counts, so
+    *         shared/least(n1,n2) is the containment score
+    */
+  def videoDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      frameLen: Int = 128, minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sigs = Dedup.spread(df.select(col(idCol).as("id"),
+        col(s"$mediaCol.data").as("__d")))
+      .select(col("id"),
+        explode(graft.functions.VideoFpHashes(col("__d"), frameLen))
+          .as("fh"))
+      // a repeated frame inside ONE video (looping background) must
+      // count once, or self-repetition inflates the shared count
+      .select(col("id"), col("fh.hi").as("hi"), col("fh.lo").as("lo"))
+      .distinct()
+    val withN = sigs.withColumn("n",
+      count(lit(1)).over(Window.partitionBy("id")))
+    val capped = withN.withColumn("__b",
+        count(lit(1)).over(Window.partitionBy("hi", "lo")))
+      .filter(col("__b") <= maxBucket)
+      .drop("__b")
+    val l = capped.as("l")
+    val r = capped.as("r")
+    l.join(r, col("l.hi") === col("r.hi") &&
+        col("l.lo") === col("r.lo") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.n").as("n1"), col("r.n").as("n2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id1", "id2", "shared", "n1", "n2")
+  }
+
   private def sigFrame(df: DataFrame, idCol: String, mediaCol: String,
       kernel: Column => Column): DataFrame =
     Dedup.spread(df.select(col(idCol).as("id"),

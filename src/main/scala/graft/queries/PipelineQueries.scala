@@ -1731,6 +1731,56 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Feature-hashed document embeddings (Embed.hashedDocVector):
+    * the model-free text→vector stage — signed hashing-trick
+    * components as exact integers, one scan + one (doc, bucket)
+    * aggregation. Sparse long form pinned; the dense rendering that
+    * feeds k-means/k-center/ANN is spec-pinned equal.
+    */
+  def pHashEmbed(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Embed.hashedDocVector(
+        Tables.documents(s, d), "doc_id", "text",
+        dim = 64)
+      .orderBy("doc_id", "b")
+
+  /** Frame-fingerprint video dedup (Multimodal.videoFrameHashes /
+    * videoDupPairs): the content-ID twin completing the media trio
+    * (image dHash, audio fingerprint, video frame hashes) — per-frame
+    * dHashes over stub-decoded codepoint blocks, exact-match inverted
+    * join on the (hi, lo) fold, shared-distinct-frame counts. Fully
+    * integer; the oracle replays the framing, all 72 luma cells per
+    * frame, the word packing, and the pair topology end to end.
+    */
+  def pVideoDedup(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.pipeline.Multimodal.packFakeMedia(col("text")).as("media"))
+    graft.pipeline.Multimodal.videoDupPairs(media, "doc_id", "media",
+        frameLen = 128, minShared = 2)
+      .orderBy("id1", "id2")
+  }
+
+  /** t-closeness release audit (Privacy.tCloseness /
+    * tClosenessOrdered), completing the privacy trio: per-segment
+    * sensitive-distribution distance from the table's, categorical
+    * variation distance AND ordered EMD, every numerator/denominator
+    * an exact integer the oracle replays bit-for-bit (no floating
+    * division on either engine).
+    */
+  def pTClose(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Privacy
+    val cust = Tables.customer(s, d)
+    val quasi = Seq(col("c_mktsegment"))
+    val sens = col("c_nationkey")
+    val cat = Privacy.tCloseness(cust, quasi, sens, tNum = 1, tDen = 10)
+    val ord = Privacy.tClosenessOrdered(cust, quasi, sens,
+        tNum = 1, tDen = 50)
+      .select(col("c_mktsegment"), col("dist_num").as("odist_num"),
+        col("dist_den").as("odist_den"), col("ok").as("ook"))
+    cat.join(ord, Seq("c_mktsegment"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Label-propagation communities (LinkGraph.labelProp) over the
     * verified MinHash near-dup graph: 3 synchronous rounds,
     * most-frequent-neighbor-label with min tie-break. Complements
@@ -1894,7 +1944,10 @@ object PipelineQueries {
     "p_mmr" -> (pMmr _),
     "p_kcenter" -> (pKcenter _),
     "p_host_rank" -> (pHostRank _),
-    "p_lpa" -> (pLpa _))
+    "p_lpa" -> (pLpa _),
+    "p_hash_embed" -> (pHashEmbed _),
+    "p_video_dedup" -> (pVideoDedup _),
+    "p_t_close" -> (pTClose _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -4415,6 +4468,111 @@ object PipelineQueries {
          |SELECT deg.id AS doc_id, deg.degree,
          |  coalesce(pn.n_triangles, 0) AS n_triangles
          |FROM deg LEFT JOIN pn USING (id) ORDER BY doc_id""".stripMargin,
+    "p_hash_embed" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, t, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toks) AS t FROM documents) u
+         |  GROUP BY 1, 2),
+         |sb AS (
+         |  SELECT doc_id, CAST(${hex60("t")} % 64 AS INT) AS b,
+         |    CASE WHEN (strpos('0123456789abcdef',
+         |        substr(md5(t), 16, 1)) - 1) % 2 = 0
+         |      THEN tf ELSE -tf END AS sv
+         |  FROM tc)
+         |SELECT doc_id, b, CAST(sum(sv) AS BIGINT) AS v
+         |FROM sb GROUP BY 1, 2 HAVING sum(sv) <> 0
+         |ORDER BY 1, 2""".stripMargin,
+    "p_video_dedup" -> {
+      val contrib =
+        "(unicode(substr(text, i, 1)) * 2654435761 + j * 40503) % 1000"
+      val cellSums = (0 until 72).map(g =>
+        s"sum(CASE WHEN j % 72 = $g THEN $contrib ELSE 0 END) AS s$g")
+        .mkString(", ")
+      // per-frame dHash: bit b = r*8+c set iff s(r*9+c) < s(r*9+c+1);
+      // word w carries bits 16w..16w+15 — VideoFpHashes' exact packing
+      val words = (0 until 4).map { w =>
+        val bits = (0 until 16).map { i =>
+          val b = w * 16 + i; val r = b / 8; val c = b % 8
+          s"CASE WHEN s${r * 9 + c} < s${r * 9 + c + 1} " +
+            s"THEN ${1 << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS w$w"
+      }.mkString(", ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+         |  FROM documents),
+         |posf AS (
+         |  SELECT doc_id, (i - 1) // 128 AS f, (i - 1) % 128 AS j,
+         |    text, i
+         |  FROM pos),
+         |csums AS (
+         |  SELECT doc_id, f, $cellSums FROM posf GROUP BY doc_id, f),
+         |hashes AS (SELECT doc_id, f, $words FROM csums),
+         |hl AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(w3 AS BIGINT) * 65536 + w2 AS hi,
+         |    CAST(w1 AS BIGINT) * 65536 + w0 AS lo
+         |  FROM hashes),
+         |nf AS (SELECT doc_id, count(*) AS n FROM hl GROUP BY doc_id),
+         |capped AS (
+         |  SELECT doc_id, hi, lo FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY hi, lo) AS b
+         |    FROM hl) WHERE b <= 1000),
+         |pairs AS (
+         |  SELECT l.doc_id AS id1, r.doc_id AS id2,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM capped l JOIN capped r
+         |    ON l.hi = r.hi AND l.lo = r.lo AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.id1, p.id2, p.shared, n1.n AS n1, n2.n AS n2
+         |FROM pairs p JOIN nf n1 ON p.id1 = n1.doc_id
+         |JOIN nf n2 ON p.id2 = n2.doc_id
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "p_t_close" ->
+      s"""WITH cells AS (
+         |  SELECT c_mktsegment AS q, c_nationkey AS sv, count(*) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |g AS (SELECT sv, CAST(sum(n) AS BIGINT) AS gv
+         |  FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(sum(gv) AS BIGINT) AS tot,
+         |  count(*) AS m FROM g),
+         |cls AS (SELECT q, CAST(sum(n) AS BIGINT) AS nc
+         |  FROM cells GROUP BY 1),
+         |cat AS (
+         |  SELECT c.q,
+         |    CAST(sum(abs(c.n * t.tot - g.gv * cls.nc)) AS BIGINT)
+         |      AS present,
+         |    CAST(sum(g.gv) AS BIGINT) AS gsum
+         |  FROM cells c JOIN g USING (sv)
+         |  JOIN cls ON c.q = cls.q CROSS JOIN t
+         |  GROUP BY c.q),
+         |dense AS (
+         |  SELECT cls.q, g.sv, g.gv, cls.nc, coalesce(c.n, 0) AS n
+         |  FROM cls CROSS JOIN g
+         |  LEFT JOIN cells c ON c.q = cls.q AND c.sv = g.sv),
+         |cum AS (
+         |  SELECT q, nc,
+         |    sum(n * t.tot - gv * nc)
+         |      OVER (PARTITION BY q ORDER BY sv) AS cm,
+         |    t.tot, t.m
+         |  FROM dense CROSS JOIN t),
+         |ordd AS (
+         |  SELECT q, CAST(sum(abs(cm)) AS BIGINT) AS odist_num,
+         |    CAST(max(nc * tot * greatest(m - 1, 1)) AS BIGINT)
+         |      AS odist_den
+         |  FROM cum GROUP BY q)
+         |SELECT cat.q AS c_mktsegment, cls.nc AS class_size,
+         |  CAST(cat.present + cls.nc * (t.tot - cat.gsum) AS BIGINT)
+         |    AS dist_num,
+         |  CAST(2 * cls.nc * t.tot AS BIGINT) AS dist_den,
+         |  (cat.present + cls.nc * (t.tot - cat.gsum)) * 10
+         |    <= 1 * (2 * cls.nc * t.tot) AS ok,
+         |  ordd.odist_num, ordd.odist_den,
+         |  ordd.odist_num * 50 <= 1 * ordd.odist_den AS ook
+         |FROM cat JOIN cls ON cat.q = cls.q
+         |JOIN ordd ON cat.q = ordd.q CROSS JOIN t
+         |ORDER BY 1""".stripMargin,
     "p_lpa" -> {
       val rounds = (1 to 3).map { t =>
         s"""n$t AS (

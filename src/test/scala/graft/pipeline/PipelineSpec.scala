@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
@@ -1197,6 +1198,72 @@ class PipelineSpec extends SparkSpec {
     val n = Seq((9L, null: String)).toDF("doc_id", "text")
       .select(Multimodal.audioFp(
         Multimodal.packFakeMedia($"text")).as("fp"))
+      .head
+    assert(n.isNullAt(0))
+  }
+
+  test("video dedup: frame kernel matches reference, trims still match") {
+    // Scala reference of the kernel's contract: per-frame stripe luma
+    // (indexes relative to frame start) → 64 comparisons → (hi, lo)
+    def ref(text: String, frameLen: Int): Seq[(Long, Long)] = {
+      val cps = text.codePoints.toArray
+      cps.grouped(frameLen).map { fr =>
+        val luma = new Array[Long](72)
+        fr.indices.foreach(j => luma(j % 72) +=
+          (fr(j).toLong * 2654435761L + j.toLong * 40503L) % 1000L)
+        val w = new Array[Long](4)
+        for (b <- 0 until 64) {
+          val r = b / 8; val c = b % 8
+          if (luma(r * 9 + c) < luma(r * 9 + c + 1))
+            w(b / 16) |= 1L << (b % 16)
+        }
+        ((w(3) << 16) | w(2), (w(1) << 16) | w(0))
+      }.toSeq
+    }
+    // four 128-codepoint "scenes"; videos share scenes at frame
+    // boundaries, the content-ID situation (B = A minus its first
+    // scene plus a new one: a trim + re-cut)
+    val scene = (0 until 4).map(i =>
+      (0 until 128).map(j => ('a' + (i * 7 + j * 3) % 26).toChar)
+        .mkString)
+    val rows = Seq(
+      (1L, scene(0) + scene(1) + scene(2)),
+      (2L, scene(1) + scene(2) + scene(3)),
+      (3L, (0 until 300).map(j => ('a' + (j * 11 + 5) % 26).toChar)
+        .mkString),
+      (4L, scene(0) + scene(1) + scene(2)),
+      (5L, scene(3) + scene(3)), // internal repeat counts ONCE
+      (6L, "")).toDF("doc_id", "text")
+    val media = rows.select($"doc_id",
+      Multimodal.packFakeMedia($"text").as("media"))
+    val got = media.select($"doc_id",
+        Multimodal.videoFrameHashes($"media", 128).as("fh"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1)
+        .map(x => (x.getLong(1), x.getLong(2))))
+    got.foreach { case (id, fh) =>
+      val text = rows.filter($"doc_id" === id).head.getString(1)
+      assert(fh == ref(text, 128), s"doc $id")
+    }
+    assert(got(5)._2.isEmpty, "empty payload → no frames")
+    val pairs = Multimodal.videoDupPairs(media, "doc_id", "media",
+        frameLen = 128, minShared = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // exact dup: all 3 frames shared; trim/re-cut: the 2 common scenes
+    assert(pairs((1L, 4L)) == ((3L, 3L, 3L)))
+    assert(pairs((1L, 2L)) == ((2L, 3L, 3L)))
+    assert(pairs((2L, 4L)) == ((2L, 3L, 3L)))
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated video matches nothing")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      "single shared scene stays below minShared even when repeated")
+    // NULL payload yields NULL fingerprint array, not a crash
+    val n = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(Multimodal.videoFrameHashes(
+        Multimodal.packFakeMedia($"text"), 128).as("fh"))
       .head
     assert(n.isNullAt(0))
   }
