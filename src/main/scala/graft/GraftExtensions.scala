@@ -257,6 +257,14 @@ object GraftExtensions {
         arity("graft_audio_fp", args, 1)
         graft.functions.AudioFpWords(args.head)
       }),
+    ("graft_video_fp",
+      "graft_video_fp(payload, frame_len) - per-frame perceptual " +
+        "fingerprints as array<struct<f,hi,lo>>",
+      (args: Seq[Expression]) => {
+        arity("graft_video_fp", args, 2)
+        graft.functions.VideoFpHashes(args.head,
+          intArg(args(1), "frame_len"))
+      }),
     ("graft_sentences",
       "graft_sentences(text) - rule-based sentence segmentation",
       (args: Seq[Expression]) => {

@@ -103,6 +103,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Int](1).forall(w => w >= 0 && w < 65536))
   }
 
+  test("graft_video_fp matches the kernel through SQL") {
+    val payload = ("scene one text " * 12).trim // > 1 frame at 128
+    val viaSql = spark.sql(
+      s"SELECT graft_video_fp(CAST('$payload' AS BINARY), 128) AS v")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val viaKernel = spark.range(1).select(
+        graft.functions.VideoFpHashes(
+          lit(payload).cast("binary"), 128).as("v"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql == viaKernel && viaSql.size == 2)
+    // frame_len must be a literal
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_video_fp(CAST('x' AS BINARY), id + 1) " +
+        "FROM range(1)").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("graft_cosine matches the kernel through SQL") {
     val r = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), " +
       "array(0.0D, 2.0D)) AS c, graft_cosine(array(1.0D, 2.0D), " +
