@@ -390,4 +390,110 @@ object Indexes {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  // ---------- Media fingerprint index (image dHash / audio FP) ----------
+
+  /** Persist media perceptual signatures for pigeonhole probing: one
+    * row per (id, signature word) with `key` = word_index·2^16 +
+    * word_value (one int, 0..262143) and the full 4-word signature
+    * alongside for the popcount verify, key-sorted so probes push a
+    * literal In(key) against row-group min/max. A pair at Hamming ≤ 3
+    * must agree EXACTLY on some word ([[Multimodal.imageDupPairs]]'s
+    * pigeonhole argument), so the probe misses nothing. Signatures
+    * are row-local (no corpus statistic), so [[appendMediaIndex]] is
+    * merge-free and probe-equivalent to a rebuild — the
+    * [[appendBinaryIndex]] argument. At 100 TB this is the difference
+    * between scanning 20 bytes/media row and re-decoding the corpus
+    * per ingest batch.
+    *
+    * @param kernel "dhash" (image) or "audio" — the index bakes the
+    *        kernel in; probe with the same one
+    */
+  def writeMediaIndex(corpus: DataFrame, idCol: String,
+      mediaCol: String, path: String, kernel: String = "dhash"): Unit =
+    mediaSigFrame(corpus, idCol, mediaCol, kernel)
+      .repartitionByRange(col("key"))
+      .sortWithinPartitions("key")
+      .write.mode("overwrite").parquet(path)
+
+  def openMediaIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def appendMediaIndex(batch: DataFrame, idCol: String,
+      mediaCol: String, path: String, kernel: String = "dhash"): Unit =
+    mediaSigFrame(batch, idCol, mediaCol, kernel)
+      .write.mode("append").parquet(path)
+
+  private def mediaSigFrame(df: DataFrame, idCol: String,
+      mediaCol: String, kernel: String): DataFrame = {
+    val data = col(s"$mediaCol.data")
+    val sig = kernel match {
+      case "dhash" => graft.functions.DHashWords(data)
+      case "audio" => graft.functions.AudioFpWords(data)
+      case other => throw new IllegalArgumentException(
+        s"unknown media kernel '$other' (want dhash or audio)")
+    }
+    // filter the RAW payload, not the signature alias: pushdown
+    // substitutes an alias filter below the Project and re-evaluates
+    // the kernel per row (the binaryTopK deferred-eval lesson). The
+    // explode runs over a LITERAL position sequence, not the signature
+    // array — InferFiltersFromGenerate's size()>0/isnotnull inferences
+    // then constant-fold instead of dragging the kernel into a filter
+    // below the Project (3 evals/row, caught by the plan pin).
+    df.filter(data.isNotNull)
+      .select(col(idCol).as("id"), sig.as("dh"))
+      .select(col("id"), col("dh"),
+        explode(sequence(lit(0), lit(3))).as("w"))
+      .select(col("id"), col("dh"),
+        (col("w") * 65536 + element_at(col("dh"), col("w") + 1))
+          .as("key"))
+  }
+
+  /** Near-dup pairs of an incoming media batch against a prebuilt
+    * [[writeMediaIndex]] artifact: (batch_id, corpus_id, dist) with
+    * Hamming dist ≤ `maxHamming`. Only the batch decodes/hashes at
+    * probe time; the corpus side is the 20-byte-row index scan pruned
+    * by the batch's key set — literal pushed In under `maxProbeKeys`
+    * distinct keys (≤ 4·|batch|), left-semi join above it (the
+    * [[winnowCandidatesIndexed]] auto-selection, result-identical
+    * both ways). The `maxBucket` skew cap applies to the TRUE per-key
+    * corpus counts of the matched keys (whole key-groups survive
+    * either pruning, so the window counts are exact).
+    *
+    * @param excludeSameId drop pairs whose ids coincide — the ingest
+    *        re-probe case where the batch is already indexed
+    */
+  def mediaDupPairsIndexed(batch: DataFrame, batchId: String,
+      mediaCol: String, index: DataFrame, kernel: String = "dhash",
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      maxProbeKeys: Int = 65536,
+      excludeSameId: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole probing over 4 words needs maxHamming < 4, " +
+        s"got $maxHamming")
+    val bf = graft.core.Caches.stage(
+      mediaSigFrame(batch, batchId, mediaCol, kernel)
+        .withColumnRenamed("id", "bid")
+        .withColumnRenamed("dh", "bdh"))
+    val nKeys = bf.select("key").distinct().count()
+    val pruned =
+      if (nKeys <= maxProbeKeys) {
+        val keys = bf.select("key").distinct()
+          .collect().map(_.getInt(0))
+        index.filter(col("key").isin(keys.toSeq: _*))
+      } else
+        index.join(bf.select("key").distinct(), Seq("key"), "leftsemi")
+    val capped = pruned
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    bf.join(capped, "key")
+      .filter(if (excludeSameId) col("bid") =!= col("id") else lit(true))
+      // a pair can match on several words; collapse before the verify
+      .select(col("bid").as("batch_id"), col("id").as("corpus_id"),
+        col("bdh"), col("dh"))
+      .distinct()
+      .select(col("batch_id"), col("corpus_id"),
+        Ann.hammingWords(col("bdh"), col("dh")).as("dist"))
+      .filter(col("dist") <= maxHamming)
+  }
 }

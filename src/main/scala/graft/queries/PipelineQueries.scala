@@ -1760,6 +1760,27 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Persisted media-fingerprint index (Indexes.writeMediaIndex →
+    * mediaDupPairsIndexed): image near-dup probing where only the
+    * batch runs the dHash kernel — the corpus side is the prebuilt
+    * key-sorted 20-byte-row artifact pruned by the batch's pushed
+    * key set. The ingest-loop shape of p_image_dedup; the oracle
+    * replays signatures for BOTH sides and the pigeonhole join
+    * (result-identical to the probe by construction).
+    */
+  def pImageIndexed(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.{Indexes, Multimodal}
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Multimodal.packFakeMedia(col("text")).as("media"))
+    val path = idxDir(d) + "/media_dhash"
+    Indexes.writeMediaIndex(doc.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "media", path)
+    Indexes.mediaDupPairsIndexed(doc.filter(col("doc_id") % 5 === 0),
+        "doc_id", "media", Indexes.openMediaIndex(s, path))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** t-closeness release audit (Privacy.tCloseness /
     * tClosenessOrdered), completing the privacy trio: per-segment
     * sensitive-distribution distance from the table's, categorical
@@ -1947,7 +1968,8 @@ object PipelineQueries {
     "p_lpa" -> (pLpa _),
     "p_hash_embed" -> (pHashEmbed _),
     "p_video_dedup" -> (pVideoDedup _),
-    "p_t_close" -> (pTClose _))
+    "p_t_close" -> (pTClose _),
+    "p_image_indexed" -> (pImageIndexed _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -4527,6 +4549,54 @@ object PipelineQueries {
          |SELECT p.id1, p.id2, p.shared, n1.n AS n1, n2.n AS n2
          |FROM pairs p JOIN nf n1 ON p.id1 = n1.doc_id
          |JOIN nf n2 ON p.id2 = n2.doc_id
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "p_image_indexed" -> {
+      val contrib =
+        "(unicode(substr(text, i, 1)) * 2654435761 + (i - 1) * 40503) % 1000"
+      val cellSums = (0 until 72).map(g =>
+        s"sum(CASE WHEN (i - 1) % 72 = $g THEN $contrib ELSE 0 END) AS s$g")
+        .mkString(", ")
+      val cellCoal = (0 until 72).map(g =>
+        s"coalesce(s$g, 0) AS s$g").mkString(", ")
+      val words = (0 until 4).map { w =>
+        val bits = (0 until 16).map { i =>
+          val b = w * 16 + i; val r = b / 8; val c = b % 8
+          s"CASE WHEN s${r * 9 + c} < s${r * 9 + c + 1} " +
+            s"THEN ${1 << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS w$w"
+      }.mkString(", ")
+      val ham = (0 until 4).map(w =>
+        s"bit_count(xor(CAST(a.w$w AS BIGINT), CAST(b2.w$w AS BIGINT)))")
+        .mkString(" + ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i,
+         |    text
+         |  FROM documents),
+         |csums AS (SELECT doc_id, $cellSums FROM pos GROUP BY doc_id),
+         |cells AS (
+         |  SELECT d.doc_id, $cellCoal
+         |  FROM documents d LEFT JOIN csums USING (doc_id)),
+         |hashes AS (SELECT doc_id, $words FROM cells),
+         |chunks AS (
+         |  SELECT doc_id, 0 AS c, w0 AS v FROM hashes UNION ALL
+         |  SELECT doc_id, 1, w1 FROM hashes UNION ALL
+         |  SELECT doc_id, 2, w2 FROM hashes UNION ALL
+         |  SELECT doc_id, 3, w3 FROM hashes),
+         |capped AS (
+         |  SELECT doc_id, c, v FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY c, v) AS n
+         |    FROM chunks WHERE doc_id % 5 <> 0) WHERE n <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS id1, c.doc_id AS id2
+         |  FROM chunks b JOIN capped c ON b.c = c.c AND b.v = c.v
+         |  WHERE b.doc_id % 5 = 0)
+         |SELECT p.id1 AS batch_id, p.id2 AS corpus_id,
+         |  CAST($ham AS INT) AS dist
+         |FROM cand p JOIN hashes a ON p.id1 = a.doc_id
+         |JOIN hashes b2 ON p.id2 = b2.doc_id
+         |WHERE $ham <= 3
          |ORDER BY 1, 2""".stripMargin
     },
     "p_t_close" ->

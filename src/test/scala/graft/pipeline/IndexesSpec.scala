@@ -171,6 +171,76 @@ class IndexesSpec extends SparkSpec {
       rows(Indexes.openWinnowIndex(spark, s"$root/winfull")))
   }
 
+  test("media index probe == imageDupPairs restricted to cross pairs") {
+    val docs = Tables.documents(spark, sf())
+    val media = docs.select(col("doc_id"),
+      Multimodal.packFakeMedia(col("text")).as("media"))
+    val cor = media.filter(col("doc_id") % 2 === 0)
+    val inc = media.filter(col("doc_id") % 2 === 1)
+    Indexes.writeMediaIndex(cor, "doc_id", "media", s"$root/med")
+    val got = Indexes.mediaDupPairsIndexed(inc, "doc_id", "media",
+      Indexes.openMediaIndex(spark, s"$root/med"))
+    // batch authority: imageDupPairs over the union, kept only where
+    // the pair crosses the parity split (no >1000-doc boilerplate
+    // signature in the fixture, so the cap sides coincide)
+    val all = Multimodal.imageDupPairs(media, "doc_id", "media")
+    val want = all.filter(col("id1") % 2 =!= col("id2") % 2)
+      .select(
+        when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+          .as("batch_id"),
+        when(col("id1") % 2 === 1, col("id2")).otherwise(col("id1"))
+          .as("corpus_id"),
+        col("dist"))
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0, "fixture must exercise real candidates")
+    graft.core.Caches.releaseAll(spark)
+  }
+
+  test("media index append == rebuild; audio kernel variant probes") {
+    val docs = Tables.documents(spark, sf())
+    val media = docs.select(col("doc_id"),
+      Multimodal.packFakeMedia(col("text")).as("media"))
+    val base = media.filter(col("doc_id") % 3 === 0)
+    val delta = media.filter(col("doc_id") % 3 === 1)
+    Indexes.writeMediaIndex(base, "doc_id", "media", s"$root/medapp",
+      kernel = "audio")
+    Indexes.appendMediaIndex(delta, "doc_id", "media", s"$root/medapp",
+      kernel = "audio")
+    Indexes.writeMediaIndex(base.union(delta), "doc_id", "media",
+      s"$root/medfull", kernel = "audio")
+    assert(rows(Indexes.openMediaIndex(spark, s"$root/medapp")) ==
+      rows(Indexes.openMediaIndex(spark, s"$root/medfull")))
+    // a probe against the appended artifact sees both halves
+    val probe = media.filter(col("doc_id") % 3 === 2)
+    val got = Indexes.mediaDupPairsIndexed(probe, "doc_id", "media",
+      Indexes.openMediaIndex(spark, s"$root/medapp"), kernel = "audio")
+    assert(got.columns.toSeq ==
+      Seq("batch_id", "corpus_id", "dist"))
+    intercept[IllegalArgumentException] {
+      Indexes.writeMediaIndex(base, "doc_id", "media",
+        s"$root/medbad", kernel = "nope")
+    }
+    graft.core.Caches.releaseAll(spark)
+  }
+
+  test("media probe above the literal-list cap falls back to the " +
+      "semi-join pruning with identical results") {
+    val docs = Tables.documents(spark, sf())
+    val media = docs.select(col("doc_id"),
+      Multimodal.packFakeMedia(col("text")).as("media"))
+    val cor = media.filter(col("doc_id") % 2 === 0)
+    val inc = media.filter(col("doc_id") % 2 === 1)
+    Indexes.writeMediaIndex(cor, "doc_id", "media", s"$root/medg")
+    val idx = Indexes.openMediaIndex(spark, s"$root/medg")
+    val pushed = Indexes.mediaDupPairsIndexed(inc, "doc_id", "media",
+      idx)
+    val joined = Indexes.mediaDupPairsIndexed(inc, "doc_id", "media",
+      idx, maxProbeKeys = 3)
+    assert(rows(pushed) == rows(joined))
+    assert(pushed.count() > 0)
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("winnow probe above the literal-list cap falls back to the " +
       "semi-join pruning with identical results") {
     val docs = Tables.documents(spark, sf())

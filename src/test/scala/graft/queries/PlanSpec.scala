@@ -466,6 +466,30 @@ class PlanSpec extends SparkSpec {
       s"a corpus-side documents scan leaked into the indexed probe:\n$p")
   }
 
+  test("p_image_indexed: pushed key filter, corpus never decoded") {
+    val p = plan("p_image_indexed")
+    assert(p.contains("In(key, ["),
+      s"batch keys must reach the index scan as a pushed filter:\n$p")
+    assert(p.contains("graft_idx_"),
+      s"persisted media index scan expected:\n$p")
+    // the decisive pin: the dHash kernel runs for the BATCH side only
+    // — every documents scan carries the batch filter, and the kernel
+    // appears exactly once outside the cached batch frame
+    val docScans = p.split('\n').filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty && docScans.forall(_.contains("% 5) = 0")),
+      s"a corpus-side documents scan leaked into the indexed probe:\n$p")
+    // the helper splices each cached subplan once more, so the pin is
+    // per-section: the batch signature projection computes the kernel
+    // ONCE (an inferred-filter regression shows 3 in one section)
+    p.split("--- cached ---").foreach(sec =>
+      assert("dhashwords".r.findAllIn(sec.toLowerCase).size <= 1,
+        s"corpus signatures must come from the artifact, and the " +
+          s"batch kernel must run once per row:\n$sec"))
+    assert(p.toLowerCase.contains("dhashwords"),
+      s"the batch side must compute the kernel somewhere:\n$p")
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("p_unigram_train: rounds iterate on the staged words frame") {
     val p = plan("p_unigram_train")
     assert(p.toLowerCase.contains("unigramsegment"),
