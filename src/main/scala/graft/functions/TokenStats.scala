@@ -55,6 +55,23 @@ object TokenStatsNative {
 
   def tokenCounts(text: UTF8String, useICU: Boolean): GenericArrayData =
     countsOf(TextHash.tokensOf(text, useICU), null)
+
+  /** Adjacent-token bigram occurrence counts ("a b" keys, same
+    * tokenization and count shape as [[tokenCounts]]) — the
+    * collocation-mining input. Occurrences, not per-doc presence:
+    * PMI's probabilities are corpus frequencies.
+    */
+  def bigramCounts(text: UTF8String, useICU: Boolean): GenericArrayData = {
+    val toks = TextHash.tokensOf(text, useICU)
+    val n = if (toks.length > 0) toks.length - 1 else 0
+    val bgs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      bgs(i) = toks(i) + " " + toks(i + 1)
+      i += 1
+    }
+    countsOf(bgs, null)
+  }
 }
 
 /** `tokenCounts(text)` as one codegen'd call →
@@ -78,6 +95,30 @@ case class TokenCounts(child: Expression,
 object TokenCounts {
   def apply(text: Column): Column =
     ColumnGlue.column(TokenCounts(ColumnGlue.expression(text)))
+}
+
+/** `bigramCounts(text)` as one codegen'd call →
+  * array<struct<token:string, cnt:long>> of adjacent-token bigram
+  * occurrence counts, first-occurrence order.
+  */
+case class BigramCounts(child: Expression,
+    useICU: Boolean = TextHash.resolveUseICU()) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, false),
+    StructField("cnt", LongType, false))), false)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenStatsNative.bigramCounts($c, $useICU)")
+  override def nullSafeEval(v: Any): Any =
+    TokenStatsNative.bigramCounts(v.asInstanceOf[UTF8String], useICU)
+  override protected def withNewChildInternal(c: Expression): BigramCounts =
+    copy(child = c)
+}
+
+object BigramCounts {
+  def apply(text: Column): Column =
+    ColumnGlue.column(BigramCounts(ColumnGlue.expression(text)))
 }
 
 /** `TokenPostings(text, vocab)` → struct<dl:long,

@@ -1254,4 +1254,59 @@ object TextFns {
 
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
+
+  /** PMI collocation mining (Church & Hanks 1990): the top-k
+    * adjacent-token bigrams ranked by pointwise mutual information —
+    * the vocabulary-curation signal for multi-word terms ("new york",
+    * "machine learning") that single-token statistics miss.
+    *
+    * Ranking is by the exact rational (c_xy·N)/(c_x·c_y) (monotone in
+    * PMI = its log). Both operands stay exact integers; the ONE
+    * IEEE division of two exact int64s is correctly rounded and
+    * therefore bit-identical in any engine — the only float the
+    * operator ever produces (sums would be order-dependent; a single
+    * division is not). Exact to 2^53 ≈ 9·10^15 per operand:
+    * c_xy·N and c_x·c_y both clear that with room at 10^7-token
+    * corpora per aggregation scope; shard the corpus beyond it.
+    *
+    * Shape (100 TB): ONE corpus scan staged with BOTH fused kernels
+    * (unigram + bigram occurrence counts per row); two partial-agg
+    * shuffles off the cache (token, bigram); the joins run on
+    * aggregated vocabulary frames, and `minCount` prunes the bigram
+    * tail before they start.
+    *
+    * @return top-k rows (bigram, c_xy, c_x, c_y, n_uni, pmi_ratio),
+    *         ties broken by bigram for determinism
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    require(k >= 1, "k must be positive")
+    val tok = graft.core.Caches.stage(df.select(
+      graft.functions.TokenCounts(col(textCol)).as("uc"),
+      graft.functions.BigramCounts(col(textCol)).as("bc")))
+    val uni = tok.select(explode(col("uc")).as("t"))
+      .groupBy(col("t.token").as("token"))
+      .agg(sum(col("t.cnt")).as("c"))
+    val total = uni.select(col("c").as("__c2"))
+      .agg(sum(col("__c2")).as("n_uni"))
+    val bi = tok.select(explode(col("bc")).as("t"))
+      .groupBy(col("t.token").as("bigram"))
+      .agg(sum(col("t.cnt")).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bi
+      .withColumn("__x", split(col("bigram"), " ").getItem(0))
+      .withColumn("__y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("token").as("__x"), col("c").as("c_x")),
+        Seq("__x"))
+      .join(uni.select(col("token").as("__y"), col("c").as("c_y")),
+        Seq("__y"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_ratio",
+        (col("c_xy") * col("n_uni")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double"))
+      .orderBy(col("pmi_ratio").desc, col("bigram"))
+      .limit(k)
+      .select("bigram", "c_xy", "c_x", "c_y", "n_uni", "pmi_ratio")
+  }
 }

@@ -65,6 +65,32 @@ object ExtQueries {
       .orderBy("c_custkey")
   }
 
+  /** Ordered-step funnel (operators.Funnel.funnel): how far each user
+    * gets through view → click → purchase within a day of the first
+    * view — earliest-chain semantics, ONE user-key shuffle for all
+    * steps (chained windows share the exchange). The oracle replays
+    * the per-step min chain with sequential CTEs.
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnel(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        windowMinutes = 1440)
+      .orderBy("user_id")
+
+  /** Cohort retention (operators.Funnel.cohortRetention): ISO-week
+    * signup cohorts × weekly activity, distinct users, exact
+    * integers; cohort_size rides along so retention is a ratio of
+    * two replayed counts.
+    */
+  def qCohort(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.cohortRetention(Tables.events(s, d),
+        "user_id", "ts", "week")
+      // DATE as ISO string: Spark DATE arrives as python date objects
+      // where DuckDB's lands as datetime64 — the comparator would
+      // canon them differently
+      .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+      .orderBy("cohort", "week_offset")
+
   /** ROLLUP aggregation (free via Catalyst once plans are declarative). */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -258,9 +284,58 @@ object ExtQueries {
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_scd2" -> (qScd2 _),
-    "q_cdc" -> (qCdc _))
+    "q_cdc" -> (qCdc _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort" -> (qCohort _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0
+        |    AND epoch_us(e.ts) - epoch_us(s0.t0) <= 86400000000
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s0.t0) <= 86400000000
+        |  GROUP BY 1)
+        |SELECT u.user_id,
+        |  (CASE WHEN s0.t0 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS steps_reached,
+        |  s0.t0 AS t0, s1.t1 AS t1, s2.t2 AS t2
+        |FROM u LEFT JOIN s0 ON u.user_id = s0.user_id
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+        |    AS cohort
+        |  FROM events GROUP BY 1),
+        |cell AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(date_diff('day', f.cohort,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+        |      AS week_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id),
+        |agg AS (
+        |  SELECT cohort, week_offset, count(*) AS n_active
+        |  FROM cell GROUP BY 1, 2)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_offset,
+        |  n_active,
+        |  max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort) AS cohort_size
+        |FROM agg ORDER BY 1, 2""".stripMargin,
     "q_cdc" ->
       """WITH ch AS (
         |  SELECT CASE WHEN o_orderkey % 10 = 0

@@ -1760,6 +1760,15 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  /** PMI collocations (TextFns.collocations): top-50 adjacent-token
+    * bigrams by pointwise mutual information over the corpus — exact
+    * integer counts, one IEEE division as the ranking key (bit-
+    * identical across engines; see the operator's float contract).
+    */
+  def pPmi(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TextFns.collocations(
+      Tables.documents(s, d), "text", minCount = 5, k = 50)
+
   /** Persisted media-fingerprint index (Indexes.writeMediaIndex →
     * mediaDupPairsIndexed): image near-dup probing where only the
     * batch runs the dHash kernel — the corpus side is the prebuilt
@@ -1969,7 +1978,8 @@ object PipelineQueries {
     "p_hash_embed" -> (pHashEmbed _),
     "p_video_dedup" -> (pVideoDedup _),
     "p_t_close" -> (pTClose _),
-    "p_image_indexed" -> (pImageIndexed _))
+    "p_image_indexed" -> (pImageIndexed _),
+    "p_pmi" -> (pPmi _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -4551,6 +4561,28 @@ object PipelineQueries {
          |JOIN nf n2 ON p.id2 = n2.doc_id
          |ORDER BY 1, 2""".stripMargin
     },
+    "p_pmi" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |uni AS (
+         |  SELECT u.tk AS token, count(*) AS c FROM (
+         |    SELECT unnest(t) AS tk FROM toks) u GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |  FROM toks),
+         |bi AS (
+         |  SELECT bigram, count(*) AS c_xy FROM bg
+         |  GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT bi.bigram, bi.c_xy, ux.c AS c_x, uy.c AS c_y,
+         |  n.n_uni,
+         |  CAST(bi.c_xy * n.n_uni AS DOUBLE)
+         |    / CAST(ux.c * uy.c AS DOUBLE) AS pmi_ratio
+         |FROM bi
+         |JOIN uni ux ON split_part(bi.bigram, ' ', 1) = ux.token
+         |JOIN uni uy ON split_part(bi.bigram, ' ', 2) = uy.token
+         |CROSS JOIN n
+         |ORDER BY pmi_ratio DESC, bi.bigram LIMIT 50""".stripMargin,
     "p_image_indexed" -> {
       val contrib =
         "(unicode(substr(text, i, 1)) * 2654435761 + (i - 1) * 40503) % 1000"

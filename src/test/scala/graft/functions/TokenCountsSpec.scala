@@ -54,4 +54,54 @@ class TokenCountsSpec extends SparkSpec {
     assert(rows(1).getSeq[Any](0).isEmpty)
     assert(rows(2).isNullAt(0))
   }
+
+  test("bigram counts == adjacent pairs of the Column-form tokens") {
+    val doc = Tables.documents(spark, sf("sf0.01"))
+      .select(col("doc_id").as("rid"), col("text"))
+      .union(edgeDf)
+    val native = doc.select(col("rid"),
+        explode(BigramCounts(col("text"))).as("tc"))
+      .select(col("rid"), col("tc.token").as("bg"),
+        col("tc.cnt").as("cnt"))
+    // column-form reference: zip the token array with its own tail
+    val toks = Dedup.tokens(col("text"))
+    val columnForm = doc.select(col("rid"), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("rid", "bg").agg(count(lit(1)).as("cnt"))
+    assert(native.exceptAll(columnForm).count() == 0)
+    assert(columnForm.exceptAll(native).count() == 0)
+  }
+
+  test("bigrams: single-token and empty texts yield empty; null null") {
+    import spark.implicits._
+    val df = Seq(Some("solo"), Some(""), Some("a b a b"),
+      Option.empty[String]).toDF("text")
+    val rows = df.select(BigramCounts(col("text")).as("bc")).collect()
+    assert(rows(0).getSeq[Any](0).isEmpty)
+    assert(rows(1).getSeq[Any](0).isEmpty)
+    val abab = rows(2).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(abab == Seq(("a b", 2L), ("b a", 1L)))
+    assert(rows(3).isNullAt(0))
+  }
+
+  test("collocations: planted bigram outranks independent pairs") {
+    import spark.implicits._
+    // "new york" always adjacent; "the" pairs with everything
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"the city of new york is the city number $i and " +
+        "the people of new york like the city"))
+      .toDF("doc_id", "text")
+    val top = graft.pipeline.TextFns.collocations(docs, "text",
+        minCount = 5, k = 10)
+      .collect().map(_.getString(0))
+    assert(top.contains("new york"))
+    val nyRank = top.indexOf("new york")
+    val theCity = top.indexOf("the city")
+    assert(theCity == -1 || nyRank < theCity,
+      "PMI must rank the exclusive pair above the promiscuous one")
+    graft.core.Caches.releaseAll(spark)
+  }
 }
