@@ -257,6 +257,13 @@ object GraftExtensions {
         arity("graft_audio_fp", args, 1)
         graft.functions.AudioFpWords(args.head)
       }),
+    ("graft_bigram_counts",
+      "graft_bigram_counts(text) - adjacent-token bigram occurrence " +
+        "counts as array<struct<token,cnt>>",
+      (args: Seq[Expression]) => {
+        arity("graft_bigram_counts", args, 1)
+        graft.functions.BigramCounts(args.head)
+      }),
     ("graft_video_fp",
       "graft_video_fp(payload, frame_len) - per-frame perceptual " +
         "fingerprints as array<struct<f,hi,lo>>",

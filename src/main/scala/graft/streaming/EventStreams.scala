@@ -138,6 +138,82 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp,
+    etype: String)
+  final case class FunnelBuf(buf: List[(Int, Long)])
+  final case class FunnelOut(user_id: Long, steps_reached: Int,
+    t0: Timestamp)
+
+  /** Streaming twin of [[graft.operators.Funnel.funnel]]: per-user
+    * step-typed events buffer in state until the event-time watermark
+    * passes t0 + window (or one window past the latest buffered event
+    * while step 1 hasn't arrived), then the SAME earliest-chain
+    * verdict the batch operator computes emits once and the state
+    * clears. Buffering (rather than incremental chain state) is what
+    * makes the verdict exact under out-of-order arrival: a late
+    * earlier `view` re-anchors t0, which invalidates every later
+    * chain decision — only the buffered replay gets that right. State
+    * is bounded by one window of STEP-TYPED events per user (the
+    * non-step firehose is filtered before grouping).
+    *
+    * Contract: emits one verdict per user with ≥ 1 step-typed event
+    * (the batch operator also rows users who never hit any step —
+    * a streaming no-data verdict would need a trigger, not an event).
+    * Chain arithmetic runs in epoch micros, mirroring the batch
+    * operator's unix_micros comparisons.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+      windowMs: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "need at least one funnel step")
+    val idx = steps.zipWithIndex.toMap
+    val windowUs = windowMs * 1000L
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def verdict(buf: List[(Int, Long)]): (Int, Option[Long]) = {
+      val byStep = buf.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).sorted }
+      val t0 = byStep.get(0).map(_.head)
+      var prev = t0
+      var reached = if (t0.isDefined) 1 else 0
+      var i = 1
+      while (i < steps.length && prev.isDefined) {
+        prev = byStep.get(i).flatMap(
+          _.find(t => t > prev.get && t - t0.get <= windowUs))
+        if (prev.isDefined) reached += 1
+        i += 1
+      }
+      (reached, t0)
+    }
+    def update(userId: Long, it: Iterator[FunnelEvent],
+        state: GroupState[FunnelBuf]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val (reached, t0) = verdict(state.get.buf)
+        state.remove()
+        Iterator.single(FunnelOut(userId, reached,
+          t0.map(u => new Timestamp(u / 1000L)).orNull))
+      } else {
+        val buf = state.getOption.map(_.buf).getOrElse(Nil) ++
+          it.map(e => (idx(e.etype), us(e.ts)))
+        state.update(FunnelBuf(buf))
+        val t0 = buf.filter(_._1 == 0).map(_._2).minOption
+        val horizonUs =
+          t0.getOrElse(buf.map(_._2).max) + windowUs
+        // ceil to ms and stay strictly above the current watermark
+        // (setTimeoutTimestamp rejects past timestamps)
+        state.setTimeoutTimestamp(math.max(
+          (horizonUs + 999L) / 1000L, state.getCurrentWatermarkMs + 1L))
+        Iterator.empty
+      }
+    }
+    events.filter(col("etype").isin(steps: _*))
+      .as[FunnelEvent]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   /** Stream-stream event-time interval join (the click↔impression
     * shape): both sides watermarked and the join condition bounds the
     * event-time distance, so join state on BOTH sides is bounded and

@@ -103,6 +103,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Int](1).forall(w => w >= 0 && w < 65536))
   }
 
+  test("graft_bigram_counts matches the kernel through SQL") {
+    val viaSql = spark.sql(
+      "SELECT graft_bigram_counts('a b a b c') AS bc").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql == Seq(("a b", 2L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("graft_video_fp matches the kernel through SQL") {
     val payload = ("scene one text " * 12).trim // > 1 frame at 128
     val viaSql = spark.sql(

@@ -33,6 +33,56 @@ class SessionSpec extends SparkSpec {
       rows(0).sum_value == 3.0)
   }
 
+  test("funnel stream == batch verdicts under out-of-order arrival") {
+    implicit val ctx = spark.sqlContext
+    import EventStreams.{FunnelEvent, FunnelOut}
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[FunnelEvent]
+    // batch 1: user 1's click arrives BEFORE its view; user 2 has a
+    // purchase with no click (chain must stop at 1)
+    input.addData(
+      FunnelEvent(1L, t("2026-01-01 10:30:00"), "click"),
+      FunnelEvent(2L, t("2026-01-01 10:00:00"), "view"),
+      FunnelEvent(2L, t("2026-01-01 10:20:00"), "purchase"))
+    // batch 2: the late earlier view re-anchors user 1's t0 — only a
+    // buffered replay gets the chain right; user 3 never hits a step
+    input.addData(
+      FunnelEvent(1L, t("2026-01-01 10:00:00"), "view"),
+      FunnelEvent(1L, t("2026-01-01 11:00:00"), "purchase"),
+      FunnelEvent(3L, t("2026-01-01 10:00:00"), "error"))
+    // watermark pusher: a far-future event closes users 1 and 2
+    input.addData(
+      FunnelEvent(99L, t("2026-01-02 12:00:00"), "view"))
+    val q = EventStreams.funnelStream(input.toDS(), steps,
+        windowMs = 2 * 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("funnelout")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnelout").as[FunnelOut].collect()
+      .map(o => o.user_id -> ((o.steps_reached, Option(o.t0)))).toMap
+    // batch authority over the union of batches, windowMinutes = 120
+    val all = Seq(
+      (1L, "click", t("2026-01-01 10:30:00")),
+      (2L, "view", t("2026-01-01 10:00:00")),
+      (2L, "purchase", t("2026-01-01 10:20:00")),
+      (1L, "view", t("2026-01-01 10:00:00")),
+      (1L, "purchase", t("2026-01-01 11:00:00")),
+      (3L, "error", t("2026-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val want = graft.operators.Funnel.funnel(all, "user_id",
+        "event_type", "ts", steps, windowMinutes = 120)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.getTimestamp(2))))).toMap
+    assert(got.contains(1L) && got.contains(2L),
+      s"closed users must emit; got $got")
+    assert(got(1L) == want(1L) && got(1L)._1 == 3)
+    assert(got(2L) == want(2L) && got(2L)._1 == 1)
+    assert(!got.contains(3L),
+      "users with no step-typed event emit nothing (contract)")
+    assert(!got.contains(99L), "open funnel must not emit")
+  }
+
   test("salted join matches plain join results") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot
