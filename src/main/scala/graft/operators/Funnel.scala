@@ -87,17 +87,20 @@ object Funnel {
         s"unsupported cohort bucket '$other' (want week or day; " +
           "months are variable-length, use week)")
     }
+    // the offset column is named for its unit ("week_offset" /
+    // "day_offset") so a day-bucketed frame can't be misread as weeks
+    val offName = s"${bucket.toLowerCase}_offset"
     val w = Window.partitionBy(userCol)
     val cohort = to_date(date_trunc(bucket, min(col(tsCol)).over(w)))
     val active = to_date(date_trunc(bucket, col(tsCol)))
     val perCell = events
       .select(col(userCol).as("__u"), cohort.as("cohort"),
-        (datediff(active, cohort) / daysPer).cast("long").as("week_offset"))
+        (datediff(active, cohort) / daysPer).cast("long").as(offName))
       .distinct()
-      .groupBy("cohort", "week_offset")
+      .groupBy("cohort", offName)
       .agg(count(lit(1)).as("n_active"))
     perCell.withColumn("cohort_size",
-      max(when(col("week_offset") === 0, col("n_active")))
+      max(when(col(offName) === 0, col("n_active")))
         .over(Window.partitionBy("cohort")))
   }
 }

@@ -153,19 +153,31 @@ object EventStreams {
     * makes the verdict exact under out-of-order arrival: a late
     * earlier `view` re-anchors t0, which invalidates every later
     * chain decision — only the buffered replay gets that right. State
-    * is bounded by one window of STEP-TYPED events per user (the
-    * non-step firehose is filtered before grouping).
+    * is bounded per user: once step 1 anchors, only the anchor and
+    * events inside its window survive the per-batch prune (one window
+    * of step-typed events); before it anchors, only events a future
+    * anchor could still admit survive (the watermark horizon) and the
+    * verdict waits until the user goes quiet for a window. The
+    * non-step firehose is filtered before grouping.
     *
     * Contract: emits one verdict per user with ≥ 1 step-typed event
     * (the batch operator also rows users who never hit any step —
     * a streaming no-data verdict would need a trigger, not an event).
     * Chain arithmetic runs in epoch micros, mirroring the batch
-    * operator's unix_micros comparisons.
+    * operator's unix_micros comparisons. A step event arriving AFTER
+    * the user's verdict emitted (past the window but above the
+    * watermark) starts a FRESH funnel and can emit a second verdict
+    * row — the bounded-state trade: a tombstone per closed user would
+    * grow with distinct users forever. Batch over the same union
+    * anchors on the global earliest step-1 event instead; consumers
+    * reconcile by taking the first verdict per user.
     */
   def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
-      windowMs: Long): Dataset[FunnelOut] = {
+      windowMs: Long, watermark: String = "1 hour"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct event types")
     val idx = steps.zipWithIndex.toMap
     val windowUs = windowMs * 1000L
     def us(t: Timestamp): Long =
@@ -185,20 +197,38 @@ object EventStreams {
       }
       (reached, t0)
     }
+    def tsOf(u: Long): Timestamp = {
+      val t = new Timestamp(u / 1000L)
+      t.setNanos((u % 1000000L * 1000L).toInt)
+      t
+    }
     def update(userId: Long, it: Iterator[FunnelEvent],
         state: GroupState[FunnelBuf]): Iterator[FunnelOut] = {
       if (state.hasTimedOut) {
         val (reached, t0) = verdict(state.get.buf)
         state.remove()
         Iterator.single(FunnelOut(userId, reached,
-          t0.map(u => new Timestamp(u / 1000L)).orNull))
+          t0.map(tsOf).orNull))
       } else {
-        val buf = state.getOption.map(_.buf).getOrElse(Nil) ++
+        val merged = state.getOption.map(_.buf).getOrElse(Nil) ++
           it.map(e => (idx(e.etype), us(e.ts)))
+        val t0 = merged.filter(_._1 == 0).map(_._2).minOption
+        // bound the buffer: with an anchor, only the anchor itself and
+        // events inside its window can affect the verdict; without
+        // one, only events a FUTURE anchor could still admit survive
+        // (a future step-1 event lies above the watermark, and chain
+        // members must be strictly after it)
+        val wmUs = state.getCurrentWatermarkMs * 1000L
+        val buf = t0 match {
+          case Some(a) => merged.filter(e =>
+            (e._1 == 0 && e._2 == a) ||
+              (e._2 > a && e._2 - a <= windowUs))
+          case None => merged.filter(_._2 > wmUs)
+        }
         state.update(FunnelBuf(buf))
-        val t0 = buf.filter(_._1 == 0).map(_._2).minOption
         val horizonUs =
-          t0.getOrElse(buf.map(_._2).max) + windowUs
+          t0.getOrElse(buf.map(_._2).maxOption.getOrElse(wmUs)) +
+            windowUs
         // ceil to ms and stay strictly above the current watermark
         // (setTimeoutTimestamp rejects past timestamps)
         state.setTimeoutTimestamp(math.max(
@@ -208,7 +238,7 @@ object EventStreams {
     }
     events.filter(col("etype").isin(steps: _*))
       .as[FunnelEvent]
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)

@@ -86,5 +86,10 @@ class FunnelSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Funnel.cohortRetention(ev, "user_id", "ts", "month")
     }
+    // a day-bucketed frame names its offset for its unit
+    val dayCols = Funnel.cohortRetention(ev, "user_id", "ts", "day")
+      .columns.toSeq
+    assert(dayCols ==
+      Seq("cohort", "day_offset", "n_active", "cohort_size"))
   }
 }

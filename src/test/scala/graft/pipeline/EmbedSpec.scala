@@ -32,14 +32,20 @@ class EmbedSpec extends SparkSpec {
   }
 
   test("dense form carries the sparse components with zeros " +
-      "elsewhere") {
+      "elsewhere; zero-token docs keep a (zero) row") {
+    import spark.implicits._
     val doc = Tables.documents(spark, sf()).limit(50)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((999999L, ""), (999998L, "?!.,")).toDF("doc_id", "text"))
     val sparse = Embed.hashedDocVector(doc, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
       .toMap
     val dense = Embed.hashedDocVectorDense(doc, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(dense.nonEmpty)
+    assert(dense.size == 52, "every document gets a dense row")
+    assert(dense(999999L).forall(_ == 0L) &&
+      dense(999998L).forall(_ == 0L),
+      "zero-token documents embed as the zero vector, not a missing row")
     dense.foreach { case (id, vec) =>
       assert(vec.length == 64)
       vec.zipWithIndex.foreach { case (v, b) =>

@@ -42,7 +42,8 @@ class SessionSpec extends SparkSpec {
     // purchase with no click (chain must stop at 1)
     input.addData(
       FunnelEvent(1L, t("2026-01-01 10:30:00"), "click"),
-      FunnelEvent(2L, t("2026-01-01 10:00:00"), "view"),
+      // microsecond component: the emitted t0 must carry it exactly
+      FunnelEvent(2L, t("2026-01-01 10:00:00.000123"), "view"),
       FunnelEvent(2L, t("2026-01-01 10:20:00"), "purchase"))
     // batch 2: the late earlier view re-anchors user 1's t0 — only a
     // buffered replay gets the chain right; user 3 never hits a step
@@ -63,7 +64,7 @@ class SessionSpec extends SparkSpec {
     // batch authority over the union of batches, windowMinutes = 120
     val all = Seq(
       (1L, "click", t("2026-01-01 10:30:00")),
-      (2L, "view", t("2026-01-01 10:00:00")),
+      (2L, "view", t("2026-01-01 10:00:00.000123")),
       (2L, "purchase", t("2026-01-01 10:20:00")),
       (1L, "view", t("2026-01-01 10:00:00")),
       (1L, "purchase", t("2026-01-01 11:00:00")),
