@@ -91,6 +91,24 @@ object ExtQueries {
       .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
       .orderBy("cohort", "week_offset")
 
+  /** PIVOT: order value by status × priority as a wide frame. The
+    * value list is explicit (the scalable form — an implicit pivot
+    * collects the domain to the driver first); sums ride DECIMAL so
+    * both engines agree bit-for-bit.
+    */
+  def qPivot(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val out = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", prios)
+      .agg(Tables.dsum(col("o_totalprice"), 2))
+    prios.zipWithIndex.foldLeft(out) { case (df, (p, i)) =>
+        df.withColumnRenamed(p, s"p${i + 1}")
+      }
+      .orderBy("status")
+  }
+
   /** ROLLUP aggregation (free via Catalyst once plans are declarative). */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -286,9 +304,21 @@ object ExtQueries {
     "q_scd2" -> (qScd2 _),
     "q_cdc" -> (qCdc _),
     "q_funnel" -> (qFunnel _),
-    "q_cohort" -> (qCohort _))
+    "q_cohort" -> (qCohort _),
+    "q_pivot" -> (qPivot _))
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" -> {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val cols = prios.zipWithIndex.map { case (p, i) =>
+        s"CAST(sum(CASE WHEN o_orderpriority = '$p' THEN " +
+          s"CAST(o_totalprice AS DECIMAL(38, 2)) END) AS DOUBLE) " +
+          s"AS p${i + 1}"
+      }.mkString(", ")
+      s"""SELECT o_orderstatus AS status, $cols
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |s0 AS (
