@@ -154,7 +154,11 @@ object Decontam {
       n: Int = 3, mBits: Int = 1 << 20, nHashes: Int = 4,
       nShards: Int = 1): Unit =
     SeenSet.write(
-      eval.select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      // the NATIVE shingle kernel (spec-pinned == Dedup.shingles): the
+      // HOF Column form's transform/slice lambdas run interpreted and
+      // dominated this operator's cost at sf0.1 (~6 s of an 8 s gate)
+      eval.select(explode(
+          graft.functions.Shingles(col(textCol), n)).as("g"))
         .distinct(),
       "g", path, mBits, nHashes, nShards)
 
@@ -171,7 +175,7 @@ object Decontam {
   def suspiciousGrams(train: DataFrame, idCol: String,
       textCol: String, seen: DataFrame, n: Int = 3): DataFrame = {
     val g = train.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingles(col(textCol), n)).as("g"))
+      explode(graft.functions.Shingles(col(textCol), n)).as("g"))
     SeenSet.probe(g, "g", seen)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

@@ -116,7 +116,8 @@ object Dedup {
     // every band expression of the explode (b× recompute)
     val sig = spread(df.select(col(idCol).as("id"),
         col(textCol).as("__t")))
-      .select(col("id"), minhashSignature(shingles(col("__t"), n), k)
+      .select(col("id"), minhashSignature(
+          graft.functions.Shingles(col("__t"), n), k)
         .as("sig"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val bucketed = sig
@@ -151,7 +152,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sh = spread(df.select(col(idCol).as("id"),
         col(textCol).as("__t")))
-      .select(col("id"), shingles(col("__t"), n).as("sh"))
+      .select(col("id"),
+        graft.functions.Shingles(col("__t"), n).as("sh"))
     val cands = minhashCandidates(df, idCol, textCol, n, k, b)
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id1", "sh" -> "sh1")), "id1")
