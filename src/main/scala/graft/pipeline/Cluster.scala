@@ -153,9 +153,13 @@ object Cluster {
   def kcenterGreedy(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64): (DataFrame, Seq[(Long, Array[Double])]) = {
     require(k >= 1, s"need k >= 1, got $k")
-    val v = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && size(col("v")) >= dim)
+    // staged: k−1 sequential argmax passes + the final assignment all
+    // scan this frame (the kmeans/unigram-train round pattern —
+    // without it every greedy step re-reads the input source)
+    val v = graft.core.Caches.stage(
+      df.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull && size(col("v")) >= dim))
     val sqNormCol: Column = (0 until dim)
       .map(i => element_at(col("v"), i + 1) * element_at(col("v"), i + 1))
       .reduceLeft(_ + _)
