@@ -486,6 +486,27 @@ object EventStreams {
         vectors, qId, cId, vecCol, k, shortlist, dim), id)
     }
 
+  /** Streaming media-ingest probe against a persisted
+    * [[graft.pipeline.Indexes.writeMediaIndex]] artifact: each
+    * micro-batch of media rows decodes/hashes ONLY itself and probes
+    * the corpus index for perceptual near-dups (the image-ingest
+    * dedup loop). foreachBatch for the same reason as
+    * [[annProbeStream]]: the probe's pushed-key pruning and per-pair
+    * popcount verify are batch-shaped, and a probe carries no
+    * cross-batch state — the artifact is the state. Batch authority:
+    * `Indexes.mediaDupPairsIndexed` itself.
+    */
+  def mediaProbeStream(media: DataFrame, batchId: String,
+      mediaCol: String, index: DataFrame, kernel: String = "dhash",
+      maxHamming: Int = 3)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.pipeline.Indexes.mediaDupPairsIndexed(batch, batchId,
+        mediaCol, index, kernel, maxHamming), id)
+    }
+
   /** Crawl-frontier novelty on a stream: probe each arriving key
     * against a PERSISTED Bloom seen-set
     * ([[graft.pipeline.SeenSet]]) and keep only rows the filter

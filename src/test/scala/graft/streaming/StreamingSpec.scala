@@ -500,6 +500,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 18)
   }
 
+  test("streaming media probe against the persisted index == batch " +
+      "probe") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf())
+    val media = docs.select(col("doc_id"),
+      graft.pipeline.Multimodal.packFakeMedia(col("text")).as("media"))
+    val path = "/tmp/graft_idx_spec_stream/media"
+    graft.pipeline.Indexes.writeMediaIndex(
+      media.filter(col("doc_id") % 2 === 0), "doc_id", "media", path)
+    val idx = graft.pipeline.Indexes.openMediaIndex(spark, path)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = EventStreams.mediaProbeStream(
+      input.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.pipeline.Multimodal.packFakeMedia(col("text"))
+            .as("media")),
+      "doc_id", "media", idx) {
+      (pairs, _) => got ++= pairs.collect().map(_.toString)
+    }
+    val half = inc.length / 2
+    input.addData(inc.take(half).toSeq)
+    val q = writer.start()
+    q.processAllAvailable()
+    input.addData(inc.drop(half).toSeq)
+    q.processAllAvailable(); q.stop()
+    // union of per-batch probes == one batch probe (stateless: the
+    // artifact is the state, probes are row-independent)
+    val want = graft.pipeline.Indexes.mediaDupPairsIndexed(
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "media", idx)
+      .collect().map(_.toString)
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.nonEmpty, "fixture must produce cross-parity pairs")
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("streaming dedup drops duplicates within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GEvent]
