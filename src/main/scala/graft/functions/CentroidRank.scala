@@ -95,12 +95,68 @@ object KmeansAssign {
       cents.flatten, nrms, cents.head.length))
 }
 
+/** All `k` centroid dot products in id order (`array<double>`): the
+  * query-side bias table of residual IVF-PQ — under the inner-product
+  * metric, <q, x> decomposes as <q, centroid> + <q, residual>, so a
+  * probe needs this per-list bias next to its shared residual LUT.
+  * Same baked centroid matrix as [[CentroidRank]].
+  */
+case class CentroidDots(child: Expression, k: Int, dim: Int,
+    seed: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  private val cents: Array[Array[Double]] =
+    graft.pipeline.Ann.centroids(k, dim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidsD", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      s"""
+        |${ev.value} = graft.functions.CentroidRank.dots($vec, $m);
+        |""".stripMargin
+    })
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidRank.dots(v.asInstanceOf[ArrayData], cents)
+
+  override protected def withNewChildInternal(c: Expression)
+      : CentroidDots = copy(c)
+}
+
+object CentroidDots {
+  def apply(vec: Column, k: Int, dim: Int, seed: Int): Column =
+    ColumnGlue.column(CentroidDots(
+      ColumnGlue.expression(vec.cast("array<double>")), k, dim, seed))
+}
+
 object CentroidRank {
   def apply(vec: Column, k: Int, dim: Int, seed: Int,
       top: Int): Column =
     ColumnGlue.column(CentroidRank(
       ColumnGlue.expression(vec.cast("array<double>")),
       k, dim, seed, top))
+
+  /** Dot products against every centroid, accumulated in index order
+    * (the oracle's list_sum fold).
+    */
+  def dots(vec: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val k = cents.length
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      val w = cents(c)
+      val n = math.min(vec.numElements(), w.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += vec.getDouble(j) * w(j); j += 1 }
+      out(c) = d
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Argmin of |c|² − 2·v·c over flat row-major centroids; ties keep
     * the smaller id (strict less-than). Dot products accumulate in

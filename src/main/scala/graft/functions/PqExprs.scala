@@ -282,3 +282,226 @@ object PqDecode {
     new GenericArrayData(out)
   }
 }
+
+/** Residual IVF-PQ corpus encoding (Jégou et al. 2011 §IV, the FAISS
+  * IVFPQ layout): assign the coarse centroid by descending dot
+  * ([[CentroidRank]]'s top-1 rule — exact ties toward the larger id),
+  * then product-quantize the RESIDUAL vec − centroid with the shared
+  * codebooks. Returns struct<cent:int, codes:array<int>> from ONE
+  * fused call per row. Residuals are the point of IVF-PQ: within a
+  * list, vectors cluster around the centroid, so the codebooks spend
+  * their 2^bits on a much smaller ball than the raw space — the
+  * recall-per-byte gain the non-residual form leaves on the table.
+  *
+  * Query-time decomposition (inner-product metric):
+  *   <q, x> ≈ <q, centroid_cent> + Σ_s lut[s·ks + codes_s]
+  * — the SAME raw-query LUT ([[PqLut]]) serves every probed list
+  * because the residual codebooks are shared; the per-list bias
+  * <q, centroid> comes from [[CentroidDots]].
+  */
+case class ResidualPqCodes(child: Expression,
+    cents: Array[Array[Double]], books: Array[Double],
+    nrms: Array[Double], m: Int, ks: Int, subDim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cent", IntegerType, false),
+    StructField("codes", ArrayType(IntegerType, false), false)))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ce = ctx.addReferenceObj("rpqCents", cents, "double[][]")
+    val b = ctx.addReferenceObj("rpqBooks", books, "double[]")
+    val nr = ctx.addReferenceObj("rpqNrms", nrms, "double[]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      s"""
+        |${ev.value} = graft.functions.ResidualPqCodes.encode(
+        |  $vec, $ce, $b, $nr, $m, $ks, $subDim);
+        |""".stripMargin
+    })
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ResidualPqCodes.encode(v.asInstanceOf[ArrayData], cents, books,
+      nrms, m, ks, subDim)
+
+  override protected def withNewChildInternal(c: Expression)
+      : ResidualPqCodes = copy(c)
+
+  override def equals(o: Any): Boolean = o match {
+    case p: ResidualPqCodes =>
+      p.child == child && p.m == m && p.ks == ks &&
+        p.subDim == subDim &&
+        java.util.Arrays.deepEquals(
+          p.cents.asInstanceOf[Array[AnyRef]],
+          cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(p.books, books) &&
+        java.util.Arrays.equals(p.nrms, nrms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m),
+      Integer.valueOf(ks),
+      Integer.valueOf(java.util.Arrays.hashCode(books)))
+}
+
+object ResidualPqCodes {
+  def apply(vec: Column, nCentroids: Int, dim: Int, centSeed: Int,
+      books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val ks = books.head.length
+    val subDim = books.head.head.length
+    val flat = new Array[Double](m * ks * subDim)
+    val nrms = new Array[Double](m * ks)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ks) {
+        val w = books(s)(c)
+        var n = 0.0d
+        var j = 0
+        while (j < subDim) {
+          flat(s * ks * subDim + c * subDim + j) = w(j)
+          n += w(j) * w(j)
+          j += 1
+        }
+        nrms(s * ks + c) = n
+        c += 1
+      }
+      s += 1
+    }
+    ColumnGlue.column(ResidualPqCodes(
+      ColumnGlue.expression(vec.cast("array<double>")),
+      graft.pipeline.Ann.centroids(nCentroids, dim, centSeed),
+      flat, nrms, m, ks, subDim))
+  }
+
+  /** Shared by interpreted eval and generated code. The assignment
+    * replays [[CentroidRank.compute]]'s top-1 (desc dot, ties to the
+    * larger id); the residual covers the full centroid length with
+    * missing vector components as 0 — mirroring PqCodes' have-guard.
+    */
+  def encode(vec: ArrayData, cents: Array[Array[Double]],
+      books: Array[Double], nrms: Array[Double], m: Int, ks: Int,
+      subDim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cents.length
+    val have = vec.numElements()
+    var best = 0
+    var bestD = 0.0d
+    var c = 0
+    while (c < k) {
+      val w = cents(c)
+      val n = math.min(have, w.length)
+      var d = 0.0d
+      var j = 0
+      while (j < n) { d += vec.getDouble(j) * w(j); j += 1 }
+      if (c == 0 || d >= bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val cw = cents(best)
+    val dim = cw.length
+    val r = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      r(j) = (if (j < have) vec.getDouble(j) else 0.0d) - cw(j)
+      j += 1
+    }
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var bc = 0
+      var bd = 0.0d
+      var ci = 0
+      while (ci < ks) {
+        var dot = 0.0d
+        var jj = 0
+        val boff = s * ks * subDim + ci * subDim
+        while (jj < subDim && off + jj < dim) {
+          dot += r(off + jj) * books(boff + jj)
+          jj += 1
+        }
+        val d = nrms(s * ks + ci) - 2.0d * dot
+        if (ci == 0 || d < bd) { bd = d; bc = ci }
+        ci += 1
+      }
+      codes(s) = bc
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best,
+      new GenericArrayData(codes))
+  }
+}
+
+/** The residual vector vec − centroid (same top-1 assignment rule as
+  * [[ResidualPqCodes]]), for training residual codebooks — one fused
+  * pass, `array<double>` out. Missing vector components count as 0,
+  * mirroring ResidualPqCodes' have-guard.
+  */
+case class ResidualVec(child: Expression,
+    cents: Array[Array[Double]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, false)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ce = ctx.addReferenceObj("rvCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      s"""
+        |${ev.value} = graft.functions.ResidualVec.compute($vec, $ce);
+        |""".stripMargin
+    })
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ResidualVec.compute(v.asInstanceOf[ArrayData], cents)
+
+  override protected def withNewChildInternal(c: Expression)
+      : ResidualVec = copy(c)
+
+  override def equals(o: Any): Boolean = o match {
+    case p: ResidualVec =>
+      p.child == child && java.util.Arrays.deepEquals(
+        p.cents.asInstanceOf[Array[AnyRef]],
+        cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(cents.length))
+}
+
+object ResidualVec {
+  def apply(vec: Column, nCentroids: Int, dim: Int,
+      centSeed: Int): Column =
+    ColumnGlue.column(ResidualVec(
+      ColumnGlue.expression(vec.cast("array<double>")),
+      graft.pipeline.Ann.centroids(nCentroids, dim, centSeed)))
+
+  def compute(vec: ArrayData,
+      cents: Array[Array[Double]]): ArrayData = {
+    val k = cents.length
+    val have = vec.numElements()
+    var best = 0
+    var bestD = 0.0d
+    var c = 0
+    while (c < k) {
+      val w = cents(c)
+      val n = math.min(have, w.length)
+      var d = 0.0d
+      var j = 0
+      while (j < n) { d += vec.getDouble(j) * w(j); j += 1 }
+      if (c == 0 || d >= bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val cw = cents(best)
+    val dim = cw.length
+    val r = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      r(j) = (if (j < have) vec.getDouble(j) else 0.0d) - cw(j)
+      j += 1
+    }
+    ArrayData.toArrayData(r)
+  }
+}

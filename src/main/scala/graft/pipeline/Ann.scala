@@ -303,6 +303,71 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Residual IVF-PQ (Jégou et al. 2011 §IV — the FAISS IVFPQ
+    * layout): like [[ivfPqTopK]] but the codes quantize the RESIDUAL
+    * vec − centroid, spending the codebooks' 2^bits on the within-list
+    * ball instead of the whole space — the recall-per-byte gain the
+    * raw-coding form leaves on the table (measured in-engine with
+    * [[Retrieval.rankMetrics]]; see the spec). The corpus side is
+    * still ONE scan emitting (id, list id, m codes); under the
+    * inner-product metric the score decomposes as <q, centroid> +
+    * ADC(residual codes) with the SAME raw-query LUT for every list,
+    * so the probe join ships one extra double (the per-list bias from
+    * [[graft.functions.CentroidDots]]), nothing per-candidate.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]],
+      nCentroids: Int, nprobe: Int,
+      dim: Int, seed: Int): DataFrame = {
+    val m = books.length
+    val ks = books.head.length
+    val q = queries.select(col(qId).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"),
+        explode(probeCentroids(col("qv"), nprobe, nCentroids, dim,
+          seed)).as("cent"),
+        pqLut(col("qv"), books).as("lut"),
+        graft.functions.CentroidDots(col("qv"), nCentroids, dim, seed)
+          .as("cd"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+        graft.functions.ResidualPqCodes(
+          col(vecCol).cast("array<double>"), nCentroids, dim, seed,
+          books).as("e"))
+      .select(col("neighbor_id"), col("e.cent").as("cent"),
+        col("e.codes").as("codes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        element_at(col("cd"), col("cent") + 1) +
+          pqAdcScore(col("codes"), col("lut"), m, ks))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Residual-distribution codebook training for
+    * [[ivfPqResidualTopK]] — the part that makes residual coding WIN:
+    * codebooks trained on the raw space (or seeded at random) sit at
+    * the wrong scale for the much smaller within-list residual ball,
+    * and the quantization error swamps the IVF gain (measured in the
+    * spec: random books score BELOW raw coding; trained residual
+    * books score above). Lloyd per subspace over the one-pass
+    * residual column ([[graft.functions.ResidualVec]]) — same
+    * determinism contract as [[pqTrain]].
+    */
+  def pqTrainResidual(corpus: DataFrame, vecCol: String, m: Int,
+      ks: Int, iters: Int, nCentroids: Int = 16, dim: Int = 64,
+      seed: Int = 4242, pqSeed: Int = 9090)
+      : Array[Array[Array[Double]]] = {
+    val res = corpus.select(
+      graft.functions.ResidualVec(col(vecCol).cast("array<double>"),
+        nCentroids, dim, seed).as("__r"))
+    pqTrain(res, "__r", m, ks, dim / m, iters, pqSeed)
+  }
+
   /** PQ approximate top-k by ADC inner product: the corpus side is
     * ONE scan producing (id, m codes) — at scale this column is
     * precomputed at write time and the scan reads codes only — and

@@ -164,6 +164,23 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Residual IVF-PQ (Ann.ivfPqResidualTopK — the FAISS IVFPQ
+    * layout): codes quantize vec − centroid; scores decompose as
+    * <q, centroid> + residual ADC. Seeded books here so the oracle
+    * replays statically (residual-TRAINED books are measured
+    * superior in PipelineSpec's planted-cluster A/B; Lloyd replay at
+    * 8 subspaces is the kmeans oracle ×8 — spec-level by choice).
+    */
+  def pAnnIvfPqRes(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Ann.ivfPqResidualTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 5, books = Ann.pqBooks(8, 16, 8, 9090),
+        nCentroids = 16, nprobe = 4, dim = 64, seed = 4242)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The tagging dictionary for p_tag_keywords: common corpus tokens
     * plus entries that exercise overlap counting ("ata" hits inside
     * "data"/"database") and shared-suffix automaton paths.
@@ -1979,7 +1996,8 @@ object PipelineQueries {
     "p_video_dedup" -> (pVideoDedup _),
     "p_t_close" -> (pTClose _),
     "p_image_indexed" -> (pImageIndexed _),
-    "p_pmi" -> (pPmi _))
+    "p_pmi" -> (pPmi _),
+    "p_ann_ivfpq_res" -> (pAnnIvfPqRes _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -4294,6 +4312,75 @@ object PipelineQueries {
          |scored AS (
          |  SELECT query_id, neighbor_id, $adcSum AS score
          |  FROM parts GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "p_ann_ivfpq_res" -> {
+      val adcSum = (0 until 8).map(s =>
+        s"max(CASE WHEN s = $s THEN part END)").reduceLeft((a, b) =>
+        s"($a + $b)")
+      s"""WITH cents(i, w) AS (VALUES ${centroidValues(16, 64, 4242)}),
+         |books(s, c, nrm, bw) AS (VALUES ${pqBookValues(8, 16, 8,
+            9090)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cscore AS (
+         |  SELECT e.vec_id, c.i,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, 65),
+         |        j -> e.v[j] * c.w[j])) DESC, c.i DESC) AS rk
+         |  FROM emb e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, i AS cent FROM cscore WHERE rk = 1),
+         |qids AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 20),
+         |qprobe AS (
+         |  SELECT s.vec_id AS query_id, s.i AS cent
+         |  FROM cscore s JOIN qids ON s.vec_id = qids.vec_id
+         |  WHERE s.rk <= 4),
+         |coded AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, b.s, b.c,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.s
+         |        ORDER BY b.nrm - 2.0 * list_sum(list_transform(
+         |          range(1, 9),
+         |          j -> (e.v[b.s * 8 + j] - cw.w[b.s * 8 + j])
+         |            * b.bw[j])) ASC,
+         |          b.c ASC) AS rk
+         |    FROM emb e JOIN assign a ON e.vec_id = a.vec_id
+         |    JOIN cents cw ON cw.i = a.cent
+         |    CROSS JOIN books b) WHERE rk = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, b.s, b.c,
+         |    list_sum(list_transform(range(1, 9),
+         |      j -> qe.v[b.s * 8 + j] * b.bw[j])) AS part
+         |  FROM qids q JOIN emb qe ON qe.vec_id = q.vec_id
+         |  CROSS JOIN books b),
+         |qbias AS (
+         |  SELECT q.vec_id AS query_id, c.i AS cent,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> qe.v[j] * c.w[j])) AS bias
+         |  FROM qids q JOIN emb qe ON qe.vec_id = q.vec_id
+         |  CROSS JOIN cents c),
+         |cand AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, a.cent
+         |  FROM qprobe q JOIN assign a ON q.cent = a.cent
+         |  WHERE q.query_id <> a.vec_id),
+         |parts AS (
+         |  SELECT ca.query_id, ca.neighbor_id, ca.cent, l.s, l.part
+         |  FROM cand ca
+         |  JOIN coded cd ON cd.vec_id = ca.neighbor_id
+         |  JOIN lut l ON l.query_id = ca.query_id
+         |    AND l.s = cd.s AND l.c = cd.c),
+         |scored AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    (qb.bias + $adcSum) AS score
+         |  FROM parts p JOIN qbias qb ON qb.query_id = p.query_id
+         |    AND qb.cent = p.cent
+         |  GROUP BY p.query_id, p.neighbor_id, qb.bias),
          |ranked AS (
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id
