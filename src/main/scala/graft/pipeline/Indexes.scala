@@ -192,6 +192,65 @@ object Indexes {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Residual IVF-PQ layout ([[Ann.ivfPqResidualTopK]]'s artifact):
+    * like [[writeIvfPqIndex]] but the codes quantize vec − centroid
+    * (one fused [[graft.functions.ResidualPqCodes]] call per row).
+    * The codebooks — trained via [[Ann.pqTrainResidual]] or seeded —
+    * are part of the artifact's schema: pass the SAME array at write
+    * and probe time.
+    */
+  def writeIvfPqResIndex(corpus: DataFrame, cId: String,
+      vecCol: String, path: String,
+      books: Array[Array[Array[Double]]], nCentroids: Int = 16,
+      dim: Int = 64, seed: Int = 4242): Unit =
+    corpus.select(col(cId).as("neighbor_id"),
+        graft.functions.ResidualPqCodes(
+          col(vecCol).cast("array<double>"), nCentroids, dim, seed,
+          books).as("e"))
+      .select(col("neighbor_id"), col("e.cent").as("cent"),
+        col("e.codes").as("codes"))
+      .write.mode("overwrite").partitionBy("cent").parquet(path)
+
+  /** [[Ann.ivfPqResidualTopK]] against a prebuilt
+    * [[writeIvfPqResIndex]] frame: the corpus side reads
+    * (cent, neighbor_id, codes) only — no vector, no encode kernel —
+    * pruned to the probed list directories; scoring adds the per-list
+    * <q, centroid> bias to the shared-LUT residual ADC. Result-
+    * identical to the recompute twin.
+    */
+  def ivfPqResTopKIndexed(queries: DataFrame, index: DataFrame,
+      qId: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]], nCentroids: Int = 16,
+      nprobe: Int = 4, dim: Int = 64, seed: Int = 4242,
+      pruneLists: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val ks = books.head.length
+    val q = queries.select(col(qId).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"),
+        explode(Ann.probeCentroids(col("qv"), nprobe, nCentroids,
+          dim, seed)).as("cent"),
+        Ann.pqLut(col("qv"), books).as("lut"),
+        graft.functions.CentroidDots(col("qv"), nCentroids, dim, seed)
+          .as("cd"))
+    val pruned = if (!pruneLists) index else {
+      val probed = q.select("cent").distinct().limit(nCentroids + 1)
+        .collect().map(_.get(0))
+      index.filter(col("cent").isin(probed.toSeq: _*))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pruned.join(broadcast(q), Seq("cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        element_at(col("cd"), col("cent") + 1) +
+          Ann.pqAdcScore(col("codes"), col("lut"), m, ks))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   // ---------- BM25 inverted postings ----------
 
   /** Write the full inverted index for a corpus: `path/postings` =

@@ -358,6 +358,26 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Persisted residual IVF-PQ index (Indexes.writeIvfPqResIndex →
+    * ivfPqResTopKIndexed): p_ann_ivfpq_res against the prebuilt
+    * partitioned artifact — no encode kernel and no vector read on
+    * the corpus side; reuses the recompute twin's oracle verbatim.
+    */
+  def pAnnIvfPqResIdx(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = idxDir(d) + "/ivfpqres"
+    val books = Ann.pqBooks(8, 16, 8, 9090)
+    graft.pipeline.Indexes.writeIvfPqResIndex(emb, "vec_id",
+      "embedding", path, books, nCentroids = 16)
+    val queries = emb.orderBy("vec_id").limit(20)
+    graft.pipeline.Indexes.ivfPqResTopKIndexed(queries,
+        graft.pipeline.Indexes.openIvfPqIndex(s, path),
+        "vec_id", "embedding", k = 5, books = books,
+        nCentroids = 16, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persisted BM25 postings index (Indexes.writePostingsIndex →
     * bm25QueriesIndexed): the corpus is tokenized once at write
     * time; the probe reads only the query vocabulary's posting rows
@@ -1997,7 +2017,8 @@ object PipelineQueries {
     "p_t_close" -> (pTClose _),
     "p_image_indexed" -> (pImageIndexed _),
     "p_pmi" -> (pPmi _),
-    "p_ann_ivfpq_res" -> (pAnnIvfPqRes _))
+    "p_ann_ivfpq_res" -> (pAnnIvfPqRes _),
+    "p_ivfpq_res_idx" -> (pAnnIvfPqResIdx _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -5354,6 +5375,7 @@ object PipelineQueries {
     "p_pca2" -> pca2Oracle,
     "p_split_group" -> splitOracle(11, SplitSpec, "source", " source,"),
     "p_ann_ivfpq_idx" -> oraclesBase("p_ann_ivfpq"),
+    "p_ivfpq_res_idx" -> oraclesBase("p_ann_ivfpq_res"),
     "p_bm25_indexed" -> oraclesBase("p_bm25_multi"),
     "p_incr_indexed" -> oraclesBase("p_incr_dedup"))
 }

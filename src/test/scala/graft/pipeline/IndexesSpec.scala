@@ -171,6 +171,22 @@ class IndexesSpec extends SparkSpec {
       rows(Indexes.openWinnowIndex(spark, s"$root/winfull")))
   }
 
+  test("residual IVF-PQ index probe == recompute ivfPqResidualTopK") {
+    val emb = Tables.embeddings(spark, sf())
+    val qs = emb.orderBy("vec_id").limit(7)
+    val books = Ann.pqBooks(8, 16, 8, 9090)
+    Indexes.writeIvfPqResIndex(emb, "vec_id", "embedding",
+      s"$root/ivfpqres", books)
+    val got = Indexes.ivfPqResTopKIndexed(qs,
+      Indexes.openIvfPqIndex(spark, s"$root/ivfpqres"),
+      "vec_id", "embedding", k = 4, books = books, nprobe = 4)
+    val want = Ann.ivfPqResidualTopK(qs, emb, "vec_id", "vec_id",
+      "embedding", k = 4, books = books, nCentroids = 16,
+      nprobe = 4, dim = 64, seed = 4242)
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0)
+  }
+
   test("media index probe == imageDupPairs restricted to cross pairs") {
     val docs = Tables.documents(spark, sf())
     val media = docs.select(col("doc_id"),
