@@ -376,14 +376,13 @@ object ResidualPqCodes {
       flat, nrms, m, ks, subDim))
   }
 
-  /** Shared by interpreted eval and generated code. The assignment
-    * replays [[CentroidRank.compute]]'s top-1 (desc dot, ties to the
-    * larger id); the residual covers the full centroid length with
-    * missing vector components as 0 — mirroring PqCodes' have-guard.
+  /** Top-1 coarse assignment: desc dot, exact ties to the LARGER id —
+    * [[CentroidRank.compute]]'s rule, shared here so the corpus
+    * encoder and the training-residual column can never desynchronize
+    * (three hand copies of a tie rule is how codes silently rot).
     */
-  def encode(vec: ArrayData, cents: Array[Array[Double]],
-      books: Array[Double], nrms: Array[Double], m: Int, ks: Int,
-      subDim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  private[functions] def assignTop1(vec: ArrayData,
+      cents: Array[Array[Double]]): Int = {
     val k = cents.length
     val have = vec.numElements()
     var best = 0
@@ -398,7 +397,15 @@ object ResidualPqCodes {
       if (c == 0 || d >= bestD) { bestD = d; best = c }
       c += 1
     }
-    val cw = cents(best)
+    best
+  }
+
+  /** vec − cw over the full centroid length, missing vector
+    * components as 0 (PqCodes' have-guard convention).
+    */
+  private[functions] def residualFor(vec: ArrayData,
+      cw: Array[Double]): Array[Double] = {
+    val have = vec.numElements()
     val dim = cw.length
     val r = new Array[Double](dim)
     var j = 0
@@ -406,6 +413,18 @@ object ResidualPqCodes {
       r(j) = (if (j < have) vec.getDouble(j) else 0.0d) - cw(j)
       j += 1
     }
+    r
+  }
+
+  /** Shared by interpreted eval and generated code: assignTop1 →
+    * residualFor → per-subspace argmin over the residual.
+    */
+  def encode(vec: ArrayData, cents: Array[Array[Double]],
+      books: Array[Double], nrms: Array[Double], m: Int, ks: Int,
+      subDim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val best = assignTop1(vec, cents)
+    val r = residualFor(vec, cents(best))
+    val dim = r.length
     val codes = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -479,29 +498,7 @@ object ResidualVec {
       graft.pipeline.Ann.centroids(nCentroids, dim, centSeed)))
 
   def compute(vec: ArrayData,
-      cents: Array[Array[Double]]): ArrayData = {
-    val k = cents.length
-    val have = vec.numElements()
-    var best = 0
-    var bestD = 0.0d
-    var c = 0
-    while (c < k) {
-      val w = cents(c)
-      val n = math.min(have, w.length)
-      var d = 0.0d
-      var j = 0
-      while (j < n) { d += vec.getDouble(j) * w(j); j += 1 }
-      if (c == 0 || d >= bestD) { bestD = d; best = c }
-      c += 1
-    }
-    val cw = cents(best)
-    val dim = cw.length
-    val r = new Array[Double](dim)
-    var j = 0
-    while (j < dim) {
-      r(j) = (if (j < have) vec.getDouble(j) else 0.0d) - cw(j)
-      j += 1
-    }
-    ArrayData.toArrayData(r)
-  }
+      cents: Array[Array[Double]]): ArrayData =
+    ArrayData.toArrayData(ResidualPqCodes.residualFor(vec,
+      cents(ResidualPqCodes.assignTop1(vec, cents))))
 }

@@ -167,26 +167,51 @@ object Indexes {
       qId: String, vecCol: String, k: Int, nCentroids: Int = 16,
       nprobe: Int = 4, m: Int = 8, ks: Int = 16, dim: Int = 64,
       seed: Int = 4242, pqSeed: Int = 9090,
-      pruneLists: Boolean = true): DataFrame = {
+      pruneLists: Boolean = true): DataFrame =
+    ivfPqProbe(queries, index, qId, vecCol, k,
+      Ann.pqBooks(m, ks, dim / m, pqSeed), nCentroids, nprobe, dim,
+      seed, pruneLists, residualBias = false)
+
+  /** Shared probe tail of [[ivfPqTopKIndexed]] and
+    * [[ivfPqResTopKIndexed]] — ONE copy of the query explode, the
+    * pruneLists partition-filter collect, the self-exclusion, and the
+    * tie-ordered top-k window, so a fix to any of them can never
+    * leave the twin stale. `residualBias` adds the per-list
+    * <q, centroid> term the residual layout's scores decompose with.
+    */
+  private def ivfPqProbe(queries: DataFrame, index: DataFrame,
+      qId: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]], nCentroids: Int,
+      nprobe: Int, dim: Int, seed: Int, pruneLists: Boolean,
+      residualBias: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val books = Ann.pqBooks(m, ks, dim / m, pqSeed)
-    val q = queries.select(col(qId).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .select(col("query_id"),
-        explode(Ann.probeCentroids(col("qv"), nprobe, nCentroids,
-          dim, seed)).as("cent"),
-        Ann.pqLut(col("qv"), books).as("lut"))
+    val m = books.length
+    val ks = books.head.length
+    val qBase = queries.select(col(qId).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qCols = Seq(col("query_id"),
+      explode(Ann.probeCentroids(col("qv"), nprobe, nCentroids,
+        dim, seed)).as("cent"),
+      Ann.pqLut(col("qv"), books).as("lut")) ++
+      (if (residualBias)
+        Seq(graft.functions.CentroidDots(col("qv"), nCentroids, dim,
+          seed).as("cd"))
+      else Nil)
+    val q = qBase.select(qCols: _*)
     val pruned = if (!pruneLists) index else {
       val probed = q.select("cent").distinct().limit(nCentroids + 1)
         .collect().map(_.get(0))
       index.filter(col("cent").isin(probed.toSeq: _*))
     }
+    val adc = Ann.pqAdcScore(col("codes"), col("lut"), m, ks)
+    val score = if (residualBias)
+      element_at(col("cd"), col("cent") + 1) + adc
+    else adc
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     pruned.join(broadcast(q), Seq("cent"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        Ann.pqAdcScore(col("codes"), col("lut"), m, ks))
+      .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
@@ -222,34 +247,9 @@ object Indexes {
       qId: String, vecCol: String, k: Int,
       books: Array[Array[Array[Double]]], nCentroids: Int = 16,
       nprobe: Int = 4, dim: Int = 64, seed: Int = 4242,
-      pruneLists: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = books.length
-    val ks = books.head.length
-    val q = queries.select(col(qId).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .select(col("query_id"),
-        explode(Ann.probeCentroids(col("qv"), nprobe, nCentroids,
-          dim, seed)).as("cent"),
-        Ann.pqLut(col("qv"), books).as("lut"),
-        graft.functions.CentroidDots(col("qv"), nCentroids, dim, seed)
-          .as("cd"))
-    val pruned = if (!pruneLists) index else {
-      val probed = q.select("cent").distinct().limit(nCentroids + 1)
-        .collect().map(_.get(0))
-      index.filter(col("cent").isin(probed.toSeq: _*))
-    }
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    pruned.join(broadcast(q), Seq("cent"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        element_at(col("cd"), col("cent") + 1) +
-          Ann.pqAdcScore(col("codes"), col("lut"), m, ks))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
-  }
+      pruneLists: Boolean = true): DataFrame =
+    ivfPqProbe(queries, index, qId, vecCol, k, books, nCentroids,
+      nprobe, dim, seed, pruneLists, residualBias = true)
 
   // ---------- BM25 inverted postings ----------
 

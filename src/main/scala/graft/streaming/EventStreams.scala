@@ -213,16 +213,21 @@ object EventStreams {
         val merged = state.getOption.map(_.buf).getOrElse(Nil) ++
           it.map(e => (idx(e.etype), us(e.ts)))
         val t0 = merged.filter(_._1 == 0).map(_._2).minOption
-        // bound the buffer: with an anchor, only the anchor itself and
-        // events inside its window can affect the verdict; without
-        // one, only events a FUTURE anchor could still admit survive
-        // (a future step-1 event lies above the watermark, and chain
-        // members must be strictly after it)
+        // bound the buffer: an event stays admissible iff it can still
+        // serve SOME chain — the current anchor's window, or a FUTURE
+        // anchor's (a late step-1 event must lie above the watermark,
+        // and chain members must be strictly after it, so everything
+        // above the watermark stays; an event at or before the current
+        // anchor can still be replayed under a later-arriving EARLIER
+        // anchor — dropping those broke exact re-anchoring, caught in
+        // review). Both cases stay bounded: window span + watermark
+        // horizon.
         val wmUs = state.getCurrentWatermarkMs * 1000L
         val buf = t0 match {
           case Some(a) => merged.filter(e =>
             (e._1 == 0 && e._2 == a) ||
-              (e._2 > a && e._2 - a <= windowUs))
+              (e._2 > a && e._2 - a <= windowUs) ||
+              e._2 > wmUs)
           case None => merged.filter(_._2 > wmUs)
         }
         state.update(FunnelBuf(buf))

@@ -44,12 +44,18 @@ class SessionSpec extends SparkSpec {
       FunnelEvent(1L, t("2026-01-01 10:30:00"), "click"),
       // microsecond component: the emitted t0 must carry it exactly
       FunnelEvent(2L, t("2026-01-01 10:00:00.000123"), "view"),
-      FunnelEvent(2L, t("2026-01-01 10:20:00"), "purchase"))
-    // batch 2: the late earlier view re-anchors user 1's t0 — only a
+      FunnelEvent(2L, t("2026-01-01 10:20:00"), "purchase"),
+      // user 4: an ANCHORED user whose buffered click sits BEFORE the
+      // current anchor — the state prune must keep it for the late
+      // earlier view below (the review-caught re-anchor hazard)
+      FunnelEvent(4L, t("2026-01-01 10:30:00"), "view"),
+      FunnelEvent(4L, t("2026-01-01 10:00:00"), "click"))
+    // batch 2: late earlier views re-anchor users 1 and 4 — only a
     // buffered replay gets the chain right; user 3 never hits a step
     input.addData(
       FunnelEvent(1L, t("2026-01-01 10:00:00"), "view"),
       FunnelEvent(1L, t("2026-01-01 11:00:00"), "purchase"),
+      FunnelEvent(4L, t("2026-01-01 09:50:00"), "view"),
       FunnelEvent(3L, t("2026-01-01 10:00:00"), "error"))
     // watermark pusher: a far-future event closes users 1 and 2
     input.addData(
@@ -66,6 +72,9 @@ class SessionSpec extends SparkSpec {
       (1L, "click", t("2026-01-01 10:30:00")),
       (2L, "view", t("2026-01-01 10:00:00.000123")),
       (2L, "purchase", t("2026-01-01 10:20:00")),
+      (4L, "view", t("2026-01-01 10:30:00")),
+      (4L, "click", t("2026-01-01 10:00:00")),
+      (4L, "view", t("2026-01-01 09:50:00")),
       (1L, "view", t("2026-01-01 10:00:00")),
       (1L, "purchase", t("2026-01-01 11:00:00")),
       (3L, "error", t("2026-01-01 10:00:00")))
@@ -79,6 +88,8 @@ class SessionSpec extends SparkSpec {
       s"closed users must emit; got $got")
     assert(got(1L) == want(1L) && got(1L)._1 == 3)
     assert(got(2L) == want(2L) && got(2L)._1 == 1)
+    assert(got(4L) == want(4L) && got(4L)._1 == 2,
+      "the pre-anchor click must survive the prune for the re-anchor")
     assert(!got.contains(3L),
       "users with no step-typed event emit nothing (contract)")
     assert(!got.contains(99L), "open funnel must not emit")
