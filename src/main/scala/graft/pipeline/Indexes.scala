@@ -525,7 +525,12 @@ object Indexes {
   def mediaDupPairsIndexed(batch: DataFrame, batchId: String,
       mediaCol: String, index: DataFrame, kernel: String = "dhash",
       maxHamming: Int = 3, maxBucket: Int = 1000,
-      maxProbeKeys: Int = 65536,
+      // 4 keys per media row means batches cross into
+      // giant-literal-In territory far sooner than winnow's sparse
+      // fingerprints: measured at 20k keys the literal plan costs
+      // 2.8x the semi-join (tools/MediaProbeAb), so the literal path
+      // is reserved for genuinely small ingest batches
+      maxProbeKeys: Int = 4096,
       excludeSameId: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"pigeonhole probing over 4 words needs maxHamming < 4, " +

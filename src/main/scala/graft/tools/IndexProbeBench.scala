@@ -33,7 +33,7 @@ object IndexProbeBench {
     val root = "/tmp/graft_idx_probe_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val spark = graft.Sessions.local()
-    import graft.pipeline.{Ann, Dedup, Indexes, TextFns}
+    import graft.pipeline.{Ann, Dedup, Indexes, Multimodal, TextFns}
     import graft.Tables
 
     val emb = Tables.embeddings(spark, sfDir)
@@ -56,6 +56,15 @@ object IndexProbeBench {
     Indexes.writePostingsIndex(docs, "doc_id", "text",
       s"$root/postings")
     Indexes.writeMinhashIndex(cor, "doc_id", "text", s"$root/mh")
+    val resBooks = Ann.pqBooks(8, 16, 8, 9090)
+    Indexes.writeIvfPqResIndex(emb, "vec_id", "embedding",
+      s"$root/ivfpqres", resBooks)
+    val media = docs.select(col("doc_id"),
+      Multimodal.packFakeMedia(col("text")).as("media"))
+    val mediaCor = media.filter(col("doc_id") % 10 =!= 7)
+    val mediaInc = media.filter(col("doc_id") % 10 === 7)
+    Indexes.writeMediaIndex(mediaCor, "doc_id", "media",
+      s"$root/media")
     hygiene(spark)
 
     // (name, probe thunk, recompute thunk) — each thunk fully
@@ -84,7 +93,23 @@ object IndexProbeBench {
           Indexes.openMinhashIndex(spark, s"$root/mh"), cor,
           "doc_id", "text").count(),
         () => Dedup.incrementalDupPairsMd5(inc, "doc_id", cor,
-          "doc_id", "text").count()))
+          "doc_id", "text").count()),
+      ("ann_ivfpq_res",
+        () => Indexes.ivfPqResTopKIndexed(queries,
+          Indexes.openIvfPqIndex(spark, s"$root/ivfpqres"), "vec_id",
+          "embedding", k = 5, books = resBooks).count(),
+        () => Ann.ivfPqResidualTopK(queries, emb, "vec_id", "vec_id",
+          "embedding", k = 5, books = resBooks, nCentroids = 16,
+          nprobe = 4, dim = 64, seed = 4242).count()),
+      ("media_dhash",
+        () => Indexes.mediaDupPairsIndexed(mediaInc, "doc_id",
+          "media", Indexes.openMediaIndex(spark, s"$root/media"))
+          .count(),
+        // recompute contrast: the self-join pair topology restricted
+        // to cross pairs (both sides hash at query time)
+        () => Multimodal.imageDupPairs(media, "doc_id", "media")
+          .filter((col("id1") % 10 === 7) =!= (col("id2") % 10 === 7))
+          .count()))
 
     def time(f: () => Long): Double = {
       val t0 = System.nanoTime()
