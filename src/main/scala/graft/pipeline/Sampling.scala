@@ -230,6 +230,87 @@ object Sampling {
     * `maxRecordsPerFile` (uniform, loader-friendly file sizes; range
     * partitioning on the hash keeps shard boundaries reproducible).
     */
+  /** Neyman allocation (optimal stratified sampling, Neyman 1934):
+    * split a labeling/sampling budget across strata proportional to
+    * N_h·σ_h — high-variance strata earn more of the budget than
+    * proportional allocation gives them, which is how a fixed
+    * annotation budget buys the lowest-variance corpus estimate.
+    *
+    * Determinism/portability: per-stratum moments are EXACT integers
+    * (one partial-agg scan; Σx² rides DECIMAL(38,0) — it overflows
+    * BIGINT at ~10^12 rows of 4-digit values). N_h·σ_h =
+    * √(N_h·Σx² − (Σx)²) — one correctly-rounded sqrt of an exact
+    * value, the [[TextFns.collocations]] float contract — and the
+    * total folds in ASCENDING STRATUM ORDER (sums of doubles are
+    * associativity-sensitive; the fixed fold is what the oracle
+    * replays, the bitext pivot-sum discipline). Integer allocations
+    * come from largest-remainder apportionment (floor everything,
+    * hand the leftover to the largest fractional remainders;
+    * ties → smaller stratum), so Σ alloc = budget exactly.
+    *
+    * Scale shape: ONE scan to |strata| moment rows; everything after
+    * is k-bounded driver model math (the kmeans/PCA pattern).
+    * `maxStrata` guards the collect.
+    *
+    * @return one row per stratum: stratum, n_rows, s1 (Σx), s2 (Σx²
+    *         as DECIMAL(38,0) string for exactness), alloc
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: Column, budget: Int,
+      maxStrata: Int = 1024): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = df.sparkSession
+    val moments = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(valueCol.cast("long")).as("s1"),
+        sum((valueCol.cast("decimal(19,0)") *
+          valueCol.cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("s2"))
+      .orderBy("stratum")
+      .limit(maxStrata + 1)
+      .collect()
+    require(moments.length <= maxStrata,
+      s"more than $maxStrata strata; aggregate upstream")
+    val rows = moments.map { r =>
+      val n = r.getLong(1)
+      val s1 = BigInt(r.getLong(2))
+      val s2 = BigInt(r.getDecimal(3).toBigInteger)
+      val vNum = BigInt(n) * s2 - s1 * s1 // N·Σx² − (Σx)² = N²·σ²
+      (String.valueOf(r.get(0)), n, r.getLong(2), s2, vNum)
+    }
+    // fixed ascending-stratum fold (already sorted by the orderBy)
+    val ws = rows.map { case (_, _, _, _, v) =>
+      math.sqrt(v.toDouble)
+    }
+    val total = ws.foldLeft(0.0d)(_ + _)
+    val allocs: Seq[Long] =
+      if (total == 0.0d) {
+        // zero variance everywhere → proportional by row count
+        val nTot = rows.map(_._2).sum
+        val floors = rows.map(r =>
+          if (nTot == 0) 0L else budget * r._2 / nTot)
+        val rem = budget - floors.sum
+        val order = rows.indices.sortBy(i =>
+          (-(budget * rows(i)._2 % math.max(nTot, 1)), rows(i)._1))
+        val bump = order.take(rem.toInt).toSet
+        floors.zipWithIndex.map { case (f, i) =>
+          f + (if (bump(i)) 1L else 0L) }.toSeq
+      } else {
+        val ideals = ws.map(w => budget.toDouble * w / total)
+        val floors = ideals.map(x => math.floor(x).toLong)
+        val rem = (budget - floors.sum).toInt
+        val order = rows.indices.sortBy(i =>
+          (-(ideals(i) - math.floor(ideals(i))), rows(i)._1))
+        val bump = order.take(rem).toSet
+        floors.zipWithIndex.map { case (f, i) =>
+          f + (if (bump(i)) 1L else 0L) }.toSeq
+      }
+    import spark.implicits._
+    rows.zip(allocs).map { case ((st, n, s1, s2, _), a) =>
+      (st, n, s1, s2.toString, a)
+    }.toSeq.toDF("stratum", "n_rows", "s1", "s2", "alloc")
+  }
+
   def writeShards(df: DataFrame, idCol: String, path: String,
       shards: Int, maxRecordsPerFile: Long = 1000000L,
       seed: Int = 42): Unit =

@@ -1797,6 +1797,22 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Neyman allocation (Sampling.neymanAllocation): the labeling
+    * budget split across market segments proportional to N_h·σ_h of
+    * a synthetic integer annotation-cost proxy (custkey mod 97 —
+    * exact on both engines, unlike double-valued acctbal whose
+    * BIGINT cast truncates in Spark and rounds in DuckDB) — exact
+    * integer moments, one correctly-rounded
+    * sqrt per stratum, fixed-order total fold, largest-remainder
+    * apportionment; the oracle replays every step including the
+    * double arithmetic (identical op order).
+    */
+  def pNeyman(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.neymanAllocation(
+        Tables.customer(s, d), "c_mktsegment",
+        col("c_custkey") % 97, budget = 1000)
+      .orderBy("stratum")
+
   /** PMI collocations (TextFns.collocations): top-50 adjacent-token
     * bigrams by pointwise mutual information over the corpus — exact
     * integer counts, one IEEE division as the ranking key (bit-
@@ -2018,7 +2034,8 @@ object PipelineQueries {
     "p_image_indexed" -> (pImageIndexed _),
     "p_pmi" -> (pPmi _),
     "p_ann_ivfpq_res" -> (pAnnIvfPqRes _),
-    "p_ivfpq_res_idx" -> (pAnnIvfPqResIdx _))
+    "p_ivfpq_res_idx" -> (pAnnIvfPqResIdx _),
+    "p_neyman" -> (pNeyman _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -4622,6 +4639,45 @@ object PipelineQueries {
          |SELECT doc_id, b, CAST(sum(sv) AS BIGINT) AS v
          |FROM sb GROUP BY 1, 2 HAVING sum(sv) <> 0
          |ORDER BY 1, 2""".stripMargin,
+    "p_neyman" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      // ascending-stratum fixed fold — the engine's driver fold order
+      val totalExpr = segs.map(g =>
+        s"(SELECT wgt FROM w WHERE stratum = '$g')")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH m AS (
+         |  SELECT c_mktsegment AS stratum, count(*) AS n_rows,
+         |    CAST(sum(c_custkey % 97) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(c_custkey % 97 AS HUGEINT)
+         |      * (c_custkey % 97)) AS HUGEINT) AS s2
+         |  FROM customer GROUP BY 1),
+         |w AS (
+         |  SELECT stratum, n_rows, s1, s2,
+         |    sqrt(CAST(n_rows * s2 - CAST(s1 AS HUGEINT) * s1
+         |      AS DOUBLE)) AS wgt
+         |  FROM m),
+         |t AS (SELECT $totalExpr AS total),
+         |i AS (
+         |  SELECT w.stratum, w.n_rows, w.s1, w.s2,
+         |    1000.0 * w.wgt / t.total AS ideal
+         |  FROM w CROSS JOIN t),
+         |f AS (
+         |  SELECT *, CAST(floor(ideal) AS BIGINT) AS fl,
+         |    ideal - floor(ideal) AS remv
+         |  FROM i),
+         |lo AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS leftover
+         |  FROM f),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY remv DESC, stratum)
+         |    AS rnk
+         |  FROM f)
+         |SELECT rk.stratum, rk.n_rows, rk.s1,
+         |  CAST(rk.s2 AS VARCHAR) AS s2,
+         |  rk.fl + CASE WHEN rk.rnk <= lo.leftover THEN 1 ELSE 0 END
+         |    AS alloc
+         |FROM rk CROSS JOIN lo ORDER BY stratum""".stripMargin
+    },
     "p_video_dedup" -> {
       val contrib =
         "(unicode(substr(text, i, 1)) * 2654435761 + j * 40503) % 1000"

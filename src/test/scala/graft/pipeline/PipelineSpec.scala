@@ -1283,6 +1283,33 @@ class PipelineSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("Neyman allocation: variance takes the budget, sums are exact") {
+    // A = {0, 10}: V = 2·100 − 100 = 100 → w = 10; B = {5, 5}: V = 0
+    val df = Seq(("A", 0), ("A", 10), ("B", 5), ("B", 5))
+      .toDF("g", "x")
+    val out = Sampling.neymanAllocation(df, "g", $"x", budget = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toMap
+    assert(out("A") == ((2L, 10L, "100", 10L)),
+      "the varying stratum earns the whole budget")
+    assert(out("B") == ((2L, 10L, "50", 0L)))
+    // zero variance everywhere → proportional-by-count fallback
+    val flat = Seq(("A", 5), ("A", 5), ("B", 3), ("B", 3), ("B", 3))
+      .toDF("g", "x")
+    val fb = Sampling.neymanAllocation(flat, "g", $"x", budget = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(fb == Map("A" -> 2L, "B" -> 3L))
+    // largest-remainder: allocations always sum EXACTLY to the budget
+    val mixed = Seq(("A", 1), ("A", 9), ("B", 2), ("B", 8),
+      ("C", 3), ("C", 7)).toDF("g", "x")
+    (1 to 7).foreach { b =>
+      val s = Sampling.neymanAllocation(mixed, "g", $"x", budget = b)
+        .agg(sum("alloc")).head.getLong(0)
+      assert(s == b, s"budget $b must be fully apportioned")
+    }
+  }
+
   test("video dedup: frame kernel matches reference, trims still match") {
     // Scala reference of the kernel's contract: per-frame stripe luma
     // (indexes relative to frame start) → 64 comparisons → (hi, lo)
