@@ -473,7 +473,8 @@ object Ann {
     */
   def binaryTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
-      shortlist: Int = 50, dim: Int = 64): DataFrame = {
+      shortlist: Int = 50, dim: Int = 64,
+      selfExclude: Boolean = true): DataFrame = {
     // bits are computed BEFORE the spread exchange: the shuffle
     // materializes each corpus row's words exactly once, where a
     // same-stage projection would be re-evaluated inside the join's
@@ -495,17 +496,26 @@ object Ann {
       .select(col(cId).as("neighbor_id"),
         binEncode(col(vecCol).cast("array<double>"), dim).as("cb")))
     binaryTopKFrom(queries, c, corpus, qId, cId, vecCol, k,
-      shortlist, dim)
+      shortlist, dim, selfExclude)
   }
 
   /** The [[binaryTopK]] probe against an ALREADY-ENCODED corpus
     * frame `index` (neighbor_id, cb) — the shared tail of the
     * recompute form and [[Indexes.binaryTopKIndexed]]; `vectors`
     * supplies full embeddings for the shortlist re-rank only.
+    *
+    * `selfExclude` (default true) drops pairs whose query and
+    * neighbor ids coincide — the self-search posture every
+    * single-corpus caller wants. CROSS-CORPUS callers (bitext mining:
+    * src and tgt are DIFFERENT corpora whose id spaces may overlap —
+    * both 0-based is common) must pass false, or a true pair that
+    * happens to share an id value is silently excluded from the
+    * shortlist ([[Retrieval.marginMineApprox]] passes false).
     */
   private[pipeline] def binaryTopKFrom(queries: DataFrame,
       index: DataFrame, vectors: DataFrame, qId: String, cId: String,
-      vecCol: String, k: Int, shortlist: Int, dim: Int): DataFrame = {
+      vecCol: String, k: Int, shortlist: Int, dim: Int,
+      selfExclude: Boolean = true): DataFrame = {
     require(shortlist >= k, "shortlist must cover k")
     // null-embedding rows are excluded from the search on both sides
     // (a NULL Hamming distance would sort FIRST under the asc
@@ -518,7 +528,8 @@ object Ann {
     val wh = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id"))
     val cand = index.join(broadcast(q),
-        col("query_id") =!= col("neighbor_id"))
+        if (selfExclude) col("query_id") =!= col("neighbor_id")
+        else lit(true))
       .withColumn("ham",
         hammingWords(col("qb"), col("cb"), dim / 16))
       .withColumn("hrank", row_number().over(wh))

@@ -160,6 +160,17 @@ object Cluster {
       df.select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("v"))
         .filter(col("v").isNotNull && size(col("v")) >= dim))
+    // an empty frame would surface as a bare NoSuchElementException
+    // from the first collect, and k > n would silently select
+    // duplicate centers (min-distance 0 everywhere after all n points
+    // are centers) — both caller bugs, so fail with the actual counts.
+    // The count also materializes the staged cache before the k−1
+    // sequential scans, so it costs no extra pass.
+    val n = v.count()
+    require(n >= 1, "kcenterGreedy: no eligible rows (need a " +
+      s"non-null $vecCol with >= $dim components)")
+    require(k <= n, s"kcenterGreedy: k=$k exceeds the $n eligible " +
+      "rows — every point is already a center")
     val sqNormCol: Column = (0 until dim)
       .map(i => element_at(col("v"), i + 1) * element_at(col("v"), i + 1))
       .reduceLeft(_ + _)

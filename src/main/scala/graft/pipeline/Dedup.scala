@@ -505,15 +505,18 @@ object Dedup {
     // docs get comp = id in one final left join. The symmetrized edge
     // list makes id1 cover every endpoint.
     //
-    // localCheckpoint (not persist) between rounds: the doubling hop
+    // Checkpoints.cut (not persist) between rounds: the doubling hop
     // below self-joins the round's frame, so a lineage-preserving
     // cache would double the logical plan per round (exponential
     // analyze/explain blowup); checkpointing truncates lineage to the
-    // materialized blocks, keeping every round's plan flat. Blocks are
-    // freed by the ContextCleaner when the round's frame is dropped.
+    // materialized blocks, keeping every round's plan flat. Default
+    // mode is localCheckpoint (blocks freed by the ContextCleaner
+    // when the round's frame is dropped); set
+    // spark.graft.checkpoint.dir for the executor-loss-surviving
+    // reliable form (identical results, CheckpointModeSpec).
     var comp = edges.select(col("id1").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.cut)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -551,7 +554,7 @@ object Dedup {
           least(col("a.comp"), coalesce(col("__bcomp"), col("a.comp")))
             .as("comp"),
           col("a.prev").as("prev"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.cut)
       val changed = next.filter(col("comp") =!= col("prev"))
         .limit(1).count()
       relabeled.unpersist()

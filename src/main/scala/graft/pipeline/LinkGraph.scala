@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * Each pass is one co-partitioned join of the rank frame with the
   * edge frame plus one groupBy(dst) — both shuffle on node ids, and
   * AQE handles hub skew the same way it does any aggregation. Rank
-  * frames are localCheckpointed per pass so the plan does not grow
+  * frames are lineage-cut per pass ([[graft.core.Checkpoints.cut]] —
+  * executor-local by default, reliable when
+  * `spark.graft.checkpoint.dir` is set) so the plan does not grow
   * with the iteration count (the dupGroups lineage discipline).
   *
   * Arithmetic is FIXED-POINT: ranks are longs scaled by `scale`, a
@@ -46,13 +48,13 @@ object LinkGraph {
     // pass (the rank rebuild join), and without the checkpoint each
     // pass would redo the union+distinct over the edge frame
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().transform(graft.core.Checkpoints.cut)
     // |nodes| is one count over the aggregated graph frame (not the
     // corpus); it sizes the uniform prior baked into the plan.
     val n = nodes.count()
     require(n > 0, "pagerank over an empty edge frame")
     val base = (scale / 100 * (100 - dampPct)) / n
-    var rank = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
+    var rank = nodes.withColumn("rank", lit(scale / n)).transform(graft.core.Checkpoints.cut)
     for (_ <- 1 to iters) {
       val contrib = e
         .join(rank.withColumnRenamed("id", "src"), "src")
@@ -63,7 +65,7 @@ object LinkGraph {
         .select(col("id"),
           (lit(base) + expr(s"($dampPct * coalesce(cs, 0L)) div 100"))
             .as("rank"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.cut)
     }
     rank
   }
@@ -152,7 +154,7 @@ object LinkGraph {
     val sym = graft.core.Caches.stage(
       e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct())
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).transform(graft.core.Checkpoints.cut)
     for (_ <- 1 to iters) {
       val nb = sym
         .join(labels.withColumnRenamed("id", "b"), "b")
@@ -163,7 +165,7 @@ object LinkGraph {
       labels = nb.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
         .select(col("id"), col("label"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.cut)
     }
     labels
   }

@@ -262,6 +262,12 @@ object Retrieval {
     * same denominator — is IDENTICAL, so the only approximation is
     * shortlist recall (BitextSpec pins full agreement with the exact
     * form on the fixture corpus).
+    *
+    * src and tgt are DIFFERENT corpora, so the shortlists run with
+    * `selfExclude = false`: id spaces may overlap (both 0-based is
+    * common) and the exact form scores a pair whose ids happen to
+    * coincide — the self-search exclusion would silently drop it
+    * (BitextSpec pins the overlapping-id-space agreement).
     */
   def marginMineApprox(src: DataFrame, tgt: DataFrame, srcId: String,
       tgtId: String, vecCol: String, k: Int = 4, shortlist: Int = 50,
@@ -274,12 +280,12 @@ object Retrieval {
     // candidates to k would silently re-introduce the hubness bias
     val fwd = graft.core.Caches.stage(
       Ann.binaryTopK(src, tgt, srcId, tgtId, vecCol, shortlist,
-          shortlist, dim)
+          shortlist, dim, selfExclude = false)
         .select(col("query_id").as("src_id"),
           col("neighbor_id").as("tgt_id"),
           col("rank").as("__r"), col("cos")))
     val bwd = Ann.binaryTopK(tgt, src, tgtId, srcId, vecCol, k,
-        shortlist, dim)
+        shortlist, dim, selfExclude = false)
       .select(col("query_id").as("tgt_id"),
         col("rank").as("__r"), col("cos"))
     bestByMargin(fwd.select("src_id", "tgt_id", "cos"),
@@ -355,7 +361,7 @@ object Retrieval {
       .withColumn("__rn", row_number().over(wRel))
       .filter(col("__rn") === 1)
       .select(col("query_id"), col("cand_id"), lit(1).as("step"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.cut)
     for (t <- 2 to k) {
       val selIds = sel.select(col("query_id"),
         col("cand_id").as("sel_id"))
@@ -373,7 +379,7 @@ object Retrieval {
       val pick = scored.withColumn("__rn", row_number().over(wS))
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("cand_id"), lit(t).as("step"))
-      sel = sel.union(pick).localCheckpoint()
+      sel = sel.union(pick).transform(graft.core.Checkpoints.cut)
     }
     sel.select("query_id", "step", "cand_id")
   }

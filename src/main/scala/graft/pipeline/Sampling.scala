@@ -246,7 +246,18 @@ object Sampling {
     * replays, the bitext pivot-sum discipline). Integer allocations
     * come from largest-remainder apportionment (floor everything,
     * hand the leftover to the largest fractional remainders;
-    * ties → smaller stratum), so Σ alloc = budget exactly.
+    * ties → smaller stratum).
+    *
+    * Boundary case (classical Neyman): a small high-variance stratum
+    * can be awarded more samples than it HAS rows — alloc is capped
+    * at n_rows and the excess re-apportions among the uncapped
+    * strata by the same largest-remainder rule (repeated until no
+    * cap binds: the standard water-filling resolution), so a caller
+    * drawing alloc rows per stratum never under-fills the budget.
+    * Σ alloc = min(budget, Σ n_rows) exactly. A stratum whose
+    * valueCol is entirely NULL has zero observed moments (s1 = s2 =
+    * 0, weight 0) — it earns budget only through the all-zero-
+    * variance proportional fallback.
     *
     * Scale shape: ONE scan to |strata| moment rows; everything after
     * is k-bounded driver model math (the kmeans/PCA pattern).
@@ -262,9 +273,13 @@ object Sampling {
     val spark = df.sparkSession
     val moments = df.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(valueCol.cast("long")).as("s1"),
-        sum((valueCol.cast("decimal(19,0)") *
-          valueCol.cast("decimal(19,0)")).cast("decimal(38,0)"))
+        // coalesce: a stratum whose valueCol is entirely NULL sums to
+        // NULL, which would NPE the getLong/getDecimal below — treat
+        // unobserved moments as 0 (weight 0)
+        coalesce(sum(valueCol.cast("long")), lit(0L)).as("s1"),
+        coalesce(sum((valueCol.cast("decimal(19,0)") *
+            valueCol.cast("decimal(19,0)")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
           .as("s2"))
       .orderBy("stratum")
       .limit(maxStrata + 1)
@@ -282,32 +297,55 @@ object Sampling {
     val ws = rows.map { case (_, _, _, _, v) =>
       math.sqrt(v.toDouble)
     }
-    val total = ws.foldLeft(0.0d)(_ + _)
-    val allocs: Seq[Long] =
-      if (total == 0.0d) {
-        // zero variance everywhere → proportional by row count
-        val nTot = rows.map(_._2).sum
-        val floors = rows.map(r =>
-          if (nTot == 0) 0L else budget * r._2 / nTot)
-        val rem = budget - floors.sum
-        val order = rows.indices.sortBy(i =>
-          (-(budget * rows(i)._2 % math.max(nTot, 1)), rows(i)._1))
-        val bump = order.take(rem.toInt).toSet
-        floors.zipWithIndex.map { case (f, i) =>
-          f + (if (bump(i)) 1L else 0L) }.toSeq
+    // Water-filling largest-remainder apportionment with the n_rows
+    // cap: apportion `remaining` over the in-pool strata; any stratum
+    // awarded more than it has rows is frozen at n_rows, leaves the
+    // pool, and the loop re-apportions what's left. Each pass either
+    // finishes or shrinks the pool, so it terminates in ≤ |strata|
+    // passes; when no cap binds the first pass IS the classical
+    // allocation (identical floats, identical tie-breaks).
+    val alloc = Array.fill(rows.length)(0L)
+    var pool = rows.indices.toVector
+    var remaining = math.min(budget.toLong, rows.map(_._2).sum)
+    var settled = false
+    while (!settled && pool.nonEmpty && remaining > 0) {
+      // ascending-stratum fold over the pool (determinism contract)
+      val total = pool.foldLeft(0.0d)((acc, i) => acc + ws(i))
+      val trial: Map[Int, Long] =
+        if (total == 0.0d) {
+          // zero variance in the pool → proportional by row count
+          val nTot = pool.foldLeft(0L)((acc, i) => acc + rows(i)._2)
+          val floors = pool.map(i =>
+            if (nTot == 0) 0L else remaining * rows(i)._2 / nTot)
+          val rem = remaining - floors.sum
+          val order = pool.sortBy(i =>
+            (-(remaining * rows(i)._2 % math.max(nTot, 1)), rows(i)._1))
+          val bump = order.take(rem.toInt).toSet
+          pool.zip(floors).map { case (i, f) =>
+            i -> (f + (if (bump(i)) 1L else 0L)) }.toMap
+        } else {
+          val ideals = pool.map(i => remaining.toDouble * ws(i) / total)
+          val floors = ideals.map(x => math.floor(x).toLong)
+          val rem = (remaining - floors.sum).toInt
+          val order = pool.indices.sortBy(j =>
+            (-(ideals(j) - math.floor(ideals(j))), rows(pool(j))._1))
+          val bump = order.take(rem).map(pool(_)).toSet
+          pool.zip(floors).map { case (i, f) =>
+            i -> (f + (if (bump(i)) 1L else 0L)) }.toMap
+        }
+      val over = pool.filter(i => trial(i) > rows(i)._2)
+      if (over.isEmpty) {
+        trial.foreach { case (i, a) => alloc(i) = a }
+        settled = true
       } else {
-        val ideals = ws.map(w => budget.toDouble * w / total)
-        val floors = ideals.map(x => math.floor(x).toLong)
-        val rem = (budget - floors.sum).toInt
-        val order = rows.indices.sortBy(i =>
-          (-(ideals(i) - math.floor(ideals(i))), rows(i)._1))
-        val bump = order.take(rem).toSet
-        floors.zipWithIndex.map { case (f, i) =>
-          f + (if (bump(i)) 1L else 0L) }.toSeq
+        over.foreach { i => alloc(i) = rows(i)._2 }
+        remaining -= over.map(rows(_)._2).sum
+        pool = pool.filterNot(over.contains)
       }
+    }
     import spark.implicits._
-    rows.zip(allocs).map { case ((st, n, s1, s2, _), a) =>
-      (st, n, s1, s2.toString, a)
+    rows.zipWithIndex.map { case ((st, n, s1, s2, _), i) =>
+      (st, n, s1, s2.toString, alloc(i))
     }.toSeq.toDF("stratum", "n_rows", "s1", "s2", "alloc")
   }
 

@@ -592,21 +592,78 @@ object TextFns {
     * vocabulary-induction loop between [[bpePairStats]] (one round's
     * stats) and [[bpeEncode]] (applying the result).
     *
-    * Scale shape: the k-means/trainLinearQuality iterative pattern —
-    * each round is ONE corpus scan (native BpeAdjPairs kernel: apply
-    * current merges + emit pairs in one codegen'd call) reduced by a
-    * map-side-combined count to the single argmax row; only that row
-    * reaches the driver, and the merges re-enter round k+1 as plan
-    * literals. No growing lineage, no driver-side corpus state.
+    * Scale shape: BPE statistics are WORD-INTERNAL (pairs never cross
+    * a word boundary), so the corpus is scanned exactly ONCE — into
+    * the staged (distinct word, count) frame, the same frame
+    * [[unigramTrain]] trains on (Zipf: |distinct words| ≪ corpus) —
+    * and every merge round scans only THAT frame: the native
+    * BpeAdjPairs kernel replays the current merges per distinct word
+    * (not per occurrence), pair counts are the cnt-weighted sums
+    * (map-side combined), and a single argmax row reaches the driver;
+    * the merges re-enter round k+1 as plan literals. Per-round cost
+    * is ∝ |distinct words|, independent of corpus size — the
+    * difference between trainable and unusable at a real vocab
+    * (30k merges) over 100 TB, where re-scanning full text per round
+    * multiplies the corpus read by the merge count. Bit-identical to
+    * the corpus-scan form (BpeNative tokenizes text and then works
+    * word-by-word, so pairs-of(text) = ⋃ pairs-of(word) with
+    * occurrence multiplicity = word count; TokenizerSpec pins
+    * equality against [[bpeTrainCorpusScan]]). sf1 A/B: 4 merges over
+    * documents 10.6 s → 2.2 s; the gap widens with both corpus size
+    * and merge count (BENCH_sf1_r11).
     *
-    * Determinism: counts are exact longs; the argmax tie-breaks on
-    * the pair string (ASCII: tokens are [a-z0-9], engine-portable
-    * ordering) — so whole training runs replay exactly (p_bpe_train
-    * unrolls the rounds in DuckDB).
+    * Determinism: counts are exact longs (sums of per-word products);
+    * the argmax tie-breaks on the pair string (ASCII: tokens are
+    * [a-z0-9], engine-portable ordering) — so whole training runs
+    * replay exactly (p_bpe_train unrolls the rounds in DuckDB).
     *
     * @return (a, b, count-at-selection) per round, rank order
     */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    // TokenCounts = the SAME tokenizer BpeNative.adjPairs applies
+    // internally, so re-tokenizing a word yields the word itself and
+    // the per-word kernel sees exactly the symbols the corpus-scan
+    // form saw
+    val words = graft.core.Caches.stage(
+      df.select(explode(
+          graft.functions.TokenCounts(col(textCol))).as("t"))
+        .groupBy(col("t.token").as("w"))
+        .agg(sum(col("t.cnt")).as("cnt")))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var k = 0
+    var dry = false
+    while (k < nMerges && !dry) {
+      val merges = out.toSeq.map { case (a, b, _) => (a, b) }
+      val best = words.select(explode(
+          graft.functions.BpeAdjPairs(col("w"), merges)).as("pair"),
+          col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) dry = true // every word is one symbol
+      else {
+        val p = best(0).getString(0)
+        val sp = p.indexOf(' ')
+        out += ((p.substring(0, sp), p.substring(sp + 1),
+          best(0).getLong(1)))
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** The pre-round-11 corpus-scan trainer — each merge round re-reads
+    * full document text (O(merges × corpus)). Kept ONLY as the
+    * equivalence witness for [[bpeTrain]]'s distinct-word rewrite
+    * (TokenizerSpec pins identical merge trajectories); never call it
+    * on a real corpus.
+    */
+  private[graft] def bpeTrainCorpusScan(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int): Seq[(String, String, Long)] = {
     require(nMerges > 0, "nMerges must be positive")
     val out = scala.collection.mutable.ArrayBuffer
