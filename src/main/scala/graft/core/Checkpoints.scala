@@ -44,8 +44,13 @@ object Checkpoints {
   // setCheckpointDir mints a fresh UUID subdirectory per call, so the
   // context's resolved dir never string-equals the conf value — track
   // the last conf value applied instead of re-setting per barrier
-  // (which would scatter each round into its own subdirectory).
-  private var appliedDir: Option[String] = None
+  // (which would scatter each round into its own subdirectory). The
+  // guard is keyed on the SparkContext AND re-checks the context's
+  // own dir: a JVM-global string alone would outlive a context
+  // restart (test suites, notebook session recreation) and the new
+  // context would throw "checkpoint directory has not been set".
+  private var appliedDir: Option[(org.apache.spark.SparkContext,
+    String)] = None
 
   /** Cut `df`'s lineage with the mode the session conf selects; the
     * barrier is eager in both modes (the round's work runs HERE, not
@@ -55,13 +60,26 @@ object Checkpoints {
     val spark = df.sparkSession
     spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
+        val sc = spark.sparkContext
         synchronized {
-          if (!appliedDir.contains(dir)) {
-            spark.sparkContext.setCheckpointDir(dir)
-            appliedDir = Some(dir)
+          if (sc.getCheckpointDir.isEmpty ||
+              !appliedDir.contains((sc, dir))) {
+            sc.setCheckpointDir(dir)
+            appliedDir = Some((sc, dir))
           }
         }
-        df.checkpoint()
+        // reliable checkpoint() writes its files in a SEPARATE job
+        // that recomputes the RDD — persist first so each round is
+        // computed once, not twice, then drop the blocks (the
+        // checkpoint files are now the round's source of truth).
+        // Skip when the caller already cached an equivalent plan:
+        // unpersisting here would silently drop THEIR cache (the
+        // CacheManager matches by analyzed plan, not reference).
+        val fresh =
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (fresh) df.persist()
+        try df.checkpoint()
+        finally if (fresh) df.unpersist()
       case None => df.localCheckpoint()
     }
   }

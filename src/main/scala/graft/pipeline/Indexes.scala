@@ -84,12 +84,21 @@ object Indexes {
     * encode kernel, no exchange below the probe join — and only the
     * shortlist×dim full vectors are fetched from `vectors` for the
     * exact-cosine re-rank. Bit-identical to the recompute twin.
+    *
+    * `selfExclude` follows [[Ann.binaryTopKFrom]]'s contract: the
+    * default true is the single-corpus self-search posture; callers
+    * probing a persisted index with an EXTERNAL query batch whose id
+    * space may overlap the corpus's (both 0-based is common) must
+    * pass false, or a true neighbor whose id happens to equal the
+    * query's is silently dropped from the shortlist
+    * (IndexesSpec pins the colliding-id probe).
     */
   def binaryTopKIndexed(queries: DataFrame, index: DataFrame,
       vectors: DataFrame, qId: String, cId: String, vecCol: String,
-      k: Int, shortlist: Int = 50, dim: Int = 64): DataFrame =
+      k: Int, shortlist: Int = 50, dim: Int = 64,
+      selfExclude: Boolean = true): DataFrame =
     Ann.binaryTopKFrom(queries, index, vectors, qId, cId, vecCol,
-      k, shortlist, dim)
+      k, shortlist, dim, selfExclude)
 
   // ---------- freshness certification ----------
 

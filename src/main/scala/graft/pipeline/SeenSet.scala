@@ -208,28 +208,35 @@ object SeenSet {
         col("m_bits"), col("n_hashes"), col("n_shards"))
   }
 
-  /** Persist / reopen the artifact ([[Indexes]] lifecycle). The
-    * artifact is nShards rows of mBits/8 bytes — parquet is overkill
-    * but uniform with every other index in the engine.
+  /** Persist / reopen the artifact. The artifact is nShards rows of
+    * mBits/8 bytes — parquet is overkill but uniform with every
+    * other index in the engine. The on-disk lifecycle is
+    * [[graft.core.Artifacts]]' versioned-pointer layout: every
+    * rewrite publishes a complete new version and atomically swaps
+    * the pointer, so a crash mid-[[appendTo]] can never destroy the
+    * filter (a killed writer leaves the previous version live;
+    * CrashSafetySpec injects the kill points). Single writer per
+    * artifact, as for the whole persisted-index family.
     */
   def write(df: DataFrame, keyCol: String, path: String,
       mBits: Int = 1 << 20, nHashes: Int = 4, nShards: Int = 1): Unit =
-    build(df, keyCol, mBits, nHashes, nShards)
-      .write.mode("overwrite").parquet(path)
+    graft.core.Artifacts.commit(
+      build(df, keyCol, mBits, nHashes, nShards), path)
 
+  /** Opens the live version (pre-versioning flat artifacts still
+    * resolve — [[graft.core.Artifacts.open]]'s fallback).
+    */
   def open(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.core.Artifacts.open(spark, path)
 
-  /** Append a batch to a persisted filter in place-ish: writes the
-    * merged frame to `path` atomically via overwrite (the frame is
-    * nShards small rows — the rewrite is O(filter), never O(corpus)).
+  /** Append a batch to a persisted filter: the merged frame reads
+    * the live version and [[graft.core.Artifacts.commit]] publishes
+    * it as the next one (the frame is nShards small rows — the
+    * rewrite is O(filter), never O(corpus)). The old version stays
+    * readable until the new pointer is committed.
     */
   def appendTo(spark: SparkSession, batch: DataFrame, keyCol: String,
-      path: String): Unit = {
-    val merged = append(batch, keyCol, open(spark, path)).collect()
-    val schema = open(spark, path).schema
-    spark.createDataFrame(
-        java.util.Arrays.asList(merged: _*), schema)
-      .write.mode("overwrite").parquet(path)
-  }
+      path: String): Unit =
+    graft.core.Artifacts.commit(
+      append(batch, keyCol, open(spark, path)), path)
 }

@@ -1813,6 +1813,32 @@ object PipelineQueries {
         col("c_custkey") % 97, budget = 1000)
       .orderBy("stratum")
 
+  /** Neyman allocation with a BINDING n_rows cap — the water-filling
+    * path p_neyman's data never exercises (budget ≪ stratum sizes).
+    * The fixture plants a tiny stratum ('0TINY', custkey ≤ 40 —
+    * ~41 rows: the synthetic data includes custkey 0) that owns ALL
+    * the variance (every other stratum's value is a constant, and
+    * MACHINERY's is entirely NULL — covering the moment-coalesce
+    * path): classical allocation hands '0TINY' the whole 500 budget,
+    * the cap freezes it at its n_rows, and the leftover
+    * re-apportions over the zero-variance pool by row count
+    * (exact integer largest-remainder — the oracle replays pass 2
+    * step for step; pass 1's float arithmetic cannot change the
+    * output because any trial ≥ 499 caps at 40 identically).
+    */
+  def pNeymanCap(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.neymanAllocation(
+        Tables.customer(s, d).withColumn("stratum_in",
+          when(col("c_custkey") <= 40, lit("0TINY"))
+            .otherwise(col("c_mktsegment"))),
+        "stratum_in",
+        when(col("c_custkey") <= 40, col("c_custkey"))
+          .when(col("c_mktsegment") === "MACHINERY",
+            lit(null).cast("int"))
+          .otherwise(lit(7)),
+        budget = 500)
+      .orderBy("stratum")
+
   /** PMI collocations (TextFns.collocations): top-50 adjacent-token
     * bigrams by pointwise mutual information over the corpus — exact
     * integer counts, one IEEE division as the ranking key (bit-
@@ -2035,7 +2061,8 @@ object PipelineQueries {
     "p_pmi" -> (pPmi _),
     "p_ann_ivfpq_res" -> (pAnnIvfPqRes _),
     "p_ivfpq_res_idx" -> (pAnnIvfPqResIdx _),
-    "p_neyman" -> (pNeyman _))
+    "p_neyman" -> (pNeyman _),
+    "p_neyman_cap" -> (pNeymanCap _))
 
   /** DuckDB replay of the greedy k-center trajectory: unrolled
     * selection CTEs (min-distance over the selected set, argmax with
@@ -4677,6 +4704,53 @@ object PipelineQueries {
          |  rk.fl + CASE WHEN rk.rnk <= lo.leftover THEN 1 ELSE 0 END
          |    AS alloc
          |FROM rk CROSS JOIN lo ORDER BY stratum""".stripMargin
+    },
+    "p_neyman_cap" -> {
+      // Water-filling replay for the planted-cap fixture: '0TINY'
+      // owns all variance → classical pass gives it the whole 500 →
+      // capped at its 40 rows; the 460 leftover re-apportions over
+      // the zero-variance pool proportional-by-count with exact
+      // integer largest-remainder (rank by remainder DESC, stratum).
+      """WITH base AS (
+        |  SELECT CASE WHEN c_custkey <= 40 THEN '0TINY'
+        |              ELSE c_mktsegment END AS stratum,
+        |    CASE WHEN c_custkey <= 40 THEN c_custkey
+        |         WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         ELSE 7 END AS v
+        |  FROM customer),
+        |m AS (
+        |  SELECT stratum, count(*) AS n_rows,
+        |    CAST(COALESCE(sum(v), 0) AS BIGINT) AS s1,
+        |    COALESCE(sum(CAST(v AS HUGEINT) * v),
+        |      CAST(0 AS HUGEINT)) AS s2
+        |  FROM base GROUP BY 1),
+        |pool AS (
+        |  SELECT m.*,
+        |    500 - sum(CASE WHEN stratum = '0TINY' THEN n_rows
+        |        ELSE 0 END) OVER () AS rb,
+        |    sum(CASE WHEN stratum <> '0TINY' THEN n_rows
+        |        ELSE 0 END) OVER () AS n_tot
+        |  FROM m),
+        |f AS (
+        |  SELECT *, rb * n_rows // n_tot AS fl,
+        |    rb * n_rows % n_tot AS remv
+        |  FROM pool WHERE stratum <> '0TINY'),
+        |lo AS (
+        |  SELECT CAST(max(rb) - sum(fl) AS BIGINT) AS leftover FROM f),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY remv DESC, stratum)
+        |    AS rnk
+        |  FROM f)
+        |SELECT stratum, n_rows, s1, CAST(s2 AS VARCHAR) AS s2,
+        |  CAST(n_rows AS BIGINT) AS alloc
+        |FROM m WHERE stratum = '0TINY'
+        |UNION ALL
+        |SELECT rk.stratum, rk.n_rows, rk.s1,
+        |  CAST(rk.s2 AS VARCHAR) AS s2,
+        |  CAST(rk.fl + CASE WHEN rk.rnk <= lo.leftover
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk CROSS JOIN lo
+        |ORDER BY stratum""".stripMargin
     },
     "p_video_dedup" -> {
       val contrib =

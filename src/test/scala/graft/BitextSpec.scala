@@ -61,6 +61,33 @@ class BitextSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("overlapping id spaces: approx == exact, colliding-id pairs survive") {
+    // src and tgt BOTH 0-based — the cross-corpus shape where a true
+    // pair's ids coincide. Aligned target for source i carries id i
+    // (hub gets id 4), so every winning pair (i, i) is exactly the
+    // pair a self-search exclusion would silently drop from the
+    // shortlist. Full-corpus shortlist → the two forms share every
+    // number; equality must be EXACT.
+    // 16-wide (binEncode requires size == dim), zero-padded: the
+    // padding changes no cosine
+    def pad(v: Array[Double]) = v ++ Array.fill(12)(0.0)
+    val src = (0 until 4).map(i => (i.toLong, pad(s(i))))
+      .toDF("vec_id", "embedding")
+    val tgt = ((4L, pad(h)) +:
+        (0 until 4).map(i => (i.toLong, pad(e(i)))))
+      .toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("src_id", "tgt_id").as[(Long, Long)].collect().toMap
+    val exact = pairs(Retrieval.marginMine(src, tgt,
+      "vec_id", "vec_id", "embedding", k = 2))
+    val approx = pairs(Retrieval.marginMineApprox(src, tgt,
+      "vec_id", "vec_id", "embedding", k = 2, shortlist = 5, dim = 16))
+    assert(exact == (0 until 4).map(i => i.toLong -> i.toLong).toMap,
+      s"exact mining must recover the colliding-id alignment: $exact")
+    assert(approx == exact,
+      "approx must score id-colliding pairs exactly like the exact form")
+  }
+
   test("margins are finite and the best margin exceeds 1 for aligned pairs") {
     val m = Retrieval.marginMine(srcs.toDF("vec_id", "embedding"),
         tgts.toDF("vec_id", "embedding"),

@@ -1,0 +1,100 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Crash injection for the [[Artifacts]] versioned-pointer lifecycle
+  * (SeenSet and any rewrite-in-place artifact): a writer killed at
+  * ANY of the lifecycle's intermediate states leaves the artifact
+  * readable at its previous complete version. Each test materializes
+  * one kill point by hand-constructing the on-disk state the crash
+  * would leave.
+  */
+class CrashSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys(n: Int, pfx: String) =
+    (0 until n).map(i => s"$pfx-$i").toDF("k")
+
+  private def tmpArtifact(): String = java.nio.file.Files
+    .createTempDirectory("graft-crash-").toString + "/filter"
+
+  private def probeAll(pfx: String, n: Int, path: String): Long =
+    graft.pipeline.SeenSet.probe(keys(n, pfx), "k",
+        graft.pipeline.SeenSet.open(spark, path))
+      .filter(!col("maybe_seen")).count()
+
+  test("kill during next-version write: previous version stays live") {
+    val path = tmpArtifact()
+    graft.pipeline.SeenSet.write(keys(50, "a"), "k", path,
+      mBits = 1024, nShards = 2)
+    // the crash artifact: a half-written v00002 (directory exists,
+    // contents are garbage — no parquet footer), pointer untouched
+    val partial = new java.io.File(s"$path/v00002")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-x.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Artifacts.currentVersion(spark, path).contains("v00001"))
+    assert(probeAll("a", 50, path) == 0,
+      "reader must resolve the pointer, never the partial directory")
+    // recovery: the next append overwrites the orphan and commits
+    graft.pipeline.SeenSet.appendTo(spark, keys(30, "b"), "k", path)
+    assert(Artifacts.currentVersion(spark, path).contains("v00002"))
+    assert(probeAll("a", 50, path) == 0 && probeAll("b", 30, path) == 0)
+  }
+
+  test("kill between version write and pointer swap: old version live") {
+    val path = tmpArtifact()
+    graft.pipeline.SeenSet.write(keys(50, "a"), "k", path,
+      mBits = 1024, nShards = 2)
+    // the crash artifact: v00002 fully written, pointer not swapped —
+    // replay commit's first half verbatim
+    val merged = graft.pipeline.SeenSet.append(keys(30, "b"), "k",
+      graft.pipeline.SeenSet.open(spark, path))
+    merged.write.mode("overwrite").parquet(s"$path/v00002")
+    assert(Artifacts.currentVersion(spark, path).contains("v00001"))
+    // the reader sees the PRE-append filter: complete and consistent
+    assert(probeAll("a", 50, path) == 0)
+    assert(graft.pipeline.SeenSet.open(spark, path)
+      .agg(sum("n_keys")).head.getLong(0) == 50)
+    // recovery: re-running the append lands and prunes v00001
+    graft.pipeline.SeenSet.appendTo(spark, keys(30, "b"), "k", path)
+    assert(Artifacts.currentVersion(spark, path).contains("v00002"))
+    assert(probeAll("b", 30, path) == 0)
+    assert(!new java.io.File(s"$path/v00001").exists(),
+      "commit prunes superseded versions")
+  }
+
+  test("kill between pointer swap and prune: new version live, stale dir swept") {
+    val path = tmpArtifact()
+    graft.pipeline.SeenSet.write(keys(50, "a"), "k", path,
+      mBits = 1024, nShards = 2)
+    graft.pipeline.SeenSet.appendTo(spark, keys(30, "b"), "k", path)
+    // the crash artifact: resurrect a stale v00001 after the swap
+    // (equivalent to prune never having run)
+    val stale = new java.io.File(s"$path/v00001")
+    assert(stale.mkdirs())
+    graft.pipeline.SeenSet.build(keys(1, "junk"), "k", mBits = 1024)
+      .write.mode("overwrite").parquet(s"$path/v00001")
+    assert(Artifacts.currentVersion(spark, path).contains("v00002"))
+    assert(probeAll("a", 50, path) == 0 && probeAll("b", 30, path) == 0,
+      "pointer wins over stale directories")
+    // the commit AFTER next sweeps everything below the pointer
+    graft.pipeline.SeenSet.appendTo(spark, keys(10, "c"), "k", path)
+    assert(!new java.io.File(s"$path/v00001").exists())
+    assert(!new java.io.File(s"$path/v00002").exists())
+    assert(Artifacts.currentVersion(spark, path).contains("v00003"))
+  }
+
+  test("pre-versioning flat artifacts still open (legacy fallback)") {
+    val path = tmpArtifact()
+    graft.pipeline.SeenSet.build(keys(20, "a"), "k", mBits = 1024)
+      .write.mode("overwrite").parquet(path)
+    assert(Artifacts.currentVersion(spark, path).isEmpty)
+    assert(probeAll("a", 20, path) == 0)
+    // and the first appendTo MIGRATES it to the versioned layout
+    graft.pipeline.SeenSet.appendTo(spark, keys(5, "b"), "k", path)
+    assert(Artifacts.currentVersion(spark, path).contains("v00001"))
+    assert(probeAll("a", 20, path) == 0 && probeAll("b", 5, path) == 0)
+  }
+}

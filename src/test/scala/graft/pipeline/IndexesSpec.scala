@@ -47,6 +47,36 @@ class IndexesSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("colliding-id external probe: selfExclude=false keeps the true neighbor") {
+    import spark.implicits._
+    // external query batch whose id space OVERLAPS the corpus's
+    // (both 0-based): query 2's true nearest corpus vector also
+    // carries id 2 — exactly the pair self-search exclusion drops
+    def v(axis: Int) = Array.tabulate(16)(j =>
+      if (j == axis) 1.0 else 0.01 * ((j + axis) % 3))
+    val corpus = (0 until 5).map(i => (i.toLong, v(i)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((2L, v(2))).toDF("vec_id", "embedding")
+    Indexes.writeBinaryIndex(corpus, "vec_id", "embedding",
+      s"$root/bincoll", dim = 16)
+    val idx = Indexes.openBinaryIndex(spark, s"$root/bincoll")
+    val crossCorpus = Indexes.binaryTopKIndexed(queries, idx, corpus,
+        "vec_id", "vec_id", "embedding", k = 1, shortlist = 5,
+        dim = 16, selfExclude = false)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(crossCorpus.toSeq == Seq((2L, 2L)),
+      s"cross-corpus probe must keep the id-colliding true neighbor: " +
+        crossCorpus.mkString(","))
+    // the single-corpus default still excludes the self-match
+    val self = Indexes.binaryTopKIndexed(queries, idx, corpus,
+        "vec_id", "vec_id", "embedding", k = 1, shortlist = 5,
+        dim = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall(p => p._2 != 2L),
+      s"self-search posture must keep excluding id==id: " +
+        self.mkString(","))
+  }
+
   test("minhash index append == rebuild over base ∪ batch") {
     val docs = Tables.documents(spark, sf())
     val inc = docs.filter(col("doc_id") % 10 === 7)

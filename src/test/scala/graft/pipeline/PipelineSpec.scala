@@ -1283,30 +1283,57 @@ class PipelineSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
-  test("Neyman allocation: variance takes the budget, sums are exact") {
-    // A = {0, 10}: V = 2·100 − 100 = 100 → w = 10; B = {5, 5}: V = 0
+  test("Neyman allocation: water-filling cap, sums are exact") {
+    // A = {0, 10}: V = 2·100 − 100 = 100 → w = 10; B = {5, 5}: V = 0.
+    // Classical allocation hands A the whole budget (10), but A has
+    // only 2 rows — the cap freezes A at n_rows and the remaining 8
+    // re-apportions to the zero-variance pool, itself capped at
+    // B.n_rows = 2 (you can never sample more rows than exist).
     val df = Seq(("A", 0), ("A", 10), ("B", 5), ("B", 5))
       .toDF("g", "x")
     val out = Sampling.neymanAllocation(df, "g", $"x", budget = 10)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
       .toMap
-    assert(out("A") == ((2L, 10L, "100", 10L)),
-      "the varying stratum earns the whole budget")
-    assert(out("B") == ((2L, 10L, "50", 0L)))
+    assert(out("A") == ((2L, 10L, "100", 2L)),
+      "the varying stratum is capped at its own row count")
+    assert(out("B") == ((2L, 10L, "50", 2L)),
+      "the freed budget re-apportions, itself capped at n_rows")
+    // cap binds on ONE stratum and the re-apportioned remainder fits
+    // the rest without a second cap pass: A = {0, 100} (w = 100),
+    // B = {5,5,5,5} (w = 0). budget 4 → pass 1 trial A = 4 > 2,
+    // freeze A at 2; pass 2 gives the leftover 2 to B (prop-by-count)
+    val oneCap = Seq(("A", 0), ("A", 100),
+      ("B", 5), ("B", 5), ("B", 5), ("B", 5)).toDF("g", "x")
+    val oc = Sampling.neymanAllocation(oneCap, "g", $"x", budget = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(oc == Map("A" -> 2L, "B" -> 2L))
     // zero variance everywhere → proportional-by-count fallback
     val flat = Seq(("A", 5), ("A", 5), ("B", 3), ("B", 3), ("B", 3))
       .toDF("g", "x")
     val fb = Sampling.neymanAllocation(flat, "g", $"x", budget = 5)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(fb == Map("A" -> 2L, "B" -> 3L))
-    // largest-remainder: allocations always sum EXACTLY to the budget
+    // an all-NULL stratum: moments coalesce to 0 (not NPE), weight 0,
+    // so it competes only in the zero-variance pool
+    val withNull = Seq(("A", Some(0)), ("A", Some(10)),
+      ("C", None: Option[Int]), ("C", None), ("C", None))
+      .toDF("g", "x")
+    val nn = Sampling.neymanAllocation(withNull, "g", $"x", budget = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toMap
+    assert(nn("C") == ((3L, 0L, "0", 1L)),
+      "all-NULL stratum: zero moments, absorbs only the capped surplus")
+    assert(nn("A") == ((2L, 10L, "100", 2L)))
+    // largest-remainder: allocations sum EXACTLY to min(budget, Σn) —
+    // budget 7 over the 6-row frame saturates at 6
     val mixed = Seq(("A", 1), ("A", 9), ("B", 2), ("B", 8),
       ("C", 3), ("C", 7)).toDF("g", "x")
     (1 to 7).foreach { b =>
       val s = Sampling.neymanAllocation(mixed, "g", $"x", budget = b)
         .agg(sum("alloc")).head.getLong(0)
-      assert(s == b, s"budget $b must be fully apportioned")
+      assert(s == math.min(b, 6), s"budget $b: Σalloc = min(b, Σn)")
     }
   }
 
