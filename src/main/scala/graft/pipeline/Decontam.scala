@@ -16,6 +16,19 @@ import org.apache.spark.sql.expressions.Window
   * (train-side frequency > maxShingleFreq) are dropped before the
   * join, exactly like LSH's maxBucket skew cap, which bounds the
   * join's fan-out at corpus scale.
+  *
+  * SCALE CLAIM, qualified: linearity in the train corpus holds for
+  * the PRODUCTION shape — a FIXED eval suite (benchmarks don't grow
+  * with the corpus) and n ≥ 8 grams (prose 8-gram density collapses;
+  * n = 3 makes every gram boilerplate). Measured at that shape
+  * (fixed 250-doc eval, n = 8, gates p_contamination/_frac,
+  * BENCH_sf10_r12.json): 0.75 s at sf0.1 → 2.2 s at sf1 → 10.6 s at
+  * sf10 — 14× over 100× data, tracking the q1 scan control
+  * (0.27 → 0.61 → 2.4 s). If BOTH sides grow with the corpus the
+  * OUTPUT pair set itself can grow super-linearly (shared grams ×
+  * shared grams) and no join strategy changes that — that cost is
+  * the answer's size, not the operator's; cap it upstream with
+  * `minCommon`, the boilerplate caps, or an eval-side budget.
   */
 object Decontam {
 

@@ -608,9 +608,11 @@ object TextFns {
     * the corpus-scan form (BpeNative tokenizes text and then works
     * word-by-word, so pairs-of(text) = ⋃ pairs-of(word) with
     * occurrence multiplicity = word count; TokenizerSpec pins
-    * equality against [[bpeTrainCorpusScan]]). sf1 A/B: 4 merges over
-    * documents 10.6 s → 2.2 s; the gap widens with both corpus size
-    * and merge count (BENCH_sf1_r11).
+    * equality against [[bpeTrainCorpusScan]], and graft.tools.BpeAb
+    * re-asserts it at scale). Measured A/B (BpeAb, warm medians,
+    * BENCH_sf1_r12.json): sf1 4 merges 2.23 → 0.64 s (3.5×), sf1
+    * 16 merges 8.25 → 1.69 s (4.9×) — the gap widens with merge
+    * count exactly as the cost model predicts.
     *
     * Determinism: counts are exact longs (sums of per-word products);
     * the argmax tie-breaks on the pair string (ASCII: tokens are

@@ -898,24 +898,34 @@ object PipelineQueries {
     * (117 pairs at sf0.01); production decontamination uses the
     * operator default (8).
     */
+  /** PRODUCTION-SHAPED decontamination gate: a FIXED 250-document
+    * eval suite (doc_id < 250 — constant at every SF, the way real
+    * benchmark suites are constant while the train corpus grows) and
+    * n = 8 grams (the production gram width; n = 3 on prose makes
+    * every gram boilerplate — ROADMAP round-9). Under this shape the
+    * operator is linear in the train corpus: the eval gram set is a
+    * constant, the train side streams through one hash join against
+    * it, and output is bounded by real 8-gram collisions, not the
+    * quadratic all-pairs mass the old %-20 split manufactured at
+    * scale. frac = 1.0 pins the LEGACY absolute-cap-only path; the
+    * production default (relative cap) is p_contamination_frac.
+    */
   def pContamination(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    // frac = 1.0 pins the LEGACY absolute-cap-only path (hash-stable
-    // across rounds); the production default (relative cap) is pinned
-    // by p_contamination_frac and exercised with defaults in p_curate
     graft.pipeline.Decontam.contamination(
-        doc.filter(col("doc_id") % 20 =!= 0), "doc_id",
-        doc.filter(col("doc_id") % 20 === 0), "doc_id",
-        "text", n = 3, minCommon = 2, maxShingleFrac = 1.0)
+        doc.filter(col("doc_id") >= 250), "doc_id",
+        doc.filter(col("doc_id") < 250), "doc_id",
+        "text", n = 8, minCommon = 2, maxShingleFrac = 1.0)
       .orderBy(col("n_common").desc, col("test_id"), col("train_id"))
       .limit(500)
   }
 
   /** The production-DEFAULT decontamination posture (no cap argument
-    * passed at all): the corpus-RELATIVE boilerplate cap, effective =
-    * min(maxShingleFreq, ceil(0.001·|train|)), train count computed
-    * in-plan. At sf0.01 that is cap 1 (ceil(0.475)) — only grams
-    * unique to a single train doc join — which genuinely
+    * passed at all) over the same fixed-eval-suite split as
+    * p_contamination: the corpus-RELATIVE boilerplate cap,
+    * effective = min(maxShingleFreq, ceil(0.001·|train|)), train
+    * count computed in-plan. At sf0.01 that is cap 1 (ceil(0.25)) —
+    * only grams unique to a single train doc join — which genuinely
     * discriminates from p_contamination's legacy absolute-cap pin
     * (different pair set), so the gate proves the default code path,
     * not just the signature.
@@ -923,9 +933,9 @@ object PipelineQueries {
   def pContaminationFrac(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
     graft.pipeline.Decontam.contamination(
-        doc.filter(col("doc_id") % 20 =!= 0), "doc_id",
-        doc.filter(col("doc_id") % 20 === 0), "doc_id",
-        "text", n = 3, minCommon = 2)
+        doc.filter(col("doc_id") >= 250), "doc_id",
+        doc.filter(col("doc_id") < 250), "doc_id",
+        "text", n = 8, minCommon = 2)
       .orderBy(col("n_common").desc, col("test_id"), col("train_id"))
       .limit(500)
   }
@@ -3342,16 +3352,16 @@ object PipelineQueries {
     "p_contamination" ->
       s"""WITH tr AS (
          |  SELECT DISTINCT doc_id AS train_id, ${hash60("s")} AS h FROM (
-         |    SELECT doc_id, unnest($shinglesSql) AS s
-         |    FROM documents WHERE doc_id % 20 <> 0)),
+         |    SELECT doc_id, unnest(${shinglesSqlN(8)}) AS s
+         |    FROM documents WHERE doc_id >= 250)),
          |trf AS (
          |  SELECT train_id, h FROM (
          |    SELECT *, count(*) OVER (PARTITION BY h) AS f FROM tr)
          |  WHERE f <= 1000),
          |te AS (
          |  SELECT DISTINCT doc_id AS test_id, ${hash60("s")} AS h FROM (
-         |    SELECT doc_id, unnest($shinglesSql) AS s
-         |    FROM documents WHERE doc_id % 20 = 0))
+         |    SELECT doc_id, unnest(${shinglesSqlN(8)}) AS s
+         |    FROM documents WHERE doc_id < 250))
          |SELECT test_id, train_id, count(*) AS n_common
          |FROM te JOIN trf USING (h)
          |GROUP BY 1, 2 HAVING count(*) >= 2
@@ -3359,18 +3369,18 @@ object PipelineQueries {
     "p_contamination_frac" ->
       s"""WITH tr AS (
          |  SELECT DISTINCT doc_id AS train_id, ${hash60("s")} AS h FROM (
-         |    SELECT doc_id, unnest($shinglesSql) AS s
-         |    FROM documents WHERE doc_id % 20 <> 0)),
+         |    SELECT doc_id, unnest(${shinglesSqlN(8)}) AS s
+         |    FROM documents WHERE doc_id >= 250)),
          |trf AS (
          |  SELECT train_id, h FROM (
          |    SELECT *, count(*) OVER (PARTITION BY h) AS f FROM tr)
          |  WHERE f <= least(1000, CAST(ceil(0.001 *
-         |    (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0))
+         |    (SELECT count(*) FROM documents WHERE doc_id >= 250))
          |    AS BIGINT))),
          |te AS (
          |  SELECT DISTINCT doc_id AS test_id, ${hash60("s")} AS h FROM (
-         |    SELECT doc_id, unnest($shinglesSql) AS s
-         |    FROM documents WHERE doc_id % 20 = 0))
+         |    SELECT doc_id, unnest(${shinglesSqlN(8)}) AS s
+         |    FROM documents WHERE doc_id < 250))
          |SELECT test_id, train_id, count(*) AS n_common
          |FROM te JOIN trf USING (h)
          |GROUP BY 1, 2 HAVING count(*) >= 2
