@@ -16,6 +16,28 @@ object Bench {
     System.gc()
   }
 
+  /** The round-1 bench battery (the 48 queries of BENCH_r01's
+    * recording, against which BASELINE.md's 0.50 s/query was set).
+    * The regression guard runs on THIS set separately from the full
+    * battery: the full battery's s/query drifts every round purely
+    * by gate-mix (each round adds extension gates, many of them
+    * intrinsically heavier), which was steadily eroding what the 2×
+    * bound meant. `core_total` compares like with like.
+    */
+  private val CoreQueries: Set[String] = Set(
+    "f_array", "f_datetime", "f_numeric", "f_object", "f_path_steps",
+    "f_regex", "f_rm_expr", "f_rm_query", "f_string", "f_truthy",
+    "p_ann_brute", "p_ann_topk", "p_embed_dup", "p_exact_dedup",
+    "p_lang_id", "p_llm_extract", "p_minhash", "p_multimodal",
+    "p_quality", "p_simhash", "p_text_stats", "q1_agg",
+    "q2_filter_project", "q3_join_revenue", "q4_broadcast_join",
+    "q6_revenue", "q_anti_semi", "q_approx_distinct", "q_asof",
+    "q_case_when", "q_cube", "q_distinct", "q_eav_direct",
+    "q_eav_filter", "q_eav_identity", "q_eav_join", "q_eav_pull",
+    "q_eav_wildcard", "q_events_hourly", "q_express_map",
+    "q_express_map_keys", "q_express_nested", "q_express_reduce",
+    "q_rm_e2e", "q_rollup", "q_setops", "q_topk", "q_window_rank")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -97,6 +119,19 @@ object Bench {
       .replace("\"", "\\\"") + "\""
     val total = r3(results.values.sum)
     val fullTotal = r3(full.values.sum)
+    // the two guard series: r1 core (vs BASELINE's 0.50 s/q, 2×
+    // bound) and everything added since (extension gates, no r1
+    // baseline — tracked round-over-round instead)
+    val coreTotal = r3(results.collect {
+      case (n, v) if CoreQueries(n) => v }.sum)
+    val coreFullTotal = r3(full.collect {
+      case (n, v) if CoreQueries(n) => v }.sum)
+    val extTotal = r3(results.collect {
+      case (n, v) if !CoreQueries(n) => v }.sum)
+    val extFullTotal = r3(full.collect {
+      case (n, v) if !CoreQueries(n) => v }.sum)
+    val nCore = results.keys.count(CoreQueries)
+    val nExt = results.size - nCore
     // JVM/GC provenance, so a builder-local vs driver-recorded delta
     // (r6: 33 s vs 79 s for the same suite) is diagnosable from the
     // two records instead of being a mystery.
@@ -113,7 +148,11 @@ object Bench {
     println(s"""{"metric":"full_detail","full":${js(full)}}""")
     println(s"""{"metric":"query_detail","queries":${js(results)}}""")
     println(s"""{"metric":"env","env":$env}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"core_vs_ext","core_total":$coreTotal,""" +
+      s""""core_full_total":$coreFullTotal,"n_core":$nCore,""" +
+      s""""ext_total":$extTotal,"ext_full_total":$extFullTotal,""" +
+      s""""n_ext":$nExt}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"core_total":$coreTotal,"ext_total":$extTotal,"sf":"$sfDir"}""")
     // belt-and-braces: the machine-readable record also lands in a
     // file, immune to any stdout capture/prefix/truncation issues
     try java.nio.file.Files.write(
@@ -121,6 +160,8 @@ object Bench {
       (s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${js(results)},"full":${js(full)},""" +
         s""""env":$env,""" +
+        s""""core_total":$coreTotal,"core_full_total":$coreFullTotal,""" +
+        s""""ext_total":$extTotal,"ext_full_total":$extFullTotal,""" +
         s""""full_total":$fullTotal,"sf":"$sfDir"}""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

@@ -72,6 +72,21 @@ object Builtins {
     }
     def sseq(c: Column, dt: DataType): CV = CD(c, dt, KSeq)
     def sval(c: Column, dt: DataType): CV = CD(c, dt, KScalar)
+    /** frame-argument position (the EAV/schema builtins): a bound
+      * DataFrame passes through; program-literal data goes over the
+      * JSON bridge (driver-side, small by construction).
+      */
+    def frameArg(i: Int, who: String): org.apache.spark.sql.DataFrame =
+      args.lift(i) match {
+        case Some(CTab(df)) => df
+        case Some(dd: CD) =>
+          val spark = Compiler.sparkCtx.value
+          if (spark == null) fail(s"$who needs a bound session")
+          QueryBridge.cdToDf(spark, dd)
+        case other =>
+          fail(s"$who: argument ${i + 1} must be data or a frame, " +
+            s"got $other")
+      }
 
     name match {
       // frame-level forms FIRST: query-result frames thread through
@@ -650,6 +665,104 @@ object Builtins {
           case None => sval(lit(null).cast(StringType), StringType)
           case Some(v) => literalCV(v)
         }
+
+      // ---- EAV / schema surface (reference parse.cljc:83 rm-fns) ----
+      // $db (builtin.cljc:1682-1685): data → database. Ours is the
+      // triple frame (Shred) — query{} application recognizes the
+      // shape and skips re-shredding. Binding values from an explicit
+      // $db carry the canonical string encoding (the Scala-API
+      // QueryCompiler.run contract); the literal-data typed-restore
+      // path is for data passed to query{} directly.
+      case "$db" =>
+        val df = frameArg(0, "$db")
+        CTab(if (graft.shred.Shred.isTriplesFrame(df)) df
+          else graft.shred.Shred.shred(df))
+
+      // $pull (builtin.cljc:1677-1680): all data about one entity.
+      // Driver-side by design (ONE entity's attributes — the
+      // interactive companion of the distributed unshredFlat);
+      // values restore their boxed types (vt), card-many attributes
+      // come back as arrays sorted (numeric, then canonical string)
+      // since EAV stores sets, refs stay sub-entity id strings.
+      case "$pull" =>
+        val spark = Compiler.sparkCtx.value
+        if (spark == null) fail("$pull needs a bound session")
+        val id = args.head match {
+          case dd: CD =>
+            val r = spark.range(1)
+              .select(scalar(dd).col.cast(StringType)).collect()(0)
+            if (r.isNullAt(0)) fail("$pull: entity id is null")
+            r.getString(0)
+          case CTab(df) =>
+            val vals = df.distinct().collect()
+            if (vals.length != 1 || vals(0).length != 1)
+              fail(s"$$pull: id frame must hold exactly one value, " +
+                s"got ${vals.length} row(s)")
+            String.valueOf(vals(0).get(0))
+          case _ => fail("$pull: first argument must be an entity id")
+        }
+        val trip = frameArg(1, "$pull") match {
+          case df if graft.shred.Shred.isTriplesFrame(df) => df
+          case df => graft.shred.Shred.shred(df)
+        }
+        val rows = trip.filter(col("e") === lit(id))
+          .select("a", "v", "vt", "vn").collect()
+        if (rows.isEmpty) sval(lit(null).cast(StringType), StringType)
+        else {
+          def restore(r: org.apache.spark.sql.Row): Any =
+            r.getString(2) match {
+              case "num" =>
+                val v = r.getString(1)
+                if (v.matches("-?\\d+")) v.toLong else v.toDouble
+              case "bool" => r.getString(1).toBoolean
+              case _ => r.getString(1) // str and ref
+            }
+          val byAttr = rows.groupBy(_.getString(0)).toSeq
+            .sortBy(_._1)
+            .map { case (a, rs) =>
+              val sorted = rs.sortBy(r =>
+                (if (r.isNullAt(3)) (1, 0.0d, r.getString(1))
+                 else (0, r.getDouble(3), r.getString(1))))
+              a -> (if (sorted.length == 1) restore(sorted.head)
+                    else sorted.map(restore).toSeq)
+            }
+          literalCV(scala.collection.immutable.ListMap(byAttr: _*))
+        }
+
+      // $schemaFor (builtin.cljc:1688-1692): learned schema of the
+      // data, as the engine's schema JSON (Spark StructType.json —
+      // the form $addSchema consumes).
+      case "$schemaFor" =>
+        sval(lit(graft.sources.Ingest.schemaFor(frameArg(0,
+          "$schemaFor"))), StringType)
+
+      // $addSchema (builtin.cljc:2219-2226): overlay known schema
+      // onto learned — here a pure merge of two schema JSONs (right
+      // wins on conflicts); the reference's model-context bookkeeping
+      // is server-side, out of engine scope (Ingest.addSchema doc).
+      case "$addSchema" =>
+        def schemaOf(i: Int): StructType = {
+          val spark = Compiler.sparkCtx.value
+          val r = spark.range(1)
+            .select(scalar(d(i)).col.cast(StringType)).collect()(0)
+          if (r.isNullAt(0)) fail(s"$$addSchema: argument ${i + 1} is null")
+          DataType.fromJson(r.getString(0)) match {
+            case st: StructType => st
+            case other => fail(s"$$addSchema: not a struct schema: $other")
+          }
+        }
+        sval(lit(graft.sources.Ingest
+          .addSchema(schemaOf(0), schemaOf(1)).json), StringType)
+
+      // $identities (builtin.cljc:2305-2311): {'query': …,
+      // 'express': …} — runnable body strings, reference-numbered
+      // (?e1/?v1 depth-first).
+      case "$identities" =>
+        val (q, e) = graft.shred.Identities.identitiesText(
+          frameArg(0, "$identities").schema)
+        CD(struct(lit(q).as("query"), lit(e).as("express")),
+          StructType(Seq(StructField("query", StringType),
+            StructField("express", StringType))), KScalar)
 
       case other => fail(s"unknown function $other")
     }

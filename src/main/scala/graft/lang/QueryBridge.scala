@@ -103,7 +103,12 @@ object QueryBridge {
     // entity var, no shred, no triple self-joins — QueryCompiler.
     // runDocs). Nested/array attributes and wildcard attrs fall back
     // to the EAV form, whose explode materializes sub-entities.
-    if (docEligible(pats, srcDfs)) {
+    // a `$db` result (triple frame) routes straight to the EAV
+    // engine: it IS the database, so the direct path (which reads
+    // data columns) and the shred (which would shred triples of
+    // triples) must both be skipped
+    val anyDb = srcDfs.values.exists(Shred.isTriplesFrame)
+    if (!anyDb && docEligible(pats, srcDfs)) {
       val docs = srcDfs.map { case (n, df) =>
         n -> QueryCompiler.DocSource(df.withColumn(EntCol,
           Shred.derivedId(df)), EntCol)
@@ -117,7 +122,8 @@ object QueryBridge {
       else
         CTab(typedBsets(spark, boxed, hints))
     } else {
-      val sources = srcDfs.map { case (n, df) => n -> Shred.shred(df) }
+      val sources = srcDfs.map { case (n, df) =>
+        n -> (if (Shred.isTriplesFrame(df)) df else Shred.shred(df)) }
       if (allTables) // distributed end-to-end; canonical string bindings
         CTab(QueryCompiler.run(sources, pats, Nil, keepDBid,
           boxedPredicates = predFns(Map.empty)))

@@ -35,6 +35,22 @@ import org.apache.spark.sql.expressions.Window
   *  - MinHash: (id, band, bucket) — the [[Dedup.minhashIndexMd5]]
   *    frame persisted; incremental batches probe it without touching
   *    corpus text except for the Jaccard verify of matched ids.
+  *
+  * CONCURRENCY CONTRACT (every write and append entry point in this
+  * module): SINGLE WRITER per artifact path. The append family lands new parquet
+  * files next to the old ones through Spark's file committer — task
+  * files stage under `_temporary/` (invisible to readers) and commit
+  * by rename at job end, so a probe running CONCURRENTLY with an
+  * append sees either none or some complete files of the batch,
+  * never partial rows; a writer killed mid-job leaves only staged
+  * files readers ignore (re-run the batch). Two concurrent appends
+  * to one path can clobber each other's committer bookkeeping —
+  * serialize them upstream. Families whose artifact carries
+  * corpus-global statistics (BM25's dfs/meta side tables) REBUILD
+  * those tables on append rather than appending rows; rewrite-in-
+  * place artifacts (the Bloom seen-set) use the
+  * [[graft.core.Artifacts]] versioned-pointer lifecycle instead,
+  * which additionally survives a kill at any point (CrashSafetySpec).
   */
 object Indexes {
 

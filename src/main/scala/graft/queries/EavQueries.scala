@@ -117,6 +117,25 @@ object EavQueries {
       .orderBy("name", "bal")
   }
 
+  /** q_eav_pull's TEXT twin — the reference rm-fns program shape
+    * (builtin_test.cljc:146-151) end-to-end from source text: build a
+    * db with `$db`, find the entity with a keepDBid query, `$pull`
+    * everything about it. Typed restore (vt): r_regionkey comes back
+    * a long, not a canonical string.
+    */
+  def qRmPull(s: SparkSession, d: String): DataFrame = {
+    val got = graft.lang.RM.evalWithSources(
+      """( $theDb := $db($region);
+        |  $id := query( <|keepDBid : true|> ){[?e :r_regionkey 2]}($theDb).?e;
+        |  $pull($id, $theDb) )""".stripMargin,
+      s, Map("region" -> Tables.region(s, d)))
+      .get.asInstanceOf[Map[String, Any]]
+    import s.implicits._
+    Seq((got("r_regionkey").asInstanceOf[Long],
+      got("r_name").asInstanceOf[String]))
+      .toDF("r_regionkey", "r_name")
+  }
+
   val all: Map[String, Q] = Map(
     "q_eav_nested" -> (qEavNested _),
     "q_eav_direct" -> (qEavDirect _),
@@ -124,7 +143,8 @@ object EavQueries {
     "q_eav_filter" -> (qEavFilter _),
     "q_eav_join" -> (qEavJoin _),
     "q_eav_wildcard" -> (qEavWildcard _),
-    "q_eav_pull" -> (qEavPull _))
+    "q_eav_pull" -> (qEavPull _),
+    "q_rm_pull" -> (qRmPull _))
 
   // Canonical string of a numeric column (matches Shred's encoding).
   private def canonNum(col: String): String =
@@ -168,5 +188,8 @@ object EavQueries {
         |GROUP BY a ORDER BY a""".stripMargin,
     "q_eav_pull" ->
       """SELECT CAST(r_regionkey AS VARCHAR) AS e, r_name AS name
-        |FROM region ORDER BY e""".stripMargin)
+        |FROM region ORDER BY e""".stripMargin,
+    "q_rm_pull" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region WHERE r_regionkey = 2""".stripMargin)
 }

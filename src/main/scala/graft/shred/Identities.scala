@@ -68,6 +68,61 @@ object Identities {
   def identities(schema: StructType)
       : (Seq[Pattern], XObj) = (qIdent(schema), eIdent(schema))
 
+  /** Text rendering of the identity query, reference-numbered
+    * (`builtin.cljc:2264-2283`): entities ?e1, ?e2, … minted
+    * depth-first as nested STRUCTS are entered; every other field —
+    * scalars AND arrays, exactly the reference's `map?`-only
+    * recursion — binds a ?vN value var. The string is a runnable
+    * `query{}` body.
+    */
+  def qIdentText(schema: StructType): String = {
+    var ecnt = 0
+    var vcnt = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def qi(s: StructType): Unit = {
+      ecnt += 1
+      val ename = s"?e$ecnt"
+      s.fields.foreach { f =>
+        f.dataType match {
+          case st: StructType =>
+            out += s"[$ename :${f.name} ?e${ecnt + 1}]"
+            qi(st)
+          case _ =>
+            vcnt += 1
+            out += s"[$ename :${f.name} ?v$vcnt]"
+        }
+      }
+    }
+    qi(schema)
+    out.mkString(" ")
+  }
+
+  /** Text rendering of the identity express template, value vars
+    * numbered by the same traversal as [[qIdentText]] (reference
+    * `builtin.cljc:2290-2303`). The string is a runnable `express{}`
+    * body.
+    */
+  def eIdentText(schema: StructType): String = {
+    var vcnt = 0
+    def ei(s: StructType): String =
+      s.fields.map { f =>
+        f.dataType match {
+          case st: StructType => s"'${f.name}': ${ei(st)}"
+          case _ =>
+            vcnt += 1
+            s"'${f.name}': ?v$vcnt"
+        }
+      }.mkString("{", ", ", "}")
+    ei(schema)
+  }
+
+  /** `$identities` at the TEXT surface (reference
+    * `builtin.cljc:2305-2311`: "values are strings of corresponding
+    * query"): {'query': …, 'express': …} with runnable body strings.
+    */
+  def identitiesText(schema: StructType): (String, String) =
+    (qIdentText(schema), eIdentText(schema))
+
   /** Full identity round trip: shred → identity query → identity
     * express reduce. Returns the reconstructed entity frame (canonical
     * string leaves).

@@ -103,6 +103,14 @@ object Shred {
   def shred(df: DataFrame, idCol: Option[String] = None): DataFrame =
     shredGen(df, idCol)
 
+  /** Is `df` already a triple frame (the `$db` result shape)? The
+    * text surface uses this to pass databases through `query{}`
+    * application unshredded — the convention a frame with exactly
+    * these five columns opts into.
+    */
+  def isTriplesFrame(df: DataFrame): Boolean =
+    df.columns.toSeq == Seq("e", "a", "v", "vt", "vn")
+
   /** Expression-form shredder (array-build + one explode) — kept for
     * plan comparison; `shred` uses the generator form.
     */

@@ -523,4 +523,84 @@ class RMQuerySpec extends SparkSpec {
       Map("id" -> 100L, "aAttr" -> "100-1", "bAttr" -> "100-2"),
       Map("id" -> 200L, "aAttr" -> "200-1", "bAttr" -> "200-2")))
   }
+
+  test("$db + keepDBid query + $pull round trip (builtin_test:146-151)") {
+    // the reference rm-fns battery's exact program shape: build a db,
+    // find an entity id with keepDBid, pull everything about it
+    val got = RM.eval(
+      """( $theDb := $db([{'id' : 'find-me', 'attr1' : 1,
+        |                  'attr2' : 'two',
+        |                  'anotherAttr' : 'another-value'}]);
+        |  $id := query( <|keepDBid : true|> ){[?e :id 'find-me']}($theDb).?e;
+        |  $pull($id, $theDb) )""".stripMargin, spark)
+    assert(got.contains(Map(
+      "anotherAttr" -> "another-value",
+      "attr1" -> 1L,
+      "attr2" -> "two",
+      "id" -> "find-me")), got.toString)
+  }
+
+  test("$db over a bound frame queries unshredded triples") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val got = RM.evalWithSources(
+      """( $d := $db($src);
+        |  query(){[?e :k ?k] [?e :s ?s]}($d) )""".stripMargin,
+      spark, Map("src" -> df)).get.asInstanceOf[Seq[Any]].toSet
+    assert(got == Set(Map("k" -> "1", "s" -> "a"),
+      Map("k" -> "2", "s" -> "b")), got.toString)
+  }
+
+  test("$pull: card-many attrs come back as arrays, refs as ids") {
+    val got = RM.eval(
+      """( $d := $db([{'id' : 'e1', 'tags' : [3, 1, 2],
+        |              'sub' : {'x' : true}}]);
+        |  $id := query( <|keepDBid : true|> ){[?e :id 'e1']}($d).?e;
+        |  $pull($id, $d) )""".stripMargin, spark)
+        .get.asInstanceOf[Map[String, Any]]
+    assert(got("tags") == Seq(1L, 2L, 3L),
+      s"card-many sorted numerically: $got")
+    assert(got("id") == "e1")
+    val sub = got("sub").asInstanceOf[String]
+    // the ref value is the sub-entity id; pulling IT yields the nested map
+    val subMap = RM.eval(
+      s"""( $$d := $$db([{'id' : 'e1', 'tags' : [3, 1, 2],
+         |              'sub' : {'x' : true}}]);
+         |  $$pull('$sub', $$d) )""".stripMargin, spark)
+    assert(subMap.contains(Map("x" -> true)), subMap.toString)
+  }
+
+  test("$schemaFor + $addSchema merge (builtin.cljc:1688,2219)") {
+    val got = RM.eval(
+      """( $s1 := $schemaFor([{'a' : 1, 'b' : 'x'}]);
+        |  $s2 := $schemaFor([{'b' : 2.5, 'c' : true}]);
+        |  $addSchema($s1, $s2) )""".stripMargin, spark)
+      .get.asInstanceOf[String]
+    val st = org.apache.spark.sql.types.DataType.fromJson(got)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSet == Set("a", "b", "c"))
+    assert(st("b").dataType ==
+      org.apache.spark.sql.types.DoubleType, "overlay wins on conflict")
+  }
+
+  test("$identities returns runnable query/express body strings") {
+    val got = RM.eval(
+      """$identities([{'id' : 123, 'aAttr' : {'val' : 'A-value'}}])"""
+        .stripMargin, spark).get.asInstanceOf[Map[String, Any]]
+    // JSON-bridge schema order is alphabetical (spark.read.json), so
+    // aAttr's entity patterns precede id's value pattern
+    assert(got("query") ==
+      "[?e1 :aAttr ?e2] [?e2 :val ?v1] [?e1 :id ?v2]", got.toString)
+    assert(got("express") ==
+      "{'aAttr': {'val': ?v1}, 'id': ?v2}", got.toString)
+    // and the rendered pair actually ROUND-TRIPS the data
+    val rt = RM.eval(
+      s"""( $$data := [{'id' : 123, 'aAttr' : {'val' : 'A-value'}}];
+         |  $$ids := $$identities($$data);
+         |  $$bs := query(){${got("query")}}($$data);
+         |  $$reduce($$bs, express(){${got("express")}}) )""".stripMargin,
+      spark)
+    assert(rt.contains(Map("aAttr" -> Map("val" -> "A-value"),
+      "id" -> 123L)), rt.toString)
+  }
 }
