@@ -40,6 +40,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Self-check the guard: a renamed/removed core query must fail the
+    // bench loudly, not silently shrink core_total and soften the 2×
+    // judgment while still claiming to be BENCH_r01's exact list.
+    val missingCore = CoreQueries -- SparkEntry.queries.keySet
+    require(missingCore.isEmpty,
+      s"core guard queries missing from the registry: " +
+        missingCore.toSeq.sorted.mkString(", "))
     val spark = Sessions.local()
     // Warm up codegen/JIT/IO paths so per-query numbers measure the
     // queries, not first-query JVM startup: the flagship plan plus a

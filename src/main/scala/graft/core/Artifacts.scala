@@ -28,8 +28,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    on disk);
   *  - between version write and pointer swap: same;
   *  - between pointer swap and prune: the new version is live; the
-  *    stale directory is garbage a later [[commit]] sweeps (every
-  *    commit prunes ALL `v*` below the pointer).
+  *    stale directory is garbage a later [[commit]] sweeps (each
+  *    commit prunes every `v*` strictly below the version it
+  *    supersedes, so a version survives exactly one commit past
+  *    being superseded).
   *
   * Concurrency contract (the same one every persisted index here
   * carries): SINGLE WRITER per artifact — commits are not serialized
@@ -87,16 +89,29 @@ object Artifacts {
     val next = f"v${curN + 1}%05d"
     df.write.mode("overwrite").parquet(s"$path/$next")
     swapPointer(spark, path, next)
-    // prune AFTER the swap: everything below the pointer is garbage
     val root = new Path(path)
     val fs = fsOf(spark, root)
+    // prune AFTER the swap, keeping the version we just superseded:
+    // a reader that resolved the pointer to vN before this commit
+    // promoted vN+1 keeps a readable directory for one more commit
+    // (the grace window the contract above promises).
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("v") && n != next &&
           n.drop(1).forall(_.isDigit) &&
-          n.drop(1).toInt <= curN)
+          n.drop(1).toInt < curN)
         fs.delete(st.getPath, true)
     }
+    // Migration commit (pre-versioning flat artifact): the flat
+    // part-files at the root are now stale — an external
+    // spark.read.parquet(path) would silently read the pre-append
+    // frame forever. Sweep them; the versioned write above fully
+    // materialized before we delete, so the input is never clobbered.
+    if (cur.isEmpty)
+      fs.listStatus(root).foreach { st =>
+        if (st.isFile && st.getPath.getName != Pointer)
+          fs.delete(st.getPath, false)
+      }
   }
 
   private def swapPointer(spark: SparkSession, path: String,

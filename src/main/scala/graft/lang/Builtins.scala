@@ -694,10 +694,12 @@ object Builtins {
             if (r.isNullAt(0)) fail("$pull: entity id is null")
             r.getString(0)
           case CTab(df) =>
-            val vals = df.distinct().collect()
+            // limit(2): validate the exactly-one contract at constant
+            // driver cost even when the id query matched millions
+            val vals = df.distinct().limit(2).collect()
             if (vals.length != 1 || vals(0).length != 1)
               fail(s"$$pull: id frame must hold exactly one value, " +
-                s"got ${vals.length} row(s)")
+                s"got ${if (vals.isEmpty) "no" else "multiple"} value(s)")
             String.valueOf(vals(0).get(0))
           case _ => fail("$pull: first argument must be an entity id")
         }
@@ -710,10 +712,15 @@ object Builtins {
         if (rows.isEmpty) sval(lit(null).cast(StringType), StringType)
         else {
           def restore(r: org.apache.spark.sql.Row): Any =
-            r.getString(2) match {
+            if (r.isNullAt(1)) null // pre-existing triple frames may carry null v
+            else r.getString(2) match {
               case "num" =>
                 val v = r.getString(1)
-                if (v.matches("-?\\d+")) v.toLong else v.toDouble
+                // integral-but-wider-than-Long (decimal(38,0) sources)
+                // restores as double rather than NumberFormatException
+                if (v.matches("-?\\d+"))
+                  try v.toLong catch { case _: NumberFormatException => v.toDouble }
+                else v.toDouble
               case "bool" => r.getString(1).toBoolean
               case _ => r.getString(1) // str and ref
             }
@@ -743,6 +750,7 @@ object Builtins {
       case "$addSchema" =>
         def schemaOf(i: Int): StructType = {
           val spark = Compiler.sparkCtx.value
+          if (spark == null) fail("$addSchema needs a bound session")
           val r = spark.range(1)
             .select(scalar(d(i)).col.cast(StringType)).collect()(0)
           if (r.isNullAt(0)) fail(s"$$addSchema: argument ${i + 1} is null")

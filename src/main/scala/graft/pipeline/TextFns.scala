@@ -610,9 +610,9 @@ object TextFns {
     * occurrence multiplicity = word count; TokenizerSpec pins
     * equality against [[bpeTrainCorpusScan]], and graft.tools.BpeAb
     * re-asserts it at scale). Measured A/B (BpeAb, warm medians,
-    * BENCH_sf1_r12.json): sf1 4 merges 2.23 → 0.64 s (3.5×), sf1
-    * 16 merges 8.25 → 1.69 s (4.9×) — the gap widens with merge
-    * count exactly as the cost model predicts.
+    * within-rep order alternated, BENCH_sf1_r12.json): sf1 4 merges
+    * 1.96 → 0.52 s (3.8×), sf1 16 merges 8.07 → 1.66 s (4.9×) — the
+    * gap widens with merge count exactly as the cost model predicts.
     *
     * Determinism: counts are exact longs (sums of per-word products);
     * the argmax tie-breaks on the pair string (ASCII: tokens are

@@ -84,12 +84,19 @@ object Shred {
             lit("ref").as("vt"), lit(null).cast("double").as("vn"))
           val subs = st.fields.map(f =>
             fieldTriples(subId, f.name, x.getField(f.name), f.dataType))
-          concat(array(ref) +: subs.toSeq: _*)
+          // null elements emit nothing (sub-ids keep the ORIGINAL
+          // element index — matching ShredGenerator's walk)
+          when(x.isNull, emptyTriples)
+            .otherwise(concat(array(ref) +: subs.toSeq: _*))
         })))
     case ArrayType(et, _) =>
-      // cardinality-many scalar attribute (reference query.cljc:71-73)
+      // cardinality-many scalar attribute (reference query.cljc:71-73).
+      // Null elements emit no triple — the same rule as a null scalar
+      // field (EAV stores facts; "nil" is the absence of one), and it
+      // keeps $pull's typed restore total over every stored v.
       when(c.isNull, emptyTriples)
-        .otherwise(transform(c, x => scalarTriple(e, name, x, et)))
+        .otherwise(transform(filter(c, _.isNotNull),
+          x => scalarTriple(e, name, x, et)))
     case _ =>
       when(c.isNull, emptyTriples)
         .otherwise(array(scalarTriple(e, name, c, dt)))
@@ -106,10 +113,15 @@ object Shred {
   /** Is `df` already a triple frame (the `$db` result shape)? The
     * text surface uses this to pass databases through `query{}`
     * application unshredded — the convention a frame with exactly
-    * these five columns opts into.
+    * these five columns AND their triple types opts into. Types
+    * matter: a user table coincidentally named (e,a,v,vt,vn) — a
+    * generic audit/EAV export — must still take the shred path, or
+    * pattern matching and vn range predicates silently misfire.
     */
   def isTriplesFrame(df: DataFrame): Boolean =
-    df.columns.toSeq == Seq("e", "a", "v", "vt", "vn")
+    df.schema.fields.length == 5 &&
+      df.schema.fields.zip(tripleSchema.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType }
 
   /** Expression-form shredder (array-build + one explode) — kept for
     * plan comparison; `shred` uses the generator form.

@@ -477,18 +477,26 @@ object EventStreams {
     * and the corpus side stays the 8-byte-per-row index scan — the
     * stream never re-encodes the corpus.
     *
+    * `selfExclude` follows [[graft.pipeline.Indexes.binaryTopKIndexed]]'s
+    * contract: a stream of EXTERNAL queries whose id space may overlap
+    * the corpus's (both 0-based is common) must pass `false`, or a
+    * corpus row sharing a query's id is silently dropped from that
+    * query's shortlist. The `true` default is for re-probing corpus
+    * members against their own index.
+    *
     * Returns the configured writer; callers set trigger/checkpoint
     * and `.start()`.
     */
   def annProbeStream(queries: DataFrame, index: DataFrame,
       vectors: DataFrame, qId: String, cId: String, vecCol: String,
-      k: Int, shortlist: Int = 50, dim: Int = 64)
+      k: Int, shortlist: Int = 50, dim: Int = 64,
+      selfExclude: Boolean = true)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       sink(graft.pipeline.Indexes.binaryTopKIndexed(batch, index,
-        vectors, qId, cId, vecCol, k, shortlist, dim), id)
+        vectors, qId, cId, vecCol, k, shortlist, dim, selfExclude), id)
     }
 
   /** Streaming media-ingest probe against a persisted

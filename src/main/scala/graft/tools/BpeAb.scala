@@ -1,9 +1,11 @@
 // A/B for TextFns.bpeTrain's distinct-word rewrite vs the corpus-scan
 // witness at scale:
 //   sbt "runMain graft.tools.BpeAb [sfDir] [nMerges] [reps]"
-// Prints per-rep wall times for both forms (interleaved, fast first
-// then alternating to split warm-up bias) and asserts trajectory
-// equality — the same pin TokenizerSpec makes at fixture scale.
+// Prints per-rep wall times for both forms. Within-rep run order
+// ALTERNATES (odd reps fast-first, even reps slow-first) so neither
+// form systematically benefits from the other's warm-up/cache
+// spillover. Asserts trajectory equality — the same pin TokenizerSpec
+// makes at fixture scale.
 package graft.tools
 
 object BpeAb {
@@ -26,13 +28,17 @@ object BpeAb {
     var slowT = List.empty[Double]
     var lastFast: Seq[(String, String, Long)] = Nil
     var lastSlow: Seq[(String, String, Long)] = Nil
+    def runFast() = timed(
+      graft.pipeline.TextFns.bpeTrain(doc, "text", nMerges))
+    def runSlow() = timed(
+      graft.pipeline.TextFns.bpeTrainCorpusScan(doc, "text", nMerges))
     (1 to reps).foreach { rep =>
-      val (tf, rf) = timed(
-        graft.pipeline.TextFns.bpeTrain(doc, "text", nMerges))
-      val (ts, rs) = timed(
-        graft.pipeline.TextFns.bpeTrainCorpusScan(doc, "text", nMerges))
+      val ((tf, rf), (ts, rs)) =
+        if (rep % 2 == 1) { val f = runFast(); (f, runSlow()) }
+        else { val s = runSlow(); (runFast(), s) }
       fastT ::= tf; slowT ::= ts; lastFast = rf; lastSlow = rs
-      println(f"[bpeab] rep=$rep fast=$tf%.3f s corpusScan=$ts%.3f s")
+      println(f"[bpeab] rep=$rep fast=$tf%.3f s corpusScan=$ts%.3f s " +
+        s"order=${if (rep % 2 == 1) "fast-first" else "slow-first"}")
     }
     require(lastFast == lastSlow,
       s"trajectories diverged: $lastFast vs $lastSlow")

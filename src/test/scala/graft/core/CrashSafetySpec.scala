@@ -57,12 +57,21 @@ class CrashSafetySpec extends SparkSpec {
     assert(probeAll("a", 50, path) == 0)
     assert(graft.pipeline.SeenSet.open(spark, path)
       .agg(sum("n_keys")).head.getLong(0) == 50)
-    // recovery: re-running the append lands and prunes v00001
+    // recovery: re-running the append lands; v00001 SURVIVES this
+    // commit (the one-commit reader grace window the contract
+    // promises) and is swept by the commit after
     graft.pipeline.SeenSet.appendTo(spark, keys(30, "b"), "k", path)
     assert(Artifacts.currentVersion(spark, path).contains("v00002"))
     assert(probeAll("b", 30, path) == 0)
+    assert(new java.io.File(s"$path/v00001").exists(),
+      "superseded version survives one commit (reader grace window)")
+    assert(spark.read.parquet(s"$path/v00001").count() > 0,
+      "a reader holding the superseded version can still finish its scan")
+    graft.pipeline.SeenSet.appendTo(spark, keys(10, "c"), "k", path)
+    assert(Artifacts.currentVersion(spark, path).contains("v00003"))
     assert(!new java.io.File(s"$path/v00001").exists(),
-      "commit prunes superseded versions")
+      "the commit AFTER next prunes the superseded version")
+    assert(new java.io.File(s"$path/v00002").exists())
   }
 
   test("kill between pointer swap and prune: new version live, stale dir swept") {
@@ -70,20 +79,23 @@ class CrashSafetySpec extends SparkSpec {
     graft.pipeline.SeenSet.write(keys(50, "a"), "k", path,
       mBits = 1024, nShards = 2)
     graft.pipeline.SeenSet.appendTo(spark, keys(30, "b"), "k", path)
-    // the crash artifact: resurrect a stale v00001 after the swap
-    // (equivalent to prune never having run)
-    val stale = new java.io.File(s"$path/v00001")
-    assert(stale.mkdirs())
+    // the crash artifact: clobber the grace-window v00001 with junk
+    // (equivalent to a crashed writer's garbage below the pointer)
     graft.pipeline.SeenSet.build(keys(1, "junk"), "k", mBits = 1024)
       .write.mode("overwrite").parquet(s"$path/v00001")
     assert(Artifacts.currentVersion(spark, path).contains("v00002"))
     assert(probeAll("a", 50, path) == 0 && probeAll("b", 30, path) == 0,
       "pointer wins over stale directories")
-    // the commit AFTER next sweeps everything below the pointer
+    // each commit sweeps everything strictly below the version it
+    // supersedes: v00003 sweeps v00001, v00004 sweeps v00002
     graft.pipeline.SeenSet.appendTo(spark, keys(10, "c"), "k", path)
     assert(!new java.io.File(s"$path/v00001").exists())
-    assert(!new java.io.File(s"$path/v00002").exists())
+    assert(new java.io.File(s"$path/v00002").exists(),
+      "grace window: v00002 outlives the commit that superseded it")
     assert(Artifacts.currentVersion(spark, path).contains("v00003"))
+    graft.pipeline.SeenSet.appendTo(spark, keys(10, "d"), "k", path)
+    assert(!new java.io.File(s"$path/v00002").exists())
+    assert(Artifacts.currentVersion(spark, path).contains("v00004"))
   }
 
   test("pre-versioning flat artifacts still open (legacy fallback)") {
@@ -92,9 +104,19 @@ class CrashSafetySpec extends SparkSpec {
       .write.mode("overwrite").parquet(path)
     assert(Artifacts.currentVersion(spark, path).isEmpty)
     assert(probeAll("a", 20, path) == 0)
-    // and the first appendTo MIGRATES it to the versioned layout
+    // and the first appendTo MIGRATES it to the versioned layout,
+    // sweeping the now-stale flat part-files from the root so an
+    // external plain spark.read.parquet(path) can't silently read
+    // the pre-append filter forever
     graft.pipeline.SeenSet.appendTo(spark, keys(5, "b"), "k", path)
     assert(Artifacts.currentVersion(spark, path).contains("v00001"))
     assert(probeAll("a", 20, path) == 0 && probeAll("b", 5, path) == 0)
+    // only the pointer (and local-FS checksum sidecars, dot-prefixed)
+    // may remain at the root — no part-* / _SUCCESS data files
+    val rootFiles = new java.io.File(path).listFiles().toSeq
+      .filter(_.isFile).map(_.getName)
+      .filterNot(n => n.startsWith(".") || n == Artifacts.Pointer)
+    assert(rootFiles.isEmpty,
+      s"migration must sweep legacy flat files, found: $rootFiles")
   }
 }

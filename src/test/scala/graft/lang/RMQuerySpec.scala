@@ -570,6 +570,29 @@ class RMQuerySpec extends SparkSpec {
     assert(subMap.contains(Map("x" -> true)), subMap.toString)
   }
 
+  test("$pull: null array elements vanish; huge decimals restore as double") {
+    import spark.implicits._
+    // null element: no fact stored, so the pulled array omits it
+    val withNull = Seq(("e1", Seq[java.lang.Long](3L, null, 1L)))
+      .toDF("id", "tags")
+    val got = RM.evalWithSources(
+      """( $d := $db($src);
+        |  $id := query( <|keepDBid : true|> ){[?e :id 'e1']}($d).?e;
+        |  $pull($id, $d) )""".stripMargin,
+      spark, Map("src" -> withNull)).get.asInstanceOf[Map[String, Any]]
+    assert(got("tags") == Seq(1L, 3L), got.toString)
+    // integral-but-wider-than-Long (decimal(38,0)) restores as double,
+    // not NumberFormatException
+    val wide = spark.sql(
+      "SELECT 'e2' AS id, CAST('10000000000000000000000000' AS DECIMAL(38,0)) AS big")
+    val got2 = RM.evalWithSources(
+      """( $d := $db($src);
+        |  $id := query( <|keepDBid : true|> ){[?e :id 'e2']}($d).?e;
+        |  $pull($id, $d) )""".stripMargin,
+      spark, Map("src" -> wide)).get.asInstanceOf[Map[String, Any]]
+    assert(got2("big") == 1.0e25, got2.toString)
+  }
+
   test("$schemaFor + $addSchema merge (builtin.cljc:1688,2219)") {
     val got = RM.eval(
       """( $s1 := $schemaFor([{'a' : 1, 'b' : 'x'}]);

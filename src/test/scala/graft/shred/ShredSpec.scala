@@ -106,6 +106,41 @@ class ShredSpec extends SparkSpec {
     assert(ae.map(_.getString(2)).toSeq == Seq("12.50", "12", "1"))
   }
 
+  test("null array elements emit no triple; expr == gen agree") {
+    // EAV stores facts: a null element is the absence of one — same
+    // rule as a null scalar field. Struct-array sub-ids keep the
+    // ORIGINAL element index (Ada at pets[1] stays 7/pets/1).
+    val df = spark.read.json(Seq(
+      """{"id": 7, "tags": ["a", null, "b"], "nums": [1, null, 2],
+         "pets": [null, {"name": "Ada"}]}""").toDS())
+    val a = Shred.shredExpr(df, Some("id")).orderBy("e", "a", "v").collect()
+    val b = Shred.shredGen(df, Some("id")).orderBy("e", "a", "v").collect()
+    assert(a.toSeq == b.toSeq)
+    val t = Shred.shred(df, Some("id")).cache()
+    assert(t.filter($"a" === "tags").count() == 2)
+    assert(t.filter($"a" === "nums").count() == 2)
+    assert(t.filter($"v".isNull).count() == 0,
+      "no stored triple may carry a null v")
+    assert(t.filter($"e" === "7/pets/1" && $"a" === "name")
+      .head().getString(2) == "Ada")
+    assert(t.filter($"e" === "7/pets/0").count() == 0)
+  }
+
+  test("isTriplesFrame requires triple types, not just column names") {
+    // a user table coincidentally named (e,a,v,vt,vn) — a generic
+    // audit export — must NOT be mistaken for a shredded database
+    val impostor = Seq((1L, "x", 2L, "y", 3L))
+      .toDF("e", "a", "v", "vt", "vn")
+    assert(!Shred.isTriplesFrame(impostor))
+    val real = Shred.shred(Seq((1L, "Bob")).toDF("id", "name"), Some("id"))
+    assert(Shred.isTriplesFrame(real))
+    // and a triple frame round-tripped through parquet still matches
+    val p = java.nio.file.Files.createTempDirectory("graft-trip-")
+      .toString + "/t"
+    real.write.parquet(p)
+    assert(Shred.isTriplesFrame(spark.read.parquet(p)))
+  }
+
   test("parameterized query: template closes over substitutions") {
     // query($grp){[?e :grp $grp][?e :x ?x]} — params become Scala
     // closures producing plans (reference builtin.cljc:1799-1838)

@@ -500,6 +500,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 18)
   }
 
+  test("streaming ANN probe plumbs selfExclude for overlapping id spaces") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf())
+    val path = "/tmp/graft_idx_spec_stream/binary_overlap"
+    graft.pipeline.Indexes.writeBinaryIndex(emb, "vec_id",
+      "embedding", path)
+    val idx = graft.pipeline.Indexes.openBinaryIndex(spark, path)
+    // external queries sharing the corpus's id space — here literally
+    // the corpus rows, so each query's truest neighbor HAS its id
+    val qrows = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val writer = EventStreams.annProbeStream(
+      input.toDF().toDF("vec_id", "embedding"), idx, emb,
+      "vec_id", "vec_id", "embedding", k = 3, shortlist = 15,
+      selfExclude = false) { (ranked, _) =>
+      got ++= ranked.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect()
+    }
+    input.addData(qrows.toSeq)
+    val q = writer.start()
+    q.processAllAvailable(); q.stop()
+    // with selfExclude=false the colliding-id neighbor survives: every
+    // query finds the corpus row bearing its own id (cos = 1 top hit)
+    qrows.foreach { case (id, _) =>
+      assert(got.contains((id, id)),
+        s"query $id lost its colliding-id true neighbor: $got")
+    }
+  }
+
   test("streaming media probe against the persisted index == batch " +
       "probe") {
     implicit val ctx = spark.sqlContext
