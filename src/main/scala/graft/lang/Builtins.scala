@@ -17,8 +17,25 @@ object Builtins {
     def litStr(i: Int): String = argExprs.lift(i) match {
       case Some(Ast.StrLit(s)) => s
       case Some(Ast.RegexLit(r)) => r
-      case other => fail(s"$name: argument ${i + 1} must be a string " +
-        s"or regex literal, got $other")
+      case other =>
+        // not a source literal, but possibly a compile-time CONSTANT
+        // value (a function parameter bound to a driver value — the
+        // reference's `$lookup($x, $c)` inside $shape): evaluate it.
+        // Column trees over real table columns fail analysis here and
+        // fall through to the original diagnostic.
+        args.lift(i) match {
+          case Some(cd: CD) if cd.kind == KScalar =>
+            try {
+              val spark = Compiler.sparkCtx.value
+              val v = spark.range(1).select(cd.col).collect()(0)
+              if (!v.isNullAt(0)) return String.valueOf(v.get(0))
+            } catch { case scala.util.control.NonFatal(_) => () }
+            fail(s"$name: argument ${i + 1} must be a string " +
+              s"literal or constant, got $other")
+          case _ =>
+            fail(s"$name: argument ${i + 1} must be a string " +
+              s"or regex literal, got $other")
+        }
     }
     def litInt(i: Int): Int = argExprs.lift(i) match {
       case Some(Ast.NumLit(n)) => n.toInt
@@ -172,6 +189,25 @@ object Builtins {
       case "$reduce" if args.lift(1).exists(_.isInstanceOf[CE]) =>
         QueryBridge.reduce(Compiler.sparkCtx.value, args(0),
           args(1).asInstanceOf[CE].tmpl)
+
+      // $reduce of a user FUNCTION over a query-result frame: a
+      // driver-side fold (the reference's recursive $shape pattern,
+      // builtin_test.cljc:744-752). Collecting the (small,
+      // metadata-shaped) frame is what makes DATA-DEPENDENT recursion
+      // inside the function terminate: each level's children are
+      // known values before the next application compiles. Corpus-
+      // scale folds belong in $reduce(bsets, express{}) — the
+      // distributed form above.
+      case "$reduce" if args.headOption.exists(_.isInstanceOf[CTab]) &&
+          args.lift(1).exists(_.isInstanceOf[CF]) =>
+        val df = args.head.asInstanceOf[CTab].df
+        val fn = f(1)
+        val elems: Seq[CV] = frameValues(df)
+        val init: CV = args.lift(2).getOrElse(
+          if (elems.nonEmpty) elems.head
+          else fail("$reduce over an empty frame needs an init value"))
+        val rest = if (args.size > 2) elems else elems.drop(1)
+        rest.foldLeft(init)((acc, x) => fn.fn(Seq(acc, x)))
 
       case "$reduce" =>
         val a = arr(0)
@@ -336,9 +372,14 @@ object Builtins {
       case "$lookup" => d(0).dt match {
         case st: StructType =>
           val k = litStr(1)
-          val ft = st.find(_.name == k)
-            .map(_.dataType).getOrElse(StringType)
-          sval(scalar(d(0)).col.getField(k), ft)
+          // absent key → no match (reference: Clojure `get` → nil,
+          // builtin.cljc:1116-1123), NOT an analysis error
+          st.find(_.name == k) match {
+            case Some(fld) => sval(scalar(d(0)).col.getField(k),
+              fld.dataType)
+            case None => sval(lit(null), NullType)
+          }
+        case NullType => sval(lit(null), NullType) // get on nil → nil
         case _ => sval(Jsonata.lookup(scalar(d(0)).col, sc(1)),
           d(0).dt.asInstanceOf[MapType].valueType)
       }
@@ -412,25 +453,45 @@ object Builtins {
             st.fields.toSeq.filterNot(_.name == k).map(f2 =>
               StructField(f2.name, f2.dataType)) :+
               StructField(k, Compiler.colType(v))))
+        case NullType =>
+          // assoc on nil → {k: v} (reference: Clojure assoc,
+          // builtin.cljc:2320-2322)
+          val k = litStr(1)
+          val v = materialize(d(2))
+          sval(struct(v.col.as(k)),
+            StructType(Seq(StructField(k, Compiler.colType(v)))))
         case other => fail(s"$$assoc over $other")
       }
 
       case "$update" => d(0).dt match {
-        // replace one field's value via fn (static struct walk)
+        // one field's value via fn (static struct walk); a MISSING
+        // key is INSERTED with fn(null) — reference: Clojure update
+        // (builtin.cljc:2324-2326), the recursive-$shape insert path
         case st: StructType =>
           val k = litStr(1)
           val fn = f(2)
           val s0 = scalar(d(0)).col
-          val fields: Seq[(String, CD)] = st.fields.toSeq.map { fld =>
+          val present: Seq[(String, CD)] = st.fields.toSeq.map { fld =>
             if (fld.name == k)
               fld.name -> materialize(fn.fn(Seq(
                 sval(s0.getField(k), fld.dataType).asInstanceOf[CD])))
             else fld.name ->
               CD(s0.getField(fld.name), fld.dataType, KScalar)
           }
+          val fields =
+            if (st.fieldNames.contains(k)) present
+            else present :+ (k -> materialize(fn.fn(Seq(
+              sval(lit(null), NullType).asInstanceOf[CD]))))
           sval(struct(fields.map { case (n, c) => c.col.as(n) }: _*),
             StructType(fields.map { case (n, c) =>
               StructField(n, Compiler.colType(c)) }))
+        case NullType =>
+          // update on nil → {k: fn(null)}
+          val k = litStr(1)
+          val v = materialize(f(2).fn(Seq(
+            CD(lit(null), NullType, Compiler.KScalar))))
+          sval(struct(v.col.as(k)),
+            StructType(Seq(StructField(k, Compiler.colType(v)))))
         case other => fail(s"$$update over $other")
       }
       case "$mapObject" => d(0).dt match {
@@ -774,6 +835,32 @@ object Builtins {
 
       case other => fail(s"unknown function $other")
     }
+  }
+
+  /** Collect a (small) frame's rows as literal CVs for driver-side
+    * HOFs: a single `value` column yields the plain values; binding
+    * sets yield one map per row keyed by column name.
+    */
+  private def frameValues(df: org.apache.spark.sql.DataFrame): Seq[CV] = {
+    val cols = df.columns.toSeq
+    df.collect().toSeq.map { r =>
+      if (cols == Seq("value")) literalCV(normalizeVal(r.get(0)))
+      else literalCV(cols.zipWithIndex.collect {
+        case (c, i) if !r.isNullAt(i) => c -> normalizeVal(r.get(i))
+      }.toMap)
+    }
+  }
+
+  private def normalizeVal(v: Any): Any = v match {
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.toSeq.zipWithIndex.collect {
+        case (n, i) if !r.isNullAt(i) => n -> normalizeVal(r.get(i))
+      }.toMap
+    case s: Seq[_] => s.map(normalizeVal)
+    case i: Int => i.toLong
+    case f: Float => f.toDouble
+    case d: java.math.BigDecimal => d.doubleValue
+    case other => other
   }
 
   /** Driver value → literal column value (for $eval results). */

@@ -140,10 +140,23 @@ object Compiler {
     case Ternary(c, t, f) =>
       // sequence truthiness (empty = false), same rule as filters
       val cond = Jsonata.boolean(materialize(compile(c, env)).col)
-      val (ct, cf2) = (materialize(compile(t, env)),
-        materialize(compile(f, env)))
-      CD(when(cond, ct.col).otherwise(cf2.col), ct.dt,
-        if (ct.kind == KScalar && cf2.kind == KScalar) KScalar else ct.kind)
+      // partial evaluation: a compile-time-constant condition picks
+      // its branch NOW and the other branch is never compiled — the
+      // reference interpreter's evaluate-only-the-taken-branch
+      // semantics, and the termination argument for knot-tied
+      // recursion behind a base case ($fact/$fib, ShapeMatchSpec)
+      constEval(cond) match {
+        case Some(v) =>
+          if (v == true) compile(t, env) else compile(f, env)
+        case None =>
+      {
+        val (ct, cf2) = (materialize(compile(t, env)),
+          materialize(compile(f, env)))
+        CD(when(cond, ct.col).otherwise(cf2.col), ct.dt,
+          if (ct.kind == KScalar && cf2.kind == KScalar) KScalar
+          else ct.kind)
+      }
+      }
 
     case PathStep(src, step) => pathStep(compile(src, env), step, env)
 
@@ -207,7 +220,22 @@ object Compiler {
 
     case Block(bindings, result) =>
       val env2 = bindings.foldLeft(env) { case (e2, (n, v)) =>
-        val cv = compile(v, e2)
+        val cv = v match {
+          case Lambda(params, body) if n.nonEmpty =>
+            // knot-tied closure: a `:=`-bound function sees ITSELF in
+            // scope, so data-dependent recursion works (the
+            // reference's $shape, builtin_test.cljc:744-752 — its
+            // Clojure letfn-like emission gives the same). Each
+            // application compiles the body fresh with concrete
+            // argument values, so recursion depth follows the DATA
+            // (and terminates when, e.g., a child frame comes back
+            // empty), not the static plan.
+            lazy val cf: CF = CF(params.size, args =>
+              compile(body, e2 + (n -> (cf: CV))
+                ++ params.zip(args) + ("" -> args.head)))
+            cf
+          case _ => compile(v, e2)
+        }
         // `$ := $get('doc.json')` — rebinding the CONTEXT to a loaded
         // frame collapses it to a document value so bare paths
         // (`Account.Order...`) use the full CD step semantics
@@ -292,6 +320,37 @@ object Compiler {
   private def asCD(cv: CV): CD = cv match {
     case d: CD => d
     case _ => fail("expected a data value")
+  }
+
+  /** Driver-side value of a column whose tree references no input
+    * row — Catalyst ANALYSIS of a one-row plan plus interpreted eval,
+    * never a Spark job. None when the tree reads attributes, is
+    * non-deterministic ($random conditions must stay runtime), or
+    * can't be interpreted. Spark 4 columns convert to UNRESOLVED
+    * trees (so `foldable` alone is always false); analysis resolves
+    * them first.
+    */
+  private[lang] def constEval(c: Column): Option[Any] = {
+    val spark = sparkCtx.value
+    if (spark == null) return None
+    try {
+      // Dataset construction runs ANALYSIS only (no job); the session
+      // converter resolves Spark 4's lazy ColumnNode wrappers, which
+      // a hand-built Project over the raw expression would not
+      val analyzed = spark.range(1).select(c.as("c"))
+        .queryExecution.analyzed
+      val pe = analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head
+      // row-bound (references survive analysis), plan-bound
+      // (subqueries), or non-deterministic ($random conditions must
+      // stay runtime) trees are not constants
+      if (!pe.deterministic || pe.references.nonEmpty ||
+          pe.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        None
+      else Some(pe.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Driver-side literal of a (constant) scalar argument. */
@@ -600,7 +659,63 @@ object Compiler {
     case _ => false
   }
 
+  private def containsQvarRef(e: Expr): Boolean = e match {
+    case QvarRef(_) => true
+    case BinOp(_, l, r) => containsQvarRef(l) || containsQvarRef(r)
+    case Neg(x) => containsQvarRef(x)
+    case Not(x) => containsQvarRef(x)
+    case Ternary(c, t, f) => Seq(c, t, f).exists(containsQvarRef)
+    case PathStep(s2, st) => containsQvarRef(s2) || containsQvarRef(st)
+    case Filter(s2, p) => containsQvarRef(s2) || containsQvarRef(p)
+    case Parens(b) => containsQvarRef(b)
+    case FnCall(_, args) => args.exists(containsQvarRef)
+    case Apply(f, args) => (f +: args).exists(containsQvarRef)
+    case _ => false
+  }
+
+  /** Frame → CD for path/index semantics: a single `value` column
+    * collapses to the plain values (so `.?name[0]` yields the name,
+    * not `{value: name}`); anything else to row structs — the same
+    * driver round trip as [[tabToDoc]], sized by the interactive
+    * query-result shapes that reach it.
+    */
+  private def tabToValues(df: org.apache.spark.sql.DataFrame): CD = {
+    val base = tabToDoc(df)
+    if (df.columns.toSeq != Seq("value")) base
+    else {
+      val vdt = df.schema("value").dataType
+      base.kind match {
+        case KScalar => CD(base.col.getField("value"), vdt, KScalar)
+        case _ => CD(transform(base.col, _.getField("value")), vdt, KJson)
+      }
+    }
+  }
+
   private def filterStep(src: CV, pred: Expr, env: Env): CV = {
+    src match {
+      case CTab(df) =>
+        // filter over a query-result FRAME. A qvar/context predicate
+        // compiles against the frame's columns and stays a DataFrame
+        // filter — the reference's `$spc[?parent = $p]` (match-test,
+        // builtin_test.cljc:744-752) runs distributed, the plan never
+        // collects. A plain numeric index collapses the (small,
+        // interactive-shaped) frame to a document first.
+        if (containsQvarRef(pred) || containsContextRef(pred)) {
+          val qenv = df.schema.fields.foldLeft(env) { (e2, f2) =>
+            e2 + (("?" + f2.name) -> (CD(df(f2.name), f2.dataType,
+              KScalar): CV))
+          }
+          val ctx: CD =
+            if (df.columns.toSeq == Seq("value"))
+              CD(df("value"), df.schema("value").dataType, KScalar)
+            else CD(struct(df.columns.toSeq.map(df(_)): _*),
+              StructType(df.schema.fields), KScalar)
+          val keep = Jsonata.boolean(materialize(
+            compile(pred, qenv + ("" -> (ctx: CV)))).col)
+          return CTab(df.filter(keep))
+        } else return filterStep(tabToValues(df), pred, env)
+      case _ => ()
+    }
     val s = src match { case d: CD => d; case _ => fail("filter on fn") }
     val isIndex = !containsContextRef(pred) && {
       // a pred that only compiles WITH a context (e.g. a threaded
@@ -700,14 +815,34 @@ object Compiler {
       case "<=" => cmp2(_ <= _)
       case ">" => cmp2(_ > _)
       case ">=" => cmp2(_ >= _)
-      case "and" =>
-        CD(Jsonata.boolean(materialize(compile(l, env)).col) &&
-          Jsonata.boolean(materialize(compile(r, env)).col),
-          BooleanType, KScalar)
-      case "or" =>
-        CD(Jsonata.boolean(materialize(compile(l, env)).col) ||
-          Jsonata.boolean(materialize(compile(r, env)).col),
-          BooleanType, KScalar)
+      case "and" | "or" =>
+        // VALUE-returning, like the reference (rewrite.cljc:30-31
+        // emits bare Clojure and/or): `or` yields the first truthy
+        // operand else the second, `and` the first falsy operand
+        // else the second — so `$lookup(...) or '<data>'` is the
+        // lookup result or the default, not a boolean. Truthiness is
+        // the engine-wide $boolean (f_truthy); on the boolean
+        // operands every runnable reference program uses, that
+        // coincides with Clojure's nil/false rule, and the result
+        // equals the old boolean-coercing form.
+        val lv = materialize(compile(l, env))
+        val rv = materialize(compile(r, env))
+        val lt = Jsonata.boolean(lv.col)
+        def pick(t: Column, f: Column) =
+          if (op == "or") when(lt, t).otherwise(f)
+          else when(lt, f).otherwise(t)
+        if (lv.dt == NullType && lv.kind == KScalar)
+          // no-match left side: falsy — `or` is the right side,
+          // `and` stays no-match
+          (if (op == "or") rv else lv)
+        else if (rv.dt == NullType && rv.kind == KScalar)
+          CD(pick(lv.col, lit(null).cast(colType(lv))), lv.dt, lv.kind)
+        else if (lv.dt == rv.dt && lv.kind == rv.kind)
+          CD(pick(lv.col, rv.col), lv.dt, lv.kind)
+        else
+          // mixed shapes box through variant (heterogeneous result,
+          // e.g. map-or-default)
+          CD(pick(variantOf(lv), variantOf(rv)), VariantType, KScalar)
       case "in" =>
         val arr = compile(r, env) match {
           case d @ CD(_, _, KJson | KSeq) => d

@@ -1,0 +1,168 @@
+package graft.lang
+
+import graft.SparkSpec
+
+/** The reference's recursive schema-shape program — match-test /
+  * smatch-test (builtin_test.cljc:729-771, 944-1002) with the
+  * server-fetched schemas replaced by equivalent local documents.
+  * This is the reference author's flagship program: query{} twice
+  * over an XSD-shaped document, then a RECURSIVE user function folds
+  * the parent/child binding sets into the nested element map
+  * (fixtures s1/s2, builtin_test.cljc:975-1002). Its pieces exercise
+  * knot-tied recursion, filter/get steps on query frames
+  * (`$spc[?parent = $p].?child`), the driver-fold $reduce over a
+  * frame, Clojure-semantics $update/$assoc/$lookup (insert on
+  * missing, assoc on nil, get → no-match), and value-returning `or`
+  * (rewrite.cljc:30) — each also pinned alone below.
+  *
+  * NB the reference itself cannot run this program today — match-test
+  * is a plain defn (never a deftest) needing a live server, and its
+  * own parse_test.cljc:272 notes `or 'no match'` does not parse
+  * there. The program is ported as the stated INTENT; the s1/s2
+  * fixtures are the reference's own expected shapes verbatim.
+  */
+class ShapeMatchSpec extends SparkSpec {
+
+  private def elements(addressChildren: Seq[String]): String = {
+    def el(name: String, kids: Seq[String]) =
+      s"""{'element_name': '$name', 'element_complexType':
+         |  {'model_sequence': {'model_elementDef':
+         |    [${kids.map(k => s"{'element_name': '$k'}").mkString(", ")}]}}}"""
+        .stripMargin
+    Seq(
+      el("ProcessInvoice", Seq("DataArea", "ApplicationArea")),
+      el("DataArea", Seq("Invoice", "Process")),
+      el("ApplicationArea", Seq("CreationDateTime")),
+      el("Invoice", Seq("InvoiceLine")),
+      el("InvoiceLine", Seq("Item", "BuyerParty")),
+      el("Item", Seq("ManufacturingParty")),
+      el("ManufacturingParty", Seq("Name")),
+      el("BuyerParty", Seq("Location", "TaxIDSet")),
+      el("Location", Seq("Address")),
+      el("Address", addressChildren),
+      el("TaxIDSet", Seq("ID"))).mkString("[\n", ",\n", "\n]")
+  }
+
+  private def shapeProgram(addressChildren: Seq[String]): String =
+    s"""( $$data := {'schema_content': {'model_elementDef': [{'element_name': 'ProcessInvoice'}]},
+       |            'elements': ${elements(addressChildren)}};
+       |  $$pcQuery := query{[?x     :element_name        ?parent]
+       |                    [?x     :element_complexType ?cplx1]
+       |                    [?cplx1 :model_sequence      ?def]
+       |                    [?def   :model_elementDef    ?cplx2]
+       |                    [?cplx2 :element_name        ?child]};
+       |  $$rootQuery := query{[?c :schema_content   ?e]
+       |                      [?e :model_elementDef ?d]
+       |                      [?d :element_name     ?name]};
+       |  $$children := function($$spc, $$p) { $$spc[?parent = $$p].?child };
+       |  $$shape := function($$p, $$spc) { $$reduce($$children($$spc, $$p),
+       |                                         function($$tree, $$c)
+       |                                             { $$update($$tree,
+       |                                                       $$p,
+       |                                                       function($$x) { $$assoc($$x, $$c, $$lookup($$shape($$c, $$spc), $$c) or '<data>')}) },
+       |                                         {})};
+       |  $$spc := $$pcQuery($$data);
+       |  $$root := $$rootQuery($$data).?name[0];
+       |  $$shape($$root, $$spc) )""".stripMargin
+
+  /** builtin_test.cljc:975-987 (s1) as a Scala value. */
+  private val s1: Map[String, Any] = Map(
+    "ProcessInvoice" -> Map(
+      "DataArea" -> Map(
+        "Invoice" -> Map(
+          "InvoiceLine" -> Map(
+            "Item" -> Map("ManufacturingParty" -> Map("Name" -> "<data>")),
+            "BuyerParty" -> Map(
+              "Location" -> Map("Address" -> Map("AddressLine" -> "<data>")),
+              "TaxIDSet" -> Map("ID" -> "<data>")))),
+        "Process" -> "<data>"),
+      "ApplicationArea" -> Map("CreationDateTime" -> "<data>")))
+
+  /** builtin_test.cljc:989-1002 (s2). */
+  private val s2: Map[String, Any] = Map(
+    "ProcessInvoice" -> Map(
+      "DataArea" -> Map(
+        "Invoice" -> Map(
+          "InvoiceLine" -> Map(
+            "Item" -> Map("ManufacturingParty" -> Map("Name" -> "<data>")),
+            "BuyerParty" -> Map(
+              "Location" -> Map("Address" -> Map(
+                "PostalCode" -> "<data>", "StreetName" -> "<data>",
+                "CountryCode" -> "<data>", "CityName" -> "<data>",
+                "BuildingNumber" -> "<data>")),
+              "TaxIDSet" -> Map("ID" -> "<data>")))),
+        "Process" -> "<data>"),
+      "ApplicationArea" -> Map("CreationDateTime" -> "<data>")))
+
+  test("recursive $shape program reproduces the reference s1 shape") {
+    val got = RM.eval(shapeProgram(Seq("AddressLine")), spark)
+    assert(got.contains(s1), got.toString)
+  }
+
+  test("recursive $shape program reproduces the reference s2 shape") {
+    val got = RM.eval(shapeProgram(Seq("PostalCode", "StreetName",
+      "CountryCode", "CityName", "BuildingNumber")), spark)
+    assert(got.contains(s2), got.toString)
+  }
+
+  // ---- the individual semantics the program rests on ----
+
+  private def run(src: String, expected: Any): Unit = {
+    val got = RM.eval(src, spark)
+    assert(got.contains(expected),
+      s"""RM "$src" => $got, expected Some($expected)""")
+  }
+
+  test("knot-tied recursion: a := bound function sees itself") {
+    run("( $fact := function($n) { $n <= 1 ? 1 : $n * $fact($n - 1) }; $fact(5) )",
+      120.0)
+    run("( $fib := function($n) { $n < 2 ? $n : $fib($n - 1) + $fib($n - 2) }; $fib(10) )",
+      55.0)
+  }
+
+  test("filter step on a query frame: qvar predicate stays a DataFrame filter") {
+    run(
+      """( $d := [{'p': 'a', 'c': 'x'}, {'p': 'a', 'c': 'y'}, {'p': 'b', 'c': 'z'}];
+        |  $q := query{[?e :p ?p] [?e :c ?c]};
+        |  $q($d)[?p = 'a'].?c ~> $sort() )""".stripMargin,
+      Seq("x", "y"))
+  }
+
+  test("numeric index on a single-qvar frame picks the value") {
+    run(
+      """( $d := [{'name': 'root'}];
+        |  $q := query{[?e :name ?name]};
+        |  $q($d).?name[0] )""".stripMargin,
+      "root")
+  }
+
+  test("or is value-returning (reference rewrite.cljc:30: Clojure or)") {
+    run("'hit' or 'default'", "hit")
+    run("false or 'default'", "default")
+    run("( $m := {'a': 1}; $lookup($m, 'missing') or '<data>' )", "<data>")
+    run("( $m := {'a': 7}; $lookup($m, 'a') or '<data>' )", 7L)
+    // and: first falsy operand, else the second
+    run("false and 'x'", false)
+    run("'x' and 'y'", "y")
+    // boolean operands still read as before
+    run("2 < 3 and 3 < 2 or true", true)
+  }
+
+  test("$update inserts a missing key via fn(null); nil-object forms") {
+    run("$update({'a': 1}, 'b', function($x) { $x or 9 })",
+      Map("a" -> 1L, "b" -> 9L))
+    run("$update({'a': 1}, 'a', function($x) { $x + 1 })",
+      Map("a" -> 2L))
+    run("$assoc({'a': 1}, 'b', 2)", Map("a" -> 1L, "b" -> 2L))
+    run("$lookup({'a': 1}, 'b') or 'none'", "none")
+  }
+
+  test("$reduce of a function over a query frame folds on the driver") {
+    run(
+      """( $d := [{'n': 1}, {'n': 2}, {'n': 3}];
+        |  $q := query{[?e :n ?n]};
+        |  $reduce($q($d).?n, function($acc, $x) { $acc + $x }, 0) )"""
+        .stripMargin,
+      6.0)
+  }
+}
