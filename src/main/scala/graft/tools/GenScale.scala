@@ -104,8 +104,13 @@ object GenScale {
     val microsStart = 1704067200000000L // 2024-01-01 UTC
     val ev = spark.range(nEv)
       .select(col("id").as("event_id"),
+        // 64-bit hash: the 32-bit h() maxes at 2^31 µs (~36 min), which
+        // silently compressed the intended 30-day window ~1200x and
+        // made every fixed-width interval join quadratically dense at
+        // scale (q_range_join: 8.4B candidate pairs at sf1)
         timestamp_micros(lit(microsStart) +
-          h(col("id"), 6) % (30L * 86400 * 1000000L)).as("ts"),
+          abs(xxhash64(col("id"), lit(42), lit(6)))
+            % (30L * 86400 * 1000000L)).as("ts"),
         (h(col("id"), 7) % (1500L * mult)).as("user_id"),
         element_at(array(lit("view"), lit("click"), lit("error"),
           lit("purchase"), lit("scroll")),
