@@ -826,6 +826,16 @@ object Compiler {
         // coincides with Clojure's nil/false rule, and the result
         // equals the old boolean-coercing form.
         val lv = materialize(compile(l, env))
+        // short-circuit at compile time when the left side is a
+        // constant (same partial evaluation as Ternary): Clojure
+        // and/or never evaluate the right side once the left decides,
+        // so a recursion guarded by `or`/`and` terminates too
+        constEval(Jsonata.boolean(lv.col)) match {
+          case Some(t) =>
+            val decided = (t == true) == (op == "or")
+            return (if (decided) lv else materialize(compile(r, env)))
+          case None => ()
+        }
         val rv = materialize(compile(r, env))
         val lt = Jsonata.boolean(lv.col)
         def pick(t: Column, f: Column) =

@@ -148,6 +148,15 @@ class ShapeMatchSpec extends SparkSpec {
     run("2 < 3 and 3 < 2 or true", true)
   }
 
+  test("and/or short-circuit at compile time (Clojure evaluation order)") {
+    // the decided side never compiles the other — interpreter
+    // semantics, and the termination rule for or-guarded recursion
+    run("true or $nosuchfn()", true)
+    run("false and $nosuchfn()", false)
+    run("( $down := function($n) { $n <= 0 or $down($n - 1) }; $down(3) )",
+      true)
+  }
+
   test("$update inserts a missing key via fn(null); nil-object forms") {
     run("$update({'a': 1}, 'b', function($x) { $x or 9 })",
       Map("a" -> 1L, "b" -> 9L))
