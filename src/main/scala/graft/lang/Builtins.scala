@@ -162,6 +162,43 @@ object Builtins {
         QueryBridge.mapEx(Compiler.sparkCtx.value, args(0),
           args(1).asInstanceOf[CE].tmpl)
 
+      // $map/$filter of a user FUNCTION over a query-result frame:
+      // driver-side like the frame $reduce below (and capped the same
+      // way) — binding sets are plain data in the reference; the
+      // distributed twins are $map(bsets, express{}) and frame filter
+      // steps
+      case "$map" if args.headOption.exists(_.isInstanceOf[CTab]) &&
+          args.lift(1).exists(_.isInstanceOf[CF]) =>
+        val fn = f(1)
+        val out = frameValues(args.head.asInstanceOf[CTab].df)
+          .map(v => materialize(fn.fn(Seq(v))))
+        if (out.isEmpty) CD(array(), NullType, KJson)
+        else if (out.map(Compiler.colType).distinct.size == 1)
+          // uniform shape: array element type = the rendered column
+          // type (scalars: dt; sequence elements: array<dt>)
+          CD(array(out.map(_.col): _*),
+            Compiler.colType(out.head), KJson)
+        else CD(array(out.map(Compiler.variantOf): _*),
+          VariantType, KJson)
+      case "$filter" if args.headOption.exists(_.isInstanceOf[CTab]) &&
+          args.lift(1).exists(_.isInstanceOf[CF]) =>
+        val fn = f(1)
+        val spark = Compiler.sparkCtx.value
+        val kept = frameValues(args.head.asInstanceOf[CTab].df)
+          .filter { v =>
+            val keep = Jsonata.boolean(scalar(materialize(
+              fn.fn(Seq(v)))).col)
+            // elements are literals: constEval decides driver-side;
+            // the one-row job is only the exotic fallback
+            Compiler.constEval(keep).map(_ == true).getOrElse(
+              spark.range(1).select(keep).collect()(0).getBoolean(0))
+          }
+        if (kept.isEmpty) CD(array(), NullType, KJson)
+        else {
+          val ds2 = kept.map(materialize)
+          CD(array(ds2.map(_.col): _*), ds2.head.dt, KJson)
+        }
+
       // higher-order (§2.9)
       case "$map" =>
         val fn = f(1)
@@ -837,13 +874,28 @@ object Builtins {
     }
   }
 
+  /** Driver-side HOF safety cap: folds/maps of user FUNCTIONS over a
+    * frame collect it (that is what bounds data-dependent recursion),
+    * which is only sane for interactive/metadata-shaped results. A
+    * corpus-scale frame must use the distributed forms — $reduce/$map
+    * with express{}, or frame filter steps — so the collect refuses
+    * loudly instead of OOMing the driver.
+    */
+  private val MaxDriverFoldRows = 65536
+
   /** Collect a (small) frame's rows as literal CVs for driver-side
     * HOFs: a single `value` column yields the plain values; binding
     * sets yield one map per row keyed by column name.
     */
   private def frameValues(df: org.apache.spark.sql.DataFrame): Seq[CV] = {
     val cols = df.columns.toSeq
-    df.collect().toSeq.map { r =>
+    val rows = df.limit(MaxDriverFoldRows + 1).collect().toSeq
+    if (rows.size > MaxDriverFoldRows)
+      fail(s"driver-side fold over a frame with more than " +
+        s"$MaxDriverFoldRows rows — use the distributed form " +
+        "($reduce/$map with express{}, or a frame filter step) " +
+        "for corpus-scale data")
+    rows.map { r =>
       if (cols == Seq("value")) literalCV(normalizeVal(r.get(0)))
       else literalCV(cols.zipWithIndex.collect {
         case (c, i) if !r.isNullAt(i) => c -> normalizeVal(r.get(i))

@@ -1096,7 +1096,7 @@ object Compiler {
     * maps go straight through the JSON round trip. The rendering is
     * plan-side only — no driver evaluation.
     */
-  private def variantOf(d: CD): Column = d.dt match {
+  private[lang] def variantOf(d: CD): Column = d.dt match {
     case VariantType if d.kind == KScalar => d.col
     // a NullType SCALAR is JSON null; a NullType-element SEQUENCE is
     // an (empty or all-null) ARRAY — the old unconditional null case

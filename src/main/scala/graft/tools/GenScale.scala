@@ -139,7 +139,10 @@ object GenScale {
       element_at(array(lit("O"), lit("F")),
         (h(col("id"), 18) % 2 + 1).cast("int")).as("l_linestatus"),
       timestamp_micros(lit(microsStart) +
-        h(col("id"), 19) % (365L * 86400 * 1000000L)).as("l_shipdate"))
+        // 64-bit hash: 32-bit h() % 365d-of-µs caps at ~36 min (the
+        // q_range_join event-span bug, same class)
+        abs(xxhash64(col("id"), lit(42), lit(19)))
+          % (365L * 86400 * 1000000L)).as("l_shipdate"))
     li.repartition(16 * mult / 10 max 4).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/lineitem.parquet")
 
@@ -152,7 +155,8 @@ object GenScale {
       round((h(col("id"), 22) % 50000000L + 100000L) / 100.0, 2)
         .as("o_totalprice"),
       timestamp_micros(lit(microsStart) +
-        h(col("id"), 23) % (365L * 86400 * 1000000L)).as("o_orderdate"),
+        abs(xxhash64(col("id"), lit(42), lit(23)))
+          % (365L * 86400 * 1000000L)).as("o_orderdate"),
       element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
         lit("4-NOT SPECIFIED"), lit("5-LOW")),
         (h(col("id"), 24) % 5 + 1).cast("int")).as("o_orderpriority"))

@@ -166,6 +166,21 @@ class ShapeMatchSpec extends SparkSpec {
     run("$lookup({'a': 1}, 'b') or 'none'", "none")
   }
 
+  test("$map/$filter of a function over a query frame (driver forms)") {
+    run(
+      """( $d := [{'n': 1}, {'n': 2}, {'n': 3}];
+        |  $q := query{[?e :n ?n]};
+        |  $map($q($d).?n, function($x) { $x * 10 }) ~> $sort() )"""
+        .stripMargin,
+      Seq(10L, 20L, 30L))
+    run(
+      """( $d := [{'n': 1}, {'n': 2}, {'n': 3}];
+        |  $q := query{[?e :n ?n]};
+        |  $filter($q($d).?n, function($x) { $x >= 2 }) ~> $sort() )"""
+        .stripMargin,
+      Seq(2L, 3L))
+  }
+
   test("$reduce of a function over a query frame folds on the driver") {
     run(
       """( $d := [{'n': 1}, {'n': 2}, {'n': 3}];
