@@ -20,18 +20,23 @@ object Builtins {
       case other =>
         // not a source literal, but possibly a compile-time CONSTANT
         // value (a function parameter bound to a driver value — the
-        // reference's `$lookup($x, $c)` inside $shape): evaluate it.
-        // Column trees over real table columns fail analysis here and
-        // fall through to the original diagnostic.
+        // reference's `$lookup($x, $c)` inside $shape): constEval is
+        // driver-side interpreted evaluation, never a Spark job.
+        // Non-string constants fail loudly rather than coining a
+        // garbage key via toString; column-bound trees fall through
+        // to the original diagnostic.
         args.lift(i) match {
-          case Some(cd: CD) if cd.kind == KScalar =>
-            try {
-              val spark = Compiler.sparkCtx.value
-              val v = spark.range(1).select(cd.col).collect()(0)
-              if (!v.isNullAt(0)) return String.valueOf(v.get(0))
-            } catch { case scala.util.control.NonFatal(_) => () }
-            fail(s"$name: argument ${i + 1} must be a string " +
-              s"literal or constant, got $other")
+          case Some(cd: CD) if cd.kind == Compiler.KScalar =>
+            Compiler.constEval(cd.col) match {
+              case Some(s: org.apache.spark.unsafe.types.UTF8String) =>
+                return s.toString
+              case Some(null) | None =>
+                fail(s"$name: argument ${i + 1} must be a string " +
+                  s"literal or constant, got $other")
+              case Some(v) =>
+                fail(s"$name: argument ${i + 1} must be a STRING, " +
+                  s"got constant $v")
+            }
           case _ =>
             fail(s"$name: argument ${i + 1} must be a string " +
               s"or regex literal, got $other")
@@ -171,33 +176,43 @@ object Builtins {
           args.lift(1).exists(_.isInstanceOf[CF]) =>
         val fn = f(1)
         val out = frameValues(args.head.asInstanceOf[CTab].df)
-          .map(v => materialize(fn.fn(Seq(v))))
-        if (out.isEmpty) CD(array(), NullType, KJson)
-        else if (out.map(Compiler.colType).distinct.size == 1)
-          // uniform shape: array element type = the rendered column
-          // type (scalars: dt; sequence elements: array<dt>)
-          CD(array(out.map(_.col): _*),
-            Compiler.colType(out.head), KJson)
-        else CD(array(out.map(Compiler.variantOf): _*),
-          VariantType, KJson)
+          .zipWithIndex.map { case (v, i) =>
+            materialize(
+              if (fn.arity >= 2) fn.fn(Seq(v,
+                CD(lit(i.toDouble), DoubleType, KScalar)))
+              else fn.fn(Seq(v)))
+          }
+        packSeq(out)
       case "$filter" if args.headOption.exists(_.isInstanceOf[CTab]) &&
           args.lift(1).exists(_.isInstanceOf[CF]) =>
         val fn = f(1)
         val spark = Compiler.sparkCtx.value
-        val kept = frameValues(args.head.asInstanceOf[CTab].df)
-          .filter { v =>
-            val keep = Jsonata.boolean(scalar(materialize(
-              fn.fn(Seq(v)))).col)
-            // elements are literals: constEval decides driver-side;
-            // the one-row job is only the exotic fallback
-            Compiler.constEval(keep).map(_ == true).getOrElse(
-              spark.range(1).select(keep).collect()(0).getBoolean(0))
-          }
-        if (kept.isEmpty) CD(array(), NullType, KJson)
-        else {
-          val ds2 = kept.map(materialize)
-          CD(array(ds2.map(_.col): _*), ds2.head.dt, KJson)
+        val elems = frameValues(args.head.asInstanceOf[CTab].df)
+        val keeps = elems.zipWithIndex.map { case (v, i) =>
+          Jsonata.boolean(scalar(materialize(
+            if (fn.arity >= 2) fn.fn(Seq(v,
+              CD(lit(i.toDouble), DoubleType, KScalar)))
+            else fn.fn(Seq(v)))).col)
         }
+        // elements are literals: constEval decides each driver-side;
+        // any it can't interpret are batched into ONE one-row job,
+        // never a job per element
+        val decided = keeps.map(Compiler.constEval(_).map(_ == true))
+        val undecidedIdx = decided.zipWithIndex.collect {
+          case (None, i) => i }
+        val fallback: Map[Int, Boolean] =
+          if (undecidedIdx.isEmpty) Map.empty
+          else {
+            val row = spark.range(1)
+              .select(undecidedIdx.map(i => keeps(i)): _*).collect()(0)
+            undecidedIdx.zipWithIndex.map { case (orig, j) =>
+              orig -> (!row.isNullAt(j) && row.getBoolean(j)) }.toMap
+          }
+        val kept = elems.zipWithIndex.collect {
+          case (v, i) if decided(i).getOrElse(fallback(i)) =>
+            materialize(v)
+        }
+        packSeq(kept)
 
       // higher-order (§2.9)
       case "$map" =>
@@ -874,6 +889,17 @@ object Builtins {
     }
   }
 
+  /** Rendered elements → one explicit array CD: uniform shapes keep
+    * their type (element type = the rendered column type — scalars
+    * their dt, sequence elements array<dt>); mixed shapes box through
+    * variant. Shared by the frame $map/$filter driver forms.
+    */
+  private def packSeq(out: Seq[CD]): CV =
+    if (out.isEmpty) CD(array(), NullType, KJson)
+    else if (out.map(Compiler.colType).distinct.size == 1)
+      CD(array(out.map(_.col): _*), Compiler.colType(out.head), KJson)
+    else CD(array(out.map(Compiler.variantOf): _*), VariantType, KJson)
+
   /** Driver-side HOF safety cap: folds/maps of user FUNCTIONS over a
     * frame collect it (that is what bounds data-dependent recursion),
     * which is only sane for interactive/metadata-shaped results. A
@@ -909,18 +935,29 @@ object Builtins {
         case (n, i) if !r.isNullAt(i) => n -> normalizeVal(r.get(i))
       }.toMap
     case s: Seq[_] => s.map(normalizeVal)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => k -> normalizeVal(x) }.toMap
     case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
     case f: Float => f.toDouble
     case d: java.math.BigDecimal => d.doubleValue
-    case other => other
+    case other => other // incl. null, Timestamp/Date (literalCV lits them)
   }
 
-  /** Driver value → literal column value (for $eval results). */
+  /** Driver value → literal column value ($eval results and the
+    * frame HOFs' collected elements).
+    */
   private def literalCV(v: Any): CV = v match {
+    case null => CD(lit(null), NullType, KScalar) // no-match
     case n: Long => CD(lit(n), LongType, KScalar)
     case n: Double => CD(lit(n), DoubleType, KScalar)
     case s: String => CD(lit(s), StringType, KScalar)
     case b: Boolean => CD(lit(b), BooleanType, KScalar)
+    case t: java.sql.Timestamp => CD(lit(t), TimestampType, KScalar)
+    case d: java.sql.Date => CD(lit(d), DateType, KScalar)
+    case t: java.time.Instant => CD(lit(t), TimestampType, KScalar)
+    case d: java.time.LocalDate => CD(lit(d), DateType, KScalar)
     case s: Seq[_] =>
       val elems = s.map(literalCV(_).asInstanceOf[CD])
       val dt = elems.headOption.map(_.dt)
@@ -933,7 +970,8 @@ object Builtins {
       CD(struct(fields.map { case (k, d) => d.col.as(k) }: _*),
         StructType(fields.map { case (k, d) =>
           StructField(k, Compiler.colType(d)) }), KScalar)
-    case other => fail(s"$$eval: cannot re-inject $other")
+    case other => fail(s"cannot re-inject driver value $other " +
+      s"(${other.getClass.getSimpleName}) as a literal")
   }
 
 }

@@ -229,10 +229,23 @@ object Compiler {
             // application compiles the body fresh with concrete
             // argument values, so recursion depth follows the DATA
             // (and terminates when, e.g., a child frame comes back
-            // empty), not the static plan.
-            lazy val cf: CF = CF(params.size, args =>
-              compile(body, e2 + (n -> (cf: CV))
-                ++ params.zip(args) + ("" -> args.head)))
+            // empty), not the static plan. The depth guard turns the
+            // non-terminating shape — a recursive call whose guard
+            // condition is NOT compile-time-constant (e.g. the fn
+            // mapped over a column) — into a diagnostic instead of a
+            // StackOverflowError.
+            var depth = 0
+            lazy val cf: CF = CF(params.size, args => {
+              depth += 1
+              if (depth > 32)
+                fail(s"recursion in $$$n exceeded depth 32 — a " +
+                  "recursive function needs a base case decidable at " +
+                  "compile time (constant arguments; not values of " +
+                  "table columns)")
+              try compile(body, e2 + (n -> (cf: CV))
+                ++ params.zip(args) + ("" -> args.head))
+              finally depth -= 1
+            })
             cf
           case _ => compile(v, e2)
         }
@@ -670,6 +683,11 @@ object Compiler {
     case Parens(b) => containsQvarRef(b)
     case FnCall(_, args) => args.exists(containsQvarRef)
     case Apply(f, args) => (f +: args).exists(containsQvarRef)
+    case ArrLit(items) => items.exists(containsQvarRef)
+    case ObjLit(pairs) => pairs.exists(p => containsQvarRef(p._2))
+    case Lambda(_, body) => containsQvarRef(body)
+    case Block(bs, res) =>
+      bs.exists(b => containsQvarRef(b._2)) || containsQvarRef(res)
     case _ => false
   }
 
@@ -680,6 +698,11 @@ object Compiler {
     * query-result shapes that reach it.
     */
   private def tabToValues(df: org.apache.spark.sql.DataFrame): CD = {
+    // same driver-collect cap as Builtins' frame HOFs: a corpus-scale
+    // frame must not silently OOM the driver on an index step
+    if (df.limit(65537).count() > 65536)
+      fail("indexing a frame with more than 65536 rows collects it " +
+        "to the driver — aggregate or filter the frame first")
     val base = tabToDoc(df)
     if (df.columns.toSeq != Seq("value")) base
     else {
@@ -816,28 +839,37 @@ object Compiler {
       case ">" => cmp2(_ > _)
       case ">=" => cmp2(_ >= _)
       case "and" | "or" =>
-        // VALUE-returning, like the reference (rewrite.cljc:30-31
-        // emits bare Clojure and/or): `or` yields the first truthy
-        // operand else the second, `and` the first falsy operand
-        // else the second — so `$lookup(...) or '<data>'` is the
-        // lookup result or the default, not a boolean. Truthiness is
-        // the engine-wide $boolean (f_truthy); on the boolean
-        // operands every runnable reference program uses, that
-        // coincides with Clojure's nil/false rule, and the result
-        // equals the old boolean-coercing form.
+        // VALUE-returning with CLOJURE truthiness, exactly what the
+        // reference executes (rewrite.cljc:30-31 emits bare Clojure
+        // and/or): only nil/false are falsy — 0, '' and [] are
+        // truthy values and flow through, so `$lookup($m, 'count')
+        // or -1` keeps a legitimate 0. `or` yields the first truthy
+        // operand else the second; `and` the first falsy else the
+        // second. A JSONata no-match (our null) is nil — falsy.
+        // Downstream contexts (filters, ? :) still apply their own
+        // $boolean truthiness to the returned VALUE, as the
+        // reference's do.
         val lv = materialize(compile(l, env))
+        def cljTruthy(d: CD): Column = d.dt match {
+          case BooleanType => coalesce(d.col, lit(false))
+          case NullType => lit(false)
+          case VariantType =>
+            // variant null and variant false are the only falsy ones
+            !to_json(d.col).isin("null", "false")
+          case _ => d.col.isNotNull
+        }
         // short-circuit at compile time when the left side is a
         // constant (same partial evaluation as Ternary): Clojure
         // and/or never evaluate the right side once the left decides,
         // so a recursion guarded by `or`/`and` terminates too
-        constEval(Jsonata.boolean(lv.col)) match {
+        constEval(cljTruthy(lv)) match {
           case Some(t) =>
             val decided = (t == true) == (op == "or")
             return (if (decided) lv else materialize(compile(r, env)))
           case None => ()
         }
         val rv = materialize(compile(r, env))
-        val lt = Jsonata.boolean(lv.col)
+        val lt = cljTruthy(lv)
         def pick(t: Column, f: Column) =
           if (op == "or") when(lt, t).otherwise(f)
           else when(lt, f).otherwise(t)

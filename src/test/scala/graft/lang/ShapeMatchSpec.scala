@@ -146,6 +146,12 @@ class ShapeMatchSpec extends SparkSpec {
     run("'x' and 'y'", "y")
     // boolean operands still read as before
     run("2 < 3 and 3 < 2 or true", true)
+    // CLOJURE truthiness (what the emitted and/or actually does):
+    // only nil/false are falsy — a legitimate 0 or '' flows through
+    // instead of being replaced by the default
+    run("( $m := {'count': 0}; $lookup($m, 'count') or -1 )", 0L)
+    run("'' or 'dflt'", "")
+    run("0 and 'reached'", "reached")
   }
 
   test("and/or short-circuit at compile time (Clojure evaluation order)") {
@@ -164,6 +170,19 @@ class ShapeMatchSpec extends SparkSpec {
       Map("a" -> 2L))
     run("$assoc({'a': 1}, 'b', 2)", Map("a" -> 1L, "b" -> 2L))
     run("$lookup({'a': 1}, 'b') or 'none'", "none")
+  }
+
+  test("recursion over a non-constant argument fails with a diagnostic") {
+    // the fn mapped over array elements: the base-case condition is a
+    // lambda variable, not a compile-time constant — must be a clear
+    // error, not a StackOverflowError
+    val e = intercept[IllegalArgumentException] {
+      RM.eval(
+        "( $f := function($n) { $n <= 1 ? 1 : $n * $f($n - 1) }; $map([3, 4], $f) )",
+        spark)
+    }
+    assert(e.getMessage.contains("recursion in $f exceeded depth"),
+      e.getMessage)
   }
 
   test("$map/$filter of a function over a query frame (driver forms)") {
