@@ -228,13 +228,21 @@ object Cluster {
     // keeps the decision replayable in any engine computing the same
     // ordered double arithmetic (the oracle's list_sum mirror)
     val thFix = math.floor(threshold * 1e6)
+    // LEFT SEMI, not inner+distinct: is_dup needs the EXISTENCE of one
+    // above-threshold partner, not the pair list. The semi join stops
+    // probing a row's block after its first match and never
+    // materializes the pair set through an exchange — on dense data
+    // (near-dup-rich corpora, where within-block TRUE pair volume is
+    // quadratic) that enumeration was the whole cost profile
+    // (BENCH_sf10_r12 semdedup rows).
     val dup = a.as("l").join(a.as("r"),
         col("l.cluster") === col("r.cluster") &&
           col("l.bucket") === col("r.bucket") &&
-          col("l.id") > col("r.id"))
-      .filter(floor(Dedup.cosine(col("l.v"), col("r.v")) * 1e6) >=
-        lit(thFix))
-      .select(col("l.id").as("id")).distinct()
+          col("l.id") > col("r.id") &&
+          floor(Dedup.cosine(col("l.v"), col("r.v")) * 1e6) >=
+            lit(thFix),
+        "leftsemi")
+      .select(col("id"))
     a.join(dup.withColumn("__dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
