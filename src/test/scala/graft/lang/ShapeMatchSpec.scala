@@ -3,12 +3,12 @@ package graft.lang
 import graft.SparkSpec
 
 /** The reference's recursive schema-shape program — match-test /
-  * smatch-test (builtin_test.cljc:729-771, 944-1002) with the
+  * smatch-test (builtin_test.cljc:730-771, 875-915) with the
   * server-fetched schemas replaced by equivalent local documents.
   * This is the reference author's flagship program: query{} twice
   * over an XSD-shaped document, then a RECURSIVE user function folds
   * the parent/child binding sets into the nested element map
-  * (fixtures s1/s2, builtin_test.cljc:975-1002). Its pieces exercise
+  * (fixtures s1/s2, builtin_test.cljc:978-1002). Its pieces exercise
   * knot-tied recursion, filter/get steps on query frames
   * (`$spc[?parent = $p].?child`), the driver-fold $reduce over a
   * frame, Clojure-semantics $update/$assoc/$lookup (insert on
@@ -65,7 +65,7 @@ class ShapeMatchSpec extends SparkSpec {
        |  $$root := $$rootQuery($$data).?name[0];
        |  $$shape($$root, $$spc) )""".stripMargin
 
-  /** builtin_test.cljc:975-987 (s1) as a Scala value. */
+  /** builtin_test.cljc:978-989 (s1) as a Scala value. */
   private val s1: Map[String, Any] = Map(
     "ProcessInvoice" -> Map(
       "DataArea" -> Map(
@@ -78,7 +78,7 @@ class ShapeMatchSpec extends SparkSpec {
         "Process" -> "<data>"),
       "ApplicationArea" -> Map("CreationDateTime" -> "<data>")))
 
-  /** builtin_test.cljc:989-1002 (s2). */
+  /** builtin_test.cljc:991-1002 (s2). */
   private val s2: Map[String, Any] = Map(
     "ProcessInvoice" -> Map(
       "DataArea" -> Map(
