@@ -128,6 +128,27 @@ class ShapeMatchSpec extends SparkSpec {
       Seq("x", "y"))
   }
 
+  test("frame qvar filter compiles to a plan-level Filter over the table") {
+    import spark.implicits._
+    val people = Seq((1L, "Bob", "a"), (2L, "Alice", "b"),
+      (3L, "Cy", "a")).toDF("id", "name", "grp")
+    val frame = RM.queryFrame(
+      "query(){[?p :grp ?g] [?p :name ?name]}($people)[?g = 'a'].?name",
+      spark, Map("people" -> people))
+    // the predicate must stay IN the plan (distributed): the ANALYZED
+    // plan carries a Filter over the g column — had the compile
+    // collected the frame and re-injected the hits, no such node
+    // would exist (the optimizer may later fold it; analysis is the
+    // honest witness of what was BUILT)
+    val gFilter = frame.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name == "g") => f
+    }
+    assert(gFilter.nonEmpty,
+      "qvar predicate must compile to a plan-level Filter")
+    assert(frame.as[String].collect().toSet == Set("Bob", "Cy"))
+  }
+
   test("numeric index on a single-qvar frame picks the value") {
     run(
       """( $d := [{'name': 'root'}];
