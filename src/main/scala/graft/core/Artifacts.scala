@@ -97,21 +97,24 @@ object Artifacts {
     // (the grace window the contract above promises).
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n != next &&
-          n.drop(1).forall(_.isDigit) &&
-          n.drop(1).toInt < curN)
-        fs.delete(st.getPath, true)
-    }
-    // Migration commit (pre-versioning flat artifact): the flat
-    // part-files at the root are now stale — an external
-    // spark.read.parquet(path) would silently read the pre-append
-    // frame forever. Sweep them; the versioned write above fully
-    // materialized before we delete, so the input is never clobbered.
-    if (cur.isEmpty)
-      fs.listStatus(root).foreach { st =>
-        if (st.isFile && st.getPath.getName != Pointer)
-          fs.delete(st.getPath, false)
+      if (st.isDirectory) {
+        if (n.startsWith("v") && n != next &&
+            n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toInt < curN)
+          fs.delete(st.getPath, true)
+      } else if (n != Pointer) {
+        // EVERY commit sweeps non-pointer root files, not just the
+        // migration commit: a writer killed between fs.create(tmp)
+        // and the pointer rename orphans a `._CURRENT.tmp-<uuid>`
+        // forever, and a crash between the migration pointer swap
+        // and its flat-file sweep leaves stale pre-versioning
+        // part-files that a direct spark.read.parquet(path) would
+        // silently prefer. Under the single-writer contract no live
+        // tmp file can belong to anyone else, and a versioned root
+        // legitimately holds only the pointer and v* directories.
+        fs.delete(st.getPath, false)
       }
+    }
   }
 
   private def swapPointer(spark: SparkSession, path: String,

@@ -187,6 +187,8 @@ object Builtins {
           args.lift(1).exists(_.isInstanceOf[CF]) =>
         val fn = f(1)
         val spark = Compiler.sparkCtx.value
+        if (spark == null) fail("$filter over a query frame needs a " +
+          "bound session")
         val elems = frameValues(args.head.asInstanceOf[CTab].df)
         val keeps = elems.zipWithIndex.map { case (v, i) =>
           Jsonata.boolean(scalar(materialize(
@@ -194,10 +196,14 @@ object Builtins {
               CD(lit(i.toDouble), DoubleType, KScalar)))
             else fn.fn(Seq(v)))).col)
         }
-        // elements are literals: constEval decides each driver-side;
-        // any it can't interpret are batched into ONE one-row job,
-        // never a job per element
-        val decided = keeps.map(Compiler.constEval(_).map(_ == true))
+        // elements are literals: constEval decides each driver-side
+        // (analysis only, zero jobs) when the frame is small; past 64
+        // elements the per-element Catalyst analyses cost more than
+        // one job, so decide EVERYTHING in the single one-row job —
+        // never a job (or an analysis) per element at frame scale
+        val decided: Seq[Option[Boolean]] =
+          if (keeps.size > 64) keeps.map(_ => None)
+          else keeps.map(Compiler.constEval(_).map(_ == true))
         val undecidedIdx = decided.zipWithIndex.collect {
           case (None, i) => i }
         val fallback: Map[Int, Boolean] =

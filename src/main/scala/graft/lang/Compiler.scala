@@ -52,6 +52,16 @@ object Compiler {
   private[lang] val sparkCtx =
     new scala.util.DynamicVariable[org.apache.spark.sql.SparkSession](null)
 
+  /** Depth guard for knot-tied (`:=`-bound) recursion. Compile-time
+    * recursion follows the DATA (constant arguments), so the bound only
+    * needs to separate "legitimately deep" from "non-terminating";
+    * 512 keeps $fact(50)-class and deep $shape walks working while the
+    * unguarded shape still fails fast with a diagnostic.
+    */
+  private[lang] def maxRecursionDepth: Int =
+    sys.props.get("graft.maxRecursionDepth").flatMap(_.toIntOption)
+      .getOrElse(512)
+
   def compile(e: Expr, env: Env = Map.empty): CV = e match {
     case NumLit(v) =>
       // whole literals stay integral (JSONata numbers print without
@@ -237,13 +247,35 @@ object Compiler {
             var depth = 0
             lazy val cf: CF = CF(params.size, args => {
               depth += 1
-              if (depth > 32)
-                fail(s"recursion in $$$n exceeded depth 32 — a " +
-                  "recursive function needs a base case decidable at " +
-                  "compile time (constant arguments; not values of " +
-                  "table columns)")
+              // 512 is far above any terminating reference program
+              // ($shape walks are schema-depth, $fact(50) is 50) but
+              // well below the JVM stack limit for these frames; the
+              // non-terminating shape (a guard that is NOT
+              // compile-time-constant) still dies with the diagnostic
+              // instead of a StackOverflowError. Overridable per-run
+              // for genuinely deeper constant recursion.
+              if (depth > Compiler.maxRecursionDepth)
+                fail(s"recursion in $$$n exceeded depth " +
+                  s"${Compiler.maxRecursionDepth} (override with " +
+                  "-Dgraft.maxRecursionDepth=N) — a recursive " +
+                  "function needs a base case decidable at compile " +
+                  "time (constant arguments; not values of table " +
+                  "columns)")
               try compile(body, e2 + (n -> (cf: CV))
                 ++ params.zip(args) + ("" -> args.head))
+              catch {
+                // the JVM stack can run out before the depth guard
+                // (each language-level application costs many compile
+                // frames); surface the same diagnostic either way —
+                // by the time a catch frame runs the stack has
+                // unwound, so building the message is safe
+                case _: StackOverflowError if depth > 1 =>
+                  fail(s"recursion in $$$n exceeded depth $depth " +
+                    "(compile stack exhausted) — a recursive " +
+                    "function needs a base case decidable at " +
+                    "compile time (constant arguments; not values " +
+                    "of table columns)")
+              }
               finally depth -= 1
             })
             cf
@@ -699,11 +731,14 @@ object Compiler {
     */
   private def tabToValues(df: org.apache.spark.sql.DataFrame): CD = {
     // same driver-collect cap as Builtins' frame HOFs: a corpus-scale
-    // frame must not silently OOM the driver on an index step
-    if (df.limit(65537).count() > 65536)
+    // frame must not silently OOM the driver on an index step. One
+    // capped collect serves both the check and the conversion — not a
+    // count() job followed by a second full collect.
+    val json = df.limit(65537).toJSON.collect()
+    if (json.length > 65536)
       fail("indexing a frame with more than 65536 rows collects it " +
         "to the driver — aggregate or filter the frame first")
-    val base = tabToDoc(df)
+    val base = docFromJson(json, df.schema)
     if (df.columns.toSeq != Seq("value")) base
     else {
       val vdt = df.schema("value").dataType
@@ -1113,9 +1148,12 @@ object Compiler {
     * an explicit array of structs — rendered back through a literal
     * from_json so the value composes with every Column path step.
     */
-  private def tabToDoc(df: org.apache.spark.sql.DataFrame): CD = {
-    val json = df.toJSON.collect()
-    val st = StructType(df.schema.fields)
+  private def tabToDoc(df: org.apache.spark.sql.DataFrame): CD =
+    docFromJson(df.toJSON.collect(), df.schema)
+
+  private def docFromJson(json: Array[String],
+      schema: StructType): CD = {
+    val st = StructType(schema.fields)
     if (json.length == 1)
       CD(from_json(lit(json(0)), st), st, KScalar)
     else

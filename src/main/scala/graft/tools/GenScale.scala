@@ -108,9 +108,11 @@ object GenScale {
         // silently compressed the intended 30-day window ~1200x and
         // made every fixed-width interval join quadratically dense at
         // scale (q_range_join: 8.4B candidate pairs at sf1)
+        // pmod, not abs(...)%: abs(Long.MinValue) is still negative
+        // (ADVICE r12), which would put a timestamp before the window
         timestamp_micros(lit(microsStart) +
-          abs(xxhash64(col("id"), lit(42), lit(6)))
-            % (30L * 86400 * 1000000L)).as("ts"),
+          pmod(xxhash64(col("id"), lit(42), lit(6)),
+            lit(30L * 86400 * 1000000L))).as("ts"),
         (h(col("id"), 7) % (1500L * mult)).as("user_id"),
         element_at(array(lit("view"), lit("click"), lit("error"),
           lit("purchase"), lit("scroll")),
@@ -140,9 +142,10 @@ object GenScale {
         (h(col("id"), 18) % 2 + 1).cast("int")).as("l_linestatus"),
       timestamp_micros(lit(microsStart) +
         // 64-bit hash: 32-bit h() % 365d-of-µs caps at ~36 min (the
-        // q_range_join event-span bug, same class)
-        abs(xxhash64(col("id"), lit(42), lit(19)))
-          % (365L * 86400 * 1000000L)).as("l_shipdate"))
+        // q_range_join event-span bug, same class); pmod for the
+        // abs(Long.MinValue) edge
+        pmod(xxhash64(col("id"), lit(42), lit(19)),
+          lit(365L * 86400 * 1000000L))).as("l_shipdate"))
     li.repartition(16 * mult / 10 max 4).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/lineitem.parquet")
 
@@ -155,8 +158,8 @@ object GenScale {
       round((h(col("id"), 22) % 50000000L + 100000L) / 100.0, 2)
         .as("o_totalprice"),
       timestamp_micros(lit(microsStart) +
-        abs(xxhash64(col("id"), lit(42), lit(23)))
-          % (365L * 86400 * 1000000L)).as("o_orderdate"),
+        pmod(xxhash64(col("id"), lit(42), lit(23)),
+          lit(365L * 86400 * 1000000L))).as("o_orderdate"),
       element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
         lit("4-NOT SPECIFIED"), lit("5-LOW")),
         (h(col("id"), 24) % 5 + 1).cast("int")).as("o_orderpriority"))

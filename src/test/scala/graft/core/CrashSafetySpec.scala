@@ -98,6 +98,34 @@ class CrashSafetySpec extends SparkSpec {
     assert(Artifacts.currentVersion(spark, path).contains("v00004"))
   }
 
+  test("orphaned pointer-tmp and stale flat files swept on EVERY commit") {
+    val path = tmpArtifact()
+    graft.pipeline.SeenSet.write(keys(50, "a"), "k", path,
+      mBits = 1024, nShards = 2)
+    // crash artifact 1: a writer killed between fs.create(tmp) and
+    // the pointer rename leaves ._CURRENT.tmp-<uuid> at the root
+    val orphanTmp = new java.io.File(path,
+      s".${Artifacts.Pointer}.tmp-dead-beef")
+    java.nio.file.Files.write(orphanTmp.toPath,
+      "v99999".getBytes("UTF-8"))
+    // crash artifact 2: a migration commit killed between the pointer
+    // swap and its flat-file sweep leaves stale pre-versioning
+    // part-files at the root
+    val staleFlat = new java.io.File(path, "part-00000-stale.parquet")
+    java.nio.file.Files.write(staleFlat.toPath, Array[Byte](9, 9))
+    // neither confuses a reader (the pointer wins)...
+    assert(Artifacts.currentVersion(spark, path).contains("v00001"))
+    assert(probeAll("a", 50, path) == 0)
+    // ...and the NEXT commit — any commit, not just a migration —
+    // sweeps both litter classes instead of accumulating them forever
+    graft.pipeline.SeenSet.appendTo(spark, keys(10, "b"), "k", path)
+    assert(!orphanTmp.exists(),
+      "commit must sweep orphaned pointer-tmp files")
+    assert(!staleFlat.exists(),
+      "commit must sweep stale flat part-files on every run")
+    assert(probeAll("a", 50, path) == 0 && probeAll("b", 10, path) == 0)
+  }
+
   test("pre-versioning flat artifacts still open (legacy fallback)") {
     val path = tmpArtifact()
     graft.pipeline.SeenSet.build(keys(20, "a"), "k", mBits = 1024)

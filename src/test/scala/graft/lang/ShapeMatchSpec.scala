@@ -193,6 +193,15 @@ class ShapeMatchSpec extends SparkSpec {
     run("$lookup({'a': 1}, 'b') or 'none'", "none")
   }
 
+  test("constant recursion deeper than 32 succeeds (cap is 512)") {
+    // depth-100 countdown: every guard is compile-time-constant, so
+    // this is legitimate recursion the reference interpreter would
+    // run; the depth guard must not cut it off (ADVICE r12: the old
+    // cap of 32 rejected valid programs)
+    run("( $down := function($n) { $n <= 0 ? 0 : $down($n - 1) }; $down(100) )",
+      0L)
+  }
+
   test("recursion over a non-constant argument fails with a diagnostic") {
     // the fn mapped over array elements: the base-case condition is a
     // lambda variable, not a compile-time constant — must be a clear
