@@ -686,6 +686,40 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Winnow partner pairs of an incoming batch AGAINST a corpus —
+    * the incremental dedup-check shape ([[incrementalDupPairsMd5]]'s
+    * winnow twin): (new_id, corpus_id, n_shared) for batch docs
+    * sharing ≥ `minShared` DISTINCT fingerprint hashes with a corpus
+    * doc. Rows with equal ids are excluded (the batch-overlaps-corpus
+    * self-pair). The boilerplate cap is computed over CORPUS bucket
+    * sizes (a fingerprint in more than `maxBucket` corpus docs joins
+    * nothing), so candidates per batch fingerprint are bounded and
+    * total cost is one corpus scan + a |batch|-bounded join — LINEAR
+    * in the corpus where the all-pairs self-join [[winnowPairs]] is
+    * quadratic on a shared-vocabulary corpus. This is the shape to
+    * run at 100 TB; the self-join form exists for one-shot
+    * intra-batch dedup of bounded batches.
+    */
+  def winnowPairsAgainst(incoming: DataFrame, incId: String,
+      corpus: DataFrame, corId: String, textCol: String,
+      k: Int = 4, w: Int = 8, minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val corFps = corpus.select(col(corId).as("corpus_id"),
+        explode(winnow(col(textCol), k, w)).as("f"))
+      .select(col("corpus_id"), col("f.h").as("h")).distinct()
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val incFps = incoming.select(col(incId).as("new_id"),
+        explode(winnow(col(textCol), k, w)).as("f"))
+      .select(col("new_id"), col("f.h").as("h")).distinct()
+    incFps.join(corFps, Seq("h"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, bc: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(bc, n))
@@ -831,6 +865,56 @@ object Dedup {
         col("l.chunk") === col("r.chunk") && col("l.val") === col("r.val") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        hammingBits(col("l.fp"), col("r.fp")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDistance)
+  }
+
+  /** Portable SimHash near-dup pairs of an incoming batch AGAINST a
+    * corpus (the incremental dedup-check shape): (new_id, corpus_id,
+    * dist) with Hamming ≤ `maxDistance`, equal-id self-pairs
+    * excluded. Blocking is the same 4 × 16-bit chunk pigeonhole as
+    * [[simhashPairsMd5FromFps]], but the join is |batch| chunks ×
+    * corpus chunk index — candidates (and cost past the corpus
+    * fingerprint scan) scale with |batch| · corpus density, not
+    * corpus², which is what makes the check runnable at 100 TB.
+    */
+  def simhashPairsMd5Against(incoming: DataFrame, incId: String,
+      corpus: DataFrame, corId: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val corFps = spread(corpus.select(col(corId).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"), simhashMd5(col("__t")).as("fp"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val incFps = spread(incoming.select(col(incId).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"), simhashMd5(col("__t")).as("fp"))
+    simhashPairsMd5AgainstFps(incFps, "id", "fp", corFps, "id", "fp",
+      maxDistance)
+  }
+
+  /** [[simhashPairsMd5Against]] from already-computed fingerprint
+    * frames (callers that also project fingerprints reuse one
+    * computation per side).
+    */
+  def simhashPairsMd5AgainstFps(incFps: DataFrame, incId: String,
+      incFp: String, corFps: DataFrame, corId: String, corFp: String,
+      maxDistance: Int = 3): DataFrame = {
+    def chunksOf(fps: DataFrame, id: String, fp: String) =
+      fps.select(col(id).as("id"), col(fp).as("fp"))
+        .select(col("id"), col("fp"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("chunk"),
+              substring(col("fp"), i * 16 + 1, 16).as("val"))): _*))
+            .as("c"))
+        .select(col("id"), col("fp"), col("c.chunk"), col("c.val"))
+    val l = chunksOf(incFps, incId, incFp).as("l")
+    val r = chunksOf(corFps, corId, corFp).as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") &&
+        col("l.val") === col("r.val") &&
+        col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("new_id"), col("r.id").as("corpus_id"),
         hammingBits(col("l.fp"), col("r.fp")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDistance)

