@@ -242,7 +242,26 @@ object FunctionQueries {
       s, Map("customer" -> Tables.customer(s, d)))
       .orderBy("name")
 
+  /** Distributed keyed fold through the text surface ($reduceByKey —
+    * the corpus-scale twin of the 65536-row-capped driver frame fold,
+    * VERDICT r12 item 4): per-order quantity totals over lineitem,
+    * folded entirely in-plan (groupBy + sort_array + the codegen'd
+    * aggregate HOF applying the compiled user function) — the frame
+    * is never collected. Quantities are integral doubles, so the
+    * double fold is order-free and exact, and the oracle replays it
+    * as a plain GROUP BY sum.
+    */
+  def qRmRbk(s: SparkSession, d: String): DataFrame =
+    graft.lang.RM.queryFrame(
+      """( $bs := query(){[?e :l_orderkey ?okey]
+        |                 [?e :l_quantity ?qty]}($li);
+        |  $reduceByKey($bs, 'okey', 'qty',
+        |    function($a, $x) { $a + $number($x) }) )""".stripMargin,
+      s, Map("li" -> Tables.lineitem(s, d)))
+      .orderBy("okey")
+
   val all: Map[String, Q] = Map(
+    "q_rm_rbk" -> (qRmRbk _),
     "q_rm_mixed" -> (qRmMixed _),
     "f_rm_query" -> (fRmQuery _),
     "f_rm_pred" -> (fRmPred _),
@@ -257,6 +276,10 @@ object FunctionQueries {
     "f_regex" -> (fRegex _))
 
   val oracles: Map[String, String] = Map(
+    "q_rm_rbk" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS okey,
+        |  sum(l_quantity) AS value
+        |FROM lineitem GROUP BY 1 ORDER BY okey""".stripMargin,
     "q_rm_mixed" ->
       """SELECT DISTINCT c_mktsegment AS seg, c_name AS name,
         |  c_acctbal AS bal, CAST(s.pri AS BIGINT) AS pri

@@ -193,6 +193,47 @@ class ShapeMatchSpec extends SparkSpec {
     run("$lookup({'a': 1}, 'b') or 'none'", "none")
   }
 
+  test("$reduceByKey: distributed keyed fold over a frame") {
+    // per-group fold, ascending-value order, numeric accumulator
+    run(
+      """( $d := [{'k': 'a', 'n': 1}, {'k': 'a', 'n': 2},
+        |         {'k': 'a', 'n': 4}, {'k': 'b', 'n': 5}];
+        |  $q := query{[?e :k ?k] [?e :n ?n]};
+        |  $reduceByKey($q($d), 'k',
+        |    function($a, $x) { $a + $x })[?k = 'a'].?value )"""
+        .stripMargin,
+      7.0)
+    // explicit init seeds every group
+    run(
+      """( $d := [{'k': 'a', 'n': 1}, {'k': 'b', 'n': 5}];
+        |  $q := query{[?e :k ?k] [?e :n ?n]};
+        |  $reduceByKey($q($d), 'k',
+        |    function($a, $x) { $a + $x }, 100)[?k = 'b'].?value )"""
+        .stripMargin,
+      105.0)
+  }
+
+  test("$reduceByKey matches the driver fold on overlapping sizes") {
+    // same data, same function: the distributed twin and the capped
+    // driver fold must agree where both run (the VERDICT r12 item-4
+    // contract; the driver fold's >65536-row diagnostic names
+    // $reduceByKey as the corpus-scale path)
+    val data = """$d := [{'k': 'x', 'n': 3}, {'k': 'x', 'n': 5},
+                 |       {'k': 'x', 'n': 11}];
+                 |$q := query{[?e :k ?k] [?e :n ?n]};""".stripMargin
+    run(
+      s"""( $data
+         |  $$reduceByKey($$q($$d), 'k',
+         |    function($$a, $$x) { $$a + $$x }).?value )"""
+        .stripMargin,
+      19.0)
+    run(
+      s"""( $data
+         |  $$reduce($$q($$d).?n, function($$a, $$x) { $$a + $$x }) )"""
+        .stripMargin,
+      19.0)
+  }
+
   test("constant recursion deeper than 32 succeeds (cap is 512)") {
     // depth-100 countdown: every guard is compile-time-constant, so
     // this is legitimate recursion the reference interpreter would
