@@ -126,6 +126,53 @@ class CrashSafetySpec extends SparkSpec {
     assert(probeAll("a", 50, path) == 0 && probeAll("b", 10, path) == 0)
   }
 
+  test("killed appendBinaryIndex leaves the index probe-consistent") {
+    // the append families ride the Parquet committer (v1: task output
+    // lands under _temporary and becomes visible only at JOB commit)
+    // plus the documented single-writer contract. This materializes
+    // the kill-point state by hand, like the pointer-lifecycle tests
+    // above: a job killed mid-append leaves _temporary litter and
+    // hidden tmp files but NO visible partial rows.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crash-").toString + "/binidx"
+    val emb = graft.Tables.embeddings(spark, sf())
+    val base = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id") % 10 === 3)
+    graft.pipeline.Indexes.writeBinaryIndex(base, "vec_id",
+      "embedding", dir)
+    val queries = emb.orderBy("vec_id").limit(5)
+    def probe(path: String): Seq[(Long, Int, Long)] =
+      graft.pipeline.Indexes.binaryTopKIndexed(queries,
+          graft.pipeline.Indexes.openBinaryIndex(spark, path), emb,
+          "vec_id", "vec_id", "embedding", k = 3, shortlist = 50)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val before = probe(dir)
+    // crash artifact: a mid-append kill — committer work dir with a
+    // partial (garbage) task file, plus a hidden .tmp at the root
+    val tmpDir = new java.io.File(dir,
+      "_temporary/0/_temporary/attempt_dead_0001_m_000000_0")
+    assert(tmpDir.mkdirs())
+    java.nio.file.Files.write(
+      tmpDir.toPath.resolve("part-00000-dead.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir,
+      ".part-00001-dead.snappy.parquet.crc"), Array[Byte](7))
+    assert(probe(dir) == before,
+      "in-flight committer litter must be invisible to the probe")
+    // recovery: re-running the append lands next to the base files;
+    // the probe now matches a from-scratch rebuild over base ∪ batch
+    graft.pipeline.Indexes.appendBinaryIndex(batch, "vec_id",
+      "embedding", dir)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-crash-").toString + "/binidx2"
+    graft.pipeline.Indexes.writeBinaryIndex(emb, "vec_id",
+      "embedding", rebuilt)
+    assert(probe(dir) == probe(rebuilt),
+      "append after a killed append must equal the rebuild")
+  }
+
   test("pre-versioning flat artifacts still open (legacy fallback)") {
     val path = tmpArtifact()
     graft.pipeline.SeenSet.build(keys(20, "a"), "k", mBits = 1024)
