@@ -291,9 +291,46 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Density-relative twin of [[qRangeJoin]] (VERDICT r12 item 6):
+    * the window width scales INVERSELY with event density — width =
+    * span · 20 / n, derived from the corpus itself — so each window
+    * expects ~20 events at every SF and the gate measures the
+    * interval-join PLAN linearly. The legacy fixed-90 s gate stays
+    * for continuity; its pair density grows with SF by design
+    * (events land in a fixed 30-day span, so a fixed window holds
+    * SF-proportionally more points — answer volume, not plan cost).
+    * The count that sizes the window is replayed in-oracle as a
+    * subquery; all width arithmetic is integer-exact in both engines.
+    */
+  def qRangeJoinRel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // one count job sizes the window (the contamination-gate
+    // in-plan-relative-cap pattern); 30 days of µs · 20 / n
+    val widthUs = 2592000000000L * 20L / ev.count()
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr(s"INTERVAL $widthUs MICROSECONDS"))
+          .as("win_end"))
+    val pts = ev.select(col("event_id").as("p_id"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+    val counts = graft.operators.RangeJoin
+      .intervalJoin(pts, iv, "p_ts", "win_start", "win_end",
+        bucketWidthUs = math.max(widthUs, 1L))
+      .filter(col("p_id") =!= col("win_id"))
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_events"),
+        Tables.dsum(col("p_value"), 6).as("sum_value"))
+    iv.select(col("win_id")).join(counts, Seq("win_id"), "left")
+      .select(col("win_id").as("event_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_sketch_merge" -> (qSketchMerge _),
     "q_range_join" -> (qRangeJoin _),
+    "q_range_join_rel" -> (qRangeJoinRel _),
     "q_quantiles" -> (qQuantiles _),
     "q_asof" -> (qAsof _),
     "q_rollup" -> (qRollup _),
@@ -420,6 +457,19 @@ object ExtQueries {
         |  (lead(valid_from) OVER (PARTITION BY o_custkey
         |    ORDER BY version) IS NULL) AS is_current
         |FROM g ORDER BY o_custkey, version""".stripMargin,
+    "q_range_join_rel" ->
+      """WITH iv AS (
+        |  SELECT event_id AS win_id, ts AS s,
+        |    ts + to_microseconds(2592000000000 * 20 //
+        |      (SELECT count(*) FROM events)) AS e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT iv.win_id AS event_id,
+        |  count(p.event_id) AS n_events,
+        |  CAST(coalesce(sum(CAST(p.value AS DECIMAL(18,6))), 0)
+        |    AS DOUBLE) AS sum_value
+        |FROM iv LEFT JOIN events p
+        |  ON p.ts >= iv.s AND p.ts < iv.e AND p.event_id <> iv.win_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
       """WITH iv AS (
         |  SELECT event_id AS win_id, ts AS s,

