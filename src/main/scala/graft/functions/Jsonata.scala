@@ -98,6 +98,21 @@ object Jsonata {
       .otherwise(c.cast("string"))
   }
 
+  /** Type-aware `$string`/`&` rendering: a genuine STRING passes
+    * through untouched (JSONata `$string` is the identity on strings
+    * — the scott fixture's `'SH100' & '-' & '01'` must keep the
+    * leading zero), while numeric-typed values render canonically
+    * (integral doubles print without ".0"). Stringly-typed storage
+    * that needs numeric canonicalization (EAV boxed qvars) flows
+    * through the VARIANT channel, not StringType, so it keeps the
+    * [[string]] coercion.
+    */
+  def stringTyped(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.StringType => c
+    case _ => string(c)
+  }
+
   /** ANSI-safe cast to double (null on malformed input). */
   private def tryCastDouble(c: Column): Column =
     ColumnGlue.column(org.apache.spark.sql.catalyst.expressions.Cast(

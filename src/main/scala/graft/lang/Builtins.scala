@@ -355,6 +355,11 @@ object Builtins {
         case CD(_, _: StructType | _: MapType, _) |
              CD(_, _, KJson | KSeq | KNested(_)) =>
           sval(to_json(materialize(d(0)).col), StringType)
+        // identity on genuine strings (JSONata); the variant channel
+        // (stringly-stored EAV numbers) keeps canonicalization
+        case CD(_, StringType, _) => sval(sc(0), StringType)
+        case CD(_, VariantType, _) =>
+          sval(Jsonata.string(str(0)), StringType)
         case _ => sval(Jsonata.string(sc(0)), StringType)
       }
       case "$length" => sval(Jsonata.strLength(str(0)), IntegerType)
@@ -492,13 +497,36 @@ object Builtins {
       }
       case "$lookup" => d(0).dt match {
         case st: StructType =>
-          val k = litStr(1)
-          // absent key → no match (reference: Clojure `get` → nil,
-          // builtin.cljc:1116-1123), NOT an analysis error
-          st.find(_.name == k) match {
-            case Some(fld) => sval(scalar(d(0)).col.getField(k),
-              fld.dataType)
-            case None => sval(lit(null), NullType)
+          val constKey = try Some(litStr(1)) catch {
+            case _: IllegalArgumentException => None
+          }
+          constKey match {
+            case Some(k) =>
+              // absent key → no match (reference: Clojure `get` →
+              // nil, builtin.cljc:1116-1123), NOT an analysis error
+              st.find(_.name == k) match {
+                case Some(fld) => sval(scalar(d(0)).col.getField(k),
+                  fld.dataType)
+                case None => sval(lit(null), NullType)
+              }
+            case None =>
+              // COMPUTED key over an object literal (the scott
+              // fixture's $CropClassLookup: $lookup(table,
+              // $lowercase($key)) inside a mapped function): struct
+              // field access is static, so lower to a map lookup —
+              // try_element_at (null on miss, ANSI-safe) over the
+              // struct's entries. Needs uniform value types, which
+              // lookup-table objects have by construction.
+              val vts = st.fields.map(_.dataType).toSeq.distinct
+              val vt = vts match {
+                case Seq(one) => one
+                case _ => fail("$lookup with a computed key needs " +
+                  s"uniform object value types, got $vts")
+              }
+              val s0 = scalar(d(0)).col
+              val entries = st.fields.toSeq.flatMap(fld =>
+                Seq(lit(fld.name), s0.getField(fld.name).cast(vt)))
+              sval(try_element_at(map(entries: _*), str(1)), vt)
           }
         case NullType => sval(lit(null), NullType) // get on nil → nil
         case _ => sval(Jsonata.lookup(scalar(d(0)).col, sc(1)),

@@ -865,8 +865,15 @@ object Compiler {
           DoubleType, KScalar) // `/` always double (builtin.cljc:147)
       case "%" => CD(nl.col % nr.col, num2(nl, nr), KScalar)
       case "&" =>
-        CD(concat(Jsonata.string(stringSide(cl)),
-          Jsonata.string(stringSide(cr))), StringType, KScalar)
+        // genuine strings concatenate untouched; numerics (and the
+        // variant channel's stringly-stored numbers) render
+        // canonically (Jsonata.stringTyped)
+        def catSide(d: CD): Column = d.dt match {
+          case StringType => d.col
+          case VariantType => Jsonata.string(variantText(d.col))
+          case dt => Jsonata.stringTyped(d.col, dt)
+        }
+        CD(concat(catSide(cl), catSide(cr)), StringType, KScalar)
       case "=" => eqOp(l, r, env, negate = false)
       case "!=" => eqOp(l, r, env, negate = true)
       case "<" => cmp2(_ < _)
