@@ -1678,7 +1678,15 @@ object PipelineQueries {
     val path = idxDir(d) + "/winnow"
     graft.pipeline.Indexes.writeWinnowIndex(
       doc.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
-    val batch = doc.filter(col("doc_id") % 2 === 1)
+    // FIXED ~500-doc probe batch (r13, the p_winnow re-gate template):
+    // probing with half the corpus made candidate volume grow with
+    // SF² on shared vocabulary (17.5×/decade at sf10 — the same
+    // answer-volume shape the self-join gates had); a fixed batch
+    // measures the index-probe PLAN (pushed In filter, corpus never
+    // fingerprinted — the pins PlanSpec keeps) linearly. At sf0.01
+    // every odd doc is < 1000, so the small-SF hash is unchanged.
+    val batch = doc.filter(col("doc_id") % 2 === 1 &&
+      col("doc_id") < 1000)
     val cands = graft.pipeline.Indexes.winnowCandidatesIndexed(
       batch, "doc_id", "text",
       graft.pipeline.Indexes.openWinnowIndex(s, path))
@@ -4628,7 +4636,7 @@ object PipelineQueries {
     "p_winnow_indexed" ->
       s"""WITH $winnowSelCtes,
          |dho AS (SELECT DISTINCT doc_id, h FROM sel
-         |        WHERE doc_id % 2 = 1),
+         |        WHERE doc_id % 2 = 1 AND doc_id < 1000),
          |dhe AS (SELECT DISTINCT doc_id, h FROM sel
          |        WHERE doc_id % 2 = 0),
          |oke AS (SELECT h FROM dhe GROUP BY h
@@ -4645,7 +4653,7 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(a.n_cands, 0) AS n_cands,
          |  coalesce(a.best_shared, 0) AS best_shared
          |FROM documents d LEFT JOIN ag a USING (doc_id)
-         |WHERE d.doc_id % 2 = 1
+         |WHERE d.doc_id % 2 = 1 AND d.doc_id < 1000
          |ORDER BY doc_id""".stripMargin,
     "p_links" ->
       """WITH h AS (
