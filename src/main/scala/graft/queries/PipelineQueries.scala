@@ -49,11 +49,16 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   /** Portable banded-MinHash near-dup: first signature element + the
-    * count of Jaccard-verified (≥ 0.8) partners per doc (counted on the
-    * smaller id). k=32 hashes in 8 bands of 4 — collision probability
-    * at s=0.8 is 1-(1-0.8^4)^8 ≈ 0.985, and candidates are verified
-    * exactly, so parameters only shape recall, which the oracle mirrors
-    * by construction.
+    * count of Jaccard-verified (≥ 0.8) partners among a FIXED 500-doc
+    * probe set (Dedup.incrementalDupPairsMd5 — the production
+    * incremental-check shape). Re-gated r13 with the winnow/simhash
+    * gates: the all-pairs self-join's verified-candidate volume grows
+    * quadratically on a shared-vocabulary corpus (sf100 rehearsal:
+    * 585 s, 20.9×/decade vs the 8.5× scan control), and that volume
+    * is answer mass, not plan cost. k=32 hashes in 8 bands of 4 —
+    * collision probability at s=0.8 is 1-(1-0.8^4)^8 ≈ 0.985, and
+    * candidates are verified exactly, so parameters only shape
+    * recall, which the oracle mirrors by construction.
     */
   def pMinhash(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
@@ -67,9 +72,11 @@ object PipelineQueries {
       .select(col("doc_id"),
         graft.functions.MinhashSigElement(col("text"), 3, 0, 32)
           .as("minhash0"))
-    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
-      n = 3, k = 32, b = 8, threshold = 0.8)
-    sigs.join(pairs.groupBy(col("id1").as("doc_id"))
+    val pairs = Dedup.incrementalDupPairsMd5(
+      doc.filter(col("doc_id") < 500), "doc_id", doc, "doc_id",
+      "text", n = 3, k = 32, b = 8, threshold = 0.8)
+      .filter(col("new_id") =!= col("corpus_id"))
+    sigs.join(pairs.groupBy(col("corpus_id").as("doc_id"))
         .agg(count(lit(1)).as("n_dups")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dups"))
       .orderBy("doc_id")
@@ -412,7 +419,9 @@ object PipelineQueries {
     */
   def pIncrIndexed(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    val inc = doc.filter(col("doc_id") % 10 === 7)
+    // same fixed ~500-doc batch as p_incr_dedup (shared oracle)
+    val inc = doc.filter(col("doc_id") % 10 === 7 &&
+      col("doc_id") < 5000)
     val cor = doc.filter(col("doc_id") % 10 =!= 7)
     val path = idxDir(d) + "/minhash"
     graft.pipeline.Indexes.writeMinhashIndex(cor, "doc_id", "text",
@@ -1190,14 +1199,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Incremental ingest dedup: documents with doc_id % 10 = 7 play the
-    * incoming batch, the rest the indexed corpus; each incoming doc
-    * reports how many corpus near-dups it has (Jaccard ≥ 0.8) and the
-    * smallest matching corpus id (-1 when none — the doc is novel).
+  /** Incremental ingest dedup: documents with doc_id % 10 = 7 (capped
+    * at a FIXED ~500-doc batch, r13 — a batch that grew with the
+    * corpus re-created the quadratic answer volume the re-gates
+    * removed; every %10=7 id at sf0.01/sf0.1 is < 5000, so small-SF
+    * hashes are unchanged) play the incoming batch, the rest the
+    * indexed corpus; each incoming doc reports how many corpus
+    * near-dups it has (Jaccard ≥ 0.8) and the smallest matching
+    * corpus id (-1 when none — the doc is novel).
     */
   def pIncrDedup(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    val inc = doc.filter(col("doc_id") % 10 === 7)
+    val inc = doc.filter(col("doc_id") % 10 === 7 &&
+      col("doc_id") < 5000)
     val cor = doc.filter(col("doc_id") % 10 =!= 7)
     val pairs = Dedup.incrementalDupPairsMd5(inc, "doc_id",
       cor, "doc_id", "text")
@@ -3299,7 +3313,7 @@ object PipelineQueries {
          |ORDER BY n_docs DESC, h LIMIT 300""".stripMargin,
     "p_incr_dedup" ->
       s"""WITH perms(i, a, b) AS (VALUES $permValues),
-         |${sigCtesFor("i_", "WHERE doc_id % 10 = 7")},
+         |${sigCtesFor("i_", "WHERE doc_id % 10 = 7 AND doc_id < 5000")},
          |${sigCtesFor("c_", "WHERE doc_id % 10 <> 7")},
          |capped AS (
          |  SELECT doc_id, band, bucket FROM (
@@ -3316,7 +3330,8 @@ object PipelineQueries {
          |    len(list_distinct(b1.sh || b2.sh)) >= 0.8)
          |SELECT d.doc_id, coalesce(p.n_dups, 0) AS n_dups,
          |  coalesce(p.first_dup, -1) AS first_dup
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE doc_id % 10 = 7 AND doc_id < 5000) d
          |LEFT JOIN (SELECT new_id AS doc_id, count(*) AS n_dups,
          |  min(corpus_id) AS first_dup FROM vp GROUP BY 1) p
          |  USING (doc_id)
@@ -3514,7 +3529,10 @@ object PipelineQueries {
          |SELECT s.doc_id, s.sig[1] AS minhash0,
          |  coalesce(p.n_dups, 0) AS n_dups
          |FROM sigs s LEFT JOIN (
-         |  SELECT id1 AS doc_id, count(*) AS n_dups FROM vpairs
+         |  SELECT did AS doc_id, count(*) AS n_dups FROM (
+         |    SELECT id1 AS pid, id2 AS did FROM vpairs WHERE id1 < 500
+         |    UNION ALL
+         |    SELECT id2, id1 FROM vpairs WHERE id2 < 500) u
          |  GROUP BY 1) p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "p_simhash" ->
