@@ -1652,6 +1652,43 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The batch-vs-corpus winnow contract pinned DIRECTLY
+    * (Dedup.winnowPairsAgainst): the raw (new_id, corpus_id,
+    * n_shared) rows for a fixed ~500-doc batch slice probed against
+    * the whole corpus — the production ingest-loop shape gated in its
+    * own right rather than through p_winnow's partner-count
+    * presentation (r14; p_winnow keeps the per-corpus-doc projection,
+    * this gate pins the pair rows and scores the operator actually
+    * returns). The oracle replays gram hashes, each window's
+    * rightmost-min selection, the corpus-side boilerplate cap, and
+    * the distinct-shared-fingerprint count.
+    */
+  def pWinnowIncr(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    graft.pipeline.Dedup.winnowPairsAgainst(
+        doc.filter(col("doc_id") % 10 === 3 && col("doc_id") < 5000),
+        "doc_id", doc, "doc_id", "text", k = 4, w = 8, minShared = 2)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** The batch-vs-corpus SimHash contract pinned DIRECTLY
+    * (Dedup.simhashPairsMd5Against): the raw (new_id, corpus_id,
+    * dist) rows for a fixed ~500-doc batch slice probed against the
+    * whole corpus — |batch|-chunks × corpus-chunk-index blocking,
+    * Hamming ≤ 3 verified on the full 64-bit fingerprints. Gated in
+    * its own right (r14) rather than through p_simhash's partner
+    * counts; the oracle replays the md5 bit sums, the bit-string
+    * fingerprints, the 4 × 16-char pigeonhole, and the exact Hamming
+    * verify.
+    */
+  def pSimhashIncr(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    graft.pipeline.Dedup.simhashPairsMd5Against(
+        doc.filter(col("doc_id") % 10 === 3 && col("doc_id") < 5000),
+        "doc_id", doc, "doc_id", "text", maxDistance = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Z-order layout arithmetic ([[graft.sources.Layout]]): the Morton
     * value of (l_partkey, l_suppkey) under in-plan exact bounds,
     * rolled up into 256 z-range buckets — count, span, and the
@@ -1946,16 +1983,26 @@ object PipelineQueries {
   }
 
   /** Label-propagation communities (LinkGraph.labelProp) over the
-    * verified MinHash near-dup graph: 3 synchronous rounds,
+    * PROBE-ANCHORED verified MinHash near-dup graph: edges are the
+    * FIXED 500-doc probe set's verified partners against the whole
+    * corpus (Dedup.incrementalDupPairsMd5 — the production
+    * incremental-check shape), 3 synchronous rounds,
     * most-frequent-neighbor-label with min tie-break. Complements
     * p_dup_groups (components) and p_triangles (local density) with
     * the community split; the oracle replays every round's counts and
-    * argmax.
+    * argmax. Re-gated r14 from the all-pairs self-join pair list: on
+    * the shared-vocabulary corpus its verified-pair volume grows
+    * quadratically with SF (16.6×/decade at sf10 vs the 8.5× scan
+    * control, VERDICT r13 — answer mass, not operator cost; labelProp
+    * itself is |E|-bounded), the same shape re-gated out of
+    * p_minhash/p_winnow/p_simhash in r13.
     */
   def pLpa(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
-      n = 3, k = 32, b = 8, threshold = 0.8)
+    val pairs = Dedup.incrementalDupPairsMd5(
+        doc.filter(col("doc_id") < 500), "doc_id", doc, "doc_id",
+        "text", n = 3, k = 32, b = 8, threshold = 0.8)
+      .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
     graft.pipeline.LinkGraph.labelProp(pairs, iters = 3)
       .select(col("id").as("doc_id"), col("label").as("community"))
       .orderBy("doc_id")
@@ -2097,6 +2144,8 @@ object PipelineQueries {
     "p_nfc" -> (pNfc _),
     "p_bloom_seen" -> (pBloomSeen _),
     "p_winnow" -> (pWinnow _),
+    "p_winnow_incr" -> (pWinnowIncr _),
+    "p_simhash_incr" -> (pSimhashIncr _),
     "p_zorder" -> (pZorder _),
     "p_winnow_indexed" -> (pWinnowIndexed _),
     "p_er" -> (pEr _),
@@ -2337,6 +2386,34 @@ object PipelineQueries {
        |      - list_position(list_reverse(sl), list_min(sl)) AS pos,
        |    list_min(sl) AS h
        |  FROM w2)""".stripMargin
+
+  /** DuckDB replay of the portable md5 SimHash fingerprint pipeline
+    * up to the 4 × 16-char chunk table — shared by p_simhash and
+    * p_simhash_incr (identical arithmetic to Dedup.simhashMd5: per
+    * token the md5 hex digits' bit signs, bit b set iff the signed
+    * sum is positive, empty-token docs all-zeros).
+    */
+  private lazy val simhashChunkCtes: String =
+    s"""th AS (
+       |  SELECT doc_id, md5(t) AS m FROM (
+       |    SELECT doc_id, unnest($toks) AS t FROM documents)),
+       |sums AS (
+       |  SELECT doc_id, bb.b, sum(CASE WHEN
+       |    ((strpos('0123456789abcdef', substr(m, bb.b // 4 + 1, 1)) - 1)
+       |      >> (bb.b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY doc_id, bb.b),
+       |fps AS (
+       |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+       |    '' ORDER BY b) AS fp
+       |  FROM sums GROUP BY doc_id),
+       |allfp AS (
+       |  SELECT d.doc_id, coalesce(f.fp, repeat('0', 64)) AS fp
+       |  FROM documents d LEFT JOIN fps f USING (doc_id)),
+       |chunks AS (
+       |  SELECT doc_id, fp, cc.c AS chunk,
+       |    substr(fp, cc.c * 16 + 1, 16) AS val
+       |  FROM allfp, (SELECT unnest(range(0, 4)) AS c) cc)""".stripMargin
 
   /** Fixed-association top-k average for p_bitext: pivot ranks 1..k
     * to columns, sum left-associatively, divide by the non-null
@@ -3536,26 +3613,7 @@ object PipelineQueries {
          |  GROUP BY 1) p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "p_simhash" ->
-      s"""WITH th AS (
-         |  SELECT doc_id, md5(t) AS m FROM (
-         |    SELECT doc_id, unnest($toks) AS t FROM documents)),
-         |sums AS (
-         |  SELECT doc_id, bb.b, sum(CASE WHEN
-         |    ((strpos('0123456789abcdef', substr(m, bb.b // 4 + 1, 1)) - 1)
-         |      >> (bb.b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
-         |  GROUP BY doc_id, bb.b),
-         |fps AS (
-         |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
-         |    '' ORDER BY b) AS fp
-         |  FROM sums GROUP BY doc_id),
-         |allfp AS (
-         |  SELECT d.doc_id, coalesce(f.fp, repeat('0', 64)) AS fp
-         |  FROM documents d LEFT JOIN fps f USING (doc_id)),
-         |chunks AS (
-         |  SELECT doc_id, fp, cc.c AS chunk,
-         |    substr(fp, cc.c * 16 + 1, 16) AS val
-         |  FROM allfp, (SELECT unnest(range(0, 4)) AS c) cc),
+      s"""WITH $simhashChunkCtes,
          |spairs AS (
          |  SELECT DISTINCT l.doc_id AS pid, r.doc_id AS did,
          |    l.fp AS fp1, r.fp AS fp2
@@ -4986,7 +5044,7 @@ object PipelineQueries {
       }.mkString(",\n")
       s"""WITH $sigCtes,
          |e0 AS (SELECT DISTINCT id1 AS a, id2 AS b FROM vpairs
-         |       WHERE id1 <> id2),
+         |       WHERE id1 <> id2 AND (id1 < 500 OR id2 < 500)),
          |sym AS (SELECT DISTINCT a, b FROM (
          |    SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)),
          |l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
@@ -5156,6 +5214,35 @@ object PipelineQueries {
          |LEFT JOIN fp f USING (doc_id)
          |LEFT JOIN pc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "p_winnow_incr" ->
+      s"""WITH $winnowSelCtes,
+         |dh AS (SELECT DISTINCT doc_id, h FROM sel),
+         |okh AS (SELECT h FROM dh GROUP BY h HAVING count(*) <= 1000),
+         |dhc AS (SELECT dh.doc_id, dh.h FROM dh JOIN okh USING (h))
+         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |  count(*) AS n_shared
+         |FROM dhc a JOIN dhc b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |WHERE a.doc_id % 10 = 3 AND a.doc_id < 5000
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+    "p_simhash_incr" ->
+      s"""WITH $simhashChunkCtes,
+         |spairs AS (
+         |  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id,
+         |    l.fp AS fp1, r.fp AS fp2
+         |  FROM chunks l JOIN chunks r
+         |    ON l.chunk = r.chunk AND l.val = r.val
+         |    AND l.doc_id <> r.doc_id
+         |  WHERE l.doc_id % 10 = 3 AND l.doc_id < 5000)
+         |SELECT new_id, corpus_id,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN substr(fp1, i, 1) = substr(fp2, i, 1)
+         |      THEN 0 ELSE 1 END)) AS INT) AS dist
+         |FROM spairs
+         |WHERE list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN substr(fp1, i, 1) = substr(fp2, i, 1)
+         |      THEN 0 ELSE 1 END)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
     "p_manifest" ->
       s"""WITH sh AS (
          |  SELECT
