@@ -45,6 +45,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Object stores without atomic single-object rename (plain S3)
   * need the usual vendor committer / consistent-pointer story; the
   * seam is this one file.
+  *
+  * The artifact root is EXCLUSIVELY OWNED by this lifecycle: every
+  * [[commit]] deletes any root-level file other than `_CURRENT`
+  * (orphaned `._CURRENT.tmp-*` from a killed writer, stale
+  * pre-versioning part-files) and any superseded `v*` directory.
+  * Do not park unrelated files (READMEs, markers) at the root —
+  * give the artifact its own directory.
   */
 object Artifacts {
   val Pointer = "_CURRENT"

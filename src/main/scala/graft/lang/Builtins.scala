@@ -10,6 +10,15 @@ import Compiler._
   * to the Column combinators in graft.functions.Jsonata (one semantics,
   * two surfaces).
   */
+/** litStr's "argument is not a compile-time string" signal — a
+  * DISTINCT type so $lookup's computed-key fallthrough only catches
+  * the genuinely-computed case while fail()'s wrong-type diagnostics
+  * (plain IllegalArgumentException) stay loud. Subclasses IAE so
+  * existing non-catching call sites keep their error contract.
+  */
+private[lang] final class NotCompileTimeString(msg: String)
+  extends IllegalArgumentException(msg)
+
 object Builtins {
 
   def apply(name: String, args: Seq[CV],
@@ -31,15 +40,17 @@ object Builtins {
               case Some(s: org.apache.spark.unsafe.types.UTF8String) =>
                 return s.toString
               case Some(null) | None =>
-                fail(s"$name: argument ${i + 1} must be a string " +
-                  s"literal or constant, got $other")
+                throw new NotCompileTimeString(
+                  s"graft.lang: $name: argument ${i + 1} must be a " +
+                    s"string literal or constant, got $other")
               case Some(v) =>
                 fail(s"$name: argument ${i + 1} must be a STRING, " +
                   s"got constant $v")
             }
           case _ =>
-            fail(s"$name: argument ${i + 1} must be a string " +
-              s"or regex literal, got $other")
+            throw new NotCompileTimeString(
+              s"graft.lang: $name: argument ${i + 1} must be a string " +
+                s"or regex literal, got $other")
         }
     }
     def litInt(i: Int): Int = argExprs.lift(i) match {
@@ -324,10 +335,14 @@ object Builtins {
           if (args.size > initIdx)
             aggregate(col("__vs"), sc(initIdx).cast(DoubleType), kstep)
           else
+            // try_element_at: collect_list drops nulls, so a key group
+            // whose values are ALL null folds over an empty array —
+            // the group's result is null (ANSI element_at would throw
+            // INVALID_ARRAY_INDEX instead)
             aggregate(
               slice(col("__vs"), lit(2),
                 greatest(size(col("__vs")) - 1, lit(0))),
-              element_at(col("__vs"), 1).cast(DoubleType), kstep)
+              try_element_at(col("__vs"), lit(1)).cast(DoubleType), kstep)
         CTab(grouped.select(col(key), folded.as("value")))
 
       case "$reduce" =>
@@ -339,10 +354,12 @@ object Builtins {
         if (args.size > 2)
           sval(aggregate(a.col, sc(2).cast(DoubleType), step), DoubleType)
         else
-          // no init: first element seeds the fold
+          // no init: first element seeds the fold (try_element_at so
+          // an EMPTY array yields null — the reference's undefined —
+          // instead of an ANSI INVALID_ARRAY_INDEX error)
           sval(aggregate(
             slice(a.col, lit(2), greatest(size(a.col) - 1, lit(0))),
-            element_at(a.col, 1).cast(DoubleType), step), DoubleType)
+            try_element_at(a.col, lit(1)).cast(DoubleType), step), DoubleType)
       case "$single" =>
         sval(Jsonata.single(arr(0).col, x =>
           Jsonata.boolean(scalar(materialize(f(1).fn(
@@ -497,8 +514,12 @@ object Builtins {
       }
       case "$lookup" => d(0).dt match {
         case st: StructType =>
+          // NotCompileTimeString ONLY: a wrong-TYPE constant key
+          // (fail()'s plain IllegalArgumentException, e.g. a numeric
+          // literal) must keep failing loudly, not get string-coerced
+          // into a map lookup that silently misses.
           val constKey = try Some(litStr(1)) catch {
-            case _: IllegalArgumentException => None
+            case _: NotCompileTimeString => None
           }
           constKey match {
             case Some(k) =>

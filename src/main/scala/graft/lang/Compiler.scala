@@ -266,15 +266,26 @@ object Compiler {
               catch {
                 // the JVM stack can run out before the depth guard
                 // (each language-level application costs many compile
-                // frames); surface the same diagnostic either way —
-                // by the time a catch frame runs the stack has
-                // unwound, so building the message is safe
+                // frames); by the time a catch frame runs the stack
+                // has unwound, so building the message is safe. At a
+                // SHALLOW depth the overflow may be an unrelated
+                // engine SOE (a pathologically deep expression tree
+                // built inside the call) — say so instead of flatly
+                // blaming user recursion.
                 case _: StackOverflowError if depth > 1 =>
-                  fail(s"recursion in $$$n exceeded depth $depth " +
-                    "(compile stack exhausted) — a recursive " +
-                    "function needs a base case decidable at " +
-                    "compile time (constant arguments; not values " +
-                    "of table columns)")
+                  val hint =
+                    if (depth >= 8)
+                      "a recursive function needs a base case " +
+                        "decidable at compile time (constant " +
+                        "arguments; not values of table columns)"
+                    else
+                      "recursion was only this shallow, so this may " +
+                        "be an engine stack overflow on a very deep " +
+                        "expression inside the call rather than " +
+                        "runaway recursion — raise -Xss if the " +
+                        "program is correct"
+                  fail(s"compile stack exhausted inside recursive " +
+                    s"$$$n (depth $depth) — $hint")
               }
               finally depth -= 1
             })

@@ -173,6 +173,51 @@ class CrashSafetySpec extends SparkSpec {
       "append after a killed append must equal the rebuild")
   }
 
+  test("killed appendWinnowIndex leaves the index probe-consistent") {
+    // second append family under the kill-point discipline (r14;
+    // appendBinaryIndex above was r13): same Parquet-committer
+    // visibility argument, different artifact shape (sparse (id, h)
+    // fingerprint rows, h-sorted base + unsorted appended row groups
+    // — sortedness is a pruning LAYOUT hint, not a correctness
+    // invariant, so append-after-kill must still equal a rebuild).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crash-").toString + "/winidx"
+    val doc = graft.Tables.documents(spark, sf())
+    val base = doc.filter(col("doc_id") % 10 =!= 3)
+    val batch = doc.filter(col("doc_id") % 10 === 3)
+    graft.pipeline.Indexes.writeWinnowIndex(base, "doc_id", "text", dir)
+    val probeBatch = doc.filter(col("doc_id") % 7 === 0)
+    def probe(path: String): Seq[(Long, Long, Long)] =
+      graft.pipeline.Indexes.winnowCandidatesIndexed(probeBatch,
+          "doc_id", "text",
+          graft.pipeline.Indexes.openWinnowIndex(spark, path))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val before = probe(dir)
+    // crash artifact: a mid-append kill — committer work dir with a
+    // partial (garbage) task file, plus a hidden .tmp at the root
+    val tmpDir = new java.io.File(dir,
+      "_temporary/0/_temporary/attempt_dead_0001_m_000000_0")
+    assert(tmpDir.mkdirs())
+    java.nio.file.Files.write(
+      tmpDir.toPath.resolve("part-00000-dead.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir,
+      ".part-00001-dead.snappy.parquet.crc"), Array[Byte](7))
+    assert(probe(dir) == before,
+      "in-flight committer litter must be invisible to the probe")
+    // recovery: re-running the append lands next to the base files;
+    // the probe now matches a from-scratch rebuild over base ∪ batch
+    graft.pipeline.Indexes.appendWinnowIndex(batch, "doc_id", "text",
+      dir)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-crash-").toString + "/winidx2"
+    graft.pipeline.Indexes.writeWinnowIndex(doc, "doc_id", "text",
+      rebuilt)
+    assert(probe(dir) == probe(rebuilt),
+      "append after a killed append must equal the rebuild")
+  }
+
   test("pre-versioning flat artifacts still open (legacy fallback)") {
     val path = tmpArtifact()
     graft.pipeline.SeenSet.build(keys(20, "a"), "k", mBits = 1024)

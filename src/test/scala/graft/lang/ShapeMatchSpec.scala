@@ -213,6 +213,41 @@ class ShapeMatchSpec extends SparkSpec {
       105.0)
   }
 
+  test("$reduceByKey: all-null value group folds to null, not an error") {
+    // collect_list drops nulls, so a key whose values are ALL null
+    // folds over an EMPTY array — the no-init seed must be
+    // try_element_at (null result) rather than ANSI element_at
+    // (INVALID_ARRAY_INDEX) (ADVICE r13)
+    import spark.implicits._
+    val df = Seq(("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", None: Option[Double])).toDF("k", "n")
+    val out = RM.queryFrame(
+      "$reduceByKey($frame, 'k', function($a, $x) { $a + $x })",
+      spark, Map("frame" -> df))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map("a" -> 5.0, "b" -> null), out)
+  }
+
+  test("$reduce over a runtime-empty array without init is null") {
+    // same ANSI hazard as the keyed form: an empty fold input takes
+    // the null seed, surfacing as the reference's undefined
+    run(
+      """$reduce($filter([1, 2], function($x) { $x > 5 }),
+        |  function($a, $x) { $a + $x }) or 'empty'""".stripMargin,
+      "empty")
+  }
+
+  test("$lookup with a non-string constant key fails loudly") {
+    // the computed-key fallthrough catches ONLY NotCompileTimeString;
+    // fail()'s wrong-type diagnostic must not be swallowed into a
+    // string-coerced map lookup that silently misses (ADVICE r13)
+    val e = intercept[IllegalArgumentException] {
+      RM.eval("$lookup({'a': 1}, 5)", spark)
+    }
+    assert(e.getMessage.contains("must be a STRING"), e.getMessage)
+  }
+
   test("$reduceByKey matches the driver fold on overlapping sizes") {
     // same data, same function: the distributed twin and the capped
     // driver fold must agree where both run (the VERDICT r12 item-4
@@ -252,7 +287,15 @@ class ShapeMatchSpec extends SparkSpec {
         "( $f := function($n) { $n <= 1 ? 1 : $n * $f($n - 1) }; $map([3, 4], $f) )",
         spark)
     }
-    assert(e.getMessage.contains("recursion in $f exceeded depth"),
+    // the non-terminating shape dies either at the 512 depth guard
+    // ("recursion in $f exceeded depth") or, when each application's
+    // compile frames exhaust the JVM stack first, in the SOE catch
+    // ("compile stack exhausted inside recursive $f") — both name the
+    // function and the base-case requirement
+    assert(e.getMessage.contains("recursive $f") ||
+      e.getMessage.contains("recursion in $f exceeded depth"),
+      e.getMessage)
+    assert(e.getMessage.contains("base case decidable at compile time"),
       e.getMessage)
   }
 
