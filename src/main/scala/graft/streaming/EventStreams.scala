@@ -28,6 +28,43 @@ object EventStreams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming twin of the `$reduceByKey` keyed fold
+    * ([[graft.lang.Builtins]]): per (tumbling window, key), the
+    * values collected within the watermark horizon are sorted
+    * ascending and folded with the caller's Column kernel under the
+    * batch operator's exact seeding rule — explicit `init`, else the
+    * first element via try_element_at (so an all-null group folds to
+    * null, never an ANSI error). Fold order is pinned by the sort,
+    * making the result partitioning- and arrival-order-independent
+    * within a window: a closed window's rows equal the batch
+    * `$reduceByKey` on the same slice (StreamingSpec pins it).
+    * State per open (window, key) is the value list — bounded by the
+    * watermark horizon like every windowed aggregation here.
+    */
+  def reduceByKeyStream(events: DataFrame, keyCol: String,
+      valCol: String,
+      fold: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column,
+      init: Option[org.apache.spark.sql.Column] = None,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    def step(a: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column) = fold(a, x).cast("double")
+    val folded = init match {
+      case Some(z) => aggregate(col("__vs"), z.cast("double"), step)
+      case None => aggregate(
+        slice(col("__vs"), lit(2),
+          greatest(size(col("__vs")) - 1, lit(0))),
+        try_element_at(col("__vs"), lit(1)).cast("double"), step)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col(keyCol))
+      .agg(sort_array(collect_list(col(valCol))).as("__vs"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        folded.as("value"))
+  }
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * within the watermark horizon are dropped (the streaming form of
     * Dedup.exactDedup).

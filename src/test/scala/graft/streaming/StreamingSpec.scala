@@ -32,6 +32,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("reduceByKey stream equals the batch keyed fold per window") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    val input = MemoryStream[GEvent]
+    // non-commutative fold (acc*2 + x) so a wrong fold ORDER flips
+    // the result: sorted values 1,2,4 → seed 1, 1*2+2=4, 4*2+4=12
+    input.addData(
+      GEvent(t("2026-01-01 10:05:00"), "a", 4.0),
+      GEvent(t("2026-01-01 10:15:00"), "a", 1.0),
+      GEvent(t("2026-01-01 10:25:00"), "a", 2.0),
+      GEvent(t("2026-01-01 10:35:00"), "b", 5.0),
+      GEvent(t("2026-01-01 11:05:00"), "a", 7.0))
+    val q = EventStreams.reduceByKeyStream(input.toDF(), "event_type",
+        "value", (acc, x) => acc * lit(2.0) + x)
+      .writeStream.format("memory").queryName("rbk")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("rbk")
+      .orderBy("window_start", "event_type")
+      .select("event_type", "value")
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("a", 12.0), ("b", 5.0), ("a", 7.0)), rows)
+    // the bounded-window pin against the BATCH operator: the 10:00
+    // window's slice through the language-surface $reduceByKey
+    val df10 = Seq(("a", 4.0), ("a", 1.0), ("a", 2.0), ("b", 5.0))
+      .toDF("k", "n")
+    val batch = graft.lang.RM.queryFrame(
+        "$reduceByKey($frame, 'k', function($a, $x) { $a * 2 + $x })",
+        spark, Map("frame" -> df10))
+      .orderBy("k").as[(String, Double)].collect().toSeq
+    assert(batch == rows.take(2), (batch, rows))
+  }
+
   test("bloom novelty stream equals the batch novel() over the union of batches") {
     implicit val ctx = spark.sqlContext
     val baseKeys = (0 until 120).map(i => s"seen-url-$i")
