@@ -109,13 +109,22 @@ object QueryBridge {
     // triples) must both be skipped
     val anyDb = srcDfs.values.exists(Shred.isTriplesFrame)
     if (!anyDb && docEligible(pats, srcDfs)) {
+      // entity ids travel as 8-byte longs (the native path's join/
+      // distinct key); the boxed projection casts to the identical
+      // string, so every downstream contract is unchanged
       val docs = srcDfs.map { case (n, df) =>
         n -> QueryCompiler.DocSource(df.withColumn(EntCol,
-          Shred.derivedId(df)), EntCol)
+          Shred.derivedIdLong(df)), EntCol)
       }
       val hints = QueryCompiler.docVarTypes(docs, pats)
-      val boxed = QueryCompiler.runDocsBoxed(docs, pats, Nil, keepDBid,
-        boxedPredicates = predFns(hints))
+      // native-typed route first (joins + the Datalog distinct carry
+      // source-typed values, not canonical-string structs — the
+      // fact-scale profile); falls back when a qvar's types can't
+      // provably preserve canonical semantics natively
+      val boxed = QueryCompiler.runDocsNative(docs, pats, Nil, keepDBid,
+          boxedPredicates = predFns(hints))
+        .getOrElse(QueryCompiler.runDocsBoxed(docs, pats, Nil, keepDBid,
+          boxedPredicates = predFns(hints)))
       if (allTables) // canonical string bindings, like QueryCompiler.run
         CTab(boxed.select(boxed.columns.toSeq
           .map(c => boxed(c).getField("v").as(c)): _*))

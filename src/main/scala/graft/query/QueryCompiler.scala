@@ -239,6 +239,153 @@ object QueryCompiler {
     distinctAll.select(out.toSeq.map(distinctAll(_)): _*)
   }
 
+  /** Native-typed direct path — the fact-table route. Binding columns
+    * keep their SOURCE Spark types through the join chain and the
+    * Datalog distinct, so those shuffles carry 8-byte natives instead
+    * of canonical-string structs (the boxed form shuffles two strings
+    * per qvar — at 60M lineitem rows that was the spill-bound profile
+    * BENCH_sf10_r13 attributed). The struct<v,vt> boxing is applied
+    * AFTER the distinct as a row-local projection, so the returned
+    * frame is value-identical to [[runDocsBoxed]] and slots into the
+    * same typed-restore bridge.
+    *
+    * Returns None — caller falls back to the boxed form — when native
+    * equality can't provably reproduce the canonical-string join and
+    * distinct semantics:
+    *
+    *  - a qvar fed by mixed integral+fractional sources (canonical
+    *    strings join 5 with 5.0 exactly at any magnitude; a double
+    *    coercion loses exactness past 2^53);
+    *  - a qvar fed by two different non-integral types, BinaryType
+    *    (string reinterpretation is lossy), or any other type whose
+    *    value→canonical-string map isn't injective;
+    *  - a qvar appearing in BOTH entity and value position (boxed
+    *    joins require equal vt tags, so "ref" never matches "num"/
+    *    "str" — the boxed result is empty there and the fallback
+    *    preserves that).
+    *
+    * All-integral sets travel as long (Spark would widen the join key
+    * the same way; the canonical strings agree). NaN and -0.0 agree by
+    * construction: Spark normalizes both in join/group keys, and the
+    * canonical encoding collapses -0.0 to "0" and maps NaN to "NaN" on
+    * every source.
+    */
+  def runDocsNative(sources: Map[String, DocSource],
+      patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    require(patterns.nonEmpty, "query{} needs at least one pattern")
+    if (!patterns.forall(_.a.isInstanceOf[C])) return None
+
+    val entityVars = patterns.flatMap(_.e match {
+      case V(n) => Some(n); case _ => None
+    }).toSet
+    val valueVars = patterns.flatMap(p => (p.a, p.v) match {
+      case (C(_), V(n)) => Some(n); case _ => None
+    }).toSet
+    if (entityVars.intersect(valueVars).nonEmpty) return None
+
+    // contributing native types per var
+    val varTypes = scala.collection.mutable.Map.empty[String, Set[DataType]]
+    patterns.foreach { p =>
+      p.e match {
+        case V(n) =>
+          val src = sources(p.src)
+          varTypes(n) = varTypes.getOrElse(n, Set.empty) +
+            src.df.schema(src.idCol).dataType
+        case _ => ()
+      }
+      (p.a, p.v) match {
+        case (C(attr), V(n)) =>
+          sources(p.src).df.schema.find(_.name == attr.toString) match {
+            case Some(f) =>
+              varTypes(n) = varTypes.getOrElse(n, Set.empty) + f.dataType
+            case None => return None
+          }
+        case _ => ()
+      }
+    }
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // the native type each var travels as; None → ineligible
+    val travel: Map[String, DataType] = varTypes.toMap.map {
+      case (n, dts) =>
+        val t: DataType =
+          if (dts.forall(integral)) LongType
+          else if (dts.size == 1) dts.head match {
+            case t @ (StringType | BooleanType | DoubleType | FloatType |
+                DateType | TimestampType) => t
+            case t: DecimalType => t
+            case _ => return None
+          }
+          else return None
+        n -> t
+    }
+
+    val grouped = patterns.groupBy(p => (p.src, p.e))
+    val frames = grouped.map { case ((srcName, eTerm), pats) =>
+      val src = sources(srcName)
+      var f = src.df
+      val cols = Seq.newBuilder[Column]
+      eTerm match {
+        case V(n) => cols += col(src.idCol).cast(travel(n)).as(n)
+        case C(id) => f = f.filter(col(src.idCol).cast("string") ===
+          id.toString)
+        case W => ()
+      }
+      pats.foreach { p =>
+        val C(attrName) = p.a: @unchecked
+        val attr = attrName.toString
+        val dt = src.df.schema(attr).dataType
+        p.v match {
+          case C(value) =>
+            val (v, _) = canonConst(value)
+            f = f.filter(canonCol(col(attr), dt) === v)
+          case V(n) =>
+            f = f.filter(col(attr).isNotNull)
+            cols += col(attr).cast(travel(n)).as(n)
+          case W => f = f.filter(col(attr).isNotNull)
+        }
+      }
+      f.select(cols.result(): _*)
+    }.toSeq
+
+    val joined = frames.reduceLeft { (acc, next) =>
+      val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq
+      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+    }
+    // predicates see the boxed view, synthesized inline from the
+    // native columns (row-local; SimplifyExtractValueOps collapses the
+    // struct wrap when a predicate only reads one field)
+    def vtOf(n: String, dt: DataType) =
+      if (entityVars.contains(n)) "ref" else typeNameOf(dt)
+    val boundBoxed: Map[String, Column] = joined.columns.map { n =>
+      val dt = joined.schema(n).dataType
+      n -> struct(canonCol(joined(n), dt).as("v"),
+        lit(vtOf(n, dt)).as("vt"))
+    }.toMap
+    val bound: Map[String, Column] =
+      boundBoxed.map { case (n, s) => n -> s.getField("v") }
+    val filtered = boxedPredicates.foldLeft(
+      predicates.foldLeft(joined)((f, p) => f.filter(p(bound))))(
+      (f, p) => f.filter(p(boundBoxed)))
+    // Datalog set semantics over ALL found qvars — on NATIVE values —
+    // THEN drop entity vars and box (row-local, post-shuffle)
+    val distinctAll = filtered.distinct()
+    val out = distinctAll.columns
+      .filter(c => keepDBid || !entityVars.contains(c))
+    Some(distinctAll.select(out.toSeq.map { c =>
+      val dt = distinctAll.schema(c).dataType
+      struct(canonCol(distinctAll(c), dt).as("v"),
+        lit(vtOf(c, dt)).as("vt")).as(c)
+    }: _*))
+  }
+
   /** Static Spark types feeding each qvar on the direct path: value-
     * position qvars collect their source column types; entity-position
     * qvars are refs (string ids). Lets the typed restore skip its

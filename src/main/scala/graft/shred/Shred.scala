@@ -164,9 +164,15 @@ object Shred {
   /** The no-idCol content-derived entity id, exposed so the direct
     * (unshredded) query path can mint ids identical to the EAV path's.
     */
-  def derivedId(df: DataFrame): Column =
+  def derivedId(df: DataFrame): Column = derivedIdLong(df).cast("string")
+
+  /** [[derivedId]] before its string cast — the 8-byte form the
+    * native-typed direct path ([[graft.query.QueryCompiler
+    * .runDocsNative]]) carries through joins and the Datalog distinct;
+    * boxing casts it to the identical string afterwards.
+    */
+  def derivedIdLong(df: DataFrame): Column =
     xxhash64(to_json(struct(df.schema.fieldNames.map(col).toSeq: _*)))
-      .cast("string")
 
   /** Shred only the attributes a query's patterns touch — the EAV form
     * of column pruning. The narrowed select reaches the parquet scan

@@ -60,4 +60,76 @@ class DirectQuerySpec extends SparkSpec {
       .orderBy("b").as[String].collect().toSeq
     assert(direct == eav && direct == Seq("10", "20", "30"))
   }
+
+  private def srcs = Map("people" -> DocSource(people, "id"),
+    "devices" -> DocSource(devices, "did"))
+
+  test("native path engages and equals the boxed path bit-for-bit") {
+    val native = QueryCompiler.runDocsNative(srcs, pats)
+    assert(native.isDefined, "typical long/string patterns must be " +
+      "native-eligible")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("who", "dev").collect().toSeq
+    assert(rows(native.get) == rows(QueryCompiler.runDocsBoxed(srcs, pats)))
+    assert(native.get.schema == QueryCompiler.runDocsBoxed(srcs, pats)
+      .schema)
+    // keepDBid: entity-id boxing (long → string, vt ref) also agrees
+    val nk = QueryCompiler.runDocsNative(srcs, pats, keepDBid = true).get
+    val bk = QueryCompiler.runDocsBoxed(srcs, pats, keepDBid = true)
+    assert(nk.orderBy("who", "dev").collect().toSeq ==
+      bk.orderBy("who", "dev").collect().toSeq)
+  }
+
+  test("native path agrees under boxed predicates") {
+    val pred = (bound: Map[String, org.apache.spark.sql.Column]) =>
+      bound("pid").getField("v").cast("long") < 3L
+    val native = QueryCompiler.runDocsNative(srcs, pats,
+      boxedPredicates = Seq(pred)).get
+    val boxed = QueryCompiler.runDocsBoxed(srcs, pats,
+      boxedPredicates = Seq(pred))
+    assert(native.orderBy("who", "dev").collect().toSeq ==
+      boxed.orderBy("who", "dev").collect().toSeq)
+    assert(native.count() == 2) // Bob's watch + phone; Carol's pid=3 cut
+  }
+
+  test("native distinct shuffles native types, boxing is post-distinct") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val native = QueryCompiler.runDocsNative(srcs, pats).get
+    val aggs = native.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a
+    }
+    assert(aggs.nonEmpty, "distinct must survive optimization")
+    // every distinct (Aggregate) GROUPS on atomic native columns — the
+    // grouping keys are what the exchange shuffles; CollapseProject
+    // legitimately folds the post-distinct boxing into the Aggregate's
+    // RESULT expressions (computed after the final merge, never
+    // shuffled)
+    aggs.foreach { a =>
+      a.groupingExpressions.foreach(g =>
+        assert(g.dataType == LongType || g.dataType == StringType,
+          s"non-native distinct key: $g: ${g.dataType}"))
+    }
+  }
+
+  test("native path declines what it cannot prove") {
+    // a var in both entity and value position: boxed vt tags ("ref"
+    // vs "num") never join — the fallback preserves that semantics
+    val evPats = Seq(
+      Pattern(V("p"), C("id"), V("pid"), "people"),
+      Pattern(V("pid"), C("dname"), V("dev"), "devices"))
+    assert(QueryCompiler.runDocsNative(srcs, evPats).isEmpty)
+    // mixed integral+fractional sources for one var: canonical strings
+    // join 5 with 5.0 exactly at any magnitude; doubles would not
+    val mixPats = Seq(
+      Pattern(V("p"), C("id"), V("x"), "people"),
+      Pattern(V("d"), C("score"), V("x"), "scored"))
+    val scored = Seq((1L, 1.0), (2L, 7.5)).toDF("sid", "score")
+    assert(QueryCompiler.runDocsNative(
+      srcs + ("scored" -> DocSource(scored, "sid")), mixPats).isEmpty)
+    // and the equivalent boxed query still runs (the caller's fallback)
+    val fb = QueryCompiler.runDocsBoxed(
+      srcs + ("scored" -> DocSource(scored, "sid")), mixPats)
+    assert(fb.collect().length == 1) // id 1 joins score 1.0 canonically
+  }
 }
