@@ -861,16 +861,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Near-dup clusters: connected components over the Jaccard-verified
-    * md5-minhash pair graph (keep-one-per-group is then a trivial
-    * `comp = doc_id` filter). The oracle replays the same pair
-    * generation and closes the graph with a recursive CTE.
+  /** Near-dup clusters: connected components over the PROBE-ANCHORED
+    * Jaccard-verified md5-minhash pair graph (keep-one-per-group is
+    * then a trivial `comp = doc_id` filter). The oracle replays the
+    * same pair generation and closes the graph with a recursive CTE.
+    * Re-gated r14 with p_lpa/p_triangles: the gate's former input was
+    * the all-pairs self-join pair list, whose verified volume grows
+    * ~SF² on the shared-vocabulary corpus (the shape p_minhash
+    * measured at 585 s / 20.9×/decade in the r13 sf100 rehearsal —
+    * answer mass, not operator cost; dupGroups itself is |E|-bounded
+    * rounds). The fixed 500-doc probe pair source measures CC
+    * linearly.
     */
   def pDupGroups(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val doc = Tables.documents(s, d)
-    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
-      n = 3, k = 32, b = 8, threshold = 0.8)
+    val pairs = Dedup.incrementalDupPairsMd5(
+        doc.filter(col("doc_id") < 500), "doc_id", doc, "doc_id",
+        "text", n = 3, k = 32, b = 8, threshold = 0.8)
+      .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
     Dedup.dupGroups(doc, "doc_id", pairs)
       .select(col("id").as("doc_id"), col("comp"))
       .withColumn("group_size",
@@ -1845,15 +1854,20 @@ object PipelineQueries {
   }
 
   /** Near-dup graph density (LinkGraph.triangles over the verified
-    * MinHash pair graph): per duplicate-involved doc its degree and
-    * triangle count — cliques (template families) vs chains. The
-    * oracle reuses the p_dup_groups pair machinery verbatim and
-    * closes wedges with plain joins.
+    * PROBE-ANCHORED MinHash pair graph): per duplicate-involved doc
+    * its degree and triangle count — cliques (template families) vs
+    * chains. The oracle reuses the p_dup_groups pair machinery
+    * verbatim and closes wedges with plain joins.
     */
   def pTriangles(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
-    val pairs = Dedup.minhashDedupPairsMd5(doc, "doc_id", "text",
-      n = 3, k = 32, b = 8, threshold = 0.8)
+    // fixed 500-doc probe pair source (r14, with p_lpa/p_dup_groups):
+    // the all-pairs pair list is the quadratic object on this corpus;
+    // the triangle wedge join itself is degree-bounded either way
+    val pairs = Dedup.incrementalDupPairsMd5(
+        doc.filter(col("doc_id") < 500), "doc_id", doc, "doc_id",
+        "text", n = 3, k = 32, b = 8, threshold = 0.8)
+      .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
     graft.pipeline.LinkGraph.triangles(pairs)
       .select(col("id").as("doc_id"), col("degree"),
         col("n_triangles"))
@@ -3448,8 +3462,9 @@ object PipelineQueries {
     "p_dup_groups" ->
       s"""WITH RECURSIVE $sigCtes,
          |edges AS (
-         |  SELECT id1, id2 FROM vpairs
-         |  UNION SELECT id2, id1 FROM vpairs),
+         |  SELECT id1, id2 FROM vpairs WHERE id1 < 500 OR id2 < 500
+         |  UNION SELECT id2, id1 FROM vpairs
+         |  WHERE id1 < 500 OR id2 < 500),
          |reach(id, comp) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
@@ -4755,7 +4770,7 @@ object PipelineQueries {
     "p_triangles" ->
       s"""WITH $sigCtes,
          |e AS (SELECT DISTINCT id1 AS a, id2 AS b FROM vpairs
-         |      WHERE id1 <> id2),
+         |      WHERE id1 <> id2 AND (id1 < 500 OR id2 < 500)),
          |tri AS (
          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |  FROM e e1 JOIN e e2 ON e1.b = e2.a
