@@ -167,8 +167,12 @@ object QueryCompiler {
       keepDBid: Boolean = false,
       boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
       : DataFrame = {
-    val boxed = runDocsBoxed(sources, patterns, predicates, keepDBid,
-      boxedPredicates)
+    // native-typed route when provable (join/distinct on source types;
+    // result-identical boxing afterwards), boxed otherwise
+    val boxed = runDocsNative(sources, patterns, predicates, keepDBid,
+        boxedPredicates)
+      .getOrElse(runDocsBoxed(sources, patterns, predicates, keepDBid,
+        boxedPredicates))
     boxed.select(boxed.columns.toSeq
       .map(c => boxed(c).getField("v").as(c)): _*)
   }
