@@ -828,8 +828,17 @@ object PipelineQueries {
     * both similarity computations, and the decimal-pinned averages.
     */
   def pDedupEval(s: SparkSession, d: String): DataFrame =
+    // FIXED 5000-doc contiguous calibration sample (r14; no-op at the
+    // oracle SFs, which have ≤ 5000 docs): calibration is a sampling
+    // operation by design — a ≤ k+1-row table of per-match-count
+    // Jaccard means needs a sample, not the corpus, and the exact-
+    // Jaccard verify carries SHINGLE SETS through its pair join
+    // (corpus-wide at sf100 that sort spilled past the disk: 54 GB+,
+    // SPILL_OUT_OF_MEMORY — the one rehearsal failure of r14).
+    // Contiguity keeps the id-delta pair design intact.
     graft.pipeline.Dedup.minhashCalibration(
-        Tables.documents(s, d), "doc_id", "text")
+        Tables.documents(s, d).filter(col("doc_id") < 5000),
+        "doc_id", "text")
       .orderBy("matches")
 
   /** Acoustic-fingerprint audio dedup (Multimodal.audioFp /
@@ -3770,7 +3779,8 @@ object PipelineQueries {
     },
     "p_dedup_eval" ->
       s"""WITH base AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents
+         |  WHERE doc_id < 5000),
          |perms(i, a, b) AS (VALUES $permValues),
          |hsx AS (
          |  SELECT doc_id, sh,
