@@ -13,12 +13,25 @@ object Sessions {
   /** Local session with graft defaults: shuffle partitions = cores
     * (not Spark's 200 — local mode has `cores` slots), UTC, quiet
     * logs, plan rules installed.
+    *
+    * Shuffle partitioning is INPUT-SIZE-AWARE via AQE: shuffles start
+    * at 8× the slot count and adaptive coalescing folds small ones
+    * back to ~the advisory size, so a dimension-scale shuffle still
+    * runs in `cores` tasks while a fact-scale one (600M-row keyed
+    * fold at sf100) keeps enough partitions that per-task sorts fit
+    * memory instead of spilling — the r13 q_rm_rbk attribution's
+    * "spill-bound at 32 fixed partitions" profile. Results are
+    * partitioning-independent by the repo's fold-order contracts
+    * (DECIMAL sums, sort_array-pinned folds); the full oracle battery
+    * re-verified after the change.
     */
   def local(cores: String =
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
