@@ -191,16 +191,24 @@ object QueryCompiler {
       "runDocs requires constant attributes; use run() for wildcards")
 
     // group patterns by (source, entity var): each group is ONE
-    // projection over that source's frame
+    // projection over that source's frame. A var REPEATED within a
+    // group ([?e :p ?x] [?e :r ?x] — "p equals r for this entity")
+    // projects once and turns later occurrences into row-local
+    // equality filters on the boxed encoding, exactly what the EAV
+    // path's join-on-shared-qvar does for the same conjunction
+    // (a second same-named projection would be an ambiguous column).
     val grouped = patterns.groupBy(p => (p.src, p.e))
     val frames = grouped.map { case ((srcName, eTerm), pats) =>
       val src = sources(srcName)
       var f = src.df
       val cols = Seq.newBuilder[Column]
+      val seen = scala.collection.mutable.Map.empty[String, Column]
       eTerm match {
         case V(n) =>
-          cols += struct(col(src.idCol).cast("string").as("v"),
-            lit("ref").as("vt")).as(n)
+          val s = struct(col(src.idCol).cast("string").as("v"),
+            lit("ref").as("vt"))
+          seen(n) = s
+          cols += s.as(n)
         case C(id) => f = f.filter(col(src.idCol).cast("string") ===
           id.toString)
         case W => ()
@@ -215,8 +223,14 @@ object QueryCompiler {
             f = f.filter(canonCol(col(attr), dt) === v)
           case V(n) =>
             f = f.filter(col(attr).isNotNull) // EAV has no null triples
-            cols += struct(canonCol(col(attr), dt).as("v"),
-              lit(typeNameOf(dt)).as("vt")).as(n)
+            val s = struct(canonCol(col(attr), dt).as("v"),
+              lit(typeNameOf(dt)).as("vt"))
+            seen.get(n) match {
+              case Some(prev) => f = f.filter(prev === s)
+              case None =>
+                seen(n) = s
+                cols += s.as(n)
+            }
           case W => f = f.filter(col(attr).isNotNull)
         }
       }
@@ -336,8 +350,17 @@ object QueryCompiler {
       val src = sources(srcName)
       var f = src.df
       val cols = Seq.newBuilder[Column]
+      // a var repeated WITHIN a group projects once; later
+      // occurrences become native equality filters (the boxed form's
+      // struct-equality mirror: equal values AND equal vt tags —
+      // statically-unequal tags fold to false). Same-travel natives
+      // compare exactly by the eligibility rules above.
+      val seen = scala.collection.mutable.Map
+        .empty[String, (Column, String)]
       eTerm match {
-        case V(n) => cols += col(src.idCol).cast(travel(n)).as(n)
+        case V(n) =>
+          seen(n) = (col(src.idCol).cast(travel(n)), "ref")
+          cols += col(src.idCol).cast(travel(n)).as(n)
         case C(id) => f = f.filter(col(src.idCol).cast("string") ===
           id.toString)
         case W => ()
@@ -352,7 +375,16 @@ object QueryCompiler {
             f = f.filter(canonCol(col(attr), dt) === v)
           case V(n) =>
             f = f.filter(col(attr).isNotNull)
-            cols += col(attr).cast(travel(n)).as(n)
+            val c = col(attr).cast(travel(n))
+            val vt = typeNameOf(dt)
+            seen.get(n) match {
+              case Some((prev, pvt)) =>
+                f = if (pvt == vt) f.filter(prev === c)
+                    else f.filter(lit(false))
+              case None =>
+                seen(n) = (c, vt)
+                cols += c.as(n)
+            }
           case W => f = f.filter(col(attr).isNotNull)
         }
       }

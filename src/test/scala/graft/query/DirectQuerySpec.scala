@@ -112,6 +112,38 @@ class DirectQuerySpec extends SparkSpec {
     }
   }
 
+  test("var repeated within one entity group = equality constraint") {
+    // [?e :p ?x] [?e :r ?x] means "p equals r for this entity" — the
+    // EAV path gets this from its join on the shared qvar; the direct
+    // forms used to emit two same-named projections and crash with
+    // AMBIGUOUS_REFERENCE (found by DirectNativeProps r14)
+    val rows = Seq((1L, 5L, 5L), (2L, 5L, 7L), (3L, 2L, 2L))
+      .toDF("rid", "p", "r")
+    val pats2 = Seq(
+      Pattern(V("e"), C("p"), V("x"), "t"),
+      Pattern(V("e"), C("r"), V("x"), "t"))
+    val eav = QueryCompiler.run(
+      Map("t" -> Shred.shred(rows, Some("rid"))), pats2)
+      .orderBy("x").as[String].collect().toSeq
+    val direct = QueryCompiler.runDocs(
+      Map("t" -> DocSource(rows, "rid")), pats2)
+      .orderBy("x").as[String].collect().toSeq
+    assert(direct == eav && direct == Seq("2", "5"), (direct, eav))
+    // native engages here (singleton long) and agrees with boxed
+    val srcs2 = Map("t" -> DocSource(rows, "rid"))
+    assert(QueryCompiler.runDocsNative(srcs2, pats2).isDefined)
+    assert(QueryCompiler.runDocsNative(srcs2, pats2).get.collect()
+      .toSeq.map(_.toString).sorted ==
+      QueryCompiler.runDocsBoxed(srcs2, pats2).collect()
+        .toSeq.map(_.toString).sorted)
+    // statically mismatched KINDS (num vs bool) never match — the
+    // boxed vt-tag semantics, constant-folded on the native route
+    val mixed = Seq((1L, 5L, true)).toDF("rid", "p", "r")
+    val got = QueryCompiler.runDocs(
+      Map("t" -> DocSource(mixed, "rid")), pats2)
+    assert(got.count() == 0)
+  }
+
   test("native path declines what it cannot prove") {
     // a var in both entity and value position: boxed vt tags ("ref"
     // vs "num") never join — the fallback preserves that semantics
