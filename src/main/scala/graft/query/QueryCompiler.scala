@@ -50,7 +50,14 @@ object QueryCompiler {
     case other => (other.toString, "str")
   }
 
-  /** Compile one pattern to a frame with one struct column per qvar. */
+  /** Compile one pattern to a frame with one struct column per qvar
+    * (the legacy canonical-string form, kept as the differential
+    * authority for [[runBoxed]]'s typed route). A qvar repeated WITHIN
+    * the pattern ([?x :a ?x]) projects once; later occurrences become
+    * row-local struct-equality filters — the same semantics the
+    * across-pattern join gives shared qvars (struct `===` treats null
+    * fields as equal, matching join/distinct).
+    */
   private def patternFrame(triples: DataFrame, p: Pattern): DataFrame = {
     var f = triples
     p.a match {
@@ -64,17 +71,69 @@ object QueryCompiler {
       case _ => ()
     }
     val cols = Seq.newBuilder[Column]
+    val seen = scala.collection.mutable.Map.empty[String, Column]
+    def bind(n: String, s: Column): Unit = seen.get(n) match {
+      case Some(prev) => f = f.filter(prev === s)
+      case None => seen(n) = s; cols += s.as(n)
+    }
     p.e match {
-      case V(n) => cols += struct(col("e").as("v"), lit("ref").as("vt")).as(n)
+      case V(n) => bind(n, struct(col("e").as("v"), lit("ref").as("vt")))
       case C(id) => f = f.filter(col("e") === id.toString)
       case W => ()
     }
     p.a match {
-      case V(n) => cols += struct(col("a").as("v"), lit("str").as("vt")).as(n)
+      case V(n) => bind(n, struct(col("a").as("v"), lit("str").as("vt")))
       case _ => ()
     }
     p.v match {
-      case V(n) => cols += struct(col("v").as("v"), col("vt").as("vt")).as(n)
+      case V(n) => bind(n, struct(col("v").as("v"), col("vt").as("vt")))
+      case _ => ()
+    }
+    f.select(cols.result(): _*)
+  }
+
+  /** Typed twin of [[patternFrame]]: four flat native columns per qvar
+    * ([[TypedEnc]]), encoded row-locally AFTER the pattern's constant
+    * filters, so the join/distinct exchanges above carry natives. The
+    * within-pattern repeated-qvar filter compares the encoded tuples —
+    * all four columns are non-null, so plain conjunctive equality is
+    * exactly the legacy struct equality.
+    */
+  private def patternFrameTyped(triples: DataFrame, p: Pattern)
+      : DataFrame = {
+    var f = triples
+    p.a match {
+      case C(name) => f = f.filter(col("a") === name.toString)
+      case _ => ()
+    }
+    p.v match {
+      case C(value) =>
+        val (v, vt) = canonConst(value)
+        f = f.filter(col("v") === v && col("vt") === vt)
+      case _ => ()
+    }
+    val cols = Seq.newBuilder[Column]
+    val seen = scala.collection.mutable.Map.empty[String, Seq[Column]]
+    def bind(n: String, v: Column, vt: Column): Unit = {
+      val enc = TypedEnc.encode(n, v, vt)
+      seen.get(n) match {
+        case Some(prev) =>
+          f = f.filter(prev.zip(enc).map { case (a, b) => a === b }
+            .reduce(_ && _))
+        case None => seen(n) = enc; cols ++= enc
+      }
+    }
+    p.e match {
+      case V(n) => bind(n, col("e"), lit("ref"))
+      case C(id) => f = f.filter(col("e") === id.toString)
+      case W => ()
+    }
+    p.a match {
+      case V(n) => bind(n, col("a"), lit("str"))
+      case _ => ()
+    }
+    p.v match {
+      case V(n) => bind(n, col("v"), col("vt"))
       case _ => ()
     }
     f.select(cols.result(): _*)
@@ -112,8 +171,58 @@ object QueryCompiler {
 
   /** Like run but keeps the boxed struct<v,vt> binding columns — the
     * typed view (used by the text frontend's unboxing bridge).
+    *
+    * Execution is the NATIVE route: each pattern frame encodes its
+    * bindings as [[TypedEnc]]'s four flat non-null columns (row-local,
+    * after the constant filters), the join chain and the Datalog
+    * distinct run on those natives — a numeric/id binding's exchange
+    * key is (byte, long, "", "") instead of two strings — and the
+    * boxed struct<v,vt> is decoded AFTER the distinct as a row-local
+    * projection. The encoding is a bijection (TypedEnc scaladoc), so
+    * the result is bit-identical to [[runBoxedCanonical]], which is
+    * retained as the differential authority (EavTypedProps).
     */
   def runBoxed(sources: Map[String, DataFrame], patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      : DataFrame = {
+    require(patterns.nonEmpty, "query{} needs at least one pattern")
+    val joined = patterns.map(p => patternFrameTyped(sources(p.src), p))
+      .reduceLeft { (acc, next) =>
+        val shared = TypedEnc.varsOf(acc).toSet
+          .intersect(TypedEnc.varsOf(next).toSet).toSeq
+        if (shared.nonEmpty)
+          acc.join(next, shared.flatMap(TypedEnc.colNames))
+        else acc.crossJoin(next)
+      }
+    val boundBoxed: Map[String, Column] = TypedEnc.varsOf(joined)
+      .map(n => n -> TypedEnc.boxedOf(joined, n)).toMap
+    val bound: Map[String, Column] =
+      boundBoxed.map { case (n, s) => n -> s.getField("v") }
+    val filtered = boxedPredicates.foldLeft(
+      predicates.foldLeft(joined)((f, p) => f.filter(p(bound))))(
+      (f, p) => f.filter(p(boundBoxed)))
+    // Datalog set semantics over ALL found qvars — on the native
+    // encoding — THEN drop entity vars and decode to boxed structs
+    // (so residual duplicate bsets survive, as in the reference).
+    val entityVars = patterns.flatMap(p => p.e match {
+      case V(n) => Some(n); case _ => None
+    }).toSet
+    val distinctAll = filtered.distinct()
+    val out = TypedEnc.varsOf(distinctAll)
+      .filter(c => keepDBid || !entityVars.contains(c))
+    distinctAll.select(out.map(n =>
+      TypedEnc.boxedOf(distinctAll, n).as(n)): _*)
+  }
+
+  /** The legacy canonical-string execution of [[runBoxed]]: binding
+    * structs <v: string, vt: string> travel through the join chain and
+    * the distinct. Retained as the differential authority the typed
+    * route is property-checked against; not used by any query path.
+    */
+  private[graft] def runBoxedCanonical(sources: Map[String, DataFrame],
+      patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
       keepDBid: Boolean = false,
       boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
