@@ -81,6 +81,25 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     hygiene(spark)
+    // Cache-state marker (VERDICT r14 item 8): the q1 scan control
+    // measured TWICE at the record's own SF before the battery.
+    // cold ≈ warm ⇒ the round's data was already page-cached and
+    // absolute seconds are comparable to other warm records;
+    // cold ≫ warm ⇒ cold-IO state — compare within-record decade
+    // ratios only (r14 vs r13 differed 2-5× on identical data+code
+    // for exactly this reason). Runs before the battery, so every
+    // record's first measured query starts from the same
+    // post-control cache state.
+    def q1Time(): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      hygiene(spark)
+      dt
+    }
+    val q1Cold = q1Time()
+    val q1Warm = q1Time()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -151,7 +170,9 @@ object Bench {
       "\"jvm_args\":" + jstr(jvmArgs),
       "\"heap_max_bytes\":" + heapMax,
       "\"cpus\":" + Runtime.getRuntime.availableProcessors(),
-      "\"leaked_rdds\":" + leaked).mkString("{", ",", "}")
+      "\"leaked_rdds\":" + leaked,
+      "\"q1_cold\":" + r3(q1Cold),
+      "\"q1_warm\":" + r3(q1Warm)).mkString("{", ",", "}")
     println(s"""{"metric":"full_detail","full":${js(full)}}""")
     println(s"""{"metric":"query_detail","queries":${js(results)}}""")
     println(s"""{"metric":"env","env":$env}""")
@@ -159,7 +180,7 @@ object Bench {
       s""""core_full_total":$coreFullTotal,"n_core":$nCore,""" +
       s""""ext_total":$extTotal,"ext_full_total":$extFullTotal,""" +
       s""""n_ext":$nExt}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"core_total":$coreTotal,"ext_total":$extTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"core_total":$coreTotal,"ext_total":$extTotal,"q1_cold":${r3(q1Cold)},"q1_warm":${r3(q1Warm)},"sf":"$sfDir"}""")
     // belt-and-braces: the machine-readable record also lands in a
     // file, immune to any stdout capture/prefix/truncation issues
     try java.nio.file.Files.write(

@@ -471,6 +471,14 @@ object GraftExtensions {
         ColumnGlue.resolvedExpression(
           graft.functions.RepSignals(ColumnGlue.column(args.head), 2)
             .getField("top_frac"))
+      }),
+    ("graft_curate_signals",
+      "graft_curate_signals(text) - fused curation kernel: " +
+        "struct<quality, key> (quality score + md5-of-normalized " +
+        "dedup key) in one pass over the text",
+      (args: Seq[Expression]) => {
+        arity("graft_curate_signals", args, 1)
+        viaColumn(graft.functions.CurateSignals.apply)(args.head)
       }))
 
   /** Register the same functions (and the optimizer rule) on an

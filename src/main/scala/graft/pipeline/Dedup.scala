@@ -439,6 +439,12 @@ object Dedup {
     * cap applies at probe time (a query knob, not baked into the
     * artifact), and corpus TEXT is read only for the Jaccard verify
     * of candidate ids.
+    *
+    * CONTRACT (matching [[winnowPairsAgainst]] /
+    * [[simhashPairsMd5Against]]): pairs with `new_id == corpus_id`
+    * are EXCLUDED — when the incoming batch overlaps the corpus (a
+    * re-ingest check), a document is not its own duplicate. Callers
+    * that need self rows must join them back explicitly.
     */
   private[pipeline] def incrementalDupPairsFromIndex(
       incoming: DataFrame, incId: String, index: DataFrame,
@@ -453,6 +459,7 @@ object Dedup {
     val incIdx = minhashIndexMd5(incoming, incId, textCol, n, k, b)
       .select(col("id").as("new_id"), col("band"), col("bucket"))
     val cands = incIdx.join(corIdx, Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id").distinct()
     val incSh = spread(incoming.select(col(incId).as("new_id"),
         col(textCol).as("__t")))

@@ -36,7 +36,7 @@ object TextFns {
     (length(text) -
       length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("long")
 
-  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+  private[graft] val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "are", "was", "it", "that", "this", "for", "with", "on",
     "as", "at", "by", "be")
   private val stopwordsDe = Seq("der", "die", "das", "und", "oder", "zu",

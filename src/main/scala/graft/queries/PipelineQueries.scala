@@ -1190,17 +1190,24 @@ object PipelineQueries {
     val doc = Tables.documents(s, d)
     val train = doc.filter(col("doc_id") >= 250)
     val evalDocs = doc.filter(col("doc_id") < 250)
+    // r15 kernel fusion: quality score AND the dedup key come from ONE
+    // fused native pass over each document (CurateSignals; bit-exact
+    // to the previous qualityScore + md5(normalize) composition, pinned
+    // by CurateNativeSpec and this gate's oracle) — the train-side
+    // corpus scan was the heaviest linear row at sf100 and its cost was
+    // attributed kernel-level, not gate-shape
+    val sig = graft.functions.CurateSignals(col("text"))
     val q = train
-      .withColumn("quality", TextFns.qualityScore(col("text")))
+      .withColumn("quality", sig.getField("quality"))
+      .withColumn("__k", sig.getField("key"))
       .filter(col("quality") >= 0.55)
     // consumed twice (decontamination train side + final anti-join):
     // stage the quality+dedup prefix once instead of recomputing it
     // per consumer; released by the harness's Caches.releaseAll
     val deduped = graft.core.Caches.stage(q
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(md5(Dedup.normalize(col("text"))))
-          .orderBy("doc_id")))
-      .filter(col("__rn") === 1).drop("__rn"))
+        Window.partitionBy(col("__k")).orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn", "__k"))
     // DEFAULT arguments deliberately: this gate pins that the
     // out-of-the-box decontamination posture is the corpus-relative
     // boilerplate cap (min(1000, ceil(0.001·|train|)) — the

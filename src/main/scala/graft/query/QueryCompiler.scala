@@ -421,8 +421,22 @@ object QueryCompiler {
       p.e match {
         case V(n) =>
           val src = sources(p.src)
-          varTypes(n) = varTypes.getOrElse(n, Set.empty) +
-            src.df.schema(src.idCol).dataType
+          val f = src.df.schema(src.idCol)
+          // Entity ids must reproduce the boxed form's plain
+          // cast("string") + struct null-equality exactly: integral
+          // and string ids do (the canonical print IS the plain cast,
+          // and non-nullability rules out the null==null join the
+          // boxed struct would keep but a native key would drop).
+          // Fractional/date/timestamp ids would box via canonCol
+          // ("5", not "5.0") — a silent divergence — so they fall
+          // back to the boxed form.
+          val idOk = (f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case StringType => true
+            case _ => false
+          }) && !f.nullable
+          if (!idOk) return None
+          varTypes(n) = varTypes.getOrElse(n, Set.empty) + f.dataType
         case _ => ()
       }
       (p.a, p.v) match {
@@ -449,6 +463,26 @@ object QueryCompiler {
                 DateType | TimestampType) => t
             case t: DecimalType => t
             case _ => return None
+          }
+          else if (dts.forall(dt => integral(dt) ||
+              dt.isInstanceOf[DecimalType])) {
+            // integral+decimal mix (TPC-H money + key schemas): travels
+            // as a widened decimal IF every decimal member shares one
+            // scale — canonical strings are scale-sensitive ("5.50" vs
+            // "5.5"), so mixed scales would join natively where the
+            // boxed form does not. Precision covers every member's
+            // integer digits plus a long's 19, so the widening cast is
+            // exact (never rounds, never overflows) and canonCol on
+            // the travel type prints integral values without the
+            // fractional part — the boxed encoding on every source.
+            val decs = dts.toSeq.collect { case d: DecimalType => d }
+            val scales = decs.map(_.scale).toSet
+            if (scales.size != 1 || scales.head < 0) return None
+            val s = scales.head
+            val intDigits = (decs.map(d => d.precision - d.scale) ++
+              (if (dts.exists(integral)) Seq(19) else Nil)).max
+            if (intDigits + s > 38) return None
+            DecimalType(intDigits + s, s)
           }
           else return None
         n -> t
@@ -488,8 +522,13 @@ object QueryCompiler {
             val vt = typeNameOf(dt)
             seen.get(n) match {
               case Some((prev, pvt)) =>
-                f = if (pvt == vt) f.filter(prev === c)
-                    else f.filter(lit(false))
+                // travel eligibility forces ONE vt per var (entity∩value
+                // vars rejected, numeric sets all-"num", other sets
+                // singletons) — a mismatch here is an engine bug, not a
+                // reachable query shape
+                assert(pvt == vt,
+                  s"repeated qvar $n: vt mismatch $pvt vs $vt")
+                f = f.filter(prev === c)
               case None =>
                 seen(n) = (c, vt)
                 cols += c.as(n)
@@ -555,13 +594,17 @@ object QueryCompiler {
     acc.toMap
   }
 
-  /** Canonical string of a document column (must match Shred.canon). */
+  /** Canonical string of a document column (must match Shred.canon).
+    * try_cast: an out-of-long-range value must take the plain-string
+    * branch (the generator form's semantics), not throw under ANSI.
+    */
   private def canonCol(c: Column, dt: org.apache.spark.sql.types.DataType)
       : Column = {
     import org.apache.spark.sql.types._
     dt match {
       case DoubleType | FloatType | _: DecimalType =>
-        when(c === c.cast("long").cast(dt), c.cast("long").cast("string"))
+        when(c === c.try_cast(LongType).cast(dt),
+            c.try_cast(LongType).cast("string"))
           .otherwise(c.cast("string"))
       case _ => c.cast("string")
     }

@@ -47,25 +47,15 @@ private[graft] object TypedEnc {
 
   def colNames(n: String): Seq[String] = suffixes.map(n + _)
 
-  /** Encode a boxed binding; returns the 4 columns aliased for `n`. */
+  /** Encode a boxed binding; returns the 4 columns aliased for `n`.
+    * One shared [[TypedEncode]] evaluation per row (non-nullable, so
+    * Catalyst infers no join-key null filters; whole-stage CSE
+    * evaluates the call once for all four field extracts).
+    */
   def encode(n: String, v: Column, vt: Column): Seq[Column] = {
-    val vNull = v.isNull
-    val vtNull = vt.isNull
-    val tag = when(vt === "str", 0).when(vt === "num", 2)
-      .when(vt === "bool", 4).when(vt === "ref", 6).otherwise(8)
-    val rl = v.try_cast(LongType)
-    val isRound = rl.isNotNull && rl.cast(StringType) === v
-    val lRaw = when(tag === 4,
-        when(v === "true", 1L).when(v === "false", 0L))
-      .when(tag =!= 8, when(isRound, rl))
-    val lAct = !vNull && lRaw.isNotNull
-    val t = (tag + when(lAct, 1).otherwise(0)
-      + when(vNull, 16).otherwise(0)
-      + when(vtNull, 32).otherwise(0)).cast(ByteType)
-    val l = when(lAct, lRaw).otherwise(0L)
-    val s = when(lAct || vNull, "").otherwise(v)
-    val x = when(tag === 8 && !vtNull, vt).otherwise("")
-    Seq(t.as(n + "#t"), l.as(n + "#l"), s.as(n + "#s"), x.as(n + "#x"))
+    val enc = TypedEncode(v, vt)
+    Seq(enc.getField("t").as(n + "#t"), enc.getField("l").as(n + "#l"),
+      enc.getField("s").as(n + "#s"), enc.getField("x").as(n + "#x"))
   }
 
   private def bit(t: Column, mask: Int): Column =

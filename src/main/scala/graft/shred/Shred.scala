@@ -34,10 +34,14 @@ object Shred {
     StructField("v", StringType), StructField("vt", StringType),
     StructField("vn", DoubleType)))
 
-  /** Canonical string form: integral numbers print without ".0". */
+  /** Canonical string form: integral numbers print without ".0".
+    * try_cast: out-of-long-range values take the plain-string branch
+    * (the generator form's semantics), not an ANSI cast overflow.
+    */
   private def canon(c: Column, dt: DataType): Column = dt match {
     case DoubleType | FloatType | _: DecimalType =>
-      when(c === c.cast("long").cast(dt), c.cast("long").cast("string"))
+      when(c === c.try_cast(LongType).cast(dt),
+          c.try_cast(LongType).cast("string"))
         .otherwise(c.cast("string"))
     case _ => c.cast("string")
   }

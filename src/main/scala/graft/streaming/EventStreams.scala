@@ -557,6 +557,57 @@ object EventStreams {
         mediaCol, index, kernel, maxHamming), id)
     }
 
+  /** Streaming ingest-dedup probe against a persisted winnow index
+    * ([[graft.pipeline.Indexes.writeWinnowIndex]]): each arriving
+    * micro-batch fingerprints ONLY itself and probes the corpus
+    * artifact for near-dup candidates
+    * (Indexes.winnowCandidatesIndexed — pushed-In or semi-join
+    * pruning, probe-time boilerplate cap). foreachBatch for the same
+    * reason as [[annProbeStream]]: a probe carries no cross-batch
+    * state — the ARTIFACT is the state, bounded by the corpus, and
+    * per-batch cost is |batch|-fingerprints-bounded, so the stream
+    * runs indefinitely with zero state-store growth. Accepted batches
+    * fold into the artifact with `Indexes.appendWinnowIndex` on
+    * whatever cadence the pipeline re-opens it (append == rebuild by
+    * the winnow index's merge-free contract). Batch authority:
+    * `Indexes.winnowCandidatesIndexed` itself; StreamingSpec pins the
+    * union-of-batches equality.
+    */
+  def winnowProbeStream(docs: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int = 4, w: Int = 8,
+      minShared: Int = 2, maxBucket: Int = 1000)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.pipeline.Indexes.winnowCandidatesIndexed(batch, idCol,
+        textCol, index, k, w, minShared, maxBucket), id)
+    }
+
+  /** Streaming ingest-dedup probe against a persisted MinHash band
+    * index ([[graft.pipeline.Indexes.writeMinhashIndex]]): each
+    * micro-batch computes its own signatures, probes the corpus band
+    * buckets, and Jaccard-verifies candidates against corpus text
+    * read only for matched ids
+    * (Indexes.incrementalDupPairsIndexed). Stateless by artifact,
+    * exactly as [[winnowProbeStream]]; self-pairs are excluded by the
+    * probe's contract (a re-ingested doc is not its own duplicate).
+    * Batch authority: `Indexes.incrementalDupPairsIndexed`;
+    * StreamingSpec pins the union-of-batches equality.
+    */
+  def dupPairsProbeStream(docs: DataFrame, idCol: String,
+      index: DataFrame, corpus: DataFrame, corId: String,
+      textCol: String, n: Int = 3, k: Int = 32, b: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 1000)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.pipeline.Indexes.incrementalDupPairsIndexed(batch,
+        idCol, index, corpus, corId, textCol, n, k, b, threshold,
+        maxBucket), id)
+    }
+
   /** Crawl-frontier novelty on a stream: probe each arriving key
     * against a PERSISTED Bloom seen-set
     * ([[graft.pipeline.SeenSet]]) and keep only rows the filter

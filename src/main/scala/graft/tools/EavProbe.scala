@@ -1,0 +1,68 @@
+// Scratch probe: the FULL-fact EAV-path profile (VERDICT r14 item 1) —
+// query{} shapes that CANNOT take the direct path (entity self-joins
+// over an explicit shred; wildcard attribute position) over the whole
+// lineitem, typed route (runBoxed) vs the canonical-string authority
+// (runBoxedCanonical), with the q1-style scan-agg control in the same
+// pass:
+//   sbt "runMain graft.tools.EavProbe /tmp/graft_sf1 [n]"
+//
+// Stages:
+//   control     groupBy(l_returnflag).agg(sum qty) — the scan control
+//   join2_*     [?e :l_orderkey ?ok][?e :l_quantity ?qty]: entity
+//               self-join at triple scale + Datalog distinct (UnshredEav
+//               collapses each pattern scan; the JOIN/DISTINCT encoding
+//               is what differs between the variants)
+//   wild_*      [_ ?a ?v] over a 4-attr pruned shred: wildcard attr —
+//               the shape the direct path refuses — distinct over every
+//               (attr, value) binding
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{C, Pattern, V, W}
+import graft.shred.Shred
+
+object EavProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val n = args.lift(1).map(_.toInt).getOrElse(1)
+    val spark = graft.Sessions.local("32")
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir)
+
+    def timed(tag: String)(mk: () => DataFrame): Unit = {
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.releaseAll(spark)
+        dt
+      }
+      println(f"EAVPROBE $tag%-12s $sfDir " +
+        ts.map(t => f"$t%7.1f").mkString(" "))
+    }
+
+    timed("control")(() =>
+      li.groupBy("l_returnflag").agg(sum("l_quantity")))
+
+    val join2 = Seq(
+      Pattern(V("e"), C("l_orderkey"), V("ok")),
+      Pattern(V("e"), C("l_quantity"), V("qty")))
+    def unbox(df: DataFrame): DataFrame =
+      df.select(df.columns.toSeq.map(c => df(c).getField("v").as(c)): _*)
+    timed("join2_typed")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shred(li)), join2)))
+    timed("join2_canon")(() => unbox(QueryCompiler.runBoxedCanonical(
+      Map("default" -> Shred.shred(li)), join2)))
+
+    val pruned = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_returnflag")
+    val wild = Seq(Pattern(W, V("a"), V("v")))
+    timed("wild_typed")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shredAttrs(li, None, pruned)), wild)))
+    timed("wild_canon")(() => unbox(QueryCompiler.runBoxedCanonical(
+      Map("default" -> Shred.shredAttrs(li, None, pruned)), wild)))
+    spark.stop()
+  }
+}

@@ -286,6 +286,54 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaDf.exceptAll(viaSql).count() == 0)
   }
 
+  test("graft_curate_signals matches the fused kernel and its Column " +
+      "authorities through SQL") {
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_curate_signals(text).quality AS q,
+        |  graft_curate_signals(text).key AS k
+        |FROM docs""".stripMargin)
+    val viaDf = Tables.documents(spark, sf("sf0.001")).select(
+      col("doc_id"),
+      TextFns.qualityScore(col("text")).as("q"),
+      md5(Dedup.normalize(col("text"))).as("k"))
+    assert(viaSql.exceptAll(viaDf).count() == 0)
+    assert(viaDf.exceptAll(viaSql).count() == 0)
+  }
+
+  test("the winnow incremental pair contract is SQL-expressible: " +
+      "pure-SQL replay == Dedup.winnowPairsAgainst") {
+    // the r14 batch-vs-corpus contract, written by a SQL user from
+    // the registered scalar kernel alone: distinct fingerprints per
+    // doc, corpus-side boilerplate cap, shared-h join, n_shared >= 2,
+    // self-pairs excluded
+    val viaSql = spark.sql(
+      """WITH corf AS (
+        |  SELECT DISTINCT doc_id AS corpus_id, f.h AS h
+        |  FROM docs LATERAL VIEW explode(graft_winnow(text, 4, 8)) t AS f
+        |), capped AS (
+        |  SELECT corpus_id, h FROM (
+        |    SELECT corpus_id, h, count(1) OVER (PARTITION BY h) AS n
+        |    FROM corf)
+        |  WHERE n <= 1000
+        |), incf AS (
+        |  SELECT DISTINCT doc_id AS new_id, f.h AS h
+        |  FROM docs LATERAL VIEW explode(graft_winnow(text, 4, 8)) t AS f
+        |  WHERE doc_id % 2 = 1
+        |)
+        |SELECT new_id, corpus_id, count(1) AS n_shared
+        |FROM incf JOIN capped USING (h)
+        |WHERE new_id != corpus_id
+        |GROUP BY new_id, corpus_id
+        |HAVING count(1) >= 2""".stripMargin)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val viaApi = Dedup.winnowPairsAgainst(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id",
+      docs, "doc_id", "text", k = 4, w = 8, minShared = 2)
+    assert(viaSql.exceptAll(viaApi).count() == 0)
+    assert(viaApi.exceptAll(viaSql).count() == 0)
+    assert(viaApi.count() > 0, "fixture must produce pairs")
+  }
+
   test("integer knobs beyond Int range error instead of truncating") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_fingerprint('abc def', 4294967297)")

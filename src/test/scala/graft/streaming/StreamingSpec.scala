@@ -607,6 +607,75 @@ class StreamingSpec extends SparkSpec {
     graft.core.Caches.releaseAll(spark)
   }
 
+  test("streaming winnow probe against the persisted index == batch " +
+      "probe") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf())
+    val path = "/tmp/graft_idx_spec_stream/winnow"
+    graft.pipeline.Indexes.writeWinnowIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    val idx = graft.pipeline.Indexes.openWinnowIndex(spark, path)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = EventStreams.winnowProbeStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx) {
+      (pairs, _) => got ++= pairs.collect().map(_.toString)
+    }
+    val half = inc.length / 2
+    input.addData(inc.take(half).toSeq)
+    val q = writer.start()
+    q.processAllAvailable()
+    input.addData(inc.drop(half).toSeq)
+    q.processAllAvailable(); q.stop()
+    // union of per-batch probes == one batch probe (stateless: the
+    // artifact is the state, batch fingerprints are row-local)
+    val want = graft.pipeline.Indexes.winnowCandidatesIndexed(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      .collect().map(_.toString)
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.nonEmpty, "fixture must produce cross-parity candidates")
+    graft.core.Caches.releaseAll(spark)
+  }
+
+  test("streaming minhash dup-pairs probe against the persisted " +
+      "index == batch probe") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val path = "/tmp/graft_idx_spec_stream/minhash"
+    graft.pipeline.Indexes.writeMinhashIndex(
+      corpus, "doc_id", "text", path)
+    val idx = graft.pipeline.Indexes.openMinhashIndex(spark, path)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = EventStreams.dupPairsProbeStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", idx,
+      corpus, "doc_id", "text") {
+      (pairs, _) => got ++= pairs.collect().map(_.toString)
+    }
+    val half = inc.length / 2
+    input.addData(inc.take(half).toSeq)
+    val q = writer.start()
+    q.processAllAvailable()
+    input.addData(inc.drop(half).toSeq)
+    q.processAllAvailable(); q.stop()
+    val want = graft.pipeline.Indexes.incrementalDupPairsIndexed(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", idx,
+        corpus, "doc_id", "text")
+      .collect().map(_.toString)
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.nonEmpty, "fixture must produce cross-parity pairs")
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("streaming dedup drops duplicates within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GEvent]
