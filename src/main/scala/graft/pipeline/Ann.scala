@@ -517,6 +517,21 @@ object Ann {
       vecCol: String, k: Int, shortlist: Int, dim: Int,
       selfExclude: Boolean = true): DataFrame = {
     require(shortlist >= k, "shortlist must cover k")
+    val cand = binaryShortlist(queries, index, qId, vecCol, shortlist,
+      dim, selfExclude)
+    val cv = vectors.select(col(cId).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    rerankShortlist(cand, queries, cv, qId, vecCol, k)
+  }
+
+  /** The Hamming-shortlist stage of [[binaryTopKFrom]]: per query, the
+    * `shortlist` index rows with the smallest signature distance
+    * (asc, ties by neighbor_id). Output is bounded by |queries| ×
+    * shortlist regardless of corpus size.
+    */
+  private[pipeline] def binaryShortlist(queries: DataFrame,
+      index: DataFrame, qId: String, vecCol: String, shortlist: Int,
+      dim: Int, selfExclude: Boolean): DataFrame = {
     // null-embedding rows are excluded from the search on both sides
     // (a NULL Hamming distance would sort FIRST under the asc
     // window's nulls-first default, promoting unsearchable rows to
@@ -527,7 +542,7 @@ object Ann {
         binEncode(col(vecCol).cast("array<double>"), dim).as("qb"))
     val wh = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id"))
-    val cand = index.join(broadcast(q),
+    index.join(broadcast(q),
         if (selfExclude) col("query_id") =!= col("neighbor_id")
         else lit(true))
       .withColumn("ham",
@@ -535,10 +550,21 @@ object Ann {
       .withColumn("hrank", row_number().over(wh))
       .filter(col("hrank") <= shortlist)
       .select("query_id", "neighbor_id", "ham")
+  }
+
+  /** The exact-cosine re-rank tail of [[binaryTopKFrom]]: joins the
+    * shortlist to full query/neighbor vectors, keeps top k per query
+    * (cos desc, ties by neighbor_id). `cv` must carry (neighbor_id,
+    * cv: array<double>) for at least every shortlisted neighbor;
+    * extra rows are harmless (inner join) — which is what lets
+    * [[Indexes.binaryTopKIndexedPoint]] substitute a pruned
+    * point-fetch for the full corpus frame, result-identical.
+    */
+  private[pipeline] def rerankShortlist(cand: DataFrame,
+      queries: DataFrame, cv: DataFrame, qId: String, vecCol: String,
+      k: Int): DataFrame = {
     val qv = queries.select(col(qId).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val cv = vectors.select(col(cId).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.join(broadcast(qv), "query_id")

@@ -116,6 +116,51 @@ object Indexes {
     Ann.binaryTopKFrom(queries, index, vectors, qId, cId, vecCol,
       k, shortlist, dim, selfExclude)
 
+  /** [[binaryTopKIndexed]] with a POINT-FETCH re-rank — the
+    * out-of-cache production shape for interactive probe batches.
+    *
+    * The single-plan form's re-rank is `shortlist ⋈ vectors`: Spark
+    * broadcasts the tiny shortlist and SCANS the whole vectors table,
+    * which is invisible while the corpus sits in page cache but makes
+    * every probe pay a full-corpus read once it doesn't (the
+    * 100 TB regime — embeddings alone outgrow aggregate RAM long
+    * before the corpus does). Here the shortlist is materialized
+    * first (ONE action over the compact index; |queries| × shortlist
+    * rows — driver-bounded by construction, the same contract as the
+    * `.collect()`-bounded probe batches everywhere else in this
+    * file), and the re-rank reads `vectors` through a pushed
+    * `id IN (…)` filter: parquet row-group stats prune every file
+    * outside the shortlist's id range, so the fetch reads
+    * O(|shortlist|) row groups instead of the corpus. With the
+    * corpus written sorted/clustered by id (the natural layout of an
+    * id-keyed delivery), that is a handful of footer reads plus the
+    * matching pages.
+    *
+    * Result-identical to [[binaryTopKIndexed]] (IndexesSpec pins
+    * both orderings); use the join form for BULK probe batches where
+    * |queries| × shortlist stops being driver-sized.
+    */
+  def binaryTopKIndexedPoint(queries: DataFrame, index: DataFrame,
+      vectors: DataFrame, qId: String, cId: String, vecCol: String,
+      k: Int, shortlist: Int = 50, dim: Int = 64,
+      selfExclude: Boolean = true): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val spark = queries.sparkSession
+    val candPlan = Ann.binaryShortlist(queries, index, qId, vecCol,
+      shortlist, dim, selfExclude)
+    val candRows = candPlan.collect()
+    val cand = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(candRows: _*)),
+      candPlan.schema)
+    val ids = candRows.map(_.get(1)).distinct.toSeq
+    val cv = vectors
+      .filter(if (ids.isEmpty) lit(false)
+        else col(cId).isin(ids: _*))
+      .select(col(cId).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+    Ann.rerankShortlist(cand, queries, cv, qId, vecCol, k)
+  }
+
   // ---------- freshness certification ----------
 
   /** Certify a persisted index against the live corpus WITHOUT

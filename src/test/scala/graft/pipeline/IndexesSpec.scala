@@ -29,6 +29,29 @@ class IndexesSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("binary point-fetch probe == join-form probe (incl. empty batch)") {
+    val emb = Tables.embeddings(spark, sf())
+    val qs = emb.orderBy("vec_id").limit(7)
+    Indexes.writeBinaryIndex(emb, "vec_id", "embedding",
+      s"$root/binpoint")
+    val idx = Indexes.openBinaryIndex(spark, s"$root/binpoint")
+    val point = Indexes.binaryTopKIndexedPoint(qs, idx, emb, "vec_id",
+      "vec_id", "embedding", k = 4, shortlist = 20)
+    val join = Indexes.binaryTopKIndexed(qs, idx, emb, "vec_id",
+      "vec_id", "embedding", k = 4, shortlist = 20)
+    assert(rows(point) == rows(join))
+    assert(point.count() == 7 * 4)
+    // the re-rank's corpus side must be a pushed In filter, not a
+    // full scan: PushedFilters carries In(vec_id, …)
+    val scan = point.queryExecution.executedPlan.toString()
+    assert(scan.contains("In(vec_id"),
+      s"point fetch must push the id list to the scan:\n$scan")
+    // empty query batch → empty result, no degenerate isin
+    val none = Indexes.binaryTopKIndexedPoint(qs.limit(0), idx, emb,
+      "vec_id", "vec_id", "embedding", k = 4, shortlist = 20)
+    assert(none.count() == 0)
+  }
+
   test("binary index append == rebuild over base ∪ batch") {
     val emb = Tables.embeddings(spark, sf())
     val qs = emb.orderBy("vec_id").limit(7)
