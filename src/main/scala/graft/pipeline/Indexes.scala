@@ -153,11 +153,20 @@ object Indexes {
       new java.util.ArrayList(java.util.Arrays.asList(candRows: _*)),
       candPlan.schema)
     val ids = candRows.map(_.get(1)).distinct.toSeq
-    val cv = vectors
-      .filter(if (ids.isEmpty) lit(false)
-        else col(cId).isin(ids: _*))
-      .select(col(cId).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+    // chunked ≤1024-value IN filters, unioned: each chunk stays under
+    // the exact-pushdown threshold (Sessions scaladoc — larger lists
+    // degrade to an unpruned min/max range filter, and parquet-mr's
+    // nested-Or build overflows the task stack past ~4k values).
+    // Chunks are disjoint, so the union needs no dedup.
+    val cv =
+      if (ids.isEmpty) vectors.filter(lit(false))
+        .select(col(cId).as("neighbor_id"),
+          col(vecCol).cast("array<double>").as("cv"))
+      else ids.grouped(1024).map { chunk =>
+        vectors.filter(col(cId).isin(chunk: _*))
+          .select(col(cId).as("neighbor_id"),
+            col(vecCol).cast("array<double>").as("cv"))
+      }.reduce(_ union _)
     Ann.rerankShortlist(cand, queries, cv, qId, vecCol, k)
   }
 

@@ -71,11 +71,11 @@ object AnnIdxProbe {
         emb.write.mode("overwrite").format("noop").save()
       }
       drop()
-      probeJoin("probe_cold_join")
-      probeJoin("probe_warm_join")
-      drop()
       probePoint("probe_cold_point")
       probePoint("probe_warm_point")
+      drop()
+      probeJoin("probe_cold_join")
+      probeJoin("probe_warm_join")
     } else { probeJoin("probe_join"); probePoint("probe_point") }
     spark.stop()
   }

@@ -29,17 +29,24 @@ object GenAnn {
     spark.sparkContext.setLogLevel("ERROR")
     def h(c: org.apache.spark.sql.Column, salt: Int) =
       abs(hash(c, lit(42), lit(salt)).cast("long"))
-    val emb = spark.range(nVec)
+    // the embedding is a flat array(...) of codegen'd expressions, NOT
+    // a transform(sequence(...)) lambda: higher-order functions
+    // evaluate interpreted per element, and at nVec × dim = 5B element
+    // evals the interpreted form measured ~40× slower than this
+    // whole-stage-codegen build. spark.range(0, n, 1, files) is
+    // already contiguous in id per partition, so the write lands
+    // id-clustered with NO shuffle (repartitionByRange would sample —
+    // a full extra compute pass — then move 20 GB).
+    val emb = spark.range(0, nVec, 1, files)
       .select(col("id").as("vec_id"),
         (h(col("id"), 5) % 10).cast("int").as("label"))
-      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
-        i => (cos(col("label") * 1.7 + i * lit(0.3)) +
-          (abs(hash(col("vec_id"), i, lit(42)).cast("long")) % 600 - 300)
-            / lit(1000.0))
-          .cast("float")))
+      .withColumn("embedding", array((0 until dim).map { i =>
+        (cos(col("label") * 1.7 + i * 0.3) +
+          (abs(hash(col("vec_id"), lit(i), lit(42)).cast("long"))
+            % 600 - 300) / lit(1000.0)).cast("float")
+      }: _*))
       .select("vec_id", "embedding", "label")
-    emb.repartitionByRange(files, col("vec_id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    emb.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     println(s"[genann] wrote $nVec x $dim to $out ($files files)")
     spark.stop()
   }
