@@ -172,17 +172,124 @@ object QueryCompiler {
   /** Like run but keeps the boxed struct<v,vt> binding columns — the
     * typed view (used by the text frontend's unboxing bridge).
     *
-    * Execution is the NATIVE route: each pattern frame encodes its
-    * bindings as [[TypedEnc]]'s four flat non-null columns (row-local,
-    * after the constant filters), the join chain and the Datalog
-    * distinct run on those natives — a numeric/id binding's exchange
-    * key is (byte, long, "", "") instead of two strings — and the
-    * boxed struct<v,vt> is decoded AFTER the distinct as a row-local
-    * projection. The encoding is a bijection (TypedEnc scaladoc), so
-    * the result is bit-identical to [[runBoxedCanonical]], which is
-    * retained as the differential authority (EavTypedProps).
+    * Planning happens in two tiers:
+    *
+    *  1. **Shred-aware regrouping** ([[regroupShredded]]): when every
+    *     source provably IS a shred of a document frame
+    *     (Shred.unshredSource) and every pattern names a constant,
+    *     shredded, top-level scalar attribute, the query compiles over
+    *     the DOCUMENTS (runDocsNative → runDocsBoxed): same-entity
+    *     patterns fuse into one projection, so the fact-scale triple
+    *     self-join disappears entirely (measured at sf100: the 2-
+    *     pattern whole-lineitem conjunction was 914 s / 26 GB shuffled
+    *     as an EAV self-join, vs the direct profile's in-band cost).
+    *  2. Otherwise the typed EAV route ([[runBoxedEav]]): each pattern
+    *     frame encodes its bindings as [[TypedEnc]]'s four flat
+    *     non-null columns (row-local, after the constant filters), the
+    *     join chain and the Datalog distinct run on those natives — a
+    *     numeric/id binding's exchange key is (byte, long, "", "")
+    *     instead of two strings — and the boxed struct<v,vt> is
+    *     decoded AFTER the distinct as a row-local projection.
+    *
+    * Both tiers are bit-identical to [[runBoxedCanonical]], which is
+    * retained as the differential authority (EavTypedProps pins the
+    * typed route; EavRegroupSpec pins the regrouped one).
     */
   def runBoxed(sources: Map[String, DataFrame], patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      : DataFrame = {
+    require(patterns.nonEmpty, "query{} needs at least one pattern")
+    regroupShredded(sources, patterns, predicates, keepDBid,
+        boxedPredicates)
+      .getOrElse(runBoxedEav(sources, patterns, predicates, keepDBid,
+        boxedPredicates))
+  }
+
+  /** Tier-1 planning of [[runBoxed]]: compile a constant-attribute
+    * query over explicitly-shredded sources directly against the
+    * underlying document frames. Sound only when the regrouped read
+    * provably reproduces the triples (see Shred.unshredSource for the
+    * plan-shape and non-null-id conditions); per pattern the attribute
+    * must additionally be
+    *
+    *  - among the shredded top-level names, of a scalar type whose
+    *    document canon equals the generator canon (string/boolean/
+    *    numeric — date/timestamp/binary render differently in the
+    *    generator, UnshredEav.supportedScalar's argument), and
+    *  - absent from every NESTED position of the schema: a name that
+    *    also occurs under a struct matches sub-entity triples in the
+    *    EAV form, which a top-level projection cannot see.
+    *
+    * A missing attribute also declines: the EAV form correctly yields
+    * the empty binding set there, while runDocs would throw.
+    */
+  private def regroupShredded(sources: Map[String, DataFrame],
+      patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column],
+      keepDBid: Boolean,
+      boxedPredicates: Seq[Map[String, Column] => Column])
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    if (!patterns.forall(_.a.isInstanceOf[C])) return None
+    val det = sources.map { case (n, df) =>
+      n -> graft.shred.Shred.unshredSource(df)
+    }
+    if (det.values.exists(_.isEmpty)) return None
+    def nestedField(dt: DataType, name: String): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.name == name || nestedField(f.dataType, name))
+      case ArrayType(et, _) => nestedField(et, name)
+      case MapType(k, v, _) => nestedField(k, name) ||
+        nestedField(v, name)
+      case _ => false
+    }
+    def scalarCanonSafe(dt: DataType): Boolean = dt match {
+      case StringType | BooleanType => true
+      case _: NumericType => true
+      case _ => false
+    }
+    val ok = patterns.forall { p =>
+      val (doc, _, shredded) = det(p.src).get
+      val attr = p.a.asInstanceOf[C].value.toString
+      shredded.contains(attr) &&
+        doc.schema.fields.exists(f => f.name == attr &&
+          scalarCanonSafe(f.dataType)) &&
+        !doc.schema.fields.exists(f =>
+          nestedField(f.dataType, attr))
+    }
+    if (!ok) return None
+    val ent = "__graft_regroup_e"
+    val docs = det.map { case (n, d) =>
+      val (doc, eExpr, _) = d.get
+      if (doc.columns.contains(ent)) return None
+      // keep the id native when the cast to the shred's string id is
+      // the identity canon (integral/string inner) — the native
+      // path's 8-byte join key; otherwise bind the string form
+      val idExpr = eExpr match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if (c.child.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }) && !c.child.nullable => c.child
+        case e => e
+      }
+      n -> DocSource(doc.withColumn(ent,
+        org.apache.spark.sql.graftglue.ColumnGlue.column(idExpr)), ent)
+    }
+    Some(runDocsNative(docs, patterns, predicates, keepDBid,
+        boxedPredicates)
+      .getOrElse(runDocsBoxed(docs, patterns, predicates, keepDBid,
+        boxedPredicates)))
+  }
+
+  /** Tier-2 of [[runBoxed]]: the typed EAV execution over the triple
+    * frames themselves (native-encoded bindings through the join chain
+    * and the Datalog distinct).
+    */
+  private[graft] def runBoxedEav(sources: Map[String, DataFrame],
+      patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
       keepDBid: Boolean = false,
       boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
@@ -266,6 +373,24 @@ object QueryCompiler {
     */
   final case class DocSource(df: DataFrame, idCol: String)
 
+  /** Direct-path pattern grouping: one group per (source, entity VAR
+    * or entity CONSTANT) — those conjoin row-locally over one entity —
+    * but each wildcard-entity pattern alone: `_` binds nothing, so
+    * wildcard-entity patterns are mutually independent and their
+    * binding sets cross-product, like the EAV path's disjoint pattern
+    * frames.
+    */
+  private def groupPatterns(patterns: Seq[Pattern])
+      : Seq[(String, Term, Seq[Pattern])] =
+    patterns.zipWithIndex.groupBy { case (p, i) =>
+      (p.src, p.e match { case W => Left(i); case t => Right(t) })
+    }.toSeq
+      // deterministic first-occurrence order: group order decides the
+      // join chain and therefore the output column order
+      .sortBy { case (_, ps) => ps.head._2 }
+      .map { case (_, ps) => (ps.head._1.src, ps.head._1.e,
+        ps.map(_._1)) }
+
   /** Run a query over document frames directly. Falls back on the
     * requirement that attribute positions are constants (wildcard
     * attrs need the EAV form). Output encoding matches `run` exactly
@@ -306,8 +431,13 @@ object QueryCompiler {
     // equality filters on the boxed encoding, exactly what the EAV
     // path's join-on-shared-qvar does for the same conjunction
     // (a second same-named projection would be an ambiguous column).
-    val grouped = patterns.groupBy(p => (p.src, p.e))
-    val frames = grouped.map { case ((srcName, eTerm), pats) =>
+    // A WILDCARD entity is its own group per pattern: `_` binds
+    // nothing, so [_ :a ?x] [_ :b ?y] are independent patterns whose
+    // bindings cross-product (the EAV authority's semantics) — merging
+    // them into one projection would silently conjoin them row-locally
+    // (caught by the wildcard-entity differential in DirectQuerySpec).
+    val grouped = groupPatterns(patterns)
+    val frames = grouped.map { case (srcName, eTerm, pats) =>
       val src = sources(srcName)
       var f = src.df
       val cols = Seq.newBuilder[Column]
@@ -488,8 +618,8 @@ object QueryCompiler {
         n -> t
     }
 
-    val grouped = patterns.groupBy(p => (p.src, p.e))
-    val frames = grouped.map { case ((srcName, eTerm), pats) =>
+    val grouped = groupPatterns(patterns)
+    val frames = grouped.map { case (srcName, eTerm, pats) =>
       val src = sources(srcName)
       var f = src.df
       val cols = Seq.newBuilder[Column]

@@ -195,4 +195,79 @@ object Shred {
     triples.groupBy("e")
       .agg(map_from_entries(collect_list(struct(col("a"), col("v"))))
         .as("attrs"))
+
+  /** Detect a frame that IS [[shredGen]]'s direct output and recover
+    * `(document frame, entity-id expression, shredded top-level attr
+    * names)` — the hook QueryCompiler's shred-aware regrouping uses to
+    * turn a constant-attribute query over an explicitly-shredded frame
+    * back into projections over the documents (no explode, no triple
+    * self-joins). Conservative by construction:
+    *
+    *  - the plan must be exactly `[Project] → Generate(ShredGenerator
+    *    (struct(e, row)), child)` with no forwarded child columns and
+    *    the identity projection;
+    *  - every `row` entry must be a plain attribute of `child` under
+    *    its own name (what [[shredGen]] always builds — a computed
+    *    entry would make the doc-frame read diverge from the triples);
+    *  - the id expression must be deterministic and NON-NULLABLE: the
+    *    generator emits NOTHING for a null entity id, so a nullable id
+    *    column would bind `<null, ref>` on the regrouped path where
+    *    the EAV path has no triples at all. Derived ids (xxhash64)
+    *    qualify; a user idCol qualifies only when its schema proves
+    *    non-null.
+    *
+    * Anything else returns None and the caller keeps the EAV form.
+    */
+  def unshredSource(triples: DataFrame)
+      : Option[(DataFrame, org.apache.spark.sql.catalyst.expressions
+        .Expression, Set[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def strip(e: Expression): Expression = e match {
+      case a: Alias => strip(a.child)
+      case e => e
+    }
+    val g = triples.queryExecution.analyzed match {
+      // the analyzer keeps requiredChildOutput populated (pruning is
+      // the optimizer's job); the identity Project above proves only
+      // the generator output escapes
+      case Project(pl, g: Generate)
+          if g.generator.isInstanceOf[ShredGenerator] && !g.outer &&
+            pl.map(strip).forall(_.isInstanceOf[AttributeReference]) &&
+            pl.map(strip).map(
+              _.asInstanceOf[AttributeReference].exprId) ==
+              g.generatorOutput.map(_.exprId) => Some(g)
+      case g: Generate
+          if g.generator.isInstanceOf[ShredGenerator] && !g.outer &&
+            g.requiredChildOutput.isEmpty => Some(g)
+      case _ => None
+    }
+    g.flatMap { g =>
+      strip(g.generator.asInstanceOf[ShredGenerator].child) match {
+        case cns: CreateNamedStruct if cns.valExprs.size == 2 =>
+          val eExpr = strip(cns.valExprs.head)
+          strip(cns.valExprs(1)) match {
+            case row: CreateNamedStruct
+                if eExpr.deterministic && !eExpr.nullable =>
+              val childIds = g.child.output.map(_.exprId).toSet
+              val entries = row.nameExprs.zip(row.valExprs.map(strip))
+              val names = entries.map {
+                case (org.apache.spark.sql.catalyst.expressions.Literal(
+                    n, org.apache.spark.sql.types.StringType),
+                    a: AttributeReference)
+                    if n != null && a.name == n.toString &&
+                      childIds(a.exprId) => n.toString
+                case _ => return None
+              }
+              if (names.distinct.size != names.size) None
+              else Some((
+                org.apache.spark.sql.graftglue.ColumnGlue.dataFrame(
+                  triples.sparkSession, g.child),
+                eExpr, names.toSet))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
 }

@@ -26,21 +26,46 @@ object EavProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val n = args.lift(1).map(_.toInt).getOrElse(1)
+    // optional comma-list of stages (substring match); default all
+    val only = args.lift(2).map(_.split(",").toSeq)
     val spark = graft.Sessions.local("32")
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, sfDir)
 
+    // shuffle bytes written while f runs: the disk-state-independent
+    // metric — this host's IO throughput swings ~5x between runs, but
+    // bytes-through-the-exchanges is a pure function of the plan
+    def shuffleBytes(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics
+            .bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(300) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+
     def timed(tag: String)(mk: () => DataFrame): Unit = {
+      if (only.exists(!_.exists(tag.contains))) return
+      var bytes = 0L
       val ts = (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        mk().write.mode("overwrite").format("noop").save()
+        bytes = shuffleBytes {
+          mk().write.mode("overwrite").format("noop").save()
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.core.Caches.releaseAll(spark)
         dt
       }
       println(f"EAVPROBE $tag%-12s $sfDir " +
-        ts.map(t => f"$t%7.1f").mkString(" "))
+        ts.map(t => f"$t%7.1f").mkString(" ") +
+        f" shuffle=${bytes / 1e9}%.2fGB")
     }
 
     timed("control")(() =>
@@ -51,7 +76,12 @@ object EavProbe {
       Pattern(V("e"), C("l_quantity"), V("qty")))
     def unbox(df: DataFrame): DataFrame =
       df.select(df.columns.toSeq.map(c => df(c).getField("v").as(c)): _*)
-    timed("join2_typed")(() => unbox(QueryCompiler.runBoxed(
+    // the public entry: shred-aware regrouping compiles this over the
+    // documents (no triple self-join)
+    timed("join2_regroup")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shred(li)), join2)))
+    // forced typed-EAV execution (the tier-2 plan the regroup replaces)
+    timed("join2_typed")(() => unbox(QueryCompiler.runBoxedEav(
       Map("default" -> Shred.shred(li)), join2)))
     timed("join2_canon")(() => unbox(QueryCompiler.runBoxedCanonical(
       Map("default" -> Shred.shred(li)), join2)))

@@ -24,4 +24,14 @@ object ColumnGlue {
     */
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** A DataFrame over an analyzed logical plan (`Dataset.ofRows` is
+    * `private[sql]`). Lets graft rebuild the document frame underneath
+    * a detected shred plan (Shred.unshredSource).
+    */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }

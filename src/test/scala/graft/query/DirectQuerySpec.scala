@@ -43,8 +43,11 @@ class DirectQuerySpec extends SparkSpec {
         "devices" -> DocSource(devices, "did")), pats)
     val plan = direct.queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"explode in direct plan:\n$plan")
-    // 5 patterns over 2 entities → exactly one join, not four
-    val eavPlan = QueryCompiler.run(
+    // 5 patterns over 2 entities → exactly one join, not four.
+    // Forced tier-2 baseline: the public run() now regroups a shredded
+    // source to this same direct plan (EavRegroupSpec), so the
+    // comparison target is the EAV execution itself.
+    val eavPlan = QueryCompiler.runBoxedEav(
       Map("people" -> Shred.shred(people), "devices" -> Shred.shred(devices)),
       pats).queryExecution.executedPlan.toString
     def count(s: String, what: String) = s.sliding(what.length).count(_ == what)
@@ -142,6 +145,44 @@ class DirectQuerySpec extends SparkSpec {
     val got = QueryCompiler.runDocs(
       Map("t" -> DocSource(mixed, "rid")), pats2)
     assert(got.count() == 0)
+  }
+
+  test("wildcard-entity patterns stay independent (cross product)") {
+    // `_` binds nothing: [_ :k ?x] [_ :n ?y] are independent patterns
+    // whose binding sets cross-product (the EAV authority). The
+    // (src, e)-grouping used to merge all W patterns of a source into
+    // ONE projection, silently conjoining them row-locally (3 rows
+    // instead of 9).
+    import QueryCompiler.W
+    val rows = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "k", "n")
+    val wpats = Seq(Pattern(W, C("k"), V("x"), "t"),
+      Pattern(W, C("n"), V("y"), "t"))
+    val eav = QueryCompiler.run(
+        Map("t" -> Shred.shred(rows, Some("id"))), wpats)
+      .orderBy("x", "y").collect().toSeq.map(_.toString)
+    val direct = QueryCompiler.runDocs(
+        Map("t" -> DocSource(rows, "id")), wpats)
+      .orderBy("x", "y").collect().toSeq.map(_.toString)
+    assert(eav.size == 9, eav)
+    assert(direct == eav, (direct, eav))
+    // native engages and agrees too
+    val nat = QueryCompiler.runDocsNative(
+      Map("t" -> DocSource(rows, "id")), wpats)
+    assert(nat.isDefined)
+    assert(nat.get.count() == 9)
+    // a W pattern alongside a V-entity group keeps BOTH semantics:
+    // the V patterns conjoin per entity, the W pattern cross-products
+    val mixed = Seq(Pattern(V("e"), C("k"), V("x"), "t"),
+      Pattern(V("e"), C("n"), V("y"), "t"),
+      Pattern(W, C("k"), V("z"), "t"))
+    val eavM = QueryCompiler.run(
+        Map("t" -> Shred.shred(rows, Some("id"))), mixed)
+      .orderBy("x", "y", "z").collect().toSeq.map(_.toString)
+    val directM = QueryCompiler.runDocs(
+        Map("t" -> DocSource(rows, "id")), mixed)
+      .orderBy("x", "y", "z").collect().toSeq.map(_.toString)
+    assert(eavM.size == 9 && directM == eavM, (directM, eavM))
   }
 
   test("native path declines what it cannot prove") {

@@ -1,0 +1,134 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.shred.Shred
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import QueryCompiler.{C, Pattern, V, W}
+
+/** Shred-aware regrouping (QueryCompiler.regroupShredded): a
+  * constant-attribute `query{}` over an explicitly-shredded frame must
+  * compile over the documents — bit-identical to the canonical-string
+  * EAV authority — and every unsound shape must decline back to the
+  * EAV plan (asserted via the ShredGenerator's presence in the plan).
+  */
+class EavRegroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "Bob", 10.5, true), (2L, "Alice", 20.0, false),
+    (3L, "Bob", 10.5, true), (4L, "Dan", -7.0, false))
+    .toDF("id", "name", "bal", "vip")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // the typed-EAV tier is recognizable by its encoded binding columns
+  // (`n#t` etc., printed with an exprId suffix as "n#t#<id>"); the
+  // regrouped tier binds plain var names (ShredGenerator itself is no
+  // evidence — UnshredEav collapses it out of EAV plans too)
+  private def regrouped(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("#t#")
+
+  private def check(sources: Map[String, DataFrame],
+      pats: Seq[Pattern], expectRegroup: Boolean,
+      keepDBid: Boolean = false): Unit = {
+    val got = QueryCompiler.runBoxed(sources, pats, keepDBid = keepDBid)
+    val want = QueryCompiler.runBoxedCanonical(sources, pats,
+      keepDBid = keepDBid)
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(rows(got) == rows(want))
+    assert(regrouped(got) == expectRegroup,
+      s"expected regroup=$expectRegroup:\n" +
+        got.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("derived-id shred: same-entity conjunction regroups, equals the authority") {
+    check(Map("default" -> Shred.shred(docs)), Seq(
+      Pattern(V("e"), C("name"), V("n")),
+      Pattern(V("e"), C("bal"), V("b")),
+      Pattern(V("e"), C("vip"), C(true))), expectRegroup = true)
+  }
+
+  test("explicit non-null idCol regroups; keepDBid ids match the shred's") {
+    check(Map("default" -> Shred.shred(docs, Some("id"))), Seq(
+      Pattern(V("e"), C("name"), V("n")),
+      Pattern(V("e"), C("bal"), V("b"))), expectRegroup = true,
+      keepDBid = true)
+  }
+
+  test("entity-constant and wildcard-entity patterns regroup correctly") {
+    check(Map("default" -> Shred.shred(docs, Some("id"))), Seq(
+      Pattern(C(2L), C("name"), V("n"))), expectRegroup = true)
+    // independent wildcard-entity patterns: cross product
+    check(Map("default" -> Shred.shred(docs, Some("id"))), Seq(
+      Pattern(W, C("name"), V("n")),
+      Pattern(W, C("bal"), V("b"))), expectRegroup = true)
+  }
+
+  test("multi-source with a shared qvar regroups both sides") {
+    val owners = Seq((1L, "x"), (2L, "y")).toDF("oid", "tag")
+    check(Map(
+      "d" -> Shred.shred(docs, Some("id")),
+      "o" -> Shred.shred(owners, Some("oid"))), Seq(
+      Pattern(V("e"), C("id"), V("k"), "d"),
+      Pattern(V("e"), C("name"), V("n"), "d"),
+      Pattern(V("f"), C("oid"), V("k"), "o"),
+      Pattern(V("f"), C("tag"), V("t"), "o")), expectRegroup = true)
+  }
+
+  test("declines: wildcard attribute keeps the EAV plan") {
+    check(Map("default" -> Shred.shred(docs, Some("id"))), Seq(
+      Pattern(V("e"), V("a"), V("v"))), expectRegroup = false)
+  }
+
+  test("declines: missing attribute keeps EAV (empty result, no throw)") {
+    check(Map("default" -> Shred.shred(docs, Some("id"))), Seq(
+      Pattern(V("e"), C("nope"), V("v"))), expectRegroup = false)
+    assert(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shred(docs, Some("id"))),
+      Seq(Pattern(V("e"), C("nope"), V("v")))).count() == 0)
+  }
+
+  test("declines: nested struct attr (sub-entity semantics) keeps EAV") {
+    val nested = docs.select(col("id"),
+      struct(col("name").as("city")).as("addr"), col("name"))
+    // `addr` is a ref; `city` lives under it — both need the shred
+    check(Map("default" -> Shred.shred(nested, Some("id"))), Seq(
+      Pattern(V("e"), C("addr"), V("a"))), expectRegroup = false)
+    check(Map("default" -> Shred.shred(nested, Some("id"))), Seq(
+      Pattern(V("e"), C("city"), V("c"))), expectRegroup = false)
+  }
+
+  test("declines: nullable idCol (null ids shred to nothing) keeps EAV") {
+    val withNullId = docs.select(
+      when(col("id") =!= 3L, col("id")).as("nid"), col("name"))
+    check(Map("default" -> Shred.shred(withNullId, Some("nid"))), Seq(
+      Pattern(V("e"), C("name"), V("n"))), expectRegroup = false)
+  }
+
+  test("declines: a raw $db-style triple frame keeps EAV") {
+    val triples = Shred.shred(docs, Some("id"))
+    // round-trip through parquet: the plan is a scan, not a shred
+    val path = "/tmp/graft_regroup_spec_triples"
+    triples.write.mode("overwrite").parquet(path)
+    val fromDisk = spark.read.parquet(path)
+    check(Map("default" -> fromDisk), Seq(
+      Pattern(V("e"), C("name"), V("n"))), expectRegroup = false)
+  }
+
+  test("predicates and repeated qvars ride the regrouped path") {
+    val t = Seq((1L, 5L, 5L), (2L, 5L, 7L), (3L, 2L, 2L))
+      .toDF("rid", "p", "r")
+    val pats = Seq(
+      Pattern(V("e"), C("p"), V("x"), "t"),
+      Pattern(V("e"), C("r"), V("x"), "t"))
+    val src = Map("t" -> Shred.shred(t, Some("rid")))
+    val got = QueryCompiler.runBoxed(src, pats,
+      predicates = Seq(m => QueryCompiler.num(m("x")) > 3))
+    val want = QueryCompiler.runBoxedCanonical(src, pats,
+      predicates = Seq(m => QueryCompiler.num(m("x")) > 3))
+    assert(rows(got) == rows(want))
+    assert(regrouped(got))
+  }
+}
