@@ -62,7 +62,10 @@ class LayoutSpec extends SparkSpec {
     // for its 2-d locality but must stay within a small factor
     val zPk = touched(s"$dir/z", pkPred)
     val singlePk = touched(s"$dir/single", pkPred)
-    assert(zPk <= 4 * singlePk, s"pk-only: z=$zPk single=$singlePk")
+    // +1: repartitionByRange's reservoir sample seeds off the RDD id,
+    // so file boundaries jitter with suite execution order — measured
+    // 8 vs 9 touched files for the same data across orderings
+    assert(zPk <= 4 * singlePk + 1, s"pk-only: z=$zPk single=$singlePk")
     // across the two-query workload z-order touches fewer files total
     assert(zSk + zPk < singleSk + singlePk,
       s"workload: z=${zSk + zPk} single=${singleSk + singlePk}")

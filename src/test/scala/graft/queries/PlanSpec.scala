@@ -324,12 +324,18 @@ class PlanSpec extends SparkSpec {
     // WindowGroupLimit, not full sorts
     assert(p.contains("row_number(), 50, Partial") &&
       p.contains("row_number(), 50, Final"), p)
-    // the rerank inherits the shortlist's query_id clustering through
-    // the broadcast joins, so a Final group-limit with NO second
-    // exchange is the expected (optimal) shape
     assert(p.contains("row_number(), 5, Final"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"one shuffle (the shortlist window) for the whole search:\n$p")
+    // the rerank join builds on the SHORTLIST side unconditionally
+    // (rerankShortlist's broadcast hint): at corpus scale the planner
+    // would otherwise estimate the windowed shortlist as huge and
+    // sort-merge-join it — sorting the corpus's full vectors
+    // (measured ~40 GB spill at 20M × 256-dim). The price here is a
+    // second exchange, but of SHORTLIST-sized rows (≤ |queries| × 50),
+    // vs r14's single-exchange shape that broadcast the corpus —
+    // fine at gate scale, catastrophic at warehouse scale.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"shortlist window + bounded rerank window shuffles only:\n$p")
   }
 
   test("p_rrf: fusion is a partial+final aggregate with a group-limit " +
