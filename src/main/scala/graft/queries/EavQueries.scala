@@ -54,6 +54,29 @@ object EavQueries {
       .orderBy("ck", "name")
   }
 
+  /** [[qEavJoin]]'s query FORCED onto the typed EAV execution tier
+    * (runBoxedEav): shred-aware regrouping compiles the public form
+    * over the documents, so without this gate the triple-join/distinct
+    * engine itself would keep only its wildcard/nested oracle gates.
+    * Same oracle as q_eav_join.
+    */
+  def qEavTyped(s: SparkSession, d: String): DataFrame = {
+    val orders = Shred.shredAttrs(Tables.orders(s, d), Some("o_orderkey"),
+      Seq("o_orderpriority", "o_custkey"))
+    val customer = Shred.shredAttrs(Tables.customer(s, d), Some("c_custkey"),
+      Seq("c_custkey", "c_name"))
+    val boxed = QueryCompiler.runBoxedEav(
+      Map("orders" -> orders, "customer" -> customer),
+      Seq(
+        Pattern(V("o"), C("o_orderpriority"), C("1-URGENT"), "orders"),
+        Pattern(V("o"), C("o_custkey"), V("ck"), "orders"),
+        Pattern(V("c"), C("c_custkey"), V("ck"), "customer"),
+        Pattern(V("c"), C("c_name"), V("name"), "customer")))
+    boxed.select(boxed.columns.toSeq
+      .map(c => boxed(c).getField("v").as(c)): _*)
+      .orderBy("ck", "name")
+  }
+
   /** Wildcard attribute position: `[?e ?a ?v]`
     * (reference query_test.cljc:104-110). Triple count per attribute.
     */
@@ -142,6 +165,7 @@ object EavQueries {
     "q_eav_identity" -> (qEavIdentity _),
     "q_eav_filter" -> (qEavFilter _),
     "q_eav_join" -> (qEavJoin _),
+    "q_eav_typed" -> (qEavTyped _),
     "q_eav_wildcard" -> (qEavWildcard _),
     "q_eav_pull" -> (qEavPull _),
     "q_rm_pull" -> (qRmPull _))
@@ -176,6 +200,11 @@ object EavQueries {
       // one row PER URGENT ORDER: distinct applies over all qvars incl.
       // entity vars, which are dropped only afterwards (reference
       // builtin.cljc:1752-1758), so per-entity duplicates survive.
+      """SELECT CAST(o_custkey AS VARCHAR) AS ck, c_name AS name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY ck, name""".stripMargin,
+    "q_eav_typed" ->
       """SELECT CAST(o_custkey AS VARCHAR) AS ck, c_name AS name
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderpriority = '1-URGENT'

@@ -262,21 +262,34 @@ object QueryCompiler {
     if (!ok) return None
     val ent = "__graft_regroup_e"
     val docs = det.map { case (n, d) =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast,
+        KnownNotNull}
+      import org.apache.spark.sql.graftglue.ColumnGlue
       val (doc, eExpr, _) = d.get
       if (doc.columns.contains(ent)) return None
       // keep the id native when the cast to the shred's string id is
-      // the identity canon (integral/string inner) — the native
-      // path's 8-byte join key; otherwise bind the string form
+      // the identity canon (integral inner) — the native path's
+      // 8-byte join key; otherwise bind the string form
       val idExpr = eExpr match {
-        case c: org.apache.spark.sql.catalyst.expressions.Cast
-            if (c.child.dataType match {
-              case ByteType | ShortType | IntegerType | LongType => true
-              case _ => false
-            }) && !c.child.nullable => c.child
+        case c: Cast if (c.child.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }) => c.child
         case e => e
       }
-      n -> DocSource(doc.withColumn(ent,
-        org.apache.spark.sql.graftglue.ColumnGlue.column(idExpr)), ent)
+      // the generator emits NOTHING for a null entity id, so null-id
+      // document rows must not participate; after the filter the
+      // column is provably non-null (KnownNotNull), which is what
+      // runDocsNative's id eligibility needs on parquet sources
+      // (their schemas mark every column nullable)
+      val base =
+        if (eExpr.nullable)
+          doc.filter(ColumnGlue.column(idExpr).isNotNull)
+        else doc
+      val guarded =
+        if (idExpr.nullable) KnownNotNull(idExpr) else idExpr
+      n -> DocSource(base.withColumn(ent,
+        ColumnGlue.column(guarded)), ent)
     }
     Some(runDocsNative(docs, patterns, predicates, keepDBid,
         boxedPredicates)

@@ -209,12 +209,11 @@ object Shred {
     *  - every `row` entry must be a plain attribute of `child` under
     *    its own name (what [[shredGen]] always builds — a computed
     *    entry would make the doc-frame read diverge from the triples);
-    *  - the id expression must be deterministic and NON-NULLABLE: the
-    *    generator emits NOTHING for a null entity id, so a nullable id
-    *    column would bind `<null, ref>` on the regrouped path where
-    *    the EAV path has no triples at all. Derived ids (xxhash64)
-    *    qualify; a user idCol qualifies only when its schema proves
-    *    non-null.
+    *  - the id expression must be deterministic. It MAY be nullable —
+    *    but the generator emits NOTHING for a null entity id, so a
+    *    sound caller must drop null-id rows before reading the
+    *    document frame (QueryCompiler.regroupShredded filters
+    *    `id IS NOT NULL` and marks the column KnownNotNull).
     *
     * Anything else returns None and the caller keeps the EAV form.
     */
@@ -247,8 +246,7 @@ object Shred {
         case cns: CreateNamedStruct if cns.valExprs.size == 2 =>
           val eExpr = strip(cns.valExprs.head)
           strip(cns.valExprs(1)) match {
-            case row: CreateNamedStruct
-                if eExpr.deterministic && !eExpr.nullable =>
+            case row: CreateNamedStruct if eExpr.deterministic =>
               val childIds = g.child.output.map(_.exprId).toSet
               val entries = row.nameExprs.zip(row.valExprs.map(strip))
               val names = entries.map {

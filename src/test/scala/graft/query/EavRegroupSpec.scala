@@ -100,11 +100,15 @@ class EavRegroupSpec extends SparkSpec {
       Pattern(V("e"), C("city"), V("c"))), expectRegroup = false)
   }
 
-  test("declines: nullable idCol (null ids shred to nothing) keeps EAV") {
+  test("nullable idCol regroups behind a null-id filter (null ids shred to nothing)") {
     val withNullId = docs.select(
       when(col("id") =!= 3L, col("id")).as("nid"), col("name"))
+    // row id=3 has a NULL nid: the shred emits no triples for it, and
+    // the regrouped read must drop it the same way
     check(Map("default" -> Shred.shred(withNullId, Some("nid"))), Seq(
-      Pattern(V("e"), C("name"), V("n"))), expectRegroup = false)
+      Pattern(V("e"), C("name"), V("n")),
+      Pattern(V("e"), C("nid"), V("k"))), expectRegroup = true,
+      keepDBid = true)
   }
 
   test("declines: a raw $db-style triple frame keeps EAV") {
