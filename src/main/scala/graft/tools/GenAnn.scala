@@ -25,6 +25,11 @@ object GenAnn {
     val nVec = args.lift(1).map(_.toLong).getOrElse(20000000L)
     val dim = args.lift(2).map(_.toInt).getOrElse(256)
     val files = args.lift(3).map(_.toInt).getOrElse(256)
+    // row-group size (MB): the point-fetch granularity knob. At the
+    // parquet default (128 MB) each ~80 MB file is ONE row group, so
+    // a scattered-id IN prunes almost nothing; 8 MB groups give the
+    // id-clustered layout its intended ~file/10 fetch granularity.
+    val blockMb = args.lift(4).map(_.toInt).getOrElse(128)
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     def h(c: org.apache.spark.sql.Column, salt: Int) =
@@ -46,8 +51,11 @@ object GenAnn {
             % 600 - 300) / lit(1000.0)).cast("float")
       }: _*))
       .select("vec_id", "embedding", "label")
-    emb.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
-    println(s"[genann] wrote $nVec x $dim to $out ($files files)")
+    emb.write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (blockMb * 1024L * 1024L).toString)
+      .parquet(s"$out/embeddings.parquet")
+    println(s"[genann] wrote $nVec x $dim to $out " +
+      s"($files files, ${blockMb} MB row groups)")
     spark.stop()
   }
 }
