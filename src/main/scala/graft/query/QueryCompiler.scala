@@ -471,8 +471,14 @@ object QueryCompiler {
         val dt = src.df.schema(attr).dataType
         p.v match {
           case C(value) =>
-            val (v, _) = canonConst(value)
-            f = f.filter(canonCol(col(attr), dt) === v)
+            // vt tag must match statically: a "5"-holding STRING column
+            // never matches the NUMBER constant 5 in the EAV form
+            // (the triple's vt is "str", the constant's "num"), so a
+            // kind-mismatched constant folds to an empty pattern
+            val (v, vt) = canonConst(value)
+            f = if (typeNameOf(dt) == vt)
+              f.filter(canonCol(col(attr), dt) === v)
+            else f.filter(lit(false))
           case V(n) =>
             f = f.filter(col(attr).isNotNull) // EAV has no null triples
             val s = struct(canonCol(col(attr), dt).as("v"),
@@ -657,8 +663,11 @@ object QueryCompiler {
         val dt = src.df.schema(attr).dataType
         p.v match {
           case C(value) =>
-            val (v, _) = canonConst(value)
-            f = f.filter(canonCol(col(attr), dt) === v)
+            // same static vt gate as the boxed form (see there)
+            val (v, vt) = canonConst(value)
+            f = if (typeNameOf(dt) == vt)
+              f.filter(canonCol(col(attr), dt) === v)
+            else f.filter(lit(false))
           case V(n) =>
             f = f.filter(col(attr).isNotNull)
             val c = col(attr).cast(travel(n))

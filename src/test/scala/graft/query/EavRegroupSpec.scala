@@ -121,6 +121,25 @@ class EavRegroupSpec extends SparkSpec {
       Pattern(V("e"), C("name"), V("n"))), expectRegroup = false)
   }
 
+  test("kind-mismatched value constants match nothing (vt tag gate)") {
+    // a STRING column holding "5" must NOT match the NUMBER constant 5
+    // (the EAV triple's vt is "str", the constant's "num") — found live
+    // in round 16: the regrouped tier matched on the canonical string
+    // alone while the authority requires the vt tag too
+    val strDocs = Seq((1L, "5"), (2L, "7")).toDF("id", "name")
+    check(Map("default" -> Shred.shred(strDocs, Some("id"))), Seq(
+      Pattern(V("e"), C("name"), C(5))), expectRegroup = true)
+    val numDocs = Seq((1L, 5L), (2L, 7L)).toDF("id", "name")
+    check(Map("default" -> Shred.shred(numDocs, Some("id"))), Seq(
+      Pattern(V("e"), C("name"), C("5"))), expectRegroup = true)
+    val boolDocs = Seq((1L, true)).toDF("id", "flag")
+    check(Map("default" -> Shred.shred(boolDocs, Some("id"))), Seq(
+      Pattern(V("e"), C("flag"), C("true"))), expectRegroup = true)
+    // and the matched-kind twin still matches
+    check(Map("default" -> Shred.shred(numDocs, Some("id"))), Seq(
+      Pattern(V("e"), C("name"), C(5))), expectRegroup = true)
+  }
+
   test("predicates and repeated qvars ride the regrouped path") {
     val t = Seq((1L, 5L, 5L), (2L, 5L, 7L), (3L, 2L, 2L))
       .toDF("rid", "p", "r")
