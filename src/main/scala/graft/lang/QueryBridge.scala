@@ -98,39 +98,57 @@ object QueryBridge {
     val keepDBid = q.options.get("keepDBid").contains("true")
 
     // Direct (EAV-free) routing: when every pattern names a constant
-    // attribute that is a top-level ATOMIC column of its source frame,
-    // compile straight over the documents (one narrow projection per
-    // entity var, no shred, no triple self-joins — QueryCompiler.
-    // runDocs). Nested/array attributes and wildcard attrs fall back
-    // to the EAV form, whose explode materializes sub-entities.
+    // attribute the resolver can compile over the documents — top-level
+    // atomic columns AND struct-ref chains since round 16 — skip the
+    // shred entirely (one narrow projection per entity var, no triple
+    // self-joins — QueryCompiler.runDocs). Array attributes, wildcard
+    // attrs, and unresolvable shapes fall back to the EAV form, whose
+    // explode materializes sub-entities.
     // a `$db` result (triple frame) routes straight to the EAV
     // engine: it IS the database, so the direct path (which reads
     // data columns) and the shred (which would shred triples of
     // triples) must both be skipped
     val anyDb = srcDfs.values.exists(Shred.isTriplesFrame)
-    if (!anyDb && docEligible(pats, srcDfs)) {
-      // entity ids travel as 8-byte longs (the native path's join/
-      // distinct key); the boxed projection casts to the identical
-      // string, so every downstream contract is unchanged
-      val docs = srcDfs.map { case (n, df) =>
-        n -> QueryCompiler.DocSource(df.withColumn(EntCol,
-          Shred.derivedIdLong(df)), EntCol)
-      }
-      val hints = QueryCompiler.docVarTypes(docs, pats)
-      // native-typed route first (joins + the Datalog distinct carry
-      // source-typed values, not canonical-string structs — the
-      // fact-scale profile); falls back when a qvar's types can't
-      // provably preserve canonical semantics natively
-      val boxed = QueryCompiler.runDocsNative(docs, pats, Nil, keepDBid,
+    // entity ids travel as 8-byte longs (the native path's join/
+    // distinct key); the boxed projection casts to the identical
+    // string, so every downstream contract is unchanged. The content
+    // hash covers the whole row, so it is row-FUNCTIONAL: same-entity
+    // patterns may fuse into one row-local projection (equal ids imply
+    // equal rows — zip == per-entity product)
+    val docs = srcDfs.map { case (n, df) =>
+      n -> QueryCompiler.DocSource(df.withColumn(EntCol,
+        Shred.derivedIdLong(df)), EntCol, idFunctional = true)
+    }
+    lazy val hints = QueryCompiler.docVarTypes(docs, pats)
+    // native-typed route first (joins + the Datalog distinct carry
+    // source-typed values, not canonical-string structs — the
+    // fact-scale profile); boxed when a qvar's types can't provably
+    // preserve canonical semantics natively; EAV when unresolvable
+    val direct = if (anyDb) None else
+      QueryCompiler.runDocsNative(docs, pats, Nil, keepDBid,
           boxedPredicates = predFns(hints))
-        .getOrElse(QueryCompiler.runDocsBoxed(docs, pats, Nil, keepDBid,
+        .orElse(QueryCompiler.runDocsBoxedOpt(docs, pats, Nil, keepDBid,
           boxedPredicates = predFns(hints)))
-      if (allTables) // canonical string bindings, like QueryCompiler.run
-        CTab(boxed.select(boxed.columns.toSeq
-          .map(c => boxed(c).getField("v").as(c)): _*))
-      else
-        CTab(typedBsets(spark, boxed, hints))
-    } else {
+    direct match {
+      case Some(boxed) =>
+        if (allTables) // canonical string bindings, like QueryCompiler.run
+          CTab(boxed.select(boxed.columns.toSeq
+            .map(c => boxed(c).getField("v").as(c)): _*))
+        else
+          CTab(typedBsets(spark, boxed, hints))
+      case None =>
+        compileEav(spark, srcDfs, pats, keepDBid, predFns, allTables)
+    }
+  }
+
+  private def compileEav(spark: org.apache.spark.sql.SparkSession,
+      srcDfs: Map[String, org.apache.spark.sql.DataFrame],
+      pats: Seq[QueryCompiler.Pattern], keepDBid: Boolean,
+      predFns: Map[String, Set[org.apache.spark.sql.types.DataType]] =>
+        Seq[Map[String, org.apache.spark.sql.Column] =>
+          org.apache.spark.sql.Column],
+      allTables: Boolean): CTab = {
+    {
       val sources = srcDfs.map { case (n, df) =>
         n -> (if (Shred.isTriplesFrame(df)) df else Shred.shred(df)) }
       if (allTables) // distributed end-to-end; canonical string bindings
@@ -181,22 +199,6 @@ object QueryBridge {
     * means "no such triples" — the EAV path yields the correct empty
     * result, so it is routed there rather than special-cased here.
     */
-  private def docEligible(pats: Seq[Pattern],
-      srcDfs: Map[String, DataFrame]): Boolean = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    pats.forall { p =>
-      p.a match {
-        case C(attr) =>
-          val df = srcDfs(p.src)
-          df.schema.find(_.name == attr.toString).exists(_.dataType match {
-            case _: ArrayType | _: MapType | _: StructType => false
-            case _ => true
-          })
-        case _ => false
-      }
-    }
-  }
-
   /** Boxed (v, vt) binding frame → typed frame, fully distributed.
     *
     * The result schema needs one runtime fact per column — the set of

@@ -108,8 +108,13 @@ object EavQueries {
     */
   def qEavDirect(s: SparkSession, d: String): DataFrame =
     QueryCompiler.runDocs(
+      // idFunctional: c_custkey is the table's primary key, so the
+      // caller may assert it determines the row — licensing the fused
+      // single-projection plan (generator-free, pinned in PlanSpec);
+      // without the assertion multi-pattern groups pay the
+      // duplicate-id-safe groupBy-product plan
       Map("default" -> QueryCompiler.DocSource(
-        Tables.customer(s, d), "c_custkey")),
+        Tables.customer(s, d), "c_custkey", idFunctional = true)),
       Seq(
         Pattern(V("c"), C("c_mktsegment"), C("BUILDING")),
         Pattern(V("c"), C("c_name"), V("name")),

@@ -237,35 +237,12 @@ object QueryCompiler {
       n -> graft.shred.Shred.unshredSource(df)
     }
     if (det.values.exists(_.isEmpty)) return None
-    def nestedField(dt: DataType, name: String): Boolean = dt match {
-      case st: StructType => st.fields.exists(f =>
-        f.name == name || nestedField(f.dataType, name))
-      case ArrayType(et, _) => nestedField(et, name)
-      case MapType(k, v, _) => nestedField(k, name) ||
-        nestedField(v, name)
-      case _ => false
-    }
-    def scalarCanonSafe(dt: DataType): Boolean = dt match {
-      case StringType | BooleanType => true
-      case _: NumericType => true
-      case _ => false
-    }
-    val ok = patterns.forall { p =>
-      val (doc, _, shredded) = det(p.src).get
-      val attr = p.a.asInstanceOf[C].value.toString
-      shredded.contains(attr) &&
-        doc.schema.fields.exists(f => f.name == attr &&
-          scalarCanonSafe(f.dataType)) &&
-        !doc.schema.fields.exists(f =>
-          nestedField(f.dataType, attr))
-    }
-    if (!ok) return None
     val ent = "__graft_regroup_e"
     val docs = det.map { case (n, d) =>
       import org.apache.spark.sql.catalyst.expressions.{Cast,
         KnownNotNull}
       import org.apache.spark.sql.graftglue.ColumnGlue
-      val (doc, eExpr, _) = d.get
+      val (doc, eExpr, shredded) = d.get
       if (doc.columns.contains(ent)) return None
       // keep the id native when the cast to the shred's string id is
       // the identity canon (integral inner) — the native path's
@@ -288,13 +265,58 @@ object QueryCompiler {
         else doc
       val guarded =
         if (idExpr.nullable) KnownNotNull(idExpr) else idExpr
-      n -> DocSource(base.withColumn(ent,
-        ColumnGlue.column(guarded)), ent)
+      // project down to the SHREDDED attributes (the doc frame may
+      // carry more): the triple frame only holds these, so pattern
+      // resolution (incl. the nested-shadowing checks) must see
+      // exactly this schema — a pattern on an unshredded attribute
+      // then correctly declines to the EAV tier (empty result there)
+      val keep = doc.columns.filter(shredded.contains).toSeq
+      val projected = base.withColumn(ent, ColumnGlue.column(guarded))
+        .select((ent +: keep).map(c => col(quoteName(c))): _*)
+      n -> DocSource(projected, ent,
+        idFunctional = contentHashId(idExpr,
+          doc.queryExecution.analyzed.output))
     }
-    Some(runDocsNative(docs, patterns, predicates, keepDBid,
-        boxedPredicates)
-      .getOrElse(runDocsBoxed(docs, patterns, predicates, keepDBid,
-        boxedPredicates)))
+    runDocsNative(docs, patterns, predicates, keepDBid,
+        boxedPredicates, strictCanon = true)
+      .orElse(runDocsBoxedOpt(docs, patterns, predicates, keepDBid,
+        boxedPredicates, strictCanon = true))
+  }
+
+  /** Is the shred's entity-id expression the content hash over the
+    * WHOLE document row ([[graft.shred.Shred.derivedIdLong]]'s shape:
+    * `xxhash64(to_json(struct(<every child column>)))`)? Then equal
+    * ids imply equal rows (modulo 64-bit hash collisions — the same
+    * conflation the EAV authority itself makes, since colliding rows
+    * share an entity there too), which is what licenses the fused
+    * row-local compilation of multi-pattern groups; an explicit user
+    * idCol proves nothing (duplicate ids are realistic) and takes the
+    * per-entity product plan instead.
+    */
+  private def contentHashId(
+      idExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+      childOutput: Seq[org.apache.spark.sql.catalyst.expressions
+        .Attribute]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def strip(e: Expression): Expression = e match {
+      case a: Alias => strip(a.child)
+      case e => e
+    }
+    strip(idExpr) match {
+      case XxHash64(Seq(json), _) => strip(json) match {
+        case StructsToJson(_, s, _) => strip(s) match {
+          case cns: CreateNamedStruct =>
+            val refs = cns.valExprs.map(strip).collect {
+              case a: AttributeReference => a.exprId
+            }
+            refs.size == cns.valExprs.size &&
+              childOutput.map(_.exprId).toSet.subsetOf(refs.toSet)
+          case _ => false
+        }
+        case _ => false
+      }
+      case _ => false
+    }
   }
 
   /** Tier-2 of [[runBoxed]]: the typed EAV execution over the triple
@@ -379,34 +401,495 @@ object QueryCompiler {
   // ---------- direct (unshredded) compilation ----------
 
   /** A document source compiled WITHOUT the EAV detour (SURVEY §2.8
-    * "skip EAV when the shape is known"): patterns over the same
-    * entity var collapse into ONE projection over the document frame —
-    * no explode, no self-joins. The scan reads only referenced
-    * columns; a k-pattern single-entity query is a single narrow scan.
+    * "skip EAV when the shape is known"). `idFunctional`: the caller
+    * asserts the id column functionally determines the document row
+    * (true for content-derived ids, or frames whose id is unique).
+    * Only then may patterns over one entity fuse into a single
+    * row-local projection; otherwise multi-pattern groups compile to
+    * the per-entity PRODUCT plan (groupBy id + value sets + explode),
+    * which reproduces the EAV authority's cross-product semantics
+    * under duplicate ids at the cost of one exchange — the exchange
+    * the Datalog distinct would have paid anyway, so single-group
+    * queries stay at one shuffle either way.
     */
-  final case class DocSource(df: DataFrame, idCol: String)
+  final case class DocSource(df: DataFrame, idCol: String,
+      idFunctional: Boolean = false)
 
-  /** Direct-path pattern grouping: one group per (source, entity VAR
-    * or entity CONSTANT) — those conjoin row-locally over one entity —
-    * but each wildcard-entity pattern alone: `_` binds nothing, so
-    * wildcard-entity patterns are mutually independent and their
-    * binding sets cross-product, like the EAV path's disjoint pattern
-    * frames.
+  /** Backtick-quoted column name (exact resolution — a dotted name
+    * must not be parsed as a struct path). Names containing backticks
+    * are declined in resolution.
     */
-  private def groupPatterns(patterns: Seq[Pattern])
-      : Seq[(String, Term, Seq[Pattern])] =
-    patterns.zipWithIndex.groupBy { case (p, i) =>
-      (p.src, p.e match { case W => Left(i); case t => Right(t) })
-    }.toSeq
-      // deterministic first-occurrence order: group order decides the
-      // join chain and therefore the output column order
-      .sortBy { case (_, ps) => ps.head._2 }
-      .map { case (_, ps) => (ps.head._1.src, ps.head._1.e,
-        ps.map(_._1)) }
+  private def quoteName(n: String): String = "`" + n + "`"
 
-  /** Run a query over document frames directly. Falls back on the
-    * requirement that attribute positions are constants (wildcard
-    * attrs need the EAV form). Output encoding matches `run` exactly
+  /** Value column types the direct path can canonicalize. Strict
+    * mode (the regroup tier) additionally excludes date/timestamp:
+    * their document canon (Cast's ISO rendering) differs from the
+    * shred GENERATOR's internal-value rendering, so a regrouped read
+    * would diverge from the EAV authority; the raw runDocs path has
+    * no generator on the other side and keeps them.
+    */
+  private def valueCanonSafe(dt: DataType, strict: Boolean): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType => true
+      case _: NumericType => true
+      case DateType | TimestampType => !strict
+      case _ => false
+    }
+  }
+
+  private def nestedFieldNamed(dt: DataType, name: String): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.name == name || nestedFieldNamed(f.dataType, name))
+      case ArrayType(et, _) => nestedFieldNamed(et, name)
+      case MapType(k, v, _) => nestedFieldNamed(k, name) ||
+        nestedFieldNamed(v, name)
+      case _ => false
+    }
+  }
+
+  /** Are all field names safe for deterministic sub-entity id
+    * strings? Shred sub-ids are `parent + "/" + name` (+ "/" + index
+    * for array elements), so a name containing "/", an all-digit name
+    * (struct-field vs array-index ambiguity), an empty name, or a
+    * backtick (unaddressable column) could alias two different paths
+    * onto one id string — chains decline on such schemas.
+    */
+  private def chainSafeNames(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => st.fields.forall { f =>
+        f.name.nonEmpty && !f.name.contains("/") &&
+          !f.name.forall(_.isDigit) && !f.name.contains("`") &&
+          chainSafeNames(f.dataType)
+      }
+      case ArrayType(et, _) => chainSafeNames(et)
+      case MapType(k, v, _) => chainSafeNames(k) && chainSafeNames(v)
+      case _ => true
+    }
+  }
+
+  private def fieldAt(st: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    path.foldLeft(Option(st: DataType)) {
+      case (Some(s: StructType), name) =>
+        s.fields.find(_.name == name).map(_.dataType)
+      case _ => None
+    }
+  }
+
+  /** vt tag a document column's values carry in the EAV form:
+    * struct fields shred to sub-entity REFS.
+    */
+  private def vtNameOf(dt: DataType): String = dt match {
+    case _: org.apache.spark.sql.types.StructType => "ref"
+    case _ => typeNameOf(dt)
+  }
+
+  /** A pattern resolved against its group's root document frame. */
+  private[query] final case class RPat(
+      entVar: Option[String],          // entity var (None: C/W root)
+      entPath: Seq[String],            // struct path ([] = root doc)
+      attr: String,
+      dt: DataType,                    // value column type
+      chainBind: Option[(String, Seq[String])], // binds chain var at path
+      v: Term)
+
+  /** One compilation group: all patterns reachable from one root
+    * entity term (its own patterns plus struct-ref descendants), in
+    * original pattern order.
+    */
+  private[query] final case class RGroup(src: String, root: Term,
+      pats: Seq[RPat])
+
+  /** Resolve a constant-attribute conjunction against document frames
+    * into per-root-entity groups, chaining entity vars bound by
+    * struct-ref attributes (`[?c :profile ?p][?p :bal ?b]` — the
+    * reference's nested-document queries, query_test.cljc:622-702) to
+    * nested column paths with deterministic sub-ids. None = some shape
+    * can't provably reproduce the EAV semantics; the caller keeps the
+    * EAV plan (or throws, for the programmer-facing runDocs entry).
+    *
+    * Declines: wildcard/non-constant attributes; a root-level
+    * attribute that is missing, nested-shadowed (the EAV form would
+    * match sub-entities a root projection can't see), or shadowed by
+    * a backticked name; value columns outside str/bool/numeric
+    * (date/timestamp/binary render differently in the shred
+    * generator; arrays/maps have per-element triple semantics) except
+    * struct columns under C/W terms (statically empty / existence);
+    * chain vars bound twice, crossing sources, or over schemas whose
+    * field names could alias sub-id strings (chainSafeNames) or whose
+    * id column isn't integral (a string id could itself contain "/").
+    */
+  private[query] def resolveGroups(sources: Map[String, DocSource],
+      patterns: Seq[Pattern], strictCanon: Boolean = false)
+      : Option[Seq[RGroup]] = {
+    import org.apache.spark.sql.types._
+    if (patterns.isEmpty) return None
+    if (!patterns.forall(p => p.a.isInstanceOf[C] &&
+      sources.contains(p.src))) return None
+
+    def attrOf(p: Pattern): String =
+      p.a.asInstanceOf[C].value.toString
+
+    val ePats: Map[String, Seq[(Pattern, Int)]] =
+      patterns.zipWithIndex.collect {
+        case (p, i) if p.e.isInstanceOf[V] =>
+          (p.e.asInstanceOf[V].name, (p, i))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val vPats: Map[String, Seq[(Pattern, Int)]] =
+      patterns.zipWithIndex.collect {
+        case (p, i) if p.v.isInstanceOf[V] =>
+          (p.v.asInstanceOf[V].name, (p, i))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    // ---- fixpoint: which single-value-occurrence vars are CHAIN
+    // vars (bound to a struct-ref sub-entity), and at what path ----
+    val chainPath = scala.collection.mutable
+      .Map.empty[String, (String, Seq[String])] // var -> (src, path)
+    val plainValue = scala.collection.mutable.Set.empty[String]
+    val candidates = vPats.collect {
+      case (n, occ) if occ.size == 1 => n
+    }.toSeq.sortBy(n => vPats(n).head._2)
+    def isRootVar(n: String): Boolean = ePats.contains(n) &&
+      (!candidates.contains(n) || plainValue(n))
+    var progress = true
+    while (progress &&
+        candidates.exists(n => !chainPath.contains(n) && !plainValue(n))) {
+      progress = false
+      for (n <- candidates if !chainPath.contains(n) && !plainValue(n)) {
+        val (p, _) = vPats(n).head
+        val parentPath: Option[Option[Seq[String]]] = p.e match {
+          case C(_) | W => Some(Some(Nil))
+          case V(m) =>
+            if (m == n) Some(None) // self-reference: never a chain
+            else chainPath.get(m) match {
+              case Some((s, pp)) =>
+                Some(if (s == p.src) Some(pp) else None)
+              case None =>
+                if (plainValue(m) || isRootVar(m) ||
+                  (!ePats.contains(m) && !candidates.contains(m)))
+                  Some(Some(Nil))
+                else None // parent unresolved — wait
+            }
+        }
+        parentPath match {
+          case Some(None) =>
+            plainValue += n; progress = true
+          case Some(Some(pp)) =>
+            val safe = fieldAt(sources(p.src).df.schema,
+              pp :+ attrOf(p))
+            safe match {
+              case Some(_: StructType)
+                  if ePats.getOrElse(n, Seq.empty)
+                    .forall(_._1.src == p.src) =>
+                chainPath(n) = (p.src, pp :+ attrOf(p))
+              case _ => plainValue += n
+            }
+            progress = true
+          case None => ()
+        }
+      }
+      if (!progress) {
+        // ref cycle ([?a :f ?b][?b :g ?a]): no chain assignment is
+        // derivable — mark the earliest stalled var plain and retry
+        // (its struct-typed value binding then declines below)
+        candidates.find(n => !chainPath.contains(n) && !plainValue(n))
+          .foreach { n => plainValue += n; progress = true }
+      }
+    }
+
+    // ---- chain safety per source that hosts chains ----
+    val chainSrcs = chainPath.values.map(_._1).toSet
+    for (s <- chainSrcs) {
+      val src = sources(s)
+      val idOk = src.df.schema(src.idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!idOk) return None
+      val dataFields = StructType(
+        src.df.schema.fields.filterNot(_.name == src.idCol))
+      if (!chainSafeNames(dataFields)) return None
+    }
+
+    // ---- per-pattern validation ----
+    val rpats = patterns.map { p =>
+      val a = attrOf(p)
+      val schema = sources(p.src).df.schema
+      if (a.contains("`")) return None
+      val (entVar, entPath) = p.e match {
+        case V(n) => chainPath.get(n) match {
+          case Some((s, pp)) =>
+            if (s != p.src) return None
+            (Some(n), pp)
+          case None => (Some(n), Seq.empty[String])
+        }
+        case _ => (None, Seq.empty[String])
+      }
+      if (entPath.isEmpty) {
+        // root-level: top-level field, not shadowed anywhere nested
+        if (!schema.fields.exists(_.name == a)) return None
+        if (schema.fields.exists(f => nestedFieldNamed(f.dataType, a)))
+          return None
+        if (schema.fields.exists(_.name.contains("`"))) return None
+      }
+      val dt = fieldAt(schema, entPath :+ a).getOrElse(return None)
+      val chainBind = p.v match {
+        case V(n) => chainPath.get(n).map { case (_, pp) => (n, pp) }
+        case _ => None
+      }
+      dt match {
+        case _ if chainBind.isDefined => () // struct bound as sub-entity
+        case _: StructType => p.v match {
+          case C(_) | W => () // vt-gate false / existence filter
+          case V(_) => return None
+        }
+        case d if valueCanonSafe(d, strictCanon) => ()
+        case _ => return None
+      }
+      RPat(entVar, entPath, a, dt, chainBind, p.v)
+    }
+
+    // ---- grouping: every pattern attaches to its ROOT entity ----
+    def rootIdx(i: Int): Int = patterns(i).e match {
+      case V(n) if chainPath.contains(n) => rootIdx(vPats(n).head._2)
+      case _ => i
+    }
+    def rootKey(i: Int): (String, String) = {
+      val r = rootIdx(i)
+      val p = patterns(r)
+      p.e match {
+        case W => (p.src, s"W#$r")
+        case C(id) => (p.src, s"C#$id")
+        case V(n) => (p.src, s"V#$n")
+      }
+    }
+    Some(patterns.indices.groupBy(rootKey).toSeq
+      .sortBy(_._2.head)
+      .map { case ((src, _), idxs) =>
+        RGroup(src, patterns(rootIdx(idxs.head)).e,
+          idxs.map(rpats(_)))
+      })
+  }
+
+  /** Per-mode binding encodings for [[buildGroup]]. */
+  private trait Binder {
+    /** root entity binding from the id column */
+    def ent(id: Column, varName: String): Column
+    /** chain (sub-entity) binding: deterministic sub-id off the id */
+    def chain(id: Column, path: Seq[String]): Column
+    /** scalar value binding */
+    def value(c: Column, dt: DataType, varName: String): Column
+    /** value binding inside a product-mode collect_set (native
+      * normalizes -0.0 → 0.0 there: the set dedups on boxed equality,
+      * which distinguishes them, while the authority's canonical
+      * strings and Spark's distinct/join keys do not)
+      */
+    def setValue(c: Column, dt: DataType, varName: String): Column =
+      value(c, dt, varName)
+  }
+
+  private def subIdSuffix(path: Seq[String]): String =
+    path.mkString("/", "/", "")
+
+  private final class BoxedBinder extends Binder {
+    def ent(id: Column, varName: String): Column =
+      struct(id.cast("string").as("v"), lit("ref").as("vt"))
+    def chain(id: Column, path: Seq[String]): Column =
+      struct(concat(id.cast("string"), lit(subIdSuffix(path))).as("v"),
+        lit("ref").as("vt"))
+    def value(c: Column, dt: DataType, varName: String): Column =
+      struct(canonCol(c, dt).as("v"), lit(vtNameOf(dt)).as("vt"))
+  }
+
+  private final class NativeBinder(travel: Map[String, DataType])
+      extends Binder {
+    def ent(id: Column, varName: String): Column =
+      id.cast(travel(varName))
+    def chain(id: Column, path: Seq[String]): Column =
+      concat(id.cast("string"), lit(subIdSuffix(path)))
+    def value(c: Column, dt: DataType, varName: String): Column =
+      c.cast(travel(varName))
+    override def setValue(c: Column, dt: DataType, varName: String)
+        : Column = {
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      val v = value(c, dt, varName)
+      travel(varName) match {
+        case t @ (DoubleType | FloatType) =>
+          when(v === lit(0d).cast(t), lit(0d).cast(t)).otherwise(v)
+        case _ => v
+      }
+    }
+  }
+
+  /** Compile one resolved group to a binding frame. Returns the frame
+    * plus whether its rows are provably DISTINCT (product mode with at
+    * least one binding column — lets the caller skip the global
+    * Datalog distinct when every group is).
+    *
+    * Fused mode (id functional, or a single pattern): one row-local
+    * projection — scan-only, zero exchanges. Product mode: the EAV
+    * authority joins this group's patterns on the entity id, so under
+    * duplicate ids the binding set is the PER-ENTITY cross product of
+    * each pattern's value set, not the row-local zip — compiled as one
+    * groupBy(id) exchange with per-pattern aggregates (existence =
+    * max(cond); value sets = collect_set; a repeated var =
+    * array_intersect), then one explode per value var. Per-entity
+    * DISTINCT value sets must fit executor memory — the same bound the
+    * per-entity semantics impose on the reference itself.
+    */
+  private def buildGroup(src: DocSource, g: RGroup, bind: Binder)
+      : (DataFrame, Boolean) = {
+    val df = src.df
+    def fcol(path: Seq[String]): Column =
+      path.tail.foldLeft(col(quoteName(path.head)))(_.getField(_))
+    val id = col(quoteName(src.idCol))
+    val fuse = src.idFunctional || g.pats.size <= 1
+    if (fuse) {
+      var f = df
+      val cols = Seq.newBuilder[Column]
+      val seen = scala.collection.mutable
+        .Map.empty[String, (Column, String)]
+      def bindVar(n: String, c: Column, vt: String): Unit =
+        seen.get(n) match {
+          case Some((prev, pvt)) =>
+            f = if (pvt == vt) f.filter(prev === c)
+              else f.filter(lit(false))
+          case None => seen(n) = (c, vt); cols += c.as(n)
+        }
+      g.root match {
+        case V(n) => bindVar(n, bind.ent(id, n), "ref")
+        case C(cid) => f = f.filter(id.cast("string") === cid.toString)
+        case W => ()
+      }
+      g.pats.foreach { rp =>
+        val c = fcol(rp.entPath :+ rp.attr)
+        rp.chainBind match {
+          case Some((n, path)) =>
+            f = f.filter(c.isNotNull)
+            bindVar(n, bind.chain(id, path), "ref")
+          case None => rp.v match {
+            case C(value) =>
+              val (cv, cvt) = canonConst(value)
+              f = if (vtNameOf(rp.dt) == cvt)
+                f.filter(canonCol(c, rp.dt) === cv)
+              else f.filter(lit(false))
+            case V(n) =>
+              f = f.filter(c.isNotNull)
+              bindVar(n, bind.value(c, rp.dt, n), vtNameOf(rp.dt))
+            case W => f = f.filter(c.isNotNull)
+          }
+        }
+      }
+      (f.select(cols.result(): _*), false)
+    } else {
+      var pre = df
+      g.root match {
+        case C(cid) => pre = pre.filter(id.cast("string") === cid.toString)
+        case _ => ()
+      }
+      val gk = Iterator.from(0).map(i => s"__gk$i")
+        .find(n => !df.columns.contains(n)).get
+      val aggs = Seq.newBuilder[Column]
+      val conds = Seq.newBuilder[String]
+      var falseGroup = false
+      // bindings in first-occurrence order; value vars carry their
+      // set-column names (several when the var repeats in the group)
+      sealed trait Bind
+      case class EntB(n: String) extends Bind
+      case class ChainB(n: String, path: Seq[String]) extends Bind
+      case class ValB(n: String) extends Bind
+      val binds = Seq.newBuilder[Bind]
+      val setsOf = scala.collection.mutable
+        .LinkedHashMap.empty[String, (Seq[String], String)]
+      g.root match {
+        case V(n) => binds += EntB(n)
+        case _ => ()
+      }
+      g.pats.zipWithIndex.foreach { case (rp, j) =>
+        val c = fcol(rp.entPath :+ rp.attr)
+        rp.chainBind match {
+          case Some((n, path)) =>
+            aggs += max(c.isNotNull).as(s"__c$j")
+            conds += s"__c$j"
+            binds += ChainB(n, path)
+          case None => rp.v match {
+            case C(value) =>
+              val (cv, cvt) = canonConst(value)
+              if (vtNameOf(rp.dt) == cvt) {
+                aggs += max(canonCol(c, rp.dt) === cv).as(s"__c$j")
+                conds += s"__c$j"
+              } else falseGroup = true
+            case V(n) =>
+              val vt = vtNameOf(rp.dt)
+              aggs += collect_set(when(c.isNotNull,
+                bind.setValue(c, rp.dt, n))).as(s"__s$j")
+              setsOf.get(n) match {
+                case Some((ss, pvt)) =>
+                  if (pvt != vt) falseGroup = true
+                  else setsOf(n) = (ss :+ s"__s$j", pvt)
+                case None =>
+                  setsOf(n) = (Seq(s"__s$j"), vt)
+                  binds += ValB(n)
+              }
+            case W =>
+              aggs += max(c.isNotNull).as(s"__c$j")
+              conds += s"__c$j"
+          }
+        }
+      }
+      val aggCols = aggs.result()
+      var out = pre.groupBy(id.as(gk))
+        .agg(aggCols.head, aggCols.tail: _*)
+      if (falseGroup) out = out.filter(lit(false))
+      out = conds.result().foldLeft(out)((d, c) => d.filter(col(c)))
+      setsOf.foreach { case (n, (ss, _)) =>
+        val set = ss.map(col).reduceLeft(array_intersect)
+        out = out.withColumn(n, explode(set))
+      }
+      val bindCols = binds.result().map {
+        case EntB(n) => bind.ent(col(gk), n).as(n)
+        case ChainB(n, path) => bind.chain(col(gk), path).as(n)
+        case ValB(n) => col(n)
+      }
+      (out.select(bindCols: _*), bindCols.nonEmpty)
+    }
+  }
+
+  /** The authority's output column order, replayed: runBoxedCanonical
+    * binds per pattern (e, attr-var, value) and folds frames with
+    * using-column joins, which move the SHARED vars to the front at
+    * each step — the direct path compiles groups, so its intermediate
+    * order differs and the final select must reorder to match
+    * bit-identically (column list included).
+    */
+  private def eavColumnOrder(patterns: Seq[Pattern]): Seq[String] = {
+    val frames: Seq[Seq[String]] = patterns.map { p =>
+      val b = Seq.newBuilder[String]
+      val seen = scala.collection.mutable.Set.empty[String]
+      Seq(p.e, p.a, p.v).foreach {
+        case V(n) if !seen(n) => seen += n; b += n
+        case _ => ()
+      }
+      b.result()
+    }
+    frames.reduceLeft { (acc, next) =>
+      val shared = acc.toSet.intersect(next.toSet).toSeq
+      if (shared.nonEmpty)
+        shared ++ acc.filterNot(shared.contains) ++
+          next.filterNot(shared.contains)
+      else acc ++ next
+    }
+  }
+
+  /** Run a query over document frames directly. Throws when the shape
+    * is unresolvable (wildcard attributes, unsupported column types —
+    * see [[resolveGroups]]); library callers that need a fallback use
+    * the EAV form via `run`. Output encoding matches `run` exactly
     * (canonical strings, distinct-then-drop-entity semantics).
     */
   def runDocs(sources: Map[String, DocSource], patterns: Seq[Pattern],
@@ -414,8 +897,6 @@ object QueryCompiler {
       keepDBid: Boolean = false,
       boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
       : DataFrame = {
-    // native-typed route when provable (join/distinct on source types;
-    // result-identical boxing afterwards), boxed otherwise
     val boxed = runDocsNative(sources, patterns, predicates, keepDBid,
         boxedPredicates)
       .getOrElse(runDocsBoxed(sources, patterns, predicates, keepDBid,
@@ -428,74 +909,34 @@ object QueryCompiler {
     * the text frontend's typed restore (QueryBridge), which pairs it
     * with `docVarTypes` to type the output statically.
     */
-  def runDocsBoxed(sources: Map[String, DocSource], patterns: Seq[Pattern],
+  def runDocsBoxed(sources: Map[String, DocSource],
+      patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
       keepDBid: Boolean = false,
       boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
-      : DataFrame = {
+      : DataFrame =
+    runDocsBoxedOpt(sources, patterns, predicates, keepDBid,
+      boxedPredicates).getOrElse(throw new IllegalArgumentException(
+      "runDocs requires constant attributes over resolvable document " +
+        "columns; use run() for wildcard attributes or unsupported " +
+        "shapes"))
+
+  /** [[runDocsBoxed]] that declines instead of throwing — the form
+    * regroupShredded and the text frontend route through.
+    */
+  private[graft] def runDocsBoxedOpt(sources: Map[String, DocSource],
+      patterns: Seq[Pattern],
+      predicates: Seq[Map[String, Column] => Column] = Nil,
+      keepDBid: Boolean = false,
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil,
+      strictCanon: Boolean = false)
+      : Option[DataFrame] = {
     require(patterns.nonEmpty, "query{} needs at least one pattern")
-    require(patterns.forall(_.a.isInstanceOf[C]),
-      "runDocs requires constant attributes; use run() for wildcards")
-
-    // group patterns by (source, entity var): each group is ONE
-    // projection over that source's frame. A var REPEATED within a
-    // group ([?e :p ?x] [?e :r ?x] — "p equals r for this entity")
-    // projects once and turns later occurrences into row-local
-    // equality filters on the boxed encoding, exactly what the EAV
-    // path's join-on-shared-qvar does for the same conjunction
-    // (a second same-named projection would be an ambiguous column).
-    // A WILDCARD entity is its own group per pattern: `_` binds
-    // nothing, so [_ :a ?x] [_ :b ?y] are independent patterns whose
-    // bindings cross-product (the EAV authority's semantics) — merging
-    // them into one projection would silently conjoin them row-locally
-    // (caught by the wildcard-entity differential in DirectQuerySpec).
-    val grouped = groupPatterns(patterns)
-    val frames = grouped.map { case (srcName, eTerm, pats) =>
-      val src = sources(srcName)
-      var f = src.df
-      val cols = Seq.newBuilder[Column]
-      val seen = scala.collection.mutable.Map.empty[String, Column]
-      eTerm match {
-        case V(n) =>
-          val s = struct(col(src.idCol).cast("string").as("v"),
-            lit("ref").as("vt"))
-          seen(n) = s
-          cols += s.as(n)
-        case C(id) => f = f.filter(col(src.idCol).cast("string") ===
-          id.toString)
-        case W => ()
-      }
-      pats.foreach { p =>
-        val C(attrName) = p.a: @unchecked
-        val attr = attrName.toString
-        val dt = src.df.schema(attr).dataType
-        p.v match {
-          case C(value) =>
-            // vt tag must match statically: a "5"-holding STRING column
-            // never matches the NUMBER constant 5 in the EAV form
-            // (the triple's vt is "str", the constant's "num"), so a
-            // kind-mismatched constant folds to an empty pattern
-            val (v, vt) = canonConst(value)
-            f = if (typeNameOf(dt) == vt)
-              f.filter(canonCol(col(attr), dt) === v)
-            else f.filter(lit(false))
-          case V(n) =>
-            f = f.filter(col(attr).isNotNull) // EAV has no null triples
-            val s = struct(canonCol(col(attr), dt).as("v"),
-              lit(typeNameOf(dt)).as("vt"))
-            seen.get(n) match {
-              case Some(prev) => f = f.filter(prev === s)
-              case None =>
-                seen(n) = s
-                cols += s.as(n)
-            }
-          case W => f = f.filter(col(attr).isNotNull)
-        }
-      }
-      f.select(cols.result(): _*)
-    }.toSeq
-
-    val joined = frames.reduceLeft { (acc, next) =>
+    val groups = resolveGroups(sources, patterns, strictCanon)
+      .getOrElse(return None)
+    val built = groups.map(g =>
+      buildGroup(sources(g.src), g, new BoxedBinder))
+    val joined = built.map(_._1).reduceLeft { (acc, next) =>
       val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq
       if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
     }
@@ -509,10 +950,15 @@ object QueryCompiler {
     val entityVars = patterns.flatMap(_.e match {
       case V(n) => Some(n); case _ => None
     }).toSet
-    val distinctAll = filtered.distinct()
-    val out = distinctAll.columns
+    // joins of distinct frames stay distinct (the merged row determines
+    // both input rows) and filters preserve distinctness, so when every
+    // group frame is distinct-by-construction the Datalog distinct is
+    // a provable no-op — skip its exchange
+    val distinctAll =
+      if (built.forall(_._2)) filtered else filtered.distinct()
+    val out = eavColumnOrder(patterns)
       .filter(c => keepDBid || !entityVars.contains(c))
-    distinctAll.select(out.toSeq.map(distinctAll(_)): _*)
+    Some(distinctAll.select(out.map(distinctAll(_)): _*))
   }
 
   /** Native-typed direct path — the fact-table route. Binding columns
@@ -538,38 +984,47 @@ object QueryCompiler {
     *  - a qvar appearing in BOTH entity and value position (boxed
     *    joins require equal vt tags, so "ref" never matches "num"/
     *    "str" — the boxed result is empty there and the fallback
-    *    preserves that).
+    *    preserves that) — EXCEPT chain vars, whose tag is "ref" on
+    *    both sides by construction and which travel as their sub-id
+    *    strings.
     *
     * All-integral sets travel as long (Spark would widen the join key
     * the same way; the canonical strings agree). NaN and -0.0 agree by
-    * construction: Spark normalizes both in join/group keys, and the
+    * construction: Spark normalizes both in join/group keys, the
     * canonical encoding collapses -0.0 to "0" and maps NaN to "NaN" on
-    * every source.
+    * every source, and product-mode collect_sets normalize -0.0
+    * explicitly (NativeBinder.setValue) because their dedup boxes.
     */
   def runDocsNative(sources: Map[String, DocSource],
       patterns: Seq[Pattern],
       predicates: Seq[Map[String, Column] => Column] = Nil,
       keepDBid: Boolean = false,
-      boxedPredicates: Seq[Map[String, Column] => Column] = Nil)
+      boxedPredicates: Seq[Map[String, Column] => Column] = Nil,
+      strictCanon: Boolean = false)
       : Option[DataFrame] = {
     import org.apache.spark.sql.types._
     require(patterns.nonEmpty, "query{} needs at least one pattern")
-    if (!patterns.forall(_.a.isInstanceOf[C])) return None
+    val groups = resolveGroups(sources, patterns, strictCanon)
+      .getOrElse(return None)
 
-    val entityVars = patterns.flatMap(_.e match {
+    val chainVars = groups.flatMap(_.pats.flatMap(_.chainBind))
+      .map(_._1).toSet
+    val rootVars = groups.flatMap(_.root match {
       case V(n) => Some(n); case _ => None
     }).toSet
-    val valueVars = patterns.flatMap(p => (p.a, p.v) match {
-      case (C(_), V(n)) => Some(n); case _ => None
-    }).toSet
-    if (entityVars.intersect(valueVars).nonEmpty) return None
+    val valueVars = groups.flatMap(_.pats.flatMap(rp =>
+      if (rp.chainBind.isEmpty) rp.v match {
+        case V(n) => Some(n); case _ => None
+      } else None)).toSet
+    if (rootVars.intersect(valueVars).nonEmpty) return None
+    if (chainVars.intersect(valueVars).nonEmpty) return None
 
     // contributing native types per var
     val varTypes = scala.collection.mutable.Map.empty[String, Set[DataType]]
-    patterns.foreach { p =>
-      p.e match {
+    groups.foreach { g =>
+      g.root match {
         case V(n) =>
-          val src = sources(p.src)
+          val src = sources(g.src)
           val f = src.df.schema(src.idCol)
           // Entity ids must reproduce the boxed form's plain
           // cast("string") + struct null-equality exactly: integral
@@ -588,14 +1043,12 @@ object QueryCompiler {
           varTypes(n) = varTypes.getOrElse(n, Set.empty) + f.dataType
         case _ => ()
       }
-      (p.a, p.v) match {
-        case (C(attr), V(n)) =>
-          sources(p.src).df.schema.find(_.name == attr.toString) match {
-            case Some(f) =>
-              varTypes(n) = varTypes.getOrElse(n, Set.empty) + f.dataType
-            case None => return None
-          }
-        case _ => ()
+      g.pats.foreach { rp =>
+        if (rp.chainBind.isEmpty) rp.v match {
+          case V(n) =>
+            varTypes(n) = varTypes.getOrElse(n, Set.empty) + rp.dt
+          case _ => ()
+        }
       }
     }
     def integral(dt: DataType) = dt match {
@@ -635,71 +1088,23 @@ object QueryCompiler {
           }
           else return None
         n -> t
-    }
+    } ++ chainVars.map(_ -> StringType).toMap
 
-    val grouped = groupPatterns(patterns)
-    val frames = grouped.map { case (srcName, eTerm, pats) =>
-      val src = sources(srcName)
-      var f = src.df
-      val cols = Seq.newBuilder[Column]
-      // a var repeated WITHIN a group projects once; later
-      // occurrences become native equality filters (the boxed form's
-      // struct-equality mirror: equal values AND equal vt tags —
-      // statically-unequal tags fold to false). Same-travel natives
-      // compare exactly by the eligibility rules above.
-      val seen = scala.collection.mutable.Map
-        .empty[String, (Column, String)]
-      eTerm match {
-        case V(n) =>
-          seen(n) = (col(src.idCol).cast(travel(n)), "ref")
-          cols += col(src.idCol).cast(travel(n)).as(n)
-        case C(id) => f = f.filter(col(src.idCol).cast("string") ===
-          id.toString)
-        case W => ()
-      }
-      pats.foreach { p =>
-        val C(attrName) = p.a: @unchecked
-        val attr = attrName.toString
-        val dt = src.df.schema(attr).dataType
-        p.v match {
-          case C(value) =>
-            // same static vt gate as the boxed form (see there)
-            val (v, vt) = canonConst(value)
-            f = if (typeNameOf(dt) == vt)
-              f.filter(canonCol(col(attr), dt) === v)
-            else f.filter(lit(false))
-          case V(n) =>
-            f = f.filter(col(attr).isNotNull)
-            val c = col(attr).cast(travel(n))
-            val vt = typeNameOf(dt)
-            seen.get(n) match {
-              case Some((prev, pvt)) =>
-                // travel eligibility forces ONE vt per var (entity∩value
-                // vars rejected, numeric sets all-"num", other sets
-                // singletons) — a mismatch here is an engine bug, not a
-                // reachable query shape
-                assert(pvt == vt,
-                  s"repeated qvar $n: vt mismatch $pvt vs $vt")
-                f = f.filter(prev === c)
-              case None =>
-                seen(n) = (c, vt)
-                cols += c.as(n)
-            }
-          case W => f = f.filter(col(attr).isNotNull)
-        }
-      }
-      f.select(cols.result(): _*)
-    }.toSeq
-
-    val joined = frames.reduceLeft { (acc, next) =>
+    val binder = new NativeBinder(travel)
+    val built = groups.map(g => buildGroup(sources(g.src), g, binder))
+    val joined = built.map(_._1).reduceLeft { (acc, next) =>
       val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq
       if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
     }
     // predicates see the boxed view, synthesized inline from the
     // native columns (row-local; SimplifyExtractValueOps collapses the
     // struct wrap when a predicate only reads one field)
+    val entityVars = patterns.flatMap(_.e match {
+      case V(n) => Some(n); case _ => None
+    }).toSet
     def vtOf(n: String, dt: DataType) =
-      if (entityVars.contains(n)) "ref" else typeNameOf(dt)
+      if (entityVars.contains(n) || chainVars.contains(n)) "ref"
+      else typeNameOf(dt)
     val boundBoxed: Map[String, Column] = joined.columns.map { n =>
       val dt = joined.schema(n).dataType
       n -> struct(canonCol(joined(n), dt).as("v"),
@@ -711,11 +1116,13 @@ object QueryCompiler {
       predicates.foldLeft(joined)((f, p) => f.filter(p(bound))))(
       (f, p) => f.filter(p(boundBoxed)))
     // Datalog set semantics over ALL found qvars — on NATIVE values —
-    // THEN drop entity vars and box (row-local, post-shuffle)
-    val distinctAll = filtered.distinct()
-    val out = distinctAll.columns
+    // THEN drop entity vars and box (row-local, post-shuffle); skipped
+    // when every group frame is distinct-by-construction (product mode)
+    val distinctAll =
+      if (built.forall(_._2)) filtered else filtered.distinct()
+    val out = eavColumnOrder(patterns)
       .filter(c => keepDBid || !entityVars.contains(c))
-    Some(distinctAll.select(out.toSeq.map { c =>
+    Some(distinctAll.select(out.map { c =>
       val dt = distinctAll.schema(c).dataType
       struct(canonCol(distinctAll(c), dt).as("v"),
         lit(vtOf(c, dt)).as("vt")).as(c)
@@ -724,26 +1131,37 @@ object QueryCompiler {
 
   /** Static Spark types feeding each qvar on the direct path: value-
     * position qvars collect their source column types; entity-position
-    * qvars are refs (string ids). Lets the typed restore skip its
-    * runtime type-facts job for columns whose type is provable.
+    * and chain (sub-entity) qvars are refs (string ids). Lets the
+    * typed restore skip its runtime type-facts job for columns whose
+    * type is provable. Empty when the shape doesn't resolve (callers
+    * then restore per-row).
     */
   def docVarTypes(sources: Map[String, DocSource],
       patterns: Seq[Pattern]): Map[String, Set[DataType]] = {
     import org.apache.spark.sql.types.StringType
-    val acc = scala.collection.mutable.Map.empty[String, Set[DataType]]
-    patterns.foreach { p =>
-      p.e match {
-        case V(n) => acc(n) = acc.getOrElse(n, Set.empty) + StringType
-        case _ => ()
-      }
-      (p.a, p.v) match {
-        case (C(attr), V(n)) =>
-          val dt = sources(p.src).df.schema(attr.toString).dataType
-          acc(n) = acc.getOrElse(n, Set.empty) + dt
-        case _ => ()
-      }
+    resolveGroups(sources, patterns) match {
+      case None => Map.empty
+      case Some(groups) =>
+        val acc = scala.collection.mutable.Map.empty[String, Set[DataType]]
+        groups.foreach { g =>
+          g.root match {
+            case V(n) => acc(n) = acc.getOrElse(n, Set.empty) + StringType
+            case _ => ()
+          }
+          g.pats.foreach { rp =>
+            rp.chainBind match {
+              case Some((n, _)) =>
+                acc(n) = acc.getOrElse(n, Set.empty) + StringType
+              case None => rp.v match {
+                case V(n) =>
+                  acc(n) = acc.getOrElse(n, Set.empty) + rp.dt
+                case _ => ()
+              }
+            }
+          }
+        }
+        acc.toMap
     }
-    acc.toMap
   }
 
   /** Canonical string of a document column (must match Shred.canon).

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.query.QueryCompiler
-import graft.query.QueryCompiler.{C, Pattern, V}
+import graft.query.QueryCompiler.{C, Pattern, V, W}
 import graft.shred.Shred
 
 /** Differential probe: regrouped/direct tier vs the canonical EAV
@@ -59,6 +59,71 @@ object RegroupDiff {
     val dupDf2 = Seq(("X", 1L, 2L), ("X", 2L, 1L)).toDF("id", "p", "r")
     counts("dup-id repeated-qvar", dupDf2, "id",
       Seq(Pattern(V("e"), C("p"), V("x")), Pattern(V("e"), C("r"), V("x"))))
+
+    // (3) nested struct-ref chains (the reference's nested-document
+    // shape, query_test.cljc:622-702)
+    val nested = Seq(
+      (1L, "Bob", "BUILDING", 100L), (2L, "Ann", "AUTO", 50L),
+      (3L, "Cid", "BUILDING", 900L))
+      .toDF("id", "name", "seg", "bal")
+      .select(col("id"), col("name"),
+        struct(col("seg"), col("bal")).as("profile"))
+    val chainPats = Seq(
+      Pattern(V("c"), C("name"), V("n")),
+      Pattern(V("c"), C("profile"), V("p")),
+      Pattern(V("p"), C("seg"), C("BUILDING")),
+      Pattern(V("p"), C("bal"), V("b")))
+    counts("chain 2-level conjunction", nested, "id", chainPats)
+    counts("chain ref-only binding", nested, "id",
+      Seq(Pattern(V("c"), C("profile"), V("p"))))
+    counts("chain under wildcard root", nested, "id",
+      Seq(Pattern(W, C("profile"), V("p")),
+        Pattern(V("p"), C("bal"), V("b"))))
+    counts("chain keeps sub-ids", nested, "id",
+      Seq(Pattern(V("c"), C("profile"), V("p")),
+        Pattern(V("p"), C("seg"), V("s"))))
+    // duplicate root ids THROUGH a chain: per-entity product of the
+    // sub-entity's value sets
+    val dupNested = Seq((7L, 1L, 10L), (7L, 2L, 20L), (8L, 3L, 30L))
+      .toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("inner"))
+    counts("dup-id chain two-value-patterns", dupNested, "id",
+      Seq(Pattern(V("e"), C("inner"), V("i")),
+        Pattern(V("i"), C("a"), V("x")),
+        Pattern(V("i"), C("b"), V("y"))))
+    // two-level nesting
+    val deep = Seq((1L, "x", 5L), (2L, "y", 7L))
+      .toDF("id", "tag", "n")
+      .select(col("id"),
+        struct(col("tag"), struct(col("n")).as("leaf")).as("mid"))
+    counts("chain two levels deep", deep, "id",
+      Seq(Pattern(V("e"), C("mid"), V("m")),
+        Pattern(V("m"), C("leaf"), V("l")),
+        Pattern(V("l"), C("n"), V("v"))))
+    // null struct rows must drop from chain patterns
+    val withNull = Seq((1L, true), (2L, false)).toDF("id", "has")
+      .select(col("id"),
+        when(col("has"), struct(col("id").as("z"))).as("opt"))
+    counts("chain over nullable struct", withNull, "id",
+      Seq(Pattern(V("e"), C("opt"), V("o")),
+        Pattern(V("o"), C("z"), V("z"))))
+    // content-derived ids (no idCol): the fused row-local tier
+    def countsNoId(name: String, df: org.apache.spark.sql.DataFrame,
+        pats: Seq[Pattern]): Unit = {
+      val triples = Shred.shred(df)
+      val auth = QueryCompiler.runBoxedCanonical(
+        Map("default" -> triples), pats)
+      val live = QueryCompiler.runBoxed(Map("default" -> triples), pats)
+      val a = auth.collect().map(_.toString).sorted.toSeq
+      val l = live.collect().map(_.toString).sorted.toSeq
+      println(s"${if (a == l) "OK " else "DIVERGE"} $name: " +
+        s"authority=${a.size} live=${l.size}")
+    }
+    countsNoId("content-id chain conjunction", nested, chainPats)
+    countsNoId("content-id flat conjunction",
+      Seq(("X", 1L, 10L), ("X", 2L, 20L)).toDF("k", "a", "b"),
+      Seq(Pattern(V("e"), C("a"), V("x")),
+        Pattern(V("e"), C("b"), V("y"))))
 
     spark.stop()
   }

@@ -130,6 +130,16 @@ object DirectNativeProps extends Properties("graft.query.native") {
   private def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  // schemas must agree modulo NULLABILITY: the product plan's explode
+  // of a null-gated collect_set legitimately narrows v to non-null on
+  // the native route (stronger, value-identical)
+  private def norm(st: StructType): DataType =
+    StructType(st.fields.map(f => f.copy(nullable = true,
+      dataType = f.dataType match {
+        case s: StructType => norm(s)
+        case d => d
+      })))
+
   property("native == boxed on arbitrary frames and conjunctions") =
     forAll(Gen.choose(1, 2).flatMap(k =>
       Gen.sequence[Seq[Src], Src]((0 until k).map(i => srcGen(s"s$i")))
@@ -157,7 +167,8 @@ object DirectNativeProps extends Properties("graft.query.native") {
               nativeOpt match {
                 case Some(native) =>
                   val (ns, bs) = (render(native), render(boxed))
-                  val ok = ns == bs && native.schema == boxed.schema
+                  val ok = ns == bs &&
+                    norm(native.schema) == norm(boxed.schema)
                   if (!ok) println(s"MISMATCH pats=$pats\n native=$ns\n " +
                     s"boxed=$bs")
                   ok

@@ -38,9 +38,14 @@ class DirectQuerySpec extends SparkSpec {
   }
 
   test("direct plan has no explode and fuses same-entity patterns") {
+    // idFunctional: the caller asserts ids determine rows (unique
+    // here), licensing the fused row-local projection — without it
+    // multi-pattern groups pay the groupBy-product plan (its own
+    // explode), pinned in EavRegroupSpec's duplicate-id tests
     val direct = QueryCompiler.runDocs(
-      Map("people" -> DocSource(people, "id"),
-        "devices" -> DocSource(devices, "did")), pats)
+      Map("people" -> DocSource(people, "id", idFunctional = true),
+        "devices" -> DocSource(devices, "did", idFunctional = true)),
+      pats)
     val plan = direct.queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"explode in direct plan:\n$plan")
     // 5 patterns over 2 entities → exactly one join, not four.
@@ -74,8 +79,18 @@ class DirectQuerySpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("who", "dev").collect().toSeq
     assert(rows(native.get) == rows(QueryCompiler.runDocsBoxed(srcs, pats)))
-    assert(native.get.schema == QueryCompiler.runDocsBoxed(srcs, pats)
-      .schema)
+    // schemas agree modulo nullability: the product plan's explode of
+    // a null-gated collect_set legitimately NARROWS v to non-null on
+    // the native route (stronger, value-identical)
+    def norm(st: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(nullable = true, dataType = f.dataType match {
+          case s: org.apache.spark.sql.types.StructType => norm(s)
+          case d => d
+        })))
+    assert(norm(native.get.schema) ==
+      norm(QueryCompiler.runDocsBoxed(srcs, pats).schema))
     // keepDBid: entity-id boxing (long → string, vt ref) also agrees
     val nk = QueryCompiler.runDocsNative(srcs, pats, keepDBid = true).get
     val bk = QueryCompiler.runDocsBoxed(srcs, pats, keepDBid = true)

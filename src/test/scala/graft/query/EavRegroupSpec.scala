@@ -90,14 +90,80 @@ class EavRegroupSpec extends SparkSpec {
       Seq(Pattern(V("e"), C("nope"), V("v")))).count() == 0)
   }
 
-  test("declines: nested struct attr (sub-entity semantics) keeps EAV") {
+  test("struct-ref chains regroup; shadowed root attrs still decline") {
     val nested = docs.select(col("id"),
       struct(col("name").as("city")).as("addr"), col("name"))
-    // `addr` is a ref; `city` lives under it — both need the shred
+    // `addr` is a ref: binding it alone yields <sub-id, ref> — a
+    // document projection since round 16 (sub-ids are deterministic)
     check(Map("default" -> Shred.shred(nested, Some("id"))), Seq(
-      Pattern(V("e"), C("addr"), V("a"))), expectRegroup = false)
+      Pattern(V("e"), C("addr"), V("a"))), expectRegroup = true)
+    // a chain through it regroups to a nested-column projection
+    check(Map("default" -> Shred.shred(nested, Some("id"))), Seq(
+      Pattern(V("e"), C("addr"), V("a")),
+      Pattern(V("a"), C("city"), V("c"))), expectRegroup = true,
+      keepDBid = true)
+    // `city` on a ROOT var is unpinned: the EAV form matches the
+    // sub-entities, which no root projection can see — still declines
     check(Map("default" -> Shred.shred(nested, Some("id"))), Seq(
       Pattern(V("e"), C("city"), V("c"))), expectRegroup = false)
+  }
+
+  test("duplicate ids: per-entity cross product, not the row-local zip") {
+    // the EAV authority joins this conjunction on e, so two rows
+    // sharing an id produce the PRODUCT of their value sets (5 rows,
+    // not 3) — found live in round 16; an explicit idCol cannot prove
+    // row-determinism, so multi-pattern groups compile to the
+    // groupBy-product plan
+    val dup = Seq(("X", 1L, 10L), ("X", 2L, 20L), ("Y", 3L, 30L))
+      .toDF("k", "a", "b")
+    check(Map("default" -> Shred.shred(dup, Some("k"))), Seq(
+      Pattern(V("e"), C("a"), V("x")),
+      Pattern(V("e"), C("b"), V("y"))), expectRegroup = true)
+    // existence constants see ANY row of the entity, value sets ALL
+    check(Map("default" -> Shred.shred(dup, Some("k"))), Seq(
+      Pattern(V("e"), C("a"), C(1)),
+      Pattern(V("e"), C("b"), V("y"))), expectRegroup = true)
+    // a repeated qvar is the per-entity intersection of the two sets
+    val dup2 = Seq(("X", 1L, 2L), ("X", 2L, 1L)).toDF("k", "p", "r")
+    check(Map("default" -> Shred.shred(dup2, Some("k"))), Seq(
+      Pattern(V("e"), C("p"), V("x")),
+      Pattern(V("e"), C("r"), V("x"))), expectRegroup = true)
+    // content-derived ids (no idCol) keep the fused row-local plan —
+    // equal ids imply equal rows there, so zip == product
+    check(Map("default" -> Shred.shred(dup)), Seq(
+      Pattern(V("e"), C("a"), V("x")),
+      Pattern(V("e"), C("b"), V("y"))), expectRegroup = true)
+  }
+
+  test("nested chains agree through duplicates, nulls, and depth") {
+    val dupNested = Seq((7L, 1L, 10L), (7L, 2L, 20L), (8L, 3L, 30L))
+      .toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("inner"))
+    check(Map("default" -> Shred.shred(dupNested, Some("id"))), Seq(
+      Pattern(V("e"), C("inner"), V("i")),
+      Pattern(V("i"), C("a"), V("x")),
+      Pattern(V("i"), C("b"), V("y"))), expectRegroup = true)
+    val deep = Seq((1L, "x", 5L), (2L, "y", 7L))
+      .toDF("id", "tag", "n")
+      .select(col("id"),
+        struct(col("tag"), struct(col("n")).as("leaf")).as("mid"))
+    check(Map("default" -> Shred.shred(deep, Some("id"))), Seq(
+      Pattern(V("e"), C("mid"), V("m")),
+      Pattern(V("m"), C("leaf"), V("l")),
+      Pattern(V("l"), C("n"), V("v"))), expectRegroup = true,
+      keepDBid = true)
+    // null structs shred to nothing: chain patterns drop those rows
+    val withNull = Seq((1L, true), (2L, false)).toDF("id", "has")
+      .select(col("id"),
+        when(col("has"), struct(col("id").as("z"))).as("opt"))
+    check(Map("default" -> Shred.shred(withNull, Some("id"))), Seq(
+      Pattern(V("e"), C("opt"), V("o")),
+      Pattern(V("o"), C("z"), V("z"))), expectRegroup = true)
+    // a chain under a WILDCARD root: the ref pattern is its own group
+    // and the child still pins to the sub-entity
+    check(Map("default" -> Shred.shred(dupNested, Some("id"))), Seq(
+      Pattern(W, C("inner"), V("i")),
+      Pattern(V("i"), C("a"), V("x"))), expectRegroup = true)
   }
 
   test("nullable idCol regroups behind a null-id filter (null ids shred to nothing)") {
