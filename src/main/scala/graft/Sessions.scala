@@ -10,6 +10,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** Exact-IN parquet pushdown threshold, shared with every caller
+    * that chunks id lists to stay under it (Indexes.
+    * binaryTopKIndexedPoint) — one constant so lowering the session
+    * threshold cannot silently degrade a chunk to an unpruned min/max
+    * range filter. 1024 is measurement-backed in both directions
+    * (see the .config scaladoc below) and leaves ~4× margin to the
+    * ~4096-value StackOverflowError parquet-mr's nested Or tree hits
+    * on a default 1 MB task stack — JVMs launched with a smaller
+    * -Xss need a proportionally lower threshold.
+    */
+  val InFilterThreshold = 1024
+
   /** Local session with graft defaults: shuffle partitions = cores
     * (not Spark's 200 — local mode has `cores` slots), UTC, quiet
     * logs, plan rules installed.
@@ -50,7 +62,8 @@ object Sessions {
       // Callers with bigger id lists chunk them (binaryTopKIndexed
       // Point) or pre-cap onto the semi-join path (winnow/media
       // probes' maxProbe* caps).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        InFilterThreshold.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

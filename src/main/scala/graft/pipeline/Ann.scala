@@ -567,15 +567,24 @@ object Ann {
       col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    // the shortlist side is ALWAYS the broadcast build: it is bounded
-    // by |queries| × shortlist by construction, while `cv` is
+    // the shortlist side is the broadcast build: it is bounded by
+    // |queries| × shortlist by construction, while `cv` is
     // corpus-sized. Without the hint the planner has no row estimate
     // through the window/top-k (assumes large) and falls back to a
     // sort-merge join that SORTS the corpus's full vectors — measured
     // at 20M × 256-dim: ~40 GB of sort spill vs a single streamed
-    // corpus scan with the hint.
-    broadcast(cand.join(broadcast(qv), "query_id"))
+    // corpus scan with the hint. Broadcast ONLY the vector-free
+    // (query_id, neighbor_id, ham) rows and attach the query vectors
+    // AFTER the corpus probe: the r15 shape broadcast cand⋈qv, which
+    // replicated every query vector shortlist-fold through the
+    // broadcast — a 256-dim × shortlist=50 batch hit the 8 GB cap at
+    // ~80k queries; id-only rows push that to multi-million-query
+    // batches (split the probe batch beyond that) and the second join
+    // broadcasts qv once, un-replicated, the same size binaryShortlist
+    // already broadcast it.
+    broadcast(cand)
       .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -153,16 +153,18 @@ object Indexes {
       new java.util.ArrayList(java.util.Arrays.asList(candRows: _*)),
       candPlan.schema)
     val ids = candRows.map(_.get(1)).distinct.toSeq
-    // chunked ≤1024-value IN filters, unioned: each chunk stays under
-    // the exact-pushdown threshold (Sessions scaladoc — larger lists
-    // degrade to an unpruned min/max range filter, and parquet-mr's
-    // nested-Or build overflows the task stack past ~4k values).
-    // Chunks are disjoint, so the union needs no dedup.
+    // chunked IN filters of exactly the session's exact-pushdown
+    // threshold (graft.Sessions.InFilterThreshold — ONE shared
+    // constant, so lowering it can never leave a chunk size above the
+    // threshold, where the filter silently degrades to an unpruned
+    // min/max range and parquet-mr's nested-Or build overflows the
+    // task stack past ~4k values). Chunks are disjoint, so the union
+    // needs no dedup.
     val cv =
       if (ids.isEmpty) vectors.filter(lit(false))
         .select(col(cId).as("neighbor_id"),
           col(vecCol).cast("array<double>").as("cv"))
-      else ids.grouped(1024).map { chunk =>
+      else ids.grouped(graft.Sessions.InFilterThreshold).map { chunk =>
         vectors.filter(col(cId).isin(chunk: _*))
           .select(col(cId).as("neighbor_id"),
             col(vecCol).cast("array<double>").as("cv"))

@@ -52,6 +52,38 @@ class IndexesSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("point-fetch shortlists beyond the IN threshold chunk into " +
+      "pushed filters") {
+    import spark.implicits._
+    // enough distinct shortlist ids to exceed graft.Sessions.
+    // InFilterThreshold (one chunk) — every chunk must still reach
+    // the scan as an exact pushed In, or pruning silently degrades
+    // to a min/max range filter (the Sessions/Indexes coupling this
+    // pins; the constant is shared so drift cannot open a gap)
+    val n = graft.Sessions.InFilterThreshold + 400
+    val emb = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$root/binchunk_emb")
+    val embP = spark.read.parquet(s"$root/binchunk_emb")
+    Indexes.writeBinaryIndex(embP, "vec_id", "embedding",
+      s"$root/binchunk", dim = 16)
+    val idx = Indexes.openBinaryIndex(spark, s"$root/binchunk")
+    val qs = embP.orderBy("vec_id").limit(40)
+    val point = Indexes.binaryTopKIndexedPoint(qs, idx, embP,
+      "vec_id", "vec_id", "embedding", k = 3,
+      shortlist = n / 30, dim = 16)
+    val join = Indexes.binaryTopKIndexed(qs, idx, embP, "vec_id",
+      "vec_id", "embedding", k = 3, shortlist = n / 30, dim = 16)
+    assert(rows(point) == rows(join))
+    val scan = point.queryExecution.executedPlan.toString()
+    val pushedIns = "In\\(vec_id".r.findAllIn(scan).size
+    assert(pushedIns >= 2,
+      s"expected >=2 chunked pushed In filters, got $pushedIns:\n" +
+        scan.take(2000))
+  }
+
   test("binary index append == rebuild over base ∪ batch") {
     val emb = Tables.embeddings(spark, sf())
     val qs = emb.orderBy("vec_id").limit(7)
