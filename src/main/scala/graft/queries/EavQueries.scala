@@ -164,7 +164,32 @@ object EavQueries {
       .toDF("r_regionkey", "r_name")
   }
 
+  /** Persisted-shred round trip: write the customer docs' triple
+    * store WITH provenance (Shred.shredWrite), read it back, query —
+    * the read-back frame must regroup onto the document plan (pinned
+    * in EavRegroupSpec; this gate pins the VALUES against DuckDB).
+    * Same logical query (and oracle) as q_eav_filter.
+    */
+  def qEavPersist(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_eav_persist_gate"
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+        col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/docs")
+    Shred.shredWrite(s, s"$base/docs", Some("c_custkey"),
+      s"$base/triples")
+    QueryCompiler.run(
+      Map("default" -> Shred.openShred(s, s"$base/triples")),
+      Seq(
+        Pattern(V("c"), C("c_mktsegment"), C("BUILDING")),
+        Pattern(V("c"), C("c_name"), V("name")),
+        Pattern(V("c"), C("c_acctbal"), V("bal"))),
+      predicates = Seq(b => QueryCompiler.num(b("bal")) > 1000))
+      .orderBy("name")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_eav_persist" -> (qEavPersist _),
     "q_eav_nested" -> (qEavNested _),
     "q_eav_direct" -> (qEavDirect _),
     "q_eav_identity" -> (qEavIdentity _),
@@ -182,6 +207,11 @@ object EavQueries {
        |  ELSE CAST($col AS VARCHAR) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_eav_persist" ->
+      s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
+         |FROM customer
+         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+         |ORDER BY name""".stripMargin,
     "q_eav_nested" ->
       s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
          |FROM customer

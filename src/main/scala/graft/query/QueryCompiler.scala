@@ -235,6 +235,7 @@ object QueryCompiler {
     if (!patterns.forall(_.a.isInstanceOf[C])) return None
     val det = sources.map { case (n, df) =>
       n -> graft.shred.Shred.unshredSource(df)
+        .orElse(graft.shred.Shred.unshredPersisted(df))
     }
     if (det.values.exists(_.isEmpty)) return None
     val ent = "__graft_regroup_e"

@@ -196,6 +196,141 @@ object Shred {
       .agg(map_from_entries(collect_list(struct(col("a"), col("v"))))
         .as("attrs"))
 
+  // ---------- persisted shreds with provenance ----------
+
+  private case class ShredMeta(docPath: String, idCol: Option[String],
+      docFiles: Seq[Seq[String]], tripleFiles: Seq[Seq[String]])
+
+  private val MetaFile = "_graft_shred.json"
+
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[String]] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[Seq[String]]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += Seq(f.getPath.toUri.getPath, f.getLen.toString)
+    }
+    out.result().sortBy(_.head)
+  }
+
+  /** Write `docs` (a parquet directory) as a triple store WITH
+    * regroup provenance — the 100 TB deployment shape of the EAV
+    * form. The triples land partitioned by attribute (pattern
+    * `a === const` filters become partition pruning on the EAV tier),
+    * and a `_graft_shred.json` sidecar records the document path, the
+    * id column, and name+size snapshots of BOTH directories' data
+    * files, which is what lets [[unshredPersisted]] prove — not
+    * assume — that a frame read back from `outPath` still IS the
+    * shred of those documents: a rewritten/appended file on either
+    * side fails the snapshot and the query keeps the (always-sound)
+    * EAV plan. Artifacts are immutable deliveries here as everywhere
+    * in the repo (the p_manifest certification model) — re-keyed on
+    * change, never edited in place.
+    */
+  def shredWrite(spark: org.apache.spark.sql.SparkSession,
+      docPath: String, idCol: Option[String], outPath: String): Unit = {
+    val docs = spark.read.parquet(docPath)
+    val docFiles = listDataFiles(spark, docPath)
+    shred(docs, idCol).write.mode("overwrite")
+      .partitionBy("a").parquet(outPath)
+    val meta = ShredMeta(
+      new org.apache.hadoop.fs.Path(docPath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(docPath))
+        .toUri.getPath,
+      idCol, docFiles, listDataFiles(spark, outPath))
+    val metaPath = new org.apache.hadoop.fs.Path(outPath, MetaFile)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    out.write(org.json4s.jackson.Serialization.write(meta)
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Open a [[shredWrite]] artifact in canonical triple-column order
+    * (partitionBy appends `a` to the raw read schema; queries and
+    * [[unshredPersisted]] both want (e,a,v,vt,vn)).
+    */
+  def openShred(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).select("e", "a", "v", "vt", "vn")
+
+  /** [[unshredSource]] for PERSISTED shreds: a frame that is exactly
+    * a fresh [[openShred]] read of a [[shredWrite]] artifact recovers
+    * the same (documents, id expression, shredded names) hook — after
+    * re-verifying both snapshot listings, so documents rewritten
+    * since the write (or triples appended behind the sidecar's back)
+    * decline rather than silently diverge. Without this, triples
+    * written to parquet and read back — the deployment shape — could
+    * never regroup and were stuck on the EAV tier forever.
+    */
+  def unshredPersisted(triples: DataFrame)
+      : Option[(DataFrame, org.apache.spark.sql.catalyst.expressions
+        .Expression, Set[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val spark = triples.sparkSession
+    val names = Seq("e", "a", "v", "vt", "vn")
+    def relOf(plan: LogicalPlan): Option[LogicalRelation] = plan match {
+      case p @ Project(pl, lr: LogicalRelation)
+          if pl.forall(_.isInstanceOf[AttributeReference]) &&
+            pl.map(_.name) == names => Some(lr)
+      case lr: LogicalRelation
+          if lr.output.map(_.name) == names => Some(lr)
+      case _ => None
+    }
+    for {
+      lr <- relOf(triples.queryExecution.analyzed)
+      if isTriplesFrame(triples)
+      fsRel <- lr.relation match {
+        case r: HadoopFsRelation if r.location.rootPaths.size == 1 =>
+          Some(r)
+        case _ => None
+      }
+      root = fsRel.location.rootPaths.head
+      meta <- {
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val mp = new org.apache.hadoop.fs.Path(root, MetaFile)
+        if (!fs.exists(mp)) None
+        else {
+          val in = fs.open(mp)
+          val txt = scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString
+          in.close()
+          implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+          scala.util.Try(org.json4s.jackson.Serialization
+            .read[ShredMeta](txt)).toOption
+        }
+      }
+      // both sides must still be the bytes the writer saw
+      if listDataFiles(spark, root.toUri.getPath) == meta.tripleFiles
+      if listDataFiles(spark, meta.docPath) == meta.docFiles
+    } yield {
+      val docs = spark.read.parquet(meta.docPath)
+      val idColumn = meta.idCol match {
+        case Some(c) => docs(c).cast("string")
+        case None => derivedId(docs)
+      }
+      // resolve the id expression against the doc frame's analyzed
+      // plan (the regroup tier pattern-matches its SHAPE — e.g. the
+      // content-hash form that licenses fused plans — which needs
+      // resolved attribute references)
+      val resolved = docs.select(idColumn.as("__graft_id"))
+        .queryExecution.analyzed.asInstanceOf[Project]
+        .projectList.head.asInstanceOf[Alias].child
+      (docs, resolved, docs.columns.toSet)
+    }
+  }
+
   /** Detect a frame that IS [[shredGen]]'s direct output and recover
     * `(document frame, entity-id expression, shredded top-level attr
     * names)` — the hook QueryCompiler's shred-aware regrouping uses to

@@ -187,6 +187,42 @@ class EavRegroupSpec extends SparkSpec {
       Pattern(V("e"), C("name"), V("n"))), expectRegroup = false)
   }
 
+  test("persisted shreds regroup via write-time provenance; tampering declines") {
+    val base = "/tmp/graft_regroup_spec_persist"
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    Shred.shredWrite(spark, s"$base/docs", Some("id"), s"$base/triples")
+    val opened = Shred.openShred(spark, s"$base/triples")
+    // round-tripped triples must STILL take the document plan —
+    // r15's in-plan detection could never see a parquet read, so the
+    // deployment shape was stuck on the EAV tier forever
+    val pats = Seq(
+      Pattern(V("e"), C("name"), V("n")),
+      Pattern(V("e"), C("bal"), V("b")))
+    check(Map("default" -> opened), pats, expectRegroup = true)
+    // content-derived ids round-trip too, and license the FUSED plan
+    // (no per-entity aggregate)
+    Shred.shredWrite(spark, s"$base/docs", None, s"$base/triples_hash")
+    val openedHash = Shred.openShred(spark, s"$base/triples_hash")
+    check(Map("default" -> openedHash), pats, expectRegroup = true)
+    assert(!QueryCompiler.runBoxed(Map("default" -> openedHash), pats)
+      .queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "content-hash ids must fuse row-locally, not aggregate")
+    // the EAV tier still works on the artifact (wildcard attr shape)
+    check(Map("default" -> opened), Seq(
+      Pattern(V("e"), V("attr"), W)), expectRegroup = false)
+    // tamper with the DOCUMENTS since the write → snapshot fails →
+    // decline to the (always-sound) EAV plan over the stored triples
+    docs.limit(1).write.mode("append").parquet(s"$base/docs")
+    check(Map("default" -> Shred.openShred(spark, s"$base/triples")),
+      pats, expectRegroup = false)
+    // and appending triples behind the sidecar's back also declines
+    Shred.shredWrite(spark, s"$base/docs", Some("id"), s"$base/t2")
+    Shred.shred(docs.limit(1), Some("id")).write.mode("append")
+      .partitionBy("a").parquet(s"$base/t2")
+    check(Map("default" -> Shred.openShred(spark, s"$base/t2")),
+      pats, expectRegroup = false)
+  }
+
   test("kind-mismatched value constants match nothing (vt tag gate)") {
     // a STRING column holding "5" must NOT match the NUMBER constant 5
     // (the EAV triple's vt is "str", the constant's "num") — found live
