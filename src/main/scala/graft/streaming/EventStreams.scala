@@ -584,6 +584,56 @@ object EventStreams {
         textCol, index, k, w, minShared, maxBucket), id)
     }
 
+  /** The full streaming ingest-dedup LOOP against a winnow artifact:
+    * each micro-batch (1) probes the CURRENT index for near-dup
+    * candidates ([[winnowProbeStream]]'s stateless probe), (2) sinks
+    * them, and (3) folds the batch's ACCEPTED docs — all of them, or
+    * only the candidate-free ones under `appendNovelOnly` — into the
+    * artifact with `Indexes.appendWinnowIndex`, so later batches
+    * dedup against earlier ones, not just the initial corpus.
+    *
+    * State stays BOUNDED exactly as in the probe-only form: there is
+    * no Spark state store at all — the artifact on disk is the
+    * state, it grows only by accepted-batch fingerprints (the same
+    * rows a batch rebuild would hold), and each batch's cost is
+    * |batch| fingerprints + one index probe. Re-opening the index per
+    * batch re-lists the parquet directory, which is what makes the
+    * append visible — appendWinnowIndex is merge-free (fingerprints
+    * are row-local), so probe-after-append == probe-against-rebuild.
+    *
+    * Batch authority (StreamingSpec pins it): the SEQUENTIAL replay —
+    * for each batch in order, `Indexes.winnowCandidatesIndexed`
+    * against the index-so-far, then `appendWinnowIndex`. Within-batch
+    * self-duplicates are out of scope on both sides (a batch never
+    * probes itself), matching the incremental operator's contract.
+    */
+  def winnowIngestStream(docs: DataFrame, idCol: String,
+      textCol: String, indexPath: String, k: Int = 4, w: Int = 8,
+      minShared: Int = 2, maxBucket: Int = 1000,
+      appendNovelOnly: Boolean = false)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val b = batch.persist()
+      try {
+        val idx = graft.pipeline.Indexes.openWinnowIndex(spark,
+          indexPath)
+        val cands = graft.pipeline.Indexes.winnowCandidatesIndexed(b,
+          idCol, textCol, idx, k, w, minShared, maxBucket).persist()
+        try {
+          sink(cands, id)
+          val accepted =
+            if (!appendNovelOnly) b
+            else b.join(cands.select(col("batch_id")).distinct(),
+              b(idCol) === col("batch_id"), "left_anti")
+          graft.pipeline.Indexes.appendWinnowIndex(accepted, idCol,
+            textCol, indexPath, k, w)
+        } finally cands.unpersist()
+      } finally b.unpersist()
+    }
+
   /** Streaming ingest-dedup probe against a persisted MinHash band
     * index ([[graft.pipeline.Indexes.writeMinhashIndex]]): each
     * micro-batch computes its own signatures, probes the corpus band

@@ -641,6 +641,64 @@ class StreamingSpec extends SparkSpec {
     graft.core.Caches.releaseAll(spark)
   }
 
+  test("streaming winnow ingest loop (probe THEN append) == " +
+      "sequential batch replay") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf())
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val half = inc.length / 2
+    val slices = Seq(inc.take(half), inc.drop(half))
+
+    // stream: probe then append per batch
+    val streamPath = "/tmp/graft_idx_spec_stream/winnow_ingest_s"
+    graft.pipeline.Indexes.writeWinnowIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      streamPath)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = EventStreams.winnowIngestStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      streamPath) { (pairs, _) =>
+      got ++= pairs.collect().map(_.toString)
+    }
+    input.addData(slices.head.toSeq)
+    val q = writer.start()
+    q.processAllAvailable()
+    input.addData(slices(1).toSeq)
+    q.processAllAvailable(); q.stop()
+
+    // authority: sequential replay on the same slices
+    val replayPath = "/tmp/graft_idx_spec_stream/winnow_ingest_r"
+    graft.pipeline.Indexes.writeWinnowIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      replayPath)
+    val want = scala.collection.mutable.ArrayBuffer[String]()
+    slices.foreach { s =>
+      val bdf = s.toSeq.toDF("doc_id", "text")
+      val idx = graft.pipeline.Indexes.openWinnowIndex(spark, replayPath)
+      want ++= graft.pipeline.Indexes.winnowCandidatesIndexed(bdf,
+        "doc_id", "text", idx).collect().map(_.toString)
+      graft.pipeline.Indexes.appendWinnowIndex(bdf, "doc_id", "text",
+        replayPath)
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.nonEmpty, "fixture must produce candidates")
+    // the SECOND batch must have deduped against the FIRST (the
+    // append is what the probe-only twin lacks): some candidate's
+    // corpus side is an odd doc_id, i.e. a batch-ingested doc
+    val idxRows = graft.pipeline.Indexes
+      .openWinnowIndex(spark, streamPath)
+    val replayRows = graft.pipeline.Indexes
+      .openWinnowIndex(spark, replayPath)
+    assert(idxRows.collect().map(_.toString).sorted.toSeq ==
+      replayRows.collect().map(_.toString).sorted.toSeq,
+      "final artifacts must agree")
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("streaming minhash dup-pairs probe against the persisted " +
       "index == batch probe") {
     implicit val ctx = spark.sqlContext
