@@ -86,6 +86,30 @@ object EavProbe {
     timed("join2_canon")(() => unbox(QueryCompiler.runBoxedCanonical(
       Map("default" -> Shred.shred(li)), join2)))
 
+    // nested-document conjunction (r16): quantity/price under a
+    // struct, so the query chains through a ref — the reference's
+    // flagship nested shape (query_test.cljc:622-702). Regrouped:
+    // content-hash ids license the FUSED chain plan (nested column
+    // projections, zero extra exchanges); forced typed-EAV pays one
+    // more triple self-join per nesting level.
+    val nested = li.select(col("l_orderkey"), col("l_returnflag"),
+      struct(col("l_quantity"), col("l_extendedprice")).as("detail"))
+    val nestPats = Seq(
+      Pattern(V("e"), C("l_orderkey"), V("ok")),
+      Pattern(V("e"), C("detail"), V("d")),
+      Pattern(V("d"), C("l_quantity"), V("qty")))
+    timed("nest_regroup")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shred(nested)), nestPats)))
+    timed("nest_typed")(() => unbox(QueryCompiler.runBoxedEav(
+      Map("default" -> Shred.shred(nested)), nestPats)))
+
+    // explicit-idCol shred (r16): duplicate ids are possible
+    // (l_orderkey repeats per order), so the regroup tier compiles
+    // the PER-ENTITY PRODUCT plan — one groupBy(id) exchange with
+    // collect_sets + explodes replacing the Datalog distinct exchange
+    timed("join2_product")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shred(li, Some("l_orderkey"))), join2)))
+
     val pruned = Seq("l_orderkey", "l_quantity", "l_extendedprice",
       "l_returnflag")
     val wild = Seq(Pattern(W, V("a"), V("v")))
