@@ -40,7 +40,27 @@ case class ShredGenerator(child: Expression)
     out
   }
 
+  // Cast's renderings for the types whose INTERNAL values don't print
+  // as their SQL form: without these the generator emitted the raw
+  // days-int / micros-long for dates/timestamps (diverging from the
+  // expression form and canonCol, which use Cast) and the JVM
+  // identity string for binary — NONDETERMINISTIC across evaluations,
+  // so a stage retry could emit different triples for the same row.
+  @transient private lazy val dateFormatter =
+    org.apache.spark.sql.catalyst.util.DateFormatter()
+  @transient private lazy val tsFormatter =
+    org.apache.spark.sql.catalyst.util.TimestampFormatter
+      .getFractionFormatter(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+
   private def canon(value: Any, dt: DataType): UTF8String = dt match {
+    case DateType =>
+      UTF8String.fromString(dateFormatter.format(value.asInstanceOf[Int]))
+    case TimestampType =>
+      UTF8String.fromString(tsFormatter.format(value.asInstanceOf[Long]))
+    case BinaryType =>
+      UTF8String.fromBytes(value.asInstanceOf[Array[Byte]])
     case DoubleType =>
       val d = value.asInstanceOf[Double]
       if (d == d.longValue.toDouble) UTF8String.fromString(d.longValue.toString)

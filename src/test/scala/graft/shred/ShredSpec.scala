@@ -106,6 +106,25 @@ class ShredSpec extends SparkSpec {
     assert(ae.map(_.getString(2)).toSeq == Seq("12.50", "12", "1"))
   }
 
+  test("date/timestamp/binary canon: gen == expr == Cast, deterministic") {
+    // the generator used to print the INTERNAL values (days-int,
+    // micros-long) and binary's JVM identity string — the latter
+    // NONDETERMINISTIC across evaluations, so a stage retry could
+    // emit different triples for the same row (found round 16)
+    val df = spark.sql(
+      """SELECT 1L AS id, DATE'2020-04-15' AS d,
+        |  TIMESTAMP'2020-04-15 12:30:45.123' AS ts,
+        |  CAST('hi' AS BINARY) AS bin""".stripMargin)
+    val ae = Shred.shredExpr(df, Some("id")).orderBy("a").collect()
+    val ag = Shred.shredGen(df, Some("id")).orderBy("a").collect()
+    val ag2 = Shred.shredGen(df, Some("id")).orderBy("a").collect()
+    assert(ae.toSeq == ag.toSeq)
+    assert(ag.toSeq == ag2.toSeq, "generator canon must be deterministic")
+    assert(ag.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(
+      ("bin", "hi"), ("d", "2020-04-15"),
+      ("id", "1"), ("ts", "2020-04-15 12:30:45.123")))
+  }
+
   test("null array elements emit no triple; expr == gen agree") {
     // EAV stores facts: a null element is the absence of one — same
     // rule as a null scalar field. Struct-array sub-ids keep the
