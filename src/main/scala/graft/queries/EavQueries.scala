@@ -164,6 +164,26 @@ object EavQueries {
       .toDF("r_regionkey", "r_name")
   }
 
+  /** q_eav_nested's TEXT twin (round 16): the same nested-document
+    * chain through the query{} SOURCE SYNTAX — exercises QueryBridge's
+    * direct chain routing (struct-ref patterns resolve onto nested
+    * columns; no shred, no triple self-joins) end-to-end from program
+    * text against the DuckDB oracle.
+    */
+  def qRmNested(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_name"),
+      struct(col("c_mktsegment"), col("c_acctbal")).as("profile"))
+    graft.lang.RM.queryFrame(
+      """query(){[?c :c_name ?name]
+        |        [?c :profile ?p]
+        |        [?p :c_mktsegment 'BUILDING']
+        |        [?p :c_acctbal ?bal]
+        |        [($number(?bal) > 1000)]}($customer)""".stripMargin,
+      s, Map("customer" -> docs))
+      .orderBy("name", "bal")
+  }
+
   /** Persisted-shred round trip: write the customer docs' triple
     * store WITH provenance (Shred.shredWrite), read it back, query —
     * the read-back frame must regroup onto the document plan (pinned
@@ -189,6 +209,7 @@ object EavQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q_rm_nested" -> (qRmNested _),
     "q_eav_persist" -> (qEavPersist _),
     "q_eav_nested" -> (qEavNested _),
     "q_eav_direct" -> (qEavDirect _),
@@ -207,6 +228,11 @@ object EavQueries {
        |  ELSE CAST($col AS VARCHAR) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_rm_nested" ->
+      s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
+         |FROM customer
+         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+         |ORDER BY name, bal""".stripMargin,
     "q_eav_persist" ->
       s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
          |FROM customer

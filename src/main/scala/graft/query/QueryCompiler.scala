@@ -175,14 +175,22 @@ object QueryCompiler {
     * Planning happens in two tiers:
     *
     *  1. **Shred-aware regrouping** ([[regroupShredded]]): when every
-    *     source provably IS a shred of a document frame
-    *     (Shred.unshredSource) and every pattern names a constant,
-    *     shredded, top-level scalar attribute, the query compiles over
-    *     the DOCUMENTS (runDocsNative → runDocsBoxed): same-entity
-    *     patterns fuse into one projection, so the fact-scale triple
-    *     self-join disappears entirely (measured at sf100: the 2-
-    *     pattern whole-lineitem conjunction was 914 s / 26 GB shuffled
-    *     as an EAV self-join, vs the direct profile's in-band cost).
+    *     source provably IS a shred of a document frame — in-plan
+    *     (Shred.unshredSource) or a persisted artifact with verified
+    *     provenance (Shred.unshredPersisted) — and every pattern
+    *     resolves over the documents (constant shredded attributes,
+    *     including struct-ref CHAINS onto nested fields), the query
+    *     compiles over the DOCUMENTS (runDocsNative → runDocsBoxed).
+    *     Same-entity patterns fuse into one row-local projection when
+    *     the entity id provably determines the row (content-hash
+    *     ids); with an explicit user idCol they compile to the
+    *     duplicate-id-safe per-entity PRODUCT plan (one groupBy(id)
+    *     exchange — the exchange the Datalog distinct would have
+    *     paid). Either way the fact-scale triple self-join disappears
+    *     (measured at sf100: the 2-pattern whole-lineitem conjunction
+    *     was 914 s / 26 GB shuffled as an EAV self-join vs
+    *     157 s / 10.4 GB regrouped; the nested 3-pattern chain at
+    *     sf10: 65 s / 8.5 GB EAV vs 17 s / 2.2 GB).
     *  2. Otherwise the typed EAV route ([[runBoxedEav]]): each pattern
     *     frame encodes its bindings as [[TypedEnc]]'s four flat
     *     non-null columns (row-local, after the constant filters), the

@@ -606,6 +606,30 @@ class RMQuerySpec extends SparkSpec {
       org.apache.spark.sql.types.DoubleType, "overlay wins on conflict")
   }
 
+  test("text query over nested struct docs routes DIRECT (chain, no shred)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // round 16: struct-ref chains resolve on the direct path, so the
+    // frontend's nested-document queries skip the EAV detour entirely
+    val docs = Seq((1L, "Bob", "BUILDING", 1500.0),
+      (2L, "Ann", "AUTO", 500.0), (3L, "Cid", "BUILDING", 800.0))
+      .toDF("id", "name", "seg", "bal")
+      .select(col("id"), col("name"),
+        struct(col("seg"), col("bal")).as("profile"))
+    val got = RM.queryFrame(
+      """query(){[?c :name ?n]
+        |        [?c :profile ?p]
+        |        [?p :seg 'BUILDING']
+        |        [?p :bal ?b]
+        |        [($number(?b) > 1000)]}($d)""".stripMargin,
+      spark, Map("d" -> docs))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShredGenerator"),
+      s"nested text query must not shred:\n${plan.take(1200)}")
+    val rows = got.orderBy("n").collect().map(_.toString).toSeq
+    assert(rows == Seq("[Bob,1500]"), rows)
+  }
+
   test("$identities returns runnable query/express body strings") {
     val got = RM.eval(
       """$identities([{'id' : 123, 'aAttr' : {'val' : 'A-value'}}])"""
