@@ -139,9 +139,6 @@ object QueryCompiler {
     f.select(cols.result(): _*)
   }
 
-  private def vars(p: Pattern): Seq[String] =
-    Seq(p.e, p.a, p.v).collect { case V(n) => n }
-
   /** Run a query.
     *
     * @param sources    named triple frames (multi-source joins)
