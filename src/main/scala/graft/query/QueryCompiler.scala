@@ -477,12 +477,23 @@ object QueryCompiler {
     }
   }
 
-  private def fieldAt(st: org.apache.spark.sql.types.StructType,
-      path: Seq[String]): Option[DataType] = {
+  /** One hop of a chain path: a struct field, or an array-of-struct
+    * field (one sub-entity per ELEMENT — the shred emits per-element
+    * refs `parent/name/idx`).
+    */
+  private[query] final case class Step(name: String, array: Boolean)
+
+  /** The struct type of the chain node at `steps` (root = the row). */
+  private def structAt(st: org.apache.spark.sql.types.StructType,
+      steps: Seq[Step]): Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
-    path.foldLeft(Option(st: DataType)) {
-      case (Some(s: StructType), name) =>
-        s.fields.find(_.name == name).map(_.dataType)
+    steps.foldLeft(Option(st)) {
+      case (Some(s), Step(name, isArr)) =>
+        s.fields.find(_.name == name).map(_.dataType) match {
+          case Some(t: StructType) if !isArr => Some(t)
+          case Some(ArrayType(t: StructType, _)) if isArr => Some(t)
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -492,16 +503,23 @@ object QueryCompiler {
     */
   private def vtNameOf(dt: DataType): String = dt match {
     case _: org.apache.spark.sql.types.StructType => "ref"
+    case org.apache.spark.sql.types.ArrayType(
+      _: org.apache.spark.sql.types.StructType, _) => "ref"
     case _ => typeNameOf(dt)
   }
 
-  /** A pattern resolved against its group's root document frame. */
+  /** A pattern resolved against its group's root document frame.
+    * `multi`: the value column is an ARRAY of scalars (cardinality-
+    * many attribute — one triple per element); `dt` is then the
+    * ELEMENT type.
+    */
   private[query] final case class RPat(
       entVar: Option[String],          // entity var (None: C/W root)
-      entPath: Seq[String],            // struct path ([] = root doc)
+      entSteps: Seq[Step],             // chain path ([] = root doc)
       attr: String,
-      dt: DataType,                    // value column type
-      chainBind: Option[(String, Seq[String])], // binds chain var at path
+      dt: DataType,                    // value column (or element) type
+      multi: Boolean,
+      chainBind: Option[(String, Seq[Step])], // binds chain var at steps
       v: Term)
 
   /** One compilation group: all patterns reachable from one root
@@ -555,7 +573,7 @@ object QueryCompiler {
     // ---- fixpoint: which single-value-occurrence vars are CHAIN
     // vars (bound to a struct-ref sub-entity), and at what path ----
     val chainPath = scala.collection.mutable
-      .Map.empty[String, (String, Seq[String])] // var -> (src, path)
+      .Map.empty[String, (String, Seq[Step])] // var -> (src, steps)
     val plainValue = scala.collection.mutable.Set.empty[String]
     val candidates = vPats.collect {
       case (n, occ) if occ.size == 1 => n
@@ -568,7 +586,7 @@ object QueryCompiler {
       progress = false
       for (n <- candidates if !chainPath.contains(n) && !plainValue(n)) {
         val (p, _) = vPats(n).head
-        val parentPath: Option[Option[Seq[String]]] = p.e match {
+        val parentPath: Option[Option[Seq[Step]]] = p.e match {
           case C(_) | W => Some(Some(Nil))
           case V(m) =>
             if (m == n) Some(None) // self-reference: never a chain
@@ -586,13 +604,18 @@ object QueryCompiler {
           case Some(None) =>
             plainValue += n; progress = true
           case Some(Some(pp)) =>
-            val safe = fieldAt(sources(p.src).df.schema,
-              pp :+ attrOf(p))
-            safe match {
-              case Some(_: StructType)
-                  if ePats.getOrElse(n, Seq.empty)
-                    .forall(_._1.src == p.src) =>
-                chainPath(n) = (p.src, pp :+ attrOf(p))
+            val fdt = structAt(sources(p.src).df.schema, pp)
+              .flatMap(_.fields.find(_.name == attrOf(p)))
+              .map(_.dataType)
+            val eOk = ePats.getOrElse(n, Seq.empty)
+              .forall(_._1.src == p.src)
+            fdt match {
+              case Some(_: StructType) if eOk =>
+                chainPath(n) = (p.src, pp :+ Step(attrOf(p), false))
+              case Some(ArrayType(_: StructType, _)) if eOk =>
+                // array-of-struct: one sub-entity per element — the
+                // fused build explodes; product mode declines
+                chainPath(n) = (p.src, pp :+ Step(attrOf(p), true))
               case _ => plainValue += n
             }
             progress = true
@@ -627,37 +650,45 @@ object QueryCompiler {
       val a = attrOf(p)
       val schema = sources(p.src).df.schema
       if (a.contains("`")) return None
-      val (entVar, entPath) = p.e match {
+      val (entVar, entSteps) = p.e match {
         case V(n) => chainPath.get(n) match {
           case Some((s, pp)) =>
             if (s != p.src) return None
             (Some(n), pp)
-          case None => (Some(n), Seq.empty[String])
+          case None => (Some(n), Seq.empty[Step])
         }
-        case _ => (None, Seq.empty[String])
+        case _ => (None, Seq.empty[Step])
       }
-      if (entPath.isEmpty) {
+      if (entSteps.isEmpty) {
         // root-level: top-level field, not shadowed anywhere nested
         if (!schema.fields.exists(_.name == a)) return None
         if (schema.fields.exists(f => nestedFieldNamed(f.dataType, a)))
           return None
         if (schema.fields.exists(_.name.contains("`"))) return None
       }
-      val dt = fieldAt(schema, entPath :+ a).getOrElse(return None)
+      val fdt = structAt(schema, entSteps)
+        .flatMap(_.fields.find(_.name == a)).map(_.dataType)
+        .getOrElse(return None)
       val chainBind = p.v match {
         case V(n) => chainPath.get(n).map { case (_, pp) => (n, pp) }
         case _ => None
       }
-      dt match {
-        case _ if chainBind.isDefined => () // struct bound as sub-entity
+      val (dt, multi) = fdt match {
+        case _ if chainBind.isDefined => (fdt, false)
         case _: StructType => p.v match {
-          case C(_) | W => () // vt-gate false / existence filter
+          case C(_) | W => (fdt, false) // vt-gate false / existence
           case V(_) => return None
         }
-        case d if valueCanonSafe(d, strictCanon) => ()
+        case ArrayType(_: StructType, _) => p.v match {
+          case C(_) | W => (fdt, false) // ref-kind: false / has-element
+          case V(_) => return None
+        }
+        case ArrayType(et, _) if valueCanonSafe(et, strictCanon) =>
+          (et, true) // cardinality-many scalar: one triple per element
+        case d if valueCanonSafe(d, strictCanon) => (d, false)
         case _ => return None
       }
-      RPat(entVar, entPath, a, dt, chainBind, p.v)
+      RPat(entVar, entSteps, a, dt, multi, chainBind, p.v)
     }
 
     // ---- grouping: every pattern attaches to its ROOT entity ----
@@ -686,8 +717,8 @@ object QueryCompiler {
   private trait Binder {
     /** root entity binding from the id column */
     def ent(id: Column, varName: String): Column
-    /** chain (sub-entity) binding: deterministic sub-id off the id */
-    def chain(id: Column, path: Seq[String]): Column
+    /** chain (sub-entity) binding from the finished sub-id string */
+    def chain(subId: Column): Column
     /** scalar value binding */
     def value(c: Column, dt: DataType, varName: String): Column
     /** value binding inside a product-mode collect_set (native
@@ -705,9 +736,8 @@ object QueryCompiler {
   private final class BoxedBinder extends Binder {
     def ent(id: Column, varName: String): Column =
       struct(id.cast("string").as("v"), lit("ref").as("vt"))
-    def chain(id: Column, path: Seq[String]): Column =
-      struct(concat(id.cast("string"), lit(subIdSuffix(path))).as("v"),
-        lit("ref").as("vt"))
+    def chain(subId: Column): Column =
+      struct(subId.as("v"), lit("ref").as("vt"))
     def value(c: Column, dt: DataType, varName: String): Column =
       struct(canonCol(c, dt).as("v"), lit(vtNameOf(dt)).as("vt"))
   }
@@ -716,8 +746,7 @@ object QueryCompiler {
       extends Binder {
     def ent(id: Column, varName: String): Column =
       id.cast(travel(varName))
-    def chain(id: Column, path: Seq[String]): Column =
-      concat(id.cast("string"), lit(subIdSuffix(path)))
+    def chain(subId: Column): Column = subId
     def value(c: Column, dt: DataType, varName: String): Column =
       c.cast(travel(varName))
     override def setValue(c: Column, dt: DataType, varName: String)
@@ -748,11 +777,21 @@ object QueryCompiler {
     * DISTINCT value sets must fit executor memory — the same bound the
     * per-entity semantics impose on the reference itself.
     */
+  /** Does this group need lateral explodes (array chain hops, or
+    * cardinality-many scalar values with bindings)? Only the FUSED
+    * build supports them; callers decline such groups to the EAV plan
+    * when fusion isn't licensed.
+    */
+  private[query] def needsExplode(g: RGroup): Boolean =
+    g.pats.exists(rp =>
+      (rp.multi && rp.v.isInstanceOf[V]) ||
+        rp.entSteps.exists(_.array) ||
+        rp.chainBind.exists(_._2.exists(_.array)))
+
   private def buildGroup(src: DocSource, g: RGroup, bind: Binder)
       : (DataFrame, Boolean) = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
     val df = src.df
-    def fcol(path: Seq[String]): Column =
-      path.tail.foldLeft(col(quoteName(path.head)))(_.getField(_))
     val id = col(quoteName(src.idCol))
     val fuse = src.idFunctional || g.pats.size <= 1
     if (fuse) {
@@ -760,6 +799,7 @@ object QueryCompiler {
       val cols = Seq.newBuilder[Column]
       val seen = scala.collection.mutable
         .Map.empty[String, (Column, String)]
+      var gen = 0
       def bindVar(n: String, c: Column, vt: String): Unit =
         seen.get(n) match {
           case Some((prev, pvt)) =>
@@ -767,32 +807,97 @@ object QueryCompiler {
               else f.filter(lit(false))
           case None => seen(n) = (c, vt); cols += c.as(n)
         }
+      // materialize chain-node contexts parent-first: each node is a
+      // (sub-id string, element access) pair; an ARRAY hop laterally
+      // posexplodes the elements (null elements emit no sub-entity,
+      // and the POSITION keeps the shred's original element index)
+      val nodes: Seq[Seq[Step]] =
+        (g.pats.map(_.entSteps) ++ g.pats.flatMap(_.chainBind.map(_._2)))
+          .filter(_.nonEmpty).distinct.sortBy(_.size)
+      val ctx = scala.collection.mutable
+        .Map[Seq[Step], (Column, Option[Column])](
+          (Seq.empty[Step], (id.cast("string"), None)))
+      def fieldOf(node: Seq[Step], name: String): Column =
+        ctx(node)._2 match {
+          case None => col(quoteName(name))
+          case Some(elem) => elem.getField(name)
+        }
+      nodes.foreach { steps =>
+        val parent = steps.init
+        val pid = ctx(parent)._1
+        val st = steps.last
+        val src0 = fieldOf(parent, st.name)
+        if (st.array) {
+          val pn = s"__graft_pos$gen"
+          val en = s"__graft_elem$gen"
+          gen += 1
+          f = f.select(col("*"), posexplode(src0).as(Seq(pn, en)))
+            .filter(col(en).isNotNull)
+          ctx(steps) = (concat(pid, lit("/" + st.name + "/"),
+            col(pn).cast("string")), Some(col(en)))
+        } else {
+          ctx(steps) = (concat(pid, lit("/" + st.name)), Some(src0))
+        }
+      }
       g.root match {
         case V(n) => bindVar(n, bind.ent(id, n), "ref")
         case C(cid) => f = f.filter(id.cast("string") === cid.toString)
         case W => ()
       }
       g.pats.foreach { rp =>
-        val c = fcol(rp.entPath :+ rp.attr)
         rp.chainBind match {
-          case Some((n, path)) =>
-            f = f.filter(c.isNotNull)
-            bindVar(n, bind.chain(id, path), "ref")
-          case None => rp.v match {
-            case C(value) =>
-              val (cv, cvt) = canonConst(value)
-              f = if (vtNameOf(rp.dt) == cvt)
-                f.filter(canonCol(c, rp.dt) === cv)
-              else f.filter(lit(false))
-            case V(n) =>
-              f = f.filter(c.isNotNull)
-              bindVar(n, bind.value(c, rp.dt, n), vtNameOf(rp.dt))
-            case W => f = f.filter(c.isNotNull)
-          }
+          case Some((n, steps)) =>
+            // struct refs exist iff the struct is non-null; array refs'
+            // existence is the explode itself
+            if (!steps.last.array)
+              f = f.filter(fieldOf(steps.init, steps.last.name).isNotNull)
+            bindVar(n, bind.chain(ctx(steps)._1), "ref")
+          case None =>
+            val c = fieldOf(rp.entSteps, rp.attr)
+            if (rp.multi) rp.v match {
+              case C(value) =>
+                // cardinality-many: the entity matches iff ANY element
+                // does (one triple per element in the EAV form)
+                val (cv, cvt) = canonConst(value)
+                f = if (vtNameOf(rp.dt) == cvt)
+                  f.filter(exists(filter(c, _.isNotNull),
+                    e => canonCol(e, rp.dt) === cv))
+                else f.filter(lit(false))
+              case V(n) =>
+                val en = s"__graft_mval$gen"
+                gen += 1
+                f = f.select(col("*"),
+                  explode(filter(c, _.isNotNull)).as(en))
+                bindVar(n, bind.value(col(en), rp.dt, n),
+                  vtNameOf(rp.dt))
+              case W =>
+                f = f.filter(size(filter(c, _.isNotNull)) > 0)
+            } else rp.v match {
+              case C(value) =>
+                val (cv, cvt) = canonConst(value)
+                f = if (vtNameOf(rp.dt) == cvt)
+                  f.filter(canonCol(c, rp.dt) === cv)
+                else f.filter(lit(false))
+              case V(n) =>
+                f = f.filter(c.isNotNull)
+                bindVar(n, bind.value(c, rp.dt, n), vtNameOf(rp.dt))
+              case W => rp.dt match {
+                case ArrayType(_: StructType, _) =>
+                  // ref-array: triples exist iff some non-null element
+                  f = f.filter(size(filter(c, _.isNotNull)) > 0)
+                case _ => f = f.filter(c.isNotNull)
+              }
+            }
         }
       }
       (f.select(cols.result(): _*), false)
     } else {
+      // the caller guarantees no explode-needing patterns reach here
+      assert(!needsExplode(g), "product mode cannot explode arrays")
+      def pcol(steps: Seq[Step], name: String): Column = {
+        val names = steps.map(_.name) :+ name
+        names.tail.foldLeft(col(quoteName(names.head)))(_.getField(_))
+      }
       var pre = df
       g.root match {
         case C(cid) => pre = pre.filter(id.cast("string") === cid.toString)
@@ -807,7 +912,7 @@ object QueryCompiler {
       // set-column names (several when the var repeats in the group)
       sealed trait Bind
       case class EntB(n: String) extends Bind
-      case class ChainB(n: String, path: Seq[String]) extends Bind
+      case class ChainB(n: String, steps: Seq[Step]) extends Bind
       case class ValB(n: String) extends Bind
       val binds = Seq.newBuilder[Bind]
       val setsOf = scala.collection.mutable
@@ -817,12 +922,28 @@ object QueryCompiler {
         case _ => ()
       }
       g.pats.zipWithIndex.foreach { case (rp, j) =>
-        val c = fcol(rp.entPath :+ rp.attr)
+        val c = pcol(rp.entSteps, rp.attr)
         rp.chainBind match {
-          case Some((n, path)) =>
+          case Some((n, steps)) =>
             aggs += max(c.isNotNull).as(s"__c$j")
             conds += s"__c$j"
-            binds += ChainB(n, path)
+            binds += ChainB(n, steps)
+          case None if rp.multi => rp.v match {
+            case C(value) =>
+              // cardinality-many existence: any element of any row
+              val (cv, cvt) = canonConst(value)
+              if (vtNameOf(rp.dt) == cvt) {
+                aggs += max(exists(filter(c, _.isNotNull),
+                  e => canonCol(e, rp.dt) === cv)).as(s"__c$j")
+                conds += s"__c$j"
+              } else falseGroup = true
+            case W =>
+              aggs += max(size(filter(c, _.isNotNull)) > 0).as(s"__c$j")
+              conds += s"__c$j"
+            case V(_) =>
+              throw new IllegalStateException(
+                "multi value binding requires the fused build")
+          }
           case None => rp.v match {
             case C(value) =>
               val (cv, cvt) = canonConst(value)
@@ -842,9 +963,15 @@ object QueryCompiler {
                   setsOf(n) = (Seq(s"__s$j"), vt)
                   binds += ValB(n)
               }
-            case W =>
-              aggs += max(c.isNotNull).as(s"__c$j")
-              conds += s"__c$j"
+            case W => rp.dt match {
+              case org.apache.spark.sql.types.ArrayType(
+                  _: org.apache.spark.sql.types.StructType, _) =>
+                aggs += max(size(filter(c, _.isNotNull)) > 0).as(s"__c$j")
+                conds += s"__c$j"
+              case _ =>
+                aggs += max(c.isNotNull).as(s"__c$j")
+                conds += s"__c$j"
+            }
           }
         }
       }
@@ -859,7 +986,9 @@ object QueryCompiler {
       }
       val bindCols = binds.result().map {
         case EntB(n) => bind.ent(col(gk), n).as(n)
-        case ChainB(n, path) => bind.chain(col(gk), path).as(n)
+        case ChainB(n, steps) => bind.chain(concat(
+          col(gk).cast("string"),
+          lit(subIdSuffix(steps.map(_.name))))).as(n)
         case ValB(n) => col(n)
       }
       (out.select(bindCols: _*), bindCols.nonEmpty)
@@ -940,6 +1069,11 @@ object QueryCompiler {
     require(patterns.nonEmpty, "query{} needs at least one pattern")
     val groups = resolveGroups(sources, patterns, strictCanon)
       .getOrElse(return None)
+    // array hops / cardinality-many bindings need the fused (lateral
+    // explode) build — licensed by row-functional ids or a single
+    // pattern; otherwise the always-sound EAV plan serves the query
+    if (groups.exists(g => needsExplode(g) &&
+      !(sources(g.src).idFunctional || g.pats.size <= 1))) return None
     val built = groups.map(g =>
       buildGroup(sources(g.src), g, new BoxedBinder))
     val joined = built.map(_._1).reduceLeft { (acc, next) =>
@@ -1012,6 +1146,8 @@ object QueryCompiler {
     require(patterns.nonEmpty, "query{} needs at least one pattern")
     val groups = resolveGroups(sources, patterns, strictCanon)
       .getOrElse(return None)
+    if (groups.exists(g => needsExplode(g) &&
+      !(sources(g.src).idFunctional || g.pats.size <= 1))) return None
 
     val chainVars = groups.flatMap(_.pats.flatMap(_.chainBind))
       .map(_._1).toSet

@@ -125,6 +125,61 @@ object RegroupDiff {
       Seq(Pattern(V("e"), C("a"), V("x")),
         Pattern(V("e"), C("b"), V("y"))))
 
+    // (4) array shapes (r16: fused-only — content-hash ids)
+    val pets = spark.read.json(Seq(
+      """{"id": 1, "name": "Bob",
+         "pets": [{"pn": "Rex", "age": 3}, {"pn": "Ada", "age": 1}],
+         "tags": ["a", "b"]}""",
+      """{"id": 2, "name": "Ann", "pets": [],
+         "tags": []}""",
+      """{"id": 3, "name": "Cid",
+         "pets": [null, {"pn": "Taz", "age": 3}],
+         "tags": ["b", null, "2"]}""").toDS())
+    countsNoId("array chain one child", pets,
+      Seq(Pattern(V("c"), C("name"), V("n")),
+        Pattern(V("c"), C("pets"), V("p")),
+        Pattern(V("p"), C("pn"), V("pname"))))
+    countsNoId("array chain two children", pets,
+      Seq(Pattern(V("c"), C("pets"), V("p")),
+        Pattern(V("p"), C("pn"), V("pname")),
+        Pattern(V("p"), C("age"), V("a"))))
+    countsNoId("array chain ref-only", pets,
+      Seq(Pattern(V("c"), C("pets"), V("p"))))
+    countsNoId("array chain constant filter", pets,
+      Seq(Pattern(V("c"), C("pets"), V("p")),
+        Pattern(V("p"), C("age"), C(3L)),
+        Pattern(V("c"), C("name"), V("n"))))
+    countsNoId("scalar-array value var", pets,
+      Seq(Pattern(V("c"), C("name"), V("n")),
+        Pattern(V("c"), C("tags"), V("t"))))
+    countsNoId("scalar-array constant", pets,
+      Seq(Pattern(V("c"), C("tags"), C("b")),
+        Pattern(V("c"), C("name"), V("n"))))
+    countsNoId("scalar-array kind-mismatch const", pets,
+      Seq(Pattern(V("c"), C("tags"), C(2L)),
+        Pattern(V("c"), C("name"), V("n"))))
+    countsNoId("scalar-array wildcard", pets,
+      Seq(Pattern(V("c"), C("tags"), W),
+        Pattern(V("c"), C("name"), V("n"))))
+    countsNoId("ref-array wildcard value", pets,
+      Seq(Pattern(V("c"), C("pets"), W),
+        Pattern(V("c"), C("name"), V("n"))))
+    // idCol regime: array shapes must DECLINE to EAV (still equal)
+    counts("idCol array chain declines to EAV", pets, "id",
+      Seq(Pattern(V("c"), C("pets"), V("p")),
+        Pattern(V("p"), C("pn"), V("pname")),
+        Pattern(V("c"), C("name"), V("n"))))
+    // struct nested INSIDE array elements, one level deeper
+    val deepArr = spark.read.json(Seq(
+      """{"id": 1, "rooms": [{"label": "a",
+           "size": {"w": 3, "h": 4}}, {"label": "b",
+           "size": {"w": 5, "h": 6}}]}""").toDS())
+    countsNoId("struct under array element", deepArr,
+      Seq(Pattern(V("c"), C("rooms"), V("r")),
+        Pattern(V("r"), C("label"), V("l")),
+        Pattern(V("r"), C("size"), V("s")),
+        Pattern(V("s"), C("w"), V("w"))))
+
     spark.stop()
   }
 }

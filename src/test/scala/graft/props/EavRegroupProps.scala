@@ -60,6 +60,13 @@ object EavRegroupProps extends Properties("graft.query.regroup") {
             st.fields.toSeq.map(f => fieldGen(f.dataType)))
             .map(Row.fromSeq),
           1 -> Gen.const(null))
+      case ArrayType(et, _) =>
+        Gen.frequency(
+          4 -> Gen.choose(0, 3).flatMap(k =>
+            Gen.sequence[Seq[Any], Any](
+              (0 until k).map(_ => Gen.frequency(
+                4 -> fieldGen(et), 1 -> Gen.const(null))))),
+          1 -> Gen.const(null))
       case d => valueGen(d)
     }
     for {
@@ -84,10 +91,16 @@ object EavRegroupProps extends Properties("graft.query.regroup") {
       else leaves
       StructType(all)
     }
+    withArr <- Gen.frequency(1 -> true, 1 -> false)
     schema = StructType(
       StructField("rid", LongType, nullable = false) +:
         (Seq(StructField("p", pDt), StructField("q", qDt)) ++
-          (if (withStruct) Seq(StructField("s", structType)) else Nil)))
+          (if (withStruct) Seq(StructField("s", structType)) else Nil) ++
+          (if (withArr) Seq(
+            StructField("arr", ArrayType(
+              StructType(Seq(StructField("m", LongType),
+                StructField("o", StringType))))),
+            StructField("tags", ArrayType(StringType))) else Nil)))
     // idPool < nRows forces duplicate entity ids
     nRows <- Gen.choose(1, 10)
     idPool <- Gen.choose(1, 4)
@@ -121,6 +134,19 @@ object EavRegroupProps extends Properties("graft.query.regroup") {
         Seq("p", "q").take(nFlat).map { a =>
           vTerm(doc.schema(a).dataType).map(v => Pattern(eTerm, C(a), v))
         })
+      arrChain <- if (!doc.schema.fieldNames.contains("arr"))
+          Gen.const(Seq.empty[Pattern])
+        else Gen.frequency(
+          2 -> Gen.const(Seq.empty[Pattern]),
+          1 -> Gen.oneOf[Seq[Pattern]](
+            Seq(Pattern(eTerm, C("arr"), V("a0")),
+              Pattern(V("a0"), C("m"), V("am"))),
+            Seq(Pattern(eTerm, C("arr"), V("a0")),
+              Pattern(V("a0"), C("m"), V("am")),
+              Pattern(V("a0"), C("o"), V("ao"))),
+            Seq(Pattern(eTerm, C("tags"), V("tg"))),
+            Seq(Pattern(eTerm, C("tags"), C("a"))),
+            Seq(Pattern(eTerm, C("tags"), W))))
       chain <- if (!hasStruct) Gen.const(Seq.empty[Pattern])
         else for {
           useChain <- Gen.frequency(2 -> true, 1 -> false)
@@ -140,7 +166,7 @@ object EavRegroupProps extends Properties("graft.query.regroup") {
             else Gen.const(Seq.empty[Pattern])
           } yield Pattern(eTerm, C("s"), V("s0")) +: (subs ++ deepPat)
         } yield res
-      pats = flat ++ chain
+      pats = flat ++ chain ++ arrChain
       if pats.nonEmpty
     } yield pats
   }
@@ -155,7 +181,9 @@ object EavRegroupProps extends Properties("graft.query.regroup") {
           spark.sparkContext.parallelize(doc.rows, 2), doc.schema)
         val dupIds = doc.rows.groupBy(_.getLong(0))
           .exists(_._2.size > 1)
-        val hasChain = pats.exists(_.v == V("s0"))
+        val hasChain = pats.exists(p =>
+          p.v == V("s0") || p.v == V("a0") ||
+            (p.a == C("tags")))
         classify(dupIds, "dupIds", "uniqueIds") {
           classify(hasChain, "chain", "flat") {
             // explicit idCol: duplicates possible → product plans

@@ -187,6 +187,49 @@ class EavRegroupSpec extends SparkSpec {
       Pattern(V("e"), C("name"), V("n"))), expectRegroup = false)
   }
 
+  test("array-of-struct chains and cardinality-many values regroup (fused)") {
+    // the reference's array-shaped nested documents (pets/devices,
+    // query_test.cljc): one sub-entity per ELEMENT with the shred's
+    // original element index in the sub-id. Fused-only (r16): licensed
+    // by content-hash ids; the explicit-idCol shred declines to EAV.
+    val pets = spark.read.json(Seq(
+      """{"id": 1, "name": "Bob",
+         "pets": [{"pn": "Rex", "age": 3}, {"pn": "Ada", "age": 1}],
+         "tags": ["a", "b"]}""",
+      """{"id": 2, "name": "Ann", "pets": [], "tags": []}""",
+      """{"id": 3, "name": "Cid",
+         "pets": [null, {"pn": "Taz", "age": 3}],
+         "tags": ["b", null, "2"]}""").toDS())
+    val chain = Seq(
+      Pattern(V("c"), C("name"), V("n")),
+      Pattern(V("c"), C("pets"), V("p")),
+      Pattern(V("p"), C("pn"), V("pname")))
+    check(Map("default" -> Shred.shred(pets)), chain,
+      expectRegroup = true, keepDBid = true)
+    // two children of one element conjoin per sub-entity; null
+    // elements emit nothing; the sub-id keeps the original index
+    check(Map("default" -> Shred.shred(pets)), Seq(
+      Pattern(V("c"), C("pets"), V("p")),
+      Pattern(V("p"), C("pn"), V("pname")),
+      Pattern(V("p"), C("age"), V("a"))), expectRegroup = true,
+      keepDBid = true)
+    // cardinality-many scalar values: element bindings, existence
+    // constants (any element), wildcards (some non-null element)
+    check(Map("default" -> Shred.shred(pets)), Seq(
+      Pattern(V("c"), C("name"), V("n")),
+      Pattern(V("c"), C("tags"), V("t"))), expectRegroup = true)
+    check(Map("default" -> Shred.shred(pets)), Seq(
+      Pattern(V("c"), C("tags"), C("b")),
+      Pattern(V("c"), C("name"), V("n"))), expectRegroup = true)
+    check(Map("default" -> Shred.shred(pets)), Seq(
+      Pattern(V("c"), C("tags"), W),
+      Pattern(V("c"), C("name"), V("n"))), expectRegroup = true)
+    // the explicit-idCol regime cannot prove row-determinism, and the
+    // product build cannot explode — EAV serves the query, still equal
+    check(Map("default" -> Shred.shred(pets, Some("id"))), chain,
+      expectRegroup = false)
+  }
+
   test("persisted shreds regroup via write-time provenance; tampering declines") {
     val base = "/tmp/graft_regroup_spec_persist"
     docs.write.mode("overwrite").parquet(s"$base/docs")
