@@ -40,10 +40,16 @@ object EavQueries {
     * (reference query_test.cljc:575-675).
     */
   def qEavJoin(s: SparkSession, d: String): DataFrame = {
-    val orders = Shred.shredAttrs(Tables.orders(s, d), Some("o_orderkey"),
-      Seq("o_orderpriority", "o_custkey"))
-    val customer = Shred.shredAttrs(Tables.customer(s, d), Some("c_custkey"),
-      Seq("c_custkey", "c_name"))
+    // shredAttrsVerified: o_orderkey/c_custkey are primary keys, but
+    // the fused row-local plan needs PROOF, not assumption — the
+    // verified twin pays one write-time count-distinct per source and
+    // tags the shred idFunctional, so multi-pattern groups skip the
+    // duplicate-id product plan's groupBy(id) exchange (round-16 watch
+    // item 1; the duplicate-id tier keeps its own gate, q_eav_product)
+    val orders = Shred.shredAttrsVerified(Tables.orders(s, d),
+      "o_orderkey", Seq("o_orderpriority", "o_custkey"))
+    val customer = Shred.shredAttrsVerified(Tables.customer(s, d),
+      "c_custkey", Seq("c_custkey", "c_name"))
     QueryCompiler.run(
       Map("orders" -> orders, "customer" -> customer),
       Seq(
@@ -208,7 +214,31 @@ object EavQueries {
       .orderBy("name")
   }
 
+  /** The duplicate-id-safe PRODUCT tier's own oracle gate (round 17):
+    * lineitem shredded by l_orderkey — genuinely duplicate ids (one
+    * entity per ORDER, several lines each) with no uniqueness proof,
+    * so multi-pattern groups compile to the per-entity groupBy plan
+    * (collect_set aggregates + explodes). The EAV semantics this must
+    * reproduce: the constant pattern admits an entity if ANY of its
+    * rows matches, and the two value qvars bind the per-entity CROSS
+    * PRODUCT of distinct value sets — not the row-local zip. Keeps the
+    * product plan oracle-pinned and benched now that q_eav_join's
+    * proven-key sources fuse (round-16 next-round item 4).
+    */
+  def qEavProduct(s: SparkSession, d: String): DataFrame = {
+    val li = Shred.shredAttrs(Tables.lineitem(s, d), Some("l_orderkey"),
+      Seq("l_linestatus", "l_returnflag", "l_linenumber"))
+    QueryCompiler.run(
+      Map("default" -> li),
+      Seq(
+        Pattern(V("o"), C("l_linestatus"), C("F")),
+        Pattern(V("o"), C("l_returnflag"), V("f")),
+        Pattern(V("o"), C("l_linenumber"), V("n"))))
+      .orderBy("f", "n")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_eav_product" -> (qEavProduct _),
     "q_rm_nested" -> (qRmNested _),
     "q_eav_persist" -> (qEavPersist _),
     "q_eav_nested" -> (qEavNested _),
@@ -228,6 +258,20 @@ object EavQueries {
        |  ELSE CAST($col AS VARCHAR) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per entity (= orderkey): distinct over (o, f, n) joined on the
+    // shared entity — the Datalog per-entity cross product — THEN the
+    // entity column is dropped, so per-entity duplicates of (f, n)
+    // across orderkeys survive (builtin.cljc:1752-1758 semantics, as
+    // in q_eav_join's oracle)
+    "q_eav_product" ->
+      """SELECT f, n FROM (
+        |  SELECT DISTINCT a.l_orderkey,
+        |    a.l_returnflag AS f,
+        |    CAST(b.l_linenumber AS VARCHAR) AS n
+        |  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+        |  WHERE a.l_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'))
+        |ORDER BY f, n""".stripMargin,
     "q_rm_nested" ->
       s"""SELECT c_name AS name, ${canonNum("c_acctbal")} AS bal
          |FROM customer

@@ -244,11 +244,19 @@ object QueryCompiler {
     }
     if (det.values.exists(_.isEmpty)) return None
     val ent = "__graft_regroup_e"
+    // the synthetic id column is projected into the frame pattern
+    // resolution sees, so a pattern whose constant attribute is
+    // literally the synthetic name would bind entity ids here while
+    // the EAV authority (no such triples) returns empty — decline
+    // (round-16 ADVICE)
+    if (patterns.exists(_.a.asInstanceOf[C].value.toString == ent))
+      return None
     val docs = det.map { case (n, d) =>
       import org.apache.spark.sql.catalyst.expressions.{Cast,
         KnownNotNull}
       import org.apache.spark.sql.graftglue.ColumnGlue
-      val (doc, eExpr, shredded) = d.get
+      val graft.shred.Shred.UnshredInfo(doc, eExpr, shredded, proven) =
+        d.get
       if (doc.columns.contains(ent)) return None
       // keep the id native when the cast to the shred's string id is
       // the identity canon (integral inner) — the native path's
@@ -279,8 +287,12 @@ object QueryCompiler {
       val keep = doc.columns.filter(shredded.contains).toSeq
       val projected = base.withColumn(ent, ColumnGlue.column(guarded))
         .select((ent +: keep).map(c => col(quoteName(c))): _*)
+      // fused-plan license: a content-hash id (equal ids imply equal
+      // rows by construction) OR a write-time uniqueness proof carried
+      // by the shred (ShredGenerator.idFunctional / the persisted
+      // sidecar's idUnique — Shred.shredVerified, Shred.shredWrite)
       n -> DocSource(projected, ent,
-        idFunctional = contentHashId(idExpr,
+        idFunctional = proven || contentHashId(idExpr,
           doc.queryExecution.analyzed.output))
     }
     runDocsNative(docs, patterns, predicates, keepDBid,
@@ -422,10 +434,13 @@ object QueryCompiler {
       idFunctional: Boolean = false)
 
   /** Backtick-quoted column name (exact resolution — a dotted name
-    * must not be parsed as a struct path). Names containing backticks
-    * are declined in resolution.
+    * must not be parsed as a struct path). Inner backticks are doubled
+    * (the quoted-identifier escape), so regroupShredded's eager keep
+    * projection never throws on such names; PATTERNS over them still
+    * decline in resolution (conservative — round-16 ADVICE).
     */
-  private def quoteName(n: String): String = "`" + n + "`"
+  private def quoteName(n: String): String =
+    "`" + n.replace("`", "``") + "`"
 
   /** Value column types the direct path can canonicalize. Strict
     * mode (the regroup tier) additionally excludes date/timestamp:
@@ -799,7 +814,15 @@ object QueryCompiler {
       val cols = Seq.newBuilder[Column]
       val seen = scala.collection.mutable
         .Map.empty[String, (Column, String)]
-      var gen = 0
+      // generated explode-column names must not collide with doc
+      // columns (the __gk discipline — round-16 ADVICE); names picked
+      // so far stay reserved because f accumulates them
+      val used = scala.collection.mutable.Set(df.columns: _*)
+      def fresh(pfx: String): String = {
+        val n = Iterator.from(0).map(i => s"__graft_$pfx$i")
+          .find(s => !used(s)).get
+        used += n; n
+      }
       def bindVar(n: String, c: Column, vt: String): Unit =
         seen.get(n) match {
           case Some((prev, pvt)) =>
@@ -828,9 +851,8 @@ object QueryCompiler {
         val st = steps.last
         val src0 = fieldOf(parent, st.name)
         if (st.array) {
-          val pn = s"__graft_pos$gen"
-          val en = s"__graft_elem$gen"
-          gen += 1
+          val pn = fresh("pos")
+          val en = fresh("elem")
           f = f.select(col("*"), posexplode(src0).as(Seq(pn, en)))
             .filter(col(en).isNotNull)
           ctx(steps) = (concat(pid, lit("/" + st.name + "/"),
@@ -864,8 +886,7 @@ object QueryCompiler {
                     e => canonCol(e, rp.dt) === cv))
                 else f.filter(lit(false))
               case V(n) =>
-                val en = s"__graft_mval$gen"
-                gen += 1
+                val en = fresh("mval")
                 f = f.select(col("*"),
                   explode(filter(c, _.isNotNull)).as(en))
                 bindVar(n, bind.value(col(en), rp.dt, n),
@@ -903,8 +924,21 @@ object QueryCompiler {
         case C(cid) => pre = pre.filter(id.cast("string") === cid.toString)
         case _ => ()
       }
+      // group-key and aggregate alias names must dodge BOTH doc
+      // columns and the group's qvar names (a var named "__gk0" or
+      // "__c0" would otherwise collide with the synthetic columns the
+      // product plan threads through withColumn/select)
+      val varNames: Set[String] =
+        ((g.root match { case V(n) => Seq(n); case _ => Nil }) ++
+          g.pats.flatMap(rp => rp.chainBind.map(_._1).toSeq ++
+            (rp.v match {
+              case V(n) if rp.chainBind.isEmpty => Seq(n)
+              case _ => Nil
+            }))).toSet
       val gk = Iterator.from(0).map(i => s"__gk$i")
-        .find(n => !df.columns.contains(n)).get
+        .find(n => !df.columns.contains(n) && !varNames.contains(n)).get
+      val pfx = Iterator.from(0).map(i => s"__gp$i~")
+        .find(p => !varNames.exists(_.startsWith(p))).get
       val aggs = Seq.newBuilder[Column]
       val conds = Seq.newBuilder[String]
       var falseGroup = false
@@ -925,8 +959,8 @@ object QueryCompiler {
         val c = pcol(rp.entSteps, rp.attr)
         rp.chainBind match {
           case Some((n, steps)) =>
-            aggs += max(c.isNotNull).as(s"__c$j")
-            conds += s"__c$j"
+            aggs += max(c.isNotNull).as(s"${pfx}c$j")
+            conds += s"${pfx}c$j"
             binds += ChainB(n, steps)
           case None if rp.multi => rp.v match {
             case C(value) =>
@@ -934,12 +968,12 @@ object QueryCompiler {
               val (cv, cvt) = canonConst(value)
               if (vtNameOf(rp.dt) == cvt) {
                 aggs += max(exists(filter(c, _.isNotNull),
-                  e => canonCol(e, rp.dt) === cv)).as(s"__c$j")
-                conds += s"__c$j"
+                  e => canonCol(e, rp.dt) === cv)).as(s"${pfx}c$j")
+                conds += s"${pfx}c$j"
               } else falseGroup = true
             case W =>
-              aggs += max(size(filter(c, _.isNotNull)) > 0).as(s"__c$j")
-              conds += s"__c$j"
+              aggs += max(size(filter(c, _.isNotNull)) > 0).as(s"${pfx}c$j")
+              conds += s"${pfx}c$j"
             case V(_) =>
               throw new IllegalStateException(
                 "multi value binding requires the fused build")
@@ -948,29 +982,29 @@ object QueryCompiler {
             case C(value) =>
               val (cv, cvt) = canonConst(value)
               if (vtNameOf(rp.dt) == cvt) {
-                aggs += max(canonCol(c, rp.dt) === cv).as(s"__c$j")
-                conds += s"__c$j"
+                aggs += max(canonCol(c, rp.dt) === cv).as(s"${pfx}c$j")
+                conds += s"${pfx}c$j"
               } else falseGroup = true
             case V(n) =>
               val vt = vtNameOf(rp.dt)
               aggs += collect_set(when(c.isNotNull,
-                bind.setValue(c, rp.dt, n))).as(s"__s$j")
+                bind.setValue(c, rp.dt, n))).as(s"${pfx}s$j")
               setsOf.get(n) match {
                 case Some((ss, pvt)) =>
                   if (pvt != vt) falseGroup = true
-                  else setsOf(n) = (ss :+ s"__s$j", pvt)
+                  else setsOf(n) = (ss :+ s"${pfx}s$j", pvt)
                 case None =>
-                  setsOf(n) = (Seq(s"__s$j"), vt)
+                  setsOf(n) = (Seq(s"${pfx}s$j"), vt)
                   binds += ValB(n)
               }
             case W => rp.dt match {
               case org.apache.spark.sql.types.ArrayType(
                   _: org.apache.spark.sql.types.StructType, _) =>
-                aggs += max(size(filter(c, _.isNotNull)) > 0).as(s"__c$j")
-                conds += s"__c$j"
+                aggs += max(size(filter(c, _.isNotNull)) > 0).as(s"${pfx}c$j")
+                conds += s"${pfx}c$j"
               case _ =>
-                aggs += max(c.isNotNull).as(s"__c$j")
-                conds += s"__c$j"
+                aggs += max(c.isNotNull).as(s"${pfx}c$j")
+                conds += s"${pfx}c$j"
             }
           }
         }

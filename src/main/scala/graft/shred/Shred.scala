@@ -143,12 +143,50 @@ object Shred {
     * array materialization) — the faster form for wide rows; output is
     * bit-identical to `shred`.
     */
-  def shredGen(df: DataFrame, idCol: Option[String] = None): DataFrame = {
+  def shredGen(df: DataFrame, idCol: Option[String] = None): DataFrame =
+    shredGenTagged(df, idCol, idFunctional = false)
+
+  private def shredGenTagged(df: DataFrame, idCol: Option[String],
+      idFunctional: Boolean): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnGlue
     val e = entityId(df, idCol)
     val row = struct(df.schema.fieldNames.map(col).toSeq: _*)
     df.select(ColumnGlue.column(ShredGenerator(
-      ColumnGlue.expression(struct(e.as("e"), row.as("row"))))))
+      ColumnGlue.expression(struct(e.as("e"), row.as("row"))),
+      idFunctional)))
+  }
+
+  /** Is `idCol`'s NON-NULL value set duplicate-free in `df`? One exact
+    * count / count-distinct aggregate — an ACTION at call time (null
+    * ids are excluded on both sides because the shred emits nothing
+    * for them). The proof holds for the frame's current snapshot; like
+    * any non-transactional Spark read, files rewritten underneath a
+    * live plan void it.
+    */
+  def idUnique(df: DataFrame, idCol: String): Boolean = {
+    val r = df.agg(count(col(idCol)), count_distinct(col(idCol))).head()
+    r.getLong(0) == r.getLong(1)
+  }
+
+  /** [[shred]] with a WRITE-TIME uniqueness proof for the explicit id
+    * column: pays one count-distinct aggregate over `df` now and, when
+    * the ids prove duplicate-free, tags the generator `idFunctional`
+    * so the regroup tier licenses the fused row-local plan (scan-only)
+    * instead of the duplicate-id-safe per-entity product plan (one
+    * groupBy(id) exchange). Ids with duplicates shred identically but
+    * stay on the product plan — proof, not assumption, either way.
+    */
+  def shredVerified(df: DataFrame, idCol: String): DataFrame =
+    shredGenTagged(df, Some(idCol), idUnique(df, idCol))
+
+  /** [[shredAttrs]] twin of [[shredVerified]]: narrow first (the proof
+    * aggregate then scans only the id column of the narrowed frame).
+    */
+  def shredAttrsVerified(df: DataFrame, idCol: String,
+      attrs: Seq[String]): DataFrame = {
+    val narrowed =
+      df.select((idCol +: attrs).distinct.map(col): _*)
+    shredGenTagged(narrowed, Some(idCol), idUnique(narrowed, idCol))
   }
 
   /** Entity id column: the caller's idCol, else a content-derived
@@ -198,11 +236,29 @@ object Shred {
 
   // ---------- persisted shreds with provenance ----------
 
+  /** What the unshred hooks recover from a shredded frame: the
+    * document frame, the (resolved) entity-id expression, the shredded
+    * top-level attribute names, and whether the id PROVABLY determines
+    * the document row (write-time uniqueness proof — content-hash ids
+    * are detected separately by the caller).
+    */
+  final case class UnshredInfo(doc: DataFrame,
+      idExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+      shredded: Set[String], idFunctional: Boolean)
+
   private case class ShredMeta(docPath: String, idCol: Option[String],
-      docFiles: Seq[Seq[String]], tripleFiles: Seq[Seq[String]])
+      docFiles: Seq[Seq[String]], tripleFiles: Seq[Seq[String]],
+      idUnique: Option[Boolean] = None)
 
   private val MetaFile = "_graft_shred.json"
 
+  /** (path, length, mtime) per data file. mtime matters: an in-place
+    * rewrite that preserves the byte length — external compaction or
+    * touch-up tooling; Spark itself always writes new names — would
+    * pass a name+size check while the bytes diverge from what the
+    * sidecar's writer saw (round-16 ADVICE). Filesystems bump mtime on
+    * any rewrite, so including it fails such edits too.
+    */
   private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Seq[String]] = {
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -213,7 +269,8 @@ object Shred {
       val f = it.next()
       val name = f.getPath.getName
       if (!name.startsWith("_") && !name.startsWith("."))
-        out += Seq(f.getPath.toUri.getPath, f.getLen.toString)
+        out += Seq(f.getPath.toUri.getPath, f.getLen.toString,
+          f.getModificationTime.toString)
     }
     out.result().sortBy(_.head)
   }
@@ -238,12 +295,19 @@ object Shred {
     val docFiles = listDataFiles(spark, docPath)
     shred(docs, idCol).write.mode("overwrite")
       .partitionBy("a").parquet(outPath)
+    // prove id uniqueness ONCE, at write time (one count-distinct
+    // aggregate over the id column — marginal next to the shred write
+    // itself), and record the verdict: every later query over the
+    // artifact inherits the fused-plan license without re-scanning.
+    // The snapshot check below is what keeps the proof valid — any
+    // change to the document files declines the whole regroup.
+    val unique = idCol.map(c => idUnique(docs, c))
     val meta = ShredMeta(
       new org.apache.hadoop.fs.Path(docPath).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
         .makeQualified(new org.apache.hadoop.fs.Path(docPath))
         .toUri.getPath,
-      idCol, docFiles, listDataFiles(spark, outPath))
+      idCol, docFiles, listDataFiles(spark, outPath), unique)
     val metaPath = new org.apache.hadoop.fs.Path(outPath, MetaFile)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
@@ -270,9 +334,7 @@ object Shred {
     * written to parquet and read back — the deployment shape — could
     * never regroup and were stuck on the EAV tier forever.
     */
-  def unshredPersisted(triples: DataFrame)
-      : Option[(DataFrame, org.apache.spark.sql.catalyst.expressions
-        .Expression, Set[String])] = {
+  def unshredPersisted(triples: DataFrame): Option[UnshredInfo] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{
@@ -327,7 +389,8 @@ object Shred {
       val resolved = docs.select(idColumn.as("__graft_id"))
         .queryExecution.analyzed.asInstanceOf[Project]
         .projectList.head.asInstanceOf[Alias].child
-      (docs, resolved, docs.columns.toSet)
+      UnshredInfo(docs, resolved, docs.columns.toSet,
+        meta.idUnique.getOrElse(false))
     }
   }
 
@@ -352,9 +415,7 @@ object Shred {
     *
     * Anything else returns None and the caller keeps the EAV form.
     */
-  def unshredSource(triples: DataFrame)
-      : Option[(DataFrame, org.apache.spark.sql.catalyst.expressions
-        .Expression, Set[String])] = {
+  def unshredSource(triples: DataFrame): Option[UnshredInfo] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical._
     def strip(e: Expression): Expression = e match {
@@ -393,10 +454,11 @@ object Shred {
                 case _ => return None
               }
               if (names.distinct.size != names.size) None
-              else Some((
+              else Some(UnshredInfo(
                 org.apache.spark.sql.graftglue.ColumnGlue.dataFrame(
                   triples.sparkSession, g.child),
-                eExpr, names.toSet))
+                eExpr, names.toSet,
+                g.generator.asInstanceOf[ShredGenerator].idFunctional))
             case _ => None
           }
         case _ => None

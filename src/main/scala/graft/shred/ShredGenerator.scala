@@ -14,8 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * straight walk appending to a reused buffer.
   *
   * child must be a struct of (entityId: string, row: struct<...>).
+  *
+  * `idFunctional`: evaluation-inert tag set by [[Shred.shredVerified]]
+  * after PROVING (one exact count-distinct action at shred time) that
+  * the explicit id column is duplicate-free, i.e. functionally
+  * determines the document row. [[Shred.unshredSource]] surfaces it so
+  * the regroup tier may license the fused row-local plan for key-id
+  * shreds instead of the duplicate-id-safe per-entity product plan.
   */
-case class ShredGenerator(child: Expression)
+case class ShredGenerator(child: Expression,
+    idFunctional: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -154,7 +162,7 @@ case class ShredGenerator(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression)
-      : ShredGenerator = copy(c)
+      : ShredGenerator = copy(child = c)
 }
 
 object ShredGenerator {

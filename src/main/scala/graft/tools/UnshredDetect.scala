@@ -15,8 +15,9 @@ object UnshredDetect {
     println("=== analyzed ===")
     println(t.queryExecution.analyzed.toString.take(3000))
     println("=== detect ===")
-    println(Shred.unshredSource(t).map { case (df, e, names) =>
-      s"doc=${df.columns.mkString(",")} e=$e names=$names"
+    println(Shred.unshredSource(t).map { u =>
+      s"doc=${u.doc.columns.mkString(",")} e=${u.idExpr} " +
+        s"names=${u.shredded} idFunctional=${u.idFunctional}"
     })
     println("=== step-by-step ===")
     locally {

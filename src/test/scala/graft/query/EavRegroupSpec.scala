@@ -266,6 +266,82 @@ class EavRegroupSpec extends SparkSpec {
       pats, expectRegroup = false)
   }
 
+  test("write-time uniqueness proof licenses the fused plan; duplicates stay product") {
+    // shredVerified PROVES id uniqueness with one count-distinct action
+    // and tags the generator — multi-pattern groups then fuse
+    // row-locally (no per-entity aggregate), bit-identical to the
+    // authority (round-17: recovers the q_eav_join product regression)
+    val pats = Seq(
+      Pattern(V("e"), C("name"), V("n")),
+      Pattern(V("e"), C("bal"), V("b")))
+    val verified = Shred.shredVerified(docs, "id")
+    check(Map("default" -> verified), pats, expectRegroup = true)
+    assert(!QueryCompiler.runBoxed(Map("default" -> verified), pats)
+      .queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "proven-unique ids must fuse row-locally, not aggregate")
+    // duplicate ids fail the proof: the SAME entry point keeps the
+    // duplicate-id-safe product plan (and still equals the authority)
+    val dup = Seq(("X", 1L, 10L), ("X", 2L, 20L), ("Y", 3L, 30L))
+      .toDF("k", "a", "b")
+    val dupVerified = Shred.shredVerified(dup, "k")
+    val dupPats = Seq(
+      Pattern(V("e"), C("a"), V("x")),
+      Pattern(V("e"), C("b"), V("y")))
+    check(Map("default" -> dupVerified), dupPats, expectRegroup = true)
+    assert(QueryCompiler.runBoxed(Map("default" -> dupVerified), dupPats)
+      .queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "unproven ids must keep the per-entity product plan")
+    // the attrs twin carries the same license
+    val av = Shred.shredAttrsVerified(docs, "id", Seq("name", "bal"))
+    check(Map("default" -> av), pats, expectRegroup = true)
+    assert(!QueryCompiler.runBoxed(Map("default" -> av), pats)
+      .queryExecution.executedPlan.toString.contains("ObjectHashAggregate"))
+  }
+
+  test("persisted key-licensed shreds fuse, reach array chains; tamper declines") {
+    val base = "/tmp/graft_regroup_spec_keyed"
+    val pets = spark.read.json(Seq(
+      """{"id": 1, "name": "Bob",
+         "pets": [{"pn": "Rex", "age": 3}, {"pn": "Ada", "age": 1}]}""",
+      """{"id": 2, "name": "Ann", "pets": []}""",
+      """{"id": 3, "name": "Cid",
+         "pets": [null, {"pn": "Taz", "age": 3}]}""").toDS())
+    pets.write.mode("overwrite").parquet(s"$base/docs")
+    Shred.shredWrite(spark, s"$base/docs", Some("id"), s"$base/triples")
+    val opened = Shred.openShred(spark, s"$base/triples")
+    // the sidecar's write-time idUnique proof licenses fusion: flat
+    // conjunctions skip the groupBy(id) exchange...
+    val flat = Seq(Pattern(V("e"), C("name"), V("n")),
+      Pattern(V("e"), C("id"), V("k")))
+    check(Map("default" -> opened), flat, expectRegroup = true)
+    assert(!QueryCompiler.runBoxed(Map("default" -> opened), flat)
+      .queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "sidecar-proven ids must fuse row-locally")
+    // ...and ARRAY-OF-STRUCT chains — which the product tier cannot
+    // explode and round 16 left on the EAV tier for explicit-id
+    // artifacts — now compile to the fused lateral-explode plan
+    // (round-17 item 3: the deployment shape)
+    val chain = Seq(
+      Pattern(V("c"), C("name"), V("n")),
+      Pattern(V("c"), C("pets"), V("p")),
+      Pattern(V("p"), C("pn"), V("pname")))
+    check(Map("default" -> opened), chain, expectRegroup = true,
+      keepDBid = true)
+    // a SAME-SIZE in-place byte flip of a document file (external
+    // touch-up tooling — Spark never edits in place) bumps mtime,
+    // fails the snapshot, and the query declines to the EAV plan
+    // instead of silently regrouping against changed bytes (round-16
+    // ADVICE: name+size alone passed this)
+    val docFile = new java.io.File(s"$base/docs").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(docFile.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x1).toByte
+    Thread.sleep(5) // ensure a distinct mtime tick
+    java.nio.file.Files.write(docFile.toPath, bytes)
+    check(Map("default" -> Shred.openShred(spark, s"$base/triples")),
+      flat, expectRegroup = false)
+  }
+
   test("kind-mismatched value constants match nothing (vt tag gate)") {
     // a STRING column holding "5" must NOT match the NUMBER constant 5
     // (the EAV triple's vt is "str", the constant's "num") — found live
