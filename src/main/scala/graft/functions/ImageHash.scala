@@ -64,6 +64,76 @@ object ImageHashNative {
     }
     ArrayData.toArrayData(words)
   }
+
+  /** REAL decode (round 17): the same 72-cell luma grid from an
+    * actual JPEG/PNG/GIF/BMP payload via the JDK's pure-JVM ImageIO —
+    * no native codec needed, so this runs in any executor JVM. Each
+    * grid cell area-averages its pixel block's Rec.601 luma
+    * (299R+587G+114B, integer math). Returns null for undecodable
+    * bytes (no registered reader / truncated file) — the caller's
+    * null, not an exception, so one corrupt payload in a 100 TB
+    * corpus drops that row instead of failing the stage.
+    */
+  private def lumaGridImageIO(data: Array[Byte]): Array[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0)
+      return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = new Array[Long](Rows * Cols)
+    var r = 0
+    while (r < Rows) {
+      var c = 0
+      while (c < Cols) {
+        // block bounds cover the image exactly; images narrower than
+        // the grid share pixels across cells (x1 forced past x0)
+        val x0 = math.min(c * w / Cols, w - 1)
+        val x1 = math.max((c + 1) * w / Cols, x0 + 1)
+        val y0 = math.min(r * h / Rows, h - 1)
+        val y1 = math.max((r + 1) * h / Rows, y0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        luma(r * Cols + c) = sum / ((x1 - x0).toLong * (y1 - y0))
+        c += 1
+      }
+      r += 1
+    }
+    luma
+  }
+
+  /** [[dHashWords]] with the REAL ImageIO decoder in place of the
+    * stub grid — identical comparison packing and word layout, so
+    * every downstream consumer (Hamming kernels, pigeonhole block
+    * joins, persisted media indexes) works on real image bytes
+    * unchanged. Null for undecodable payloads.
+    */
+  def dHashWordsImageIO(data: Array[Byte]): ArrayData = {
+    val luma = lumaGridImageIO(data)
+    if (luma == null) return null
+    val words = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      val r = b / (Cols - 1)
+      val c = b % (Cols - 1)
+      if (luma(r * Cols + c) < luma(r * Cols + c + 1))
+        words(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    ArrayData.toArrayData(words)
+  }
 }
 
 /** `DHashWords(data)` → array<int> of 4 16-bit words. NULL payload →
@@ -84,4 +154,34 @@ case class DHashWords(child: Expression) extends UnaryExpression {
 object DHashWords {
   def apply(data: Column): Column =
     ColumnGlue.column(DHashWords(ColumnGlue.expression(data)))
+}
+
+/** `DHashWordsImageIO(data)` → array<int> of 4 16-bit words from a
+  * REAL JPEG/PNG decode (JDK ImageIO — pure JVM, executor-safe). NULL
+  * payload → NULL; UNDECODABLE payload → NULL too (the result is
+  * nullable beyond the input's nullability), so corrupt rows drop out
+  * of signature frames instead of failing the stage. The oracle gates
+  * keep the deterministic stub kernel ([[DHashWords]]) — a SQL engine
+  * can't replay a codec — and ImageHashSpec pins this path on
+  * in-test-encoded fixtures.
+  */
+case class DHashWordsImageIO(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} =
+        graft.functions.ImageHashNative.dHashWordsImageIO($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override def nullSafeEval(v: Any): Any =
+    ImageHashNative.dHashWordsImageIO(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression)
+      : DHashWordsImageIO = copy(child = c)
+}
+
+object DHashWordsImageIO {
+  def apply(data: Column): Column =
+    ColumnGlue.column(DHashWordsImageIO(ColumnGlue.expression(data)))
 }

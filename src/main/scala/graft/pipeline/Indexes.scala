@@ -426,7 +426,86 @@ object Indexes {
       .write.mode("overwrite").parquet(path)
 
   def openMinhashIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    openRecursive(spark, path)
+
+  // ---------- idempotent per-batch appends (ingest loops) ----------
+
+  /** Read an index artifact INCLUDING its `batch_<id>` subdirectories
+    * ([[appendBatchDir]]'s layout). recursiveFileLookup disables
+    * partition inference — these artifacts are flat schemas, and the
+    * mixed files-plus-subdirs layout would otherwise trip partition
+    * discovery; underscore-prefixed staging dirs stay hidden.
+    */
+  private def openRecursive(spark: SparkSession, path: String)
+      : DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+  /** Has `batchId` already been folded into the artifact at `path`? */
+  def batchApplied(spark: SparkSession, path: String,
+      batchId: Long): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(root, s"batch_$batchId"))
+  }
+
+  /** Idempotently fold one micro-batch's rows into a parquet
+    * artifact: the rows land as a `batch_<id>` SUBDIRECTORY, written
+    * to an underscore-hidden staging dir and published by ONE atomic
+    * directory rename. foreachBatch is at-least-once — a batch
+    * retried after its append succeeded but before the checkpoint
+    * commit would otherwise append its rows a second time, silently
+    * diverging the artifact from the sequential-replay authority (and
+    * the retried probe, now seeing the batch's own rows, would emit
+    * self-candidates the replay never produces) — round-16 ADVICE.
+    * With the batch-keyed layout the retry is a no-op (returns
+    * false); a crash mid-write leaves only the hidden staging dir,
+    * which the next attempt deletes and rewrites. Readers must list
+    * recursively ([[openWinnowIndex]]/[[openMinhashIndex]] do).
+    */
+  private def appendBatchDir(rows: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    val spark = rows.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(root, s"batch_$batchId")
+    if (fs.exists(target)) return false
+    val staging =
+      new org.apache.hadoop.fs.Path(root, s"_staging_batch_$batchId")
+    rows.write.mode("overwrite").parquet(staging.toString)
+    fs.rename(staging, target)
+    true
+  }
+
+  /** [[appendMinhashIndex]] keyed by micro-batch id — the idempotent
+    * form ingest loops use; no-op (false) on a replayed batch.
+    */
+  def appendMinhashIndexBatch(batch: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long, n: Int = 3,
+      k: Int = 32, b: Int = 8): Boolean =
+    appendBatchDir(
+      Dedup.minhashIndexMd5(batch, idCol, textCol, n, k, b),
+      path, batchId)
+
+  /** [[appendWinnowIndex]] keyed by micro-batch id — the idempotent
+    * form ingest loops use; no-op (false) on a replayed batch.
+    */
+  def appendWinnowIndexBatch(batch: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long, k: Int = 4,
+      w: Int = 8): Boolean =
+    appendBatchDir(winnowFrame(batch, idCol, textCol, k, w),
+      path, batchId)
+
+  /** Idempotently fold a batch's accepted DOCUMENT rows into a
+    * corpus-docs artifact (the text side the MinHash ingest loop's
+    * Jaccard verify reads). Same batch-keyed layout as the index
+    * appends; open with [[openIngestDocs]].
+    */
+  def appendIngestDocs(rows: DataFrame, path: String,
+      batchId: Long): Boolean =
+    appendBatchDir(rows, path, batchId)
+
+  def openIngestDocs(spark: SparkSession, path: String): DataFrame =
+    openRecursive(spark, path)
 
   /** Append a batch's band buckets to a [[writeMinhashIndex]]
     * artifact. Signatures are row-local (md5-derived, no corpus
@@ -475,7 +554,7 @@ object Indexes {
       .write.mode("overwrite").parquet(path)
 
   def openWinnowIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    openRecursive(spark, path)
 
   def appendWinnowIndex(batch: DataFrame, idCol: String,
       textCol: String, path: String, k: Int = 4, w: Int = 8): Unit =

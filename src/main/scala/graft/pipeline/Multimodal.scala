@@ -104,6 +104,21 @@ object Multimodal {
   def dHash(media: Column): Column =
     graft.functions.DHashWords(media.getField("data"))
 
+  /** [[dHash]] with the REAL ImageIO decoder (round 17): actual
+    * JPEG/PNG payloads in, the same 4×16-bit word layout out, so the
+    * whole dedup toolchain applies to real corpora unchanged. NULL
+    * for undecodable payloads — the production route is the FromSigs
+    * family ([[imageDupPairsFromSigs]], the persisted media index):
+    * compute `dHashImageIO` ONCE into a signature frame at ingest,
+    * drop the nulls explicitly (`sigs.filter($"dh".isNotNull)` —
+    * corrupt bytes), and feed the block join / index writer from
+    * that. The oracle gates keep the stub kernel: a SQL oracle can
+    * replay integer stripe sums, not a codec; ImageHashSpec pins this
+    * path on in-test-encoded PNG/JPEG fixtures instead.
+    */
+  def dHashImageIO(media: Column): Column =
+    graft.functions.DHashWordsImageIO(media.getField("data"))
+
   /** Image-level near-duplicate pairs by perceptual hash: documents
     * whose dHashes differ in at most `maxHamming` bits.
     *

@@ -606,6 +606,15 @@ object EventStreams {
     * against the index-so-far, then `appendWinnowIndex`. Within-batch
     * self-duplicates are out of scope on both sides (a batch never
     * probes itself), matching the incremental operator's contract.
+    *
+    * EXACTLY-ONCE folding (round-16 ADVICE): foreachBatch is
+    * at-least-once, so the append is batch-id-keyed
+    * ([[graft.pipeline.Indexes.appendWinnowIndexBatch]]) and an
+    * already-applied batch short-circuits the whole body — the append
+    * runs strictly after the sink, so an applied marker proves the
+    * first attempt's sink completed; re-probing would now see the
+    * batch's own fingerprints and emit self-candidates the replay
+    * never produces.
     */
   def winnowIngestStream(docs: DataFrame, idCol: String,
       textCol: String, indexPath: String, k: Int = 4, w: Int = 8,
@@ -616,22 +625,97 @@ object EventStreams {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val spark = batch.sparkSession
-      val b = batch.persist()
-      try {
-        val idx = graft.pipeline.Indexes.openWinnowIndex(spark,
-          indexPath)
-        val cands = graft.pipeline.Indexes.winnowCandidatesIndexed(b,
-          idCol, textCol, idx, k, w, minShared, maxBucket).persist()
+      if (!graft.pipeline.Indexes.batchApplied(spark, indexPath, id)) {
+        val b = batch.persist()
         try {
-          sink(cands, id)
-          val accepted =
-            if (!appendNovelOnly) b
-            else b.join(cands.select(col("batch_id")).distinct(),
-              b(idCol) === col("batch_id"), "left_anti")
-          graft.pipeline.Indexes.appendWinnowIndex(accepted, idCol,
-            textCol, indexPath, k, w)
-        } finally cands.unpersist()
-      } finally b.unpersist()
+          val idx = graft.pipeline.Indexes.openWinnowIndex(spark,
+            indexPath)
+          val cands = graft.pipeline.Indexes.winnowCandidatesIndexed(b,
+            idCol, textCol, idx, k, w, minShared, maxBucket).persist()
+          try {
+            sink(cands, id)
+            val accepted =
+              if (!appendNovelOnly) b
+              else b.join(cands.select(col("batch_id")).distinct(),
+                b(idCol) === col("batch_id"), "left_anti")
+            graft.pipeline.Indexes.appendWinnowIndexBatch(accepted,
+              idCol, textCol, indexPath, id, k, w)
+          } finally cands.unpersist()
+        } finally b.unpersist()
+      }
+      ()
+    }
+
+  /** The MinHash twin of [[winnowIngestStream]] — the full streaming
+    * ingest-dedup LOOP against a persisted band index: each
+    * micro-batch (1) signs itself and probes the CURRENT index,
+    * Jaccard-verifying candidates against corpus text read only for
+    * matched ids ([[dupPairsProbeStream]]'s stateless probe), (2)
+    * sinks the verified (new_id, corpus_id, jaccard) pairs, and (3)
+    * folds the batch's ACCEPTED docs into BOTH artifacts — band
+    * buckets into the index, (id, text) rows into the corpus-docs
+    * artifact the verify reads — so later batches dedup against
+    * earlier ones, not just the initial corpus.
+    *
+    * State is bounded exactly as in winnow's loop: no state store,
+    * the two on-disk artifacts ARE the state, growing only by
+    * accepted batches. Both appends are merge-free (signatures are
+    * md5-derived and row-local — no corpus statistic to rebuild), so
+    * probe-after-append == probe-against-rebuild. The SIMHASH
+    * fingerprint artifact could ride the same append (simhashMd5 is
+    * equally row-local); what it lacks is a band-bucket probe — its
+    * candidate join is chunk-block equality over Hamming
+    * neighborhoods ([[graft.pipeline.Dedup.simhashPairsMd5Against]]),
+    * which reads the whole fingerprint frame per batch rather than
+    * pruned buckets, so we keep it batch-shaped until a blocked
+    * layout earns its keep.
+    *
+    * Crash-safety ordering (round-16 ADVICE, as in winnow's loop):
+    * the INDEX append is last and is the applied-marker — docs land
+    * first, so a crash between the two retries into a no-op docs
+    * append (batch-keyed) followed by the index append; a marker
+    * present proves sink and both artifacts completed, and the batch
+    * short-circuits.
+    *
+    * Seeding: `Indexes.writeMinhashIndex(corpus, ...)` at
+    * `indexPath`; the same corpus's `(idCol, textCol)` projection
+    * written at `docsPath` (column names must match the stream's).
+    * Batch authority (StreamingSpec): sequential replay of
+    * `Indexes.incrementalDupPairsIndexed` + both appends.
+    */
+  def minhashIngestStream(docs: DataFrame, idCol: String,
+      textCol: String, indexPath: String, docsPath: String,
+      n: Int = 3, k: Int = 32, b: Int = 8, threshold: Double = 0.8,
+      maxBucket: Int = 1000, appendNovelOnly: Boolean = false)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      if (!graft.pipeline.Indexes.batchApplied(spark, indexPath, id)) {
+        val bdf = batch.persist()
+        try {
+          val idx = graft.pipeline.Indexes.openMinhashIndex(spark,
+            indexPath)
+          val corpus = graft.pipeline.Indexes.openIngestDocs(spark,
+            docsPath)
+          val cands = graft.pipeline.Indexes
+            .incrementalDupPairsIndexed(bdf, idCol, idx, corpus,
+              idCol, textCol, n, k, b, threshold, maxBucket).persist()
+          try {
+            sink(cands, id)
+            val accepted =
+              if (!appendNovelOnly) bdf
+              else bdf.join(cands.select(col("new_id")).distinct(),
+                bdf(idCol) === col("new_id"), "left_anti")
+            graft.pipeline.Indexes.appendIngestDocs(
+              accepted.select(col(idCol), col(textCol)), docsPath, id)
+            graft.pipeline.Indexes.appendMinhashIndexBatch(accepted,
+              idCol, textCol, indexPath, id, n, k, b)
+          } finally cands.unpersist()
+        } finally bdf.unpersist()
+      }
+      ()
     }
 
   /** Streaming ingest-dedup probe against a persisted MinHash band

@@ -70,6 +70,22 @@ object ArrProbe {
       Map("default" -> Shred.shred(docs)), pats)))
     timed("arr_typed")(() => unbox(QueryCompiler.runBoxedEav(
       Map("default" -> Shred.shred(docs)), pats)))
+    // r17: the PERSISTED key-licensed case — the deployment shape.
+    // shredWrite proves l_orderkey unique (it is the groupBy key) and
+    // records it in the sidecar, so the round-tripped triple store
+    // fuses onto the same lateral-explode plan instead of paying the
+    // EAV tier's per-element self-joins (r16's only option for
+    // explicit-id artifacts with array attributes). Write outside the
+    // timed probe (a one-time ingest cost, like the docs build).
+    val triplesPath = docsPath + "_triples"
+    if (!new java.io.File(triplesPath).exists()) {
+      val t0 = System.nanoTime()
+      Shred.shredWrite(spark, docsPath, Some("l_orderkey"), triplesPath)
+      println(f"ARRPROBE build_shred  $sfDir " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+    }
+    timed("arr_persist")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.openShred(spark, triplesPath)), pats)))
     spark.stop()
   }
 }

@@ -57,8 +57,38 @@ object EavTierAb {
         Some("n_nationkey")))
     val wildPats = Seq(Pattern(V("e"), V("attr"), W))
 
+    // q_eav_join's shape (round 17): fused = shredAttrsVerified key
+    // license (INCLUDING the per-run count-distinct proof, as the
+    // driver gate pays it); product = the r16 unproven-id plan;
+    // typed = forced EAV. Attributes the driver's r16 1.85× delta.
+    val joinPats = Seq(
+      Pattern(V("o"), C("o_orderpriority"), C("1-URGENT"), "orders"),
+      Pattern(V("o"), C("o_custkey"), V("ck"), "orders"),
+      Pattern(V("c"), C("c_custkey"), V("ck"), "customer"),
+      Pattern(V("c"), C("c_name"), V("name"), "customer"))
+    def joinSrcVerified() = Map(
+      "orders" -> Shred.shredAttrsVerified(
+        graft.Tables.orders(spark, sfDir), "o_orderkey",
+        Seq("o_orderpriority", "o_custkey")),
+      "customer" -> Shred.shredAttrsVerified(
+        graft.Tables.customer(spark, sfDir), "c_custkey",
+        Seq("c_custkey", "c_name")))
+    def joinSrcPlain() = Map(
+      "orders" -> Shred.shredAttrs(
+        graft.Tables.orders(spark, sfDir), Some("o_orderkey"),
+        Seq("o_orderpriority", "o_custkey")),
+      "customer" -> Shred.shredAttrs(
+        graft.Tables.customer(spark, sfDir), Some("c_custkey"),
+        Seq("c_custkey", "c_name")))
+
     val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       Seq(
+        "join_fused" -> (() => QueryCompiler.runBoxed(
+          joinSrcVerified(), joinPats)),
+        "join_product" -> (() => QueryCompiler.runBoxed(
+          joinSrcPlain(), joinPats)),
+        "join_typed" -> (() => QueryCompiler.runBoxedEav(
+          joinSrcPlain(), joinPats)),
         "nested_live" -> (() => QueryCompiler.runBoxed(
           nestedSrc(), nestedPats, nestedPred)),
         "nested_typed" -> (() => QueryCompiler.runBoxedEav(
@@ -92,7 +122,9 @@ object EavTierAb {
     println(f"TIERAB ratios: nested typed/canon=" +
       f"${m("nested_typed") / m("nested_canon")}%.2f " +
       f"live/canon=${m("nested_live") / m("nested_canon")}%.2f " +
-      f"wild typed/canon=${m("wild_typed") / m("wild_canon")}%.2f")
+      f"wild typed/canon=${m("wild_typed") / m("wild_canon")}%.2f " +
+      f"join fused/product=${m("join_fused") / m("join_product")}%.2f " +
+      f"product/typed=${m("join_product") / m("join_typed")}%.2f")
     spark.stop()
   }
 }

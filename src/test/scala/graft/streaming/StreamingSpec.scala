@@ -699,6 +699,95 @@ class StreamingSpec extends SparkSpec {
     graft.core.Caches.releaseAll(spark)
   }
 
+  test("streaming minhash ingest loop (probe THEN append both artifacts) == " +
+      "sequential batch replay; replayed batch ids are no-ops") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val half = inc.length / 2
+    val slices = Seq(inc.take(half), inc.drop(half))
+
+    def seed(base: String): Unit = {
+      graft.pipeline.Indexes.writeMinhashIndex(
+        corpus, "doc_id", "text", s"$base/index")
+      corpus.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/docs")
+    }
+
+    val sBase = "/tmp/graft_idx_spec_stream/mh_ingest_s"
+    seed(sBase)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = EventStreams.minhashIngestStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$sBase/index", s"$sBase/docs") { (pairs, _) =>
+      got ++= pairs.collect().map(_.toString)
+    }
+    input.addData(slices.head.toSeq)
+    val q = writer.start()
+    q.processAllAvailable()
+    input.addData(slices(1).toSeq)
+    q.processAllAvailable(); q.stop()
+
+    // authority: sequential replay — probe index-so-far, then fold
+    // the batch into both artifacts
+    val rBase = "/tmp/graft_idx_spec_stream/mh_ingest_r"
+    seed(rBase)
+    val want = scala.collection.mutable.ArrayBuffer[String]()
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val bdf = s.toSeq.toDF("doc_id", "text")
+      val idx = graft.pipeline.Indexes.openMinhashIndex(spark,
+        s"$rBase/index")
+      val cor = graft.pipeline.Indexes.openIngestDocs(spark,
+        s"$rBase/docs")
+      want ++= graft.pipeline.Indexes.incrementalDupPairsIndexed(bdf,
+        "doc_id", idx, cor, "doc_id", "text")
+        .collect().map(_.toString)
+      graft.pipeline.Indexes.appendIngestDocs(
+        bdf.select(col("doc_id"), col("text")), s"$rBase/docs", i)
+      graft.pipeline.Indexes.appendMinhashIndexBatch(bdf, "doc_id",
+        "text", s"$rBase/index", i)
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.nonEmpty, "fixture must produce candidates")
+    // the loop must have deduped batch 2 against batch 1's docs, not
+    // just the seed corpus: some candidate pair is odd/odd
+    assert(got.exists { r =>
+      val ids = "\\d+".r.findAllIn(r).toSeq.take(2).map(_.toLong)
+      ids.forall(_ % 2 == 1)
+    }, "second batch must match first-batch (odd-id) corpus docs")
+    val sIdx = graft.pipeline.Indexes
+      .openMinhashIndex(spark, s"$sBase/index")
+    val rIdx = graft.pipeline.Indexes
+      .openMinhashIndex(spark, s"$rBase/index")
+    assert(sIdx.collect().map(_.toString).sorted.toSeq ==
+      rIdx.collect().map(_.toString).sorted.toSeq,
+      "final index artifacts must agree")
+    // at-least-once REPLAY safety (round-16 ADVICE): re-applying an
+    // already-folded batch id is a no-op on both artifacts
+    val beforeIdx = rIdx.count()
+    val beforeDocs = graft.pipeline.Indexes
+      .openIngestDocs(spark, s"$rBase/docs").count()
+    assert(!graft.pipeline.Indexes.appendMinhashIndexBatch(
+      slices.head.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      s"$rBase/index", 0))
+    assert(!graft.pipeline.Indexes.appendIngestDocs(
+      slices.head.toSeq.toDF("doc_id", "text"), s"$rBase/docs", 0))
+    assert(graft.pipeline.Indexes
+      .openMinhashIndex(spark, s"$rBase/index").count() == beforeIdx)
+    assert(graft.pipeline.Indexes
+      .openIngestDocs(spark, s"$rBase/docs").count() == beforeDocs)
+    assert(graft.pipeline.Indexes.batchApplied(spark,
+      s"$rBase/index", 0))
+    assert(!graft.pipeline.Indexes.batchApplied(spark,
+      s"$rBase/index", 99))
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("streaming minhash dup-pairs probe against the persisted " +
       "index == batch probe") {
     implicit val ctx = spark.sqlContext
