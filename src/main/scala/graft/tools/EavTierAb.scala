@@ -81,10 +81,18 @@ object EavTierAb {
         graft.Tables.customer(spark, sfDir), Some("c_custkey"),
         Seq("c_custkey", "c_name")))
 
+    // hot = proof paid ONCE at source construction (the production
+    // shape: shred verified at write, queried many times); join_fused
+    // re-pays both count-distinct proof actions every iteration (the
+    // driver gate's posture)
+    val joinSrcHot = joinSrcVerified()
+
     val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       Seq(
         "join_fused" -> (() => QueryCompiler.runBoxed(
           joinSrcVerified(), joinPats)),
+        "join_fused_hot" -> (() => QueryCompiler.runBoxed(
+          joinSrcHot, joinPats)),
         "join_product" -> (() => QueryCompiler.runBoxed(
           joinSrcPlain(), joinPats)),
         "join_typed" -> (() => QueryCompiler.runBoxedEav(
@@ -124,6 +132,7 @@ object EavTierAb {
       f"live/canon=${m("nested_live") / m("nested_canon")}%.2f " +
       f"wild typed/canon=${m("wild_typed") / m("wild_canon")}%.2f " +
       f"join fused/product=${m("join_fused") / m("join_product")}%.2f " +
+      f"hot/product=${m("join_fused_hot") / m("join_product")}%.2f " +
       f"product/typed=${m("join_product") / m("join_typed")}%.2f")
     spark.stop()
   }
