@@ -248,7 +248,27 @@ object Shred {
 
   private case class ShredMeta(docPath: String, idCol: Option[String],
       docFiles: Seq[Seq[String]], tripleFiles: Seq[Seq[String]],
-      idUnique: Option[Boolean] = None)
+      idUnique: Option[Boolean] = None,
+      docFp: Option[Long] = None, tripleFp: Option[Long] = None)
+
+  /** Order-independent content fingerprint of a frame: 60-bit md5 of
+    * each row's canonical JSON, summed mod 2^60 (the
+    * [[graft.pipeline.Sampling.shardManifest]] certification shape).
+    * Row order and file layout don't matter — content does.
+    */
+  private def contentFp(df: DataFrame): Long = {
+    val rowJson = to_json(struct(df.columns.map(c =>
+      col(quoteIdent(c))).toSeq: _*))
+    val h60 = conv(substring(md5(rowJson), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.select(h60.as("__h"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(coalesce(sum(__h), 0) % 1152921504606846976 AS BIGINT)"))
+      .head().getLong(0)
+  }
+
+  private def quoteIdent(n: String): String =
+    "`" + n.replace("`", "``") + "`"
 
   private val MetaFile = "_graft_shred.json"
 
@@ -301,13 +321,38 @@ object Shred {
     // artifact inherits the fused-plan license without re-scanning.
     // The snapshot check below is what keeps the proof valid — any
     // change to the document files declines the whole regroup.
-    val unique = idCol.map(c => idUnique(docs, c))
+    // ONE docs-side aggregate proves id uniqueness AND fingerprints
+    // the content (the fp sum and the count-distinct share the scan);
+    // the triples fp is its own job because it deliberately reads the
+    // artifact BACK — it certifies what landed on disk, not what we
+    // meant to write. The per-query snapshot check stays the
+    // driver-side name+size+mtime listing; these write-time scans are
+    // what [[auditPersisted]] verifies CONTENT against, closing the
+    // mtime-preserving-rewrite residual the snapshot can't see.
+    val rowJson = to_json(struct(docs.columns.map(c =>
+      col(quoteIdent(c))).toSeq: _*))
+    val h60 = conv(substring(md5(rowJson), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    val hc = Iterator.from(0).map(i => s"__graft_h$i")
+      .find(n => !docs.columns.contains(n)).get
+    val docsAggs = Seq(
+      expr(s"CAST(coalesce(sum($hc), 0) % 1152921504606846976 " +
+        "AS BIGINT)").as("fp")) ++ idCol.toSeq.flatMap(c => Seq(
+      count(col(quoteIdent(c))).as("cnt"),
+      count_distinct(col(quoteIdent(c))).as("dcnt")))
+    val docsRow = docs.withColumn(hc, h60)
+      .agg(docsAggs.head, docsAggs.tail: _*).head()
+    val unique = idCol.map(_ =>
+      docsRow.getLong(1) == docsRow.getLong(2))
+    val dFp = docsRow.getLong(0)
+    val tFp = contentFp(openShred(spark, outPath))
     val meta = ShredMeta(
       new org.apache.hadoop.fs.Path(docPath).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
         .makeQualified(new org.apache.hadoop.fs.Path(docPath))
         .toUri.getPath,
-      idCol, docFiles, listDataFiles(spark, outPath), unique)
+      idCol, docFiles, listDataFiles(spark, outPath), unique,
+      Some(dFp), Some(tFp))
     val metaPath = new org.apache.hadoop.fs.Path(outPath, MetaFile)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
@@ -315,6 +360,52 @@ object Shred {
     out.write(org.json4s.jackson.Serialization.write(meta)
       .getBytes("UTF-8"))
     out.close()
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path): Option[ShredMeta] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(root, MetaFile)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      scala.util.Try(org.json4s.jackson.Serialization
+        .read[ShredMeta](txt)).toOption
+    }
+  }
+
+  /** CONTENT audit of a [[shredWrite]] artifact: recompute both
+    * sides' order-independent fingerprints from the bytes on disk NOW
+    * and compare against the write-time sidecar. This is the check
+    * for the one tamper class the per-query snapshot cannot see — an
+    * in-place rewrite that preserves name, size, AND mtime (hostile
+    * or clock-gamed tooling). It reads both datasets in full, so it
+    * is an explicit audit/acceptance API (run on delivery, on a
+    * schedule, on suspicion), NOT part of query planning — the
+    * per-query gate stays the O(#files) driver-side listing. False
+    * when the sidecar is missing, pre-fingerprint, or either side's
+    * content changed.
+    */
+  def auditPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    readMeta(spark, root) match {
+      case Some(meta) =>
+        (meta.docFp, meta.tripleFp) match {
+          case (Some(dFp), Some(tFp)) =>
+            // an unreadable (hard-corrupted) side is a failed audit,
+            // not a crash — the caller asked "is this delivery intact"
+            scala.util.Try(
+              contentFp(spark.read.parquet(meta.docPath)) == dFp &&
+                contentFp(openShred(spark, path)) == tFp
+            ).getOrElse(false)
+          case _ => false
+        }
+      case None => false
+    }
   }
 
   /** Open a [[shredWrite]] artifact in canonical triple-column order
@@ -358,21 +449,7 @@ object Shred {
         case _ => None
       }
       root = fsRel.location.rootPaths.head
-      meta <- {
-        val fs = root.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val mp = new org.apache.hadoop.fs.Path(root, MetaFile)
-        if (!fs.exists(mp)) None
-        else {
-          val in = fs.open(mp)
-          val txt = scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString
-          in.close()
-          implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-          scala.util.Try(org.json4s.jackson.Serialization
-            .read[ShredMeta](txt)).toOption
-        }
-      }
+      meta <- readMeta(spark, root)
       // both sides must still be the bytes the writer saw
       if listDataFiles(spark, root.toUri.getPath) == meta.tripleFiles
       if listDataFiles(spark, meta.docPath) == meta.docFiles

@@ -180,6 +180,56 @@ object RegroupDiff {
         Pattern(V("r"), C("size"), V("s")),
         Pattern(V("s"), C("w"), V("w"))))
 
+    // (5) r17: verified shreds (write-time uniqueness proof → fused)
+    def countsVerified(name: String,
+        df: org.apache.spark.sql.DataFrame, idCol: String,
+        pats: Seq[Pattern]): Unit = {
+      val triples = Shred.shredVerified(df, idCol)
+      val auth = QueryCompiler.runBoxedCanonical(
+        Map("default" -> triples), pats)
+      val live = QueryCompiler.runBoxed(Map("default" -> triples), pats)
+      val a = auth.collect().map(_.toString).sorted.toSeq
+      val l = live.collect().map(_.toString).sorted.toSeq
+      println(s"${if (a == l) "OK " else "DIVERGE"} $name: " +
+        s"authority=${a.size} live=${l.size}")
+    }
+    countsVerified("verified unique-id conjunction",
+      Seq(("X", 1L, 10L), ("Y", 2L, 20L), ("Z", 3L, 30L))
+        .toDF("id", "a", "b"), "id",
+      Seq(Pattern(V("e"), C("a"), V("x")),
+        Pattern(V("e"), C("b"), V("y"))))
+    // duplicate ids through the SAME entry point: proof fails, the
+    // product plan serves — values must still match the authority
+    countsVerified("verified duplicate-id falls back to product",
+      dupDf, "id",
+      Seq(Pattern(V("e"), C("a"), V("x")),
+        Pattern(V("e"), C("b"), V("y"))))
+    // verified ARRAY chain: fused lateral explode under a proven key
+    countsVerified("verified array chain fuses", pets, "id",
+      Seq(Pattern(V("c"), C("pets"), V("p")),
+        Pattern(V("p"), C("pn"), V("pname")),
+        Pattern(V("c"), C("name"), V("n"))))
+    // persisted round trip with the sidecar uniqueness proof
+    locally {
+      val base = "/tmp/graft_regroupdiff_persist"
+      pets.write.mode("overwrite").parquet(s"$base/docs")
+      Shred.shredWrite(spark, s"$base/docs", Some("id"),
+        s"$base/triples")
+      val opened = Shred.openShred(spark, s"$base/triples")
+      val pats = Seq(Pattern(V("c"), C("pets"), V("p")),
+        Pattern(V("p"), C("pn"), V("pname")),
+        Pattern(V("c"), C("name"), V("n")))
+      val auth = QueryCompiler.runBoxedCanonical(
+        Map("default" -> opened), pats)
+      val live = QueryCompiler.runBoxed(Map("default" -> opened), pats)
+      val a = auth.collect().map(_.toString).sorted.toSeq
+      val l = live.collect().map(_.toString).sorted.toSeq
+      println(s"${if (a == l) "OK " else "DIVERGE"} " +
+        s"persisted key-licensed array chain: " +
+        s"authority=${a.size} live=${l.size} " +
+        s"audit=${Shred.auditPersisted(spark, s"$base/triples")}")
+    }
+
     spark.stop()
   }
 }

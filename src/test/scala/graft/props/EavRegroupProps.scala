@@ -194,9 +194,17 @@ object EavRegroupProps extends Properties("graft.query.regroup") {
             val srcs2 = Map("default" -> Shred.shred(df))
             val got2 = render(QueryCompiler.runBoxed(srcs2, pats))
             val want2 = render(QueryCompiler.runBoxedCanonical(srcs2, pats))
-            val ok = got == want && got2 == want2
+            // r17: the VERIFIED entry point — unique ids license the
+            // fused plan from the write-time proof, duplicate ids fail
+            // the proof and keep the product plan; triples (and so the
+            // authority) are identical to the plain idCol shred either
+            // way
+            val srcs3 = Map("default" -> Shred.shredVerified(df, "rid"))
+            val got3 = render(QueryCompiler.runBoxed(srcs3, pats))
+            val ok = got == want && got2 == want2 && got3 == want
             if (!ok) println(s"MISMATCH pats=$pats\n idCol got= $got\n " +
-              s"idCol want=$want\n hash got= $got2\n hash want=$want2")
+              s"idCol want=$want\n hash got= $got2\n hash want=$want2\n " +
+              s"verified got=$got3")
             ok
           }
         }

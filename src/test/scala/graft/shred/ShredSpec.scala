@@ -194,4 +194,32 @@ class ShredSpec extends SparkSpec {
       "ids must not depend on row order")
     assert(base.values.toSet.size == 3, "distinct rows get distinct ids")
   }
+
+  test("auditPersisted verifies write-time content fingerprints") {
+    val base = "/tmp/graft_shred_spec_audit"
+    val docs = Seq((1L, "Bob", 10.5), (2L, "Alice", 20.0))
+      .toDF("id", "name", "bal")
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    Shred.shredWrite(spark, s"$base/docs", Some("id"), s"$base/triples")
+    // intact delivery audits clean
+    assert(Shred.auditPersisted(spark, s"$base/triples"))
+    // content change on the DOC side fails the audit even though the
+    // sidecar is untouched (the snapshot catches name/size/mtime
+    // drift per query; the audit is the content check for rewrites
+    // that game all three)
+    Seq((1L, "Mallory", 10.5)).toDF("id", "name", "bal")
+      .write.mode("overwrite").parquet(s"$base/docs")
+    assert(!Shred.auditPersisted(spark, s"$base/triples"))
+    // restore the docs, tamper the TRIPLE side instead
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    Shred.shredWrite(spark, s"$base/docs", Some("id"), s"$base/t2")
+    assert(Shred.auditPersisted(spark, s"$base/t2"))
+    Shred.shred(Seq((9L, "Eve", 1.0)).toDF("id", "name", "bal"),
+        Some("id"))
+      .write.mode("append").partitionBy("a").parquet(s"$base/t2")
+    assert(!Shred.auditPersisted(spark, s"$base/t2"))
+    // no sidecar at all: not auditable
+    assert(!Shred.auditPersisted(spark, s"$base/docs"))
+  }
+
 }
