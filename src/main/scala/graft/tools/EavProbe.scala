@@ -110,6 +110,22 @@ object EavProbe {
     timed("join2_product")(() => unbox(QueryCompiler.runBoxed(
       Map("default" -> Shred.shred(li, Some("l_orderkey"))), join2)))
 
+    // r17: the fused LICENSE at fact scale — orders has a genuinely
+    // unique key, so the same two-pattern shape runs (a) verified:
+    // write-time uniqueness proof → fused row-local plan (the proof's
+    // count-distinct action is INSIDE the timing — the honest cost of
+    // this posture), vs (b) unproven explicit idCol → product plan
+    val orders = graft.Tables.orders(spark, sfDir)
+    val join2o = Seq(
+      Pattern(V("e"), C("o_orderkey"), V("ok")),
+      Pattern(V("e"), C("o_totalprice"), V("tp")))
+    timed("join2o_verified")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shredVerified(orders, "o_orderkey")),
+      join2o)))
+    timed("join2o_product")(() => unbox(QueryCompiler.runBoxed(
+      Map("default" -> Shred.shred(orders, Some("o_orderkey"))),
+      join2o)))
+
     val pruned = Seq("l_orderkey", "l_quantity", "l_extendedprice",
       "l_returnflag")
     val wild = Seq(Pattern(W, V("a"), V("v")))
