@@ -636,12 +636,22 @@ object Indexes {
       .write.mode("overwrite").parquet(path)
 
   def openMediaIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    openRecursive(spark, path)
 
   def appendMediaIndex(batch: DataFrame, idCol: String,
       mediaCol: String, path: String, kernel: String = "dhash"): Unit =
     mediaSigFrame(batch, idCol, mediaCol, kernel)
       .write.mode("append").parquet(path)
+
+  /** [[appendMediaIndex]] keyed by micro-batch id — the idempotent
+    * form the media ingest loop uses; no-op (false) on a replayed
+    * batch ([[appendBatchDir]]'s exactly-once contract).
+    */
+  def appendMediaIndexBatch(batch: DataFrame, idCol: String,
+      mediaCol: String, path: String, batchId: Long,
+      kernel: String = "dhash"): Boolean =
+    appendBatchDir(mediaSigFrame(batch, idCol, mediaCol, kernel),
+      path, batchId)
 
   private def mediaSigFrame(df: DataFrame, idCol: String,
       mediaCol: String, kernel: String): DataFrame = {

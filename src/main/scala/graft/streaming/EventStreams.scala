@@ -557,6 +557,57 @@ object EventStreams {
         mediaCol, index, kernel, maxHamming), id)
     }
 
+  /** The media twin of [[winnowIngestStream]] — the full streaming
+    * image/audio-ingest dedup LOOP against a persisted media
+    * signature index: each micro-batch decodes/hashes ONLY itself,
+    * probes the CURRENT index for perceptual near-dups
+    * ([[mediaProbeStream]]'s stateless probe), sinks the verified
+    * (batch_id, corpus_id, dist) pairs, and folds the batch's
+    * ACCEPTED rows into the artifact with the batch-id-keyed append
+    * ([[graft.pipeline.Indexes.appendMediaIndexBatch]]), so later
+    * batches dedup against earlier ingests, not just the seed corpus.
+    *
+    * Unlike the MinHash loop there is NO side docs artifact: the
+    * verify is a popcount over signatures stored IN the index, so the
+    * index alone is the state — bounded by accepted-batch signatures
+    * (4 rows × 20 bytes per media row), with per-batch cost =
+    * |batch| decodes + one pruned index probe. Signatures are
+    * row-local (no corpus statistic), so the append is merge-free and
+    * probe-after-append == probe-against-rebuild. Exactly-once
+    * folding and the applied-batch short-circuit follow
+    * [[winnowIngestStream]]'s argument verbatim.
+    */
+  def mediaIngestStream(media: DataFrame, idCol: String,
+      mediaCol: String, indexPath: String, kernel: String = "dhash",
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      appendNovelOnly: Boolean = false)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      if (!graft.pipeline.Indexes.batchApplied(spark, indexPath, id)) {
+        val b = batch.persist()
+        try {
+          val idx = graft.pipeline.Indexes.openMediaIndex(spark,
+            indexPath)
+          val cands = graft.pipeline.Indexes.mediaDupPairsIndexed(b,
+            idCol, mediaCol, idx, kernel, maxHamming, maxBucket)
+            .persist()
+          try {
+            sink(cands, id)
+            val accepted =
+              if (!appendNovelOnly) b
+              else b.join(cands.select(col("batch_id")).distinct(),
+                b(idCol) === col("batch_id"), "left_anti")
+            graft.pipeline.Indexes.appendMediaIndexBatch(accepted,
+              idCol, mediaCol, indexPath, id, kernel)
+          } finally cands.unpersist()
+        } finally b.unpersist()
+      }
+      ()
+    }
+
   /** Streaming ingest-dedup probe against a persisted winnow index
     * ([[graft.pipeline.Indexes.writeWinnowIndex]]): each arriving
     * micro-batch fingerprints ONLY itself and probes the corpus

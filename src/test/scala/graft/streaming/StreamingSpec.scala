@@ -607,6 +607,68 @@ class StreamingSpec extends SparkSpec {
     graft.core.Caches.releaseAll(spark)
   }
 
+  test("streaming media ingest loop (probe THEN append) == " +
+      "sequential batch replay") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf())
+    def toMedia(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.pipeline.Multimodal.packFakeMedia(col("text"))
+          .as("media"))
+    val media = toMedia(docs)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val half = inc.length / 2
+    val slices = Seq(inc.take(half), inc.drop(half))
+
+    val sPath = "/tmp/graft_idx_spec_stream/media_ingest_s"
+    graft.pipeline.Indexes.writeMediaIndex(
+      media.filter(col("doc_id") % 2 === 0), "doc_id", "media", sPath)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = EventStreams.mediaIngestStream(
+      toMedia(input.toDF().toDF("doc_id", "text")),
+      "doc_id", "media", sPath) { (pairs, _) =>
+      got ++= pairs.collect().map(_.toString)
+    }
+    input.addData(slices.head.toSeq)
+    val q = writer.start()
+    q.processAllAvailable()
+    input.addData(slices(1).toSeq)
+    q.processAllAvailable(); q.stop()
+
+    // authority: sequential replay on the same slices
+    val rPath = "/tmp/graft_idx_spec_stream/media_ingest_r"
+    graft.pipeline.Indexes.writeMediaIndex(
+      media.filter(col("doc_id") % 2 === 0), "doc_id", "media", rPath)
+    val want = scala.collection.mutable.ArrayBuffer[String]()
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      val bdf = toMedia(sl.toSeq.toDF("doc_id", "text"))
+      val idx = graft.pipeline.Indexes.openMediaIndex(spark, rPath)
+      want ++= graft.pipeline.Indexes.mediaDupPairsIndexed(bdf,
+        "doc_id", "media", idx).collect().map(_.toString)
+      graft.pipeline.Indexes.appendMediaIndexBatch(bdf, "doc_id",
+        "media", rPath, i)
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.nonEmpty, "fixture must produce candidates")
+    val sIdx = graft.pipeline.Indexes.openMediaIndex(spark, sPath)
+    val rIdx = graft.pipeline.Indexes.openMediaIndex(spark, rPath)
+    assert(sIdx.collect().map(_.toString).sorted.toSeq ==
+      rIdx.collect().map(_.toString).sorted.toSeq,
+      "final artifacts must agree")
+    // replayed batch id: no-op on the artifact
+    val before = rIdx.count()
+    assert(!graft.pipeline.Indexes.appendMediaIndexBatch(
+      toMedia(slices.head.toSeq.toDF("doc_id", "text")), "doc_id",
+      "media", rPath, 0))
+    assert(graft.pipeline.Indexes.openMediaIndex(spark, rPath)
+      .count() == before)
+    graft.core.Caches.releaseAll(spark)
+  }
+
   test("streaming winnow probe against the persisted index == batch " +
       "probe") {
     implicit val ctx = spark.sqlContext
