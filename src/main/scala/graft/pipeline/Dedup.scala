@@ -497,13 +497,21 @@ object Dedup {
   def dupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // symmetrize in ONE pass over the pair plan (a union of two
-    // selects would re-run the whole pair generation per branch)
+    // selects would re-run the whole pair generation per branch).
+    // Staged REPARTITIONED BY id2 — every round's message join probes
+    // edges on id2, so materializing the cache in that layout makes
+    // the per-round edge exchange zero (the cached partitioning
+    // satisfies the join's distribution; only the label frame moves
+    // per round). At 100 TB the edge list is the big side of the
+    // round — this is the difference between re-shuffling it every
+    // round and never (optimization round 17, guide §2.4).
     val edges = graft.core.Caches.stage(pairs
       .select(explode(array(
         struct(col("id1"), col("id2")),
         struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
       .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
-      .distinct())
+      .distinct()
+      .repartition(col("id2")))
     // Iterate ONLY over edge-touched nodes: near-dup graphs are
     // sparse (most of the corpus has no duplicate), so the rounds
     // shuffle |V(edges)| rows, not |corpus| — at 100 TB that is the
@@ -521,8 +529,16 @@ object Dedup {
     // when the round's frame is dropped); set
     // spark.graft.checkpoint.dir for the executor-loss-surviving
     // reliable form (identical results, CheckpointModeSpec).
-    var comp = edges.select(col("id1").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Seed with the FIRST propagation step folded into the init
+    // aggregate: comp₀(id) = min(id, min neighbor id) — one groupBy
+    // over the edge list, the same exchange count as the plain
+    // comp = id init it replaces, but quasi-clique duplicate graphs
+    // (the near-dup norm) start converged and exit after ONE loop
+    // round instead of two. Any comp₀(id) ≤ id that is a reachable
+    // id converges to the identical min-label fixpoint.
+    var comp = edges.groupBy(col("id2").as("id"))
+      .agg(min(col("id1")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("comp"))
       .transform(graft.core.Checkpoints.cut)
     var converged = false
     var it = 0
@@ -537,36 +553,45 @@ object Dedup {
       // persist (not checkpoint) within the round: the hop self-join
       // below reads this twice, but `next`'s checkpoint already
       // flattens the round's lineage — one materialization job per
-      // round instead of two, and the cache is dropped right after
+      // round instead of twice, and the cache is dropped right after
       val relabeled = graft.core.Caches.stage(
         comp.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("comp").as("prev"),
             least(col("comp"), coalesce(col("ncomp"), col("comp")))
               .as("comp")))
-      // pointer doubling: comp(id) := min(comp(id), comp(comp(id))).
-      // Labels are node ids, so the hop is a self-join; with it the
-      // rounds needed drop from O(diameter) to O(log diameter) —
-      // maxIter = 20 then covers diameters up to ~2^20, so chain-
-      // shaped dup graphs converge instead of silently truncating.
-      val a = relabeled.as("a")
-      val b = relabeled.select(col("id").as("__bid"),
-        col("comp").as("__bcomp"))
-      // ids are unique in relabeled, so the hop join is 1:1 — no
-      // re-aggregation needed after it. The round's PREVIOUS label
-      // rides along into the checkpoint so convergence is a plain
-      // scan of the materialized blocks — not the extra full join of
-      // next-vs-comp (one shuffle per round) it used to be.
-      val next = a.join(b, col("a.comp") === col("__bid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.comp"), coalesce(col("__bcomp"), col("a.comp")))
-            .as("comp"),
-          col("a.prev").as("prev"))
-        .transform(graft.core.Checkpoints.cut)
-      val changed = next.filter(col("comp") =!= col("prev"))
+      // Convergence is checked BEFORE the hop (optimization round
+      // 17): a round where the one-hop relabel changed nothing is a
+      // fixpoint of neighbor-min propagation — labels constant across
+      // every edge, i.e. fully converged — and the hop (comp(id) :=
+      // min(comp, comp(comp)) can only move a label through a chain
+      // the relabel already moved, so it is provably a no-op at that
+      // fixpoint. The FINAL round then skips the hop self-join and
+      // its checkpoint entirely (≈4 fewer jobs on the quasi-clique
+      // graphs that converge in one round).
+      val changed = relabeled.filter(col("comp") =!= col("prev"))
         .limit(1).count()
-      relabeled.unpersist()
-      comp = next.select("id", "comp")
-      converged = changed == 0
+      if (changed == 0) {
+        relabeled.unpersist()
+        converged = true
+      } else {
+        // pointer doubling: comp(id) := min(comp(id), comp(comp(id)))
+        // Labels are node ids, so the hop is a self-join; with it the
+        // rounds needed drop from O(diameter) to O(log diameter) —
+        // maxIter = 20 then covers diameters up to ~2^20, so chain-
+        // shaped dup graphs converge instead of silently truncating.
+        val a = relabeled.as("a")
+        val b = relabeled.select(col("id").as("__bid"),
+          col("comp").as("__bcomp"))
+        // ids are unique in relabeled, so the hop join is 1:1 — no
+        // re-aggregation needed after it.
+        val next = a.join(b, col("a.comp") === col("__bid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.comp"),
+              coalesce(col("__bcomp"), col("a.comp"))).as("comp"))
+          .transform(graft.core.Checkpoints.cut)
+        relabeled.unpersist()
+        comp = next
+      }
       it += 1
     }
     edges.unpersist()

@@ -55,7 +55,7 @@ object LinkGraph {
     require(n > 0, "pagerank over an empty edge frame")
     val base = (scale / 100 * (100 - dampPct)) / n
     var rank = nodes.withColumn("rank", lit(scale / n)).transform(graft.core.Checkpoints.cut)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(rank.withColumnRenamed("id", "src"), "src")
         .select(col("dst"),
@@ -65,7 +65,10 @@ object LinkGraph {
         .select(col("id"),
           (lit(base) + expr(s"($dampPct * coalesce(cs, 0L)) div 100"))
             .as("rank"))
-        .transform(graft.core.Checkpoints.cut)
+      // the cut exists to stop per-round plan growth; the LAST
+      // round's frame never re-enters a round, so it stays lazy (one
+      // eager materialization job saved per call — r17)
+      if (i < iters) rank = rank.transform(graft.core.Checkpoints.cut)
     }
     rank
   }
@@ -151,11 +154,17 @@ object LinkGraph {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val e = edges.select(col("id1").as("a"), col("id2").as("b"))
       .filter(col("a") =!= col("b"))
+    // staged REPARTITIONED BY b: every round's neighbor join probes
+    // sym on b, so materializing the cache in that layout removes the
+    // per-round exchange of the edge frame — the big side of the
+    // round at corpus scale (optimization round 17, guide §2.4; the
+    // dupGroups edge-layout trick)
     val sym = graft.core.Caches.stage(
-      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct())
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .repartition(col("b")))
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).transform(graft.core.Checkpoints.cut)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val nb = sym
         .join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"), col("label"))
@@ -165,7 +174,9 @@ object LinkGraph {
       labels = nb.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
         .select(col("id"), col("label"))
-        .transform(graft.core.Checkpoints.cut)
+      // last round stays lazy — the cut only guards round-over-round
+      // plan growth (r17, as in pagerank)
+      if (i < iters) labels = labels.transform(graft.core.Checkpoints.cut)
     }
     labels
   }

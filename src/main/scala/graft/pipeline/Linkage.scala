@@ -24,52 +24,88 @@ import org.apache.spark.sql.expressions.Window
   */
 object Linkage {
 
+  /** Tagged (t, v) blocking-key structs for `keys`. */
+  private def taggedKeys(keys: Seq[Column]): Seq[Column] = {
+    require(keys.nonEmpty, "need at least one blocking key")
+    keys.zipWithIndex.map { case (k, i) =>
+      struct(lit(i).as("t"), k.cast("string").as("v"))
+    }
+  }
+
+  /** All i<j pairs of a sorted bucket array, each built by `mk(x, y)`
+    * — pair generation stays INSIDE the bucket row, so the quadratic
+    * fan-out happens in one projection instead of a bucket self-join.
+    * `sorted` MUST be a bound column (not an inline array_sort):
+    * HOF lambdas re-evaluate argument expressions per element, so an
+    * inline sort would run once per OUTER element — O(n² log n) per
+    * bucket (measured 7× slower on the p_er shape).
+    */
+  private def bucketPairs(sorted: Column,
+      mk: (Column, Column) => Column): Column =
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), y => mk(x, y))))
+
   /** Candidate pairs (id1 < id2, distinct) from OR-blocking: records
     * sharing ANY of the `keys` values. NULL keys never block (an
     * unknown field is evidence of nothing).
+    *
+    * Plan shape (optimization round 17): one groupBy(t, v) collecting
+    * each bucket's distinct ids, pairs generated in-row over the
+    * sorted bucket array. The previous form — distinct over the
+    * exploded keys, a count window per (t, v), and a bucket SELF-JOIN
+    * — was three extra exchanges plus a join whose output (every
+    * candidate pair) went through the shuffle; here only bucket rows
+    * (≤ maxBucket ids each) are shuffled and the quadratic fan-out is
+    * a projection. The bucket-size cap and the id1 < id2 / distinct
+    * contract are unchanged (size(collect_set) counts exactly what
+    * the count window counted: distinct ids per (t, v)).
     */
   def candidates(df: DataFrame, idCol: String, keys: Seq[Column],
       maxBucket: Int = 1000): DataFrame = {
-    require(keys.nonEmpty, "need at least one blocking key")
-    val tagged = keys.zipWithIndex.map { case (k, i) =>
-      struct(lit(i).as("t"), k.cast("string").as("v"))
-    }
-    val blocked = graft.core.Caches.stage(
-      df.select(col(idCol).as("id"),
-          explode(array(tagged: _*)).as("b"))
-        .filter(col("b.v").isNotNull)
-        .select(col("id"), col("b.t").as("t"), col("b.v").as("v"))
-        .distinct()
-        .withColumn("__n",
-          count(lit(1)).over(Window.partitionBy("t", "v")))
-        .filter(col("__n") <= maxBucket).drop("__n"))
-    blocked.as("l")
-      .join(blocked.as("r"),
-        col("l.t") === col("r.t") && col("l.v") === col("r.v") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+    val buckets = df.select(col(idCol).as("id"),
+        explode(array(taggedKeys(keys): _*)).as("b"))
+      .filter(col("b.v").isNotNull)
+      .groupBy(col("b.t").as("t"), col("b.v").as("v"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = bucketPairs(col("ids"),
+      (x, y) => struct(x.as("id1"), y.as("id2")))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }
 
   /** Verified link pairs: candidates whose `nameCol` edit distance is
-    * ≤ `maxDist`. The name lookup for pair sides is a join back to
-    * the registry (the registry frame is the small side of nothing —
-    * both joins are id-equi-joins on the candidate frame).
+    * ≤ `maxDist`. Names ride through the blocking buckets with their
+    * ids (registry ids are unique — the linkage contract), so the
+    * verify runs straight off the exploded pair — no join back to the
+    * registry — and, because `levenshtein` is deterministic, BEFORE
+    * the cross-key distinct: the distinct then shuffles only the
+    * verified links (a few per record) instead of every candidate
+    * pair (quadratic in bucket size). Same output set as
+    * verify-after-distinct.
     */
   def linkPairs(df: DataFrame, idCol: String, nameCol: String,
       keys: Seq[Column], maxDist: Int,
       maxBucket: Int = 1000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val names = df.select(col(idCol).as("__nid"),
-      col(nameCol).as("__nm"))
-    candidates(df, idCol, keys, maxBucket)
-      .join(names.withColumnRenamed("__nid", "id1")
-        .withColumnRenamed("__nm", "__n1"), "id1")
-      .join(names.withColumnRenamed("__nid", "id2")
-        .withColumnRenamed("__nm", "__n2"), "id2")
-      .withColumn("dist", levenshtein(col("__n1"), col("__n2")))
+    val buckets = df.select(col(idCol).as("id"),
+        col(nameCol).as("nm"),
+        explode(array(taggedKeys(keys): _*)).as("b"))
+      .filter(col("b.v").isNotNull)
+      .groupBy(col("b.t").as("t"), col("b.v").as("v"))
+      .agg(array_sort(collect_set(struct(col("id"), col("nm"))))
+        .as("rs"))
+      .filter(size(col("rs")).between(2, maxBucket))
+    val pairs = bucketPairs(col("rs"),
+      (x, y) => struct(
+        x.getField("id").as("id1"), y.getField("id").as("id2"),
+        x.getField("nm").as("n1"), y.getField("nm").as("n2")))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        levenshtein(col("p.n1"), col("p.n2")).as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("id1"), col("id2"), col("dist"))
+      .distinct()
   }
 
   /** Entity assignment: connected components over the verified link

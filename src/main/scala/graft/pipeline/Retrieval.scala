@@ -334,6 +334,19 @@ object Retrieval {
     * is engine-portable (λ as integer percent to keep the literals
     * exact).
     *
+    * Plan shape (optimization round 17): the greedy trajectory runs
+    * PER QUERY inside one row. A query's entire state is its ≤
+    * |shortlist| candidates (ids, rel, vectors) — corpus size never
+    * enters — so the k-round driver loop of join + window +
+    * lineage-cut barriers this used to run (4+ jobs and 3 exchanges
+    * per step, a global barrier across ALL queries each round) is
+    * replaced by one groupBy(query_id) collecting the candidate
+    * structs and one HOF fold over steps 2..k that replays the exact
+    * same argmax arithmetic (score `λ·rel − (1−λ)·max_sel sim` with
+    * [[Dedup.cosine]] sims, ties on cand_id ascending). Two exchanges
+    * total, no barriers, and queries never wait for each other — the
+    * shape that scales to millions of queries.
+    *
     * @return (query_id, step, cand_id), step = 1..k in selection order
     */
   def mmr(shortlist: DataFrame, vecs: DataFrame, k: Int,
@@ -343,45 +356,56 @@ object Retrieval {
       s"lambdaPct must be in [0,100], got $lambdaPct")
     val lam = lit(lambdaPct / 100.0d)
     val oneMinus = lit((100 - lambdaPct) / 100.0d)
-    val cand = graft.core.Caches.stage(
-      shortlist.select("query_id", "cand_id", "rel"))
-    val a = cand.select("query_id", "cand_id")
+    val cand = shortlist.select("query_id", "cand_id", "rel")
       .join(vecs.select(col("cand_id"),
         col("v").cast("array<double>").as("v")), "cand_id")
-    val b = a.select(col("query_id"), col("cand_id").as("sel_id"),
-      col("v").as("sv"))
-    val sims = graft.core.Caches.stage(
-      a.join(b, Seq("query_id"))
-        .filter(col("cand_id") =!= col("sel_id"))
-        .select(col("query_id"), col("cand_id"), col("sel_id"),
-          Dedup.cosine(col("v"), col("sv")).as("sim")))
-    val wRel = Window.partitionBy("query_id")
-      .orderBy(col("rel").desc, col("cand_id"))
-    var sel = cand
-      .withColumn("__rn", row_number().over(wRel))
-      .filter(col("__rn") === 1)
-      .select(col("query_id"), col("cand_id"), lit(1).as("step"))
-      .transform(graft.core.Checkpoints.cut)
-    for (t <- 2 to k) {
-      val selIds = sel.select(col("query_id"),
-        col("cand_id").as("sel_id"))
-      val scored = cand
-        .join(sel.select("query_id", "cand_id"),
-          Seq("query_id", "cand_id"), "left_anti")
-        .join(sims, Seq("query_id", "cand_id"))
-        .join(selIds, Seq("query_id", "sel_id"))
-        .groupBy("query_id", "cand_id", "rel")
-        .agg(max(col("sim")).as("__ms"))
-        .withColumn("__score",
-          lam * col("rel") - oneMinus * col("__ms"))
-      val wS = Window.partitionBy("query_id")
-        .orderBy(col("__score").desc, col("cand_id"))
-      val pick = scored.withColumn("__rn", row_number().over(wS))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("cand_id"), lit(t).as("step"))
-      sel = sel.union(pick).transform(graft.core.Checkpoints.cut)
+    val grouped = cand.groupBy("query_id")
+      .agg(collect_list(struct(col("cand_id"), col("rel"), col("v")))
+        .as("cs"))
+    // argmax of array<struct<score, c>> by (score desc, cand_id asc)
+    // — a left fold seeded with the first element, exactly the
+    // row_number()-over-(score desc, cand_id) pick of the loop form.
+    def argmax(scored: Column): Column = aggregate(
+      slice(scored, lit(2), greatest(size(scored) - 1, lit(0))),
+      get(scored, lit(0)),
+      (b, x) => when(
+        x.getField("score") > b.getField("score") ||
+          (x.getField("score") === b.getField("score") &&
+            x.getField("c").getField("cand_id") <
+              b.getField("c").getField("cand_id")), x).otherwise(b))
+    // one selection step: drop already-selected candidates, score the
+    // rest against the selected set, append the argmax (no-op once
+    // every candidate is selected — k may exceed the shortlist).
+    def step(sel: Column, cs: Column): Column = {
+      val remaining = filter(cs, c =>
+        !exists(sel, s =>
+          s.getField("cand_id") === c.getField("cand_id")))
+      val scored = transform(remaining, c => struct(
+        (lam * c.getField("rel") - oneMinus *
+          array_max(transform(sel, s =>
+            Dedup.cosine(c.getField("v"), s.getField("v")))))
+          .as("score"),
+        c.as("c")))
+      val p = argmax(scored)
+      concat(sel, filter(array(p.getField("c")), e => e.isNotNull))
     }
-    sel.select("query_id", "step", "cand_id")
+    val first = {
+      val scored = transform(col("cs"), c =>
+        struct(c.getField("rel").as("score"), c.as("c")))
+      val p = argmax(scored)
+      filter(array(p.getField("c")), e => e.isNotNull)
+    }
+    // steps 2..k as a fold over the step numbers: the selected-set
+    // state is a lambda variable, so the expression tree stays O(k)
+    // (chaining step() calls directly would duplicate the state
+    // subtree multiplicatively per step)
+    val sel =
+      if (k == 1) first
+      else aggregate(sequence(lit(2), lit(k)), first,
+        (s, _) => step(s, col("cs")))
+    grouped.select(col("query_id"), posexplode(sel))
+      .select(col("query_id"), (col("pos") + 1).as("step"),
+        col("col").getField("cand_id").as("cand_id"))
   }
 
   /** Convenience form of [[mmr]]: exact-cosine shortlist from a

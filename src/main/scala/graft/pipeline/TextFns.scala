@@ -943,18 +943,29 @@ object TextFns {
             lit(1.0d) / (lit(1.0d) + exp(-col("mg"))) - col("y")))
       val bucket = conv(org.apache.spark.sql.functions.substring(
         md5(col("tc.token")), 1, 15), 16, 10).cast("long") % dim
+      // ONE action per iteration (r17): the bias gradient and the doc
+      // count ride the same grouped aggregate as the weight buckets —
+      // a per-doc synthetic bucket −1 row unioned under the exploded
+      // token rows (both branches read the staged perDoc cache). Two
+      // collects per iteration became one; the sums are unchanged.
       val gw = Array.fill(dim)(0L)
+      var gb = 0L
+      var n = 0L
       perDoc.select(col("r"), col("dl"), explode(col("tcs")).as("tc"))
-        .groupBy(bucket.as("b"))
-        .agg(sum(floor(col("r") * (col("tc.cnt") / col("dl")) * fix)
-          .cast("long")).as("s"))
+        .select(bucket.as("b"),
+          floor(col("r") * (col("tc.cnt") / col("dl")) * fix)
+            .cast("long").as("g"),
+          lit(0L).as("one"))
+        .unionAll(perDoc.select(lit(-1L).as("b"),
+          floor(col("r") * fix).cast("long").as("g"),
+          lit(1L).as("one")))
+        .groupBy("b").agg(sum("g").as("s"), sum("one").as("cnt"))
         .collect()
-        .foreach(row => gw(row.getLong(0).toInt) = row.getLong(1))
-      val Array(gbRow) = perDoc
-        .agg(sum(floor(col("r") * fix).cast("long")).as("gb"),
-          count(lit(1)).as("n")).collect()
-      val gb = gbRow.getLong(0)
-      val n = gbRow.getLong(1)
+        .foreach { row =>
+          val b = row.getLong(0)
+          if (b == -1L) { gb = row.getLong(1); n = row.getLong(2) }
+          else gw(b.toInt) = row.getLong(1)
+        }
       w = Array.tabulate(dim)(b => w(b) - lr * gw(b) / (n * 1048576.0d))
       bias = bias - lr * gb / (n * 1048576.0d)
       it += 1

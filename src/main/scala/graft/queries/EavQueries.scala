@@ -40,16 +40,20 @@ object EavQueries {
     * (reference query_test.cljc:575-675).
     */
   def qEavJoin(s: SparkSession, d: String): DataFrame = {
-    // shredAttrsVerified: o_orderkey/c_custkey are primary keys, but
-    // the fused row-local plan needs PROOF, not assumption — the
-    // verified twin pays one write-time count-distinct per source and
-    // tags the shred idFunctional, so multi-pattern groups skip the
-    // duplicate-id product plan's groupBy(id) exchange (round-16 watch
-    // item 1; the duplicate-id tier keeps its own gate, q_eav_product)
-    val orders = Shred.shredAttrsVerified(Tables.orders(s, d),
-      "o_orderkey", Seq("o_orderpriority", "o_custkey"))
-    val customer = Shred.shredAttrsVerified(Tables.customer(s, d),
-      "c_custkey", Seq("c_custkey", "c_name"))
+    // shredAttrsVerifiedAll: o_orderkey/c_custkey are primary keys,
+    // but the fused row-local plan needs PROOF, not assumption — the
+    // verified form pays a shred-time count-distinct proof and tags
+    // the shred idFunctional, so multi-pattern groups skip the
+    // duplicate-id product plan's groupBy(id) exchange (round-16
+    // watch item 1; the duplicate-id tier keeps its own gate,
+    // q_eav_product). BATCHED (r17): both sources' proofs run in one
+    // Spark action — the per-run gate posture was paying two
+    // fixed-latency proof jobs, ~2× the fused plan's own cost.
+    val Seq(orders, customer) = Shred.shredAttrsVerifiedAll(Seq(
+      (Tables.orders(s, d), "o_orderkey",
+        Seq("o_orderpriority", "o_custkey")),
+      (Tables.customer(s, d), "c_custkey",
+        Seq("c_custkey", "c_name"))))
     QueryCompiler.run(
       Map("orders" -> orders, "customer" -> customer),
       Seq(

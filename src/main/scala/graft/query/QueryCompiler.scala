@@ -1009,7 +1009,16 @@ object QueryCompiler {
           }
         }
       }
-      val aggCols = aggs.result()
+      val aggCols0 = aggs.result()
+      // a group whose EVERY pattern is a kind-mismatched constant
+      // (each folds to falseGroup, adding no aggregate) still needs a
+      // well-formed groupBy — aggregate a placeholder; the
+      // filter(false) below empties the frame (inherited r16 crash:
+      // `aggCols.head` on the empty list, EavRegroupProps seed
+      // Lho_mHeos…, fixed r17)
+      val aggCols =
+        if (aggCols0.nonEmpty) aggCols0
+        else Seq(max(lit(true)).as(s"${pfx}none"))
       var out = pre.groupBy(id.as(gk))
         .agg(aggCols.head, aggCols.tail: _*)
       if (falseGroup) out = out.filter(lit(false))

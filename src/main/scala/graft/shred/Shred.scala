@@ -189,6 +189,45 @@ object Shred {
     shredGenTagged(narrowed, Some(idCol), idUnique(narrowed, idCol))
   }
 
+  /** Batched [[idUnique]]: prove several (frame, idCol) pairs in ONE
+    * Spark action — a union of tagged id columns into one grouped
+    * count/count-distinct. Same verdicts as calling [[idUnique]] per
+    * frame (ids are compared within their own tag only; the string
+    * cast is injective per column), at one job's fixed latency
+    * instead of N (a multi-source query{} gate pays the proof per
+    * source per run — optimization round 17).
+    */
+  def idUniqueAll(frames: Seq[(DataFrame, String)]): Seq[Boolean] = {
+    require(frames.nonEmpty, "idUniqueAll needs at least one frame")
+    // one single-row aggregate per frame, cross-joined into one row:
+    // all proof scans run inside ONE action (and overlap — the
+    // single-row sides broadcast), with each count_distinct on its
+    // own native id type. A union-based form was measured no faster
+    // than per-frame actions: the tagged union re-shuffles every id
+    // as a string for the grouped distinct.
+    val aggs = frames.zipWithIndex.map { case ((df, idc), i) =>
+      df.agg(count(col(idc)).as(s"__c$i"),
+        count_distinct(col(idc)).as(s"__d$i"))
+    }
+    val row = aggs.reduce(_ crossJoin _).head()
+    frames.indices.map(i => row.getLong(2 * i) == row.getLong(2 * i + 1))
+  }
+
+  /** Multi-source twin of [[shredAttrsVerified]]: one batched proof
+    * action covers every source, then each narrowed frame shreds with
+    * its own proven verdict.
+    */
+  def shredAttrsVerifiedAll(
+      sources: Seq[(DataFrame, String, Seq[String])]): Seq[DataFrame] = {
+    val narrowed = sources.map { case (df, idCol, attrs) =>
+      (df.select((idCol +: attrs).distinct.map(col): _*), idCol)
+    }
+    val proofs = idUniqueAll(narrowed)
+    narrowed.zip(proofs).map { case ((df, idCol), ok) =>
+      shredGenTagged(df, Some(idCol), ok)
+    }
+  }
+
   /** Entity id column: the caller's idCol, else a content-derived
     * `xxhash64(to_json(row))`. Content hashing keeps ids stable across
     * repartitions and failed-stage retries — `monotonically_increasing_

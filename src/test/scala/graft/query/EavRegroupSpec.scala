@@ -361,6 +361,21 @@ class EavRegroupSpec extends SparkSpec {
       Pattern(V("e"), C("name"), C(5))), expectRegroup = true)
   }
 
+  test("product group of ONLY kind-mismatched constants is empty, " +
+      "not a crash") {
+    // duplicate-id source (product mode) + every pattern a constant
+    // whose kind mismatches the column: each pattern folds to
+    // falseGroup WITHOUT adding an aggregate, and the group's
+    // aggregate list came up empty — `aggCols.head` crashed
+    // (inherited r16 bug, EavRegroupProps seed Lho_mHeos…; fixed r17
+    // with a placeholder aggregate + the filter(false))
+    val dup = Seq((3L, true, 2L), (3L, false, 1L), (2L, false, 1L))
+      .toDF("rid", "p", "q")
+    check(Map("default" -> Shred.shred(dup, Some("rid"))), Seq(
+      Pattern(V("e"), C("p"), C("")),
+      Pattern(V("e"), C("q"), C(false))), expectRegroup = true)
+  }
+
   test("predicates and repeated qvars ride the regrouped path") {
     val t = Seq((1L, 5L, 5L), (2L, 5L, 7L), (3L, 2L, 2L))
       .toDF("rid", "p", "r")
