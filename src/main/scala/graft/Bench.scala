@@ -173,13 +173,29 @@ object Bench {
       "\"leaked_rdds\":" + leaked,
       "\"q1_cold\":" + r3(q1Cold),
       "\"q1_warm\":" + r3(q1Warm)).mkString("{", ",", "}")
+    println(s"""{"metric":"env","env":$env}""")
     println(s"""{"metric":"full_detail","full":${js(full)}}""")
     println(s"""{"metric":"query_detail","queries":${js(results)}}""")
-    println(s"""{"metric":"env","env":$env}""")
     println(s"""{"metric":"core_vs_ext","core_total":$coreTotal,""" +
       s""""core_full_total":$coreFullTotal,"n_core":$nCore,""" +
       s""""ext_total":$extTotal,"ext_full_total":$extFullTotal,""" +
       s""""n_ext":$nExt}""")
+    // Tail-survivable per-query record (round 18, VERDICT r17 item 1):
+    // the harness keeps only the LAST ~2000 bytes of stdout, so the
+    // single 171-entry query_detail line above is cut mid-line and the
+    // driver's PERF per_query came back empty (PERF_r17 n_common=0).
+    // Re-emit the same count-pass seconds as SMALL independent JSON
+    // lines, chunked, sorted ASCENDING by time so the heaviest (most
+    // judgeable) queries sit nearest the end of stdout and survive the
+    // tail cut; the env/detail lines above were moved out of the tail
+    // region for the same reason. Additions-only: query_detail /
+    // full_detail are unchanged and the final total line stays the
+    // one-line contract.
+    results.toSeq.sortBy { case (n, v) => (v, n) }.grouped(12).foreach {
+      chunk =>
+        println(
+          s"""{"metric":"per_query","queries":${js(chunk.toMap)}}""")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","full_total":$fullTotal,"core_total":$coreTotal,"ext_total":$extTotal,"q1_cold":${r3(q1Cold)},"q1_warm":${r3(q1Warm)},"sf":"$sfDir"}""")
     // belt-and-braces: the machine-readable record also lands in a
     // file, immune to any stdout capture/prefix/truncation issues

@@ -409,11 +409,15 @@ object Compiler {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Driver-side literal of a (constant) scalar argument. */
+  /** Driver-side literal of a (constant) scalar argument. Local
+    * one-row carrier: the Project constant-folds over LocalRelation,
+    * so the collect runs on the driver with no Spark job (round 18).
+    */
   private def literalOf(cv: CV): Any = {
     val spark = sparkCtx.value
     val d = scalar(cv)
-    spark.range(1).select(d.col).collect()(0).get(0)
+    import spark.implicits._
+    Seq(0).toDF("__c").select(d.col).collect()(0).get(0)
   }
 
   // ---------- path semantics ----------

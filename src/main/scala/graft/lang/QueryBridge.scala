@@ -23,16 +23,26 @@ import Compiler._
   */
 object QueryBridge {
 
-  /** Program-literal value → DataFrame (rows = array elements). */
+  /** Program-literal value → DataFrame (rows = array elements).
+    *
+    * The carrier is a one-row LOCAL relation, and the array case
+    * renders per-element JSON with a `transform` HOF instead of an
+    * explode: Project-over-LocalRelation constant-folds
+    * (ConvertToLocalRelation), so the literal→JSON rendering collects
+    * driver-locally with NO Spark job — the old `spark.range(1)` +
+    * explode carrier paid one cluster job per literal (round-18
+    * q_rm_mixed job attribution). The read.json schema-inference pass
+    * stays (it defines the bridge's type normalization).
+    */
   def cdToDf(spark: SparkSession, d: CD): DataFrame = {
     import spark.implicits._
-    val carrier = spark.range(1)
+    val carrier = Seq(0).toDF("__c")
     val json: Seq[String] = d.kind match {
       case KScalar =>
         carrier.select(to_json(d.col)).as[String].collect().toSeq
       case _ =>
-        carrier.select(explode(d.col).as("e"))
-          .select(to_json(col("e"))).as[String].collect().toSeq
+        carrier.select(transform(d.col, x => to_json(x)).as("j"))
+          .as[Seq[String]].collect().toSeq.flatten
     }
     spark.read.json(json.toDS())
   }

@@ -13,6 +13,16 @@ import Compiler._
   */
 object RM {
 
+  /** One-row LOCAL carrier for evaluating closed expressions:
+    * Project-over-LocalRelation constant-folds, so the collect is
+    * driver-local — no Spark job (round 18; `spark.range(1)` paid one
+    * cluster job per top-level eval).
+    */
+  private def carrier(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(0).toDF("__c")
+  }
+
   /** Evaluate a standalone expression to a JSON-like Scala value
     * (Map/Seq/Long/Double/String/Boolean/null wrapped in Option —
     * None = JSONata "no match").
@@ -22,7 +32,7 @@ object RM {
       val ast = Parser.parse(src)
       Compiler.compile(ast) match {
         case d: CD =>
-          val raw = spark.range(1).select(d.col.as("v")).collect()(0).get(0)
+          val raw = carrier(spark).select(d.col.as("v")).collect()(0).get(0)
           Finalize.jflatten(shape(raw, d.kind)).map(normalize)
         case CTab(df) =>
           // frame results: express doc/value columns unwrap; binding
@@ -46,7 +56,7 @@ object RM {
     val ds = o.fields.collect { case (k, d: CD) => k -> d }
     if (ds.isEmpty) Map.empty
     else {
-      val row = spark.range(1)
+      val row = carrier(spark)
         .select(ds.map { case (k, d) => d.col.as(k) }: _*).collect()(0)
       ds.zipWithIndex.map { case ((k, _), i) =>
         k -> normalize(row.get(i))
@@ -65,7 +75,7 @@ object RM {
         sources.map { case (n, df) => n -> (CTab(df): Compiler.CV) }
       Compiler.compile(Parser.parse(src), env) match {
         case d: CD =>
-          val raw = spark.range(1).select(d.col.as("v")).collect()(0).get(0)
+          val raw = carrier(spark).select(d.col.as("v")).collect()(0).get(0)
           Finalize.jflatten(shape(raw, d.kind)).map(normalize)
         case CTab(df) =>
           val unwrap = df.columns.toSeq == Seq("doc") ||

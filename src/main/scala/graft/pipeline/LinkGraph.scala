@@ -32,7 +32,11 @@ object LinkGraph {
     * (id, rank) with rank in fixed-point `scale` units; Σrank drifts
     * below `scale` only by the per-node floor truncations. Dangling
     * nodes (no out-edges) keep only their base share — the classic
-    * simplification, documented rather than hidden. */
+    * simplification, documented rather than hidden.
+    *
+    * The returned frame is LAZY at the final round (r17): a caller
+    * that runs more than one action on it should stage/cut it itself,
+    * or the last join+aggregate recomputes per action. */
   def pagerank(edges: DataFrame, iters: Int, dampPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
     val spark = edges.sparkSession
@@ -40,10 +44,16 @@ object LinkGraph {
       col("w").cast("long").as("w"))
     // bake the out-weight denominator into the staged edge frame once
     // (a window partitioned by src) so each iteration is exactly one
-    // join + one aggregation, not two joins
+    // join + one aggregation, not two joins; staged REPARTITIONED BY
+    // src — the per-round contrib join probes e on src, so
+    // materializing the cache in that layout removes the per-round
+    // exchange of the edge frame, the big side at corpus scale
+    // (round 18, guide §2.4 — the dupGroups/labelProp edge-layout
+    // trick applied to pagerank, VERDICT r17 item 4)
     val e = graft.core.Caches.stage(e0.withColumn("out_w",
       sum("w").over(org.apache.spark.sql.expressions.Window
-        .partitionBy("src"))))
+        .partitionBy("src")))
+      .repartition(col("src")))
     // materialize the node set once — it re-enters the plan every
     // pass (the rank rebuild join), and without the checkpoint each
     // pass would redo the union+distinct over the edge frame
@@ -54,17 +64,28 @@ object LinkGraph {
     val n = nodes.count()
     require(n > 0, "pagerank over an empty edge frame")
     val base = (scale / 100 * (100 - dampPct)) / n
-    var rank = nodes.withColumn("rank", lit(scale / n)).transform(graft.core.Checkpoints.cut)
+    // rank₀ is a constant projection over the already-checkpointed
+    // node frame — cutting it again was one pure-overhead eager job
+    // per call (dropped round 18; the per-round cuts below still
+    // bound plan growth)
+    var rank = nodes.withColumn("rank", lit(scale / n))
     for (i <- 1 to iters) {
+      // one round = one join + ONE aggregation: the zero-contribution
+      // row unioned per node replaces the old rebuild join against
+      // `nodes` (dangling/unlinked nodes still appear, with cs = 0 —
+      // sum is integer-exact so the result is bit-identical), saving
+      // a join and its broadcast-build job every round (round 18,
+      // guide §2.4; job-count attribution in OPTIMIZATION_r18.md)
       val contrib = e
         .join(rank.withColumnRenamed("id", "src"), "src")
         .select(col("dst"),
           expr("(CAST(rank AS DECIMAL(38,0)) * w) div out_w").as("c"))
-        .groupBy("dst").agg(sum("c").as("cs"))
-      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampPct * coalesce(cs, 0L)) div 100"))
-            .as("rank"))
+      rank = contrib
+        .union(nodes.select(col("id").as("dst"),
+          lit(0).cast("decimal(38,0)").as("c")))
+        .groupBy(col("dst").as("id"))
+        .agg((lit(base) + expr(s"($dampPct * sum(c)) div 100"))
+          .as("rank"))
       // the cut exists to stop per-round plan growth; the LAST
       // round's frame never re-enters a round, so it stays lazy (one
       // eager materialization job saved per call — r17)
@@ -148,7 +169,9 @@ object LinkGraph {
     *
     * @return (id, label) — nodes of the edge list only (an isolated
     *         corpus row has no edges and keeps its own community
-    *         trivially; callers left-join if they need those rows)
+    *         trivially; callers left-join if they need those rows).
+    *         Lazy at the final round, like [[pagerank]]: callers
+    *         running several actions on it should stage/cut it.
     */
   def labelProp(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")

@@ -39,6 +39,13 @@ object Linkage {
     * HOF lambdas re-evaluate argument expressions per element, so an
     * inline sort would run once per OUTER element — O(n² log n) per
     * bucket (measured 7× slower on the p_er shape).
+    *
+    * Memory envelope: the whole O(n²) pair array materializes inside
+    * ONE row before the explode, so `maxBucket` bounds row size — at
+    * the default 1000 that is ~500k structs per bucket row (hundreds
+    * of MB when pairs carry name strings). Callers raising maxBucket
+    * far above the default should keep pairs ids-only and join names
+    * back instead.
     */
   private def bucketPairs(sorted: Column,
       mk: (Column, Column) => Column): Column =
@@ -102,6 +109,11 @@ object Linkage {
         x.getField("id").as("id1"), y.getField("id").as("id2"),
         x.getField("nm").as("n1"), y.getField("nm").as("n2")))
     buckets.select(explode(pairs).as("p"))
+      // an id that appears with two distinct names forms two structs
+      // in the bucket's collect_set; drop the resulting self-pairs so
+      // the old bucket-self-join's strict id1 < id2 guarantee holds
+      // even when the unique-registry-id contract is violated
+      .filter(col("p.id1") =!= col("p.id2"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
         levenshtein(col("p.n1"), col("p.n2")).as("dist"))
       .filter(col("dist") <= maxDist)

@@ -347,6 +347,12 @@ object Retrieval {
     * total, no barriers, and queries never wait for each other — the
     * shape that scales to millions of queries.
     *
+    * Contract: `vecs` must cover every shortlist cand_id — the inner
+    * join to vecs drops uncovered candidates before step 1 (a
+    * candidate without a vector cannot be diversity-scored), so a
+    * caller with partial vector coverage should left-fill or
+    * pre-filter its shortlist explicitly.
+    *
     * @return (query_id, step, cand_id), step = 1..k in selection order
     */
   def mmr(shortlist: DataFrame, vecs: DataFrame, k: Int,

@@ -1,6 +1,6 @@
 // Scratch plan dumper for the optimization-round evidence trail:
 // writes `.explain("formatted")` of each named gate to
-// plans/r17/<query>_<tag>.txt (the judge checks plan claims against
+// plans/r18/<query>_<tag>.txt (the judge checks plan claims against
 // these files).
 //   sbt "runMain graft.tools.PlanDump before q_eav_join,q_reduce_step [sfDir]"
 package graft.tools
@@ -17,14 +17,14 @@ object PlanDump {
     val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
     val spark = graft.Sessions.local("32")
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r17"))
+    Files.createDirectories(Paths.get("plans/r18"))
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(Paths.get(s"plans/r17/${name}_$tag.txt"), txt)
-        println(s"PLANDUMP wrote plans/r17/${name}_$tag.txt")
+        Files.writeString(Paths.get(s"plans/r18/${name}_$tag.txt"), txt)
+        println(s"PLANDUMP wrote plans/r18/${name}_$tag.txt")
       } catch { case e: Throwable =>
         println(s"PLANDUMP $name FAILED: ${e.getMessage}")
       }
