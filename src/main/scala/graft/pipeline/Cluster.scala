@@ -156,10 +156,22 @@ object Cluster {
     // staged: k−1 sequential argmax passes + the final assignment all
     // scan this frame (the kmeans/unigram-train round pattern —
     // without it every greedy step re-reads the input source)
+    // the squared norm is center-independent — bake it into the
+    // staged cache ONCE (round 18): every greedy step's distance
+    // expression used to re-evaluate the 64-term Σv²ᵢ per row per
+    // step, and the duplicated subtree grew each step's codegen unit;
+    // the stored double is the identical IEEE value (same expression,
+    // same data), so the argmax trajectory is bit-unchanged
+    val sqOf: Column = {
+      val vv = col("v")
+      (0 until dim).map(i =>
+        element_at(vv, i + 1) * element_at(vv, i + 1)).reduceLeft(_ + _)
+    }
     val v = graft.core.Caches.stage(
       df.select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("v"))
-        .filter(col("v").isNotNull && size(col("v")) >= dim))
+        .filter(col("v").isNotNull && size(col("v")) >= dim)
+        .withColumn("__sq", sqOf))
     // an empty frame would surface as a bare NoSuchElementException
     // from the first collect, and k > n would silently select
     // duplicate centers (min-distance 0 everywhere after all n points
@@ -171,11 +183,8 @@ object Cluster {
       s"non-null $vecCol with >= $dim components)")
     require(k <= n, s"kcenterGreedy: k=$k exceeds the $n eligible " +
       "rows — every point is already a center")
-    val sqNormCol: Column = (0 until dim)
-      .map(i => element_at(col("v"), i + 1) * element_at(col("v"), i + 1))
-      .reduceLeft(_ + _)
     def dist2(c: Array[Double]): Column =
-      lit(sqNorm(c)) - lit(2.0d) * dot(col("v"), c) + sqNormCol
+      lit(sqNorm(c)) - lit(2.0d) * dot(col("v"), c) + col("__sq")
     val first = v.orderBy("id").limit(1).collect().head
     var centers = Vector((first.getLong(0),
       first.getSeq[Double](1).toArray))

@@ -704,10 +704,15 @@ object Dedup {
       k: Int = 4, w: Int = 8, minShared: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // per-row array_distinct ≡ the old global `.distinct()` on
+    // (id, h) — ids are unique per row, so duplicates only arise
+    // within one document's fingerprint array; the distinct's whole
+    // exchange disappears (round 18, guide §2.4)
     val fps = graft.core.Caches.stage(
       df.select(col(idCol).as("id"),
-          explode(winnow(col(textCol), k, w)).as("f"))
-        .select(col("id"), col("f.h").as("h")).distinct()
+          explode(array_distinct(transform(
+            winnow(col(textCol), k, w),
+            f => f.getField("h")))).as("h"))
         .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
         .filter(col("__n") <= maxBucket).drop("__n"))
     val l = fps.as("l")

@@ -367,11 +367,19 @@ object Indexes {
         .select(col("doc_id"), col("dl"), explode(col("tc")).as("t"))
         .select(col("t.token").as("token"), col("doc_id"),
           col("t.cnt").as("tf"), col("dl"))
-      postings.groupBy("token").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$path/dfs")
-      postings.repartition(col("token"))
-        .sortWithinPartitions("token", "doc_id")
-        .write.mode("overwrite").parquet(s"$path/postings")
+      // ONE token exchange serves both artifacts (round 18, guide
+      // §2.4): the dfs aggregate used to hash-shuffle the posting
+      // stream once and the postings write a second time; staging
+      // the stream repartitioned by token lets the groupBy(token)
+      // reuse the cached layout with no new exchange
+      val parted = postings.repartition(col("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        parted.groupBy("token").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$path/dfs")
+        parted.sortWithinPartitions("token", "doc_id")
+          .write.mode("overwrite").parquet(s"$path/postings")
+      } finally parted.unpersist(blocking = false)
     } finally base.unpersist(blocking = false)
   }
 
@@ -563,9 +571,15 @@ object Indexes {
 
   private def winnowFrame(df: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int): DataFrame =
+    // per-row array_distinct ≡ the old global `.distinct()` on
+    // (id, h): ids are unique per input row (the index contract), so
+    // duplicate (id, h) pairs can only arise WITHIN one document's
+    // fingerprint array — dedup in the projection and the distinct's
+    // whole exchange disappears (round 18, guide §2.4)
     df.select(col(idCol).as("id"),
-        explode(Dedup.winnow(col(textCol), k, w)).as("f"))
-      .select(col("id"), col("f.h").as("h")).distinct()
+        explode(array_distinct(transform(
+          Dedup.winnow(col(textCol), k, w),
+          f => f.getField("h")))).as("h"))
 
   /** Near-dup candidates of an incoming batch against a prebuilt
     * [[writeWinnowIndex]] artifact: (batch_id, corpus_id, n_shared =
@@ -593,13 +607,16 @@ object Indexes {
     val bf = graft.core.Caches.stage(
       winnowFrame(batch, batchId, textCol, k, w)
         .withColumnRenamed("id", "bid"))
-    val nFps = bf.select("h").distinct().count()
+    // ONE action sizes AND fetches the probe set (round 18): collect
+    // the distinct fingerprints capped at maxProbeFps + 1 — an
+    // overflowing row proves the set is too big for a literal In
+    // list without a separate count job
+    val probeHs = bf.select("h").distinct()
+      .limit(maxProbeFps + 1).collect().map(_.getLong(0))
     val pruned =
-      if (nFps <= maxProbeFps) {
-        val probeHs = bf.select("h").distinct()
-          .collect().map(_.getLong(0))
+      if (probeHs.length <= maxProbeFps)
         index.filter(col("h").isin(probeHs.toSeq: _*))
-      } else
+      else
         index.join(bf.select("h").distinct(), Seq("h"), "leftsemi")
     val capped = pruned
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))

@@ -44,16 +44,16 @@ object LinkGraph {
       col("w").cast("long").as("w"))
     // bake the out-weight denominator into the staged edge frame once
     // (a window partitioned by src) so each iteration is exactly one
-    // join + one aggregation, not two joins; staged REPARTITIONED BY
-    // src — the per-round contrib join probes e on src, so
-    // materializing the cache in that layout removes the per-round
-    // exchange of the edge frame, the big side at corpus scale
-    // (round 18, guide §2.4 — the dupGroups/labelProp edge-layout
-    // trick applied to pagerank, VERDICT r17 item 4)
+    // join + one aggregation, not two joins. NB the window ALREADY
+    // leaves the cache hash(src)-partitioned — exactly the layout the
+    // per-round contrib join probes — so no explicit repartition is
+    // needed here, unlike dupGroups/labelProp whose edge frames
+    // arrive unpartitioned (measured round 18, LayoutShuffleAb at
+    // sf1 under forced SMJ: per-round shuffle bytes identical with
+    // and without an explicit repartition(src))
     val e = graft.core.Caches.stage(e0.withColumn("out_w",
       sum("w").over(org.apache.spark.sql.expressions.Window
-        .partitionBy("src")))
-      .repartition(col("src")))
+        .partitionBy("src"))))
     // materialize the node set once — it re-enters the plan every
     // pass (the rank rebuild join), and without the checkpoint each
     // pass would redo the union+distinct over the edge frame

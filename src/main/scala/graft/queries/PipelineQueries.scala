@@ -1212,7 +1212,14 @@ object PipelineQueries {
     // out-of-the-box decontamination posture is the corpus-relative
     // boilerplate cap (min(1000, ceil(0.001·|train|)) — the
     // scale-safe default the sf10 rehearsal demanded), replayed
-    // in-oracle against the dd count
+    // in-oracle against the dd count. Round 18: bloomPreFilter was
+    // measured here and REJECTED — at n = 3 on prose nearly every
+    // train gram occurs in the eval suite (the guide-§3.2
+    // selectivity precondition fails), so the filter dropped almost
+    // nothing and its extra eval-side build action made the stage
+    // 1.6× SLOWER (CurateBloomAb, interleaved medians 1.73 s off vs
+    // 2.74 s on at sf0.1; identical 65-pair output). The flag stays
+    // for n = 8-class gram widths where train∩eval is sparse.
     val contaminated = graft.pipeline.Decontam.contamination(
         deduped, "doc_id", evalDocs, "doc_id", "text",
         n = 3, minCommon = 2)
@@ -1795,17 +1802,28 @@ object PipelineQueries {
     val words = Seq("zero", "one", "two", "three", "four", "five",
       "six", "seven", "eight", "nine")
     val digits = reverse(lpad(col("ck").cast("string"), 6, "0"))
-    val nm = rtrim((0 to 9).foldLeft(digits: org.apache.spark.sql.Column) {
-      (acc, dg) => regexp_replace(acc, dg.toString, words(dg) + " ")
-    })
+    // digit-speller as a per-char word LOOKUP (round 18, guide §4):
+    // bit-equal to the previous 10-deep chained regexp_replace
+    // (NmAb probe: 0 mismatches; words contain no digits so the
+    // chain's replacements never interacted), ~30% cheaper warm and
+    // a far smaller codegen unit
+    val wordArr = array(words.map(lit): _*)
+    val nm = array_join(
+      transform(sequence(lit(1), lit(6)), i =>
+        element_at(wordArr, digits.substr(i, lit(1)).cast("int") + 1)),
+      " ")
     val named = Tables.customer(s, d)
       .select(col("c_custkey").cast("long").as("ck"))
       .withColumn("nm", nm)
-    val reg = named.select((col("ck") * 2).as("rid"),
+    // the registry feeds linkPairs AND dupGroups AND the final join —
+    // stage it so the name synthesis runs once, not per consumer
+    // (round 18; released by the harness's Caches.releaseAll)
+    val reg = graft.core.Caches.stage(
+      named.select((col("ck") * 2).as("rid"),
         col("nm").as("name"))
       .union(named.filter(col("ck") % 3 === 0)
         .select((col("ck") * 2 + 1).as("rid"),
-          expr("substring(nm, 1, length(nm) - 1)").as("name")))
+          expr("substring(nm, 1, length(nm) - 1)").as("name"))))
     val keys = Seq(substring(col("name"), 1, 20),
       expr("right(name, 10)"))
     // ONE verify pass: stage the link pairs and feed both the
