@@ -367,19 +367,20 @@ object Indexes {
         .select(col("doc_id"), col("dl"), explode(col("tc")).as("t"))
         .select(col("t.token").as("token"), col("doc_id"),
           col("t.cnt").as("tf"), col("dl"))
-      // ONE token exchange serves both artifacts (round 18, guide
-      // §2.4): the dfs aggregate used to hash-shuffle the posting
-      // stream once and the postings write a second time; staging
-      // the stream repartitioned by token lets the groupBy(token)
-      // reuse the cached layout with no new exchange
-      val parted = postings.repartition(col("token"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        parted.groupBy("token").agg(count(lit(1)).as("df"))
-          .write.mode("overwrite").parquet(s"$path/dfs")
-        parted.sortWithinPartitions("token", "doc_id")
-          .write.mode("overwrite").parquet(s"$path/postings")
-      } finally parted.unpersist(blocking = false)
+      // NB (round 18, measured and kept as-is): "share one token
+      // exchange between the dfs aggregate and the postings write"
+      // via a repartition(token)+persist was tried and is 2.5×
+      // SLOWER (PostingsWriteAb, interleaved medians 1.17 s vs
+      // 2.95 s, identical outputs) — the dfs groupBy partial-
+      // aggregates map-side, so its exchange carries only the
+      // distinct-token partials (KBs), while the "shared" layout
+      // pays a full cache materialization of the posting stream.
+      // Two logical shuffles here ≠ two stream-sized shuffles.
+      postings.groupBy("token").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/dfs")
+      postings.repartition(col("token"))
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings")
     } finally base.unpersist(blocking = false)
   }
 
